@@ -1,13 +1,265 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, TextStats}
+import graft.operators.{Sampler, SemiJoinReducer}
+
+/**
+ * Driver contract: every implemented operator from SURVEY.md §2 (reference
+ * parity: sample / semi-join / sink) plus the training-data-pipeline
+ * extensions (dedup, similarity, text analysis, windowed events), each as a
+ * named query. Where the semantics are ANSI-SQL-expressible the matching
+ * DuckDB oracle lives in [[oracleSql]]; the rest get rows-only checks and
+ * ScalaTest property coverage.
+ *
+ * Floating-point discipline for oracle-checked queries: aggregates go
+ * through exact DECIMAL arithmetic and only the FINAL value is cast to
+ * double, so Spark and DuckDB produce bit-identical results regardless of
+ * summation order; ratio columns use the identical double expression tree on
+ * both engines.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_semijoin_orders")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared query fragments -------------------------------------------
+
+  private def semi(dim: String, dimCol: String, fact: String, factCol: String)(
+      s: SparkSession, dir: String): DataFrame =
+    SemiJoinReducer.reduce(t(s, dir, dim), dimCol, t(s, dir, fact), factCol)
+
+  /** exact-decimal money column: the test data carries 2-decimal doubles */
+  private def dec(c: String): Column = col(c).cast("decimal(15,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    // ---- reference parity: left semi-join reduction (join.rs) ----------
+    "q01_semijoin_orders" -> ((s, dir) => semi("orders", "o_orderkey", "lineitem", "l_orderkey")(s, dir)),
+    "q02_semijoin_part" -> ((s, dir) => semi("part", "p_partkey", "lineitem", "l_partkey")(s, dir)),
+    "q03_semijoin_supplier" -> ((s, dir) => semi("supplier", "s_suppkey", "lineitem", "l_suppkey")(s, dir)),
+    "q04_semijoin_customer" -> ((s, dir) => semi("customer", "c_custkey", "orders", "o_custkey")(s, dir)),
+    "q05_semijoin_nation" -> ((s, dir) => semi("nation", "n_nationkey", "customer", "c_nationkey")(s, dir)),
+    "q06_semijoin_region" -> ((s, dir) => semi("region", "r_regionkey", "nation", "n_regionkey")(s, dir)),
+    // legacy reference key semantics: stringified comparison (join.rs:66-70)
+    "q07_semijoin_legacy_keys" -> ((s, dir) =>
+      SemiJoinReducer.reduce(t(s, dir, "nation"), "n_nationkey",
+        t(s, dir, "customer"), "c_nationkey", legacyStringKeys = true)),
+    "q08_antijoin_orders" -> ((s, dir) =>
+      SemiJoinReducer.antiReduce(t(s, dir, "orders"), "o_orderkey", t(s, dir, "lineitem"), "l_orderkey")),
+
+    // ---- reference parity: sampling (sample.rs; seeded => rows-only) ---
+    "q10_sample_exact" -> ((s, dir) => Sampler.exact(t(s, dir, "lineitem"), 0.01, seed = 42L)),
+    "q11_sample_positional" -> ((s, dir) =>
+      Sampler.exactFromParquet(s, s"$dir/lineitem.parquet", 0.01, seed = 42L)),
+    "q12_sample_bernoulli" -> ((s, dir) => Sampler.bernoulli(t(s, dir, "lineitem"), 0.01, seed = 42L)),
+    // the README.md:15-26 workflow end-to-end: sample the fact, reduce dims
+    "q13_sample_pipeline" -> ((s, dir) => {
+      val sampled = Sampler.exact(t(s, dir, "lineitem"), 0.05, seed = 42L)
+      val orders = SemiJoinReducer.reduce(t(s, dir, "orders"), "o_orderkey", sampled, "l_orderkey")
+      SemiJoinReducer.reduce(t(s, dir, "customer"), "c_custkey", orders, "o_custkey")
+    }),
+
+    // ---- analytics over the star schema (Catalyst-native ops) ----------
+    "q20_agg_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("count_order"),
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(15,2)") - dec("l_discount")))
+            .cast("double").as("sum_disc_price"))),
+    "q21_join_agg_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(15,2)") - dec("l_discount")))
+            .cast("double").as("revenue"))
+    }),
+    "q22_topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(10)),
+    "q23_window_recent_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("rn"))
+    }),
+    "q24_distinct_segments" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_mktsegment")).distinct()),
+    "q25_setop_nations" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey")).distinct()
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")).distinct())),
+
+    // ---- events: time-windowed aggregation ------------------------------
+    // events.ts is parquet TIMESTAMP(NANOS), surfaced as long nanos via
+    // spark.sql.legacy.parquet.nanosAsLong; buckets are epoch-second longs so
+    // both engines agree on type and value exactly.
+    "q30_events_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          (floor(col("ts") / lit(3600L * 1000000000L)) * 3600).cast("long").as("bucket_s"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(dec("value")).cast("double").as("sum_value"))),
+
+    // ---- dedup ----------------------------------------------------------
+    "q40_dedup_exact" -> ((s, dir) => Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")),
+    "q41_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.7)),
+    "q42_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 7, chunks = 8)),
+    "q43_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.7)),
+    "q44_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.4, numPlanes = 16, bands = 8)),
+    "q45_fingerprints" -> ((s, dir) =>
+      TextStats.fingerprint(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("content_fp"), col("shingle_fp"), col("simhash_fp"))),
+
+    // ---- similarity search ---------------------------------------------
+    "q50_knn_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    }),
+    "q51_knn_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, dim = 64, numPlanes = 16, bands = 8)
+    }),
+
+    // ---- text analysis --------------------------------------------------
+    "q60_text_stats" -> ((s, dir) =>
+      TextStats.withStats(t(s, dir, "documents"), "text", prefix = "stat_")
+        .select(col("doc_id"), col("stat_n_chars"), col("stat_n_tokens"),
+          col("stat_punct_ratio"), col("stat_digit_ratio"), col("stat_space_ratio"),
+          col("stat_mean_token_len"))),
+    "q61_text_quality" -> ((s, dir) =>
+      TextStats.qualityScore(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("quality_score"))),
+    "q62_text_langid" -> ((s, dir) =>
+      TextStats.langId(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang_pred"), col("lang_pred_score"))),
+    "q63_token_counts" -> ((s, dir) =>
+      TextStats.withTokenCounts(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_ish_tokens"))),
+  )
+
+  // ---- DuckDB oracles ---------------------------------------------------
+
+  private val statsSubquery =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS stat_n_chars,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS stat_n_tokens,
+      |  length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct_cnt,
+      |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_cnt,
+      |  length(text) - length(regexp_replace(text, '\s', '', 'g')) AS space_cnt
+      |FROM documents""".stripMargin
+
+  private val langScores = {
+    def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    TextStats.stopwords.toSeq.sortBy(_._1).map { case (code, words) =>
+      s"CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')), ${lst(words)})) AS DOUBLE) / ${words.size} AS s_$code"
+    }.mkString(",\n  ")
+  }
+
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_semijoin_orders" ->
+      "SELECT * FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)",
+    "q02_semijoin_part" ->
+      "SELECT * FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)",
+    "q03_semijoin_supplier" ->
+      "SELECT * FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)",
+    "q04_semijoin_customer" ->
+      "SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+    "q05_semijoin_nation" ->
+      "SELECT * FROM nation WHERE n_nationkey IN (SELECT c_nationkey FROM customer)",
+    "q06_semijoin_region" ->
+      "SELECT * FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM nation)",
+    "q07_semijoin_legacy_keys" ->
+      ("SELECT * FROM nation WHERE CAST(n_nationkey AS VARCHAR) IN " +
+        "(SELECT CAST(c_nationkey AS VARCHAR) FROM customer)"),
+    "q08_antijoin_orders" ->
+      "SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)",
+    "q20_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(15,2)) - CAST(l_discount AS DECIMAL(15,2)))) AS DOUBLE) AS sum_disc_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q21_join_agg_revenue" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(15,2)) - CAST(l_discount AS DECIMAL(15,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q22_topk_orders" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q23_window_recent_orders" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q24_distinct_segments" ->
+      "SELECT DISTINCT c_mktsegment FROM customer",
+    "q25_setop_nations" ->
+      ("SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer " +
+        "INTERSECT SELECT DISTINCT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier"),
+    "q30_events_hourly" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s, event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q40_dedup_exact" ->
+      "SELECT * FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)",
+    "q60_text_stats" ->
+      s"""SELECT doc_id, stat_n_chars, stat_n_tokens,
+        |  CAST(punct_cnt AS DOUBLE) / GREATEST(stat_n_chars, 1) AS stat_punct_ratio,
+        |  CAST(digit_cnt AS DOUBLE) / GREATEST(stat_n_chars, 1) AS stat_digit_ratio,
+        |  CAST(space_cnt AS DOUBLE) / GREATEST(stat_n_chars, 1) AS stat_space_ratio,
+        |  CASE WHEN stat_n_tokens = 0 THEN 0.0
+        |       ELSE CAST(stat_n_chars - space_cnt AS DOUBLE) / CAST(stat_n_tokens AS DOUBLE) END AS stat_mean_token_len
+        |FROM ($statsSubquery)""".stripMargin,
+    "q61_text_quality" ->
+      s"""SELECT doc_id,
+        |  (((LEAST(CAST(stat_n_tokens AS DOUBLE) / 20.0, 1.0) * (CASE WHEN stat_n_tokens > 5000 THEN 0.5 ELSE 1.0 END))
+        |    * (CASE WHEN (CASE WHEN stat_n_tokens = 0 THEN 0.0 ELSE CAST(stat_n_chars - space_cnt AS DOUBLE) / CAST(stat_n_tokens AS DOUBLE) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END))
+        |   * GREATEST(0.0, 1.0 - (CAST(punct_cnt AS DOUBLE) / GREATEST(stat_n_chars, 1)) * 4.0))
+        |  * GREATEST(0.0, 1.0 - (CAST(digit_cnt AS DOUBLE) / GREATEST(stat_n_chars, 1)) * 2.0) AS quality_score
+        |FROM ($statsSubquery)""".stripMargin,
+    "q62_text_langid" ->
+      s"""SELECT doc_id,
+        |  CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) <= 0.0 THEN 'und'
+        |       WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+        |       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |       WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS lang_pred,
+        |  GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS lang_pred_score
+        |FROM (SELECT doc_id,
+        |  $langScores
+        |FROM documents)""".stripMargin,
+    "q63_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS bpe_ish_tokens
+        |FROM documents""".stripMargin,
+  )
 }

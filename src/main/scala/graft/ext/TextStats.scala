@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TextExpressionFunctions
+
+/**
+ * Text-analysis operators for corpus curation (extension surface; the
+ * reference has no scalar-function surface at all beyond key
+ * stringification, /root/reference/src/bin/join.rs:66-70).
+ *
+ * Everything is built from codegen'd `org.apache.spark.sql.functions`
+ * expressions (split/regexp/array ops) — per-row, embarrassingly parallel,
+ * no shuffle, no UDFs; the whole stats projection fuses into one
+ * WholeStageCodegen stage over the scan.
+ */
+object TextStats {
+
+  /** Whitespace tokens of the raw (case-preserved) text. */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) === 0, array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
+
+  /**
+   * Per-document stats block: token/char counts, punctuation/digit/space
+   * ratios, mean token length, and a [0,1] quality score combining them
+   * (Gopher/C4-style length+punctuation heuristics).
+   */
+  def withStats(df: DataFrame, textCol: String, prefix: String = ""): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t).cast("long")
+    val nTokens = size(toks).cast("long")
+    val punct = length(t) - length(regexp_replace(t, "\\p{Punct}", ""))
+    val digits = length(t) - length(regexp_replace(t, "[0-9]", ""))
+    val spaces = length(t) - length(regexp_replace(t, "\\s", ""))
+    val safeChars = greatest(nChars, lit(1L)).cast("double")
+    val meanTokLen = when(nTokens === 0, 0.0)
+      .otherwise((nChars - spaces).cast("double") / nTokens.cast("double"))
+    df.withColumn(prefix + "n_chars", nChars)
+      .withColumn(prefix + "n_tokens", nTokens)
+      .withColumn(prefix + "punct_ratio", punct.cast("double") / safeChars)
+      .withColumn(prefix + "digit_ratio", digits.cast("double") / safeChars)
+      .withColumn(prefix + "space_ratio", spaces.cast("double") / safeChars)
+      .withColumn(prefix + "mean_token_len", meanTokLen)
+  }
+
+  /** Heuristic quality score in [0,1]: rewards 20..5000-token docs with
+    * word-like tokens; penalizes punctuation/digit-heavy text. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val s = withStats(df, textCol, "__q_")
+    val lenScore = least(col("__q_n_tokens").cast("double") / 20.0, lit(1.0)) *
+      when(col("__q_n_tokens") > 5000, 0.5).otherwise(1.0)
+    val tokScore = when(col("__q_mean_token_len").between(2.0, 12.0), 1.0).otherwise(0.5)
+    val punctScore = greatest(lit(0.0), lit(1.0) - col("__q_punct_ratio") * 4.0)
+    val digitScore = greatest(lit(0.0), lit(1.0) - col("__q_digit_ratio") * 2.0)
+    // no round(): identical double arithmetic on both engines must stay
+    // bit-identical for the hash-compare oracle
+    s.withColumn("quality_score", lenScore * tokScore * punctScore * digitScore)
+      .drop(s.columns.filter(_.startsWith("__q_")): _*)
+  }
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Real pipelines plug in fastText-style models; the Spark
+    * plumbing (scored argmax over per-language token overlap) is identical. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "dans", "que", "pour"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "人", "有", "他", "这"))
+
+  /**
+   * Stopword-overlap language ID: per language, score = fraction of that
+   * language's stopword list present in the document; argmax wins
+   * (deterministic tie-break on language code). "und" (undetermined) when
+   * nothing scores.
+   */
+  def langId(df: DataFrame, textCol: String, outCol: String = "lang_pred"): DataFrame = {
+    val toks = array_distinct(Dedup.tokens(col(textCol)))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (code, words) =>
+      struct(
+        (size(array_intersect(toks, typedlit(words))).cast("double") / words.size).as("score"),
+        lit(code).as("code"))
+    }
+    // greatest over (score, code) structs = max score, ties -> largest code
+    val best = greatest(scored: _*)
+    df.withColumn(outCol, when(best.getField("score") > 0.0, best.getField("code")).otherwise(lit("und")))
+      .withColumn(outCol + "_score", best.getField("score"))
+  }
+
+  /**
+   * Document fingerprints:
+   *  - `content_fp`: xxhash64 of whitespace-normalized lowercase text
+   *    (exact-dup key robust to spacing);
+   *  - `shingle_fp`: min xxhash64 over word 3-gram shingles (one-permutation
+   *    MinHash — equal for near-identical docs with high probability);
+   *  - `simhash_fp`: 64-bit SimHash over tokens (custom codegen'd Catalyst
+   *    expression).
+   */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame = {
+    val norm = concat_ws(" ", Dedup.tokens(col(textCol)))
+    val sh = Dedup.shingles(col(textCol), 3)
+    df.withColumn("content_fp", xxhash64(norm))
+      .withColumn("shingle_fp",
+        when(size(sh) === 0, lit(null).cast("long"))
+          .otherwise(array_min(transform(sh, s => xxhash64(s)))))
+      .withColumn("simhash_fp", TextExpressionFunctions.simhash64(Dedup.tokens(col(textCol))))
+  }
+
+  /** GPT-2-style pre-tokenizer regex (contractions | letter runs | digit
+    * runs | symbol runs), giving a BPE-ish token count without a vocab. */
+  private val bpeIshPattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def withTokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ws_tokens", size(tokens(t)).cast("long"))
+      .withColumn("bpe_ish_tokens",
+        size(regexp_extract_all(t, lit(bpeIshPattern), lit(0))).cast("long"))
+  }
+}

@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{VectorFunctions => VF}
+
+/**
+ * Public function surface of the graft engine. The Catalyst expression
+ * implementations live in `org.apache.spark.sql.graft` (package access to
+ * `private[sql]` internals); users import `graft.functions._`.
+ */
+package object functions {
+  /** Dot product of two `array<float>` columns (codegen'd, no boxing). */
+  def vec_dot(a: Column, b: Column): Column = VF.vec_dot(a, b)
+
+  /** Cosine similarity of two `array<float>` columns, in [-1, 1]. */
+  def vec_cosine(a: Column, b: Column): Column = VF.vec_cosine(a, b)
+
+  /** Squared euclidean distance of two `array<float>` columns. */
+  def vec_l2sq(a: Column, b: Column): Column = VF.vec_l2sq(a, b)
+}

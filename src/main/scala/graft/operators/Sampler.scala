@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/**
+ * Uniform random sampling of a table.
+ *
+ * Reference semantics (/root/reference/src/bin/sample.rs):
+ *  - exact-count without replacement: `sample_size = floor(num_rows * ratio)`
+ *    (sample.rs:37), distinct row positions drawn by rejection into a
+ *    HashSet (sample.rs:41-46), then one merge scan (sample.rs:56-79).
+ *  - `ratio > 1.0` never terminates (sample.rs:43-46) — we reject it.
+ *  - no seed (`thread_rng`, sample.rs:42) — we REQUIRE one, otherwise no
+ *    correctness oracle is possible.
+ *  - the whole sample is buffered in driver RAM (sample.rs:56) — we never do
+ *    that; everything below stays distributed.
+ *
+ * Two modes:
+ *  - [[bernoulli]]: Spark's native `df.sample` — binomial output size,
+ *    the documented approximate fast path (single scan, no shuffle).
+ *  - [[exact]] / [[exactN]]: exact output cardinality at scale via ScaSRS
+ *    (Meng, "Scalable Simple Random Sampling and Stratified Sampling",
+ *    ICML 2013): tag rows with u ~ U[0,1), keep the n smallest. A
+ *    high-probability threshold q filters ~n + O(sqrt(n)) candidates in one
+ *    scan; the exact n-smallest selection then runs on the small candidate
+ *    set with a distributed range-sort + zipWithIndex — the driver never
+ *    holds rows, so this survives n in the billions (unlike
+ *    `orderBy(rand).limit(n)`, whose TakeOrderedAndProject funnels n rows
+ *    to the driver, or `rdd.takeSample`, likewise driver-bound).
+ */
+object Sampler {
+
+  final case class SampleReport(inputRows: Long, sampleRows: Long, ratio: Double, seed: Long)
+
+  private val RCOL = "__graft_sample_r"
+
+  /** Bernoulli sampling: output size is binomial(n, ratio), single pass. */
+  def bernoulli(df: DataFrame, ratio: Double, seed: Long): DataFrame = {
+    require(ratio >= 0.0 && ratio <= 1.0, s"ratio must be in [0,1], got $ratio")
+    df.sample(withReplacement = false, ratio, seed)
+  }
+
+  /**
+   * Exact-count sample: exactly floor(count * ratio) rows (reference
+   * truncation semantics, sample.rs:37). ratio=1 is identity; ratio such
+   * that floor(...) == 0 yields an empty (but valid) result.
+   */
+  def exact(df: DataFrame, ratio: Double, seed: Long): DataFrame = {
+    require(ratio >= 0.0 && ratio <= 1.0,
+      s"ratio must be in [0,1], got $ratio (the reference would loop forever for ratio>1)")
+    val total = df.count()
+    exactN(df, (total * ratio).toLong, seed, knownTotal = total)
+  }
+
+  /**
+   * Exactly-n uniform sample without replacement.
+   *
+   * @param rankCol optional U[0,1)-distributed column expression used as the
+   *                sampling rank; default `rand(seed)` (deterministic for a
+   *                fixed partition layout). Pass [[positionalRank]] output
+   *                for a rank that is stable across partition layouts.
+   */
+  def exactN(
+      df: DataFrame,
+      n: Long,
+      seed: Long,
+      knownTotal: Long = -1L,
+      rankCol: Option[Column] = None): DataFrame = {
+    val spark = df.sparkSession
+    val total = if (knownTotal >= 0) knownTotal else df.count()
+    if (n <= 0 || total == 0) return df.limit(0)
+    if (n >= total) return df
+
+    val withR = df.withColumn(RCOL, rankCol.getOrElse(rand(seed)).cast(DoubleType))
+
+    // ScaSRS acceptance threshold: q >= p with P[|{u < q}| < n] < 1e-8,
+    // so one filtering scan yields enough candidates w.h.p.
+    val p = n.toDouble / total
+    val gamma = -math.log(1e-8) / total
+    val q = math.min(1.0, p + gamma + math.sqrt(gamma * gamma + 2.0 * gamma * p))
+
+    val schema: StructType = StructType(df.schema.fields :+ StructField(RCOL, DoubleType, nullable = false))
+    val candidates = withR.filter(col(RCOL) < q)
+    candidates.persist()
+    try {
+      val candCount = candidates.count()
+      val pool = if (candCount >= n) candidates else withR // fallback: full sort (prob < 1e-8)
+      val rIdx = schema.fieldIndex(RCOL)
+      // Distributed exact selection of the n smallest ranks: range-partitioned
+      // sort, then contiguous global indices via zipWithIndex (two narrow
+      // passes over ~n rows; no driver materialization).
+      val taken = pool.rdd
+        .sortBy(_.getDouble(rIdx))
+        .zipWithIndex()
+        .filter(_._2 < n)
+        .keys
+      spark.createDataFrame(taken, schema).drop(RCOL)
+    } finally {
+      candidates.unpersist(blocking = false)
+    }
+  }
+
+  /**
+   * Partition-layout-independent sampling rank for file-backed DataFrames:
+   * hash of (seed, file, row position in file) mapped to U[0,1). Mirrors the
+   * reference's BY-POSITION sampling (duplicate rows are sampled
+   * independently, sample.rs:41-46) while staying deterministic no matter
+   * how Spark splits the files. Requires the `_metadata` struct, i.e. the
+   * DataFrame must come straight from a file source.
+   */
+  def positionalRank(seed: Long): Column = {
+    val h = xxhash64(lit(seed), col("_metadata.file_path"), col("_metadata.row_index"))
+    // top 53 bits -> exact double in [0,1)
+    shiftrightunsigned(h, 11).cast(DoubleType) / lit((1L << 53).toDouble)
+  }
+
+  /** File-based exact sample with a partition-layout-independent seed. */
+  def exactFromParquet(spark: SparkSession, path: String, ratio: Double, seed: Long): DataFrame = {
+    require(ratio >= 0.0 && ratio <= 1.0,
+      s"ratio must be in [0,1], got $ratio (the reference would loop forever for ratio>1)")
+    val df = spark.read.parquet(path)
+    val cols = df.columns.map(col).toSeq // drop _metadata from output
+    val withMeta = spark.read.parquet(path).select((cols :+ col("_metadata")): _*)
+    val total = df.count()
+    val n = (total * ratio).toLong
+    exactN(withMeta, n, seed, knownTotal = total, rankCol = Some(positionalRank(seed)))
+      .select(cols: _*)
+  }
+}
