@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
 import graft.operators.{Sampler, SemiJoinReducer}
 
 /**
@@ -147,6 +147,18 @@ object SparkEntry {
         e.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, dim = 64, numPlanes = 16, bands = 8)
     }),
+
+    // ---- multimodal plumbing (stub decoder; see Multimodal scaladoc) ----
+    "q70_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.attachSyntheticMedia(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "media", dim = 16)
+        .select(col("doc_id"), col("media_meta.media_type").as("media_type"), col("features"))),
+    "q71_multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.attachSyntheticMedia(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "media", "media_meta", stride = 5)
+        .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))),
 
     // ---- text analysis --------------------------------------------------
     "q60_text_stats" -> ((s, dir) =>

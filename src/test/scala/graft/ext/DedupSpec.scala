@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus with planted structure: (0,1) exact dup; (2,3) near dup (one word
+  // changed); 4..9 unrelated
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu xi"),
+    (4L, "completely different words about cooking pasta with fresh tomato sauce"),
+    (5L, "weather report says heavy rain and strong winds expected tomorrow evening"),
+    (6L, "stock markets rallied sharply after the central bank cut interest rates"),
+    (7L, "the museum opened a new exhibition of impressionist paintings this weekend"),
+    (8L, "astronomers discovered a distant galaxy cluster using the new telescope"),
+    (9L, "local team wins championship final after dramatic penalty shootout drama")
+  ).toDF("doc_id", "text")
+
+  /** brute-force word-3-gram jaccard for ground truth */
+  private def bruteJaccard(a: String, b: String): Double = {
+    def sh(s: String) = s.toLowerCase.trim.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val (x, y) = (sh(a), sh(b))
+    x.intersect(y).size.toDouble / x.union(y).size
+  }
+
+  test("exactDedup keeps min-id representative per key") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+    assert(out.count() === 9) // 10 docs, one exact dup collapsed
+    assert(out.filter($"doc_id" === 0L).count() === 1) // min id kept
+    assert(out.filter($"doc_id" === 1L).count() === 0)
+  }
+
+  test("ngramJaccardPairs computes exact jaccard values") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet === Set((0L, 1L), (2L, 3L)))
+    assert(pairs((0L, 1L)) === 1.0)
+    val expected = bruteJaccard(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu xi")
+    assert(math.abs(pairs((2L, 3L)) - expected) < 1e-12)
+  }
+
+  test("minhashPairs finds planted near-dups and verifies with exact jaccard") {
+    val got = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // LSH with 128 hashes / 32 bands finds j>=0.7 pairs essentially surely
+    assert(got.contains((0L, 1L)) && got((0L, 1L)) === 1.0)
+    assert(got.contains((2L, 3L)))
+    // verification stage reports EXACT jaccard, same as the brute force
+    assert(math.abs(got((2L, 3L)) - bruteJaccard(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu xi")) < 1e-12)
+    // no unrelated pair sneaks past verification
+    assert(got.keySet.forall(p => Set((0L, 1L), (2L, 3L)).contains(p)))
+  }
+
+  test("simhashPairs: identical docs at hamming 0; near-dups within radius; dissimilar out") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12, chunks = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got((0L, 1L)) === 0)
+    assert(got.get((2L, 3L)).exists(_ <= 12))
+  }
+
+  test("embeddingNearDupPairs finds planted near-identical vectors with exact cosine") {
+    val rng = new scala.util.Random(1)
+    def vec() = Array.fill(16)(rng.nextGaussian().toFloat)
+    val base = vec()
+    val nearDup = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.01f else v }
+    val rows = Seq((0L, base.toSeq), (1L, nearDup.toSeq)) ++
+      (2L to 20L).map(i => (i, vec().toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val got = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+      dim = 16, threshold = 0.95, numPlanes = 16, bands = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.contains((0L, 1L)), s"planted pair missed: $got")
+    assert(got((0L, 1L)) > 0.99)
+  }
+}

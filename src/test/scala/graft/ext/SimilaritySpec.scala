@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+  }
+
+  test("vec_cosine / vec_dot / vec_l2sq match driver-side math (codegen path)") {
+    val a = Seq(1.0f, 2.0f, -3.0f, 0.5f)
+    val b = Seq(-2.0f, 0.25f, 1.5f, 4.0f)
+    val df = Seq((a, b)).toDF("a", "b")
+      .select($"a".cast("array<float>").as("a"), $"b".cast("array<float>").as("b"))
+    val r = df.select(
+      vec_cosine($"a", $"b"), vec_dot($"a", $"b"), vec_l2sq($"a", $"b"),
+      vec_cosine($"a", $"a")).head()
+    assert(math.abs(r.getDouble(0) - cosine(a, b)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - a.zip(b).map { case (x, y) => x.toDouble * y }.sum) < 1e-12)
+    assert(math.abs(r.getDouble(2) - a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("vec_cosine: zero vector -> 0.0, null -> null, length mismatch -> shorter prefix") {
+    val df = Seq(
+      (Seq(0f, 0f), Seq(1f, 2f)),
+      (Seq(1f, 1f, 1f), Seq(1f, 1f))
+    ).toDF("a", "b").select($"a".cast("array<float>").as("a"), $"b".cast("array<float>").as("b"))
+    val rs = df.select(vec_cosine($"a", $"b")).collect()
+    assert(rs(0).getDouble(0) === 0.0)
+    assert(math.abs(rs(1).getDouble(0) - 1.0) < 1e-12) // prefix [1,1]·[1,1]
+    val n = Seq((Some(Seq(1f)), Option.empty[Seq[Float]])).toDF("a", "b")
+      .select(vec_cosine($"a".cast("array<float>"), $"b".cast("array<float>"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("bruteTopK returns k ranked neighbors matching driver-side ground truth") {
+    val rng = new scala.util.Random(7)
+    val data = (0L until 50L).map(i => (i, Seq.fill(8)(rng.nextGaussian().toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val q = df.filter($"vec_id" === 0L)
+    val got = Similarity.bruteTopK(df, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+      .orderBy($"rank").collect()
+    assert(got.length === 5)
+    assert(got.head.getLong(1) === 0L) // self is rank 1, cosine 1
+    assert(math.abs(got.head.getDouble(2) - 1.0) < 1e-9)
+    val truth = data.map { case (i, v) => (i, cosine(data(0)._2, v)) }
+      .sortBy { case (i, c) => (-c, i) }.take(5).map(_._1)
+    assert(got.map(_.getLong(1)).toSeq === truth.toSeq)
+  }
+
+  test("lshTopK is a subset of brute-force candidates with identical scores") {
+    val rng = new scala.util.Random(11)
+    val data = (0L until 100L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val q = df.filter($"vec_id" < 3L)
+    val brute = Similarity.bruteTopK(df, "vec_id", "embedding", q, "vec_id", "embedding", k = 100)
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.lshTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 10, dim = 16, numPlanes = 16, bands = 8).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(math.abs(brute(key) - r.getDouble(2)) < 1e-12, s"score mismatch for $key")
+    }
+    // self always lands in the same buckets -> rank 1 survives LSH
+    assert(lsh.filter(_.getInt(3) == 1).forall(r => r.getLong(0) == r.getLong(1)))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withStats computes exact counts and ratios") {
+    val df = Seq((1L, "Hello, world! 42")).toDF("id", "text")
+    val r = TextStats.withStats(df, "text").head()
+    // "Hello, world! 42": 16 chars, 3 tokens, 2 punct (, !), 2 digits, 2 spaces
+    assert(r.getAs[Long]("n_chars") === 16L)
+    assert(r.getAs[Long]("n_tokens") === 3L)
+    assert(r.getAs[Double]("punct_ratio") === 2.0 / 16)
+    assert(r.getAs[Double]("digit_ratio") === 2.0 / 16)
+    assert(r.getAs[Double]("space_ratio") === 2.0 / 16)
+    assert(r.getAs[Double]("mean_token_len") === 14.0 / 3)
+  }
+
+  test("empty and whitespace-only text: zero tokens, no division blowups") {
+    val df = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
+    val rs = TextStats.withStats(df, "text").orderBy($"id").collect()
+    assert(rs(0).getAs[Long]("n_tokens") === 0L)
+    assert(rs(1).getAs[Long]("n_tokens") === 0L)
+    assert(rs(0).getAs[Double]("mean_token_len") === 0.0)
+  }
+
+  test("langId picks the stopword-dominant language; und for no signal") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is warm for a day"),
+      (2L, "der hund und die katze das ist ein haus mit garten"),
+      (3L, "el perro y la casa de un amigo es por la noche"),
+      (4L, "xyzzy plugh qwerty asdf")
+    ).toDF("id", "text")
+    val got = TextStats.langId(df, "text").select($"id", $"lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "de")
+    assert(got(3L) === "es")
+    assert(got(4L) === "und")
+  }
+
+  test("fingerprints: whitespace-insensitive content_fp; near-dup docs share shingle_fp behavior") {
+    val df = Seq(
+      (1L, "alpha  beta\tgamma delta"),
+      (2L, "Alpha Beta Gamma Delta"), // same tokens after lowercase/normalize
+      (3L, "totally different content here")
+    ).toDF("id", "text")
+    val fp = TextStats.fingerprint(df, "text")
+      .select($"id", $"content_fp", $"simhash_fp").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp(1L)._1 === fp(2L)._1) // normalized content hash equal
+    assert(fp(1L)._2 === fp(2L)._2) // simhash equal for same token multiset
+    assert(fp(1L)._1 !== fp(3L)._1)
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val df = Seq((1L, "it's rain-ing 123 tokens!")).toDF("id", "text")
+    val r = TextStats.withTokenCounts(df, "text").head()
+    assert(r.getAs[Long]("ws_tokens") === 4L)
+    // it|'s| rain|-|ing| 123| tokens|! -> 8
+    assert(r.getAs[Long]("bpe_ish_tokens") === 8L)
+  }
+
+  test("quality score: clean prose scores high; punctuation soup scores low") {
+    val df = Seq(
+      (1L, ("the quick brown fox jumps over the lazy dog " * 3).trim),
+      (2L, "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!!")
+    ).toDF("id", "text")
+    val got = TextStats.qualityScore(df, "text").select($"id", $"quality_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > 0.8)
+    assert(got(2L) === 0.0)
+  }
+}

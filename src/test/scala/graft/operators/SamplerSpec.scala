@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+  private lazy val total = li.count()
+
+  test("exact sampling returns exactly floor(count*ratio) rows") {
+    for (r <- Seq(0.001, 0.01, 0.5)) {
+      val n = (total * r).toLong
+      assert(Sampler.exact(li, r, seed = 42L).count() === n, s"ratio $r")
+    }
+  }
+
+  test("ratio edge cases: 0 -> empty, 1 -> identity, tiny -> floor to 0") {
+    assert(Sampler.exact(li, 0.0, 42L).count() === 0)
+    assert(Sampler.exact(li, 1.0, 42L).count() === total)
+    // ratio small enough that n*r < 1 => empty but valid (reference §2.3.1)
+    assert(Sampler.exact(li, 1e-9, 42L).count() === 0)
+  }
+
+  test("ratio > 1 rejected (the reference binary would hang)") {
+    intercept[IllegalArgumentException](Sampler.exact(li, 1.5, 42L))
+    intercept[IllegalArgumentException](Sampler.bernoulli(li, -0.1, 42L))
+  }
+
+  test("sample is a subset of the input (multiset) with the input schema") {
+    val s = Sampler.exact(li, 0.05, 42L)
+    assert(s.schema === li.schema)
+    // multiset subset: every sampled row occurs at most as often as in input
+    val cnt = s.groupBy(li.columns.map(col): _*).count().withColumnRenamed("count", "s_cnt")
+    val in = li.groupBy(li.columns.map(col): _*).count().withColumnRenamed("count", "i_cnt")
+    val bad = cnt.join(in, li.columns.toSeq, "left")
+      .filter($"i_cnt".isNull || $"s_cnt" > $"i_cnt")
+    assert(bad.count() === 0)
+  }
+
+  test("same seed -> identical sample; different seed -> different sample") {
+    def ids(seed: Long) =
+      Sampler.exact(li, 0.02, seed).select($"l_orderkey", $"l_linenumber")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(ids(42L) === ids(42L))
+    assert(ids(42L) !== ids(43L))
+  }
+
+  test("positional (file-based) sampling is deterministic and exact") {
+    def run() = Sampler.exactFromParquet(spark, s"$sf0001/lineitem.parquet", 0.02, 7L)
+    val a = run(); val b = run()
+    assert(a.count() === (total * 0.02).toLong)
+    assert(a.schema === li.schema)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("exactN caps at total and handles n=0") {
+    assert(Sampler.exactN(li, total + 100, 42L).count() === total)
+    assert(Sampler.exactN(li, 0, 42L).count() === 0)
+  }
+
+  test("bernoulli is seed-deterministic") {
+    val a = Sampler.bernoulli(li, 0.05, 9L).count()
+    val b = Sampler.bernoulli(li, 0.05, 9L).count()
+    assert(a === b)
+  }
+
+  test("uniformity: chi-square over 10 position buckets within 4 sigma") {
+    // sample 10% by positional rank; bucket source rows into deciles by
+    // l_orderkey order; expect roughly equal pick counts per decile
+    val s = Sampler.exactFromParquet(spark, s"$sf0001/lineitem.parquet", 0.1, 3L)
+    val n = s.count().toDouble
+    val buckets = s.select(ntile(10).over(
+      org.apache.spark.sql.expressions.Window.orderBy($"l_orderkey", $"l_linenumber")).as("b"))
+      .groupBy($"b").count().collect().map(_.getLong(1).toDouble)
+    val exp = n / 10.0
+    val chi2 = buckets.map(o => (o - exp) * (o - exp) / exp).sum
+    // df=9; mean 9, sd ~4.24; 4 sigma ~ 26 — generous but catches gross bias
+    assert(chi2 < 26.0, s"chi2=$chi2 buckets=${buckets.mkString(",")}")
+  }
+}
