@@ -22,6 +22,18 @@ import graft.functions.vec_cosine
  */
 object Dedup {
 
+  /**
+   * Ensure the per-row heavy phase (shingling/hashing via higher-order
+   * functions, which run interpreted, not codegen'd) is spread across all
+   * cores: small inputs arrive as one or two scan partitions and would
+   * otherwise hash on a single thread. No-op when the source already has
+   * enough partitions (the 100 TB case).
+   */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Lowercased whitespace tokens; empty text -> empty array. */
   def tokens(text: Column): Column = {
     val t = lower(trim(text))
@@ -75,17 +87,18 @@ object Dedup {
       threshold: Double,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     require(cfg.numHashes % cfg.bands == 0, "numHashes must divide evenly into bands")
-    val rowsPerBand = cfg.numHashes / cfg.bands
 
-    val base = df
-      .select(col(idCol).as("id"), shingles(col(textCol), cfg.shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // hashed shingle sets: the whole shingle->minhash->band pipeline runs in
+    // compiled kernels (SetSimilarityAlgo) — interpreted higher-order
+    // functions cost ~1µs/element and dominate at corpus scale
+    val base = hashedShingleBase(df, idCol, textCol, cfg.shingleSize, cfg.seed)
 
+    // band rows carry ONLY (id, band, band-hash): the shingle arrays must not
+    // ride through a bands-way exploded shuffle (at 100 TB that multiplies
+    // the corpus payload by `bands`); survivors re-join the shingles by id.
     val banded = base
-      .withColumn("sig", minhashSignature(col("sh"), cfg.numHashes, cfg.seed))
-      .select(col("id"), col("sh"), posexplode(
-        transform(sequence(lit(0), lit(cfg.bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .select(col("id"), posexplode(
+        TextExpressionFunctions.minhash_band_keys(col("shh"), cfg.numHashes, cfg.bands, cfg.seed)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
 
     val a = banded.alias("a")
@@ -93,17 +106,34 @@ object Dedup {
     val cand = a
       .join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    verifyJaccard(cand, base, threshold)
+  }
+
+  /** (id, shh sorted-hashed shingle set, sz) base table for set-similarity
+    * operators; whole-doc shingle for docs shorter than n words. */
+  private def hashedShingleBase(
+      df: DataFrame, idCol: String, textCol: String, n: Int, seed: Long): DataFrame =
+    spread(df)
+      .select(col(idCol).as("id"),
+        TextExpressionFunctions.shingle_hashes(tokens(col(textCol)), n, seed).as("shh"))
+      .filter(size(col("shh")) > 0)
+      .withColumn("sz", size(col("shh")))
+
+  /** Exact-jaccard verification of candidate id pairs against the hashed
+    * shingle table: two id-equi-joins (candidates are few by construction),
+    * then a compiled merge-scan intersection — no string arrays move. */
+  private def verifyJaccard(cand: DataFrame, base: DataFrame, threshold: Double): DataFrame =
     cand
+      .join(base.select(col("id").as("id_a"), col("shh").as("shh_a"), col("sz").as("sz_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("shh").as("shh_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("shared", TextExpressionFunctions.sorted_intersect_count(col("shh_a"), col("shh_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /**
    * SimHash near-duplicate pairs with hamming distance <= maxHamming.
@@ -124,7 +154,7 @@ object Dedup {
     val bits = 64 / chunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1
 
-    val base = df.select(col(idCol).as("id"),
+    val base = spread(df).select(col(idCol).as("id"),
       TextExpressionFunctions.simhash64(tokens(col(textCol)), seed).as("sh64"))
 
     val chunkCols = (0 until chunks).map(c =>
@@ -134,54 +164,63 @@ object Dedup {
 
     val a = chunked.alias("a")
     val b = chunked.alias("b")
+    // hamming filter BEFORE the pair-dedup shuffle: only passing pairs move
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh64").as("ha"), col("b.sh64").as("hb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /**
-   * Exact n-gram Jaccard pairs via an inverted shingle index (no LSH, no
-   * cross join): explode shingles, equi-join postings on the shingle, count
-   * shared shingles per pair, jaccard = shared / (|A| + |B| - shared).
-   * `maxShingleDf` drops ultra-common shingles (stop-shingles) before the
-   * join — the standard guard against posting-list blowup at scale; a pair
-   * made ONLY of dropped shingles can be missed, which is the documented
-   * trade-off.
+   * EXACT n-gram Jaccard pairs (no LSH, no recall loss, no cross join),
+   * using the prefix-filtering principle of set-similarity joins (PPJoin,
+   * Xiao et al., WWW'08):
+   *
+   *  - a pair with jaccard >= t must share at least one shingle among the
+   *    first `|d| - ceil(t*|d|) + 1` shingles of each doc when every doc
+   *    orders its shingles by ascending GLOBAL document frequency — so the
+   *    inverted index is built over those (rare-first) prefixes only, which
+   *    shrinks posting lists by ~t and kills the hot-shingle quadratic
+   *    blowup that a full inverted index suffers at scale;
+   *  - a length filter (t*|B| <= |A|, symmetric) prunes candidates whose
+   *    sizes alone cap jaccard below t;
+   *  - survivors get exact verification against the full shingle sets.
    */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double,
-      maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    val base = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sz", size(col("sh")))
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
+    val base = hashedShingleBase(df, idCol, textCol, n, seed = 0L)
 
-    var inv = base.select(col("id"), col("sz"), explode(col("sh")).as("g"))
-    if (maxShingleDf != Long.MaxValue) {
-      val w = Window.partitionBy(col("g"))
-      inv = inv.withColumn("__df", count(lit(1)).over(w))
-        .filter(col("__df") <= maxShingleDf).drop("__df")
-    }
+    // global df per shingle -> rare-first canonical order
+    val postings = base.select(col("id"), col("sz"), explode(col("shh")).as("g"))
+    val gdf = postings.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
 
-    val a = inv.alias("a")
-    val b = inv.alias("b")
-    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // prefix of each doc: the (sz - ceil(t*sz) + 1) globally-rarest shingles
+    val prefix = postings
+      .join(gdf, "g")
+      .groupBy(col("id"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("gdf"), col("g")))).as("ordered"))
+      .select(col("id"), col("sz"),
+        explode(slice(col("ordered"), lit(1),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("pg"))
+      .select(col("id"), col("sz"), col("pg.g").as("g"))
+
+    val a = prefix.alias("a")
+    val b = prefix.alias("b")
+    val cand = a
+      .join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+        // length filter: jaccard <= min/max of sizes
+        col("a.sz") >= col("b.sz") * threshold && col("b.sz") >= col("a.sz") * threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    verifyJaccard(cand, base, threshold)
   }
 
   /**
@@ -201,16 +240,21 @@ object Dedup {
       bands: Int = 2,
       seed: Long = 42L): DataFrame = {
     val sigCol = LshPlanes.bandKeys(col(vecCol), dim, numPlanes, bands, seed)
-    val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"), posexplode(sigCol))
+    // ids only through the exploded band join (vectors are the heavy
+    // payload); cosine verification re-joins the vectors for survivors
+    val spreadDf = spread(df)
+    val banded = spreadDf.select(col(idCol).as("id"), posexplode(sigCol))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
 
     val a = banded.alias("a")
     val b = banded.alias("b")
+    val vecs = spreadDf.select(col(idCol).as("id"), col(vecCol).as("v"))
     a.join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("cosine", vec_cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
