@@ -68,6 +68,9 @@ object SparkEntry {
       SemiJoinReducer.reduce(t(s, dir, "customer"), "c_custkey", orders, "o_custkey")
     }),
 
+    "q14_sample_stratified" -> ((s, dir) =>
+      Sampler.stratifiedExact(t(s, dir, "lineitem"), "l_returnflag", 0.01, seed = 42L)),
+
     // ---- analytics over the star schema (Catalyst-native ops) ----------
     "q20_agg_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")

@@ -116,6 +116,38 @@ object Sampler {
     shiftrightunsigned(h, 11).cast(DoubleType) / lit((1L << 53).toDouble)
   }
 
+  /**
+   * Stratified Bernoulli sampling: per-stratum fractions, seeded. Wraps
+   * `df.stat.sampleBy` (stratum-local Bernoulli acceptance — single pass, no
+   * shuffle; strata not listed in `fractions` are dropped).
+   */
+  def stratified(df: DataFrame, stratumCol: String, fractions: Map[Any, Double], seed: Long): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0,1], got $fractions")
+    df.stat.sampleBy(stratumCol, fractions, seed)
+  }
+
+  /**
+   * Exact-count stratified sampling: exactly floor(stratumCount * ratio)
+   * rows per stratum. One pass for the stratum histogram, then a single
+   * rank-within-stratum selection — the per-stratum analogue of [[exactN]]
+   * (window sort is per-stratum, so no global sort and no driver funnel).
+   * Assumes stratum cardinality is broadcast-small and no single stratum
+   * dominates the data; for one giant stratum, run [[exactN]] on that
+   * stratum's slice instead (its ScaSRS path avoids the full sort).
+   */
+  def stratifiedExact(df: DataFrame, stratumCol: String, ratio: Double, seed: Long): DataFrame = {
+    require(ratio >= 0.0 && ratio <= 1.0, s"ratio must be in [0,1], got $ratio")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__graft_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col(RCOL))
+    df.withColumn(RCOL, rand(seed))
+      .withColumn("__graft_rk", row_number().over(w))
+      .join(broadcast(counts), Seq(stratumCol))
+      .filter(col("__graft_rk") <= floor(col("__graft_n") * ratio))
+      .select(df.columns.map(col).toSeq: _*) // join reorders columns; restore
+  }
+
   /** File-based exact sample with a partition-layout-independent seed. */
   def exactFromParquet(spark: SparkSession, path: String, ratio: Double, seed: Long): DataFrame = {
     require(ratio >= 0.0 && ratio <= 1.0,

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/**
+ * Plan-shape assertions: the properties that make these operators survive a
+ * 100 TB / 1000-executor deployment, pinned so a refactor can't silently
+ * regress them.
+ */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("semi-join: build side prunes to the key column and broadcasts; probe side never shuffles") {
+    val plan = formatted(SparkEntry.queries("q01_semijoin_orders")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin LeftSemi"), plan)
+    // column pruning reached the build-side scan (reference does this by
+    // hand, join.rs:42-56; Catalyst does it from .select)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint>"), plan)
+    // exactly one exchange (pre-broadcast distinct); the probe rows never move
+    assert("(?m)^.*\\(\\d+\\) Exchange$".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val q = li.filter(col("l_quantity") > 30.0).select(col("l_orderkey"), col("l_quantity"))
+    val plan = formatted(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("aggregation is partial (map-side) before the exchange") {
+    val plan = formatted(SparkEntry.queries("q20_agg_pricing")(spark, sf0001))
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exchange = plan.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0 && plan.indexOf("HashAggregate", exchange) > exchange,
+      "expected partial aggregate below and final aggregate above the exchange\n" + plan)
+  }
+
+  test("whole-stage codegen covers the scan->project pipeline of text stats") {
+    // '*(n)' prefixes mark operators fused into WholeStageCodegen stage n
+    val q = SparkEntry.queries("q60_text_stats")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("custom vector expressions stay inside whole-stage codegen (no fallback)") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.select(graft.functions.vec_cosine(col("embedding"), col("embedding")).as("c"))
+      .filter(col("c") > 0.5)
+    val plan = q.queryExecution.executedPlan.toString
+    // vec_cosine appears inside '*'-marked (codegen'd) Project and Filter
+    assert(plan.contains("*(1) Project [vec_cosine"), plan)
+    assert(plan.contains("*(1) Filter"), plan)
+    // force execution to prove the generated code actually compiles and runs
+    assert(q.count() > 0)
+  }
+
+  test("exact sampler never funnels rows to the driver (no CollectLimit/TakeOrdered)") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val sampled = graft.operators.Sampler.exact(li, 0.01, 42L)
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("CollectLimit") && !plan.contains("TakeOrderedAndProject"), plan)
+  }
+}

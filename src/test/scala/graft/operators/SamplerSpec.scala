@@ -67,6 +67,24 @@ class SamplerSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("stratifiedExact: exactly floor(stratumCount*ratio) rows per stratum") {
+    val perStratum = li.groupBy($"l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Sampler.stratifiedExact(li, "l_returnflag", 0.1, 42L)
+      .groupBy($"l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perStratum.foreach { case (k, n) =>
+      assert(got.getOrElse(k, 0L) === (n * 0.1).toLong, s"stratum $k")
+    }
+    assert(Sampler.stratifiedExact(li, "l_returnflag", 0.1, 42L).schema === li.schema)
+  }
+
+  test("stratified (Bernoulli): only listed strata survive; seeded") {
+    val s1 = Sampler.stratified(li, "l_returnflag", Map[Any, Double]("A" -> 0.2, "R" -> 0.1), 5L)
+    assert(s1.select($"l_returnflag").distinct().as[String].collect().toSet.subsetOf(Set("A", "R")))
+    assert(s1.count() === Sampler.stratified(li, "l_returnflag", Map[Any, Double]("A" -> 0.2, "R" -> 0.1), 5L).count())
+  }
+
   test("uniformity: chi-square over 10 position buckets within 4 sigma") {
     // sample 10% by positional rank; bucket source rows into deciles by
     // l_orderkey order; expect roughly equal pick counts per decile
