@@ -245,6 +245,39 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q40_dedup_exact" ->
       "SELECT * FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)",
+    // exact set-similarity join: the brute-force pairwise jaccard is the
+    // oracle; the engine's prefix-filtered plan must match it exactly
+    // (jaccard over hashed shingle sets == string sets modulo ~2^-64
+    // collisions)
+    "q43_dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.7""".stripMargin,
+    "q50_knn_brute" ->
+      """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |    CASE WHEN list_dot_product(d.embedding::DOUBLE[], d.embedding::DOUBLE[]) = 0
+        |           OR list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) = 0 THEN 0.0
+        |         ELSE list_dot_product(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+        |              (sqrt(list_dot_product(d.embedding::DOUBLE[], d.embedding::DOUBLE[])) *
+        |               sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) END AS cosine
+        |  FROM embeddings d CROSS JOIN q
+        |)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored
+        |) WHERE rank <= 10""".stripMargin,
     "q60_text_stats" ->
       s"""SELECT doc_id, stat_n_chars, stat_n_tokens,
         |  CAST(punct_cnt AS DOUBLE) / GREATEST(stat_n_chars, 1) AS stat_punct_ratio,

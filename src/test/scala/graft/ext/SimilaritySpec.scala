@@ -74,6 +74,6 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(brute(key) - r.getDouble(2)) < 1e-12, s"score mismatch for $key")
     }
     // self always lands in the same buckets -> rank 1 survives LSH
-    assert(lsh.filter(_.getInt(3) == 1).forall(r => r.getLong(0) == r.getLong(1)))
+    assert(lsh.filter(_.getLong(3) == 1L).forall(r => r.getLong(0) == r.getLong(1)))
   }
 }
