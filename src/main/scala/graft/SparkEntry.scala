@@ -70,6 +70,9 @@ object SparkEntry {
 
     "q14_sample_stratified" -> ((s, dir) =>
       Sampler.stratifiedExact(t(s, dir, "lineitem"), "l_returnflag", 0.01, seed = 42L)),
+    // custom TypedImperativeAggregate: k rows per group in one shuffle
+    "q15_sample_per_group" -> ((s, dir) =>
+      Sampler.perGroupExactK(t(s, dir, "documents"), Seq("lang", "source"), k = 3, seed = 42L)),
 
     // ---- analytics over the star schema (Catalyst-native ops) ----------
     "q20_agg_pricing" -> ((s, dir) =>
@@ -112,16 +115,29 @@ object SparkEntry {
 
     // ---- events: time-windowed aggregation ------------------------------
     // events.ts is parquet TIMESTAMP(NANOS), surfaced as long nanos via
-    // spark.sql.legacy.parquet.nanosAsLong; buckets are epoch-second longs so
-    // both engines agree on type and value exactly.
+    // spark.sql.legacy.parquet.nanosAsLong; buckets are epoch-second longs
+    // computed with pure integer arithmetic so both engines agree exactly
+    // (double division of nanosecond epochs is not exact: 1.7e18 > 2^53).
     "q30_events_hourly" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(
-          (floor(col("ts") / lit(3600L * 1000000000L)) * 3600).cast("long").as("bucket_s"),
+          (expr("ts div 3600000000000") * 3600).cast("long").as("bucket_s"),
           col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
           sum(dec("value")).cast("double").as("sum_value"))),
+
+    // gap-based sessionization: Spark's session_window (dynamic-gap session
+    // aggregation); oracle reproduces the same islands with lag+cumsum
+    "q31_events_sessions" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .groupBy(session_window(col("event_time"), "10 minutes"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(dec("value")).cast("double").as("sum_value"))
+        .select(unix_micros(col("session_window.start")).as("session_start_us"),
+          col("user_id"), col("n_events"), col("sum_value"))),
 
     // ---- dedup ----------------------------------------------------------
     "q40_dedup_exact" -> ((s, dir) => Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")),
@@ -240,9 +256,26 @@ object SparkEntry {
       ("SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer " +
         "INTERSECT SELECT DISTINCT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier"),
     "q30_events_hourly" ->
-      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s, event_type, count(*) AS n_events,
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s, event_type, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q31_events_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, value FROM events
+        |), flagged AS (
+        |  SELECT user_id, tus, value,
+        |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+        |           OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 600000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, tus, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT min(tus) AS session_start_us, user_id, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     "q40_dedup_exact" ->
       "SELECT * FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)",
     // exact set-similarity join: the brute-force pairwise jaccard is the

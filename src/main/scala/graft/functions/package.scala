@@ -17,4 +17,9 @@ package object functions {
 
   /** Squared euclidean distance of two `array<float>` columns. */
   def vec_l2sq(a: Column, b: Column): Column = VF.vec_l2sq(a, b)
+
+  /** Aggregate: deterministic uniform sample of up to k values per group
+    * (bottom-k-by-hash sketch; one shuffle, order-independent). */
+  def bottom_k_sample(e: Column, k: Int, seed: Long): Column =
+    org.apache.spark.sql.graft.BottomKSampleFunctions.bottom_k_sample(e, k, seed)
 }

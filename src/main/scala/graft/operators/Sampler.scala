@@ -148,6 +148,21 @@ object Sampler {
       .select(df.columns.map(col).toSeq: _*) // join reorders columns; restore
   }
 
+  /**
+   * Exactly min(k, groupSize) rows per group, in ONE shuffle (partial
+   * bottom-k sketches merge map-side — see
+   * [[org.apache.spark.sql.graft.BottomKSample]]). Deterministic and
+   * partition-layout-independent. The workhorse for "n examples per
+   * class/source/language" training-data selection at corpus scale.
+   */
+  def perGroupExactK(df: DataFrame, groupCols: Seq[String], k: Int, seed: Long): DataFrame = {
+    val allCols = df.columns.toSeq
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.bottom_k_sample(struct(allCols.map(col): _*), k, seed).as("__graft_rows"))
+      .select(explode(col("__graft_rows")).as("__graft_row"))
+      .select(allCols.map(c => col(s"__graft_row.`$c`").as(c)): _*)
+  }
+
   /** File-based exact sample with a partition-layout-independent seed. */
   def exactFromParquet(spark: SparkSession, path: String, ratio: Double, seed: Long): DataFrame = {
     require(ratio >= 0.0 && ratio <= 1.0,

@@ -34,9 +34,13 @@ object StreamOps {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
-  /** long-nanos -> TimestampType event time column `event_time`. */
+  /** long-nanos -> TimestampType event time column `event_time`.
+    * Integer division, NOT `/` — `Divide` on longs goes through double,
+    * and nanosecond epochs (~1.7e18) exceed double's 2^53 exact range, so
+    * a quotient can round a hair below its true integer value and truncate
+    * one microsecond low. */
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
 
   /**
    * Watermarked tumbling-window aggregation: counts + sum(value) per

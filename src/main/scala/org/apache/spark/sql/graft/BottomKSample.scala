@@ -1,0 +1,145 @@
+package org.apache.spark.sql.graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType}
+
+/** Bottom-k sketch state: up to ~2k (hashKey, serialized value) entries,
+  * compacted back to the k smallest keys whenever it doubles. */
+final class BottomKBuffer(val k: Int) {
+  val items: ArrayBuffer[(Long, Array[Byte])] = ArrayBuffer.empty
+
+  def add(key: Long, bytes: Array[Byte]): Unit = {
+    items += ((key, bytes))
+    if (items.length >= 2 * k) compact()
+  }
+
+  /** keep only the k smallest keys — entries beyond the k-th smallest can
+    * never re-enter the final answer, so this loses nothing */
+  def compact(): Unit = if (items.length > k) {
+    val sorted = items.sortBy(_._1).take(k)
+    items.clear()
+    items ++= sorted
+  }
+}
+
+/**
+ * Exact-k per-group uniform sample as a `TypedImperativeAggregate`:
+ * keep the k rows whose `xxhash64(seed, serializedValue)` is smallest
+ * (bottom-k sampling). Properties that matter at cluster scale:
+ *
+ *  - **one shuffle**: runs as a partial aggregate (per-partition sketches)
+ *    merged map-side, so per-group sampling costs the same as any groupBy —
+ *    no global sort, no window, no second pass (SURVEY.md §4's "custom
+ *    reservoir aggregate" north-star operator);
+ *  - **mergeable**: bottom-k of a union = bottom-k of the merged bottom-k
+ *    sketches, so partial/final aggregation is exact;
+ *  - **deterministic & order-independent**: the hash key depends only on
+ *    (seed, value bytes), never on row arrival order or partitioning —
+ *    unlike classic reservoir sampling, re-running on a differently
+ *    partitioned input yields the SAME sample;
+ *  - caveat: duplicate rows hash identically, so heavy duplication skews
+ *    selection; include a unique id column in the sampled struct when rows
+ *    can repeat.
+ *
+ * Memory: O(k) per group (buffer compacts at 2k).
+ */
+case class BottomKSample(
+    child: Expression,
+    k: Int,
+    seed: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BottomKBuffer] with UnaryLike[Expression] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  @transient private lazy val proj = UnsafeProjection.create(Array[DataType](child.dataType))
+  @transient private lazy val scratch = new Array[Any](1)
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bottom_k_sample"
+
+  override def createAggregationBuffer(): BottomKBuffer = new BottomKBuffer(k)
+
+  override def update(buffer: BottomKBuffer, input: InternalRow): BottomKBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      scratch(0) = v
+      val row = proj(InternalRow.fromSeq(scratch.toSeq))
+      val bytes = row.getBytes // copies
+      buffer.add(XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, seed), bytes)
+    }
+    buffer
+  }
+
+  override def merge(buffer: BottomKBuffer, other: BottomKBuffer): BottomKBuffer = {
+    other.items.foreach { case (key, bytes) => buffer.add(key, bytes) }
+    buffer
+  }
+
+  override def eval(buffer: BottomKBuffer): Any = {
+    buffer.compact()
+    val winners = buffer.items.sortBy(_._1)
+    val out = new Array[Any](winners.length)
+    var i = 0
+    winners.foreach { case (_, bytes) =>
+      val row = new UnsafeRow(1)
+      row.pointTo(bytes, bytes.length)
+      out(i) = row.get(0, child.dataType)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: BottomKBuffer): Array[Byte] = {
+    buffer.compact()
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.items.length)
+    buffer.items.foreach { case (key, bytes) =>
+      out.writeLong(key); out.writeInt(bytes.length); out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(storageFormat: Array[Byte]): BottomKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(storageFormat))
+    val buffer = new BottomKBuffer(k)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val key = in.readLong()
+      val bytes = new Array[Byte](in.readInt())
+      in.readFully(bytes)
+      buffer.items += ((key, bytes))
+      i += 1
+    }
+    buffer
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object BottomKSampleFunctions {
+  /** Aggregate column: uniform deterministic sample of up to k values of e
+    * per group. */
+  def bottom_k_sample(e: Column, k: Int, seed: Long): Column =
+    ColumnBridge.column(
+      BottomKSample(ColumnBridge.expression(e), k, seed).toAggregateExpression())
+}

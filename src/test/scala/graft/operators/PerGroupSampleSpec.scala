@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.bottom_k_sample
+
+class PerGroupSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("perGroupExactK: exactly min(k, groupSize) rows per group, subset of input") {
+    val k = 3
+    val got = Sampler.perGroupExactK(docs, Seq("lang"), k, seed = 7L)
+    val sizes = docs.groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotSizes = got.groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(gotSizes.getOrElse(lang, 0L) === math.min(k.toLong, n), s"lang $lang")
+    }
+    assert(got.schema === docs.schema)
+    assert(got.join(docs, Seq("doc_id"), "left_anti").count() === 0)
+  }
+
+  test("deterministic AND partition-layout-independent (unlike reservoir sampling)") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampler.perGroupExactK(df, Seq("lang"), 5, seed = 42L)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+    val a = ids(docs)
+    val b = ids(docs.repartition(13, $"source"))
+    val c = ids(docs.repartition(1))
+    assert(a === b)
+    assert(a === c)
+    // and a different seed picks a different sample
+    assert(a !== Sampler.perGroupExactK(docs, Seq("lang"), 5, seed = 43L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("bottom_k_sample aggregate: global (no grouping) and empty-group behavior") {
+    val out = docs.agg(bottom_k_sample(struct(docs.columns.map(col): _*), 10, 1L).as("s"))
+      .select(size($"s")).head().getInt(0)
+    assert(out === 10)
+    val empty = docs.filter($"doc_id" < 0)
+      .agg(bottom_k_sample(struct(docs.columns.map(col): _*), 10, 1L).as("s"))
+      .select(size($"s")).head().getInt(0)
+    assert(empty === 0)
+  }
+
+  test("sampling is unbiased across the id range (chi-square, 10 buckets)") {
+    // one group, k=200 of 500 docs; bucket selected ids by decile
+    val sel = Sampler.perGroupExactK(docs.withColumn("g", lit(1)), Seq("g"), 200, seed = 3L)
+    val buckets = sel.groupBy((col("doc_id") / 50).cast("int").as("b")).count()
+      .collect().map(_.getLong(1).toDouble)
+    val exp = 200.0 / 10
+    val chi2 = buckets.map(o => (o - exp) * (o - exp) / exp).sum +
+      (10 - buckets.length) * exp // empty buckets contribute (0-exp)^2/exp
+    assert(chi2 < 40.0, s"chi2=$chi2 buckets=${buckets.mkString(",")}")
+  }
+}
