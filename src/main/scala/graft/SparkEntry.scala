@@ -166,6 +166,12 @@ object SparkEntry {
         e.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, dim = 64, numPlanes = 16, bands = 8)
     }),
+    "q52_knn_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, Similarity.IvfConfig(nlist = 32, nprobe = 4))
+    }),
 
     // ---- multimodal plumbing (stub decoder; see Multimodal scaladoc) ----
     "q70_multimodal_features" -> ((s, dir) =>

@@ -1,9 +1,12 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.vec_cosine
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructField, StructType}
+import graft.functions.{vec_cosine, vec_l2sq}
 
 /**
  * Approximate-nearest-neighbor search over an `array<float>` embedding
@@ -57,6 +60,64 @@ object Similarity {
     val cand = d.join(q, col("d.band") === col("q.band") && col("d.bk") === col("q.bk"))
       .select(col("query_id"), col("neighbor_id"), col("__dv"), col("__qv"))
       .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", vec_cosine(col("__dv"), col("__qv")))
+    rankTopK(cand, k)
+  }
+
+  final case class IvfConfig(
+      nlist: Int = 64,
+      nprobe: Int = 8,
+      seed: Long = 42L,
+      trainFraction: Double = 1.0)
+
+  /**
+   * IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+   * partitions the corpus into `nlist` cells (trained on a sample, assigned
+   * in one distributed pass); each query scans only its `nprobe` nearest
+   * cells. The classic FAISS-style scale path: per-query work drops from
+   * O(|corpus|) to O(|corpus| * nprobe / nlist) while the cell assignment
+   * is a one-off, reusable index artifact.
+   *
+   * Cells are probed by euclidean distance to the centroid (KMeans'
+   * metric); final ranking is exact cosine over the probed cells.
+   */
+  def ivfTopK(
+      data: DataFrame, dataId: String, dataVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, cfg: IvfConfig = IvfConfig()): DataFrame = {
+    val spark = data.sparkSession
+
+    // 1. train the coarse quantizer (sample-sized driver cost, nlist x dim)
+    val trainSrc = if (cfg.trainFraction < 1.0)
+      data.sample(withReplacement = false, cfg.trainFraction, cfg.seed) else data
+    val model = new KMeans().setK(cfg.nlist).setSeed(cfg.seed).setFeaturesCol("__features")
+      .fit(trainSrc.select(array_to_vector(col(dataVec)).as("__features")))
+
+    // 2. assign every corpus row to its cell (single distributed pass)
+    val assigned = model.transform(
+        data.select(col(dataId).as("neighbor_id"), col(dataVec).as("__dv"),
+          array_to_vector(col(dataVec)).as("__features")))
+      .select(col("neighbor_id"), col("__dv"), col("prediction").as("cell"))
+
+    // 3. tiny centroid table (nlist rows) broadcast to rank cells per query
+    val centroidRows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      Row(i, c.toArray.map(_.toFloat).toSeq)
+    }
+    val centroids = spark.createDataFrame(
+      spark.sparkContext.parallelize(centroidRows.toSeq, 1),
+      StructType(Seq(StructField("cell", IntegerType, nullable = false),
+        StructField("__cv", ArrayType(FloatType, containsNull = false), nullable = false))))
+
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("__cd").asc, col("cell").asc)
+    val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .join(broadcast(centroids))
+      .withColumn("__cd", vec_l2sq(col("__qv"), col("__cv")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= cfg.nprobe)
+      .select(col("query_id"), col("__qv"), col("cell"))
+
+    // 4. scan only the probed cells, exact cosine, top-k
+    val cand = assigned.join(probes, "cell")
       .withColumn("cosine", vec_cosine(col("__dv"), col("__qv")))
     rankTopK(cand, k)
   }

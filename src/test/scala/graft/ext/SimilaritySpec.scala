@@ -76,4 +76,24 @@ class SimilaritySpec extends SparkSpec {
     // self always lands in the same buckets -> rank 1 survives LSH
     assert(lsh.filter(_.getLong(3) == 1L).forall(r => r.getLong(0) == r.getLong(1)))
   }
+
+  test("ivfTopK: subset of brute candidates with identical scores; self in own cell at rank 1") {
+    val rng = new scala.util.Random(23)
+    val data = (0L until 200L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val q = df.filter($"vec_id" < 3L)
+    val brute = Similarity.bruteTopK(df, "vec_id", "embedding", q, "vec_id", "embedding", k = 200)
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 10, Similarity.IvfConfig(nlist = 8, nprobe = 2)).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(math.abs(brute(key) - r.getDouble(2)) < 1e-12, s"score mismatch for $key")
+    }
+    // a query that is itself in the corpus probes its own cell first
+    assert(ivf.filter(_.getLong(3) == 1L).forall(r => r.getLong(0) == r.getLong(1)))
+  }
 }
