@@ -113,6 +113,15 @@ object SparkEntry {
       t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey")).distinct()
         .intersect(t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")).distinct())),
 
+    "q26_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))),
+
     // ---- events: time-windowed aggregation ------------------------------
     // events.ts is parquet TIMESTAMP(NANOS), surfaced as long nanos via
     // spark.sql.legacy.parquet.nanosAsLong; buckets are epoch-second longs
@@ -261,6 +270,16 @@ object SparkEntry {
     "q25_setop_nations" ->
       ("SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer " +
         "INTERSECT SELECT DISTINCT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier"),
+    // exact interpolated percentile: Spark `percentile` and DuckDB
+    // `quantile_cont` share the p*(n-1) interpolation and produce
+    // bit-identical doubles (verified empirically on this data)
+    "q26_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.95) AS p95,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q30_events_hourly" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s, event_type, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
