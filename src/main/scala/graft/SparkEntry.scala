@@ -148,6 +148,14 @@ object SparkEntry {
         .select(unix_micros(col("session_window.start")).as("session_start_us"),
           col("user_id"), col("n_events"), col("sum_value"))),
 
+    // semi-structured JSON column: extract + aggregate (integer-exact)
+    "q32_events_json_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(get_json_object(col("props"), "$.k")).as("n_with_k"))),
+
     // ---- dedup ----------------------------------------------------------
     "q40_dedup_exact" -> ((s, dir) => Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")),
     "q41_dedup_minhash" -> ((s, dir) =>
@@ -301,6 +309,11 @@ object SparkEntry {
         |SELECT min(tus) AS session_start_us, user_id, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "q32_events_json_props" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(json_extract_string(props, '$.k')) AS n_with_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q40_dedup_exact" ->
       "SELECT * FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)",
     // exact set-similarity join: the brute-force pairwise jaccard is the
