@@ -202,14 +202,14 @@ object Dedup {
     val gdf = postings.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
 
     // prefix of each doc: the (sz - ceil(t*sz) + 1) globally-rarest shingles
+    // (rank via a codegen'd window sort; collect_list + array_sort would run
+    // an interpreted struct sort per doc)
+    val rareFirst = Window.partitionBy(col("id")).orderBy(col("gdf").asc, col("g").asc)
     val prefix = postings
       .join(gdf, "g")
-      .groupBy(col("id"), col("sz"))
-      .agg(array_sort(collect_list(struct(col("gdf"), col("g")))).as("ordered"))
-      .select(col("id"), col("sz"),
-        explode(slice(col("ordered"), lit(1),
-          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))).as("pg"))
-      .select(col("id"), col("sz"), col("pg.g").as("g"))
+      .withColumn("__rn", row_number().over(rareFirst))
+      .filter(col("__rn") <= (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
+      .select(col("id"), col("sz"), col("g"))
 
     val a = prefix.alias("a")
     val b = prefix.alias("b")
