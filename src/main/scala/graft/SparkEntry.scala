@@ -148,12 +148,16 @@ object SparkEntry {
         .select(unix_micros(col("session_window.start")).as("session_start_us"),
           col("user_id"), col("n_events"), col("sum_value"))),
 
-    // semi-structured JSON column: extract + aggregate (integer-exact)
+    // semi-structured JSON column: extract + aggregate. try_cast to double
+    // on BOTH engines (ANSI cast-to-long would abort on a fractional k in
+    // Spark while DuckDB rounds — try_cast double agrees everywhere), then
+    // exact decimal summation
     "q32_events_json_props" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(
-          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          sum(expr("try_cast(get_json_object(props, '$.k') as double)").cast("decimal(15,2)"))
+            .cast("double").as("sum_k"),
           count(get_json_object(col("props"), "$.k")).as("n_with_k"))),
 
     // ---- dedup ----------------------------------------------------------
@@ -311,7 +315,7 @@ object SparkEntry {
         |FROM sess GROUP BY user_id, sid""".stripMargin,
     "q32_events_json_props" ->
       """SELECT event_type,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CAST(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS DECIMAL(15,2))) AS DOUBLE) AS sum_k,
         |  COUNT(json_extract_string(props, '$.k')) AS n_with_k
         |FROM events GROUP BY event_type""".stripMargin,
     "q40_dedup_exact" ->
@@ -322,7 +326,10 @@ object SparkEntry {
     // collisions)
     "q43_dedup_ngram_jaccard" ->
       """WITH toks AS (
+        |  -- engine side drops docs with no tokens (empty shingle set);
+        |  -- string_split_regex('') would otherwise yield [''] here
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+        |  WHERE length(trim(text)) > 0
         |), sh AS (
         |  SELECT doc_id,
         |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]

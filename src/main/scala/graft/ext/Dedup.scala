@@ -63,12 +63,6 @@ object Dedup {
       .drop("__graft_rn")
   }
 
-  /** MinHash signature: k independent hash functions via seed-mixed
-    * xxhash64; signature[i] = min over shingles of h_i(shingle). */
-  def minhashSignature(sh: Column, numHashes: Int, seed: Long): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i, lit(seed)))))
-
   final case class MinHashConfig(
       numHashes: Int = 128,
       bands: Int = 32,

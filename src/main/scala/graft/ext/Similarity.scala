@@ -5,8 +5,8 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructField, StructType}
-import graft.functions.{vec_cosine, vec_l2sq}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+import graft.functions.vec_cosine
 
 /**
  * Approximate-nearest-neighbor search over an `array<float>` embedding
@@ -99,19 +99,27 @@ object Similarity {
           array_to_vector(col(dataVec)).as("__features")))
       .select(col("neighbor_id"), col("__dv"), col("prediction").as("cell"))
 
-    // 3. tiny centroid table (nlist rows) broadcast to rank cells per query
+    // 3. tiny centroid table (nlist rows) broadcast to rank cells per query.
+    // Centroids stay DOUBLE — KMeans assigned rows in double precision, and
+    // ranking cells against float-downcast centroids could order two
+    // near-equidistant cells differently than the assignment did, pushing a
+    // row's own cell out of the probed set. Interpreted HOF distance is fine
+    // here: |queries| x nlist rows only.
     val centroidRows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      Row(i, c.toArray.map(_.toFloat).toSeq)
+      Row(i, c.toArray.toSeq)
     }
     val centroids = spark.createDataFrame(
       spark.sparkContext.parallelize(centroidRows.toSeq, 1),
       StructType(Seq(StructField("cell", IntegerType, nullable = false),
-        StructField("__cv", ArrayType(FloatType, containsNull = false), nullable = false))))
+        StructField("__cv", ArrayType(DoubleType, containsNull = false), nullable = false))))
 
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("__cd").asc, col("cell").asc)
+    val qvDouble = col("__qv").cast("array<double>")
     val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
       .join(broadcast(centroids))
-      .withColumn("__cd", vec_l2sq(col("__qv"), col("__cv")))
+      .withColumn("__cd", aggregate(
+        zip_with(qvDouble, col("__cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d))
       .withColumn("__pr", row_number().over(probeW))
       .filter(col("__pr") <= cfg.nprobe)
       .select(col("query_id"), col("__qv"), col("cell"))

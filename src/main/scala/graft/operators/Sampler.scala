@@ -138,12 +138,15 @@ object Sampler {
    */
   def stratifiedExact(df: DataFrame, stratumCol: String, ratio: Double, seed: Long): DataFrame = {
     require(ratio >= 0.0 && ratio <= 1.0, s"ratio must be in [0,1], got $ratio")
+    // null-safe join key: a NULL stratum is a stratum too — a plain
+    // equi-join would silently drop every NULL-stratum row
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__graft_n"))
+      .withColumnRenamed(stratumCol, "__graft_stratum")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol)).orderBy(col(RCOL))
     df.withColumn(RCOL, rand(seed))
       .withColumn("__graft_rk", row_number().over(w))
-      .join(broadcast(counts), Seq(stratumCol))
+      .join(broadcast(counts), col(stratumCol) <=> col("__graft_stratum"))
       .filter(col("__graft_rk") <= floor(col("__graft_n") * ratio))
       .select(df.columns.map(col).toSeq: _*) // join reorders columns; restore
   }

@@ -76,7 +76,11 @@ case class BottomKSample(
     if (v != null) {
       scratch(0) = v
       val row = proj(InternalRow.fromSeq(scratch.toSeq))
-      val bytes = row.getBytes // copies
+      // row.copy() first: getBytes on the projection's output can ALIAS the
+      // projection's reused buffer (the no-copy fast path fires whenever the
+      // buffer length happens to equal sizeInBytes), and an aliased entry
+      // would be silently overwritten by the next row
+      val bytes = row.copy().getBytes
       buffer.add(XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
         bytes.length, seed), bytes)
     }

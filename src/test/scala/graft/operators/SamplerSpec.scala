@@ -79,6 +79,15 @@ class SamplerSpec extends SparkSpec {
     assert(Sampler.stratifiedExact(li, "l_returnflag", 0.1, 42L).schema === li.schema)
   }
 
+  test("stratifiedExact: NULL stratum is sampled like any other stratum") {
+    val withNulls = li.withColumn("stratum",
+      when($"l_linenumber" <= 2, $"l_returnflag")) // ~null for linenumber > 2
+    val nullCount = withNulls.filter($"stratum".isNull).count()
+    assert(nullCount > 0)
+    val got = Sampler.stratifiedExact(withNulls, "stratum", 0.1, 42L)
+    assert(got.filter($"stratum".isNull).count() === (nullCount * 0.1).toLong)
+  }
+
   test("stratified (Bernoulli): only listed strata survive; seeded") {
     val s1 = Sampler.stratified(li, "l_returnflag", Map[Any, Double]("A" -> 0.2, "R" -> 0.1), 5L)
     assert(s1.select($"l_returnflag").distinct().as[String].collect().toSet.subsetOf(Set("A", "R")))
