@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /**
@@ -65,6 +66,75 @@ object StreamOps {
     val r = shiftrightunsigned(xxhash64(lit(seed), struct(events.columns.map(col).toSeq: _*)), 11)
       .cast("double") / lit((1L << 53).toDouble)
     events.filter(r < ratio)
+  }
+
+  /** Per-user session emitted by [[sessionizeStream]]. */
+  final case class UserSession(
+      user_id: Long,
+      session_start_us: Long,
+      session_end_us: Long,
+      n_events: Long,
+      sum_value: Double)
+
+  // public: encoder-generated code must be able to construct these
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  final case class SessionEvent(user_id: Long, tus: Long, value: Double)
+
+  /**
+   * Custom-state streaming sessionization via `flatMapGroupsWithState`:
+   * per-user open-session state (start, last-seen, aggregates) held in the
+   * state store; a session closes and is emitted when the gap since its
+   * last event exceeds `gapUs` — detected either by a newer event or by a
+   * processing-time timeout (so idle users still flush). This is the
+   * pattern for session semantics Spark's built-in `session_window` can't
+   * express (per-session aggregates beyond sum/count, custom close
+   * conditions, side outputs).
+   *
+   * State is O(1) per active user and keys time out — bounded no matter
+   * how long the stream runs.
+   */
+  def sessionizeStream(
+      events: DataFrame,
+      gapUs: Long = 10L * 60 * 1000 * 1000,
+      idleTimeoutMs: Long = 30000L): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def flush(userId: Long, st: SessionState): UserSession =
+      UserSession(userId, st.startUs, st.lastUs, st.n, st.sum)
+
+    events
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          if (state.hasTimedOut) {
+            state.getOption.foreach(st => out += flush(userId, st))
+            state.remove()
+          } else {
+            var st = state.getOption.orNull
+            batch.toSeq.sortBy(_.tus).foreach { e =>
+              st match {
+                case null =>
+                  st = SessionState(e.tus, e.tus, 1L, e.value)
+                case s if e.tus - s.lastUs >= gapUs =>
+                  out += flush(userId, s) // gap exceeded: close + start new
+                  st = SessionState(e.tus, e.tus, 1L, e.value)
+                case s =>
+                  st = s.copy(lastUs = math.max(s.lastUs, e.tus), n = s.n + 1, sum = s.sum + e.value)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutDuration(idleTimeoutMs)
+            }
+          }
+          out.iterator
+      }
   }
 
   /**

@@ -54,6 +54,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.table("sampled").count() === a)
   }
 
+  test("flatMapGroupsWithState sessionization matches the batch session_window islands") {
+    // all data arrives in one micro-batch: every session closed by a
+    // within-batch gap is emitted; each user's LAST session stays open in
+    // state (processing-time timeouts only fire on a subsequent batch), so
+    // the expected emission is exactly islands - one open session per user
+    val stream = spark.readStream.schema(StreamOps.eventsSchema)
+      .option("maxFilesPerTrigger", "10").parquet(eventsDir)
+    val q = StreamOps.sessionizeStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("sessions")
+      .select($"session_start_us", $"user_id", $"n_events")
+
+    // batch ground truth from the q31 logic: session_window islands
+    val src = spark.read.schema(StreamOps.eventsSchema).parquet(s"$sf0001/events.parquet")
+    val batch = src
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window($"event_time", "10 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros($"session_window.start").as("session_start_us"),
+        $"user_id", $"n_events")
+
+    // every emitted session must be a true island, exactly once; the final
+    // open session per user may or may not have flushed (depends on whether
+    // the trigger ran a finalizing batch that fired processing-time
+    // timeouts), so the count is bounded rather than pinned
+    val users = src.select($"user_id").distinct().count()
+    assert(got.exceptAll(batch).count() === 0)
+    assert(got.count() >= batch.count() - users && got.count() <= batch.count(),
+      s"got ${got.count()}, islands ${batch.count()}, users $users")
+  }
+
   test("streaming dedup on event_type keeps one row per key") {
     val stream = StreamOps.eventsStream(spark, eventsDir)
     runToMemory(StreamOps.dedupStream(stream, Seq("event_type")), "deduped")
