@@ -13,9 +13,15 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType}
 
 /** Bottom-k sketch state: up to ~2k (hashKey, serialized value) entries,
-  * compacted back to the k smallest keys whenever it doubles. */
+  * compacted back to the k smallest keys whenever it doubles. `bound`
+  * tracks the current k-th-smallest key so callers can reject (and avoid
+  * copying) rows that can never enter the answer. */
 final class BottomKBuffer(val k: Int) {
   val items: ArrayBuffer[(Long, Array[Byte])] = ArrayBuffer.empty
+  private var bound: Long = Long.MaxValue
+
+  /** can `key` still make the bottom-k? (false -> skip the byte copy) */
+  def admits(key: Long): Boolean = items.length < k || key < bound
 
   def add(key: Long, bytes: Array[Byte]): Unit = {
     items += ((key, bytes))
@@ -28,6 +34,7 @@ final class BottomKBuffer(val k: Int) {
     val sorted = items.sortBy(_._1).take(k)
     items.clear()
     items ++= sorted
+    bound = items.last._1
   }
 }
 
@@ -76,13 +83,13 @@ case class BottomKSample(
     if (v != null) {
       scratch(0) = v
       val row = proj(InternalRow.fromSeq(scratch.toSeq))
-      // row.copy() first: getBytes on the projection's output can ALIAS the
-      // projection's reused buffer (the no-copy fast path fires whenever the
-      // buffer length happens to equal sizeInBytes), and an aliased entry
-      // would be silently overwritten by the next row
-      val bytes = row.copy().getBytes
-      buffer.add(XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        bytes.length, seed), bytes)
+      // hash the projection's buffer IN PLACE; only admitted rows (rare once
+      // the sketch is warm) pay the byte copy. The copy itself is mandatory
+      // before storing: getBytes on the projection output can ALIAS its
+      // reused buffer (no-copy fast path when buffer length == sizeInBytes),
+      // and an aliased entry would be silently overwritten by the next row.
+      val key = XXH64.hashUnsafeBytes(row.getBaseObject, row.getBaseOffset, row.getSizeInBytes, seed)
+      if (buffer.admits(key)) buffer.add(key, row.copy().getBytes)
     }
     buffer
   }
