@@ -233,25 +233,50 @@ object Dedup {
       numPlanes: Int = 16,
       bands: Int = 2,
       seed: Long = 42L): DataFrame = {
-    val sigCol = LshPlanes.bandKeys(col(vecCol), dim, numPlanes, bands, seed)
-    // ids only through the exploded band join (vectors are the heavy
-    // payload); cosine verification re-joins the vectors for survivors
-    val spreadDf = spread(df)
-    val banded = spreadDf.select(col(idCol).as("id"), posexplode(sigCol))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
+    // collapse exact-duplicate vectors first: m copies of one vector would
+    // multiply every LSH bucket join by m^2 (duplicate-heavy corpora are the
+    // norm in training data), while the collapsed problem is bucket-join on
+    // DISTINCT vectors + a pair expansion bounded by the actual output
+    val members = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
+    val groups = members.groupBy(col("v"))
+      .agg(min(col("id")).as("rid"), collect_list(col("id")).as("ids"))
 
+    // LSH band join over group representatives; ids only through the
+    // exploded shuffle, vectors re-joined for surviving candidate pairs
+    val sigCol = LshPlanes.bandKeys(col("v"), dim, numPlanes, bands, seed)
+    val banded = groups.select(col("rid"), posexplode(sigCol))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
     val a = banded.alias("a")
     val b = banded.alias("b")
-    val vecs = spreadDf.select(col(idCol).as("id"), col(vecCol).as("v"))
-    a.join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+    val repVecs = groups.select(col("rid"), col("v"))
+    val repPairs = a
+      .join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+        col("a.rid") < col("b.rid"))
+      .select(col("a.rid").as("ra"), col("b.rid").as("rb"))
+      .dropDuplicates("ra", "rb")
+      .join(repVecs.select(col("rid").as("ra"), col("v").as("va")), "ra")
+      .join(repVecs.select(col("rid").as("rb"), col("v").as("vb")), "rb")
       .withColumn("cosine", vec_cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+
+    // expand a qualifying representative pair to all member pairs (members
+    // share their representative's vector, so the cosine carries over)
+    val cross = repPairs
+      .join(groups.select(col("rid").as("ra"), col("ids").as("ids_a")), "ra")
+      .join(groups.select(col("rid").as("rb"), col("ids").as("ids_b")), "rb")
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("cosine"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("cosine"))
+
+    // pairs WITHIN a duplicate group: identical vectors, cosine(v, v)
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(vec_cosine(col("v"), col("v")).as("cosine"), col("ids"), posexplode(col("ids")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "ia")
+      .filter(col("cosine") >= threshold)
+      .select(col("ia"), explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("ib"), col("cosine"))
+
+    cross.unionByName(intra)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("cosine"))
   }
 }
 

@@ -82,4 +82,20 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((0L, 1L)), s"planted pair missed: $got")
     assert(got((0L, 1L)) > 0.99)
   }
+
+  test("embeddingNearDupPairs: exact-duplicate vectors expand to all member pairs") {
+    val rng = new scala.util.Random(5)
+    val shared = Array.fill(16)(rng.nextGaussian().toFloat).toSeq
+    // ids 0,1,2 carry the identical vector; 10..29 are random
+    val rows = Seq((0L, shared), (1L, shared), (2L, shared)) ++
+      (10L to 29L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val got = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+      dim = 16, threshold = 0.95, numPlanes = 16, bands = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // all three intra-group pairs, each at cosine(v,v)
+    assert(Set((0L, 1L), (0L, 2L), (1L, 2L)).subsetOf(got.keySet), s"got $got")
+    Seq((0L, 1L), (0L, 2L), (1L, 2L)).foreach(p => assert(got(p) > 0.999999))
+  }
 }

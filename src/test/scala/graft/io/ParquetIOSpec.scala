@@ -62,6 +62,30 @@ class ParquetIOSpec extends SparkSpec {
     assert(ParquetIO.read(spark, dir).count() === 1)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    Seq("li_bkt", "o_bkt").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    ParquetIO.writeBucketed(li, "li_bkt", Seq("l_orderkey"), 4, sortCols = Seq("l_orderkey"))
+    ParquetIO.writeBucketed(o, "o_bkt", Seq("o_orderkey"), 4, sortCols = Seq("o_orderkey"))
+    // disable auto-broadcast so the planner considers the bucketed
+    // sort-merge path (with a broadcastable dim the bucket layout is moot)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bkt")
+        .join(spark.table("o_bkt"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle\n$plan")
+      assert(joined.count() === li.count()) // every lineitem has its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE li_bkt"); spark.sql("DROP TABLE o_bkt")
+    }
+  }
+
   test("singleFile=true produces exactly one part file (reference single-file layout)") {
     val dir = Files.createTempDirectory("graft_io").toString + "/s"
     import spark.implicits._
