@@ -171,6 +171,13 @@ object SparkEntry {
     "q44_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.4, numPlanes = 16, bands = 8)),
+    // near-dup pairs -> connected components -> per-doc cluster label
+    "q46_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
+      Dedup.duplicateClusters(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
     "q45_fingerprints" -> ((s, dir) =>
       TextStats.fingerprint(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("content_fp"), col("shingle_fp"), col("simhash_fp"))),
@@ -341,6 +348,32 @@ object SparkEntry {
         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.7""".stripMargin,
+    // connected components via recursive CTE over the same exact-jaccard
+    // edges: every (reachable-min) label per doc, then min per doc
+    "q46_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+        |  WHERE length(trim(text)) > 0
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.7
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), comp(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, c.label FROM comp c JOIN edges e ON c.id = e.src
+        |)
+        |SELECT id AS doc_id, min(label) AS cluster_id FROM comp GROUP BY id""".stripMargin,
     "q50_knn_brute" ->
       """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
         |scored AS (

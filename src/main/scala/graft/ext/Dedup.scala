@@ -278,6 +278,47 @@ object Dedup {
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("cosine"))
   }
+
+  /**
+   * Duplicate clusters: connected components over a near-dup pair list —
+   * the step that turns pairwise similarity into "keep one per group".
+   * Iterative min-label propagation: each round every vertex adopts the
+   * smallest label in its neighborhood; converges in O(component diameter)
+   * rounds (near-dup clusters are shallow). Each round is one equi-join +
+   * one aggregation; `localCheckpoint` truncates the growing lineage so
+   * round N doesn't replan rounds 1..N-1 (the standard large-graph
+   * treatment; GraphX does the same under the hood).
+   *
+   * @param vertices one row per entity (covers singletons)
+   * @param pairs    undirected near-dup pairs (id_a, id_b)
+   * @return (id, cluster_id) where cluster_id = min id of the component
+   */
+  def duplicateClusters(
+      vertices: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIterations: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+      val next = labels.join(neighborMin, col("id") === col("dst"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
 }
 
 /** Deterministic random-hyperplane generation + sign-bucket keys, shared by

@@ -83,6 +83,26 @@ class DedupSpec extends SparkSpec {
     assert(got((0L, 1L)) > 0.99)
   }
 
+  test("duplicateClusters: components labeled by min id; singletons keep their own id") {
+    val verts = (0L to 9L).toDF("id")
+    // components: {0,1,2} (chain), {3,4}, singletons 5..9
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(verts, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) === 0L && got(1L) === 0L && got(2L) === 0L)
+    assert(got(3L) === 3L && got(4L) === 3L)
+    (5L to 9L).foreach(i => assert(got(i) === i))
+  }
+
+  test("duplicateClusters: long chain converges (diameter > 2)") {
+    val n = 12L
+    val verts = (0L until n).toDF("id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(verts, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until n).foreach(i => assert(got(i) === 0L, s"vertex $i"))
+  }
+
   test("embeddingNearDupPairs: exact-duplicate vectors expand to all member pairs") {
     val rng = new scala.util.Random(5)
     val shared = Array.fill(16)(rng.nextGaussian().toFloat).toSeq
