@@ -73,6 +73,12 @@ object SparkEntry {
     // custom TypedImperativeAggregate: k rows per group in one shuffle
     "q15_sample_per_group" -> ((s, dir) =>
       Sampler.perGroupExactK(t(s, dir, "documents"), Seq("lang", "source"), k = 3, seed = 42L)),
+    // quality-weighted data selection: per language, 20 docs biased by score
+    "q16_sample_weighted" -> ((s, dir) =>
+      Sampler.perGroupWeightedK(
+        TextStats.qualityScore(t(s, dir, "documents"), "text"),
+        Seq("lang"), "quality_score", k = 20, seed = 42L)
+        .select(col("doc_id"), col("lang"), col("quality_score"))),
 
     // ---- analytics over the star schema (Catalyst-native ops) ----------
     "q20_agg_pricing" -> ((s, dir) =>

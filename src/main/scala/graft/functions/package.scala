@@ -22,4 +22,9 @@ package object functions {
     * (bottom-k-by-hash sketch; one shuffle, order-independent). */
   def bottom_k_sample(e: Column, k: Int, seed: Long): Column =
     org.apache.spark.sql.graft.BottomKSampleFunctions.bottom_k_sample(e, k, seed)
+
+  /** Aggregate: weighted (A-ES) deterministic sample of up to k values per
+    * group; inclusion probability scales with the weight column. */
+  def bottom_k_sample_weighted(e: Column, w: Column, k: Int, seed: Long): Column =
+    org.apache.spark.sql.graft.BottomKSampleFunctions.bottom_k_sample_weighted(e, w, k, seed)
 }

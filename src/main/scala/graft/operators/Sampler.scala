@@ -166,6 +166,23 @@ object Sampler {
       .select(allCols.map(c => col(s"__graft_row.`$c`").as(c)): _*)
   }
 
+  /**
+   * Weighted per-group sample: up to k rows per group, inclusion
+   * probability scaling with `weightCol` (A-ES without replacement; rows
+   * with null/non-positive weight excluded). Same one-shuffle /
+   * layout-independent machinery as [[perGroupExactK]] — e.g. "per source,
+   * keep 1000 documents biased by quality_score".
+   */
+  def perGroupWeightedK(
+      df: DataFrame, groupCols: Seq[String], weightCol: String, k: Int, seed: Long): DataFrame = {
+    val allCols = df.columns.toSeq
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.bottom_k_sample_weighted(
+        struct(allCols.map(col): _*), col(weightCol), k, seed).as("__graft_rows"))
+      .select(explode(col("__graft_rows")).as("__graft_row"))
+      .select(allCols.map(c => col(s"__graft_row.`$c`").as(c)): _*)
+  }
+
   /** File-based exact sample with a partition-layout-independent seed. */
   def exactFromParquet(spark: SparkSession, path: String, ratio: Double, seed: Long): DataFrame = {
     require(ratio >= 0.0 && ratio <= 1.0,

@@ -147,10 +147,144 @@ case class BottomKSample(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Double-keyed variant of [[BottomKBuffer]] for weighted keys. */
+final class WeightedBottomKBuffer(val k: Int) {
+  val items: ArrayBuffer[(Double, Array[Byte])] = ArrayBuffer.empty
+  private var bound: Double = Double.PositiveInfinity
+
+  def admits(key: Double): Boolean = items.length < k || key < bound
+
+  def add(key: Double, bytes: Array[Byte]): Unit = {
+    items += ((key, bytes))
+    if (items.length >= 2 * k) compact()
+  }
+
+  def compact(): Unit = if (items.length > k) {
+    val sorted = items.sortBy(_._1).take(k)
+    items.clear()
+    items ++= sorted
+    bound = items.last._1
+  }
+}
+
+/**
+ * Weighted exact-k per-group sample without replacement (Efraimidis &
+ * Spirakis A-ES, reformulated as an exponential race): item key =
+ * -ln(u) / w with u a deterministic hash-uniform of the value — the k
+ * smallest keys win, and an item's inclusion probability scales with its
+ * weight. Same one-shuffle / mergeable / order-independent properties as
+ * [[BottomKSample]]; rows with null or non-positive weight are excluded.
+ */
+case class WeightedBottomKSample(
+    child: Expression,
+    weight: Expression,
+    k: Int,
+    seed: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[WeightedBottomKBuffer]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  @transient private lazy val proj = UnsafeProjection.create(Array[DataType](child.dataType))
+  @transient private lazy val scratch = new Array[Any](1)
+
+  override def left: Expression = child
+  override def right: Expression = weight
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bottom_k_sample_weighted"
+
+  override def createAggregationBuffer(): WeightedBottomKBuffer = new WeightedBottomKBuffer(k)
+
+  override def update(buffer: WeightedBottomKBuffer, input: InternalRow): WeightedBottomKBuffer = {
+    val v = child.eval(input)
+    val wRaw = weight.eval(input)
+    if (v != null && wRaw != null) {
+      val w = wRaw match {
+        case d: java.lang.Double => d.doubleValue()
+        case f: java.lang.Float => f.doubleValue()
+        case n: java.lang.Number => n.doubleValue()
+      }
+      if (w > 0.0) {
+        scratch(0) = v
+        val row = proj(InternalRow.fromSeq(scratch.toSeq))
+        val h = XXH64.hashUnsafeBytes(row.getBaseObject, row.getBaseOffset, row.getSizeInBytes, seed)
+        // top 53 bits -> u in (0,1]; -ln(u)/w ~ Exp(rate w): smallest wins
+        val u = ((h >>> 11) + 1).toDouble / (1L << 53).toDouble
+        val key = -math.log(u) / w
+        if (buffer.admits(key)) buffer.add(key, row.copy().getBytes)
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: WeightedBottomKBuffer, other: WeightedBottomKBuffer): WeightedBottomKBuffer = {
+    other.items.foreach { case (key, bytes) => buffer.add(key, bytes) }
+    buffer
+  }
+
+  override def eval(buffer: WeightedBottomKBuffer): Any = {
+    buffer.compact()
+    val winners = buffer.items.sortBy(_._1)
+    val out = new Array[Any](winners.length)
+    var i = 0
+    winners.foreach { case (_, bytes) =>
+      val row = new UnsafeRow(1)
+      row.pointTo(bytes, bytes.length)
+      out(i) = row.get(0, child.dataType)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: WeightedBottomKBuffer): Array[Byte] = {
+    buffer.compact()
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.items.length)
+    buffer.items.foreach { case (key, bytes) =>
+      out.writeDouble(key); out.writeInt(bytes.length); out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(storageFormat: Array[Byte]): WeightedBottomKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(storageFormat))
+    val buffer = new WeightedBottomKBuffer(k)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val key = in.readDouble()
+      val bytes = new Array[Byte](in.readInt())
+      in.readFully(bytes)
+      buffer.items += ((key, bytes))
+      i += 1
+    }
+    buffer
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): WeightedBottomKSample =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): WeightedBottomKSample =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, weight = r)
+}
+
 object BottomKSampleFunctions {
   /** Aggregate column: uniform deterministic sample of up to k values of e
     * per group. */
   def bottom_k_sample(e: Column, k: Int, seed: Long): Column =
     ColumnBridge.column(
       BottomKSample(ColumnBridge.expression(e), k, seed).toAggregateExpression())
+
+  /** Aggregate column: weighted (A-ES) deterministic sample of up to k
+    * values of e per group; inclusion probability scales with w. */
+  def bottom_k_sample_weighted(e: Column, w: Column, k: Int, seed: Long): Column =
+    ColumnBridge.column(
+      WeightedBottomKSample(ColumnBridge.expression(e), ColumnBridge.expression(w), k, seed)
+        .toAggregateExpression())
 }

@@ -45,6 +45,24 @@ class PerGroupSampleSpec extends SparkSpec {
     assert(empty === 0)
   }
 
+  test("perGroupWeightedK: heavy weights dominate selection; non-positive weights excluded") {
+    import org.apache.spark.sql.functions.when
+    // 100 rows, ids 0..4 weighted 1000x, id 99 weight 0, rest weight 1
+    val df = (0L until 100L).toDF("id").withColumn("g", lit(1))
+      .withColumn("w",
+        when($"id" < 5, 1000.0).when($"id" === 99L, 0.0).otherwise(1.0))
+    val hits = (1 to 10).map { seed =>
+      Sampler.perGroupWeightedK(df, Seq("g"), "w", k = 10, seed).select($"id").as[Long].collect().toSet
+    }
+    // the five 1000x ids should essentially always be picked
+    val heavyHitRate = hits.map(s => (0L until 5L).count(s.contains)).sum / 50.0
+    assert(heavyHitRate > 0.9, s"heavy-weight hit rate $heavyHitRate")
+    // zero-weight row must never appear
+    assert(hits.forall(!_.contains(99L)))
+    // exact k per group
+    assert(hits.forall(_.size === 10))
+  }
+
   test("sampling is unbiased across the id range (chi-square, 10 buckets)") {
     // one group, k=200 of 500 docs; bucket selected ids by decile
     val sel = Sampler.perGroupExactK(docs.withColumn("g", lit(1)), Seq("g"), 200, seed = 3L)
