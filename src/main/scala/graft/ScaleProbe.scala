@@ -46,7 +46,9 @@ object ScaleProbe {
       "embeddings" -> (() => replicate("embeddings", 5, Seq("vec_id"), 1000000L)))
     gen.foreach { case (name, mk) =>
       val path = s"$work/$name.parquet"
-      if (!new java.io.File(path).exists()) {
+      // _SUCCESS marker, not bare existence: a crashed prior run leaves a
+      // partial directory that would silently skew every timing below
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
         mk().write.mode("overwrite").parquet(path)
         println(s"[scale] generated $path")
       }

@@ -307,15 +307,23 @@ object Dedup {
     while (!converged && iter < maxIterations) {
       val neighborMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+      // carry the previous label through the checkpoint so convergence is a
+      // filter over the SAME materialized result, not a second full join.
+      // Per-round checkpoint blocks are reclaimed by the ContextCleaner once
+      // the previous round's DataFrame goes out of reference.
       val next = labels.join(neighborMin, col("id") === col("dst"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .select(col("id"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("label"))
       iter += 1
+    }
+    if (!converged) {
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within $maxIterations iterations " +
+          "(component diameter exceeds the cap); raise maxIterations — a silent " +
+          "non-converged result would split components into multiple clusters")
     }
     labels.select(col("id"), col("label").as("cluster_id"))
   }

@@ -84,35 +84,39 @@ object StreamOps {
   /**
    * Custom-state streaming sessionization via `flatMapGroupsWithState`:
    * per-user open-session state (start, last-seen, aggregates) held in the
-   * state store; a session closes and is emitted when the gap since its
-   * last event exceeds `gapUs` — detected either by a newer event or by a
-   * processing-time timeout (so idle users still flush). This is the
-   * pattern for session semantics Spark's built-in `session_window` can't
-   * express (per-session aggregates beyond sum/count, custom close
-   * conditions, side outputs).
+   * state store; a session closes and is emitted when the EVENT-TIME gap
+   * since its last event exceeds `gapUs` — detected either by a newer event
+   * or by an event-time timeout once the watermark passes lastEvent + gap
+   * (a processing-time timeout would flush whenever the SOURCE stalls,
+   * splitting one true session in two). This is the pattern for session
+   * semantics Spark's built-in `session_window` can't express (per-session
+   * aggregates beyond sum/count, custom close conditions, side outputs).
    *
-   * State is O(1) per active user and keys time out — bounded no matter
-   * how long the stream runs.
+   * State is O(1) per active user and keys time out at the watermark —
+   * bounded no matter how long the stream runs. Events later than
+   * `lateness` are dropped by the watermark (standard trade-off).
    */
   def sessionizeStream(
       events: DataFrame,
       gapUs: Long = 10L * 60 * 1000 * 1000,
-      idleTimeoutMs: Long = 30000L): Dataset[UserSession] = {
+      lateness: String = "0 seconds"): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
 
     def flush(userId: Long, st: SessionState): UserSession =
       UserSession(userId, st.startUs, st.lastUs, st.n, st.sum)
 
-    events
-      .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+    withEventTime(events)
+      .withWatermark("event_time", lateness)
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"), col("event_time"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
           if (state.hasTimedOut) {
+            // watermark passed lastUs + gap: the session is truly over
             state.getOption.foreach(st => out += flush(userId, st))
             state.remove()
           } else {
@@ -125,12 +129,23 @@ object StreamOps {
                   out += flush(userId, s) // gap exceeded: close + start new
                   st = SessionState(e.tus, e.tus, 1L, e.value)
                 case s =>
-                  st = s.copy(lastUs = math.max(s.lastUs, e.tus), n = s.n + 1, sum = s.sum + e.value)
+                  // late-but-within-gap events may arrive across batches:
+                  // extend BOTH session bounds
+                  st = s.copy(startUs = math.min(s.startUs, e.tus),
+                    lastUs = math.max(s.lastUs, e.tus), n = s.n + 1, sum = s.sum + e.value)
               }
             }
             if (st != null) {
-              state.update(st)
-              state.setTimeoutDuration(idleTimeoutMs)
+              val timeoutMs = (st.lastUs + gapUs) / 1000
+              if (timeoutMs <= state.getCurrentWatermarkMs()) {
+                // already expired relative to the watermark (setting a
+                // past timestamp would throw): close immediately
+                out += flush(userId, st)
+                if (state.exists) state.remove()
+              } else {
+                state.update(st)
+                state.setTimeoutTimestamp(timeoutMs)
+              }
             }
           }
           out.iterator

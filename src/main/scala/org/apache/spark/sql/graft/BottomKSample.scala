@@ -203,9 +203,10 @@ case class WeightedBottomKSample(
     val wRaw = weight.eval(input)
     if (v != null && wRaw != null) {
       val w = wRaw match {
-        case d: java.lang.Double => d.doubleValue()
-        case f: java.lang.Float => f.doubleValue()
         case n: java.lang.Number => n.doubleValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case other => throw new IllegalArgumentException(
+          s"bottom_k_sample_weighted: weight must be numeric, got ${other.getClass.getName}")
       }
       if (w > 0.0) {
         scratch(0) = v
