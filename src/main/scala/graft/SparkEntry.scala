@@ -128,6 +128,18 @@ object SparkEntry {
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))),
 
+    // lag analytics: per-customer gap between consecutive orders, in
+    // epoch-microsecond integers (engine-neutral)
+    "q27_order_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val us = unix_micros(col("o_orderdate").cast("timestamp"))
+      t(s, dir, "orders")
+        .withColumn("__prev", lag(us, 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          (us - col("__prev")).as("gap_us"))
+    }),
+
     // ---- events: time-windowed aggregation ------------------------------
     // events.ts is parquet TIMESTAMP(NANOS), surfaced as long nanos via
     // spark.sql.legacy.parquet.nanosAsLong; buckets are epoch-second longs
@@ -295,6 +307,10 @@ object SparkEntry {
     "q25_setop_nations" ->
       ("SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer " +
         "INTERSECT SELECT DISTINCT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier"),
+    "q27_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+        |  epoch_us(o_orderdate) - lag(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_us
+        |FROM orders""".stripMargin,
     // exact interpolated percentile: Spark `percentile` and DuckDB
     // `quantile_cont` share the p*(n-1) interpolation and produce
     // bit-identical doubles (verified empirically on this data)
