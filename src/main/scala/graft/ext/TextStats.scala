@@ -58,7 +58,7 @@ object TextStats {
     // no round(): identical double arithmetic on both engines must stay
     // bit-identical for the hash-compare oracle
     s.withColumn("quality_score", lenScore * tokScore * punctScore * digitScore)
-      .drop(s.columns.filter(_.startsWith("__q_")): _*)
+      .drop(s.columns.filter(_.startsWith("__q_")).toIndexedSeq: _*)
   }
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
