@@ -178,6 +178,18 @@ object SparkEntry {
             .cast("double").as("sum_k"),
           count(get_json_object(col("props"), "$.k")).as("n_with_k"))),
 
+    // point-in-time enrichment: each event carries the latest prior-or-equal
+    // purchase value of its user (composed as-of join, one shuffle)
+    "q33_events_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      graft.operators.AsOfJoin.asOf(
+        e.select(col("event_id"), col("user_id"), col("ts")), "ts",
+        purchases, "ts", keyCols = Seq("user_id"), valueCols = Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"), col("asof_purchase_value"))
+    }),
+
     // ---- dedup ----------------------------------------------------------
     "q40_dedup_exact" -> ((s, dir) => Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")),
     "q41_dedup_minhash" -> ((s, dir) =>
@@ -347,6 +359,10 @@ object SparkEntry {
         |  CAST(SUM(CAST(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS DECIMAL(15,2))) AS DOUBLE) AS sum_k,
         |  COUNT(json_extract_string(props, '$.k')) AS n_with_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "q33_events_asof" ->
+      """SELECT e.event_id, e.user_id, p.value AS asof_purchase_value
+        |FROM events e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
     "q40_dedup_exact" ->
       "SELECT * FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)",
     // exact set-similarity join: the brute-force pairwise jaccard is the

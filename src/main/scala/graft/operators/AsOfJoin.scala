@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Point-in-time (AS-OF) join: each left row picks up the most recent right
+ * row with the same key and right.time <= left.time — the standard
+ * enrichment for event streams against slowly-changing state.
+ *
+ * Spark has no built-in as-of join; the preference ladder says compose
+ * built-ins before reaching for a custom SparkPlan, and the classic
+ * union + sorted-window fill does exactly that:
+ *
+ *   1. tag both sides, union them on (key, time);
+ *   2. one hash-partition by key + sort by (time, side) — right rows sort
+ *      before left rows at equal timestamps, making the match inclusive;
+ *   3. `last(col, ignoreNulls)` over the running frame carries each right
+ *      value forward to every following left row;
+ *   4. keep the left rows.
+ *
+ * ONE shuffle, no join fan-out, no per-key driver work — the same cost
+ * shape as a groupBy, which is what makes it survive 100 TB (a naive
+ * `left.time >= right.time` range join explodes quadratically). Skewed
+ * keys behave like any skewed aggregation (AQE/salting apply).
+ */
+object AsOfJoin {
+
+  /**
+   * @param valueCols right-side columns to carry (each emitted as
+   *                  `asof_<name>`, null when no right row precedes)
+   */
+  def asOf(
+      left: DataFrame, leftTime: String,
+      right: DataFrame, rightTime: String,
+      keyCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    require(valueCols.nonEmpty, "no right-side value columns requested")
+
+    val leftCols = left.columns.toSeq
+    val sideCol = "__graft_is_left"
+    val timeCol = "__graft_t"
+
+    val taggedRight = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTime).as(timeCol), lit(0).as(sideCol)) ++
+        valueCols.map(vc => col(vc).as(s"asof_$vc")): _*)
+
+    val taggedLeft = left
+      .withColumn(timeCol, col(leftTime))
+      .withColumn(sideCol, lit(1))
+
+    // allowMissingColumns: the left side's missing asof_* slots become null
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+
+    // right (0) sorts before left (1) at equal time -> inclusive match
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col(sideCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = valueCols.foldLeft(unioned)((df, vc) =>
+      df.withColumn(s"asof_$vc", last(col(s"asof_$vc"), ignoreNulls = true).over(w)))
+
+    filled.filter(col(sideCol) === 1)
+      .select((leftCols ++ valueCols.map(vc => s"asof_$vc")).map(col): _*)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // trades enriched with the latest quote at-or-before the trade time
+  private lazy val trades = Seq(
+    (1L, "A", 100L), (2L, "A", 205L), (3L, "A", 300L),
+    (4L, "B", 150L), (5L, "B", 50L)
+  ).toDF("trade_id", "sym", "t")
+  private lazy val quotes = Seq(
+    ("A", 100L, 10.0), ("A", 200L, 11.0), ("A", 250L, 12.0),
+    ("B", 100L, 20.0)
+  ).toDF("sym", "qt", "px")
+
+  test("asOf picks the latest right row at-or-before each left time; null when none") {
+    val got = AsOfJoin.asOf(trades, "t", quotes, "qt", Seq("sym"), Seq("px"))
+      .select($"trade_id", $"asof_px")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(got(1L) === Some(10.0)) // equal timestamp is inclusive
+    assert(got(2L) === Some(11.0)) // 205 -> quote@200
+    assert(got(3L) === Some(12.0)) // 300 -> quote@250
+    assert(got(4L) === Some(20.0))
+    assert(got(5L) === None) // before any quote for B
+  }
+
+  test("multiple value columns and schema: left columns preserved + asof_* appended") {
+    val q2 = quotes.withColumn("venue", concat(lit("v"), $"px".cast("int")))
+    val got = AsOfJoin.asOf(trades, "t", q2, "qt", Seq("sym"), Seq("px", "venue"))
+    assert(got.columns.toSeq === Seq("trade_id", "sym", "t", "asof_px", "asof_venue"))
+    val r = got.filter($"trade_id" === 3L).head()
+    assert(r.getAs[Double]("asof_px") === 12.0 && r.getAs[String]("asof_venue") === "v12")
+    assert(got.count() === trades.count()) // never multiplies or drops left rows
+  }
+
+  test("plan shape: one shuffle (hash partition by key), no join operator") {
+    val plan = AsOfJoin.asOf(trades, "t", quotes, "qt", Seq("sym"), Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected no join node\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
+}
