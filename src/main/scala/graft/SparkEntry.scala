@@ -68,6 +68,24 @@ object SparkEntry {
       SemiJoinReducer.reduce(t(s, dir, "customer"), "c_custkey", orders, "o_custkey")
     }),
 
+    // ---- set operations & approximate aggregates ------------------------
+    "q17_union_all_counts" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+        .unionAll(t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n"))),
+    "q18_except_orders" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey")).distinct()
+        .except(t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey")).distinct())),
+    // HLL sketch vs exact distinct: algorithms differ across engines, so
+    // rows-only here; ApproxDistinctSpec pins the <5% relative error bound
+    "q19_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          approx_count_distinct(col("o_custkey")).as("approx_customers"),
+          countDistinct(col("o_custkey")).as("exact_customers"))),
+
     "q14_sample_stratified" -> ((s, dir) =>
       Sampler.stratifiedExact(t(s, dir, "lineitem"), "l_returnflag", 0.01, seed = 42L)),
     // custom TypedImperativeAggregate: k rows per group in one shuffle
@@ -127,6 +145,91 @@ object SparkEntry {
           expr("percentile(o_totalprice, 0.95)").as("p95"),
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))),
+
+    // grouping-set aggregates: subtotal rows carry NULL grouping columns on
+    // both engines; coalesce to a sentinel so the harness row-sort is total
+    "q28_rollup_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(dec("l_quantity")).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_rows"), col("sum_qty"))),
+    "q29_cube_orderstats" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+          col("n_orders"), col("sum_price"))),
+
+    // window frame specs: a ROWS moving sum and a RANGE (value-based,
+    // 30-day) peer-inclusive count in one pass
+    "q34_window_frames" -> ((s, dir) => {
+      val wRows = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(-2, Window.currentRow)
+      val days = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+      val wRange = Window.partitionBy(col("o_custkey"))
+        .orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(dec("o_totalprice")).over(wRows).cast("double").as("moving_sum3"),
+        count(lit(1)).over(wRange).cast("long").as("n_last_30d"))
+    }),
+
+    // equi + range predicate join (theta component evaluated post-probe)
+    "q35_range_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey")
+          && l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_late"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_late_price"))
+    }),
+
+    "q36_fullouter_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"))
+        .agg(
+          countDistinct(col("c_custkey")).as("n_customers"),
+          count(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // correlated subqueries through the SQL surface: EXISTS filter + a
+    // scalar subquery column (Catalyst rewrites both to joins)
+    "q38_correlated_subq" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, c_name,
+              |  (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order_price
+              |FROM customer c
+              |WHERE EXISTS (SELECT 1 FROM orders o
+              |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)""".stripMargin)
+    }),
+
+    // scalar date/string function surface, grouped
+    "q39_date_string_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_class"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_orderdate")).as("first_date"),
+          max(upper(col("o_orderstatus"))).as("max_status"))),
 
     // lag analytics: per-customer gap between consecutive orders, in
     // epoch-microsecond integers (engine-neutral)
@@ -231,12 +334,29 @@ object SparkEntry {
         k = 10, Similarity.IvfConfig(nlist = 32, nprobe = 4))
     }),
 
+    // array-column function surface over the embedding table; norm_sq runs
+    // the codegen vec_dot kernel (bit-exact vs DuckDB list_dot_product)
+    "q53_vector_funcs" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        element_at(col("embedding"), 1).as("e_first"),
+        array_min(col("embedding")).as("e_min"),
+        array_max(col("embedding")).as("e_max"),
+        graft.functions.vec_dot(col("embedding"), col("embedding")).as("norm_sq"))),
+
     // ---- multimodal plumbing (stub decoder; see Multimodal scaladoc) ----
+    // the feature vector itself is projected to scalar invariants (dim +
+    // fold checksum): the harness' row compare can't order raw arrays, and
+    // the scalars pin the full vector content anyway
     "q70_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.attachSyntheticMedia(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "media", dim = 16)
-        .select(col("doc_id"), col("media_meta.media_type").as("media_type"), col("features"))),
+        .select(col("doc_id"), col("media_meta.media_type").as("media_type"),
+          size(col("features")).cast("long").as("feat_dim"),
+          aggregate(col("features"), lit(0.0),
+            (acc, x) => acc + x.cast("double")).as("feat_checksum"))),
     "q71_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(
         Multimodal.attachSyntheticMedia(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
@@ -319,6 +439,66 @@ object SparkEntry {
     "q25_setop_nations" ->
       ("SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer " +
         "INTERSECT SELECT DISTINCT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier"),
+    "q17_union_all_counts" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        |  UNION ALL SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+        |) GROUP BY nationkey""".stripMargin,
+    "q18_except_orders" ->
+      "SELECT DISTINCT o_orderkey FROM orders EXCEPT SELECT DISTINCT l_orderkey FROM lineitem",
+    "q28_rollup_pricing" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q29_cube_orderstats" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q34_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3,
+        |  count(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_last_30d
+        |FROM orders""".stripMargin,
+    "q35_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_late,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_late_price
+        |FROM lineitem l JOIN orders o
+        |  ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q36_fullouter_orders" ->
+      """SELECT coalesce(c_mktsegment, '(none)') AS segment,
+        |  count(DISTINCT c_custkey) AS n_customers,
+        |  count(o_orderkey) AS n_orders
+        |FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1""".stripMargin,
+    "q38_correlated_subq" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order_price
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)""".stripMargin,
+    "q39_date_string_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  substr(o_orderpriority, 1, 1) AS prio_class,
+        |  count(*) AS n, min(o_orderdate) AS first_date,
+        |  max(upper(o_orderstatus)) AS max_status
+        |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+    "q53_vector_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+        |  embedding[1] AS e_first,
+        |  list_min(embedding) AS e_min,
+        |  list_max(embedding) AS e_max,
+        |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS norm_sq
+        |FROM embeddings""".stripMargin,
     "q27_order_gaps" ->
       """SELECT o_custkey, o_orderkey,
         |  epoch_us(o_orderdate) - lag(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_us
