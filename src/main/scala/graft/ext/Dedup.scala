@@ -238,26 +238,33 @@ object Dedup {
     // norm in training data), while the collapsed problem is bucket-join on
     // DISTINCT vectors + a pair expansion bounded by the actual output
     val members = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
+    // localCheckpoint: `groups` feeds three consumers (band explode + both
+    // pair expansions); without it each consumer re-runs the scan+aggregate
     val groups = members.groupBy(col("v"))
       .agg(min(col("id")).as("rid"), collect_list(col("id")).as("ids"))
+      .localCheckpoint()
 
-    // LSH band join over group representatives; ids only through the
-    // exploded shuffle, vectors re-joined for surviving candidate pairs
+    // LSH band join over group representatives. The vector RIDES THROUGH the
+    // band explode (bands × dim floats per distinct vector — linear in the
+    // collapsed corpus) so cosine is computed inline in the join projection
+    // and filtered BEFORE any pair-level shuffle: the only pair-shaped
+    // shuffle left is the dropDuplicates over survivors, which is bounded by
+    // the true output. The alternative (ids-only bands, re-join vectors for
+    // candidates) shuffles the full candidate-pair table three times — at a
+    // moderate threshold LSH passes many random pairs, so the candidate
+    // table, not the banded table, is the scale hazard.
     val sigCol = LshPlanes.bandKeys(col("v"), dim, numPlanes, bands, seed)
-    val banded = groups.select(col("rid"), posexplode(sigCol))
+    val banded = groups.select(col("rid"), col("v"), posexplode(sigCol))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
     val a = banded.alias("a")
     val b = banded.alias("b")
-    val repVecs = groups.select(col("rid"), col("v"))
     val repPairs = a
       .join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
         col("a.rid") < col("b.rid"))
-      .select(col("a.rid").as("ra"), col("b.rid").as("rb"))
-      .dropDuplicates("ra", "rb")
-      .join(repVecs.select(col("rid").as("ra"), col("v").as("va")), "ra")
-      .join(repVecs.select(col("rid").as("rb"), col("v").as("vb")), "rb")
-      .withColumn("cosine", vec_cosine(col("va"), col("vb")))
+      .select(col("a.rid").as("ra"), col("b.rid").as("rb"),
+        vec_cosine(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .dropDuplicates("ra", "rb")
 
     // expand a qualifying representative pair to all member pairs (members
     // share their representative's vector, so the cosine carries over)

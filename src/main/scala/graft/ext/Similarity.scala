@@ -68,7 +68,9 @@ object Similarity {
       nlist: Int = 64,
       nprobe: Int = 8,
       seed: Long = 42L,
-      trainFraction: Double = 1.0)
+      trainFraction: Double = 1.0,
+      maxIter: Int = 10,
+      initMode: String = "random")
 
   /**
    * IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
@@ -90,7 +92,11 @@ object Similarity {
     // 1. train the coarse quantizer (sample-sized driver cost, nlist x dim)
     val trainSrc = if (cfg.trainFraction < 1.0)
       data.sample(withReplacement = false, cfg.trainFraction, cfg.seed) else data
+    // coarse quantizers don't need converged clusters, they need balanced
+    // cells: random init + few iterations skips k-means||'s extra passes
+    // (each KMeans iteration is a full distributed pass over the train set)
     val model = new KMeans().setK(cfg.nlist).setSeed(cfg.seed).setFeaturesCol("__features")
+      .setMaxIter(cfg.maxIter).setInitMode(cfg.initMode)
       .fit(trainSrc.select(array_to_vector(col(dataVec)).as("__features")))
 
     // 2. assign every corpus row to its cell (single distributed pass)
