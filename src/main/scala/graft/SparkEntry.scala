@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
 import graft.operators.{Sampler, SemiJoinReducer}
+import graft.streaming.StreamGate
 
 /**
  * Driver contract: every implemented operator from SURVEY.md §2 (reference
@@ -378,6 +379,16 @@ object SparkEntry {
     "q63_token_counts" -> ((s, dir) =>
       TextStats.withTokenCounts(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("ws_tokens"), col("bpe_ish_tokens"))),
+
+    // ---- structured streaming (finite replay through real stream plans) --
+    // each runs readStream -> transform -> memory sink to completion via
+    // Trigger.AvailableNow, then returns the drained sink table; see
+    // StreamGate scaladoc for why the results are deterministic enough for
+    // exact SQL oracles (complete-mode aggs, sentinel-flushed sessions)
+    "q80_stream_hourly" -> ((s, dir) => StreamGate.hourlyAgg(s, dir)),
+    "q81_stream_dedup" -> ((s, dir) => StreamGate.dedupKeys(s, dir, "event_type")),
+    "q82_stream_sessions" -> ((s, dir) => StreamGate.sessions(s, dir)),
+    "q83_stream_sample" -> ((s, dir) => StreamGate.sample(s, dir, ratio = 0.1, seed = 42L)),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -638,5 +649,32 @@ object SparkEntry {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS bpe_ish_tokens
         |FROM documents""".stripMargin,
+
+    // streaming results equal their batch formulations by construction
+    // (complete-mode agg / key-set projection / sentinel-flushed sessions)
+    "q80_stream_hourly" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s, event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q81_stream_dedup" ->
+      "SELECT DISTINCT event_type FROM events",
+    "q82_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events
+        |), flagged AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+        |           OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 600000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, tus,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT min(tus) AS session_start_us, max(tus) AS session_end_us,
+        |  user_id, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
   )
 }

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Runs the Structured Streaming operators ([[StreamOps]]) as finite,
+ * deterministic queries so they can sit in the driver's DuckDB-oracle
+ * correctness gate next to the batch operators (the reference is batch-only;
+ * SURVEY.md §2.2 "Streaming: none" — this is the extension surface exercised
+ * end-to-end, not just spec-tested).
+ *
+ * Mechanics: the single-file `events.parquet` fixture is staged into a
+ * directory (the file streaming source lists directories), streamed with
+ * `Trigger.AvailableNow`, and drained into a memory sink; the sink table is
+ * returned as a plain DataFrame. Everything the batch gate needs —
+ * deterministic rows, stable column names — is preserved by construction:
+ * aggregates run in complete mode (no watermark-withheld windows) with
+ * decimal sums, and sessionization gets a per-user far-future sentinel event
+ * in a SECOND staged file so the event-time watermark provably passes every
+ * real session's close (the emitted set is then exactly the batch
+ * session_window islands, an exact SQL oracle — no "maybe the last session
+ * is still open" slack).
+ */
+object StreamGate {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Stage `<sfDir>/events.parquet` into a fresh directory; mtime is set
+    * 60s in the past so later-staged sentinel files reliably sort AFTER it
+    * in the file source's modification-time order. */
+  private def stageEventsDir(sfDir: String): Path = {
+    val dir = Files.createTempDirectory("graft_stream_events")
+    val staged = dir.resolve("events.parquet")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), staged, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(staged, FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    dir
+  }
+
+  /** Drain a finite stream into a uniquely-named memory sink and return the
+    * sink table. AvailableNow processes every staged file (respecting
+    * maxFilesPerTrigger batch boundaries) and then terminates. */
+  def runToTable(df: DataFrame, prefix: String, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"${prefix}_${counter.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    spark.table(name)
+  }
+
+  /**
+   * Streaming hourly windowed aggregation, complete mode (every window
+   * emitted — append would withhold windows the watermark hasn't passed).
+   * Decimal sum -> double for bit-stable totals under any row order.
+   */
+  def hourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageEventsDir(sfDir)
+    val ev = StreamOps.withEventTime(
+      StreamOps.eventsStream(spark, dir.toString, maxFilesPerTrigger = 1))
+    val agg = ev
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(15,2)")).cast("double").as("sum_value"))
+      .select(expr("unix_micros(window.start) div 1000000").as("bucket_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    runToTable(agg, "stream_hourly", "complete")
+  }
+
+  /** Streaming exact dedup on a key column; only the key survives to the
+    * output (WHICH physical row wins per key is arrival-order-dependent, the
+    * key set itself is exact — the oracle is SELECT DISTINCT). */
+  def dedupKeys(spark: SparkSession, sfDir: String, keyCol: String): DataFrame = {
+    val dir = stageEventsDir(sfDir)
+    val deduped = StreamOps.dedupStream(
+      StreamOps.eventsStream(spark, dir.toString, maxFilesPerTrigger = 1), Seq(keyCol))
+    runToTable(deduped.select(col(keyCol)), "stream_dedup", "append")
+  }
+
+  /**
+   * Streaming sessionization with a deterministic, oracle-exact emitted set.
+   *
+   * flatMapGroupsWithState only emits a session once the event-time
+   * watermark passes its close; a finite stream would leave each user's last
+   * session open (or flushed "sometimes", depending on no-data batches). A
+   * second staged file holds one far-future sentinel event per user, so:
+   *  - batch 1 (events): all real sessions enter state,
+   *  - batch 2 (sentinels): the watermark jumps past every real close; each
+   *    user's sentinel closes their last real session by gap,
+   *  - sentinel sessions themselves are filtered out by their start time.
+   * Emitted set == ALL batch session_window islands, exactly.
+   *
+   * sum_value is intentionally not projected: it accumulates in per-batch
+   * iterator order, whose float addition order is not deterministic across
+   * runs; bounds and counts are.
+   */
+  def sessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageEventsDir(sfDir)
+
+    // sentinel = max real ts + ~1 year, one per user, staged AFTER events
+    val batchEvents = spark.read.schema(StreamOps.eventsSchema).parquet(s"$sfDir/events.parquet")
+    val maxTs = batchEvents.agg(max(col("ts"))).head().getLong(0)
+    val sentinelTs = maxTs + 365L * 24 * 3600 * 1000000000L
+    val sentinels = batchEvents.select(col("user_id")).distinct()
+      .select(
+        lit(-1L).as("event_id"), lit(sentinelTs).as("ts"), col("user_id"),
+        lit("__sentinel").as("event_type"), lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    val sentinelDir = Files.createTempDirectory("graft_stream_sentinel")
+    sentinels.coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+    val part = Files.list(sentinelDir).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val target = dir.resolve("zzz_sentinel.parquet")
+    Files.copy(part, target, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(target, FileTime.fromMillis(System.currentTimeMillis()))
+
+    val sessions = StreamOps.sessionizeStream(
+      StreamOps.eventsStream(spark, dir.toString, maxFilesPerTrigger = 1))
+    runToTable(sessions.toDF(), "stream_sessions", "append")
+      .filter(col("session_start_us") < sentinelTs / 1000)
+      .select(col("session_start_us"), col("session_end_us"), col("user_id"), col("n_events"))
+  }
+
+  /** Streaming content-hash Bernoulli sample (retry-stable acceptance). */
+  def sample(spark: SparkSession, sfDir: String, ratio: Double, seed: Long): DataFrame = {
+    val dir = stageEventsDir(sfDir)
+    val sampled = StreamOps.sampleStream(
+      StreamOps.eventsStream(spark, dir.toString, maxFilesPerTrigger = 1), ratio, seed)
+    runToTable(sampled, "stream_sample", "append")
+  }
+}
