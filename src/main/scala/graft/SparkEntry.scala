@@ -380,6 +380,70 @@ object SparkEntry {
       TextStats.withTokenCounts(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("ws_tokens"), col("bpe_ish_tokens"))),
 
+    // ---- additional analytics surface ----------------------------------
+    // hopping (sliding) event-time windows: 1h length, 30m slide — every
+    // event lands in exactly 2 windows; epoch-aligned like the tumbling q30
+    "q90_hopping_windows" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("event_time"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(15,2)")).cast("double").as("sum_value"))
+        .select(expr("unix_micros(window.start) div 1000000").as("bucket_s"),
+          col("event_type"), col("n_events"), col("sum_value"))),
+
+    // pivot (long -> wide): per-returnflag quantity by linestatus; values
+    // pinned so the output schema is static
+    "q91_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec("l_quantity")))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0)).cast("double").as("qty_f"),
+          coalesce(col("O"), lit(0)).cast("double").as("qty_o"))),
+
+    // per-dimension centroids of embedding groups: posexplode -> two-level
+    // key agg. Elements are accumulated in FIXED POINT (floor(v·2^30) as
+    // long): scaling a double by a power of two is exact, floor is exact,
+    // and integer sums are order-independent — so the result is bit-exact
+    // vs the oracle under any partitioning. (A decimal-cast sum is NOT:
+    // DuckDB's double->decimal rounds through a 10^scale double multiply,
+    // which can land 1 ulp away from Spark's exact BigDecimal rounding.)
+    "q92_vector_centroids" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select((col("vec_id") % 8).cast("long").as("grp"), posexplode(col("embedding")))
+        .select(col("grp"), (col("pos") + 1).cast("long").as("dim_pos"),
+          floor(col("col").cast("double") * 1073741824d).cast("long").as("vfx"))
+        .groupBy(col("grp"), col("dim_pos"))
+        .agg(count(lit(1)).as("n"), sum(col("vfx")).as("sum_fx"))
+        .select(col("grp"), col("dim_pos"), col("n"),
+          (col("sum_fx").cast("double") / 1073741824d).as("sum_val"),
+          (col("sum_fx").cast("double") / col("n").cast("double") / 1073741824d).as("mean_val"))),
+
+    // regex scalar-function surface (extract / count / strip)
+    "q93_regex_extract" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"),
+        // group index 0 explicitly: Spark defaults idx to 1 (DuckDB to 0)
+        size(expr("regexp_extract_all(text, '\\\\bthe\\\\b', 0)")).cast("long").as("n_the"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("len_novowels"))),
+
+    // time-series resample with gap fill: per-type hourly counts on a dense
+    // hour spine (sequence+explode — the spine is generated distributed,
+    // never collected)
+    "q94_resample_gapfill" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), expr("(ts div 3600000000000) * 3600").as("bucket_s"))
+        .agg(count(lit(1)).as("n_raw"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("bucket_s")).as("mn"), max(col("bucket_s")).as("mx"))
+        .select(col("event_type"), explode(sequence(col("mn"), col("mx"), lit(3600L))).as("bucket_s"))
+      spine.join(hourly, Seq("event_type", "bucket_s"), "left")
+        .select(col("event_type"), col("bucket_s"), coalesce(col("n_raw"), lit(0L)).as("n_events"))
+    }),
+
     // ---- structured streaming (finite replay through real stream plans) --
     // each runs readStream -> transform -> memory sink to completion via
     // Trigger.AvailableNow, then returns the drained sink table; see
@@ -649,6 +713,52 @@ object SparkEntry {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS bpe_ish_tokens
         |FROM documents""".stripMargin,
+
+    "q90_hopping_windows" ->
+      """SELECT bucket_s, event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT (((epoch_ns(ts) // 1000000000) // 1800) - u.k) * 1800 AS bucket_s,
+        |    event_type, value
+        |  FROM events, (SELECT unnest([0, 1]) AS k) u
+        |) GROUP BY 1, 2""".stripMargin,
+    "q91_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(15,2)) END), 0) AS DOUBLE) AS qty_f,
+        |  CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(15,2)) END), 0) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q92_vector_centroids" ->
+      """WITH x AS (
+        |  SELECT CAST(vec_id % 8 AS BIGINT) AS grp,
+        |    unnest(embedding) AS v,
+        |    unnest(generate_series(1, len(embedding))) AS dim_pos
+        |  FROM embeddings
+        |), fx AS (
+        |  SELECT grp, CAST(dim_pos AS BIGINT) AS dim_pos,
+        |    CAST(floor(CAST(v AS DOUBLE) * 1073741824) AS BIGINT) AS vfx
+        |  FROM x
+        |)
+        |SELECT grp, dim_pos, count(*) AS n,
+        |  CAST(CAST(SUM(vfx) AS BIGINT) AS DOUBLE) / 1073741824 AS sum_val,
+        |  CAST(CAST(SUM(vfx) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1073741824 AS mean_val
+        |FROM fx GROUP BY 1, 2""".stripMargin,
+    "q93_regex_extract" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '^(\w+)', 1) AS first_word,
+        |  CAST(len(regexp_extract_all(text, '\bthe\b')) AS BIGINT) AS n_the,
+        |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS len_novowels
+        |FROM documents""".stripMargin,
+    "q94_resample_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s,
+        |    count(*) AS n_raw
+        |  FROM events GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT event_type, unnest(generate_series(mn, mx, 3600)) AS bucket_s
+        |  FROM (SELECT event_type, min(bucket_s) AS mn, max(bucket_s) AS mx FROM hourly GROUP BY 1)
+        |)
+        |SELECT s.event_type, s.bucket_s, COALESCE(h.n_raw, 0) AS n_events
+        |FROM spine s LEFT JOIN hourly h USING (event_type, bucket_s)""".stripMargin,
 
     // streaming results equal their batch formulations by construction
     // (complete-mode agg / key-set projection / sentinel-flushed sessions)
