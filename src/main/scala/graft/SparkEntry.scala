@@ -444,6 +444,27 @@ object SparkEntry {
         .select(col("event_type"), col("bucket_s"), coalesce(col("n_raw"), lit(0L)).as("n_events"))
     }),
 
+    // typed JSON parse (from_json with an explicit schema, vs q32's untyped
+    // path extraction); long arithmetic only — exact on both engines
+    "q95_from_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("j"))
+        .groupBy(col("event_type"), (col("j.k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("j.k")).as("sum_k"))),
+
+    // t-digest percentile sketch (mergeable, one pass, bounded memory — the
+    // scale path where q26's exact percentiles would need a full sort);
+    // sketch internals differ across engines -> rows-only + accuracy spec
+    "q96_approx_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice").cast("double"), lit(0.5), lit(2500)).as("p50_approx"),
+          percentile_approx(col("l_extendedprice").cast("double"), lit(0.99), lit(2500)).as("p99_approx"),
+          count(lit(1)).as("n"))),
+
     // ---- structured streaming (finite replay through real stream plans) --
     // each runs readStream -> transform -> memory sink to completion via
     // Trigger.AvailableNow, then returns the drained sink table; see
@@ -714,6 +735,12 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS bpe_ish_tokens
         |FROM documents""".stripMargin,
 
+    "q95_from_json" ->
+      """SELECT event_type,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  count(*) AS n,
+        |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q90_hopping_windows" ->
       """SELECT bucket_s, event_type, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value

@@ -47,9 +47,19 @@ object StreamGate {
   def runToTable(df: DataFrame, prefix: String, mode: String): DataFrame = {
     val spark = df.sparkSession
     val name = s"${prefix}_${counter.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    // a stream's state parallelism is pinned at checkpoint creation from
+    // spark.sql.shuffle.partitions, and every micro-batch commits one state
+    // store per partition — for these finite replays (few distinct keys, a
+    // handful of batches) 8 partitions cuts the fixed commit I/O 4x vs the
+    // session's batch setting; production streams size this to key
+    // cardinality x throughput instead. Restored right after the drain.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
