@@ -18,6 +18,11 @@ object Bench {
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      // streaming engine init (state store providers, sink registry) is a
+      // similar fixed cost — warm it on the tiniest SF so the first timed
+      // streaming query measures the query, not the machinery
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory)
+        SparkEntry.queries("q83_stream_sample")(spark, "/root/testdata/sf0.001").count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

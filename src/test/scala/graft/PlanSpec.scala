@@ -64,4 +64,40 @@ class PlanSpec extends SparkSpec {
     val plan = sampled.queryExecution.executedPlan.toString
     assert(!plan.contains("CollectLimit") && !plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("pivot with pinned values plans as aggregates only — no distinct-values pre-job") {
+    val q = SparkEntry.queries("q91_pivot")(spark, sf0001)
+    val plan = formatted(q)
+    // pinned pivot values -> pure two-phase aggregate plan ((rf,ls) agg,
+    // then transpose agg on rf): at most 2 exchanges, and no extra job to
+    // discover pivot values (which .pivot(col) without values would run
+    // eagerly, before this plan even exists)
+    assert("(?m)^\\s*\\(\\d+\\) Exchange$".r.findAllIn(plan).size <= 2, plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("gap-fill resample joins spine to counts without a cartesian product") {
+    val plan = formatted(SparkEntry.queries("q94_resample_gapfill")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("embedding near-dup: no pair-level shuffle before the cosine filter") {
+    // the candidate join's output must flow through Project(vec_cosine) and
+    // Filter BEFORE any further exchange: survivors (bounded by true output)
+    // are the only pair-shaped rows that ever shuffle
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pairs = graft.ext.Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+      dim = 64, threshold = 0.4, numPlanes = 16, bands = 8)
+    val plan = pairs.queryExecution.executedPlan.toString
+    val cosIdx = plan.indexOf("vec_cosine")
+    val joinIdx = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(plan.indexOf(_, cosIdx)).filter(_ >= 0).minOption.getOrElse(-1)
+    assert(cosIdx >= 0, plan)
+    assert(joinIdx > cosIdx, s"cosine filter must sit directly on the join output\n$plan")
+    // and nothing between them moves data: no exchange separates the join
+    // from the cosine projection/filter that consumes it
+    assert(!plan.substring(cosIdx, joinIdx).contains("Exchange"),
+      s"shuffle between candidate join and cosine filter\n$plan")
+  }
 }
