@@ -363,6 +363,15 @@ object SparkEntry {
         Multimodal.attachSyntheticMedia(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "media", "media_meta", stride = 5)
         .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))),
+    // thumbnail "resize" through the stub decoder; projected to scalar
+    // invariants (byte length + crc32) for the harness row compare
+    "q72_multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeMedia(
+        Multimodal.attachSyntheticMedia(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "media", w = 64, h = 64)
+        .select(col("doc_id"), col("media_meta.media_type").as("media_type"),
+          length(col("thumbnail")).cast("long").as("thumb_len"),
+          crc32(col("thumbnail")).as("thumb_crc"))),
 
     // ---- text analysis --------------------------------------------------
     "q60_text_stats" -> ((s, dir) =>
@@ -465,6 +474,23 @@ object SparkEntry {
           percentile_approx(col("l_extendedprice").cast("double"), lit(0.99), lit(2500)).as("p99_approx"),
           count(lit(1)).as("n"))),
 
+    // flagship composition: the full training-data prep pipeline — language
+    // filter -> quality filter -> exact dedup -> token accounting — as ONE
+    // declarative plan (langid/quality/token exprs all fuse into the scan
+    // projection; the only shuffles are the dedup hash-partition and the
+    // final small agg). Oracle composes the q61/q62/q63 SQL as CTEs.
+    "q99_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextStats.qualityScore(TextStats.langId(docs, "text"), "text")
+      val kept = scored.filter(col("lang_pred") === "en" && col("quality_score") >= 0.3)
+      val deduped = Dedup.exactDedup(kept, "text", "doc_id")
+      TextStats.withTokenCounts(deduped, "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("sum_ws_tokens"),
+          sum(col("bpe_ish_tokens")).as("sum_bpe_tokens"))
+    }),
+
     // ---- structured streaming (finite replay through real stream plans) --
     // each runs readStream -> transform -> memory sink to completion via
     // Trigger.AvailableNow, then returns the drained sink table; see
@@ -493,6 +519,32 @@ object SparkEntry {
       s"CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')), ${lst(words)})) AS DOUBLE) / ${words.size} AS s_$code"
     }.mkString(",\n  ")
   }
+
+  private lazy val qualityOracle: String =
+    s"""SELECT doc_id,
+      |  (((LEAST(CAST(stat_n_tokens AS DOUBLE) / 20.0, 1.0) * (CASE WHEN stat_n_tokens > 5000 THEN 0.5 ELSE 1.0 END))
+      |    * (CASE WHEN (CASE WHEN stat_n_tokens = 0 THEN 0.0 ELSE CAST(stat_n_chars - space_cnt AS DOUBLE) / CAST(stat_n_tokens AS DOUBLE) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END))
+      |   * GREATEST(0.0, 1.0 - (CAST(punct_cnt AS DOUBLE) / GREATEST(stat_n_chars, 1)) * 4.0))
+      |  * GREATEST(0.0, 1.0 - (CAST(digit_cnt AS DOUBLE) / GREATEST(stat_n_chars, 1)) * 2.0) AS quality_score
+      |FROM ($statsSubquery)""".stripMargin
+
+  private lazy val langIdOracle: String =
+    s"""SELECT doc_id,
+      |  CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) <= 0.0 THEN 'und'
+      |       WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+      |       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+      |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+      |       WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS lang_pred,
+      |  GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS lang_pred_score
+      |FROM (SELECT doc_id,
+      |  $langScores
+      |FROM documents)""".stripMargin
+
+  private lazy val tokenCountOracle: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS bpe_ish_tokens
+      |FROM documents""".stripMargin
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_semijoin_orders" ->
@@ -711,29 +763,28 @@ object SparkEntry {
         |  CASE WHEN stat_n_tokens = 0 THEN 0.0
         |       ELSE CAST(stat_n_chars - space_cnt AS DOUBLE) / CAST(stat_n_tokens AS DOUBLE) END AS stat_mean_token_len
         |FROM ($statsSubquery)""".stripMargin,
-    "q61_text_quality" ->
-      s"""SELECT doc_id,
-        |  (((LEAST(CAST(stat_n_tokens AS DOUBLE) / 20.0, 1.0) * (CASE WHEN stat_n_tokens > 5000 THEN 0.5 ELSE 1.0 END))
-        |    * (CASE WHEN (CASE WHEN stat_n_tokens = 0 THEN 0.0 ELSE CAST(stat_n_chars - space_cnt AS DOUBLE) / CAST(stat_n_tokens AS DOUBLE) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END))
-        |   * GREATEST(0.0, 1.0 - (CAST(punct_cnt AS DOUBLE) / GREATEST(stat_n_chars, 1)) * 4.0))
-        |  * GREATEST(0.0, 1.0 - (CAST(digit_cnt AS DOUBLE) / GREATEST(stat_n_chars, 1)) * 2.0) AS quality_score
-        |FROM ($statsSubquery)""".stripMargin,
-    "q62_text_langid" ->
-      s"""SELECT doc_id,
-        |  CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) <= 0.0 THEN 'und'
-        |       WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
-        |       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-        |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
-        |       WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS lang_pred,
-        |  GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS lang_pred_score
-        |FROM (SELECT doc_id,
-        |  $langScores
-        |FROM documents)""".stripMargin,
-    "q63_token_counts" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS bpe_ish_tokens
-        |FROM documents""".stripMargin,
+    "q61_text_quality" -> qualityOracle,
+    "q62_text_langid" -> langIdOracle,
+    "q63_token_counts" -> tokenCountOracle,
+
+    // the corpus-prep pipeline composes the q61/q62/q63 oracles as CTEs —
+    // the SQL proves the composed DataFrame pipeline distributes over the
+    // same per-doc semantics
+    "q99_corpus_pipeline" ->
+      s"""WITH lang AS ($langIdOracle), qual AS ($qualityOracle), toks AS ($tokenCountOracle),
+        |kept AS (
+        |  SELECT d.doc_id, d.text, d.source FROM documents d
+        |  JOIN lang ON d.doc_id = lang.doc_id
+        |  JOIN qual ON d.doc_id = qual.doc_id
+        |  WHERE lang.lang_pred = 'en' AND qual.quality_score >= 0.3
+        |), dedup AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text)
+        |SELECT k.source, count(*) AS n_docs,
+        |  CAST(SUM(t.ws_tokens) AS BIGINT) AS sum_ws_tokens,
+        |  CAST(SUM(t.bpe_ish_tokens) AS BIGINT) AS sum_bpe_tokens
+        |FROM dedup x
+        |JOIN kept k ON x.doc_id = k.doc_id
+        |JOIN toks t ON x.doc_id = t.doc_id
+        |GROUP BY 1""".stripMargin,
 
     "q95_from_json" ->
       """SELECT event_type,
