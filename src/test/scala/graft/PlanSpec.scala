@@ -82,6 +82,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("corpus pipeline: two shuffles total, dedup top-1 runs map-side (WindowGroupLimit)") {
+    val plan = formatted(SparkEntry.queries("q99_corpus_pipeline")(spark, sf0001))
+    // language/quality scoring fuse into the scan stage; the only data
+    // movements are the dedup hash-partition by text and the final agg
+    assert("(?m)^\\s*\\(\\d+\\) Exchange$".r.findAllIn(plan).size <= 2, plan)
+    // Spark's rank-limit pushdown prunes per-text duplicates BEFORE the
+    // shuffle — the dedup exchange moves one row per distinct text per
+    // partition, not the whole corpus
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("embedding near-dup: no pair-level shuffle before the cosine filter") {
     // the candidate join's output must flow through Project(vec_cosine) and
     // Filter BEFORE any further exchange: survivors (bounded by true output)
