@@ -83,6 +83,28 @@ object ScaleProbe {
       Dedup.embeddingNearDupPairs(read("embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.4, numPlanes = 16, bands = 8).count()
     }
+    timed("corpus_pipeline") {
+      val scored = ext.TextStats.qualityScore(
+        ext.TextStats.langId(read("documents"), "text"), "text")
+      val kept = scored.filter(col("lang_pred") === "en" && col("quality_score") >= 0.3)
+      ext.TextStats.withTokenCounts(Dedup.exactDedup(kept, "text", "doc_id"), "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("sum_ws_tokens"))
+        .count()
+    }
+    timed("vector_centroids") {
+      read("embeddings")
+        .select((col("vec_id") % 8).cast("long").as("grp"), posexplode(col("embedding")))
+        .groupBy(col("grp"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("col").cast("double")).as("s"))
+        .count()
+    }
+    timed("knn_ivf") {
+      val e = read("embeddings")
+      ext.Similarity.ivfTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, ext.Similarity.IvfConfig(nlist = 64, nprobe = 4)).count()
+    }
     spark.stop()
   }
 }

@@ -29,9 +29,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The corpus
+    * pipeline composes the widest slice of the engine in one plan (text
+    * scoring + filter + dedup + aggregation, 2 shuffles total). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_semijoin_orders")(spark, "/root/testdata/sf0.001")
+    queries("q99_corpus_pipeline")(spark, "/root/testdata/sf0.001")
 
   // ---- shared query fragments -------------------------------------------
 
