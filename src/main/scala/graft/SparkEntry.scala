@@ -502,6 +502,31 @@ object SparkEntry {
     "q81_stream_dedup" -> ((s, dir) => StreamGate.dedupKeys(s, dir, "event_type")),
     "q82_stream_sessions" -> ((s, dir) => StreamGate.sessions(s, dir)),
     "q83_stream_sample" -> ((s, dir) => StreamGate.sample(s, dir, ratio = 0.1, seed = 42L)),
+    "q84_stream_interval_join" -> ((s, dir) => StreamGate.intervalJoin(s, dir)),
+
+    // ranking-function surface: dense_rank / percent_rank / ntile /
+    // cume_dist share one window sort (deterministic tie-break on key)
+    "q37_rank_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        dense_rank().over(w).cast("long").as("drank"),
+        percent_rank().over(w).as("prank"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        cume_dist().over(w).as("cdist"))
+    }),
+
+    // order-insensitive grouped list: sort_array pins element order so the
+    // aggregated list is deterministic under any partitioning (arrays are
+    // serialized to csv because the harness row-compare can't sort arrays)
+    "q48_grouped_list" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          array_join(
+            transform(sort_array(collect_list(col("o_orderkey"))), _.cast("string")),
+            ",").as("orderkeys_csv"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -839,6 +864,25 @@ object SparkEntry {
         |)
         |SELECT s.event_type, s.bucket_s, COALESCE(h.n_raw, 0) AS n_events
         |FROM spine s LEFT JOIN hourly h USING (event_type, bucket_s)""".stripMargin,
+
+    "q37_rank_funcs" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |  percent_rank() OVER w AS prank,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "q48_grouped_list" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  array_to_string(list(CAST(o_orderkey AS VARCHAR) ORDER BY o_orderkey), ',') AS orderkeys_csv
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q84_stream_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND epoch_ns(c.ts) // 1000 BETWEEN epoch_ns(p.ts) // 1000 - 3600000000 AND epoch_ns(p.ts) // 1000
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
 
     // streaming results equal their batch formulations by construction
     // (complete-mode agg / key-set projection / sentinel-flushed sessions)

@@ -133,6 +133,15 @@ object StreamGate {
       .select(col("session_start_us"), col("session_end_us"), col("user_id"), col("n_events"))
   }
 
+  /** Stream-stream interval join (see [[StreamOps.clickBeforePurchaseJoin]]);
+    * inner join -> the emitted pair set is exact under any batching. */
+  def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageEventsDir(sfDir)
+    val joined = StreamOps.clickBeforePurchaseJoin(
+      StreamOps.eventsStream(spark, dir.toString, maxFilesPerTrigger = 1))
+    runToTable(joined, "stream_interval_join", "append")
+  }
+
   /** Streaming content-hash Bernoulli sample (retry-stable acceptance). */
   def sample(spark: SparkSession, sfDir: String, ratio: Double, seed: Long): DataFrame = {
     val dir = stageEventsDir(sfDir)

@@ -160,4 +160,34 @@ object StreamOps {
     withEventTime(events)
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /**
+   * Stream-stream interval self-join: each purchase event pairs with the
+   * same user's click events from the preceding `horizon`. The time-range
+   * predicate + watermarks bound BOTH join state stores (clicks older than
+   * purchase-watermark − horizon and purchases older than click-watermark
+   * are evicted) — the canonical pattern for unbounded stream-stream joins
+   * with finite state. Inner join, so every emitted pair is a true match
+   * regardless of micro-batch boundaries.
+   *
+   * Times compare in event-time MICROseconds (`ts div 1000`, like every
+   * operator here) — a nanosecond-precision comparison would disagree with
+   * the microsecond event_time the watermark runs on.
+   */
+  def clickBeforePurchaseJoin(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val et = withEventTime(events)
+    val purchases = et.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "0 seconds")
+    val clicks = et.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("event_time").as("c_time"))
+      .withWatermark("c_time", "0 seconds")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_time") >= col("p_time") - expr(s"INTERVAL $horizon") &&
+        col("c_time") <= col("p_time"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+  }
 }
