@@ -88,6 +88,24 @@ class StreamOpsSpec extends SparkSpec {
       s"got ${got.count()}, islands ${batch.count()}, users $users")
   }
 
+  test("stream-stream interval join emits exactly the batch join pairs") {
+    val stream = StreamOps.eventsStream(spark, eventsDir)
+    runToMemory(StreamOps.clickBeforePurchaseJoin(stream), "ssjoin")
+    val got = spark.table("ssjoin").select($"purchase_id", $"click_id")
+
+    val src = spark.read.schema(StreamOps.eventsSchema).parquet(s"$sf0001/events.parquet")
+    val p = src.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", expr("ts div 1000").as("pt"))
+    val c = src.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("cu"), expr("ts div 1000").as("ct"))
+    val batch = p.join(c, $"user_id" === $"cu" &&
+        $"ct" >= $"pt" - 3600000000L && $"ct" <= $"pt")
+      .select($"purchase_id", $"click_id")
+
+    assert(got.count() === batch.count())
+    assert(got.exceptAll(batch).count() === 0)
+  }
+
   test("streaming dedup on event_type keeps one row per key") {
     val stream = StreamOps.eventsStream(spark, eventsDir)
     runToMemory(StreamOps.dedupStream(stream, Seq("event_type")), "deduped")
