@@ -493,6 +493,32 @@ object SparkEntry {
           sum(col("bpe_ish_tokens")).as("sum_bpe_tokens"))
     }),
 
+    // ---- non-parquet sources/sinks (SURVEY §2.2 absence list: the
+    // reference is parquet-only; Spark's reader/writer matrix is free).
+    // Round-trip: parquet -> text format on disk -> read back -> aggregate,
+    // hash-checked against the oracle over the ORIGINAL table — proving
+    // schema-declared text ingestion preserves longs/doubles/dates/strings.
+    "q100_csv_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val orders = t(s, dir, "orders")
+      orders.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(orders.schema).option("header", "true").csv(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"),
+          min(col("o_orderdate")).as("first_date"))
+    }),
+    "q101_json_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val orders = t(s, dir, "orders")
+      orders.write.mode("overwrite").json(out)
+      s.read.schema(orders.schema).json(out)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"),
+          max(col("o_custkey")).as("max_cust"))
+    }),
+
     // ---- structured streaming (finite replay through real stream plans) --
     // each runs readStream -> transform -> memory sink to completion via
     // Trigger.AvailableNow, then returns the drained sink table; see
@@ -876,6 +902,16 @@ object SparkEntry {
     "q48_grouped_list" ->
       """SELECT o_custkey, count(*) AS n_orders,
         |  array_to_string(list(CAST(o_orderkey AS VARCHAR) ORDER BY o_orderkey), ',') AS orderkeys_csv
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q100_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,
+        |  min(o_orderdate) AS first_date
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q101_json_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,
+        |  max(o_custkey) AS max_cust
         |FROM orders GROUP BY 1""".stripMargin,
     "q84_stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id

@@ -93,6 +93,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("hive-style partitioned layout prunes partitions at plan time") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    val q = spark.read.parquet(out).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val plan = formatted(q)
+    // the predicate must land in PartitionFilters (directory pruning — at
+    // 100 TB this is the difference between scanning one partition and all)
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"), plan)
+    assert(q.count() > 0)
+  }
+
   test("embedding near-dup: no pair-level shuffle before the cosine filter") {
     // the candidate join's output must flow through Project(vec_cosine) and
     // Filter BEFORE any further exchange: survivors (bounded by true output)
