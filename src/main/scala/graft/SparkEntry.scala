@@ -493,6 +493,32 @@ object SparkEntry {
           sum(col("bpe_ish_tokens")).as("sum_bpe_tokens"))
     }),
 
+    // as-of with tolerance: matches older than 30 min are nulled (the
+    // pandas merge_asof tolerance semantic), still one shuffle
+    "q102_asof_tolerance" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      graft.operators.AsOfJoin.asOf(
+        e.select(col("event_id"), col("user_id"), col("ts")), "ts",
+        purchases, "ts", keyCols = Seq("user_id"), valueCols = Seq("purchase_value"),
+        tolerance = Some(1800000000000L)) // 30 min in nanos
+        .select(col("event_id"), col("user_id"), col("asof_purchase_value"))
+    }),
+
+    // dynamic-gap session windows: per-event gap (purchases close sessions
+    // faster) — session_window with a Column gap, merged-interval semantics
+    "q103_dynamic_sessions" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .groupBy(
+          session_window(col("event_time"),
+            when(col("event_type") === "purchase", "5 minutes").otherwise("15 minutes")),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("session_window.start")).as("session_start_us"),
+          col("user_id"), col("n_events"))),
+
     // ---- non-parquet sources/sinks (SURVEY §2.2 absence list: the
     // reference is parquet-only; Spark's reader/writer matrix is free).
     // Round-trip: parquet -> text format on disk -> read back -> aggregate,
@@ -903,6 +929,35 @@ object SparkEntry {
       """SELECT o_custkey, count(*) AS n_orders,
         |  array_to_string(list(CAST(o_orderkey AS VARCHAR) ORDER BY o_orderkey), ',') AS orderkeys_csv
         |FROM orders GROUP BY 1""".stripMargin,
+    "q102_asof_tolerance" ->
+      """SELECT e.event_id, e.user_id,
+        |  CASE WHEN p.ts IS NULL OR epoch_ns(e.ts) - epoch_ns(p.ts) > 1800000000000
+        |       THEN NULL ELSE p.value END AS asof_purchase_value
+        |FROM events e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    "q103_dynamic_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus,
+        |    CASE WHEN event_type = 'purchase' THEN 300000000 ELSE 900000000 END AS gap
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, tus, gap,
+        |    max(tus + gap) OVER (PARTITION BY user_id ORDER BY tus, gap
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_end
+        |  FROM e
+        |), flagged AS (
+        |  SELECT user_id, tus, gap,
+        |    CASE WHEN max_end IS NULL OR tus >= max_end THEN 1 ELSE 0 END AS new_s
+        |  FROM m
+        |), sess AS (
+        |  -- same (tus, gap) order as m: ties must accumulate in the order
+        |  -- their flags were computed
+        |  SELECT user_id, tus,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, gap ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT min(tus) AS session_start_us, user_id, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     "q100_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,

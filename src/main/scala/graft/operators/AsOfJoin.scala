@@ -30,12 +30,18 @@ object AsOfJoin {
   /**
    * @param valueCols right-side columns to carry (each emitted as
    *                  `asof_<name>`, null when no right row precedes)
+   * @param tolerance optional max allowed left.time - right.time, in the
+   *                  time columns' own units (e.g. nanoseconds for long
+   *                  epochs): a match older than this is nulled out, like
+   *                  pandas.merge_asof's tolerance. Implemented as a
+   *                  post-fill filter — the plan stays one shuffle.
    */
   def asOf(
       left: DataFrame, leftTime: String,
       right: DataFrame, rightTime: String,
       keyCols: Seq[String],
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
     require(valueCols.nonEmpty, "no right-side value columns requested")
 
@@ -60,8 +66,21 @@ object AsOfJoin {
       .orderBy(col(timeCol).asc, col(sideCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = valueCols.foldLeft(unioned)((df, vc) =>
+    val filled0 = valueCols.foldLeft(unioned)((df, vc) =>
       df.withColumn(s"asof_$vc", last(col(s"asof_$vc"), ignoreNulls = true).over(w)))
+
+    // carry the matched right row's own time forward to evaluate tolerance
+    val matchTime = "__graft_match_t"
+    val filled = tolerance match {
+      case None => filled0
+      case Some(tol) =>
+        val withT = filled0
+          .withColumn(matchTime,
+            last(when(col(sideCol) === 0, col(timeCol)), ignoreNulls = true).over(w))
+        val stale = col(matchTime).isNull || (col(timeCol) - col(matchTime)) > tol
+        valueCols.foldLeft(withT)((df, vc) =>
+          df.withColumn(s"asof_$vc", when(stale, lit(null)).otherwise(col(s"asof_$vc"))))
+    }
 
     filled.filter(col(sideCol) === 1)
       .select((leftCols ++ valueCols.map(vc => s"asof_$vc")).map(col): _*)
