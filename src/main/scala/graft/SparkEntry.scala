@@ -544,6 +544,16 @@ object SparkEntry {
           sum(dec("o_totalprice")).cast("double").as("sum_price"),
           max(col("o_custkey")).as("max_cust"))
     }),
+    "q104_orc_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val orders = t(s, dir, "orders")
+      orders.write.mode("overwrite").orc(out)
+      s.read.orc(out) // ORC is self-describing: no schema declaration needed
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+    }),
 
     // ---- structured streaming (finite replay through real stream plans) --
     // each runs readStream -> transform -> memory sink to completion via
@@ -967,6 +977,11 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,
         |  max(o_custkey) AS max_cust
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q104_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,
+        |  count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY 1""".stripMargin,
     "q84_stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
