@@ -565,6 +565,7 @@ object SparkEntry {
     "q82_stream_sessions" -> ((s, dir) => StreamGate.sessions(s, dir)),
     "q83_stream_sample" -> ((s, dir) => StreamGate.sample(s, dir, ratio = 0.1, seed = 42L)),
     "q84_stream_interval_join" -> ((s, dir) => StreamGate.intervalJoin(s, dir)),
+    "q85_stream_static_join" -> ((s, dir) => StreamGate.staticJoin(s, dir)),
 
     // ranking-function surface: dense_rank / percent_rank / ntile /
     // cume_dist share one window sort (deterministic tie-break on key)
@@ -978,6 +979,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,
         |  max(o_custkey) AS max_cust
         |FROM orders GROUP BY 1""".stripMargin,
+    "q85_stream_static_join" ->
+      """WITH stats AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS user_ltv,
+        |    count(*) AS user_events
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_id, e.user_id, s.user_ltv, s.user_events
+        |FROM events e JOIN stats s ON e.user_id = s.user_id
+        |WHERE e.event_type = 'purchase'""".stripMargin,
     "q104_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,

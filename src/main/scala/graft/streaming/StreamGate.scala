@@ -142,6 +142,29 @@ object StreamGate {
     runToTable(joined, "stream_interval_join", "append")
   }
 
+  /**
+   * Stream-static join: the stream enriches against a BATCH DataFrame (here
+   * a per-user lifetime-value aggregate computed from the same table's
+   * batch read). The static side re-plans per micro-batch (picking up
+   * updates) and broadcasts when small — the standard dimension-enrichment
+   * pattern. Inner join on a deterministic static side -> exact output.
+   */
+  def staticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageEventsDir(sfDir)
+    val userStats = spark.read.schema(StreamOps.eventsSchema)
+      .parquet(s"$sfDir/events.parquet")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(15,2)")).as("user_ltv"),
+        count(lit(1)).as("user_events"))
+    val purchases = StreamOps.eventsStream(spark, dir.toString, maxFilesPerTrigger = 1)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val joined = purchases.join(userStats, "user_id")
+      .select(col("event_id"), col("user_id"),
+        col("user_ltv").cast("double").as("user_ltv"), col("user_events"))
+    runToTable(joined, "stream_static_join", "append")
+  }
+
   /** Streaming content-hash Bernoulli sample (retry-stable acceptance). */
   def sample(spark: SparkSession, sfDir: String, ratio: Double, seed: Long): DataFrame = {
     val dir = stageEventsDir(sfDir)
