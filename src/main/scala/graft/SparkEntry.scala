@@ -44,7 +44,10 @@ object SparkEntry {
   /** exact-decimal money column: the test data carries 2-decimal doubles */
   private def dec(c: String): Column = col(c).cast("decimal(15,2)")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+  // Seq of pairs, not a Map literal: ListMap silently last-wins on a
+  // duplicated key, which would drop a query (and its oracle check) with
+  // no signal; CoverageSpec asserts distinctness against THIS seq.
+  private[graft] lazy val queryPairs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // ---- reference parity: left semi-join reduction (join.rs) ----------
     "q01_semijoin_orders" -> ((s, dir) => semi("orders", "o_orderkey", "lineitem", "l_orderkey")(s, dir)),
     "q02_semijoin_part" -> ((s, dir) => semi("part", "p_partkey", "lineitem", "l_partkey")(s, dir)),
@@ -81,12 +84,14 @@ object SparkEntry {
       t(s, dir, "orders").select(col("o_orderkey")).distinct()
         .except(t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey")).distinct())),
     // HLL sketch vs exact distinct: algorithms differ across engines, so
-    // rows-only here; ApproxDistinctSpec pins the <5% relative error bound
+    // rows-only here; ApproxSketchSpec pins the <5% relative error bound.
+    // rsd=0.01 (~11k HLL registers) makes that bound ~5 sigma — the default
+    // rsd 0.05 is a STANDARD DEVIATION, which 5%-bound checks would flake on
     "q19_approx_distinct" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
-          approx_count_distinct(col("o_custkey")).as("approx_customers"),
+          approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"),
           countDistinct(col("o_custkey")).as("exact_customers"))),
 
     "q14_sample_stratified" -> ((s, dir) =>
@@ -467,7 +472,7 @@ object SparkEntry {
 
     // t-digest percentile sketch (mergeable, one pass, bounded memory — the
     // scale path where q26's exact percentiles would need a full sort);
-    // sketch internals differ across engines -> rows-only + accuracy spec
+    // sketch internals differ across engines -> rows-only; ApproxSketchSpec pins rank accuracy
     "q96_approx_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -525,7 +530,7 @@ object SparkEntry {
     // hash-checked against the oracle over the ORIGINAL table — proving
     // schema-declared text ingestion preserves longs/doubles/dates/strings.
     "q100_csv_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val out = graft.io.TempDirs.create("graft_csv").toString
       val orders = t(s, dir, "orders")
       orders.write.mode("overwrite").option("header", "true").csv(out)
       s.read.schema(orders.schema).option("header", "true").csv(out)
@@ -535,7 +540,7 @@ object SparkEntry {
           min(col("o_orderdate")).as("first_date"))
     }),
     "q101_json_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val out = graft.io.TempDirs.create("graft_json").toString
       val orders = t(s, dir, "orders")
       orders.write.mode("overwrite").json(out)
       s.read.schema(orders.schema).json(out)
@@ -545,7 +550,7 @@ object SparkEntry {
           max(col("o_custkey")).as("max_cust"))
     }),
     "q104_orc_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val out = graft.io.TempDirs.create("graft_orc").toString
       val orders = t(s, dir, "orders")
       orders.write.mode("overwrite").orc(out)
       s.read.orc(out) // ORC is self-describing: no schema declaration needed
@@ -636,7 +641,9 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS bpe_ish_tokens
       |FROM documents""".stripMargin
 
-  def oracleSql: Map[String, String] = ListMap(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(queryPairs: _*)
+
+  private[graft] lazy val oraclePairs: Seq[(String, String)] = Seq(
     "q01_semijoin_orders" ->
       "SELECT * FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)",
     "q02_semijoin_part" ->
@@ -1028,4 +1035,6 @@ object SparkEntry {
         |  user_id, count(*) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin,
   )
+
+  def oracleSql: Map[String, String] = ListMap(oraclePairs: _*)
 }

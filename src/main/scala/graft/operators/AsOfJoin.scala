@@ -48,17 +48,26 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val sideCol = "__graft_is_left"
     val timeCol = "__graft_t"
+    val packCol = "__graft_pack"
 
+    // the right row's time AND values travel as ONE struct, so the window
+    // fill picks the latest right ROW atomically — filling each value
+    // column independently with last(ignoreNulls) would skip over a right
+    // row whose value is NULL and resurrect an older (possibly
+    // out-of-tolerance) value, which is not as-of semantics: the match is
+    // the latest preceding ROW, null value and all (pandas merge_asof
+    // agrees, as does the ASOF-join oracle)
     val taggedRight = right.select(
-      keyCols.map(col) ++
-        Seq(col(rightTime).as(timeCol), lit(0).as(sideCol)) ++
-        valueCols.map(vc => col(vc).as(s"asof_$vc")): _*)
+      keyCols.map(col) ++ Seq(
+        col(rightTime).as(timeCol), lit(0).as(sideCol),
+        struct(col(rightTime).as("t") +: valueCols.map(vc => col(vc).as(vc)): _*)
+          .as(packCol)): _*)
 
     val taggedLeft = left
       .withColumn(timeCol, col(leftTime))
       .withColumn(sideCol, lit(1))
 
-    // allowMissingColumns: the left side's missing asof_* slots become null
+    // allowMissingColumns: the left side's missing pack slot becomes null
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
 
     // right (0) sorts before left (1) at equal time -> inclusive match
@@ -66,23 +75,17 @@ object AsOfJoin {
       .orderBy(col(timeCol).asc, col(sideCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled0 = valueCols.foldLeft(unioned)((df, vc) =>
-      df.withColumn(s"asof_$vc", last(col(s"asof_$vc"), ignoreNulls = true).over(w)))
+    val filled = unioned
+      .withColumn(packCol, last(col(packCol), ignoreNulls = true).over(w))
 
-    // carry the matched right row's own time forward to evaluate tolerance
-    val matchTime = "__graft_match_t"
-    val filled = tolerance match {
-      case None => filled0
+    val stale = tolerance match {
+      case None => col(packCol).isNull
       case Some(tol) =>
-        val withT = filled0
-          .withColumn(matchTime,
-            last(when(col(sideCol) === 0, col(timeCol)), ignoreNulls = true).over(w))
-        val stale = col(matchTime).isNull || (col(timeCol) - col(matchTime)) > tol
-        valueCols.foldLeft(withT)((df, vc) =>
-          df.withColumn(s"asof_$vc", when(stale, lit(null)).otherwise(col(s"asof_$vc"))))
+        col(packCol).isNull || (col(timeCol) - col(packCol)("t")) > tol
     }
 
-    filled.filter(col(sideCol) === 1)
+    valueCols.foldLeft(filled.filter(col(sideCol) === 1))((df, vc) =>
+        df.withColumn(s"asof_$vc", when(stale, lit(null)).otherwise(col(packCol)(vc))))
       .select((leftCols ++ valueCols.map(vc => s"asof_$vc")).map(col): _*)
   }
 }

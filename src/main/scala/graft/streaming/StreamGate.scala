@@ -34,7 +34,7 @@ object StreamGate {
     * 60s in the past so later-staged sentinel files reliably sort AFTER it
     * in the file source's modification-time order. */
   private def stageEventsDir(sfDir: String): Path = {
-    val dir = Files.createTempDirectory("graft_stream_events")
+    val dir = graft.io.TempDirs.create("graft_stream_events")
     val staged = dir.resolve("events.parquet")
     Files.copy(Paths.get(s"$sfDir/events.parquet"), staged, StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(staged, FileTime.fromMillis(System.currentTimeMillis() - 60000))
@@ -58,7 +58,12 @@ object StreamGate {
     try {
       val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"stream drain '$name' did not finish within 300s — refusing to " +
+            "return a partially-filled sink table")
+      }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
@@ -119,9 +124,12 @@ object StreamGate {
       .select(
         lit(-1L).as("event_id"), lit(sentinelTs).as("ts"), col("user_id"),
         lit("__sentinel").as("event_type"), lit(0.0).as("value"), lit(null).cast("string").as("props"))
-    val sentinelDir = Files.createTempDirectory("graft_stream_sentinel")
+    val sentinelDir = graft.io.TempDirs.create("graft_stream_sentinel")
     sentinels.coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
-    val part = Files.list(sentinelDir).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val listing = Files.list(sentinelDir)
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
     val target = dir.resolve("zzz_sentinel.parquet")
     Files.copy(part, target, StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(target, FileTime.fromMillis(System.currentTimeMillis()))

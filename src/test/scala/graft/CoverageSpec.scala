@@ -17,9 +17,14 @@ class CoverageSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("query names are unique and non-empty") {
-    assert(SparkEntry.queries.nonEmpty)
-    assert(SparkEntry.queries.keys.forall(_.nonEmpty))
+  test("query and oracle names are unique at the source (ListMap would silently last-win)") {
+    val qNames = SparkEntry.queryPairs.map(_._1)
+    assert(qNames.nonEmpty && qNames.forall(_.nonEmpty))
+    assert(qNames.distinct.size === qNames.size,
+      s"duplicate query keys: ${qNames.diff(qNames.distinct).distinct}")
+    val oNames = SparkEntry.oraclePairs.map(_._1)
+    assert(oNames.distinct.size === oNames.size,
+      s"duplicate oracle keys: ${oNames.diff(oNames.distinct).distinct}")
   }
 
   for ((name, fn) <- SparkEntry.queries) {

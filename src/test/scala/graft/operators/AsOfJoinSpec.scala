@@ -36,6 +36,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.count() === trades.count()) // never multiplies or drops left rows
   }
 
+  test("tolerance nulls matches older than the bound; boundary is inclusive") {
+    val got = AsOfJoin.asOf(trades, "t", quotes, "qt", Seq("sym"), Seq("px"),
+      tolerance = Some(50L))
+      .select($"trade_id", $"asof_px")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(got(1L) === Some(10.0)) // age 0
+    assert(got(2L) === Some(11.0)) // age 5
+    assert(got(3L) === Some(12.0)) // age 50 == tolerance -> inclusive
+    assert(got(4L) === Some(20.0)) // t=150 vs quote@100: age 50, inclusive
+    assert(got(5L) === None)       // no match at all
+  }
+
+  test("a NULL-valued right row is still THE match (no resurrection of older values)") {
+    // quotes for A: 100 -> 10.0, 200 -> null; a trade at 205 must see the
+    // null (latest ROW), not 10.0 — and with tolerance 50 the 10.0 quote
+    // is out of range anyway
+    val q = Seq(("A", 100L, Some(10.0)), ("A", 200L, Option.empty[Double]))
+      .toDF("sym", "qt", "px")
+    val tr = Seq((1L, "A", 205L)).toDF("trade_id", "sym", "t")
+    val noTol = AsOfJoin.asOf(tr, "t", q, "qt", Seq("sym"), Seq("px"))
+      .select($"asof_px").head()
+    assert(noTol.isNullAt(0), "latest right row has null px -> match is null")
+    val withTol = AsOfJoin.asOf(tr, "t", q, "qt", Seq("sym"), Seq("px"), tolerance = Some(50L))
+      .select($"asof_px").head()
+    assert(withTol.isNullAt(0))
+  }
+
   test("plan shape: one shuffle (hash partition by key), no join operator") {
     val plan = AsOfJoin.asOf(trades, "t", quotes, "qt", Seq("sym"), Seq("px"))
       .queryExecution.executedPlan.toString
