@@ -353,6 +353,16 @@ object SparkEntry {
         array_max(col("embedding")).as("e_max"),
         graft.functions.vec_dot(col("embedding"), col("embedding")).as("norm_sq"))),
 
+    // array higher-order functions (filter/exists/position) — the lambda
+    // surface; fine OUTSIDE hot loops (interpreted per element — the hot
+    // kernels use codegen expressions instead, see README)
+    "q105_array_hofs" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x > 0f)).cast("long").as("n_pos"),
+        exists(col("embedding"), x => x > 2f).as("has_gt2"),
+        array_position(col("embedding"), array_max(col("embedding"))).as("argmax_pos"))),
+
     // ---- multimodal plumbing (stub decoder; see Multimodal scaladoc) ----
     // the feature vector itself is projected to scalar invariants (dim +
     // fold checksum): the harness' row compare can't order raw arrays, and
@@ -996,6 +1006,12 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, s.user_ltv, s.user_events
         |FROM events e JOIN stats s ON e.user_id = s.user_id
         |WHERE e.event_type = 'purchase'""".stripMargin,
+    "q105_array_hofs" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  CAST(len(list_filter(embedding, x -> x > 2)) > 0 AS BOOLEAN) AS has_gt2,
+        |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos
+        |FROM embeddings""".stripMargin,
     "q104_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,
