@@ -308,7 +308,13 @@ object Dedup {
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
 
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label")).localCheckpoint()
+    // iterate ONLY over edge-touched vertices: a vertex with no near-dup
+    // pair can never change its label, and in a deduplication workload the
+    // paired subgraph is a small fraction of the corpus — iterating the
+    // full vertex table would re-shuffle the whole corpus once per round.
+    // Untouched vertices rejoin as their own singleton cluster at the end.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -332,7 +338,12 @@ object Dedup {
           "(component diameter exceeds the cap); raise maxIterations — a silent " +
           "non-converged result would split components into multiple clusters")
     }
-    labels.select(col("id"), col("label").as("cluster_id"))
+    // singletons (never paired) are their own cluster; anti-join keeps the
+    // corpus-sized side to ONE pass at the very end
+    val singletons = vertices.select(col(idCol).as("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    labels.select(col("id"), col("label").as("cluster_id")).unionByName(singletons)
   }
 }
 
