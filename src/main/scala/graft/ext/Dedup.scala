@@ -148,23 +148,50 @@ object Dedup {
     val bits = 64 / chunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1
 
+    // collapse identical signatures first: duplicate-heavy corpora put m
+    // copies of one sh64 into every chunk bucket at m^2 join cost, while
+    // the collapsed problem is buckets over DISTINCT signatures plus a
+    // pair expansion bounded by the true output (same treatment as
+    // embeddingNearDupPairs; hamming within a group is 0, so expansion
+    // preserves the predicate trivially)
     val base = spread(df).select(col(idCol).as("id"),
       TextExpressionFunctions.simhash64(tokens(col(textCol)), seed).as("sh64"))
+    val groups = base.groupBy(col("sh64"))
+      .agg(min(col("id")).as("rid"), collect_list(col("id")).as("ids"))
+      .localCheckpoint()
 
     val chunkCols = (0 until chunks).map(c =>
       shiftrightunsigned(col("sh64"), c * bits).bitwiseAND(lit(mask)))
-    val chunked = base.select(col("id"), col("sh64"), posexplode(array(chunkCols: _*)))
+    val chunked = groups.select(col("rid"), col("sh64"), posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
 
     val a = chunked.alias("a")
     val b = chunked.alias("b")
     // hamming filter BEFORE the pair-dedup shuffle: only passing pairs move
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+    val repPairs = a
+      .join(b, col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+        col("a.rid") < col("b.rid"))
+      .select(col("a.rid").as("ra"), col("b.rid").as("rb"),
         bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
+      .dropDuplicates("ra", "rb")
+
+    // expand representative pairs to member pairs; then pairs WITHIN a
+    // signature group (hamming 0, always <= maxHamming)
+    val cross = repPairs
+      .join(groups.select(col("rid").as("ra"), col("ids").as("ids_a")), "ra")
+      .join(groups.select(col("rid").as("rb"), col("ids").as("ids_b")), "rb")
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "ia")
+      .select(col("ia"), explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("ib"),
+        lit(0).as("hamming"))
+
+    cross.unionByName(intra)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
   }
 
   /**
