@@ -84,8 +84,10 @@ object Dedup {
 
     // hashed shingle sets: the whole shingle->minhash->band pipeline runs in
     // compiled kernels (SetSimilarityAlgo) — interpreted higher-order
-    // functions cost ~1µs/element and dominate at corpus scale
-    val base = hashedShingleBase(df, idCol, textCol, cfg.shingleSize, cfg.seed)
+    // functions cost ~1µs/element and dominate at corpus scale. Identical
+    // sets are collapsed first (m duplicates would cost m^2 per bucket).
+    val groups = hashedShingleGroups(df, idCol, textCol, cfg.shingleSize, cfg.seed)
+    val base = groups.select(col("rid").as("id"), col("shh"), col("sz"))
 
     // band rows carry ONLY (id, band, band-hash): the shingle arrays must not
     // ride through a bands-way exploded shuffle (at 100 TB that multiplies
@@ -103,7 +105,12 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    verifyJaccard(cand, base, threshold)
+    val repPairs = verifyJaccard(cand, base, threshold)
+      .select(col("id_a").as("ra"), col("id_b").as("rb"), col("jaccard"))
+    canonPairs(
+      expandMemberPairs(repPairs, groups, "jaccard")
+        .unionByName(intraMemberPairs(groups, lit(1.0), "jaccard")),
+      "jaccard")
   }
 
   /** (id, shh sorted-hashed shingle set, sz) base table for set-similarity
@@ -115,6 +122,44 @@ object Dedup {
         TextExpressionFunctions.shingle_hashes(tokens(col(textCol)), n, seed).as("shh"))
       .filter(size(col("shh")) > 0)
       .withColumn("sz", size(col("shh")))
+
+  /** Exact-duplicate collapse for set-similarity: one representative row
+    * per distinct shingle set (rid = min member id, ids = all members).
+    * Duplicate-heavy corpora put m copies of a set into every band bucket
+    * / posting list at m^2 join cost; the collapsed join runs over distinct
+    * sets and [[expandMemberPairs]] restores member pairs bounded by the
+    * true output. Checkpointed: every consumer reads it at least twice. */
+  private def hashedShingleGroups(
+      df: DataFrame, idCol: String, textCol: String, n: Int, seed: Long): DataFrame =
+    hashedShingleBase(df, idCol, textCol, n, seed)
+      .groupBy(col("shh"), col("sz"))
+      .agg(min(col("id")).as("rid"), collect_list(col("id")).as("ids"))
+      .localCheckpoint()
+
+  /** Expand representative pairs (ra, rb, payload) to all member pairs —
+    * members share their representative's set/signature/vector, so the
+    * verified payload (jaccard/hamming/cosine) carries over unchanged. */
+  private def expandMemberPairs(
+      repPairs: DataFrame, groups: DataFrame, payload: String): DataFrame =
+    repPairs
+      .join(groups.select(col("rid").as("ra"), col("ids").as("ids_a")), "ra")
+      .join(groups.select(col("rid").as("rb"), col("ids").as("ids_b")), "rb")
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col(payload))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col(payload))
+
+  /** All pairs WITHIN each duplicate group, with a constant payload (the
+    * similarity of two identical members). */
+  private def intraMemberPairs(groups: DataFrame, payload: Column, name: String): DataFrame =
+    groups.filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "ia")
+      .select(col("ia"), explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("ib"),
+        payload.as(name))
+
+  /** Canonicalize (ia, ib, payload) to id_a < id_b. */
+  private def canonPairs(pairs: DataFrame, payload: String): DataFrame =
+    pairs.select(least(col("ia"), col("ib")).as("id_a"),
+      greatest(col("ia"), col("ib")).as("id_b"), col(payload))
 
   /** Exact-jaccard verification of candidate id pairs against the hashed
     * shingle table: two id-equi-joins (candidates are few by construction),
@@ -178,20 +223,10 @@ object Dedup {
 
     // expand representative pairs to member pairs; then pairs WITHIN a
     // signature group (hamming 0, always <= maxHamming)
-    val cross = repPairs
-      .join(groups.select(col("rid").as("ra"), col("ids").as("ids_a")), "ra")
-      .join(groups.select(col("rid").as("rb"), col("ids").as("ids_b")), "rb")
-      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
-      .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
-    val intra = groups.filter(size(col("ids")) > 1)
-      .select(col("ids"), posexplode(col("ids")))
-      .withColumnRenamed("pos", "i").withColumnRenamed("col", "ia")
-      .select(col("ia"), explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("ib"),
-        lit(0).as("hamming"))
-
-    cross.unionByName(intra)
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    canonPairs(
+      expandMemberPairs(repPairs, groups, "hamming")
+        .unionByName(intraMemberPairs(groups, lit(0), "hamming")),
+      "hamming")
   }
 
   /**
@@ -216,9 +251,15 @@ object Dedup {
       n: Int,
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
-    val base = hashedShingleBase(df, idCol, textCol, n, seed = 0L)
+    // identical shingle sets collapse to one representative (m duplicates
+    // would repeat every posting m times and every candidate m^2 times);
+    // jaccard within a group is exactly 1.0 >= any valid threshold
+    val groups = hashedShingleGroups(df, idCol, textCol, n, seed = 0L)
+    val base = groups.select(col("rid").as("id"), col("shh"), col("sz"))
 
-    // global df per shingle -> rare-first canonical order
+    // global df per shingle -> rare-first canonical order (df over DISTINCT
+    // sets: PPJoin's prefix bound is valid under ANY canonical total order,
+    // rare-first is the pruning heuristic)
     val postings = base.select(col("id"), col("sz"), explode(col("shh")).as("g"))
     val gdf = postings.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
 
@@ -241,7 +282,12 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    verifyJaccard(cand, base, threshold)
+    val repPairs = verifyJaccard(cand, base, threshold)
+      .select(col("id_a").as("ra"), col("id_b").as("rb"), col("jaccard"))
+    canonPairs(
+      expandMemberPairs(repPairs, groups, "jaccard")
+        .unionByName(intraMemberPairs(groups, lit(1.0), "jaccard")),
+      "jaccard")
   }
 
   /**
