@@ -363,6 +363,26 @@ object SparkEntry {
         exists(col("embedding"), x => x > 2f).as("has_gt2"),
         array_position(col("embedding"), array_max(col("embedding"))).as("argmax_pos"))),
 
+    // heavy hitters via the production two-pass pattern: a Misra-Gries
+    // sketch (one pass, O(k) memory, mergeable TypedImperativeAggregate)
+    // yields a candidate set PROVABLY containing every token with count
+    // > N/(k+1); an exact recount of only those candidates then makes the
+    // final answer deterministic and oracle-checkable. k=200 vs threshold
+    // N/100 leaves a 2x guarantee margin.
+    "q106_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(Dedup.tokens(col("text"))).as("tok"))
+      val sketch = toks.agg(
+        graft.functions.frequent_items(col("tok"), 200).as("cand"),
+        count(lit(1)).as("n")).head()
+      val n = sketch.getLong(1)
+      val cands = sketch.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+      toks.filter(col("tok").isin(cands: _*))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * lit(100L) >= lit(n))
+    }),
+
     // ---- multimodal plumbing (stub decoder; see Multimodal scaladoc) ----
     // the feature vector itself is projected to scalar invariants (dim +
     // fold checksum): the harness' row compare can't order raw arrays, and
@@ -1006,6 +1026,15 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, s.user_ltv, s.user_events
         |FROM events e JOIN stats s ON e.user_id = s.user_id
         |WHERE e.event_type = 'purchase'""".stripMargin,
+    "q106_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT tok, count(*) AS cnt
+        |FROM toks, tot
+        |GROUP BY tok, tot.n
+        |HAVING count(*) * 100 >= tot.n""".stripMargin,
     "q105_array_hofs" ->
       """SELECT vec_id,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,

@@ -27,4 +27,11 @@ package object functions {
     * group; inclusion probability scales with the weight column. */
   def bottom_k_sample_weighted(e: Column, w: Column, k: Int, seed: Long): Column =
     org.apache.spark.sql.graft.BottomKSampleFunctions.bottom_k_sample_weighted(e, w, k, seed)
+
+  /** Aggregate: Misra-Gries heavy-hitters sketch of a string column — one
+    * pass, O(k) memory, mergeable; superset of all items with true count
+    * > N/(k+1). Pair with an exact recount of the candidates for a
+    * deterministic heavy-hitters result. */
+  def frequent_items(e: Column, k: Int): Column =
+    org.apache.spark.sql.graft.FrequentItemsFunctions.frequent_items(e, k)
 }
