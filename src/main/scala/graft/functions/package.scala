@@ -34,4 +34,9 @@ package object functions {
     * deterministic heavy-hitters result. */
   def frequent_items(e: Column, k: Int): Column =
     org.apache.spark.sql.graft.FrequentItemsFunctions.frequent_items(e, k)
+
+  /** Weighted heavy hitters: items whose total integer weight exceeds
+    * W/(k+1) are guaranteed in the sketch. */
+  def frequent_items_weighted(e: Column, w: Column, k: Int): Column =
+    org.apache.spark.sql.graft.FrequentItemsFunctions.frequent_items_weighted(e, w, k)
 }

@@ -143,10 +143,88 @@ case class FrequentItems(
   def maxError(n: Long): Long = n / (k + 1)
 }
 
+/**
+ * Weighted Misra-Gries: counters accumulate an integer weight per row
+ * instead of 1 — "heavy items by total weight" (bytes per domain, spend
+ * per user). The guarantee generalizes verbatim: every item whose true
+ * total weight exceeds W/(k+1) (W = total observed weight) survives any
+ * partitioning. Rows with null/non-positive weight are ignored.
+ */
+case class FrequentItemsWeighted(
+    child: Expression,
+    weight: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MisraGriesBuffer]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def left: Expression = child
+  override def right: Expression = weight
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("weight", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "frequent_items_weighted"
+
+  override def createAggregationBuffer(): MisraGriesBuffer = new MisraGriesBuffer(k)
+
+  override def update(buffer: MisraGriesBuffer, input: InternalRow): MisraGriesBuffer = {
+    val v = child.eval(input)
+    val wRaw = weight.eval(input)
+    if (v != null && wRaw != null) {
+      val w = wRaw match {
+        case n: java.lang.Number => n.longValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toLong
+        case other => throw new IllegalArgumentException(
+          s"weight must be numeric, got ${other.getClass.getName}")
+      }
+      if (w > 0) buffer.add(v.asInstanceOf[UTF8String].toString, w)
+    }
+    buffer
+  }
+
+  override def merge(buffer: MisraGriesBuffer, other: MisraGriesBuffer): MisraGriesBuffer = {
+    buffer.mergeFrom(other)
+    buffer
+  }
+
+  override def eval(buffer: MisraGriesBuffer): Any = {
+    val sorted = buffer.counts.toArray.sortBy { case (i, c) => (-c, i) }
+    new GenericArrayData(sorted.map { case (i, c) =>
+      InternalRow(UTF8String.fromString(i), c)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buffer: MisraGriesBuffer): Array[Byte] =
+    FrequentItems(child, k).serialize(buffer)
+  override def deserialize(storageFormat: Array[Byte]): MisraGriesBuffer =
+    FrequentItems(child, k).deserialize(storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FrequentItemsWeighted =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FrequentItemsWeighted =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, weight = r)
+}
+
 object FrequentItemsFunctions {
   /** Aggregate column: Misra-Gries heavy-hitters sketch of a string column
     * (k counters; every item with true count > N/(k+1) is returned). */
   def frequent_items(e: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
     ColumnBridge.column(
       FrequentItems(ColumnBridge.expression(e), k).toAggregateExpression())
+
+  /** Weighted variant: heavy items by total integer weight. */
+  def frequent_items_weighted(
+      e: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column =
+    ColumnBridge.column(
+      FrequentItemsWeighted(ColumnBridge.expression(e), ColumnBridge.expression(w), k)
+        .toAggregateExpression())
 }

@@ -34,6 +34,24 @@ class FrequentItemsSpec extends SparkSpec {
     }
   }
 
+  test("weighted variant: every item with total weight > W/(k+1) survives any partitioning") {
+    // item i carries weight i on each of its appearances -> total weight
+    // skews to the high-i items even though their row counts are lower
+    val weighted = (1 to 100).flatMap(i => Seq.fill(5)((s"w_$i", i.toLong)))
+    val truthW = weighted.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val totalW = weighted.map(_._2).sum
+    for (parts <- Seq(1, 13); k <- Seq(10, 30)) {
+      val df = spark.createDataset(weighted).repartition(parts).toDF("item", "w")
+      val sk = df.agg(graft.functions.frequent_items_weighted($"item", $"w", k).as("fi"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val mustHave = truthW.filter(_._2 > totalW / (k + 1)).keySet
+      assert(mustHave.subsetOf(sk.keySet),
+        s"parts=$parts k=$k missing=${mustHave -- sk.keySet}")
+      sk.foreach { case (i, c) => assert(c <= truthW(i)) }
+    }
+  }
+
   test("q106 two-pass heavy hitters equals the exact groupBy-HAVING result") {
     val got = SparkEntry.queries("q106_heavy_hitters")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
