@@ -1,0 +1,71 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/**
+ * SparkSessionExtensions entry point: exposes the graft codegen kernels and
+ * sketch aggregates to the pure-SQL surface —
+ *
+ *   spark-submit --conf spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
+ *   spark.sql("SELECT vec_cosine(a.embedding, b.embedding) FROM ...")
+ *
+ * This is the ONLY extension-point registration the engine needs: operator
+ * semantics all compose from built-ins (SURVEY.md §4 — no custom Rule /
+ * Strategy / SparkPlan is justified), but SQL users can't reach a Scala
+ * `Column` helper, so functions get registry entries. Each builder
+ * validates its literal parameters eagerly for sane error messages.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def arity(n: Int, name: String)(b: Seq[Expression] => Expression): FunctionBuilder =
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == n, s"$name expects $n arguments, got ${exprs.length}")
+      b(exprs)
+    }
+
+  /** (identifier, info, builder) triples for every SQL-exposed function. */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float vectors"),
+      arity(2, "vec_dot")(e => DotProduct(e(0), e(1)))),
+    (FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity in [-1, 1]"),
+      arity(2, "vec_cosine")(e => CosineSimilarity(e(0), e(1)))),
+    (FunctionIdentifier("vec_l2sq"),
+      info("vec_l2sq", "vec_l2sq(a, b) - squared euclidean distance"),
+      arity(2, "vec_l2sq")(e => SquaredL2Distance(e(0), e(1)))),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens, seed) - 64-bit simhash of a token array"),
+      arity(2, "simhash64")(e => SimHash64(e(0), litLong(e(1), "seed")))),
+    (FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - intersection size of two sorted long arrays"),
+      arity(2, "sorted_intersect_count")(e => SortedIntersectCount(e(0), e(1)))),
+    (FunctionIdentifier("frequent_items"),
+      info("frequent_items",
+        "frequent_items(item, k) - Misra-Gries heavy-hitters sketch (aggregate)"),
+      arity(2, "frequent_items")(e =>
+        FrequentItems(e(0), litLong(e(1), "k").toInt).toAggregateExpression())),
+  )
+}

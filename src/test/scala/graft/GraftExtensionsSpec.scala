@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.graft.GraftExtensions
+
+/** The SQL registration surface: every injected function resolves and
+  * computes through `spark.sql(...)` (registered into the active session's
+  * registry — the same builders spark.sql.extensions wires at startup). */
+class GraftExtensionsSpec extends SparkSpec {
+
+  private lazy val registered: Unit = {
+    val reg = spark.sessionState.functionRegistry
+    GraftExtensions.registrations.foreach { case (id, inf, builder) =>
+      reg.registerFunction(id, inf, builder)
+    }
+  }
+
+  test("vector kernels resolve and compute via pure SQL") {
+    registered
+    spark.read.parquet(s"$sf0001/embeddings.parquet").createOrReplaceTempView("emb")
+    val r = spark.sql(
+      """SELECT vec_cosine(embedding, embedding) AS c,
+        |       vec_dot(embedding, embedding) AS d,
+        |       vec_l2sq(embedding, embedding) AS z
+        |FROM emb LIMIT 5""".stripMargin).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-9) // cosine(v, v) == 1
+      assert(row.getDouble(1) > 0.0 && row.getDouble(2) === 0.0)
+    }
+  }
+
+  test("sketch aggregate resolves via pure SQL with literal k") {
+    registered
+    spark.read.parquet(s"$sf0001/documents.parquet").createOrReplaceTempView("docs_ext")
+    val r = spark.sql(
+      "SELECT frequent_items(lang, 10) AS fi FROM docs_ext").head().getSeq[Any](0)
+    assert(r.nonEmpty && r.size <= 10)
+  }
+
+  test("non-literal k fails with a clear message") {
+    registered
+    spark.read.parquet(s"$sf0001/documents.parquet").createOrReplaceTempView("docs_ext2")
+    val e = intercept[Exception] {
+      spark.sql("SELECT frequent_items(lang, CAST(n_chars AS INT)) FROM docs_ext2").collect()
+    }
+    assert(e.getMessage.contains("integer literal") || e.getMessage.contains("k must"))
+  }
+}
