@@ -38,10 +38,19 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Short standalone total line FIRST and LAST: the full per-query blob is
+    // one long line that can overflow a bounded output capture (head or
+    // tail), truncating whichever end the headline sits on — a short
+    // self-contained line on BOTH sides survives either capture direction.
+    val headline =
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n_queries":${results.size},"sf":"$sfDir"}"""
+    println(headline)
+    // per-query detail, rounded to 0.1 ms so the line stays small
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1e4) / 1e4 }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"sf":"$sfDir"}""")
+    println(headline)
     spark.stop()
   }
 }

@@ -1,9 +1,12 @@
 package graft.ext
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.TextExpressionFunctions
+import org.apache.spark.storage.StorageLevel
 import graft.functions.vec_cosine
 
 /**
@@ -63,6 +66,77 @@ object Dedup {
       .drop("__graft_rn")
   }
 
+  /** Fixed seed for the shingle-hash fingerprinting shared by every
+    * set-similarity operator (minhash / exact jaccard / clustering). A FIXED
+    * seed makes the hashed shingle universe identical across operators,
+    * which is what lets them share one [[ShingleIndex]] materialization per
+    * corpus instead of each re-hashing and re-collapsing the same text. */
+  private val ShingleSeed = 0L
+
+  /**
+   * Shared set-similarity index over a corpus: the per-doc hashed shingle
+   * sets plus the exact-duplicate collapse (one representative per DISTINCT
+   * shingle set — m copies of a doc would otherwise enter every LSH bucket /
+   * posting list at m² join cost).
+   *
+   * Scale design:
+   *  - `groups` is SLIM — (rid, ids, sz) only. Set identity for the collapse
+   *    is established by a 128-bit digest (two independent xxhash64 runs +
+   *    the exact size), so the shuffle moves ids and digests, never the
+   *    shingle arrays themselves. (The previous design keyed the groupBy on
+   *    the full array: a corpus-wide array shuffle even on dup-free data.)
+   *    Digest collision probability is ~n²/2¹²⁸ — vanishing at any corpus
+   *    size, and a collision's worst case is one false "exact duplicate"
+   *    pair, the same failure mode the 64-bit shingle hashes already accept.
+   *  - `base` is persisted MEMORY_AND_DISK: every consumer (band signatures,
+   *    postings, pair verification) reads the hashed sets at least once, and
+   *    the shingle hashing is the dominant per-row CPU. On an extreme corpus
+   *    where even spill-backed storage is unwanted, write the base to a
+   *    parquet temp table instead and build the index from that.
+   *
+   * Obtain via [[shingleIndex]] (fresh) or [[sharedShingleIndex]] (memoized
+   * per session + source plan — one materialization per pipeline run).
+   */
+  final case class ShingleIndex private[ext] (
+      n: Int,
+      base: DataFrame,   // (id, shh sorted hashed shingles, sz) — persisted
+      groups: DataFrame) // (rid, ids, sz) — localCheckpoint'ed, slim
+
+  /** Build a [[ShingleIndex]]: one narrow hashing pass + one slim shuffle. */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): ShingleIndex = {
+    val base = hashedShingleBase(df, idCol, textCol, n, ShingleSeed)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // 128-bit set identity: two xxhash64 runs over the sorted hash array
+    // (the second salted by a leading literal) + the exact element count
+    val slim = base.select(col("id"), col("sz"),
+      xxhash64(col("shh")).as("d1"), xxhash64(lit(0x9E3779B97F4A7C15L), col("shh")).as("d2"))
+    val groups = slim.groupBy(col("d1"), col("d2"), col("sz"))
+      .agg(min(col("id")).as("rid"), collect_list(col("id")).as("ids"))
+      .select(col("rid"), col("ids"), col("sz"))
+      .localCheckpoint()
+    ShingleIndex(n, base, groups)
+  }
+
+  // memoized indexes, keyed by (session, canonicalized source plan, cols, n):
+  // q-pipelines that run minhash + exact-jaccard + clustering over the same
+  // corpus share ONE hashing pass and ONE collapse shuffle
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, String, Int), ShingleIndex]()
+
+  /** Memoized [[shingleIndex]]: repeated calls with a semantically-equal
+    * source in the same session return the already-materialized index. */
+  def sharedShingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): ShingleIndex = {
+    val key = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.canonicalized.toString, idCol, textCol, n)
+    indexCache.computeIfAbsent(key, _ => shingleIndex(df, idCol, textCol, n))
+  }
+
+  /** Drop all memoized indexes and unpersist their storage. */
+  def clearShingleIndexCache(): Unit = {
+    indexCache.values.iterator().asScala.foreach(ix => ix.base.unpersist())
+    indexCache.clear()
+  }
+
   final case class MinHashConfig(
       numHashes: Int = 128,
       bands: Int = 32,
@@ -79,22 +153,33 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    minhashPairs(sharedShingleIndex(df, idCol, textCol, cfg.shingleSize), threshold, cfg)
+
+  /** [[minhashPairs]] over a prebuilt (shareable) [[ShingleIndex]]. */
+  def minhashPairs(index: ShingleIndex, threshold: Double, cfg: MinHashConfig): DataFrame = {
     require(cfg.numHashes % cfg.bands == 0, "numHashes must divide evenly into bands")
 
-    // hashed shingle sets: the whole shingle->minhash->band pipeline runs in
-    // compiled kernels (SetSimilarityAlgo) — interpreted higher-order
-    // functions cost ~1µs/element and dominate at corpus scale. Identical
-    // sets are collapsed first (m duplicates would cost m^2 per bucket).
-    val groups = hashedShingleGroups(df, idCol, textCol, cfg.shingleSize, cfg.seed)
-    val base = groups.select(col("rid").as("id"), col("shh"), col("sz"))
+    // the whole shingle->minhash->band pipeline runs in compiled kernels
+    // (interpreted higher-order functions cost ~1µs/element and dominate at
+    // corpus scale); identical sets were collapsed by the index (m
+    // duplicates would cost m² per bucket). Band signatures are computed on
+    // the MEMBER side, before any shuffle: identical sets produce identical
+    // signatures, so filtering to representatives afterwards is a slim
+    // (id, bands) semi-join — the shingle arrays never leave their scan
+    // partitions (computing per-rep instead would need the rep's array
+    // post-collapse, i.e. a corpus-wide array join).
+    val base = index.base
+    val memberBands = base.select(col("id"),
+      TextExpressionFunctions.minhash_band_keys(col("shh"), cfg.numHashes, cfg.bands, cfg.seed)
+        .as("bands"))
+    val repBands = memberBands
+      .join(index.groups.select(col("rid").as("id")), Seq("id"), "left_semi")
 
-    // band rows carry ONLY (id, band, band-hash): the shingle arrays must not
-    // ride through a bands-way exploded shuffle (at 100 TB that multiplies
-    // the corpus payload by `bands`); survivors re-join the shingles by id.
-    val banded = base
-      .select(col("id"), posexplode(
-        TextExpressionFunctions.minhash_band_keys(col("shh"), cfg.numHashes, cfg.bands, cfg.seed)))
+    // band rows carry ONLY (id, band, band-hash): nothing wide rides the
+    // bands-way exploded shuffle; survivors re-join the shingles by id.
+    val banded = repBands
+      .select(col("id"), posexplode(col("bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
 
     val a = banded.alias("a")
@@ -108,8 +193,8 @@ object Dedup {
     val repPairs = verifyJaccard(cand, base, threshold)
       .select(col("id_a").as("ra"), col("id_b").as("rb"), col("jaccard"))
     canonPairs(
-      expandMemberPairs(repPairs, groups, "jaccard")
-        .unionByName(intraMemberPairs(groups, lit(1.0), "jaccard")),
+      expandMemberPairs(repPairs, index.groups, "jaccard")
+        .unionByName(intraMemberPairs(index.groups, lit(1.0), "jaccard")),
       "jaccard")
   }
 
@@ -122,19 +207,6 @@ object Dedup {
         TextExpressionFunctions.shingle_hashes(tokens(col(textCol)), n, seed).as("shh"))
       .filter(size(col("shh")) > 0)
       .withColumn("sz", size(col("shh")))
-
-  /** Exact-duplicate collapse for set-similarity: one representative row
-    * per distinct shingle set (rid = min member id, ids = all members).
-    * Duplicate-heavy corpora put m copies of a set into every band bucket
-    * / posting list at m^2 join cost; the collapsed join runs over distinct
-    * sets and [[expandMemberPairs]] restores member pairs bounded by the
-    * true output. Checkpointed: every consumer reads it at least twice. */
-  private def hashedShingleGroups(
-      df: DataFrame, idCol: String, textCol: String, n: Int, seed: Long): DataFrame =
-    hashedShingleBase(df, idCol, textCol, n, seed)
-      .groupBy(col("shh"), col("sz"))
-      .agg(min(col("id")).as("rid"), collect_list(col("id")).as("ids"))
-      .localCheckpoint()
 
   /** Expand representative pairs (ra, rb, payload) to all member pairs —
     * members share their representative's set/signature/vector, so the
@@ -249,18 +321,24 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    ngramJaccardPairs(sharedShingleIndex(df, idCol, textCol, n), threshold)
+
+  /** [[ngramJaccardPairs]] over a prebuilt (shareable) [[ShingleIndex]]. */
+  def ngramJaccardPairs(index: ShingleIndex, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
-    // identical shingle sets collapse to one representative (m duplicates
-    // would repeat every posting m times and every candidate m^2 times);
-    // jaccard within a group is exactly 1.0 >= any valid threshold
-    val groups = hashedShingleGroups(df, idCol, textCol, n, seed = 0L)
-    val base = groups.select(col("rid").as("id"), col("shh"), col("sz"))
+    // identical shingle sets were collapsed by the index (m duplicates would
+    // repeat every posting m times and every candidate m² times); jaccard
+    // within a group is exactly 1.0 >= any valid threshold. The rep filter
+    // is an id semi-join over the persisted base; its array payload feeds
+    // straight into the posting explode that PPJoin shuffles anyway.
+    val base = index.base
+    val repBase = base.join(index.groups.select(col("rid").as("id")), Seq("id"), "left_semi")
 
     // global df per shingle -> rare-first canonical order (df over DISTINCT
     // sets: PPJoin's prefix bound is valid under ANY canonical total order,
     // rare-first is the pruning heuristic)
-    val postings = base.select(col("id"), col("sz"), explode(col("shh")).as("g"))
+    val postings = repBase.select(col("id"), col("sz"), explode(col("shh")).as("g"))
     val gdf = postings.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
 
     // prefix of each doc: the (sz - ceil(t*sz) + 1) globally-rarest shingles
@@ -285,8 +363,8 @@ object Dedup {
     val repPairs = verifyJaccard(cand, base, threshold)
       .select(col("id_a").as("ra"), col("id_b").as("rb"), col("jaccard"))
     canonPairs(
-      expandMemberPairs(repPairs, groups, "jaccard")
-        .unionByName(intraMemberPairs(groups, lit(1.0), "jaccard")),
+      expandMemberPairs(repPairs, index.groups, "jaccard")
+        .unionByName(intraMemberPairs(index.groups, lit(1.0), "jaccard")),
       "jaccard")
   }
 

@@ -64,11 +64,21 @@ object Similarity {
     rankTopK(cand, k)
   }
 
+  /**
+   * @param trainFraction fraction of the corpus the coarse quantizer is fit
+   *                      on; negative (the default) = auto-cap at
+   *                      [[IvfConfig.maxTrainRows]] rows. Every KMeans
+   *                      iteration is a full distributed pass over the TRAIN
+   *                      set, so an uncapped fraction would mean `maxIter`
+   *                      full-corpus passes at 100 TB just to place `nlist`
+   *                      centroids — a sample bounds that to constant work.
+   */
   final case class IvfConfig(
       nlist: Int = 64,
       nprobe: Int = 8,
       seed: Long = 42L,
-      trainFraction: Double = 1.0,
+      trainFraction: Double = -1.0,
+      maxTrainRows: Long = 100000L,
       maxIter: Int = 10,
       initMode: String = "random")
 
@@ -89,9 +99,19 @@ object Similarity {
       k: Int, cfg: IvfConfig = IvfConfig()): DataFrame = {
     val spark = data.sparkSession
 
-    // 1. train the coarse quantizer (sample-sized driver cost, nlist x dim)
-    val trainSrc = if (cfg.trainFraction < 1.0)
-      data.sample(withReplacement = false, cfg.trainFraction, cfg.seed) else data
+    // 1. train the coarse quantizer (sample-sized driver cost, nlist x dim).
+    // Auto mode sizes the sample from the corpus row count — count() on a
+    // parquet source is satisfied from row-group metadata, far cheaper than
+    // even one of the maxIter KMeans passes it prevents.
+    val frac =
+      if (cfg.trainFraction >= 0.0) math.min(cfg.trainFraction, 1.0)
+      else {
+        require(cfg.maxTrainRows > 0, "maxTrainRows must be positive")
+        val n = data.count()
+        if (n <= cfg.maxTrainRows) 1.0 else cfg.maxTrainRows.toDouble / n
+      }
+    val trainSrc = if (frac < 1.0)
+      data.sample(withReplacement = false, frac, cfg.seed) else data
     // coarse quantizers don't need converged clusters, they need balanced
     // cells: random init + few iterations skips k-means||'s extra passes
     // (each KMeans iteration is a full distributed pass over the train set)

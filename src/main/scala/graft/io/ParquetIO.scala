@@ -1,5 +1,10 @@
 package graft.io
 
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.format.converter.ParquetMetadataConverter
+import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -35,21 +40,66 @@ object ParquetIO {
    *                    (parquet-rs 5.5 defaults, src/lib.rs:25-27) — pass
    *                    Some("uncompressed") only if byte-layout parity
    *                    matters; the correctness oracle compares row content.
+   * @param rowGroupBytes parquet row-group (block) target size in bytes;
+   *                    `None` = writer default (128 MiB). The reference
+   *                    buffers everything into ONE row group (src/lib.rs:
+   *                    25-27,130-133) — with `singleFile = true` and a
+   *                    large-enough value here the output layout matches.
+   *                    Row groups are the parallelism unit on read, so at
+   *                    100 TB leave the default.
    */
   def write(
       df: DataFrame,
       path: String,
       singleFile: Boolean = false,
-      compression: Option[String] = None): Unit = {
+      compression: Option[String] = None,
+      rowGroupBytes: Option[Long] = None): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
     val w = out.write.mode("overwrite")
     compression.foreach(c => w.option("compression", c))
+    rowGroupBytes.foreach(b => w.option("parquet.block.size", b.toString))
     w.parquet(path)
   }
 
-  /** Footer row count without reading data pages (metadata-only count). */
-  def rowCount(spark: SparkSession, path: String): Long =
-    spark.read.parquet(path).count()
+  /**
+   * Footer row count without touching data pages: sums the per-row-group
+   * counts recorded in each file's footer (the same numbers `parquet-rs`'s
+   * metadata API exposes, reference src/bin/sample.rs:29-31). Driver-side
+   * and O(#files) — intended for the flat directory layout [[write]]
+   * produces (CLI parity), not for partitioned lakes; a distributed
+   * `df.count()` on an empty projection serves those.
+   */
+  def rowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val status = fs.getFileStatus(root)
+    val files =
+      if (status.isDirectory)
+        fs.listStatus(root).toSeq.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Seq(status)
+    files.map { f =>
+      val footer = ParquetFileReader.readFooter(conf, f.getPath, ParquetMetadataConverter.NO_FILTER)
+      footer.getBlocks.asScala.map(_.getRowCount).sum
+    }.sum
+  }
+
+  /** Number of row groups across the parquet files at `path` (footer-only;
+    * same flat-layout scope as [[rowCount]]). */
+  def rowGroupCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val status = fs.getFileStatus(root)
+    val files =
+      if (status.isDirectory)
+        fs.listStatus(root).toSeq.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Seq(status)
+    files.map { f =>
+      val footer = ParquetFileReader.readFooter(conf, f.getPath, ParquetMetadataConverter.NO_FILTER)
+      footer.getBlocks.size.toLong
+    }.sum
+  }
 
   /**
    * Bucketed parquet table write: rows are hash-partitioned into `buckets`

@@ -83,6 +83,27 @@ class DedupSpec extends SparkSpec {
     assert(got((0L, 1L)) > 0.99)
   }
 
+  test("sharedShingleIndex memoizes per (source, cols, n) and is consumed by both join paths") {
+    Dedup.clearShingleIndexCache()
+    val ix1 = Dedup.sharedShingleIndex(docs, "doc_id", "text", 3)
+    val ix2 = Dedup.sharedShingleIndex(docs, "doc_id", "text", 3)
+    assert(ix1 eq ix2, "semantically-equal source must return the SAME materialized index")
+    assert(Dedup.sharedShingleIndex(docs, "doc_id", "text", 2) ne ix1, "different n = different index")
+    // groups is slim (no shingle arrays ride the collapse) and collapses the
+    // exact dup: 10 docs -> 9 distinct sets, rep of {0,1} is 0 with both ids
+    assert(ix1.groups.columns.toSet === Set("rid", "ids", "sz"))
+    assert(ix1.groups.count() === 9)
+    val g01 = ix1.groups.filter($"rid" === 0L).select($"ids").head().getSeq[Long](0).toSet
+    assert(g01 === Set(0L, 1L))
+    // the prebuilt-index entry points agree with the df entry points
+    val viaIndex = Dedup.ngramJaccardPairs(ix1, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex === Set((0L, 1L), (2L, 3L)))
+    val viaMinhash = Dedup.minhashPairs(ix1, threshold = 0.5, Dedup.MinHashConfig())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaMinhash.contains((0L, 1L)))
+  }
+
   test("duplicateClusters: components labeled by min id; singletons keep their own id") {
     val verts = (0L to 9L).toDF("id")
     // components: {0,1,2} (chain), {3,4}, singletons 5..9

@@ -93,4 +93,27 @@ class ParquetIOSpec extends SparkSpec {
     val parts = new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
     assert(parts === 1)
   }
+
+  test("full reference sink layout: one file, one row group, uncompressed (lib.rs:25-27,130-133)") {
+    val dir = Files.createTempDirectory("graft_io").toString + "/rg"
+    import spark.implicits._
+    ParquetIO.write((1 to 50000).toDF("x").repartition(8), dir,
+      singleFile = true, compression = Some("uncompressed"),
+      rowGroupBytes = Some(1L << 30))
+    assert(ParquetIO.rowGroupCount(spark, dir) === 1)
+    assert(ParquetIO.rowCount(spark, dir) === 50000)
+    // and the opposite knob direction: a tiny target splits into many groups
+    val dir2 = Files.createTempDirectory("graft_io").toString + "/rg2"
+    ParquetIO.write((1 to 50000).toDF("x").repartition(1), dir2,
+      singleFile = true, rowGroupBytes = Some(64L * 1024))
+    assert(ParquetIO.rowGroupCount(spark, dir2) > 1)
+  }
+
+  test("rowCount is footer-only and matches a distributed count") {
+    val dir = Files.createTempDirectory("graft_io").toString + "/rc"
+    import spark.implicits._
+    ParquetIO.write((1 to 12345).toDF("x").repartition(5), dir)
+    assert(ParquetIO.rowCount(spark, dir) === 12345)
+    assert(ParquetIO.rowCount(spark, dir) === ParquetIO.read(spark, dir).count())
+  }
 }
