@@ -83,16 +83,21 @@ object SparkEntry {
     "q18_except_orders" -> ((s, dir) =>
       t(s, dir, "orders").select(col("o_orderkey")).distinct()
         .except(t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey")).distinct())),
-    // HLL sketch vs exact distinct: algorithms differ across engines, so
-    // rows-only here; ApproxSketchSpec pins the <5% relative error bound.
-    // rsd=0.01 (~11k HLL registers) makes that bound ~5 sigma — the default
-    // rsd 0.05 is a STANDARD DEVIATION, which 5%-bound checks would flake on
+    // HLL sketch vs exact distinct: sketch VALUES differ across engines, so
+    // the sketch is exported as its accuracy CONTRACT instead — a boolean
+    // "within 5% of exact" column the oracle pins to TRUE (rsd=0.01 ≈ 11k
+    // registers makes 5% a ~5-sigma bound; deterministic per input, so the
+    // boolean is stable). The exact column is oracle-checked value-for-value.
     "q19_approx_distinct" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
-          approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"),
-          countDistinct(col("o_custkey")).as("exact_customers"))),
+          approx_count_distinct(col("o_custkey"), rsd = 0.01).as("__approx"),
+          countDistinct(col("o_custkey")).as("exact_customers"))
+        .select(col("o_orderpriority"),
+          (abs(col("__approx") - col("exact_customers")).cast("double")
+            <= col("exact_customers").cast("double") * 0.05).as("approx_ok"),
+          col("exact_customers"))),
 
     "q14_sample_stratified" -> ((s, dir) =>
       Sampler.stratifiedExact(t(s, dir, "lineitem"), "l_returnflag", 0.01, seed = 42L)),
@@ -500,16 +505,27 @@ object SparkEntry {
         .groupBy(col("event_type"), (col("j.k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum(col("j.k")).as("sum_k"))),
 
-    // t-digest percentile sketch (mergeable, one pass, bounded memory — the
-    // scale path where q26's exact percentiles would need a full sort);
-    // sketch internals differ across engines -> rows-only; ApproxSketchSpec pins rank accuracy
-    "q96_approx_percentile" -> ((s, dir) =>
+    // GK percentile sketch (mergeable, one pass, bounded memory — the scale
+    // path where q26's exact percentiles would need a full sort). Sketch
+    // values differ across engines, so what's exported is the sketch's rank
+    // GUARANTEE: accuracy=2500 bounds rank error by n/2500, so the approx
+    // value must lie between the exact percentiles at p ± 2/2500 (double
+    // margin absorbs interpolation edge effects); oracle pins TRUE + exact n.
+    "q96_approx_percentile" -> ((s, dir) => {
+      def ok(p: Double) = {
+        val eps = 2.0 / 2500
+        val a = percentile_approx(col("l_extendedprice").cast("double"), lit(p), lit(2500))
+        val lo = expr(s"percentile(cast(l_extendedprice as double), ${p - eps})")
+        val hi = expr(s"percentile(cast(l_extendedprice as double), ${math.min(1.0, p + eps)})")
+        a >= lo && a <= hi
+      }
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          percentile_approx(col("l_extendedprice").cast("double"), lit(0.5), lit(2500)).as("p50_approx"),
-          percentile_approx(col("l_extendedprice").cast("double"), lit(0.99), lit(2500)).as("p99_approx"),
-          count(lit(1)).as("n"))),
+          ok(0.5).as("p50_ok"),
+          ok(0.99).as("p99_ok"),
+          count(lit(1)).as("n"))
+    }),
 
     // flagship composition: the full training-data prep pipeline — language
     // filter -> quality filter -> exact dedup -> token accounting — as ONE
@@ -538,6 +554,20 @@ object SparkEntry {
         e.select(col("event_id"), col("user_id"), col("ts")), "ts",
         purchases, "ts", keyCols = Seq("user_id"), valueCols = Seq("purchase_value"),
         tolerance = Some(1800000000000L)) // 30 min in nanos
+        .select(col("event_id"), col("user_id"), col("asof_purchase_value"))
+    }),
+
+    // the skew-resistant bucketed as-of (time-bucket salting splits a hot
+    // key across partitions; AsOfJoinSpec pins the skew split itself) —
+    // same semantics as q33, checked against the same ASOF oracle
+    "q107_asof_bucketed" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      graft.operators.AsOfJoin.asOfBucketed(
+        e.select(col("event_id"), col("user_id"), col("ts")), "ts",
+        purchases, "ts", keyCols = Seq("user_id"), valueCols = Seq("purchase_value"),
+        buckets = 32)
         .select(col("event_id"), col("user_id"), col("asof_purchase_value"))
     }),
 
@@ -598,7 +628,27 @@ object SparkEntry {
     "q80_stream_hourly" -> ((s, dir) => StreamGate.hourlyAgg(s, dir)),
     "q81_stream_dedup" -> ((s, dir) => StreamGate.dedupKeys(s, dir, "event_type")),
     "q82_stream_sessions" -> ((s, dir) => StreamGate.sessions(s, dir)),
-    "q83_stream_sample" -> ((s, dir) => StreamGate.sample(s, dir, ratio = 0.1, seed = 42L)),
+    // the sampled rows themselves are hash-seeded (no cross-engine oracle);
+    // what IS oracle-checkable is the sample's contract against the batch
+    // table: every sampled id exists in events, ids are unique, and the
+    // rate is within 5 sigma of the target ratio (deterministic per seed,
+    // and the bound scales with n so any SF passes)
+    "q83_stream_sample" -> ((s, dir) => {
+      val sampled = StreamGate.sample(s, dir, ratio = 0.1, seed = 42L)
+      val ev = t(s, dir, "events")
+      val stats = sampled.agg(
+        count(lit(1)).as("__n_sampled"),
+        countDistinct(col("event_id")).as("__n_distinct"))
+      val escaped = sampled.select(col("event_id"))
+        .join(ev.select(col("event_id")), Seq("event_id"), "left_anti")
+        .agg(count(lit(1)).as("__n_bad"))
+      stats.crossJoin(escaped).crossJoin(ev.agg(count(lit(1)).as("n_events")))
+        .select(col("n_events"),
+          (col("__n_bad") === 0).as("ids_in_events_ok"),
+          (col("__n_sampled") === col("__n_distinct")).as("ids_distinct_ok"),
+          (abs(col("__n_sampled").cast("double") / col("n_events") - 0.1)
+            <= lit(5.0) * sqrt(lit(0.1 * 0.9) / col("n_events"))).as("rate_ok"))
+    }),
     "q84_stream_interval_join" -> ((s, dir) => StreamGate.intervalJoin(s, dir)),
     "q85_stream_static_join" -> ((s, dir) => StreamGate.staticJoin(s, dir)),
 
@@ -721,6 +771,20 @@ object SparkEntry {
         |) GROUP BY nationkey""".stripMargin,
     "q18_except_orders" ->
       "SELECT DISTINCT o_orderkey FROM orders EXCEPT SELECT DISTINCT l_orderkey FROM lineitem",
+    // the sketch columns are exported as booleans pinning the sketch's
+    // accuracy contract (see the query comments); the oracle asserts the
+    // contract holds (TRUE) and checks the exact columns value-for-value
+    "q19_approx_distinct" ->
+      """SELECT o_orderpriority, TRUE AS approx_ok,
+        |  count(DISTINCT o_custkey) AS exact_customers
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q96_approx_percentile" ->
+      """SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p99_ok, count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q83_stream_sample" ->
+      """SELECT count(*) AS n_events, TRUE AS ids_in_events_ok,
+        |  TRUE AS ids_distinct_ok, TRUE AS rate_ok
+        |FROM events""".stripMargin,
     "q28_rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -815,6 +879,11 @@ object SparkEntry {
         |  COUNT(json_extract_string(props, '$.k')) AS n_with_k
         |FROM events GROUP BY event_type""".stripMargin,
     "q33_events_asof" ->
+      """SELECT e.event_id, e.user_id, p.value AS asof_purchase_value
+        |FROM events e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    // identical semantics through the skew-resistant bucketed plan
+    "q107_asof_bucketed" ->
       """SELECT e.event_id, e.user_id, p.value AS asof_purchase_value
         |FROM events e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,

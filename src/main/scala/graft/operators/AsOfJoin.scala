@@ -88,4 +88,94 @@ object AsOfJoin {
         df.withColumn(s"asof_$vc", when(stale, lit(null)).otherwise(col(packCol)(vc))))
       .select((leftCols ++ valueCols.map(vc => s"asof_$vc")).map(col): _*)
   }
+
+  /**
+   * Skew-resistant as-of join, same semantics as [[asOf]] for NUMERIC
+   * non-null time columns (e.g. epoch nanos).
+   *
+   * [[asOf]] windows by key alone, so one hot key (a user holding half the
+   * events — routine in clickstream data) becomes one straggler partition
+   * that a 1000-executor cluster waits on. This variant salts the window
+   * with a TIME BUCKET, the as-of analogue of skew-join salting:
+   *
+   *   1. bucket every row by `floor((t - min) / width)` (width from one tiny
+   *      min/max agg), window-fill per (key, bucket) — the hot key's sort is
+   *      now spread over `buckets` partitions;
+   *   2. reduce each (key, bucket) to its LAST right-side pack (a map-side-
+   *      combining `max_by`), run the carry-forward over that tiny per-key
+   *      bucket spine (≤ `buckets` rows per key, skew-proof by construction);
+   *   3. join the strictly-earlier-bucket carry back on (key, bucket) —
+   *      broadcast-sized — and take `coalesce(local fill, carry)`.
+   *
+   * Right rows in earlier buckets are strictly earlier in time, so
+   * local-fill-else-carry reproduces exactly the latest-preceding-row
+   * semantics, equal-timestamp inclusivity and tolerance included.
+   */
+  def asOfBucketed(
+      left: DataFrame, leftTime: String,
+      right: DataFrame, rightTime: String,
+      keyCols: Seq[String],
+      valueCols: Seq[String],
+      tolerance: Option[Long] = None,
+      buckets: Int = 64): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    require(valueCols.nonEmpty, "no right-side value columns requested")
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+
+    val leftCols = left.columns.toSeq
+    val sideCol = "__graft_is_left"
+    val timeCol = "__graft_t"
+    val packCol = "__graft_pack"
+    val bktCol = "__graft_bkt"
+    val carryCol = "__graft_carry"
+
+    val taggedRight = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTime).as(timeCol), lit(0).as(sideCol),
+        struct(col(rightTime).as("t") +: valueCols.map(vc => col(vc).as(vc)): _*)
+          .as(packCol)): _*)
+    val taggedLeft = left
+      .withColumn(timeCol, col(leftTime))
+      .withColumn(sideCol, lit(1))
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+
+    // bucket geometry from one 2-scalar aggregation (columnar min/max scan)
+    val bounds = unioned.agg(min(col(timeCol)).cast("long"), max(col(timeCol)).cast("long")).head()
+    if (bounds.isNullAt(0)) return asOf(left, leftTime, right, rightTime, keyCols, valueCols, tolerance)
+    val mn = bounds.getLong(0)
+    val width = math.max(1L, (bounds.getLong(1) - mn) / buckets + 1)
+    val bucketed = unioned.withColumn(bktCol, ((col(timeCol).cast("long") - mn) / width).cast("int"))
+
+    // 1. local fill within (key, bucket) — the skew-split window
+    val wLocal = Window.partitionBy((keyCols :+ bktCol).map(col): _*)
+      .orderBy(col(timeCol).asc, col(sideCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localFilled = bucketed.withColumn(packCol, last(col(packCol), ignoreNulls = true).over(wLocal))
+
+    // 2. per-(key, bucket) last right pack, then strictly-earlier carry over
+    // the bucket spine (≤ `buckets` rows per key)
+    val bucketLast = bucketed.filter(col(sideCol) === 0)
+      .groupBy((keyCols :+ bktCol).map(col): _*)
+      .agg(max_by(col(packCol), col(timeCol)).as(packCol))
+    val wCarry = Window.partitionBy(keyCols.map(col): _*).orderBy(col(bktCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bucketed.select((keyCols :+ bktCol).map(col): _*).distinct()
+      .join(bucketLast, keyCols :+ bktCol, "left")
+      .withColumn(carryCol, last(col(packCol), ignoreNulls = true).over(wCarry))
+      .select((keyCols :+ bktCol).map(col) :+ col(carryCol): _*)
+
+    // 3. slim (key, bucket) join back; earlier-bucket packs are strictly
+    // older than every same-bucket right row, so local wins when present
+    val filled = localFilled.join(carry, keyCols :+ bktCol, "left")
+      .withColumn(packCol, coalesce(col(packCol), col(carryCol)))
+
+    val stale = tolerance match {
+      case None => col(packCol).isNull
+      case Some(tol) =>
+        col(packCol).isNull || (col(timeCol) - col(packCol)("t")) > tol
+    }
+    valueCols.foldLeft(filled.filter(col(sideCol) === 1))((df, vc) =>
+        df.withColumn(s"asof_$vc", when(stale, lit(null)).otherwise(col(packCol)(vc))))
+      .select((leftCols ++ valueCols.map(vc => s"asof_$vc")).map(col): _*)
+  }
 }

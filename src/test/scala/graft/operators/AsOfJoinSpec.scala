@@ -69,4 +69,48 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"expected no join node\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
   }
+
+  test("asOfBucketed matches asOf on the small fixtures (tolerance included)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(AsOfJoin.asOfBucketed(trades, "t", quotes, "qt", Seq("sym"), Seq("px"), buckets = 3))
+      === rows(AsOfJoin.asOf(trades, "t", quotes, "qt", Seq("sym"), Seq("px"))))
+    assert(rows(AsOfJoin.asOfBucketed(trades, "t", quotes, "qt", Seq("sym"), Seq("px"),
+        tolerance = Some(50L), buckets = 4))
+      === rows(AsOfJoin.asOf(trades, "t", quotes, "qt", Seq("sym"), Seq("px"),
+        tolerance = Some(50L))))
+  }
+
+  test("asOfBucketed splits a hot key: correct result, no straggler window partition") {
+    // one user holds 50% of all rows — the skew shape the plain per-key
+    // window serializes into a single straggler task
+    val rng = new scala.util.Random(7)
+    val hot = (0 until 4000).map(i => (i.toLong, "hot", i.toLong * 10 + rng.nextInt(5)))
+    val rest = (0 until 4000).map { i =>
+      (10000L + i, s"u${i % 40}", i.toLong * 10 + rng.nextInt(5))
+    }
+    val events = (hot ++ rest).toDF("event_id", "user", "t")
+    val state = events.filter($"event_id" % 3 === 0)
+      .select($"user", $"t" - 1 as "st", concat(lit("s"), $"event_id") as "v")
+
+    val buckets = 16
+    val exact = AsOfJoin.asOf(events, "t", state, "st", Seq("user"), Seq("v"))
+    val split = AsOfJoin.asOfBucketed(events, "t", state, "st", Seq("user"), Seq("v"),
+      buckets = buckets)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(rows(split) === rows(exact))
+
+    // skew evidence: the hot key's rows now spread across the bucket salt —
+    // the largest (key, bucket) window group is a small fraction of the hot
+    // key's total, so no single task sorts half the data
+    val all = events.select($"user", $"t")
+      .unionByName(state.select($"user", $"st".as("t")))
+    val Seq(mn, mx) = all.agg(min($"t"), max($"t")).head().toSeq.map(_.asInstanceOf[Long]).toSeq
+    val width = math.max(1L, (mx - mn) / buckets + 1)
+    val maxGroup = all.groupBy($"user", (($"t" - mn) / width).cast("int").as("b"))
+      .count().agg(max($"count")).head().getLong(0)
+    val hotTotal = all.filter($"user" === "hot").count()
+    assert(maxGroup <= hotTotal / 4,
+      s"largest salted group $maxGroup should be far below the hot key's $hotTotal rows")
+  }
 }
