@@ -4,13 +4,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.Dedup
-import graft.operators.{Sampler, SemiJoinReducer}
+import graft.operators.{AsOfJoin, Sampler, SemiJoinReducer}
 
 /**
- * Scale probe: replicate the sf0.1 tables ~10x into /tmp and run the
- * heavyweight operators, verifying their cost curves hold (the "would this
- * survive another 10x?" question, empirically). Not part of the driver
- * contract — a development tool.
+ * Scale probe: run the heavyweight operators at 1x (sf0.1) and 10x
+ * (replicated into /tmp) and report the wall-clock ratio — the "would this
+ * survive another 10x?" question, empirically. A plan that is linear in the
+ * input should land near 10x (often below: fixed costs amortize); anything
+ * far above signals a super-linear stage. Not part of the driver contract —
+ * a development tool whose output is committed as SCALEPROBE_r{N}.md.
+ *
+ * Replication is OUTPUT-NEUTRAL by construction: naive row copies would turn
+ * each document into k exact duplicates, growing the TRUE pair output
+ * quadratically in k and poisoning the ratio. Instead each copy's text gets
+ * a per-copy token suffix (shingle universes of different copies are
+ * disjoint) and each copy's embedding a per-copy sign pattern (cross-copy
+ * cosine is ~random), so every copy reproduces the base corpus' pair
+ * structure and outputs scale linearly — what the probe wants to measure is
+ * the ENGINE's scaling, not the problem's.
  *
  *   runMain graft.ScaleProbe [workDir]
  */
@@ -29,81 +40,140 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(table: String, copies: Int, keyCols: Seq[String], offset: Long): DataFrame = {
-      val base = spark.read.parquet(s"$src/$table.parquet")
-      val copiesDf = (0 until copies).map { i =>
-        keyCols.foldLeft(base)((df, kc) => df.withColumn(kc, col(kc) + lit(i * offset)))
-      }
-      copiesDf.reduce(_ unionAll _)
-    }
+    def copyOf(base: DataFrame, i: Int, keyCols: Seq[String], offset: Long): DataFrame =
+      keyCols.foldLeft(base)((df, kc) => df.withColumn(kc, col(kc) + lit(i * offset)))
 
-    val gen = Map(
-      // 6M lineitem / 150k orders with consistent order keys per copy
-      "lineitem" -> (() => replicate("lineitem", 10, Seq("l_orderkey"), 1000000000L)),
-      "orders" -> (() => replicate("orders", 10, Seq("o_orderkey"), 1000000000L)),
-      // 20k docs: 4 copies -> a heavily near-duplicate corpus
-      "documents" -> (() => replicate("documents", 4, Seq("doc_id"), 1000000L)),
-      "embeddings" -> (() => replicate("embeddings", 5, Seq("vec_id"), 1000000L)))
-    gen.foreach { case (name, mk) =>
-      val path = s"$work/$name.parquet"
+    def replicate(table: String, copies: Int, keyCols: Seq[String], offset: Long,
+        perturb: (DataFrame, Int) => DataFrame = (df, _) => df): DataFrame =
+      (0 until copies).map(i => perturb(copyOf(
+        spark.read.parquet(s"$src/$table.parquet"), i, keyCols, offset), i))
+        .reduce(_ unionAll _)
+
+    // per-copy disjoint shingle universe: suffix every token
+    def perturbText(df: DataFrame, i: Int): DataFrame =
+      if (i == 0) df
+      else df.withColumn("text",
+        array_join(transform(split(col("text"), "\\s+"), x => concat(x, lit(s"_c$i"))), " "))
+
+    // per-copy sign pattern: cross-copy cosines decorrelate
+    def perturbVec(df: DataFrame, i: Int): DataFrame =
+      if (i == 0) df
+      else df.withColumn("embedding",
+        zip_with(col("embedding"),
+          transform(sequence(lit(0), size(col("embedding")) - 1),
+            p => pmod(xxhash64(lit(i), p), lit(2))),
+          (x, s) => when(s === 0, x).otherwise(-x)))
+
+    def gen(name: String, copies: Int, mk: Int => DataFrame): String = {
+      val path = s"$work/${name}_x$copies.parquet"
       // _SUCCESS marker, not bare existence: a crashed prior run leaves a
       // partial directory that would silently skew every timing below
       if (!new java.io.File(path, "_SUCCESS").exists()) {
-        mk().write.mode("overwrite").parquet(path)
+        mk(copies).write.mode("overwrite").parquet(path)
         println(s"[scale] generated $path")
+      }
+      path
+    }
+
+    val scales = Seq(1, 10)
+    val paths: Map[(String, Int), String] = (for (k <- scales) yield Seq(
+      ("lineitem", k) -> gen("lineitem", k, c => replicate("lineitem", c, Seq("l_orderkey"), 1000000000L)),
+      ("orders", k) -> gen("orders", k, c => replicate("orders", c, Seq("o_orderkey"), 1000000000L)),
+      ("events", k) -> gen("events", k, c =>
+        replicate("events", c, Seq("event_id", "user_id"), 100000000L)),
+      ("documents", k) -> gen("documents", k, c =>
+        replicate("documents", c, Seq("doc_id"), 1000000L, perturbText)),
+      ("embeddings", k) -> gen("embeddings", k, c =>
+        replicate("embeddings", c, Seq("vec_id"), 1000000L, perturbVec))
+    )).flatten.toMap
+
+    def read(n: String, k: Int) = spark.read.parquet(paths((n, k)))
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Map[Int, (Double, Long)]]()
+    def timed(name: String, k: Int)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE x$k%-3d $name%-24s $sec%8.2f s  rows=$rows")
+      results(name) = results.getOrElse(name, Map.empty) + (k -> (sec, rows))
+    }
+
+    for (k <- scales) {
+      Dedup.clearShingleIndexCache()
+      timed("semijoin_orders", k) {
+        SemiJoinReducer.reduce(read("orders", k), "o_orderkey", read("lineitem", k), "l_orderkey").count()
+      }
+      timed("sample_exact_0.001", k) {
+        Sampler.exact(read("lineitem", k), 0.001, seed = 42L).count()
+      }
+      timed("per_group_k100", k) {
+        Sampler.perGroupExactK(read("lineitem", k), Seq("l_returnflag"), 100, seed = 42L).count()
+      }
+      // shared set-similarity index built (and timed) once; the three
+      // consumers below then reuse it, matching the library's real cost model
+      timed("shingle_index_build", k) {
+        Dedup.sharedShingleIndex(read("documents", k), "doc_id", "text", 3).groups.count()
+      }
+      timed("dedup_minhash", k) {
+        Dedup.minhashPairs(read("documents", k), "doc_id", "text", threshold = 0.7).count()
+      }
+      timed("dedup_ngram_exact", k) {
+        Dedup.ngramJaccardPairs(read("documents", k), "doc_id", "text", n = 3, threshold = 0.7).count()
+      }
+      timed("dedup_clusters_cc", k) {
+        val docs = read("documents", k)
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
+        Dedup.duplicateClusters(docs, "doc_id", pairs).count()
+      }
+      timed("dedup_embedding", k) {
+        Dedup.embeddingNearDupPairs(read("embeddings", k), "vec_id", "embedding",
+          dim = 64, threshold = 0.4, numPlanes = 16, bands = 8).count()
+      }
+      timed("corpus_pipeline", k) {
+        val scored = ext.TextStats.qualityScore(
+          ext.TextStats.langId(read("documents", k), "text"), "text")
+        val kept = scored.filter(col("lang_pred") === "en" && col("quality_score") >= 0.3)
+        ext.TextStats.withTokenCounts(Dedup.exactDedup(kept, "text", "doc_id"), "text")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("sum_ws_tokens"))
+          .count()
+      }
+      timed("vector_centroids", k) {
+        read("embeddings", k)
+          .select((col("vec_id") % 8).cast("long").as("grp"), posexplode(col("embedding")))
+          .groupBy(col("grp"), col("pos"))
+          .agg(count(lit(1)).as("n"), sum(col("col").cast("double")).as("s"))
+          .count()
+      }
+      timed("knn_ivf", k) {
+        val e = read("embeddings", k)
+        ext.Similarity.ivfTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, ext.Similarity.IvfConfig(nlist = 64, nprobe = 4))
+          .count()
+      }
+      timed("asof_join", k) {
+        val e = read("events", k)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+        AsOfJoin.asOf(e.select(col("event_id"), col("user_id"), col("ts")), "ts",
+          purchases, "ts", Seq("user_id"), Seq("purchase_value")).count()
+      }
+      timed("asof_join_bucketed", k) {
+        val e = read("events", k)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+        AsOfJoin.asOfBucketed(e.select(col("event_id"), col("user_id"), col("ts")), "ts",
+          purchases, "ts", Seq("user_id"), Seq("purchase_value"), buckets = 32).count()
       }
     }
 
-    def read(n: String) = spark.read.parquet(s"$work/$n.parquet")
-    def timed(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"SCALE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
-    }
-
-    println(s"[scale] lineitem=${read("lineitem").count()} orders=${read("orders").count()} " +
-      s"documents=${read("documents").count()} embeddings=${read("embeddings").count()}")
-
-    timed("semijoin_orders") {
-      SemiJoinReducer.reduce(read("orders"), "o_orderkey", read("lineitem"), "l_orderkey").count()
-    }
-    timed("sample_exact_0.001") {
-      Sampler.exact(read("lineitem"), 0.001, seed = 42L).count()
-    }
-    timed("per_group_k100") {
-      Sampler.perGroupExactK(read("lineitem"), Seq("l_returnflag"), 100, seed = 42L).count()
-    }
-    timed("dedup_minhash") {
-      Dedup.minhashPairs(read("documents"), "doc_id", "text", threshold = 0.7).count()
-    }
-    timed("dedup_ngram_exact") {
-      Dedup.ngramJaccardPairs(read("documents"), "doc_id", "text", n = 3, threshold = 0.7).count()
-    }
-    timed("dedup_embedding") {
-      Dedup.embeddingNearDupPairs(read("embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.4, numPlanes = 16, bands = 8).count()
-    }
-    timed("corpus_pipeline") {
-      val scored = ext.TextStats.qualityScore(
-        ext.TextStats.langId(read("documents"), "text"), "text")
-      val kept = scored.filter(col("lang_pred") === "en" && col("quality_score") >= 0.3)
-      ext.TextStats.withTokenCounts(Dedup.exactDedup(kept, "text", "doc_id"), "text")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("sum_ws_tokens"))
-        .count()
-    }
-    timed("vector_centroids") {
-      read("embeddings")
-        .select((col("vec_id") % 8).cast("long").as("grp"), posexplode(col("embedding")))
-        .groupBy(col("grp"), col("pos"))
-        .agg(count(lit(1)).as("n"), sum(col("col").cast("double")).as("s"))
-        .count()
-    }
-    timed("knn_ivf") {
-      val e = read("embeddings")
-      ext.Similarity.ivfTopK(e, "vec_id", "embedding",
-        e.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, ext.Similarity.IvfConfig(nlist = 64, nprobe = 4)).count()
+    println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")
+    println("|---|---|---|---|---|---|")
+    results.foreach { case (name, m) =>
+      val (t1, r1) = m(1)
+      val (t10, r10) = m(10)
+      println(f"| $name | $t1%.2f | $r1 | $t10%.2f | $r10 | ${t10 / t1}%.1fx |")
     }
     spark.stop()
   }
