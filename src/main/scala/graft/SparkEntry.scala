@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{CorpusFilters, Dedup, Multimodal, Similarity, TextStats}
 import graft.operators.{Sampler, SemiJoinReducer}
 import graft.streaming.StreamGate
 
@@ -430,6 +430,40 @@ object SparkEntry {
     "q63_token_counts" -> ((s, dir) =>
       TextStats.withTokenCounts(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("ws_tokens"), col("bpe_ish_tokens"))),
+
+    // ---- corpus curation: repetition / PII / decontamination / budgets --
+    // Gopher-style repetition filters as distributed aggs
+    "q64_repetition_stats" -> ((s, dir) =>
+      CorpusFilters.repetitionStats(t(s, dir, "documents"), "doc_id", "text")),
+    // PII counts + redaction; the redacted text rides as an md5 so the
+    // compare stays narrow (this corpus is PII-free — the crafted-input
+    // spec carries the hit/redaction semantics, the gate pins schema and
+    // the zero-hit contract)
+    "q65_pii_scan" -> ((s, dir) =>
+      CorpusFilters.piiScan(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("email_cnt"), col("ipv4_cnt"), col("phone_cnt"),
+          col("pii_total"), md5(col("redacted").cast("binary")).as("redacted_md5"))),
+    // benchmark decontamination: eval set = doc_id % 50 == 0 (10 docs at
+    // every SF), train = the rest; 5-gram overlap counts per train doc
+    "q66_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusFilters.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 5)
+    }),
+    // corpus-wide top-100 adjacent-word bigrams, deterministic rank
+    "q67_top_bigrams" -> ((s, dir) =>
+      CorpusFilters.topBigrams(t(s, dir, "documents"), "doc_id", "text", k = 100)),
+    // deterministic 50%-of-tokens-per-source mixture subset
+    "q55_token_budget" -> ((s, dir) =>
+      CorpusFilters.tokenBudget(t(s, dir, "documents"), "doc_id", "text", "source",
+        budgetFrac = 0.5)),
+    // SemDeDup-style semantic dedup over embeddings (KMeans cells +
+    // intra-cell cosine); seeded KMeans is not SQL-expressible -> rows-only
+    // in the gate, planted-duplicate ground truth in SimilaritySpec
+    "q54_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        Similarity.SemDedupConfig(nlist = 16, threshold = 0.92))),
 
     // ---- additional analytics surface ----------------------------------
     // hopping (sliding) event-time windows: 1h length, 30m slide — every
@@ -962,6 +996,108 @@ object SparkEntry {
     "q61_text_quality" -> qualityOracle,
     "q62_text_langid" -> langIdOracle,
     "q63_token_counts" -> tokenCountOracle,
+
+    // repetition stats: unnest+zip exploded words, lead() bigrams, same
+    // two-level agg as the engine (counts are BIGINT both sides; ratio
+    // expression trees written identically for bit-equal doubles)
+    "q64_repetition_stats" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), w AS (
+        |  SELECT doc_id, unnest(t) AS word, unnest(generate_series(1, len(t))) AS pos FROM toks
+        |), wb AS (
+        |  SELECT doc_id, word, lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM w
+        |), wc AS (SELECT doc_id, word, count(*) AS wcnt FROM wb GROUP BY 1, 2
+        |), ws AS (
+        |  SELECT doc_id, CAST(SUM(wcnt) AS BIGINT) AS n_words,
+        |    count(*) AS n_distinct_words, MAX(wcnt) AS top_word_cnt
+        |  FROM wc GROUP BY 1
+        |), bc AS (
+        |  SELECT doc_id, word || ' ' || nxt AS gram2, count(*) AS bcnt
+        |  FROM wb WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |), bs AS (
+        |  SELECT doc_id, CAST(SUM(bcnt) AS BIGINT) AS n_bigrams, MAX(bcnt) AS top_bigram_cnt
+        |  FROM bc GROUP BY 1
+        |)
+        |SELECT ws.doc_id, n_words, n_distinct_words,
+        |  CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS distinct_word_frac,
+        |  CAST(top_word_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+        |  COALESCE(CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0) AS top_bigram_frac
+        |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id""".stripMargin,
+
+    // PII scan: identical RE2-safe patterns on both engines; DuckDB
+    // regexp_replace needs the 'g' flag to match Spark's replace-all
+    "q65_pii_scan" ->
+      s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '${CorpusFilters.emailPattern}')) AS BIGINT) AS email_cnt,
+        |  CAST(len(regexp_extract_all(text, '${CorpusFilters.ipv4Pattern}')) AS BIGINT) AS ipv4_cnt,
+        |  CAST(len(regexp_extract_all(text, '${CorpusFilters.phonePattern}')) AS BIGINT) AS phone_cnt,
+        |  CAST(len(regexp_extract_all(text, '${CorpusFilters.emailPattern}'))
+        |     + len(regexp_extract_all(text, '${CorpusFilters.ipv4Pattern}'))
+        |     + len(regexp_extract_all(text, '${CorpusFilters.phonePattern}')) AS BIGINT) AS pii_total,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '${CorpusFilters.emailPattern}', '<EMAIL>', 'g'),
+        |    '${CorpusFilters.ipv4Pattern}', '<IP>', 'g'),
+        |    '${CorpusFilters.phonePattern}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM documents""".stripMargin,
+
+    // decontamination: string 5-grams on the oracle side vs xxhash64'd
+    // grams on the engine side — counts agree modulo ~2^-64 collisions
+    // (same precedent as the q43 exact-jaccard oracle)
+    "q66_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t)-4),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) END AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents WHERE length(trim(text)) > 0)
+        |), eg AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 50 = 0
+        |), tg AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 50 <> 0
+        |), hits AS (
+        |  SELECT tg.doc_id, count(*) AS n FROM tg JOIN eg ON tg.gram = eg.gram GROUP BY 1
+        |)
+        |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
+        |  COALESCE(h.n, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0 AND length(trim(text)) > 0) d
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+
+    // corpus top-100 bigrams, rank deterministic on (cnt desc, gram asc)
+    "q67_top_bigrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), w AS (
+        |  SELECT doc_id, unnest(t) AS word, unnest(generate_series(1, len(t))) AS pos FROM toks
+        |), wb AS (
+        |  SELECT doc_id, word, lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM w
+        |), bc AS (
+        |  SELECT word || ' ' || nxt AS gram, count(*) AS cnt FROM wb WHERE nxt IS NOT NULL GROUP BY 1
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT) AS rank, gram, cnt
+        |FROM bc ORDER BY cnt DESC, gram LIMIT 100""".stripMargin,
+
+    // token-budget mixture subset: md5-hash order + running sum per source,
+    // admitted while cum <= floor(0.5 * source total); integer cums -> no
+    // float drift in the cut
+    "q55_token_budget" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS ws_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h_ord FROM documents
+        |), tot AS (
+        |  SELECT source,
+        |    CAST(floor(CAST(CAST(SUM(ws_tokens) AS BIGINT) AS DOUBLE) * 0.5) AS BIGINT) AS budget
+        |  FROM tok GROUP BY 1
+        |), c AS (
+        |  SELECT doc_id, tok.source AS source, ws_tokens,
+        |    CAST(SUM(ws_tokens) OVER (PARTITION BY tok.source ORDER BY h_ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |    budget
+        |  FROM tok JOIN tot ON tok.source = tot.source
+        |)
+        |SELECT doc_id, source, ws_tokens, cum_tokens FROM c WHERE cum_tokens <= budget""".stripMargin,
 
     // the corpus-prep pipeline composes the q61/q62/q63 oracles as CTEs —
     // the SQL proves the composed DataFrame pipeline distributes over the

@@ -1,0 +1,225 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TextExpressionFunctions
+
+/**
+ * Corpus-curation operators for LLM training-data pipelines (extension
+ * surface; the reference has no text operators at all —
+ * /root/reference/src/bin/join.rs:66-70 stringifies keys and nothing else):
+ * repetition statistics (Gopher-style filters), PII scanning/redaction,
+ * benchmark decontamination, corpus-wide n-gram counts, and token-budget
+ * subset selection.
+ *
+ * Design rules shared with the rest of graft:
+ *  - no UDFs and no interpreted per-row loops in hot paths: everything is
+ *    split / explode / window / hash-agg over codegen'd expressions (the
+ *    n-gram fan-out is a generator, not a higher-order function);
+ *  - per-document statistics distribute via explode + partial (map-side)
+ *    aggregation — a document's words stream through combiners, never a
+ *    whole group in memory;
+ *  - cross-corpus joins ride small derived keys (the distinct hashed
+ *    n-grams of a bounded eval set, broadcast) — the corpus never
+ *    self-joins and full text never rides a shuffle.
+ */
+object CorpusFilters {
+
+  /**
+   * Exploded (doc, pos, word, bigram) relation shared by the repetition and
+   * n-gram operators: one codegen generator projection for the words, then a
+   * per-document `lead` window for the adjacent-word bigram. The only
+   * shuffle is the per-doc window partition (documents are bounded-size, so
+   * partitions stay balanced at any corpus size).
+   */
+  private def explodedGrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__cf_id")).orderBy(col("pos"))
+    df.select(col(idCol).as("__cf_id"), posexplode(Dedup.tokens(col(textCol))))
+      .withColumnRenamed("col", "word")
+      .withColumn("__next", lead(col("word"), 1).over(w))
+      .withColumn("gram2",
+        when(col("__next").isNotNull, concat_ws(" ", col("word"), col("__next"))))
+      .drop("__next")
+  }
+
+  /**
+   * Per-document repetition statistics (the Gopher repetition filters, Rae
+   * et al. 2021, arXiv:2112.11446 §A1.1, re-expressed as distributed aggs):
+   * word count, distinct-word fraction, most-frequent-word fraction, and
+   * most-frequent-bigram fraction. High top-gram / low distinct fractions
+   * flag boilerplate and degenerate repetition.
+   *
+   * Two hash-aggregations keyed by (doc, gram) — both map-side combined —
+   * then a per-doc rollup; no per-doc collection, no interpreted loops.
+   * Documents with no tokens are dropped (same contract as the shingle
+   * operators); documents with a single word have no bigrams and report
+   * `top_bigram_frac = 0.0`.
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val g = explodedGrams(df, idCol, textCol)
+    val words = g.groupBy(col("__cf_id"), col("word")).agg(count(lit(1)).as("__wc"))
+      .groupBy(col("__cf_id"))
+      .agg(sum(col("__wc")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("__wc")).as("top_word_cnt"))
+    val bigrams = g.filter(col("gram2").isNotNull)
+      .groupBy(col("__cf_id"), col("gram2")).agg(count(lit(1)).as("__bc"))
+      .groupBy(col("__cf_id"))
+      .agg(sum(col("__bc")).as("n_bigrams"), max(col("__bc")).as("top_bigram_cnt"))
+    words.join(bigrams, Seq("__cf_id"), "left")
+      .select(col("__cf_id").as(idCol),
+        col("n_words"), col("n_distinct_words"),
+        (col("n_distinct_words").cast("double") / col("n_words").cast("double"))
+          .as("distinct_word_frac"),
+        (col("top_word_cnt").cast("double") / col("n_words").cast("double"))
+          .as("top_word_frac"),
+        coalesce(col("top_bigram_cnt").cast("double") / col("n_bigrams").cast("double"),
+          lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** PII regexes: deliberately RE2-compatible (no lookaround, no backrefs)
+    * so the same pattern text runs on Spark (java.util.regex) and any
+    * RE2-family engine a downstream validator might use. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /**
+   * PII scan + redaction: per-document counts of email / IPv4 / phone-shaped
+   * substrings and the text with each replaced by a typed placeholder.
+   * Pure codegen'd regexp projection — scan-fused, embarrassingly parallel,
+   * no shuffle. Redaction order (email, then IP, then phone) is part of the
+   * contract: a phone-shaped substring inside an already-redacted email
+   * can't double-fire.
+   */
+  def piiScan(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(p: String) = size(regexp_extract_all(t, lit(p), lit(0))).cast("long")
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, emailPattern, "<EMAIL>"),
+          ipv4Pattern, "<IP>"),
+        phonePattern, "<PHONE>")
+    df.withColumn("email_cnt", cnt(emailPattern))
+      .withColumn("ipv4_cnt", cnt(ipv4Pattern))
+      .withColumn("phone_cnt", cnt(phonePattern))
+      .withColumn("pii_total", col("email_cnt") + col("ipv4_cnt") + col("phone_cnt"))
+      .withColumn("redacted", redacted)
+  }
+
+  /**
+   * Benchmark decontamination (the n-gram-overlap check every training
+   * pipeline runs before a data release; e.g. Brown et al. 2020,
+   * arXiv:2005.14165 §C): for each training document, the number of distinct
+   * word `n`-grams it shares with ANY document of the eval/benchmark set,
+   * and a `contaminated` flag.
+   *
+   * Scale shape: the eval side (bounded — benchmarks are small) collapses to
+   * its DISTINCT hashed n-grams and is broadcast; the training corpus
+   * streams through one generator + broadcast-hash-join + per-doc count.
+   * Grams ride as 8-byte xxhash64 longs from the codegen kernel
+   * ([[TextExpressionFunctions.shingle_hashes]]), never as strings — same
+   * 2^-64-collision caveat as the exact-jaccard operator. The training
+   * corpus never shuffles its text and never self-joins.
+   *
+   * Output: one row per training document (docs with no tokens excluded,
+   * same contract as the shingle operators), `n_shared_grams >= 0`,
+   * `contaminated = n_shared_grams > 0`.
+   */
+  def decontaminate(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    def grams(df: DataFrame) =
+      TextExpressionFunctions.shingle_hashes(Dedup.tokens(col(textCol)), n, 0L)
+    val evalGrams = eval
+      .select(explode(grams(eval)).as("__gram")).distinct()
+    val trainGrams = train
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(grams(train)).as("__gram"))
+    val hits = trainGrams.join(broadcast(evalGrams), Seq("__gram"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
+    train.filter(length(trim(col(textCol))) > 0).select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contaminated", col("n_shared_grams") > 0)
+  }
+
+  /**
+   * Corpus-wide most-frequent adjacent-word bigrams, deterministically
+   * ranked (count desc, gram asc). The global count is a two-level hash agg
+   * (map-side combine) and the top-k cut is `orderBy(...).limit(k)` —
+   * Spark's TakeOrderedAndProject, a per-partition top-k merged on the
+   * driver over k rows only. The rank window then runs over just those k
+   * rows; the full gram dictionary never funnels through one partition.
+   */
+  def topBigrams(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val counts = explodedGrams(df, idCol, textCol)
+      .filter(col("gram2").isNotNull)
+      .groupBy(col("gram2")).agg(count(lit(1)).as("cnt"))
+    counts.orderBy(col("cnt").desc, col("gram2").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("gram2").asc)).cast("long"))
+      .select(col("rank"), col("gram2").as("gram"), col("cnt"))
+  }
+
+  /**
+   * Deterministic token-budget subset selection: per source, admit documents
+   * in md5(doc-id) order until the running whitespace-token total reaches
+   * `budgetFrac` of that source's tokens. The hash order is an unbiased,
+   * seedless, reproducible shuffle — the standard "take the first B tokens
+   * of a hashed order" mixture-building step.
+   *
+   * Shape: one agg for per-source totals (broadcast back — sources are few),
+   * one running-sum window per source. The per-source window is the
+   * exact-prefix price; for corpora where single sources are petabyte-scale,
+   * use [[tokenBudgetByRate]] — a fully parallel two-pass variant that hits
+   * the budget in expectation with no global order.
+   */
+  def tokenBudget(
+      df: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      budgetFrac: Double): DataFrame = {
+    val tok = df.select(col(idCol), col(sourceCol),
+      size(Dedup.tokens(col(textCol))).cast("long").as("ws_tokens"),
+      md5(col(idCol).cast("string").cast("binary")).as("__ord"))
+    val totals = tok.groupBy(col(sourceCol))
+      .agg(sum(col("ws_tokens")).as("__total"))
+      .withColumn("__budget",
+        floor(col("__total").cast("double") * budgetFrac).cast("long"))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("__ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok.join(broadcast(totals), Seq(sourceCol))
+      .withColumn("cum_tokens", sum(col("ws_tokens")).over(w))
+      .filter(col("cum_tokens") <= col("__budget"))
+      .select(col(idCol), col(sourceCol), col("ws_tokens"), col("cum_tokens"))
+  }
+
+  /**
+   * Rate-based token-budget selection (the 100 TB path): per source, keep a
+   * document iff its md5-derived uniform draw is below
+   * `budgetTokens / sourceTokens`. Two fully parallel passes (agg + filter),
+   * no window, no global order; hits the budget in expectation with
+   * per-document independence (so the kept set is a uniform subsample —
+   * exactly the property mixture weighting wants). Deterministic: the draw
+   * is a pure function of the id.
+   */
+  def tokenBudgetByRate(
+      df: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      budgetTokens: Long): DataFrame = {
+    val tok = df.select(col(idCol), col(sourceCol),
+      size(Dedup.tokens(col(textCol))).cast("long").as("ws_tokens"))
+    val rates = tok.groupBy(col(sourceCol))
+      .agg(sum(col("ws_tokens")).as("__total"))
+      .withColumn("__rate",
+        least(lit(1.0), lit(budgetTokens.toDouble) / col("__total").cast("double")))
+    // uniform in [0,1): top 8 hex chars of md5(id) / 2^32
+    val u = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    tok.join(broadcast(rates), Seq(sourceCol))
+      .withColumn("__u", u)
+      .filter(col("__u") < col("__rate"))
+      .select(col(idCol), col(sourceCol), col("ws_tokens"))
+  }
+}

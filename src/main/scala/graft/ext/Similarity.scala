@@ -93,31 +93,42 @@ object Similarity {
    * Cells are probed by euclidean distance to the centroid (KMeans'
    * metric); final ranking is exact cosine over the probed cells.
    */
+  /**
+   * Shared coarse-quantizer fit (sample-sized driver cost, k x dim). Auto
+   * mode (`trainFraction < 0`) sizes the sample from the corpus row count —
+   * count() on a parquet source is satisfied from row-group metadata, far
+   * cheaper than even one of the maxIter KMeans passes it prevents.
+   * Coarse quantizers don't need converged clusters, they need balanced
+   * cells: random init + few iterations skips k-means||'s extra passes
+   * (each KMeans iteration is a full distributed pass over the train set).
+   */
+  private def fitQuantizer(
+      data: DataFrame, vecCol: String, k: Int, seed: Long,
+      trainFraction: Double, maxTrainRows: Long, maxIter: Int,
+      initMode: String) = {
+    val frac =
+      if (trainFraction >= 0.0) math.min(trainFraction, 1.0)
+      else {
+        require(maxTrainRows > 0, "maxTrainRows must be positive")
+        val n = data.count()
+        if (n <= maxTrainRows) 1.0 else maxTrainRows.toDouble / n
+      }
+    val trainSrc = if (frac < 1.0)
+      data.sample(withReplacement = false, frac, seed) else data
+    new KMeans().setK(k).setSeed(seed).setFeaturesCol("__features")
+      .setMaxIter(maxIter).setInitMode(initMode)
+      .fit(trainSrc.select(array_to_vector(col(vecCol)).as("__features")))
+  }
+
   def ivfTopK(
       data: DataFrame, dataId: String, dataVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, cfg: IvfConfig = IvfConfig()): DataFrame = {
     val spark = data.sparkSession
 
-    // 1. train the coarse quantizer (sample-sized driver cost, nlist x dim).
-    // Auto mode sizes the sample from the corpus row count — count() on a
-    // parquet source is satisfied from row-group metadata, far cheaper than
-    // even one of the maxIter KMeans passes it prevents.
-    val frac =
-      if (cfg.trainFraction >= 0.0) math.min(cfg.trainFraction, 1.0)
-      else {
-        require(cfg.maxTrainRows > 0, "maxTrainRows must be positive")
-        val n = data.count()
-        if (n <= cfg.maxTrainRows) 1.0 else cfg.maxTrainRows.toDouble / n
-      }
-    val trainSrc = if (frac < 1.0)
-      data.sample(withReplacement = false, frac, cfg.seed) else data
-    // coarse quantizers don't need converged clusters, they need balanced
-    // cells: random init + few iterations skips k-means||'s extra passes
-    // (each KMeans iteration is a full distributed pass over the train set)
-    val model = new KMeans().setK(cfg.nlist).setSeed(cfg.seed).setFeaturesCol("__features")
-      .setMaxIter(cfg.maxIter).setInitMode(cfg.initMode)
-      .fit(trainSrc.select(array_to_vector(col(dataVec)).as("__features")))
+    // 1. train the coarse quantizer on a capped sample
+    val model = fitQuantizer(data, dataVec, cfg.nlist, cfg.seed,
+      cfg.trainFraction, cfg.maxTrainRows, cfg.maxIter, cfg.initMode)
 
     // 2. assign every corpus row to its cell (single distributed pass)
     val assigned = model.transform(
@@ -154,6 +165,58 @@ object Similarity {
     val cand = assigned.join(probes, "cell")
       .withColumn("cosine", vec_cosine(col("__dv"), col("__qv")))
     rankTopK(cand, k)
+  }
+
+  /** @param nlist cluster count — pairwise work is O(Σ cell² ) ≈ n²/nlist,
+    *               so size it ~ n / targetCellSize. */
+  final case class SemDedupConfig(
+      nlist: Int = 64,
+      threshold: Double = 0.9,
+      seed: Long = 42L,
+      trainFraction: Double = -1.0,
+      maxTrainRows: Long = 100000L,
+      maxIter: Int = 10,
+      initMode: String = "random")
+
+  /**
+   * SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+   * cluster the embedding space with a sampled KMeans coarse quantizer,
+   * then drop near-duplicates WITHIN each cluster — a row is dropped when a
+   * lower-id row in the same cell has cosine >= threshold with it, so each
+   * duplicate group keeps its minimum-id representative.
+   *
+   * Scale shape: the cluster assignment is the same constant-cost
+   * fit + one-pass transform as [[ivfTopK]]; the candidate generator is a
+   * per-cell self-join — the O(n²) global problem becomes O(Σ cell²),
+   * bounded by making `nlist` proportional to corpus size (the paper's
+   * design). The join carries (id, vec) with the codegen cosine evaluated
+   * inline, so no pair survives to a shuffle unless it crossed the
+   * threshold. Cross-cluster near-dups are missed by construction — the
+   * recall/cost trade the paper accepts.
+   *
+   * Output: one row per input row — (id, cell, kept); deterministic for a
+   * fixed seed.
+   */
+  def semDedup(
+      data: DataFrame, idCol: String, vecCol: String,
+      cfg: SemDedupConfig = SemDedupConfig()): DataFrame = {
+    val model = fitQuantizer(data, vecCol, cfg.nlist, cfg.seed,
+      cfg.trainFraction, cfg.maxTrainRows, cfg.maxIter, cfg.initMode)
+    val assigned = model.transform(
+        data.select(col(idCol).as("__sd_id"), col(vecCol).as("__sd_v"),
+          array_to_vector(col(vecCol)).as("__features")))
+      .select(col("__sd_id"), col("__sd_v"), col("prediction").as("cell"))
+
+    val a = assigned.select(col("__sd_id").as("__id_a"), col("__sd_v").as("__va"), col("cell"))
+    val b = assigned.select(col("__sd_id").as("__id_b"), col("__sd_v").as("__vb"), col("cell"))
+    val dropped = a.join(b,
+        a("cell") === b("cell") && col("__id_a") < col("__id_b") &&
+          vec_cosine(col("__va"), col("__vb")) >= cfg.threshold)
+      .select(col("__id_b").as("__sd_id")).distinct()
+
+    assigned.join(dropped.withColumn("__dropped", lit(true)), Seq("__sd_id"), "left")
+      .select(col("__sd_id").as(idCol), col("cell").cast("long").as("cell"),
+        col("__dropped").isNull.as("kept"))
   }
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {

@@ -1,0 +1,110 @@
+package graft.ext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CorpusFiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("repetitionStats: ground-truth fractions, single-word and empty docs") {
+    val docs = Seq(
+      (1L, "a a a b"),      // words 4, distinct 2, top word 3, bigrams: "a a"x2 "a b"x1
+      (2L, "x"),            // single word: no bigrams
+      (3L, "  "),           // whitespace-only: dropped (no tokens)
+      (4L, "p q p q p")     // words 5, distinct 2, top 3; bigrams: "p q"x2 "q p"x2
+    ).toDF("doc_id", "text")
+    val r = CorpusFilters.repetitionStats(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet === Set(1L, 2L, 4L))
+    val d1 = r(1L)
+    assert(d1.getLong(1) === 4L && d1.getLong(2) === 2L)
+    assert(math.abs(d1.getDouble(3) - 0.5) < 1e-15)
+    assert(math.abs(d1.getDouble(4) - 0.75) < 1e-15)
+    assert(math.abs(d1.getDouble(5) - 2.0 / 3.0) < 1e-15)
+    val d2 = r(2L)
+    assert(d2.getLong(1) === 1L && d2.getDouble(4) === 1.0 && d2.getDouble(5) === 0.0)
+    val d4 = r(4L)
+    assert(d4.getLong(1) === 5L && math.abs(d4.getDouble(5) - 0.5) < 1e-15)
+  }
+
+  test("piiScan: counts + typed redaction; clean text is untouched") {
+    val docs = Seq(
+      (1L, "mail bob@example.com or ops@sub.example.org, host 10.0.0.1, call 555-123-4567"),
+      (2L, "nothing sensitive here 123")
+    ).toDF("doc_id", "text")
+    val r = CorpusFilters.piiScan(docs, "text")
+      .select($"doc_id", $"email_cnt", $"ipv4_cnt", $"phone_cnt", $"pii_total", $"redacted", $"text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val hit = r(1L)
+    assert(hit.getLong(1) === 2L && hit.getLong(2) === 1L && hit.getLong(3) === 1L)
+    assert(hit.getLong(4) === 4L)
+    val red = hit.getString(5)
+    assert(red.contains("<EMAIL>") && red.contains("<IP>") && red.contains("<PHONE>"))
+    assert(!red.contains("bob@") && !red.contains("10.0.0.1") && !red.contains("555-123-4567"))
+    val clean = r(2L)
+    assert(clean.getLong(4) === 0L && clean.getString(5) === clean.getString(6))
+  }
+
+  test("decontaminate: planted 5-gram overlap flags the train doc; short-doc fallback shingle") {
+    val evalSet = Seq(
+      (100L, "one two three four five six"),
+      (101L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words then one two three four five and a tail"), // shares 1 distinct 5-gram
+      (2L, "completely different vocabulary with no overlap at all"),
+      (3L, "tiny doc") // < 5 words: whole-doc shingle matches eval 101
+    ).toDF("doc_id", "text")
+    val rows = CorpusFilters.decontaminate(train, evalSet, "doc_id", "text", n = 5)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(rows(1L) === ((1L, true)))
+    assert(rows(2L) === ((0L, false)))
+    assert(rows(3L) === ((1L, true)))
+  }
+
+  test("topBigrams: deterministic count-then-gram ranking") {
+    val docs = Seq(
+      (1L, "a b a b c"),   // "a b"x2, "b a"x1, "b c"x1
+      (2L, "a b z z")      // "a b"x1, "b z"x1, "z z"x1
+    ).toDF("doc_id", "text")
+    val r = CorpusFilters.topBigrams(docs, "doc_id", "text", k = 3)
+      .orderBy($"rank").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(r.head === ((1L, "a b", 3L)))
+    // count-1 grams tie-break lexicographically
+    assert(r(1) === ((2L, "b a", 1L)) && r(2) === ((3L, "b c", 1L)))
+  }
+
+  test("tokenBudget: per-source md5-order prefix under the budget") {
+    // one source, five docs of 10 tokens each -> total 50, budget 25 -> the
+    // first 2 docs in md5(doc_id) order are kept
+    val text = Seq.fill(10)("w").mkString(" ")
+    val docs = (1L to 5L).map(i => (i, "s0", text)).toDF("doc_id", "source", "text")
+    val kept = CorpusFilters.tokenBudget(docs, "doc_id", "text", "source", budgetFrac = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3)))
+    val order = (1L to 5L).sortBy(i => (md5Hex(i.toString), i))
+    assert(kept.map(_._1).toSet === order.take(2).toSet)
+    assert(kept.map(_._2).forall(_ === 10L))
+    assert(kept.map(_._3).max === 20L) // running sum of the kept prefix
+  }
+
+  test("tokenBudgetByRate: deterministic, subset of input, keeps all when budget >= total") {
+    val text = Seq.fill(10)("w").mkString(" ")
+    val docs = (1L to 20L).map(i => (i, if (i <= 10) "a" else "b", text))
+      .toDF("doc_id", "source", "text")
+    val all = CorpusFilters.tokenBudgetByRate(docs, "doc_id", "text", "source", budgetTokens = 1000L)
+    assert(all.count() === 20L) // rate clamps at 1.0
+    val some1 = CorpusFilters.tokenBudgetByRate(docs, "doc_id", "text", "source", budgetTokens = 50L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val some2 = CorpusFilters.tokenBudgetByRate(docs, "doc_id", "text", "source", budgetTokens = 50L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(some1 === some2) // pure function of ids: rerun-stable
+    assert(some1.toSet.subsetOf((1L to 20L).toSet))
+  }
+}

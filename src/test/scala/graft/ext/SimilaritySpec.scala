@@ -96,4 +96,25 @@ class SimilaritySpec extends SparkSpec {
     // a query that is itself in the corpus probes its own cell first
     assert(ivf.filter(_.getLong(3) == 1L).forall(r => r.getLong(0) == r.getLong(1)))
   }
+
+  test("semDedup: planted intra-cluster duplicates dropped, min-id representative kept") {
+    val rng = new scala.util.Random(11)
+    val base = (0L until 120L).map(i => (i, Seq.fill(8)(rng.nextGaussian().toFloat)))
+    // plant: 200 = exact copy of 5, 201 = positive scaling of 7 (cosine 1)
+    val planted = Seq((200L, base(5)._2), (201L, base(7)._2.map(x => x * 2.5f)))
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val r = Similarity.semDedup(df, "vec_id", "embedding",
+        Similarity.SemDedupConfig(nlist = 4, threshold = 0.95, trainFraction = 1.0))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r.size === 122) // one row per input row
+    // identical vectors land in the same cell, so the higher id is dropped
+    assert(r(200L)._1 === r(5L)._1 && !r(200L)._2 && r(5L)._2)
+    assert(r(201L)._1 === r(7L)._1 && !r(201L)._2 && r(7L)._2)
+    // determinism: same seed -> same kept set
+    val again = Similarity.semDedup(df, "vec_id", "embedding",
+        Similarity.SemDedupConfig(nlist = 4, threshold = 0.95, trainFraction = 1.0))
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(again === r.map { case (k, v) => k -> v._2 })
+  }
 }
