@@ -124,4 +124,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.substring(cosIdx, joinIdx).contains("Exchange"),
       s"shuffle between candidate join and cosine filter\n$plan")
   }
+
+  test("decontamination: eval grams broadcast; the training corpus never sort-merge-joins") {
+    val plan = formatted(SparkEntry.queries("q66_decontaminate")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "train-side join must stay broadcast (eval-gram set is bounded)\n" + plan)
+  }
+
+  test("corpus top-bigrams: top-k cut (TakeOrdered) runs BEFORE the rank window") {
+    val plan = formatted(SparkEntry.queries("q67_top_bigrams")(spark, sf0001))
+    val take = plan.indexOf("TakeOrderedAndProject")
+    val win = plan.indexOf("Window")
+    assert(take >= 0, plan)
+    // formatted explain lists operators top-down: the window must sit ABOVE
+    // the TakeOrdered cut, i.e. appear earlier in the text — the full gram
+    // dictionary never funnels through the single-partition rank
+    assert(win >= 0 && win < take,
+      "rank window must consume only the TakeOrdered top-k rows\n" + plan)
+  }
+
+  test("repetition stats: both gram aggregations are partial (map-side) before their exchange") {
+    val plan = formatted(SparkEntry.queries("q64_repetition_stats")(spark, sf0001))
+    // two-level agg on (doc, gram): a HashAggregate must sit BELOW the
+    // exchange (map-side partial combine before any shuffle); in formatted
+    // top-down text that means another HashAggregate after the Exchange
+    val exchange = plan.indexOf("Exchange")
+    assert(exchange > 0 && plan.indexOf("HashAggregate", exchange) > exchange,
+      "expected map-side partial aggregate below the shuffle\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
