@@ -138,6 +138,32 @@ object ScaleProbe {
           .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("sum_ws_tokens"))
           .count()
       }
+      timed("repetition_stats", k) {
+        ext.CorpusFilters.repetitionStats(read("documents", k), "doc_id", "text").count()
+      }
+      timed("top_bigrams", k) {
+        // per-copy token suffixes keep gram universes disjoint: the gram
+        // dictionary grows linearly, the top-100 output stays constant
+        ext.CorpusFilters.topBigrams(read("documents", k), "doc_id", "text", 100).count()
+      }
+      timed("decontaminate", k) {
+        val docs = read("documents", k)
+        // eval set fixed to the base copy: benchmark suites don't grow with
+        // the training corpus, so only the train side should scale
+        val evalSet = docs.filter(col("doc_id") < 1000000L && col("doc_id") % 50 === 0)
+        ext.CorpusFilters.decontaminate(docs.filter(col("doc_id") % 50 =!= 0), evalSet,
+          "doc_id", "text", n = 5).count()
+      }
+      timed("token_budget", k) {
+        ext.CorpusFilters.tokenBudget(read("documents", k), "doc_id", "text", "source",
+          budgetFrac = 0.5).count()
+      }
+      timed("semdedup", k) {
+        // nlist grows with the corpus (the SemDeDup design: constant cell
+        // size keeps the per-cell pairwise quadratic bounded)
+        ext.Similarity.semDedup(read("embeddings", k), "vec_id", "embedding",
+          ext.Similarity.SemDedupConfig(nlist = 16 * k, threshold = 0.9)).count()
+      }
       timed("vector_centroids", k) {
         read("embeddings", k)
           .select((col("vec_id") % 8).cast("long").as("grp"), posexplode(col("embedding")))

@@ -685,6 +685,9 @@ object SparkEntry {
     }),
     "q84_stream_interval_join" -> ((s, dir) => StreamGate.intervalJoin(s, dir)),
     "q85_stream_static_join" -> ((s, dir) => StreamGate.staticJoin(s, dir)),
+    // stateless per-row curation filter on a document stream: append-mode
+    // emission equals the batch projection exactly (no state, no watermark)
+    "q86_stream_corpus_filter" -> ((s, dir) => StreamGate.corpusFilter(s, dir)),
 
     // ranking-function surface: dense_rank / percent_rank / ntile /
     // cume_dist share one window sort (deterministic tie-break on key)
@@ -1098,6 +1101,25 @@ object SparkEntry {
         |  FROM tok JOIN tot ON tok.source = tot.source
         |)
         |SELECT doc_id, source, ws_tokens, cum_tokens FROM c WHERE cum_tokens <= budget""".stripMargin,
+
+    // streaming corpus filter: stateless append-mode projection == batch
+    // semantics, so the oracle is the composed batch SQL of q61/q62 + the
+    // PII counts
+    "q86_stream_corpus_filter" ->
+      s"""WITH qual AS ($qualityOracle), lang AS ($langIdOracle),
+        |pii AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '${CorpusFilters.emailPattern}'))
+        |    + len(regexp_extract_all(text, '${CorpusFilters.ipv4Pattern}'))
+        |    + len(regexp_extract_all(text, '${CorpusFilters.phonePattern}')) AS pii_total
+        |  FROM documents
+        |)
+        |SELECT d.doc_id, lang.lang_pred, qual.quality_score
+        |FROM documents d
+        |JOIN qual ON d.doc_id = qual.doc_id
+        |JOIN lang ON d.doc_id = lang.doc_id
+        |JOIN pii ON d.doc_id = pii.doc_id
+        |WHERE qual.quality_score >= 0.3 AND pii.pii_total = 0""".stripMargin,
 
     // the corpus-prep pipeline composes the q61/q62/q63 oracles as CTEs —
     // the SQL proves the composed DataFrame pipeline distributes over the

@@ -41,6 +41,15 @@ object StreamGate {
     dir
   }
 
+  /** Stage any single-file parquet fixture into a fresh directory for the
+    * file streaming source. */
+  private def stageTableDir(sfDir: String, table: String): Path = {
+    val dir = graft.io.TempDirs.create(s"graft_stream_$table")
+    Files.copy(Paths.get(s"$sfDir/$table.parquet"), dir.resolve(s"$table.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
   /** Drain a finite stream into a uniquely-named memory sink and return the
     * sink table. AvailableNow processes every staged file (respecting
     * maxFilesPerTrigger batch boundaries) and then terminates. */
@@ -84,6 +93,27 @@ object StreamGate {
       .select(expr("unix_micros(window.start) div 1000000").as("bucket_s"),
         col("event_type"), col("n_events"), col("sum_value"))
     runToTable(agg, "stream_hourly", "complete")
+  }
+
+  /**
+   * Streaming corpus curation: the stateless quality/lang-id/PII projection
+   * and filter applied to a document stream in append mode. Per-row with no
+   * state or watermark, so the emitted set is EXACTLY the batch projection
+   * of the same file — the strongest streaming-vs-batch parity the gate can
+   * express, and the shape a production ingest filter runs as (each arriving
+   * file is scored and filtered as it lands).
+   */
+  def corpusFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageTableDir(sfDir, "documents")
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val scored = graft.ext.TextStats.qualityScore(
+      graft.ext.TextStats.langId(docs, "text"), "text")
+    val out = graft.ext.CorpusFilters.piiScan(scored, "text")
+      .filter(col("quality_score") >= 0.3 && col("pii_total") === 0)
+      .select(col("doc_id"), col("lang_pred"), col("quality_score"))
+    runToTable(out, "stream_corpus", "append")
   }
 
   /** Streaming exact dedup on a key column; only the key survives to the
