@@ -458,6 +458,9 @@ object SparkEntry {
     "q55_token_budget" -> ((s, dir) =>
       CorpusFilters.tokenBudget(t(s, dir, "documents"), "doc_id", "text", "source",
         budgetFrac = 0.5)),
+    // per-source mixture report (doc/token counts + corpus fractions)
+    "q56_mixture_report" -> ((s, dir) =>
+      CorpusFilters.mixtureReport(t(s, dir, "documents"), "text", "source")),
     // SemDeDup-style semantic dedup over embeddings (KMeans cells +
     // intra-cell cosine); seeded KMeans is not SQL-expressible -> rows-only
     // in the gate, planted-duplicate ground truth in SimilaritySpec
@@ -1080,6 +1083,21 @@ object SparkEntry {
         |)
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS BIGINT) AS rank, gram, cnt
         |FROM bc ORDER BY cnt DESC, gram LIMIT 100""".stripMargin,
+
+    // mixture report: counts are BIGINT both sides; fractions use the
+    // identical double expression tree
+    "q56_mixture_report" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS td, CAST(SUM(n_tokens) AS BIGINT) AS tt FROM per
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE) AS doc_frac,
+        |  CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS token_frac
+        |FROM per CROSS JOIN tot""".stripMargin,
 
     // token-budget mixture subset: md5-hash order + running sum per source,
     // admitted while cum <= floor(0.5 * source total); integer cums -> no

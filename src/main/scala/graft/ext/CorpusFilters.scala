@@ -197,6 +197,25 @@ object CorpusFilters {
   }
 
   /**
+   * Per-source mixture report: document/token counts and each source's
+   * fraction of the corpus — the summary every mixture-weighting decision
+   * starts from. One map-side-combined aggregation plus a broadcast of the
+   * single-row grand total.
+   */
+  def mixtureReport(
+      df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val tok = df.select(col(sourceCol),
+      size(Dedup.tokens(col(textCol))).cast("long").as("__t"))
+    val per = tok.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_docs")).as("__td"), sum(col("n_tokens")).as("__tt"))
+    per.join(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("__td").cast("double")).as("doc_frac"),
+        (col("n_tokens").cast("double") / col("__tt").cast("double")).as("token_frac"))
+  }
+
+  /**
    * Rate-based token-budget selection (the 100 TB path): per source, keep a
    * document iff its md5-derived uniform draw is below
    * `budgetTokens / sourceTokens`. Two fully parallel passes (agg + filter),

@@ -94,6 +94,19 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(kept.map(_._3).max === 20L) // running sum of the kept prefix
   }
 
+  test("mixtureReport: ground-truth counts and fractions summing to 1") {
+    val docs = Seq(
+      (1L, "a", "w w w"), (2L, "a", "w"), (3L, "b", "w w w w w w")
+    ).toDF("doc_id", "source", "text")
+    val r = CorpusFilters.mixtureReport(docs, "text", "source")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getLong(1) === 2L && r("a").getLong(2) === 4L)
+    assert(r("b").getLong(1) === 1L && r("b").getLong(2) === 6L)
+    assert(math.abs(r("a").getDouble(3) - 2.0 / 3.0) < 1e-15)
+    assert(math.abs(r("a").getDouble(4) - 0.4) < 1e-15)
+    assert(math.abs(r.values.map(_.getDouble(4)).sum - 1.0) < 1e-12)
+  }
+
   test("tokenBudgetByRate: deterministic, subset of input, keeps all when budget >= total") {
     val text = Seq.fill(10)("w").mkString(" ")
     val docs = (1L to 20L).map(i => (i, if (i <= 10) "a" else "b", text))
