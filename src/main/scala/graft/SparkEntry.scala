@@ -461,6 +461,33 @@ object SparkEntry {
     // per-source mixture report (doc/token counts + corpus fractions)
     "q56_mixture_report" -> ((s, dir) =>
       CorpusFilters.mixtureReport(t(s, dir, "documents"), "text", "source")),
+
+    // full curation pipeline (capstone): language + quality + repetition +
+    // PII + decontamination filters, exact dedup, 50% per-source token
+    // budget, mixture accounting — ONE declarative plan over seven library
+    // operators; eval docs (doc_id % 50 == 0, the quarantined benchmark
+    // set) never enter the training side
+    "q98_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      val scored = TextStats.qualityScore(TextStats.langId(train, "text"), "text")
+      val rep = CorpusFilters.repetitionStats(train, "doc_id", "text")
+        .select(col("doc_id"), col("top_word_frac"), col("distinct_word_frac"))
+      val pii = CorpusFilters.piiScan(train.select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("pii_total"))
+      val decon = CorpusFilters.decontaminate(train, evalSet, "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("contaminated"))
+      val kept = scored
+        .join(rep, Seq("doc_id")).join(pii, Seq("doc_id")).join(decon, Seq("doc_id"))
+        .filter(col("lang_pred") === "en" && col("quality_score") >= 0.3 &&
+          col("top_word_frac") <= 0.3 && col("distinct_word_frac") >= 0.25 &&
+          col("pii_total") === 0 && !col("contaminated"))
+      val deduped = Dedup.exactDedup(kept, "text", "doc_id")
+      CorpusFilters.tokenBudget(deduped, "doc_id", "text", "source", budgetFrac = 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("sum_ws_tokens"))
+    }),
     // SemDeDup-style semantic dedup over embeddings (KMeans cells +
     // intra-cell cosine); seeded KMeans is not SQL-expressible -> rows-only
     // in the gate, planted-duplicate ground truth in SimilaritySpec
@@ -761,6 +788,64 @@ object SparkEntry {
       |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS bpe_ish_tokens
       |FROM documents""".stripMargin
 
+  /** doc_id -> total PII hit count, shared by the q65/q86/q98 oracles. */
+  private lazy val piiTotalsSub: String =
+    s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '${CorpusFilters.emailPattern}'))
+      |     + len(regexp_extract_all(text, '${CorpusFilters.ipv4Pattern}'))
+      |     + len(regexp_extract_all(text, '${CorpusFilters.phonePattern}')) AS BIGINT) AS pii_total
+      |FROM documents""".stripMargin
+
+  // repetition stats: unnest+zip exploded words, lead() bigrams, same
+  // two-level agg as the engine (counts are BIGINT both sides; ratio
+  // expression trees written identically for bit-equal doubles)
+  private lazy val repetitionOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), w AS (
+      |  SELECT doc_id, unnest(t) AS word, unnest(generate_series(1, len(t))) AS pos FROM toks
+      |), wb AS (
+      |  SELECT doc_id, word, lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM w
+      |), wc AS (SELECT doc_id, word, count(*) AS wcnt FROM wb GROUP BY 1, 2
+      |), ws AS (
+      |  SELECT doc_id, CAST(SUM(wcnt) AS BIGINT) AS n_words,
+      |    count(*) AS n_distinct_words, MAX(wcnt) AS top_word_cnt
+      |  FROM wc GROUP BY 1
+      |), bc AS (
+      |  SELECT doc_id, word || ' ' || nxt AS gram2, count(*) AS bcnt
+      |  FROM wb WHERE nxt IS NOT NULL GROUP BY 1, 2
+      |), bs AS (
+      |  SELECT doc_id, CAST(SUM(bcnt) AS BIGINT) AS n_bigrams, MAX(bcnt) AS top_bigram_cnt
+      |  FROM bc GROUP BY 1
+      |)
+      |SELECT ws.doc_id, n_words, n_distinct_words,
+      |  CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS distinct_word_frac,
+      |  CAST(top_word_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+      |  COALESCE(CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0) AS top_bigram_frac
+      |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id""".stripMargin
+
+  // decontamination: string 5-grams on the oracle side vs xxhash64'd
+  // grams on the engine side — counts agree modulo ~2^-64 collisions
+  // (same precedent as the q43 exact-jaccard oracle)
+  private lazy val deconOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct(list_transform(generate_series(1, len(t)-4),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) END AS s
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |        FROM documents WHERE length(trim(text)) > 0)
+      |), eg AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 50 = 0
+      |), tg AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 50 <> 0
+      |), hits AS (
+      |  SELECT tg.doc_id, count(*) AS n FROM tg JOIN eg ON tg.gram = eg.gram GROUP BY 1
+      |)
+      |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
+      |  COALESCE(h.n, 0) > 0 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0 AND length(trim(text)) > 0) d
+      |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(queryPairs: _*)
 
   private[graft] lazy val oraclePairs: Seq[(String, String)] = Seq(
@@ -1003,34 +1088,7 @@ object SparkEntry {
     "q62_text_langid" -> langIdOracle,
     "q63_token_counts" -> tokenCountOracle,
 
-    // repetition stats: unnest+zip exploded words, lead() bigrams, same
-    // two-level agg as the engine (counts are BIGINT both sides; ratio
-    // expression trees written identically for bit-equal doubles)
-    "q64_repetition_stats" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-        |  FROM documents WHERE length(trim(text)) > 0
-        |), w AS (
-        |  SELECT doc_id, unnest(t) AS word, unnest(generate_series(1, len(t))) AS pos FROM toks
-        |), wb AS (
-        |  SELECT doc_id, word, lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM w
-        |), wc AS (SELECT doc_id, word, count(*) AS wcnt FROM wb GROUP BY 1, 2
-        |), ws AS (
-        |  SELECT doc_id, CAST(SUM(wcnt) AS BIGINT) AS n_words,
-        |    count(*) AS n_distinct_words, MAX(wcnt) AS top_word_cnt
-        |  FROM wc GROUP BY 1
-        |), bc AS (
-        |  SELECT doc_id, word || ' ' || nxt AS gram2, count(*) AS bcnt
-        |  FROM wb WHERE nxt IS NOT NULL GROUP BY 1, 2
-        |), bs AS (
-        |  SELECT doc_id, CAST(SUM(bcnt) AS BIGINT) AS n_bigrams, MAX(bcnt) AS top_bigram_cnt
-        |  FROM bc GROUP BY 1
-        |)
-        |SELECT ws.doc_id, n_words, n_distinct_words,
-        |  CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS distinct_word_frac,
-        |  CAST(top_word_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
-        |  COALESCE(CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0) AS top_bigram_frac
-        |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id""".stripMargin,
+    "q64_repetition_stats" -> repetitionOracle,
 
     // PII scan: identical RE2-safe patterns on both engines; DuckDB
     // regexp_replace needs the 'g' flag to match Spark's replace-all
@@ -1048,26 +1106,45 @@ object SparkEntry {
         |    '${CorpusFilters.phonePattern}', '<PHONE>', 'g')) AS redacted_md5
         |FROM documents""".stripMargin,
 
-    // decontamination: string 5-grams on the oracle side vs xxhash64'd
-    // grams on the engine side — counts agree modulo ~2^-64 collisions
-    // (same precedent as the q43 exact-jaccard oracle)
-    "q66_decontaminate" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
-        |         ELSE list_distinct(list_transform(generate_series(1, len(t)-4),
-        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) END AS s
-        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |        FROM documents WHERE length(trim(text)) > 0)
-        |), eg AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 50 = 0
-        |), tg AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 50 <> 0
-        |), hits AS (
-        |  SELECT tg.doc_id, count(*) AS n FROM tg JOIN eg ON tg.gram = eg.gram GROUP BY 1
+    "q66_decontaminate" -> deconOracle,
+
+    // full curation pipeline: one composed oracle proving the ENTIRE
+    // declarative plan — language + quality + repetition + PII +
+    // decontamination filters, exact dedup, per-source token budget,
+    // mixture accounting — distributes over the same per-doc semantics
+    "q98_curation_pipeline" ->
+      s"""WITH qual AS ($qualityOracle), lang AS ($langIdOracle),
+        |rep AS ($repetitionOracle), pii AS ($piiTotalsSub), decon AS ($deconOracle),
+        |kept AS (
+        |  SELECT d.doc_id, d.text, d.source FROM documents d
+        |  JOIN qual ON d.doc_id = qual.doc_id
+        |  JOIN lang ON d.doc_id = lang.doc_id
+        |  JOIN rep ON d.doc_id = rep.doc_id
+        |  JOIN pii ON d.doc_id = pii.doc_id
+        |  JOIN decon ON d.doc_id = decon.doc_id
+        |  WHERE lang.lang_pred = 'en' AND qual.quality_score >= 0.3
+        |    AND rep.top_word_frac <= 0.3 AND rep.distinct_word_frac >= 0.25
+        |    AND pii.pii_total = 0 AND NOT decon.contaminated
+        |), dd AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text
+        |), base AS (
+        |  SELECT k.doc_id, k.source,
+        |    CAST(len(string_split_regex(lower(trim(k.text)), '\\s+')) AS BIGINT) AS ws_tokens,
+        |    md5(CAST(k.doc_id AS VARCHAR)) AS h_ord
+        |  FROM dd x JOIN kept k ON x.doc_id = k.doc_id
+        |), tot AS (
+        |  SELECT source,
+        |    CAST(floor(CAST(CAST(SUM(ws_tokens) AS BIGINT) AS DOUBLE) * 0.5) AS BIGINT) AS budget
+        |  FROM base GROUP BY 1
+        |), sel AS (
+        |  SELECT * FROM (
+        |    SELECT base.doc_id, base.source AS source, ws_tokens,
+        |      CAST(SUM(ws_tokens) OVER (PARTITION BY base.source ORDER BY h_ord, base.doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, budget
+        |    FROM base JOIN tot ON base.source = tot.source
+        |  ) WHERE cum <= budget
         |)
-        |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
-        |  COALESCE(h.n, 0) > 0 AS contaminated
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0 AND length(trim(text)) > 0) d
-        |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+        |SELECT source, count(*) AS n_docs, CAST(SUM(ws_tokens) AS BIGINT) AS sum_ws_tokens
+        |FROM sel GROUP BY 1""".stripMargin,
 
     // corpus top-100 bigrams, rank deterministic on (cnt desc, gram asc)
     "q67_top_bigrams" ->
@@ -1125,13 +1202,7 @@ object SparkEntry {
     // PII counts
     "q86_stream_corpus_filter" ->
       s"""WITH qual AS ($qualityOracle), lang AS ($langIdOracle),
-        |pii AS (
-        |  SELECT doc_id,
-        |    len(regexp_extract_all(text, '${CorpusFilters.emailPattern}'))
-        |    + len(regexp_extract_all(text, '${CorpusFilters.ipv4Pattern}'))
-        |    + len(regexp_extract_all(text, '${CorpusFilters.phonePattern}')) AS pii_total
-        |  FROM documents
-        |)
+        |pii AS ($piiTotalsSub)
         |SELECT d.doc_id, lang.lang_pred, qual.quality_score
         |FROM documents d
         |JOIN qual ON d.doc_id = qual.doc_id
