@@ -131,6 +131,7 @@ object CorpusFilters {
   def decontaminate(
       train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
     def grams(df: DataFrame) =
       TextExpressionFunctions.shingle_hashes(Dedup.tokens(col(textCol)), n, 0L)
     val evalGrams = eval
@@ -156,6 +157,7 @@ object CorpusFilters {
    * rows; the full gram dictionary never funnels through one partition.
    */
   def topBigrams(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val counts = explodedGrams(df, idCol, textCol)
       .filter(col("gram2").isNotNull)
       .groupBy(col("gram2")).agg(count(lit(1)).as("cnt"))
@@ -181,6 +183,8 @@ object CorpusFilters {
   def tokenBudget(
       df: DataFrame, idCol: String, textCol: String, sourceCol: String,
       budgetFrac: Double): DataFrame = {
+    require(budgetFrac >= 0.0 && budgetFrac <= 1.0,
+      s"budgetFrac must be in [0,1], got $budgetFrac")
     val tok = df.select(col(idCol), col(sourceCol),
       size(Dedup.tokens(col(textCol))).cast("long").as("ws_tokens"),
       md5(col(idCol).cast("string").cast("binary")).as("__ord"))
@@ -227,6 +231,7 @@ object CorpusFilters {
   def tokenBudgetByRate(
       df: DataFrame, idCol: String, textCol: String, sourceCol: String,
       budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be non-negative, got $budgetTokens")
     val tok = df.select(col(idCol), col(sourceCol),
       size(Dedup.tokens(col(textCol))).cast("long").as("ws_tokens"))
     val rates = tok.groupBy(col(sourceCol))

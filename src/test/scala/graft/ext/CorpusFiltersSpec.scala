@@ -107,6 +107,32 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(math.abs(r.values.map(_.getDouble(4)).sum - 1.0) < 1e-12)
   }
 
+  test("input validation fails fast with named errors") {
+    val docs = Seq((1L, "a", "w")).toDF("doc_id", "source", "text")
+    assert(intercept[IllegalArgumentException] {
+      CorpusFilters.tokenBudget(docs, "doc_id", "text", "source", budgetFrac = 1.5)
+    }.getMessage.contains("budgetFrac"))
+    assert(intercept[IllegalArgumentException] {
+      CorpusFilters.topBigrams(docs, "doc_id", "text", k = 0)
+    }.getMessage.contains("k must be positive"))
+    assert(intercept[IllegalArgumentException] {
+      CorpusFilters.decontaminate(docs, docs, "doc_id", "text", n = 0)
+    }.getMessage.contains("n-gram size"))
+    assert(intercept[IllegalArgumentException] {
+      CorpusFilters.tokenBudgetByRate(docs, "doc_id", "text", "source", budgetTokens = -1L)
+    }.getMessage.contains("budgetTokens"))
+  }
+
+  test("null text: repetitionStats drops the row; piiScan propagates null (curation filters then drop it)") {
+    val docs = Seq((1L, Some("a b")), (2L, Option.empty[String])).toDF("doc_id", "text")
+    val rep = CorpusFilters.repetitionStats(docs, "doc_id", "text").collect()
+    assert(rep.map(_.getLong(0)).toSet === Set(1L))
+    val pii = CorpusFilters.piiScan(docs, "text")
+      .select($"doc_id", $"pii_total").collect().map(x => x.getLong(0) -> x).toMap
+    assert(pii(1L).getLong(1) === 0L)
+    assert(pii(2L).isNullAt(1)) // null in, null out: a `pii_total = 0` keep-filter drops it
+  }
+
   test("tokenBudgetByRate: deterministic, subset of input, keeps all when budget >= total") {
     val text = Seq.fill(10)("w").mkString(" ")
     val docs = (1L to 20L).map(i => (i, if (i <= 10) "a" else "b", text))
