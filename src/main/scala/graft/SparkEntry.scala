@@ -29,11 +29,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The corpus
-    * pipeline composes the widest slice of the engine in one plan (text
-    * scoring + filter + dedup + aggregation, 2 shuffles total). */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The full
+    * curation pipeline composes the widest slice of the engine in one plan:
+    * language/quality/repetition/PII/decontamination filters, exact dedup,
+    * per-source token budget, and mixture accounting (oracle-checked end to
+    * end as q98). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q99_corpus_pipeline")(spark, "/root/testdata/sf0.001")
+    queries("q98_curation_pipeline")(spark, "/root/testdata/sf0.001")
 
   // ---- shared query fragments -------------------------------------------
 
