@@ -120,28 +120,46 @@ object Similarity {
       .fit(trainSrc.select(array_to_vector(col(vecCol)).as("__features")))
   }
 
-  def ivfTopK(
-      data: DataFrame, dataId: String, dataVec: String,
-      queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, cfg: IvfConfig = IvfConfig()): DataFrame = {
-    val spark = data.sparkSession
+  /**
+   * A built IVF index: the per-row cell assignment (corpus-sized, columnar)
+   * and the tiny centroid table (nlist rows). Both are plain DataFrames so
+   * the index is a first-class, persistable artifact — build once, [[save]]
+   * it, [[loadIvfIndex]] and [[searchIvf]] many times (the production ANN
+   * flow; re-training the quantizer per query batch would waste the fit and
+   * the corpus-wide assignment pass).
+   */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame) {
+    /** Persist as two parquet tables under `dir`. */
+    def save(dir: String): Unit = {
+      assigned.write.mode("overwrite").parquet(s"$dir/assigned.parquet")
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    }
+  }
 
-    // 1. train the coarse quantizer on a capped sample
+  /** Rehydrate an [[IvfIndex]] written by [[IvfIndex.save]]. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+    IvfIndex(
+      assigned = spark.read.parquet(s"$dir/assigned.parquet"),
+      centroids = spark.read.parquet(s"$dir/centroids.parquet"))
+
+  /**
+   * Build the IVF index: fit the capped-sample coarse quantizer, assign
+   * every corpus row to its cell (one distributed pass), and materialize
+   * the nlist centroid table. Centroids stay DOUBLE — KMeans assigned rows
+   * in double precision, and ranking cells against float-downcast centroids
+   * could order two near-equidistant cells differently than the assignment
+   * did, pushing a row's own cell out of the probed set.
+   */
+  def buildIvfIndex(
+      data: DataFrame, dataId: String, dataVec: String,
+      cfg: IvfConfig = IvfConfig()): IvfIndex = {
+    val spark = data.sparkSession
     val model = fitQuantizer(data, dataVec, cfg.nlist, cfg.seed,
       cfg.trainFraction, cfg.maxTrainRows, cfg.maxIter, cfg.initMode)
-
-    // 2. assign every corpus row to its cell (single distributed pass)
     val assigned = model.transform(
         data.select(col(dataId).as("neighbor_id"), col(dataVec).as("__dv"),
           array_to_vector(col(dataVec)).as("__features")))
       .select(col("neighbor_id"), col("__dv"), col("prediction").as("cell"))
-
-    // 3. tiny centroid table (nlist rows) broadcast to rank cells per query.
-    // Centroids stay DOUBLE — KMeans assigned rows in double precision, and
-    // ranking cells against float-downcast centroids could order two
-    // near-equidistant cells differently than the assignment did, pushing a
-    // row's own cell out of the probed set. Interpreted HOF distance is fine
-    // here: |queries| x nlist rows only.
     val centroidRows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       Row(i, c.toArray.toSeq)
     }
@@ -149,23 +167,41 @@ object Similarity {
       spark.sparkContext.parallelize(centroidRows.toSeq, 1),
       StructType(Seq(StructField("cell", IntegerType, nullable = false),
         StructField("__cv", ArrayType(DoubleType, containsNull = false), nullable = false))))
+    IvfIndex(assigned, centroids)
+  }
 
+  /**
+   * Probe an [[IvfIndex]]: rank cells per query by euclidean distance to
+   * the centroid (KMeans' metric; interpreted HOF distance is fine here —
+   * |queries| x nlist rows only), scan the nprobe nearest cells, exact
+   * cosine, top-k.
+   */
+  def searchIvf(
+      index: IvfIndex,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nprobe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("__cd").asc, col("cell").asc)
     val qvDouble = col("__qv").cast("array<double>")
     val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
-      .join(broadcast(centroids))
+      .join(broadcast(index.centroids))
       .withColumn("__cd", aggregate(
         zip_with(qvDouble, col("__cv"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, d) => acc + d))
       .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= cfg.nprobe)
+      .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("__qv"), col("cell"))
 
-    // 4. scan only the probed cells, exact cosine, top-k
-    val cand = assigned.join(probes, "cell")
+    val cand = index.assigned.join(probes, "cell")
       .withColumn("cosine", vec_cosine(col("__dv"), col("__qv")))
     rankTopK(cand, k)
   }
+
+  def ivfTopK(
+      data: DataFrame, dataId: String, dataVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, cfg: IvfConfig = IvfConfig()): DataFrame =
+    searchIvf(buildIvfIndex(data, dataId, dataVec, cfg),
+      queries, queryId, queryVec, k, cfg.nprobe)
 
   /** @param nlist cluster count — pairwise work is O(Σ cell² ) ≈ n²/nlist,
     *               so size it ~ n / targetCellSize. */

@@ -97,6 +97,24 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.filter(_.getLong(3) == 1L).forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("IVF index: build -> save -> load -> search matches the direct search bit-exactly") {
+    val rng = new scala.util.Random(31)
+    val data = (0L until 150L).map(i => (i, Seq.fill(8)(rng.nextGaussian().toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val q = df.filter($"vec_id" < 3L)
+    val cfg = Similarity.IvfConfig(nlist = 8, nprobe = 3)
+    val idx = Similarity.buildIvfIndex(df, "vec_id", "embedding", cfg)
+    val direct = Similarity.searchIvf(idx, q, "vec_id", "embedding", k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+    val dir = graft.io.TempDirs.create("graft_ivf_idx").toString
+    idx.save(dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val viaDisk = Similarity.searchIvf(loaded, q, "vec_id", "embedding", k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+    assert(viaDisk.nonEmpty && (viaDisk.toSeq == direct.toSeq))
+  }
+
   test("semDedup: planted intra-cluster duplicates dropped, min-id representative kept") {
     val rng = new scala.util.Random(11)
     val base = (0L until 120L).map(i => (i, Seq.fill(8)(rng.nextGaussian().toFloat)))
