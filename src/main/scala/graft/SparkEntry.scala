@@ -456,6 +456,9 @@ object SparkEntry {
     // corpus-wide top-100 adjacent-word bigrams, deterministic rank
     "q67_top_bigrams" -> ((s, dir) =>
       CorpusFilters.topBigrams(t(s, dir, "documents"), "doc_id", "text", k = 100)),
+    // duplicated 16-token spans (exact-substring dedup signal)
+    "q68_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 16)),
     // deterministic 50%-of-tokens-per-source mixture subset
     "q55_token_budget" -> ((s, dir) =>
       CorpusFilters.tokenBudget(t(s, dir, "documents"), "doc_id", "text", "source",
@@ -1109,6 +1112,27 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q66_decontaminate" -> deconOracle,
+
+    // duplicated spans: string 16-grams on the oracle side vs xxhash64'd
+    // spans on the engine side (q43 precedent); within-doc spans distinct,
+    // so cross-doc frequency is count distinct docs per span
+    "q68_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 16 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t)-15),
+        |                i -> array_to_string(list_slice(t, i, i+15), ' '))) END AS s
+        |  FROM toks
+        |), g AS (SELECT doc_id, unnest(s) AS gram FROM sh
+        |), freq AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+        |  CAST(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_span_frac
+        |FROM g JOIN freq ON g.gram = freq.gram GROUP BY 1""".stripMargin,
 
     // full curation pipeline: one composed oracle proving the ENTIRE
     // declarative plan — language + quality + repetition + PII +

@@ -496,6 +496,41 @@ object Dedup {
       .select(col("id"), col("id").as("cluster_id"))
     labels.select(col("id"), col("label").as("cluster_id")).unionByName(singletons)
   }
+
+  /**
+   * Duplicated-span detection — the exact-substring dedup signal (Lee et
+   * al. 2021, arXiv:2107.06499) at word granularity: for every document,
+   * how many of its distinct `n`-token spans also appear in at least one
+   * OTHER document, plus the duplicated fraction. High `dup_span_frac`
+   * flags boilerplate, mirrored passages, and memorization-prone text that
+   * document-level dedup misses (two mostly-different docs can still share
+   * a long verbatim span).
+   *
+   * Scale shape: spans ride as 8-byte xxhash64 longs from the codegen
+   * kernel (within-doc distinct — same 2^-64-collision caveat as the
+   * exact-jaccard operator); the cross-doc frequency is one map-side
+   * combined hash agg keyed by span hash, re-joined by hash; text never
+   * rides a shuffle and the corpus never self-joins. A doc shorter than
+   * `n` words contributes its whole text as a single span.
+   */
+  def duplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 16): DataFrame = {
+    require(n > 0, s"span width must be positive, got $n")
+    val spans = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(
+        TextExpressionFunctions.shingle_hashes(tokens(col(textCol)), n, ShingleSeed))
+        .as("__h"))
+    // spans are distinct within a doc, so count(*) per hash == number of
+    // docs containing the span
+    val freq = spans.groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
+    spans.join(freq, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .select(col(idCol), col("n_spans"), col("dup_spans"),
+        (col("dup_spans").cast("double") / col("n_spans").cast("double"))
+          .as("dup_span_frac"))
+  }
 }
 
 /** Deterministic random-hyperplane generation + sign-bucket keys, shared by

@@ -139,4 +139,19 @@ class DedupSpec extends SparkSpec {
     assert(Set((0L, 1L), (0L, 2L), (1L, 2L)).subsetOf(got.keySet), s"got $got")
     Seq((0L, 1L), (0L, 2L), (1L, 2L)).foreach(p => assert(got(p) > 0.999999))
   }
+
+  test("duplicatedSpans: planted shared span detected; unique docs report zero; short-doc fallback") {
+    val span = (1 to 5).map(i => s"tok$i").mkString(" ") // n=5 spans below
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),   // shares the 5-token span with doc 2
+      (2L, s"one two three $span four"),
+      (3L, "entirely unique words here nothing shared at all"),
+      (4L, "tiny doc"), (5L, "tiny doc")       // < n words: whole-doc span, dup'd
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L)._2 === 1L && r(2L)._2 === 1L) // exactly the planted span is shared
+    assert(r(3L)._2 === 0L && r(3L)._3 === 0.0)
+    assert(r(4L) === ((1L, 1L, 1.0)) && r(5L) === ((1L, 1L, 1.0)))
+  }
 }
