@@ -154,6 +154,9 @@ object ScaleProbe {
         ext.CorpusFilters.decontaminate(docs.filter(col("doc_id") % 50 =!= 0), evalSet,
           "doc_id", "text", n = 5).count()
       }
+      timed("dup_spans", k) {
+        Dedup.duplicatedSpans(read("documents", k), "doc_id", "text", n = 16).count()
+      }
       timed("token_budget", k) {
         ext.CorpusFilters.tokenBudget(read("documents", k), "doc_id", "text", "source",
           budgetFrac = 0.5).count()
