@@ -417,6 +417,29 @@ object SparkEntry {
           length(col("thumbnail")).cast("long").as("thumb_len"),
           crc32(col("thumbnail")).as("thumb_crc"))),
 
+    // real PPM decode path: valid P6 payloads generated from a closed-form
+    // pixel formula, genuinely decoded; DuckDB recomputes the decoded
+    // statistics from the formula — an encode/parse/decode bug breaks the
+    // hash-compare
+    "q73_ppm_decode_stats" -> ((s, dir) =>
+      Multimodal.ppmStats(
+        Multimodal.attachSyntheticPpm(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", w = 32, h = 24),
+        "ppm")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))),
+    // decode -> box-filter resize -> re-encode -> decode again; the oracle
+    // recomputes the truncating block averages in SQL, pinning the actual
+    // resize arithmetic
+    "q74_ppm_resize_stats" -> ((s, dir) => {
+      val ppm = Multimodal.attachSyntheticPpm(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", w = 32, h = 24)
+      val resized = Multimodal.ppmResize(ppm, "ppm", outW = 8, outH = 6)
+      Multimodal.ppmStats(resized.select(col("doc_id"), col("thumb_ppm")), "thumb_ppm")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+
     // ---- text analysis --------------------------------------------------
     "q60_text_stats" -> ((s, dir) =>
       TextStats.withStats(t(s, dir, "documents"), "text", prefix = "stat_")
@@ -1094,6 +1117,48 @@ object SparkEntry {
     "q63_token_counts" -> tokenCountOracle,
 
     "q64_repetition_stats" -> repetitionOracle,
+
+    // PPM decode stats: the synthetic image's channel (x,y,c) of doc `id`
+    // is (id*31 + x*7 + y*13 + c*5) mod 256 — SQL recomputes the decoded
+    // per-channel means from the formula (exact integer sums, then one
+    // double division on both engines)
+    "q73_ppm_decode_stats" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, xs.x AS x, ys.y AS y FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS y) ys
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((doc_id*31 + x*7 + y*13 + 0) % 256) AS BIGINT) AS sr,
+        |    CAST(SUM((doc_id*31 + x*7 + y*13 + 5) % 256) AS BIGINT) AS sg,
+        |    CAST(SUM((doc_id*31 + x*7 + y*13 + 10) % 256) AS BIGINT) AS sb
+        |  FROM px GROUP BY 1
+        |)
+        |SELECT doc_id, 32 AS width, 24 AS height,
+        |  CAST(sr AS DOUBLE) / 768.0 AS mean_r,
+        |  CAST(sg AS DOUBLE) / 768.0 AS mean_g,
+        |  CAST(sb AS DOUBLE) / 768.0 AS mean_b
+        |FROM s""".stripMargin,
+
+    // PPM resize stats: each 4x4 block averages with truncating integer
+    // division (// in DuckDB == JVM int division for non-negative values)
+    "q74_ppm_resize_stats" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, xs.x AS x, ys.y AS y FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS y) ys
+        |), blocks AS (
+        |  SELECT doc_id, x // 4 AS ox, y // 4 AS oy,
+        |    CAST(SUM((doc_id*31 + x*7 + y*13 + 0) % 256) AS BIGINT) // 16 AS pr,
+        |    CAST(SUM((doc_id*31 + x*7 + y*13 + 5) % 256) AS BIGINT) // 16 AS pg,
+        |    CAST(SUM((doc_id*31 + x*7 + y*13 + 10) % 256) AS BIGINT) // 16 AS pb
+        |  FROM px GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, 8 AS width, 6 AS height,
+        |  CAST(CAST(SUM(pr) AS BIGINT) AS DOUBLE) / 48.0 AS mean_r,
+        |  CAST(CAST(SUM(pg) AS BIGINT) AS DOUBLE) / 48.0 AS mean_g,
+        |  CAST(CAST(SUM(pb) AS BIGINT) AS DOUBLE) / 48.0 AS mean_b
+        |FROM blocks GROUP BY 1""".stripMargin,
 
     // PII scan: identical RE2-safe patterns on both engines; DuckDB
     // regexp_replace needs the 'g' flag to match Spark's replace-all

@@ -10,12 +10,19 @@ import org.apache.spark.sql.types._
  * extraction / frame sampling run as distributed per-partition batch
  * operators.
  *
- * The actual byte -> pixels/samples decode is STUBBED (this container ships
- * no image/audio codecs): [[StubDecoder]] derives deterministic
- * pseudo-features from the bytes, clearly marked below. Everything around
- * the stub — schema, partitioning, batch iteration shape, encoder wiring —
- * is the real thing: swap [[StubDecoder.decodeFeatures]] for a JNI/codec
- * call and nothing else changes.
+ * Two decode tiers:
+ *  - [[PpmCodec]] is a REAL pure-JVM codec for binary PPM (P6) images —
+ *    encode, parse, pixel stats, box-filter resize — exercised end-to-end
+ *    (and oracle-checked: the synthetic image generator uses a closed-form
+ *    pixel formula DuckDB can evaluate in SQL, so a decode bug breaks the
+ *    hash-compare).
+ *  - COMPRESSED codecs (jpeg/png/wav/mp4) are STUBBED (this container
+ *    ships no codec libraries): [[StubDecoder]] derives deterministic
+ *    pseudo-features from the bytes, clearly marked below. Everything
+ *    around the stub — schema, partitioning, batch iteration shape,
+ *    encoder wiring — is the real thing: swap
+ *    [[StubDecoder.decodeFeatures]] for a JNI/codec call and nothing else
+ *    changes.
  *
  * Scale notes: feature extraction is mapPartitions (one decoder init per
  * partition, not per row — the expensive part of real codec pipelines);
@@ -24,6 +31,168 @@ import org.apache.spark.sql.types._
  * processed independently downstream.
  */
 object Multimodal {
+
+  /**
+   * Pure-JVM binary-PPM (P6) codec: `P6\n<w> <h>\n<maxval>\n` header
+   * followed by an interleaved RGB raster, one byte per channel at
+   * maxval 255. No external libraries — the whole parse is ASCII token
+   * reading plus an array copy, which is exactly why P6 is the standard
+   * "prove the plumbing" format.
+   */
+  object PpmCodec {
+    final case class Image(width: Int, height: Int, pixels: Array[Byte]) {
+      /** Unsigned channel value at (x, y, c) with c in 0=R,1=G,2=B. */
+      def channel(x: Int, y: Int, c: Int): Int =
+        pixels((y * width + x) * 3 + c) & 0xFF
+    }
+
+    def encode(w: Int, h: Int, pixel: (Int, Int, Int) => Int): Array[Byte] = {
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + w * h * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var i = header.length
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) { out(i) = (pixel(x, y, c) & 0xFF).toByte; i += 1; c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    def decode(bytes: Array[Byte]): Image = {
+      var pos = 0
+      def skipWs(): Unit = {
+        while (pos < bytes.length &&
+            (bytes(pos) == ' ' || bytes(pos) == '\n' || bytes(pos) == '\r' || bytes(pos) == '\t')) {
+          pos += 1
+          // PPM comments run from '#' to end of line
+          if (pos < bytes.length && bytes(pos) == '#') {
+            while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          }
+        }
+      }
+      def token(): String = {
+        skipWs()
+        val start = pos
+        while (pos < bytes.length && !Character.isWhitespace(bytes(pos).toChar)) pos += 1
+        new String(bytes, start, pos - start, "US-ASCII")
+      }
+      val magic = token()
+      require(magic == "P6", s"not a binary PPM (P6) payload: magic '$magic'")
+      val w = token().toInt
+      val h = token().toInt
+      val maxval = token().toInt
+      require(maxval == 255, s"only maxval 255 supported, got $maxval")
+      pos += 1 // single whitespace byte separates header from raster
+      require(bytes.length - pos >= w * h * 3,
+        s"truncated raster: need ${w * h * 3} bytes, have ${bytes.length - pos}")
+      Image(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3))
+    }
+
+    /** Box-filter downsample by integer block averaging (truncating
+      * division — deterministic), re-encoded as P6. Requires the scale
+      * factors to divide the dimensions evenly so every output pixel
+      * averages a full block. */
+    def resize(img: Image, outW: Int, outH: Int): Image = {
+      require(outW > 0 && outH > 0 && img.width % outW == 0 && img.height % outH == 0,
+        s"resize ${img.width}x${img.height} -> ${outW}x$outH must be an integer block shrink")
+      val bx = img.width / outW
+      val by = img.height / outH
+      val out = new Array[Byte](outW * outH * 3)
+      var oy = 0
+      while (oy < outH) {
+        var ox = 0
+        while (ox < outW) {
+          var c = 0
+          while (c < 3) {
+            var sum = 0
+            var dy = 0
+            while (dy < by) {
+              var dx = 0
+              while (dx < bx) {
+                sum += img.channel(ox * bx + dx, oy * by + dy, c)
+                dx += 1
+              }
+              dy += 1
+            }
+            out((oy * outW + ox) * 3 + c) = (sum / (bx * by)).toByte
+            c += 1
+          }
+          ox += 1
+        }
+        oy += 1
+      }
+      Image(outW, outH, out)
+    }
+  }
+
+  /** The synthetic test image's closed-form pixel value — SQL-expressible
+    * on purpose, so the DuckDB oracle can recompute decoded statistics
+    * without a codec: channel(x, y, c) of image `id` is
+    * `(id*31 + x*7 + y*13 + c*5) mod 256`. */
+  def syntheticPixel(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id * 31 + x * 7 + y * 13 + c * 5) % 256).toInt
+
+  /** Attach a VALID deterministic P6 payload per row (real bytes, real
+    * header, real raster — [[ppmStats]] genuinely decodes them). */
+  def attachSyntheticPpm(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("ppm", BinaryType))
+    val idIdx = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        Row.fromSeq(r.toSeq :+ PpmCodec.encode(w, h, (x, y, c) => syntheticPixel(id, x, y, c)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode the P6 payload and project per-channel statistics: dimensions
+    * plus exact per-channel means (integer pixel sums — at most
+    * w*h*255 < 2^53 — divided as doubles, so the result is reproducible
+    * bit-for-bit on any engine that sums the same integers). */
+  def ppmStats(df: DataFrame, mediaCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val img = PpmCodec.decode(r.getAs[Array[Byte]](mediaIdx))
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < img.pixels.length) { sums(i % 3) += img.pixels(i) & 0xFF; i += 1 }
+        val n = (img.width * img.height).toDouble
+        Row.fromSeq(r.toSeq ++ Seq[Any](img.width, img.height,
+          sums(0) / n, sums(1) / n, sums(2) / n))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode -> box-filter resize -> re-encode, appending the thumbnail
+    * payload and its decoded dimensions. */
+  def ppmResize(df: DataFrame, mediaCol: String, outW: Int, outH: Int): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("thumb_ppm", BinaryType),
+      StructField("thumb_width", IntegerType), StructField("thumb_height", IntegerType)))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val img = PpmCodec.resize(PpmCodec.decode(r.getAs[Array[Byte]](mediaIdx)), outW, outH)
+        val bytes = PpmCodec.encode(img.width, img.height, (x, y, c) => img.channel(x, y, c))
+        Row.fromSeq(r.toSeq ++ Seq(bytes, img.width, img.height))
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** Typed metadata carried beside the raw bytes. */
   val mediaMetaType: StructType = StructType(Seq(

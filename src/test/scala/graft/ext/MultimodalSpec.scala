@@ -50,4 +50,50 @@ class MultimodalSpec extends SparkSpec {
     val thumbs = out.select($"thumbnail").collect().map(_.getAs[Array[Byte]](0))
     assert(thumbs.forall(t => t != null && t.length === 64))
   }
+
+  test("PpmCodec: encode -> decode round-trips dimensions and every pixel") {
+    import Multimodal.PpmCodec
+    val img = PpmCodec.decode(PpmCodec.encode(5, 3, (x, y, c) => x * 50 + y * 20 + c))
+    assert(img.width === 5 && img.height === 3)
+    for (x <- 0 until 5; y <- 0 until 3; c <- 0 until 3)
+      assert(img.channel(x, y, c) === ((x * 50 + y * 20 + c) & 0xFF))
+  }
+
+  test("PpmCodec: malformed payloads fail fast with named errors") {
+    import Multimodal.PpmCodec
+    assert(intercept[IllegalArgumentException] {
+      PpmCodec.decode("P5\n2 2\n255\nxxxx".getBytes("US-ASCII"))
+    }.getMessage.contains("magic"))
+    assert(intercept[IllegalArgumentException] {
+      PpmCodec.decode("P6\n4 4\n255\nxx".getBytes("US-ASCII"))
+    }.getMessage.contains("truncated"))
+  }
+
+  test("PpmCodec.resize: 2x2 block average with truncation, exact ground truth") {
+    import Multimodal.PpmCodec
+    // R channel values 10,20,30,41 -> floor(101/4) = 25
+    val img = PpmCodec.decode(PpmCodec.encode(2, 2, (x, y, c) =>
+      if (c == 0) Seq(10, 20, 30, 41)(y * 2 + x) else c * 100))
+    val small = PpmCodec.resize(img, 1, 1)
+    assert(small.channel(0, 0, 0) === 25)
+    assert(small.channel(0, 0, 1) === 100 && small.channel(0, 0, 2) === 200)
+    // non-integer block shrink rejected
+    assert(intercept[IllegalArgumentException] {
+      PpmCodec.resize(img, 3, 1)
+    }.getMessage.contains("integer block shrink"))
+  }
+
+  test("ppmStats decodes real P6 payloads: means match the closed-form formula") {
+    val docs = spark.range(0, 20).toDF("doc_id")
+    val stats = Multimodal.ppmStats(
+      Multimodal.attachSyntheticPpm(docs, "doc_id", w = 8, h = 4), "ppm")
+      .select($"doc_id", $"width", $"height", $"mean_r").collect()
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 8 && r.getInt(2) === 4)
+      val expected = (for (x <- 0 until 8; y <- 0 until 4)
+        yield Multimodal.syntheticPixel(id, x, y, 0)).sum / 32.0
+      assert(r.getDouble(3) === expected, s"doc $id")
+    }
+  }
 }
