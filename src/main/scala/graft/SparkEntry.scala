@@ -440,6 +440,29 @@ object SparkEntry {
           col("mean_r"), col("mean_g"), col("mean_b"))
     }),
 
+    // real WAV decode path: valid RIFF/PCM payloads, genuinely parsed;
+    // oracle recomputes decoded audio stats from the sample formula
+    "q75_wav_decode_stats" -> ((s, dir) =>
+      Multimodal.wavStats(
+        Multimodal.attachSyntheticWav(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          sampleRate = 8000, nSamples = 1200),
+        "wav")
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("duration_s"), col("mean_amp"), col("rms_amp"))),
+
+    // real video frame extraction: concatenated-P6 payload, frame
+    // boundaries recovered by PARSING each header; every 2nd frame decoded
+    // and reduced to channel means, oracle-recomputed from the formula
+    "q76_video_frame_stats" -> ((s, dir) =>
+      Multimodal.videoFrameStats(
+        Multimodal.attachSyntheticPpmVideo(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          w = 16, h = 8, nFrames = 8),
+        "video", stride = 2)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))),
+
     // ---- text analysis --------------------------------------------------
     "q60_text_stats" -> ((s, dir) =>
       TextStats.withStats(t(s, dir, "documents"), "text", prefix = "stat_")
@@ -1138,6 +1161,47 @@ object SparkEntry {
         |  CAST(sr AS DOUBLE) / 768.0 AS mean_r,
         |  CAST(sg AS DOUBLE) / 768.0 AS mean_g,
         |  CAST(sb AS DOUBLE) / 768.0 AS mean_b
+        |FROM s""".stripMargin,
+
+    // WAV decode stats: sample i of clip `id` is
+    // ((id*7 + i*3) mod 65536) - 32768; exact integer sums (and sum of
+    // squares), one double division / sqrt at the end on both engines
+    "q75_wav_decode_stats" ->
+      """WITH smp AS (
+        |  SELECT d.doc_id, ii.i AS i FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 1199)) AS i) ii
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(((doc_id*7 + i*3) % 65536) - 32768) AS BIGINT) AS s1,
+        |    CAST(SUM((((doc_id*7 + i*3) % 65536) - 32768) * (((doc_id*7 + i*3) % 65536) - 32768)) AS BIGINT) AS s2
+        |  FROM smp GROUP BY 1
+        |)
+        |SELECT doc_id, 8000 AS sample_rate, CAST(1200 AS BIGINT) AS n_samples,
+        |  1200.0 / 8000.0 AS duration_s,
+        |  CAST(s1 AS DOUBLE) / 1200.0 AS mean_amp,
+        |  sqrt(CAST(s2 AS DOUBLE) / 1200.0) AS rms_amp
+        |FROM s""".stripMargin,
+
+    // video frame stats: frame f of clip `id` has channel (x,y,c) =
+    // (id*31 + f*17 + x*7 + y*13 + c*5) mod 256; sampled frames 0,2,4,6
+    "q76_video_frame_stats" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, fs.f AS f, xs.x AS x, ys.y AS y FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS f) fs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys
+        |  WHERE fs.f % 2 = 0
+        |), s AS (
+        |  SELECT doc_id, f,
+        |    CAST(SUM((doc_id*31 + f*17 + x*7 + y*13 + 0) % 256) AS BIGINT) AS sr,
+        |    CAST(SUM((doc_id*31 + f*17 + x*7 + y*13 + 5) % 256) AS BIGINT) AS sg,
+        |    CAST(SUM((doc_id*31 + f*17 + x*7 + y*13 + 10) % 256) AS BIGINT) AS sb
+        |  FROM px GROUP BY 1, 2
+        |)
+        |SELECT doc_id, f AS frame_idx, 16 AS width, 8 AS height,
+        |  CAST(sr AS DOUBLE) / 128.0 AS mean_r,
+        |  CAST(sg AS DOUBLE) / 128.0 AS mean_g,
+        |  CAST(sb AS DOUBLE) / 128.0 AS mean_b
         |FROM s""".stripMargin,
 
     // PPM resize stats: each 4x4 block averages with truncating integer

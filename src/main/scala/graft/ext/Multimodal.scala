@@ -65,8 +65,13 @@ object Multimodal {
       out
     }
 
-    def decode(bytes: Array[Byte]): Image = {
-      var pos = 0
+    def decode(bytes: Array[Byte]): Image = decodeFrom(bytes, 0)._1
+
+    /** Parse one P6 image starting at `start`; returns the image and the
+      * offset just past its raster (frame boundary for concatenated-P6
+      * "raw video" payloads). */
+    def decodeFrom(bytes: Array[Byte], start: Int): (Image, Int) = {
+      var pos = start
       def skipWs(): Unit = {
         while (pos < bytes.length &&
             (bytes(pos) == ' ' || bytes(pos) == '\n' || bytes(pos) == '\r' || bytes(pos) == '\t')) {
@@ -92,7 +97,8 @@ object Multimodal {
       pos += 1 // single whitespace byte separates header from raster
       require(bytes.length - pos >= w * h * 3,
         s"truncated raster: need ${w * h * 3} bytes, have ${bytes.length - pos}")
-      Image(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3))
+      (Image(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3)),
+        pos + w * h * 3)
     }
 
     /** Box-filter downsample by integer block averaging (truncating
@@ -130,6 +136,132 @@ object Multimodal {
       }
       Image(outW, outH, out)
     }
+  }
+
+  /**
+   * Pure-JVM WAV (RIFF/PCM) codec for 16-bit mono audio: canonical 44-byte
+   * header (RIFF + fmt + data chunks) followed by little-endian int16
+   * samples. Like [[PpmCodec]], no external libraries — RIFF chunk walking
+   * and LE byte packing only.
+   */
+  object WavCodec {
+    final case class Audio(sampleRate: Int, samples: Array[Short])
+
+    private def writeIntLE(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    private def writeShortLE(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    }
+    private def readIntLE(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    private def readShortLE(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)).toShort.toInt
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val out = new Array[Byte](44 + dataLen)
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      writeIntLE(out, 4, 36 + dataLen)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      writeIntLE(out, 16, 16) // PCM fmt chunk length
+      writeShortLE(out, 20, 1) // PCM
+      writeShortLE(out, 22, 1) // mono
+      writeIntLE(out, 24, sampleRate)
+      writeIntLE(out, 28, sampleRate * 2) // byte rate
+      writeShortLE(out, 32, 2) // block align
+      writeShortLE(out, 34, 16) // bits per sample
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      writeIntLE(out, 40, dataLen)
+      var i = 0
+      while (i < samples.length) { writeShortLE(out, 44 + i * 2, samples(i)); i += 1 }
+      out
+    }
+
+    def decode(bytes: Array[Byte]): Audio = {
+      require(bytes.length >= 44 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+        "not a RIFF/WAVE payload")
+      // walk chunks: fmt must precede data (canonical layout); tolerate
+      // extra chunks between them
+      var pos = 12
+      var sampleRate = -1
+      var audio: Array[Short] = null
+      while (pos + 8 <= bytes.length) {
+        val id = tag(bytes, pos)
+        val len = readIntLE(bytes, pos + 4)
+        if (id == "fmt ") {
+          require(readShortLE(bytes, pos + 8) == 1, "only PCM supported")
+          require(readShortLE(bytes, pos + 10) == 1, "only mono supported")
+          require(readShortLE(bytes, pos + 22) == 16, "only 16-bit supported")
+          sampleRate = readIntLE(bytes, pos + 12)
+        } else if (id == "data") {
+          require(sampleRate > 0, "data chunk before fmt chunk")
+          require(pos + 8 + len <= bytes.length, "truncated data chunk")
+          val n = len / 2
+          val s = new Array[Short](n)
+          var i = 0
+          while (i < n) { s(i) = readShortLE(bytes, pos + 8 + i * 2).toShort; i += 1 }
+          audio = s
+        }
+        pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
+      }
+      require(audio != null, "no data chunk found")
+      Audio(sampleRate, audio)
+    }
+  }
+
+  /** The synthetic audio's closed-form sample value — SQL-expressible so
+    * the oracle recomputes decoded statistics: sample i of clip `id` is
+    * `((id*7 + i*3) mod 65536) - 32768` (full int16 range). */
+  def syntheticSample(id: Long, i: Int): Int =
+    (((id * 7 + i * 3) % 65536) - 32768).toInt
+
+  /** Attach a VALID 16-bit mono PCM WAV payload per row. */
+  def attachSyntheticWav(
+      df: DataFrame, idCol: String, sampleRate: Int, nSamples: Int): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("wav", BinaryType))
+    val idIdx = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val samples = Array.tabulate(nSamples)(i => syntheticSample(id, i).toShort)
+        Row.fromSeq(r.toSeq :+ WavCodec.encode(sampleRate, samples))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode the WAV payload and project audio statistics: sample count,
+    * duration, mean amplitude, and RMS — integer sums (|sum| <= n*2^15,
+    * sum of squares <= n*2^30, both well under 2^53) divided/rooted as
+    * doubles, bit-reproducible on any engine summing the same integers. */
+  def wavStats(df: DataFrame, mediaCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("sample_rate", IntegerType), StructField("n_samples", LongType),
+      StructField("duration_s", DoubleType), StructField("mean_amp", DoubleType),
+      StructField("rms_amp", DoubleType)))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val a = WavCodec.decode(r.getAs[Array[Byte]](mediaIdx))
+        var sum = 0L
+        var sumSq = 0L
+        var i = 0
+        while (i < a.samples.length) {
+          val v = a.samples(i).toLong
+          sum += v; sumSq += v * v; i += 1
+        }
+        val n = a.samples.length.toDouble
+        Row.fromSeq(r.toSeq ++ Seq[Any](a.sampleRate, a.samples.length.toLong,
+          a.samples.length.toDouble / a.sampleRate, sum / n, math.sqrt(sumSq / n)))
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** The synthetic test image's closed-form pixel value — SQL-expressible
@@ -255,6 +387,69 @@ object Multimodal {
         (id % 640 + 32).cast("int").as("width"),
         (id % 480 + 32).cast("int").as("height"),
         (id % 30 + 1).cast("int").as("n_frames")))
+  }
+
+  /** The synthetic video's closed-form pixel value: channel (x, y, c) of
+    * frame `f` in clip `id` is `(id*31 + f*17 + x*7 + y*13 + c*5) mod 256`. */
+  def syntheticVideoPixel(id: Long, f: Int, x: Int, y: Int, c: Int): Int =
+    ((id * 31 + f * 17 + x * 7 + y * 13 + c * 5) % 256).toInt
+
+  /** Attach a VALID "raw video" payload: `nFrames` concatenated P6 frames
+    * (the uncompressed analogue of y4m — every frame is a self-describing
+    * image, so frame boundaries are recovered by PARSING, not arithmetic). */
+  def attachSyntheticPpmVideo(
+      df: DataFrame, idCol: String, w: Int, h: Int, nFrames: Int): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("video", BinaryType))
+    val idIdx = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val frames = (0 until nFrames).map(f =>
+          PpmCodec.encode(w, h, (x, y, c) => syntheticVideoPixel(id, f, x, y, c)))
+        val out = new Array[Byte](frames.map(_.length).sum)
+        var off = 0
+        frames.foreach { fb => System.arraycopy(fb, 0, out, off, fb.length); off += fb.length }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * REAL frame extraction: walk the concatenated-P6 payload parsing each
+   * frame header for its boundary, decode every `stride`-th frame, and
+   * emit one row per sampled frame with its per-channel means. One decoder
+   * pass per row, frames fan out via the iterator (no intermediate
+   * collection of all frames).
+   */
+  def videoFrameStats(df: DataFrame, mediaCol: String, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("frame_idx", LongType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        Iterator.unfold((0, 0)) { case (pos, f) =>
+          if (pos >= bytes.length) None
+          else {
+            val (img, next) = PpmCodec.decodeFrom(bytes, pos)
+            Some(((f, img), (next, f + 1)))
+          }
+        }.collect { case (f, img) if f % stride == 0 =>
+          val sums = new Array[Long](3)
+          var i = 0
+          while (i < img.pixels.length) { sums(i % 3) += img.pixels(i) & 0xFF; i += 1 }
+          val n = (img.width * img.height).toDouble
+          Row.fromSeq(r.toSeq ++ Seq[Any](f.toLong, img.width, img.height,
+            sums(0) / n, sums(1) / n, sums(2) / n))
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /**

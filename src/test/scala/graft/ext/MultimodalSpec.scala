@@ -83,6 +83,47 @@ class MultimodalSpec extends SparkSpec {
     }.getMessage.contains("integer block shrink"))
   }
 
+  test("WavCodec: encode -> decode round-trips rate and every sample; malformed fails fast") {
+    import Multimodal.WavCodec
+    val samples = Array.tabulate(100)(i => ((i * 523 - 5000) % 32768).toShort)
+    val a = WavCodec.decode(WavCodec.encode(16000, samples))
+    assert(a.sampleRate === 16000 && (a.samples.toSeq == samples.toSeq))
+    assert(intercept[IllegalArgumentException] {
+      WavCodec.decode("notariffchunkatall-padding-padding-padding-!".getBytes("US-ASCII"))
+    }.getMessage.contains("RIFF"))
+  }
+
+  test("wavStats decodes real PCM payloads: mean/rms match driver-side ground truth") {
+    val docs = spark.range(0, 10).toDF("doc_id")
+    val stats = Multimodal.wavStats(
+      Multimodal.attachSyntheticWav(docs, "doc_id", sampleRate = 8000, nSamples = 64), "wav")
+      .select($"doc_id", $"n_samples", $"duration_s", $"mean_amp", $"rms_amp").collect()
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      val vals = (0 until 64).map(i => Multimodal.syntheticSample(id, i).toLong)
+      assert(r.getLong(1) === 64L)
+      assert(r.getDouble(2) === 64.0 / 8000)
+      assert(r.getDouble(3) === vals.sum / 64.0)
+      assert(r.getDouble(4) === math.sqrt(vals.map(v => v * v).sum / 64.0), s"doc $id")
+    }
+  }
+
+  test("videoFrameStats: frame boundaries recovered by parsing; stride sampling; exact means") {
+    val docs = spark.range(0, 5).toDF("doc_id")
+    val out = Multimodal.videoFrameStats(
+      Multimodal.attachSyntheticPpmVideo(docs, "doc_id", w = 4, h = 2, nFrames = 6),
+      "video", stride = 3)
+      .select($"doc_id", $"frame_idx", $"mean_g").collect()
+    // frames 0 and 3 sampled per clip
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      (0L until 5L).flatMap(id => Seq((id, 0L), (id, 3L))).toSet)
+    out.foreach { r =>
+      val expected = (for (x <- 0 until 4; y <- 0 until 2)
+        yield Multimodal.syntheticVideoPixel(r.getLong(0), r.getLong(1).toInt, x, y, 1)).sum / 8.0
+      assert(r.getDouble(2) === expected)
+    }
+  }
+
   test("ppmStats decodes real P6 payloads: means match the closed-form formula") {
     val docs = spark.range(0, 20).toDF("doc_id")
     val stats = Multimodal.ppmStats(
