@@ -30,26 +30,62 @@ object Bench {
     // plan actually costs when the machine is available, which is the number
     // that transfers to a dedicated cluster.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+
+    // Measured shuffle-write / spill bytes per query (evidence for the
+    // plan audit: a query whose plan LOOKS shuffle-light should MEASURE
+    // shuffle-light). Task-end events are async; `settle` waits for the
+    // counters to go quiet between queries so attribution doesn't bleed.
+    // The settle runs OUTSIDE the timed window — timings are unaffected.
+    // Streaming-gate queries report ~0 (their work happens inside the
+    // stream drain's own session machinery, before the returned sink table
+    // is counted).
+    val shuffleB = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillB = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shuffleB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spillB.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+        }
+      }
+    })
+    def settle(): (Long, Long) = {
+      var prev = (-1L, -1L)
+      var cur = (shuffleB.get, spillB.get)
+      var tries = 0
+      while (cur != prev && tries < 50) {
+        prev = cur; Thread.sleep(20); cur = (shuffleB.get, spillB.get); tries += 1
+      }
+      cur
+    }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val (sw0, sp0) = settle()
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      val (sw1, sp1) = settle()
+      name -> ((times.min, (sw1 - sw0).toDouble / passes / 1e6, (sp1 - sp0).toDouble / passes / 1e6))
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val totalShuffleMb = results.values.map(_._2).sum
+    val totalSpillMb = results.values.map(_._3).sum
     // Short standalone total line FIRST and LAST: the full per-query blob is
     // one long line that can overflow a bounded output capture (head or
     // tail), truncating whichever end the headline sits on — a short
     // self-contained line on BOTH sides survives either capture direction.
     val headline =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n_queries":${results.size},"shuffle_mb":${math.round(totalShuffleMb)},"spill_mb":${math.round(totalSpillMb)},"sf":"$sfDir"}"""
     println(headline)
-    // per-query detail, rounded to 0.1 ms so the line stays small
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1e4) / 1e4 }
+    // per-query detail, rounded to 0.1 ms / 0.1 MB so the line stays small
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + math.round(v * 1e4) / 1e4 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"sf":"$sfDir"}""")
+    val sm = results.map { case (k, (_, s, _)) => s"\"" + k + "\":" + math.round(s * 10) / 10.0 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sm,"passes":$passes,"sf":"$sfDir"}""")
     println(headline)
     spark.stop()
   }
