@@ -154,6 +154,16 @@ object ScaleProbe {
         ext.CorpusFilters.decontaminate(docs.filter(col("doc_id") % 50 =!= 0), evalSet,
           "doc_id", "text", n = 5).count()
       }
+      timed("ppm_decode_stats", k) {
+        val ids = read("documents", k).select(col("doc_id"))
+        ext.Multimodal.ppmStats(
+          ext.Multimodal.attachSyntheticPpm(ids, "doc_id", 32, 24), "ppm").count()
+      }
+      timed("video_frame_stats", k) {
+        val ids = read("documents", k).select(col("doc_id"))
+        ext.Multimodal.videoFrameStats(
+          ext.Multimodal.attachSyntheticPpmVideo(ids, "doc_id", 16, 8, 8), "video", 2).count()
+      }
       timed("dup_spans", k) {
         Dedup.duplicatedSpans(read("documents", k), "doc_id", "text", n = 16).count()
       }
