@@ -513,6 +513,22 @@ object SparkEntry {
     "q56_mixture_report" -> ((s, dir) =>
       CorpusFilters.mixtureReport(t(s, dir, "documents"), "text", "source")),
 
+    // Z-order layout rewrite round-trip: rewrite events clustered on the
+    // (user_id, value) Morton curve, then range-probe the rewritten copy —
+    // results must equal the same probe on the original table (layout is
+    // physical only); ZOrderSpec separately pins the row-group pruning
+    "q97_zorder_scan" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("value"))
+      val out = graft.io.TempDirs.create("graft_zorder_gate").toString
+      graft.io.ZOrder.writeZOrdered(ev, out, "user_id", "value", numFiles = 4)
+      s.read.parquet(out)
+        .filter(col("user_id") <= 18 && col("value") <= 60.0)
+        .groupBy((col("user_id") % 4).as("user_mod"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec("value")).cast("double").as("sum_value"),
+          sum(col("event_id")).as("sum_event_ids"))
+    }),
+
     // full curation pipeline (capstone): language + quality + repetition +
     // PII + decontamination filters, exact dedup, 50% per-source token
     // budget, mixture accounting — ONE declarative plan over seven library
@@ -1262,6 +1278,16 @@ object SparkEntry {
         |  CAST(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS dup_span_frac
         |FROM g JOIN freq ON g.gram = freq.gram GROUP BY 1""".stripMargin,
+
+    // z-order round-trip: the probe runs against the REWRITTEN layout on
+    // the engine side and the original table here — equal results prove
+    // the rewrite moved bytes, not data
+    "q97_zorder_scan" ->
+      """SELECT CAST(user_id % 4 AS BIGINT) AS user_mod, count(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_event_ids
+        |FROM events WHERE user_id <= 18 AND value <= 60.0
+        |GROUP BY 1""".stripMargin,
 
     // full curation pipeline: one composed oracle proving the ENTIRE
     // declarative plan — language + quality + repetition + PII +

@@ -1,0 +1,45 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("z-order layout prunes row groups on BOTH clustered columns; single-column sort cannot") {
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select($"event_id", $"user_id", $"value")
+    val base = TempDirs.create("graft_zorder").toString
+    val zdir = s"$base/z"
+    val sdir = s"$base/s"
+    ZOrder.writeZOrdered(ev, zdir, "user_id", "value", numFiles = 8, rowGroupBytes = 16 * 1024)
+    // comparison layout: clustered on value ONLY (the single-column sort a
+    // naive OPTIMIZE would produce)
+    ev.repartitionByRange(8, $"value").sortWithinPartitions($"value")
+      .write.mode("overwrite").option("parquet.block.size", 16 * 1024).parquet(sdir)
+
+    // content is preserved exactly (layout is physical, not logical)
+    val back = spark.read.parquet(zdir)
+    assert(back.count() === ev.count())
+    assert(back.agg(sum($"event_id")).head().getLong(0) ===
+      ev.agg(sum($"event_id")).head().getLong(0))
+
+    // top-decile range probes on each clustered dimension (a Z-curve's
+    // per-dimension envelopes have ~sqrt(#groups) granularity, so small
+    // probes at the dense low end of a skewed dimension may still overlap
+    // everything — the robust demonstration is a selective probe)
+    val (zUser, zTot) = ZOrder.overlappingRowGroups(spark, zdir, "user_id", 140, 149)
+    val (zVal, _) = ZOrder.overlappingRowGroups(spark, zdir, "value", 400, 500)
+    val (sUser, sTot) = ZOrder.overlappingRowGroups(spark, sdir, "user_id", 140, 149)
+    val (sVal, _) = ZOrder.overlappingRowGroups(spark, sdir, "value", 400, 500)
+    assert(zTot >= 10, s"need row-group granularity for the claim, got $zTot groups")
+    // the z-curve prunes on BOTH dimensions...
+    assert(zUser <= zTot / 2, s"user probe read $zUser of $zTot z-ordered groups")
+    assert(zVal <= zTot / 2, s"value probe read $zVal of $zTot z-ordered groups")
+    // ...the value-only sort prunes value probes fine but MUST read every
+    // group for a user probe (each value slice spans all users)
+    assert(sVal < sTot)
+    assert(sUser === sTot,
+      s"value-sorted layout unexpectedly pruned a user probe ($sUser/$sTot)")
+  }
+}
