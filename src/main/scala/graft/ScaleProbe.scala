@@ -191,6 +191,12 @@ object ScaleProbe {
           k = 10, ext.Similarity.IvfConfig(nlist = 64, nprobe = 4))
           .count()
       }
+      timed("zorder_rewrite", k) {
+        val ev = read("events", k).select(col("event_id"), col("user_id"), col("value"))
+        graft.io.ZOrder.writeZOrdered(ev, s"$work/zorder_x$k.parquet",
+          "user_id", "value", numFiles = 8)
+        spark.read.parquet(s"$work/zorder_x$k.parquet").count()
+      }
       timed("asof_join", k) {
         val e = read("events", k)
         val purchases = e.filter(col("event_type") === "purchase")
