@@ -94,9 +94,11 @@ object Multimodal {
       val h = token().toInt
       val maxval = token().toInt
       require(maxval == 255, s"only maxval 255 supported, got $maxval")
+      // long math: absurd header dims must fail the bound check, not
+      // overflow int and slip past it
+      require(w > 0 && h > 0 && w.toLong * h * 3 <= bytes.length - pos - 1,
+        s"truncated raster: ${w}x$h needs ${w.toLong * h * 3} bytes, have ${bytes.length - pos - 1}")
       pos += 1 // single whitespace byte separates header from raster
-      require(bytes.length - pos >= w * h * 3,
-        s"truncated raster: need ${w * h * 3} bytes, have ${bytes.length - pos}")
       (Image(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3)),
         pos + w * h * 3)
     }
@@ -194,6 +196,10 @@ object Multimodal {
       while (pos + 8 <= bytes.length) {
         val id = tag(bytes, pos)
         val len = readIntLE(bytes, pos + 4)
+        // a corrupt negative/oversized chunk length must fail, not loop or
+        // scan past the buffer
+        require(len >= 0 && len <= bytes.length - pos - 8,
+          s"corrupt RIFF chunk '$id': declared length $len at offset $pos")
         if (id == "fmt ") {
           require(readShortLE(bytes, pos + 8) == 1, "only PCM supported")
           require(readShortLE(bytes, pos + 10) == 1, "only mono supported")

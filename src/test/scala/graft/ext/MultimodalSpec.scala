@@ -91,6 +91,13 @@ class MultimodalSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       WavCodec.decode("notariffchunkatall-padding-padding-padding-!".getBytes("US-ASCII"))
     }.getMessage.contains("RIFF"))
+    // corrupt chunk length (negative / past the buffer) fails instead of
+    // looping or over-reading
+    val corrupt = WavCodec.encode(8000, Array[Short](1, 2, 3))
+    corrupt(40) = -1; corrupt(41) = -1; corrupt(42) = -1; corrupt(43) = -1
+    assert(intercept[IllegalArgumentException] {
+      WavCodec.decode(corrupt)
+    }.getMessage.contains("corrupt RIFF chunk"))
   }
 
   test("wavStats decodes real PCM payloads: mean/rms match driver-side ground truth") {
