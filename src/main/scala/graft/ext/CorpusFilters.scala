@@ -52,6 +52,11 @@ object CorpusFilters {
    *
    * Two hash-aggregations keyed by (doc, gram) — both map-side combined —
    * then a per-doc rollup; no per-doc collection, no interpreted loops.
+   * The exploded gram relation is deliberately NOT persisted across the
+   * two branches: per-word rows are wider than the columnar text they came
+   * from, so re-scanning the corpus (and letting Catalyst prune the unused
+   * bigram window from the word branch) is cheaper than materializing the
+   * explosion.
    * Documents with no tokens are dropped (same contract as the shingle
    * operators); documents with a single word have no bigrams and report
    * `top_bigram_frac = 0.0`.
@@ -132,13 +137,15 @@ object CorpusFilters {
       train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 5): DataFrame = {
     require(n > 0, s"n-gram size must be positive, got $n")
-    def grams(df: DataFrame) =
+    // one shared column expression — it binds to `textCol` of whichever
+    // frame selects it
+    val gramExpr =
       TextExpressionFunctions.shingle_hashes(Dedup.tokens(col(textCol)), n, 0L)
     val evalGrams = eval
-      .select(explode(grams(eval)).as("__gram")).distinct()
+      .select(explode(gramExpr).as("__gram")).distinct()
     val trainGrams = train
       .filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol), explode(grams(train)).as("__gram"))
+      .select(col(idCol), explode(gramExpr).as("__gram"))
     val hits = trainGrams.join(broadcast(evalGrams), Seq("__gram"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared_grams"))
     train.filter(length(trim(col(textCol))) > 0).select(col(idCol))

@@ -71,6 +71,20 @@ object Multimodal {
       * offset just past its raster (frame boundary for concatenated-P6
       * "raw video" payloads). */
     def decodeFrom(bytes: Array[Byte], start: Int): (Image, Int) = {
+      val (w, h, rasterStart) = header(bytes, start)
+      (Image(w, h, java.util.Arrays.copyOfRange(bytes, rasterStart, rasterStart + w * h * 3)),
+        rasterStart + w * h * 3)
+    }
+
+    /** Offset just past the frame at `start` WITHOUT copying its raster —
+      * the cheap path for frames a stride sampler will discard. */
+    def skipFrame(bytes: Array[Byte], start: Int): Int = {
+      val (w, h, rasterStart) = header(bytes, start)
+      rasterStart + w * h * 3
+    }
+
+    /** (width, height, raster offset) of the P6 header at `start`. */
+    private def header(bytes: Array[Byte], start: Int): (Int, Int, Int) = {
       var pos = start
       def skipWs(): Unit = {
         while (pos < bytes.length &&
@@ -98,9 +112,7 @@ object Multimodal {
       // overflow int and slip past it
       require(w > 0 && h > 0 && w.toLong * h * 3 <= bytes.length - pos - 1,
         s"truncated raster: ${w}x$h needs ${w.toLong * h * 3} bytes, have ${bytes.length - pos - 1}")
-      pos += 1 // single whitespace byte separates header from raster
-      (Image(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3)),
-        pos + w * h * 3)
+      (w, h, pos + 1) // single whitespace byte separates header from raster
     }
 
     /** Box-filter downsample by integer block averaging (truncating
@@ -201,6 +213,7 @@ object Multimodal {
         require(len >= 0 && len <= bytes.length - pos - 8,
           s"corrupt RIFF chunk '$id': declared length $len at offset $pos")
         if (id == "fmt ") {
+          require(len >= 16, s"corrupt RIFF chunk 'fmt ': declared length $len < 16")
           require(readShortLE(bytes, pos + 8) == 1, "only PCM supported")
           require(readShortLE(bytes, pos + 10) == 1, "only mono supported")
           require(readShortLE(bytes, pos + 22) == 16, "only 16-bit supported")
@@ -442,11 +455,15 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         Iterator.unfold((0, 0)) { case (pos, f) =>
           if (pos >= bytes.length) None
-          else {
+          else if (f % stride == 0) {
+            // sampled frame: full decode
             val (img, next) = PpmCodec.decodeFrom(bytes, pos)
-            Some(((f, img), (next, f + 1)))
+            Some((Some((f, img)), (next, f + 1)))
+          } else {
+            // discarded frame: header-only skip, raster never copied
+            Some((None, (PpmCodec.skipFrame(bytes, pos), f + 1)))
           }
-        }.collect { case (f, img) if f % stride == 0 =>
+        }.flatten.map { case (f, img) =>
           val sums = new Array[Long](3)
           var i = 0
           while (i < img.pixels.length) { sums(i % 3) += img.pixels(i) & 0xFF; i += 1 }
@@ -486,7 +503,10 @@ object Multimodal {
    */
   def frameSample(df: DataFrame, mediaCol: String, metaCol: String, stride: Int): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
-    val frames = sequence(lit(0), greatest(col(s"$metaCol.n_frames") - 1, lit(0)), lit(stride))
+    // when(n_frames > 0, ...) leaves the sequence NULL for zero-frame
+    // payloads, and explode drops NULL rows — no spurious frame_idx=0 row
+    val frames = when(col(s"$metaCol.n_frames") > 0,
+      sequence(lit(0), col(s"$metaCol.n_frames") - 1, lit(stride)))
     df.withColumn("frame_idx", explode(frames))
       .withColumn("frame_bytes",
         substring(col(mediaCol), (col("frame_idx") * 8 + 1).cast("int"), lit(8)).cast("binary"))

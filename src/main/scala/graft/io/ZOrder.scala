@@ -42,6 +42,8 @@ object ZOrder {
     val bounds = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    require(!bounds.isNullAt(0) && !bounds.isNullAt(2),
+      s"cannot z-order on '$colA'/'$colB': empty input or all-NULL clustering column")
     def bucket(c: String, lo: Double, hi: Double): Column = {
       val span = if (hi > lo) hi - lo else 1.0
       // width_bucket is 1-based and right-open; clamp into [0, 65535]
