@@ -85,7 +85,9 @@ object Bench {
       .mkString("{", ",", "}")
     val sm = results.map { case (k, (_, s, _)) => s"\"" + k + "\":" + math.round(s * 10) / 10.0 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sm,"passes":$passes,"sf":"$sfDir"}""")
+    val spm = results.map { case (k, (_, _, p)) => s"\"" + k + "\":" + math.round(p * 10) / 10.0 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sm,"spill_mb":$spm,"passes":$passes,"sf":"$sfDir"}""")
     println(headline)
     spark.stop()
   }

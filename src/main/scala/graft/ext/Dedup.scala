@@ -517,12 +517,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, n: Int = 16): DataFrame = {
     require(n > 0, s"span width must be positive, got $n")
     // the slim (id, hash) span relation feeds both the frequency agg and
-    // the re-join — persist it so the text is tokenized and hashed ONCE
+    // the re-join — localCheckpoint materializes it so the text is
+    // tokenized and hashed ONCE, and the blocks free on GC (no
+    // CacheManager entry accumulating across invocations)
     val spans = df.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), explode(
         TextExpressionFunctions.shingle_hashes(tokens(col(textCol)), n, ShingleSeed))
         .as("__h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // spans are distinct within a doc, so count(*) per hash == number of
     // docs containing the span
     val freq = spans.groupBy(col("__h")).agg(count(lit(1)).as("__nd"))

@@ -239,13 +239,15 @@ object Similarity {
     val model = fitQuantizer(data, vecCol, cfg.nlist, cfg.seed,
       cfg.trainFraction, cfg.maxTrainRows, cfg.maxIter, cfg.initMode)
     // the assignment feeds THREE consumers (both self-join sides + the
-    // kept-flag join) — persist it so the corpus-wide KMeans transform
-    // runs once, not three times
+    // kept-flag join) — localCheckpoint materializes it once (same pattern
+    // as duplicateClusters); unlike persist(), the blocks are freed by the
+    // ContextCleaner when the result is garbage collected, so repeated
+    // invocations in one session don't accumulate CacheManager entries
     val assigned = model.transform(
         data.select(col(idCol).as("__sd_id"), col(vecCol).as("__sd_v"),
           array_to_vector(col(vecCol)).as("__features")))
       .select(col("__sd_id"), col("__sd_v"), col("prediction").as("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     val a = assigned.select(col("__sd_id").as("__id_a"), col("__sd_v").as("__va"), col("cell"))
     val b = assigned.select(col("__sd_id").as("__id_b"), col("__sd_v").as("__vb"), col("cell"))

@@ -34,10 +34,9 @@ object StreamGate {
     * 60s in the past so later-staged sentinel files reliably sort AFTER it
     * in the file source's modification-time order. */
   private def stageEventsDir(sfDir: String): Path = {
-    val dir = graft.io.TempDirs.create("graft_stream_events")
-    val staged = dir.resolve("events.parquet")
-    Files.copy(Paths.get(s"$sfDir/events.parquet"), staged, StandardCopyOption.REPLACE_EXISTING)
-    Files.setLastModifiedTime(staged, FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val dir = stageTableDir(sfDir, "events")
+    Files.setLastModifiedTime(dir.resolve("events.parquet"),
+      FileTime.fromMillis(System.currentTimeMillis() - 60000))
     dir
   }
 
