@@ -463,6 +463,29 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))),
 
+    // decode -> decimate by 4 -> re-encode -> decode again: the oracle
+    // recomputes the kept samples' stats from the formula at stride 4
+    "q77_wav_resample_stats" -> ((s, dir) => {
+      val wav = Multimodal.attachSyntheticWav(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        sampleRate = 8000, nSamples = 1200)
+      Multimodal.wavStats(
+        Multimodal.wavResample(wav, "wav", factor = 4)
+          .select(col("doc_id"), col("resampled_wav")),
+        "resampled_wav")
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("duration_s"), col("mean_amp"), col("rms_amp"))
+    }),
+    // grayscale reduction over genuinely decoded pixels (truncating
+    // (r+g+b)/3), exact count/mean/min/max vs the closed-form oracle
+    "q78_ppm_grayscale_stats" -> ((s, dir) =>
+      Multimodal.ppmGrayscaleStats(
+        Multimodal.attachSyntheticPpm(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", w = 32, h = 24),
+        "ppm")
+        .select(col("doc_id"), col("n_pixels"), col("mean_gray"),
+          col("min_gray"), col("max_gray"))),
+
     // ---- text analysis --------------------------------------------------
     "q60_text_stats" -> ((s, dir) =>
       TextStats.withStats(t(s, dir, "documents"), "text", prefix = "stat_")
@@ -1219,6 +1242,41 @@ object SparkEntry {
         |  CAST(sg AS DOUBLE) / 128.0 AS mean_g,
         |  CAST(sb AS DOUBLE) / 128.0 AS mean_b
         |FROM s""".stripMargin,
+
+    // WAV resample stats: the decimated clip keeps original samples at
+    // stride 4 — same formula, index 4*i, rate 2000
+    "q77_wav_resample_stats" ->
+      """WITH smp AS (
+        |  SELECT d.doc_id, ii.i AS i FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 299)) AS i) ii
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(((doc_id*7 + (4*i)*3) % 65536) - 32768) AS BIGINT) AS s1,
+        |    CAST(SUM((((doc_id*7 + (4*i)*3) % 65536) - 32768) * (((doc_id*7 + (4*i)*3) % 65536) - 32768)) AS BIGINT) AS s2
+        |  FROM smp GROUP BY 1
+        |)
+        |SELECT doc_id, 2000 AS sample_rate, CAST(300 AS BIGINT) AS n_samples,
+        |  300.0 / 2000.0 AS duration_s,
+        |  CAST(s1 AS DOUBLE) / 300.0 AS mean_amp,
+        |  sqrt(CAST(s2 AS DOUBLE) / 300.0) AS rms_amp
+        |FROM s""".stripMargin,
+
+    // grayscale stats: per-pixel truncating (r+g+b)/3 over the pixel
+    // formula; integer sums, min/max exact
+    "q78_ppm_grayscale_stats" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |    ((doc_id*31 + xs.x*7 + ys.y*13 + 0) % 256
+        |     + (doc_id*31 + xs.x*7 + ys.y*13 + 5) % 256
+        |     + (doc_id*31 + xs.x*7 + ys.y*13 + 10) % 256) // 3 AS g
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS y) ys
+        |)
+        |SELECT doc_id, CAST(768 AS BIGINT) AS n_pixels,
+        |  CAST(CAST(SUM(g) AS BIGINT) AS DOUBLE) / 768.0 AS mean_gray,
+        |  CAST(MIN(g) AS BIGINT) AS min_gray, CAST(MAX(g) AS BIGINT) AS max_gray
+        |FROM px GROUP BY 1""".stripMargin,
 
     // PPM resize stats: each 4x4 block averages with truncating integer
     // division (// in DuckDB == JVM int division for non-negative values)

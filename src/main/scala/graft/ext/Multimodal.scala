@@ -283,6 +283,56 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Decode -> decimate (keep every `factor`-th sample; the simplest
+    * integer resample — halving the rate twice etc.) -> re-encode at the
+    * reduced rate, appending the payload and its decoded sample count. */
+  def wavResample(df: DataFrame, mediaCol: String, factor: Int): DataFrame = {
+    require(factor >= 1, s"decimation factor must be >= 1, got $factor")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("resampled_wav", BinaryType), StructField("resampled_n", LongType)))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val a = WavCodec.decode(r.getAs[Array[Byte]](mediaIdx))
+        val out = Array.tabulate((a.samples.length + factor - 1) / factor)(i =>
+          a.samples(i * factor))
+        Row.fromSeq(r.toSeq ++ Seq[Any](
+          WavCodec.encode(a.sampleRate / factor, out), out.length.toLong))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode the P6 payload and project grayscale statistics: per-pixel
+    * gray = (r+g+b)/3 with truncating integer division, then exact count /
+    * mean / min / max. */
+  def ppmGrayscaleStats(df: DataFrame, mediaCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("n_pixels", LongType), StructField("mean_gray", DoubleType),
+      StructField("min_gray", LongType), StructField("max_gray", LongType)))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val img = PpmCodec.decode(r.getAs[Array[Byte]](mediaIdx))
+        var sum = 0L
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        var i = 0
+        while (i < img.pixels.length) {
+          val g = ((img.pixels(i) & 0xFF) + (img.pixels(i + 1) & 0xFF) +
+            (img.pixels(i + 2) & 0xFF)) / 3L
+          sum += g
+          if (g < mn) mn = g
+          if (g > mx) mx = g
+          i += 3
+        }
+        val n = (img.width * img.height).toLong
+        Row.fromSeq(r.toSeq ++ Seq[Any](n, sum.toDouble / n, mn, mx))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** The synthetic test image's closed-form pixel value — SQL-expressible
     * on purpose, so the DuckDB oracle can recompute decoded statistics
     * without a codec: channel(x, y, c) of image `id` is
