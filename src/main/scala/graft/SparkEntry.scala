@@ -535,6 +535,11 @@ object SparkEntry {
     // per-source mixture report (doc/token counts + corpus fractions)
     "q56_mixture_report" -> ((s, dir) =>
       CorpusFilters.mixtureReport(t(s, dir, "documents"), "text", "source")),
+    // temperature-based mixture reweighting: weight ∝ share^0.5 (sqrt path
+    // — IEEE-exact on both engines), 10k-token budget
+    "q57_temperature_mixture" -> ((s, dir) =>
+      CorpusFilters.temperatureMixture(t(s, dir, "documents"), "text", "source",
+        tau = 0.5, budgetTokens = 10000L)),
 
     // Z-order layout rewrite round-trip: rewrite events clustered on the
     // (user_id, value) Morton curve, then range-probe the rewritten copy —
@@ -1414,6 +1419,27 @@ object SparkEntry {
         |  CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE) AS doc_frac,
         |  CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS token_frac
         |FROM per CROSS JOIN tot""".stripMargin,
+
+    // temperature mixture: sqrt-tempered weights in floor(w*2^40) fixed
+    // point so the normalizer is an order-independent integer sum
+    "q57_temperature_mixture" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM per
+        |), w AS (
+        |  SELECT source, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS share,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE)) * 1099511627776.0) AS BIGINT) AS wfx
+        |  FROM per CROSS JOIN tot
+        |), n AS (SELECT CAST(SUM(wfx) AS BIGINT) AS wsum FROM w
+        |)
+        |SELECT source, n_tokens, share,
+        |  CAST(wfx AS DOUBLE) / CAST(wsum AS DOUBLE) AS weight,
+        |  CAST(floor(CAST(wfx AS DOUBLE) / CAST(wsum AS DOUBLE) * 10000) AS BIGINT) AS quota_tokens,
+        |  LEAST(1.0, CAST(CAST(floor(CAST(wfx AS DOUBLE) / CAST(wsum AS DOUBLE) * 10000) AS BIGINT) AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS sampling_rate
+        |FROM w CROSS JOIN n""".stripMargin,
 
     // token-budget mixture subset: md5-hash order + running sum per source,
     // admitted while cum <= floor(0.5 * source total); integer cums -> no

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.TextExpressionFunctions
@@ -224,6 +224,47 @@ object CorpusFilters {
       .select(col(sourceCol), col("n_docs"), col("n_tokens"),
         (col("n_docs").cast("double") / col("__td").cast("double")).as("doc_frac"),
         (col("n_tokens").cast("double") / col("__tt").cast("double")).as("token_frac"))
+  }
+
+  /**
+   * Temperature-based mixture reweighting (the multilingual/multi-source
+   * rebalancing rule: sampling weight ∝ share^tau, tau < 1 upweights small
+   * sources): per source, the natural token share, the tau-tempered
+   * weight, the token quota under `budgetTokens`, and the per-source
+   * sampling rate (capped at 1 — a source cannot contribute more tokens
+   * than it has). Pure aggregate math over one combined agg + a broadcast
+   * one-row normalizer.
+   *
+   * tau = 0.5 computes through `sqrt` (IEEE-exact on every engine); other
+   * taus go through `pow`, whose last-ulp behavior is libm-specific —
+   * fine for pipelines, not for bit-exact cross-engine comparison.
+   */
+  def temperatureMixture(
+      df: DataFrame, textCol: String, sourceCol: String,
+      tau: Double, budgetTokens: Long): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    require(budgetTokens >= 0, s"budgetTokens must be non-negative, got $budgetTokens")
+    val per = df.select(col(sourceCol),
+        size(Dedup.tokens(col(textCol))).cast("long").as("__t"))
+      .groupBy(col(sourceCol)).agg(sum(col("__t")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("__tt"))
+    def temper(c: Column): Column =
+      if (tau == 0.5) sqrt(c) else pow(c, lit(tau))
+    // tempered weights ride in FIXED POINT (floor(w·2^40) longs): the
+    // normalizer is then an integer sum — order-independent, so the result
+    // is bit-identical under any partitioning and on any engine that sums
+    // the same integers (the q92 centroid pattern)
+    val shared = per.join(broadcast(tot))
+      .withColumn("share", col("n_tokens").cast("double") / col("__tt").cast("double"))
+      .withColumn("__wfx", floor(temper(col("share")) * 1099511627776.0).cast("long"))
+    val norm = shared.agg(sum(col("__wfx")).as("__wsum"))
+    shared.join(broadcast(norm))
+      .withColumn("weight", col("__wfx").cast("double") / col("__wsum").cast("double"))
+      .withColumn("quota_tokens", floor(col("weight") * budgetTokens).cast("long"))
+      .withColumn("sampling_rate",
+        least(lit(1.0), col("quota_tokens").cast("double") / col("n_tokens").cast("double")))
+      .select(col(sourceCol), col("n_tokens"), col("share"), col("weight"),
+        col("quota_tokens"), col("sampling_rate"))
   }
 
   /**

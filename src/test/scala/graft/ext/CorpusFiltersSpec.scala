@@ -133,6 +133,23 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(pii(2L).isNullAt(1)) // null in, null out: a `pii_total = 0` keep-filter drops it
   }
 
+  test("temperatureMixture: tau=0.5 upweights small sources; weights sum to 1; quota <= budget") {
+    val big = Seq.fill(90)("w").mkString(" ")
+    val small = Seq.fill(10)("w").mkString(" ")
+    val docs = Seq((1L, "big", big), (2L, "small", small)).toDF("doc_id", "source", "text")
+    val r = CorpusFilters.temperatureMixture(docs, "text", "source", tau = 0.5, budgetTokens = 50L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(math.abs(r("big").getDouble(2) - 0.9) < 1e-12)   // natural share
+    // sqrt tempering: small source's weight exceeds its share, big's shrinks
+    assert(r("small").getDouble(3) > 0.1 && r("big").getDouble(3) < 0.9)
+    assert(math.abs(r.values.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    assert(r.values.map(_.getLong(4)).sum <= 50L)
+    assert(r.values.forall(x => x.getDouble(5) <= 1.0))
+    assert(intercept[IllegalArgumentException] {
+      CorpusFilters.temperatureMixture(docs, "text", "source", tau = 1.5, budgetTokens = 50L)
+    }.getMessage.contains("tau"))
+  }
+
   test("tokenBudgetByRate: deterministic, subset of input, keeps all when budget >= total") {
     val text = Seq.fill(10)("w").mkString(" ")
     val docs = (1L to 20L).map(i => (i, if (i <= 10) "a" else "b", text))
