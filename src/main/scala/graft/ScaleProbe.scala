@@ -171,6 +171,22 @@ object ScaleProbe {
         ext.CorpusFilters.tokenBudget(read("documents", k), "doc_id", "text", "source",
           budgetFrac = 0.5).count()
       }
+      timed("hash_split", k) {
+        ext.CorpusFilters.hashSplit(read("documents", k), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))).count()
+      }
+      timed("sequence_packing", k) {
+        ext.CorpusFilters.packSequences(read("documents", k), "doc_id", "text",
+          "source", windowTokens = 2048L).count()
+      }
+      timed("sequence_packing_sharded", k) {
+        ext.CorpusFilters.packSequences(read("documents", k), "doc_id", "text",
+          "source", windowTokens = 2048L, subShards = 32).count()
+      }
+      timed("doc_chunks", k) {
+        ext.TextStats.chunkText(read("documents", k), "doc_id", "text",
+          chunkChars = 200, strideChars = 150).count()
+      }
       timed("semdedup", k) {
         // nlist grows with the corpus (the SemDeDup design: constant cell
         // size keeps the per-cell pairwise quadratic bounded)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{CorpusFilters, Dedup, Multimodal, Similarity, TextStats}
-import graft.operators.{Sampler, SemiJoinReducer}
+import graft.operators.{Profiler, Sampler, SemiJoinReducer}
 import graft.streaming.StreamGate
 
 /**
@@ -63,6 +63,20 @@ object SparkEntry {
         t(s, dir, "customer"), "c_nationkey", legacyStringKeys = true)),
     "q08_antijoin_orders" -> ((s, dir) =>
       SemiJoinReducer.antiReduce(t(s, dir, "orders"), "o_orderkey", t(s, dir, "lineitem"), "l_orderkey")),
+    // one-pass column profile (row/null/distinct counts, min/max as
+    // strings); double cast to DECIMAL and ts to DATE so string renderings
+    // are engine-portable for the oracle
+    "q09_profile_orders" -> ((s, dir) =>
+      Profiler.profile(t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(15,2)").as("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderpriority")))),
+    // equi-width histogram with explicit bounds: one hash aggregate,
+    // IEEE-double bin arithmetic identical on both engines
+    "q47_histogram_prices" -> ((s, dir) =>
+      Profiler.histogram(t(s, dir, "lineitem"), "l_extendedprice",
+        lo = 0.0, hi = 60000.0, nBins = 24)),
 
     // ---- reference parity: sampling (sample.rs; seeded => rows-only) ---
     "q10_sample_exact" -> ((s, dir) => Sampler.exact(t(s, dir, "lineitem"), 0.01, seed = 42L)),
@@ -540,6 +554,22 @@ object SparkEntry {
     "q57_temperature_mixture" -> ((s, dir) =>
       CorpusFilters.temperatureMixture(t(s, dir, "documents"), "text", "source",
         tau = 0.5, budgetTokens = 10000L)),
+    // deterministic 80/10/10 train/val/test assignment by md5 bucket —
+    // reproducible on any engine, stable under corpus growth
+    "q58_hash_split" -> ((s, dir) =>
+      CorpusFilters.hashSplit(t(s, dir, "documents"), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("split_bucket"), col("split"))),
+    // sequence packing: per-source 2048-token context windows, one row per
+    // (source, pack) with doc/token counts and covered id range
+    "q59_sequence_packing" -> ((s, dir) =>
+      CorpusFilters.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        "source", windowTokens = 2048L)),
+    // overlapping 200-char / 150-char-stride chunking (retrieval prep);
+    // chunk text rides as md5 so the compare stays narrow
+    "q79_doc_chunks" -> ((s, dir) =>
+      TextStats.chunkText(t(s, dir, "documents"), "doc_id", "text",
+        chunkChars = 200, strideChars = 150)),
 
     // Z-order layout rewrite round-trip: rewrite events clustered on the
     // (user_id, value) Morton curve, then range-probe the rewritten copy —
@@ -813,6 +843,8 @@ object SparkEntry {
     // stateless per-row curation filter on a document stream: append-mode
     // emission equals the batch projection exactly (no state, no watermark)
     "q86_stream_corpus_filter" -> ((s, dir) => StreamGate.corpusFilter(s, dir)),
+    // stateless streaming router: emitted assignment == batch q58 oracle
+    "q87_stream_hash_split" -> ((s, dir) => StreamGate.hashSplitRoute(s, dir)),
 
     // ranking-function surface: dense_rank / percent_rank / ntile /
     // cume_dist share one window sort (deterministic tie-break on key)
@@ -876,6 +908,14 @@ object SparkEntry {
       |FROM (SELECT doc_id,
       |  $langScores
       |FROM documents)""".stripMargin
+
+  private lazy val hashSplitOracle: String =
+    """SELECT doc_id,
+      |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS split_bucket,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
 
   private lazy val tokenCountOracle: String =
     """SELECT doc_id,
@@ -961,6 +1001,36 @@ object SparkEntry {
         "(SELECT CAST(c_nationkey AS VARCHAR) FROM customer)"),
     "q08_antijoin_orders" ->
       "SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)",
+
+    // column profile: per-column UNION ALL recomputation of the one-pass
+    // Spark aggregate; DECIMAL/DATE casts make min/max strings identical
+    "q09_profile_orders" -> {
+      val src =
+        """SELECT o_orderkey, o_custkey, o_orderstatus,
+          |    CAST(o_totalprice AS DECIMAL(15,2)) AS o_totalprice,
+          |    CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+          |  FROM orders""".stripMargin
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+           |FROM ($src)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+
+    // histogram: same clamp + floor((v-lo)/w) double arithmetic; w =
+    // 60000/24 = 2500 is exact in binary, so bins match bit-for-bit
+    "q47_histogram_prices" ->
+      """WITH b AS (
+        |  SELECT LEAST(23, GREATEST(0,
+        |    CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0) / 2500.0) AS BIGINT))) AS bin
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |)
+        |SELECT bin, 0.0 + bin * 2500.0 AS bin_lo, 0.0 + (bin + 1) * 2500.0 AS bin_hi,
+        |  count(*) AS n
+        |FROM b GROUP BY 1""".stripMargin,
     "q20_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
@@ -1461,6 +1531,47 @@ object SparkEntry {
         |  FROM tok JOIN tot ON tok.source = tot.source
         |)
         |SELECT doc_id, source, ws_tokens, cum_tokens FROM c WHERE cum_tokens <= budget""".stripMargin,
+
+    // hash split: bucket = first 4 hex chars of md5(id-as-string);
+    // thresholds floor(0.8*65536)=0xcccc, floor(0.9*65536)=0xe666 —
+    // lexicographic compare on fixed-width lowercase hex == numeric compare
+    "q58_hash_split" -> hashSplitOracle,
+    // the streaming router is stateless, so its emitted set is the same
+    // batch assignment — identical oracle
+    "q87_stream_hash_split" -> hashSplitOracle,
+
+    // sequence packing: per-source token prefix sums (rows preceding the
+    // current), pack = floor(prefix / 2048); integer token sums -> exact
+    "q59_sequence_packing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens
+        |  FROM documents
+        |), off AS (
+        |  SELECT doc_id, source, ws_tokens,
+        |    COALESCE(CAST(SUM(ws_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS o
+        |  FROM tok
+        |)
+        |SELECT source, CAST(floor(CAST(o AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(SUM(ws_tokens) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM off GROUP BY 1, 2""".stripMargin,
+
+    // overlapping character chunks: starts 0,150,300,... while < len
+    // (empty text -> one empty chunk); md5 of the chunk keeps rows narrow
+    "q79_doc_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    UNNEST(generate_series(0, greatest(length(text) - 1, 0), 150)) AS chunk_start
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(floor(chunk_start / 150.0) AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_start AS BIGINT) AS chunk_start,
+        |  CAST(length(substr(text, CAST(chunk_start AS INT) + 1, 200)) AS BIGINT) AS chunk_len,
+        |  md5(substr(text, CAST(chunk_start AS INT) + 1, 200)) AS chunk_md5
+        |FROM c""".stripMargin,
 
     // streaming corpus filter: stateless append-mode projection == batch
     // semantics, so the oracle is the composed batch SQL of q61/q62 + the

@@ -268,6 +268,80 @@ object CorpusFilters {
   }
 
   /**
+   * Deterministic, engine-portable train/val/test assignment ("hash
+   * split"): a document's bucket is the first 4 hex chars of
+   * md5(id rendered as a string) — a uniform draw over 16^4 buckets — and
+   * split k owns the lexicographic bucket range [t_{k-1}, t_k) where
+   * t_k = floor(cumFrac_k · 16^4), zero-padded to 4 lowercase hex digits.
+   * Properties a real pipeline needs and `rand()` splits lack:
+   * reproducible on any engine with md5 (the q58 DuckDB oracle recomputes
+   * it bit-for-bit), stable under corpus growth (a doc's split is a pure
+   * function of its own id — appending data never reshuffles old
+   * assignments), and free at scale (per-row codegen projection; no RNG
+   * state, no shuffle, no ordering).
+   */
+  def hashSplit(
+      df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 >= 0.0),
+      s"split fractions must be non-negative, got $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val space = 1 << 16
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thresholds = cum.init.map(f => f"${math.floor(f * space).toLong}%04x")
+    val bucket = substring(md5(col(idCol).cast("string").cast("binary")), 1, 4)
+    val assigned = splits.init.zip(thresholds).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), th)) =>
+        val cond = bucket < lit(th)
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }.fold(lit(splits.last._1))(_.otherwise(splits.last._1))
+    df.withColumn("split_bucket", bucket).withColumn(outCol, assigned)
+  }
+
+  /**
+   * Sequence packing: lay each group's documents head-to-tail in id order
+   * and assign every document to the fixed-size token window ("context
+   * window") that contains its first token — pack = floor(prefixTokens /
+   * windowTokens). Returns one row per (group, pack) with doc/token counts
+   * and the id range the pack covers. The prefix sum is per GROUP (shard /
+   * source), not global: one hash shuffle on the group key plus one
+   * window, so the corpus packs shard-by-shard in parallel.
+   *
+   * `subShards` is the skew valve for the 100 TB case where ONE group is
+   * most of the corpus (a web crawl "source"): documents sub-shard by
+   * hash(id) % subShards and the prefix sum runs per (group, sub-shard),
+   * bounding any single window task to 1/subShards of the group. Packing
+   * semantics only require SOME deterministic partition of each group into
+   * windows, not one global order, so sub-sharded packs are equally valid
+   * training windows. pack_id = subShard·2^40 + windowIndex stays unique
+   * and deterministic; the default subShards=1 reduces to the exact
+   * id-ordered layout (what the q59 SQL oracle checks).
+   */
+  def packSequences(
+      df: DataFrame, idCol: String, textCol: String, groupCol: String,
+      windowTokens: Long, subShards: Int = 1): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    require(subShards >= 1, s"subShards must be >= 1, got $subShards")
+    val shard =
+      if (subShards == 1) lit(0L)
+      else pmod(xxhash64(col(idCol)), lit(subShards.toLong))
+    val w = Window.partitionBy(col(groupCol), col("__shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(groupCol),
+        size(Dedup.tokens(col(textCol))).cast("long").as("ws_tokens"))
+      .withColumn("__shard", shard)
+      .withColumn("__off", coalesce(sum(col("ws_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id",
+        col("__shard") * lit(1099511627776L) +
+          floor(col("__off").cast("double") / windowTokens.toDouble).cast("long"))
+      .groupBy(col(groupCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("pack_tokens"),
+        min(col(idCol)).as("first_id"), max(col(idCol)).as("last_id"))
+  }
+
+  /**
    * Rate-based token-budget selection (the 100 TB path): per source, keep a
    * document iff its md5-derived uniform draw is below
    * `budgetTokens / sourceTokens`. Two fully parallel passes (agg + filter),

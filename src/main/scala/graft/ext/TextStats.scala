@@ -120,4 +120,31 @@ object TextStats {
       .withColumn("bpe_ish_tokens",
         size(regexp_extract_all(t, lit(bpeIshPattern), lit(0))).cast("long"))
   }
+
+  /**
+   * Overlapping fixed-width character chunking (retrieval / embedding
+   * prep): chunk i of a document covers characters
+   * [i·stride, i·stride + chunkChars) — consecutive chunks overlap by
+   * (chunkChars - stride) characters so no boundary context is lost. The
+   * last chunk may be short; an empty document yields one empty chunk, so
+   * every input row is represented downstream. Pure per-row
+   * sequence+explode+substr projection — no shuffle; the row fan-out is
+   * ~len/stride, which is the output size itself, not an intermediate
+   * blow-up.
+   */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, strideChars: Int): DataFrame = {
+    require(chunkChars > 0, s"chunkChars must be positive, got $chunkChars")
+    require(strideChars > 0 && strideChars <= chunkChars,
+      s"strideChars must be in [1, chunkChars], got $strideChars")
+    val t = col(textCol)
+    val starts = sequence(lit(0), greatest(length(t) - 1, lit(0)), lit(strideChars))
+    val chunk = col("__ct_text").substr(col("chunk_start") + 1, lit(chunkChars))
+    df.select(col(idCol), t.as("__ct_text"), explode(starts).as("chunk_start"))
+      .select(col(idCol),
+        (col("chunk_start") / strideChars).cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        length(chunk).cast("long").as("chunk_len"),
+        md5(chunk.cast("binary")).as("chunk_md5"))
+  }
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed column profiler — the "what is in this table?" first step of
+ * every data-quality / curation pipeline (an extension surface: the
+ * reference's only metadata use is the footer row count,
+ * /root/reference/src/bin/sample.rs:31-34).
+ *
+ * One row out per input column: row/null/distinct counts plus min/max
+ * rendered as strings, so profiles of arbitrary tables share one schema and
+ * union cleanly into a profile warehouse.
+ *
+ * Scale design: a SINGLE aggregate pass over the table — never one job per
+ * column. With `exact = true` the per-column exact distinct counts make
+ * Catalyst plan an Expand (input multiplied by the number of distinct aggs)
+ * — correct, and what the DuckDB oracle can check, but the 100 TB path is
+ * `exact = false`, which swaps in mergeable HLL sketches
+ * (`approx_count_distinct`): one map-side-combined pass, no Expand, error
+ * ~2%. Both variants shuffle only the tiny partial-agg state.
+ */
+object Profiler {
+
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val cols = df.columns.toSeq
+    require(cols.nonEmpty, "profile of a zero-column projection")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(count(lit(1L)).as("__n"), aggs: _*)
+    // unpivot the single wide row to (col_name, metrics) rows; stack is a
+    // generator projection over one row — no extra pass, no shuffle
+    val stackExpr = s"stack(${cols.length}, " + cols.map { c =>
+      s"'$c', `__nn_$c`, `__nd_$c`, `__min_$c`, `__max_$c`"
+    }.mkString(", ") + ")"
+    one.select(col("__n"), expr(stackExpr)
+        .as(Seq("col_name", "n_nonnull", "n_distinct", "min_str", "max_str")))
+      .select(col("col_name"), col("__n").as("n_rows"),
+        (col("__n") - col("n_nonnull")).as("n_nulls"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+  }
+
+  /**
+   * Equi-width histogram with EXPLICIT bounds [lo, hi): bin i covers
+   * [lo + i·w, lo + (i+1)·w), w = (hi-lo)/nBins; values outside the range
+   * clamp into the edge bins (so the counts always sum to the non-null row
+   * count), nulls are dropped. Explicit bounds keep the operator one
+   * fully-parallel hash aggregate — bounds discovery would be a second
+   * pass; run [[profile]] first if you need them. Only non-empty bins are
+   * returned. Bin arithmetic is plain IEEE double floor((v-lo)/w) — exact
+   * and engine-portable for the oracle.
+   */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val w = (hi - lo) / nBins
+    val v = col(c).cast("double")
+    val bin = least(lit(nBins - 1L),
+      greatest(lit(0L), floor((v - lo) / w).cast("long")))
+    df.filter(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1L)).as("n"))
+      .select(col("bin"), (lit(lo) + col("bin") * w).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1L) * w).as("bin_hi"), col("n"))
+  }
+}

@@ -115,6 +115,25 @@ object StreamGate {
     runToTable(out, "stream_corpus", "append")
   }
 
+  /**
+   * Streaming hash-split routing: the deterministic md5 train/val/test
+   * assignment applied to a document stream in append mode. Stateless and
+   * a pure function of each row's id, so the emitted assignment is EXACTLY
+   * the batch assignment of the same file (the q58 SQL oracle re-checks it
+   * row for row) — the shape a production ingest router runs as: every
+   * arriving shard routes with no coordination, state, or watermark.
+   */
+  def hashSplitRoute(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageTableDir(sfDir, "documents")
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val routed = graft.ext.CorpusFilters.hashSplit(docs, "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select(col("doc_id"), col("split_bucket"), col("split"))
+    runToTable(routed, "stream_split", "append")
+  }
+
   /** Streaming exact dedup on a key column; only the key survives to the
     * output (WHICH physical row wins per key is arrival-order-dependent, the
     * key set itself is exact — the oracle is SELECT DISTINCT). */

@@ -163,4 +163,74 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(some1 === some2) // pure function of ids: rerun-stable
     assert(some1.toSet.subsetOf((1L to 20L).toSet))
   }
+
+  test("hashSplit: assignment matches the md5 ground truth; stable under corpus growth") {
+    val small = (1L to 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    def expected(id: Long): String = {
+      val b = md5Hex(id.toString).substring(0, 4)
+      if (b < "cccc") "train" else if (b < "e666") "val" else "test"
+    }
+    val got = CorpusFilters.hashSplit(small, "doc_id", splits)
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 50)
+    got.foreach { case (id, s) => assert(s === expected(id), s"doc $id") }
+    // growth stability: the same ids keep their split in a 10x corpus
+    val big = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val bigGot = CorpusFilters.hashSplit(big, "doc_id", splits)
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, s) => assert(bigGot(id) === s) }
+    // fractions within binomial noise on 500 draws (p=0.8: sd~=9)
+    val trainN = bigGot.values.count(_ == "train")
+    assert(trainN > 360 && trainN < 440, s"train count $trainN")
+    // validation
+    intercept[IllegalArgumentException] {
+      CorpusFilters.hashSplit(small, "doc_id", Seq(("a", 0.5), ("b", 0.4)))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusFilters.hashSplit(small, "doc_id", Seq.empty)
+    }
+  }
+
+  test("packSequences: ground-truth pack boundaries per group") {
+    // tokens: doc1=3, doc2=4, doc3=2, doc4=5 in group a (window 6):
+    //   offsets 0,3,7,9 -> packs 0,0,1,1
+    // group b: doc5=6, doc6=1 -> offsets 0,6 -> packs 0,1
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, "a", words(3)), (2L, "a", words(4)), (3L, "a", words(2)), (4L, "a", words(5)),
+      (5L, "b", words(6)), (6L, "b", words(1))
+    ).toDF("doc_id", "source", "text")
+    val got = CorpusFilters.packSequences(docs, "doc_id", "text", "source", windowTokens = 6L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("a", 0L)) === ((2L, 7L, 1L, 2L)))
+    assert(got(("a", 1L)) === ((2L, 7L, 3L, 4L)))
+    assert(got(("b", 0L)) === ((1L, 6L, 5L, 5L)))
+    assert(got(("b", 1L)) === ((1L, 1L, 6L, 6L)))
+    assert(got.size === 4)
+    intercept[IllegalArgumentException] {
+      CorpusFilters.packSequences(docs, "doc_id", "text", "source", windowTokens = 0L)
+    }
+  }
+
+  test("packSequences sub-sharded: full coverage, deterministic, bounded windows") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = (1L to 100L).map(i => (i, "crawl", words(5))).toDF("doc_id", "source", "text")
+    def run() = CorpusFilters.packSequences(docs, "doc_id", "text", "source",
+      windowTokens = 20L, subShards = 4)
+    val a = run().collect().map(r => (r.getString(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3)))).toMap
+    val b = run().collect().map(r => (r.getString(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3)))).toMap
+    assert(a === b) // hash sub-sharding is a pure function of ids
+    assert(a.values.map(_._1).sum === 100L) // every doc lands in exactly one pack
+    // 5-token docs, 20-token window -> every full window holds exactly 4
+    assert(a.values.forall { case (nDocs, toks) => nDocs <= 4 && toks === nDocs * 5 })
+    // sub-shard encoding: pack ids from different shards never collide
+    val shards = a.keys.map(_._2 / 1099511627776L).toSet
+    assert(shards.subsetOf(Set(0L, 1L, 2L, 3L)) && shards.size > 1)
+  }
 }

@@ -73,4 +73,26 @@ class TextStatsSpec extends SparkSpec {
     assert(got(1L) > 0.8)
     assert(got(2L) === 0.0)
   }
+
+  test("chunkText: overlapping windows, short tail, empty doc yields one empty chunk") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val text = ("ab" * 175) // 350 chars
+    val df = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val got = TextStats.chunkText(df, "doc_id", "text", chunkChars = 200, strideChars = 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc1: starts 0,150,300 -> lens 200,200,50
+    assert(got.keySet === Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    assert(got((1L, 0L)) === ((0L, 200L, md5Hex(text.substring(0, 200)))))
+    assert(got((1L, 1L)) === ((150L, 200L, md5Hex(text.substring(150, 350)))))
+    assert(got((1L, 2L)) === ((300L, 50L, md5Hex(text.substring(300)))))
+    // empty doc is still represented (one empty chunk)
+    assert(got((2L, 0L)) === ((0L, 0L, md5Hex(""))))
+    // overlap invariant: consecutive chunks share chunkChars - stride chars
+    intercept[IllegalArgumentException] {
+      TextStats.chunkText(df, "doc_id", "text", chunkChars = 100, strideChars = 200)
+    }
+  }
 }

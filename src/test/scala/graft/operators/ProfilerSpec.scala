@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: exact counts, nulls, min/max strings on crafted data") {
+    val df = Seq(
+      (1L, Some("b"), Some(2.5)),
+      (2L, Some("a"), None),
+      (3L, None, Some(7.25)),
+      (4L, Some("a"), Some(2.5))
+    ).toDF("id", "s", "v")
+    val p = Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("id", "s", "v"))
+    val id = p("id")
+    assert(id.getLong(1) === 4L && id.getLong(2) === 0L && id.getLong(3) === 4L)
+    assert(id.getString(4) === "1" && id.getString(5) === "4")
+    val s = p("s")
+    assert(s.getLong(2) === 1L && s.getLong(3) === 2L)
+    assert(s.getString(4) === "a" && s.getString(5) === "b")
+    val v = p("v")
+    assert(v.getLong(2) === 1L && v.getLong(3) === 2L)
+    assert(v.getString(4) === "2.5" && v.getString(5) === "7.25")
+  }
+
+  test("profile: approx mode returns the same shape with near-exact distincts") {
+    val df = spark.range(1000).selectExpr("id", "id % 10 AS m")
+    val p = Profiler.profile(df, exact = false).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // HLL relative error default ~5%; these cardinalities are tiny so exact
+    assert(p("m").getLong(3) === 10L)
+    val nd = p("id").getLong(3)
+    assert(nd > 950 && nd < 1050, s"approx distinct $nd")
+  }
+
+  test("profile: zero-column projection fails fast") {
+    intercept[IllegalArgumentException] {
+      Profiler.profile(Seq((1, 2)).toDF("a", "b").select())
+    }
+  }
+
+  test("histogram: bin edges, clamping, null drop, counts sum to non-null rows") {
+    val df = Seq(Some(-5.0), Some(0.0), Some(9.99), Some(10.0), Some(25.0),
+      Some(99.0), Some(150.0), None).toDF("v")
+    val bins = Profiler.histogram(df, "v", lo = 0.0, hi = 100.0, nBins = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    // -5 clamps to bin 0; 150 clamps to bin 9; null dropped
+    assert(bins(0L) === ((0.0, 10.0, 3L)))  // -5, 0, 9.99
+    assert(bins(1L) === ((10.0, 20.0, 1L))) // 10.0
+    assert(bins(2L) === ((20.0, 30.0, 1L))) // 25
+    assert(bins(9L) === ((90.0, 100.0, 2L))) // 99, 150(clamped)
+    assert(bins.values.map(_._3).sum === 7L)
+    assert(bins.size === 4) // only non-empty bins
+    intercept[IllegalArgumentException] {
+      Profiler.histogram(df, "v", 10.0, 10.0, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.histogram(df, "v", 0.0, 1.0, 0)
+    }
+  }
+}
