@@ -84,7 +84,14 @@ object ScaleProbe {
       ("documents", k) -> gen("documents", k, c =>
         replicate("documents", c, Seq("doc_id"), 1000000L, perturbText)),
       ("embeddings", k) -> gen("embeddings", k, c =>
-        replicate("embeddings", c, Seq("vec_id"), 1000000L, perturbVec))
+        replicate("embeddings", c, Seq("vec_id"), 1000000L, perturbVec)),
+      // per-copy 4-char name suffix, pairwise edit distance >= 3 between
+      // copies ("@111" vs "@222"...): cross-copy fuzzy-join pairs can never
+      // pass maxDist=2, so pair output scales linearly like the base corpus
+      ("customer", k) -> gen("customer", k, c =>
+        replicate("customer", c, Seq("c_custkey"), 1000000000L,
+          (df, i) => if (i == 0) df
+            else df.withColumn("c_name", concat(col("c_name"), lit(s"@$i$i$i")))))
     )).flatten.toMap
 
     def read(n: String, k: Int) = spark.read.parquet(paths((n, k)))
@@ -206,6 +213,49 @@ object ScaleProbe {
           e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, ext.Similarity.IvfConfig(nlist = 64, nprobe = 4))
           .count()
+      }
+      timed("tfidf_keywords", k) {
+        // disjoint per-copy vocab: df stays per-copy, output rows = 3/doc
+        ext.CorpusFilters.tfidfKeywords(read("documents", k), "doc_id", "text", 3).count()
+      }
+      timed("bigram_novelty", k) {
+        ext.CorpusFilters.bigramNovelty(read("documents", k), "doc_id", "text").count()
+      }
+      timed("source_overlap", k) {
+        // same 20 sources at every scale: the matrix stays 190 rows while
+        // the per-source gram vocabularies grow linearly
+        ext.CorpusFilters.sourceOverlap(read("documents", k), "source", "text", 3).count()
+      }
+      timed("fuzzy_join", k) {
+        val c = read("customer", k).filter(col("c_custkey") % 10 === 0)
+        graft.operators.FuzzyJoin.join(c, "c_custkey", "c_name", c, "c_custkey", "c_name",
+          maxDist = 2, reverseKeys = true, selfPairs = true).count()
+      }
+      timed("event_funnel", k) {
+        // q113's plan over the replicated events: user_id offsets keep the
+        // copies' funnels independent, so output stays 3 rows
+        val win = 86400000000000L
+        val ev = read("events", k).select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val cl = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+          .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + win)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase").join(cl, Seq("user_id"))
+          .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + win)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        ev.select(col("user_id")).distinct()
+          .join(v, Seq("user_id"), "left").join(cl, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .groupBy(when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L).otherwise(0L).as("stage"))
+          .agg(count(lit(1))).count()
+      }
+      timed("partitioned_write", k) {
+        graft.io.ParquetIO.writePartitioned(read("documents", k),
+          s"$work/part_x$k.parquet", Seq("lang"))
+        spark.read.parquet(s"$work/part_x$k.parquet").count()
       }
       timed("zorder_rewrite", k) {
         val ev = read("events", k).select(col("event_id"), col("user_id"), col("value"))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{CorpusFilters, Dedup, Multimodal, Similarity, TextStats}
-import graft.operators.{Profiler, Sampler, SemiJoinReducer}
+import graft.operators.{FuzzyJoin, Profiler, Sampler, SemiJoinReducer}
 import graft.streaming.StreamGate
 
 /**
@@ -869,6 +869,68 @@ object SparkEntry {
           array_join(
             transform(sort_array(collect_list(col("o_orderkey"))), _.cast("string")),
             ",").as("orderkeys_csv"))),
+
+    // ---- keyword extraction / LM scoring / linkage / layout -------------
+    // per-doc top-3 TF-IDF keywords; BM25-rational idf so the score is
+    // IEEE-exact cross-engine (see CorpusFilters.tfidfKeywords scaladoc)
+    "q110_tfidf_keywords" -> ((s, dir) =>
+      CorpusFilters.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+    // integer-exact bigram corpus-support / novelty scoring (the oracle-able
+    // core of an n-gram LM quality signal)
+    "q111_bigram_novelty" -> ((s, dir) =>
+      CorpusFilters.bigramNovelty(t(s, dir, "documents"), "doc_id", "text")),
+    // exact edit-distance self-join (PassJoin partition blocking, reversed
+    // keys because c_name's distinctive digits are a SUFFIX), verified by
+    // levenshtein <= 2; the DuckDB oracle brute-forces all pairs
+    "q112_fuzzy_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") % 10 === 0)
+      FuzzyJoin.join(c, "c_custkey", "c_name", c, "c_custkey", "c_name",
+          maxDist = 2, reverseKeys = true, selfPairs = true)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    }),
+    // staged conversion funnel (view -> click -> purchase, each stage within
+    // 24h of the previous, strictly increasing event times per user); ts
+    // stays long nanos on both engines
+    "q113_event_funnel" -> ((s, dir) => {
+      val win = 86400000000000L // 24h in nanos
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + win)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + win)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      ev.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L)
+            .otherwise(0L).as("funnel_stage"))
+        .groupBy(col("funnel_stage")).agg(count(lit(1)).as("n_users"))
+    }),
+    // hive-partitioned sink + partition-pruned read-back (the scan must
+    // touch only lang=en directories — PartitionedSinkSpec pins the plan)
+    "q114_partitioned_scan" -> ((s, dir) => {
+      val out = graft.io.TempDirs.create("graft_part").toString
+      graft.io.ParquetIO.writePartitioned(t(s, dir, "documents"), out, Seq("lang"))
+      s.read.parquet(out).filter(col("lang") === "en")
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"), col("lang"))
+    }),
+    // canonical pre-dedup normalization chain (lower / strip non-letters /
+    // collapse whitespace), plus the normalized counts
+    "q115_text_normalize" -> ((s, dir) =>
+      TextStats.normalize(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("norm_text"), col("norm_text_chars"),
+          col("norm_text_tokens"))),
+    // cross-source contamination matrix: distinct 3-gram Jaccard overlap
+    // for every unordered source pair (zero-overlap pairs included)
+    "q116_source_overlap" -> ((s, dir) =>
+      CorpusFilters.sourceOverlap(t(s, dir, "documents"), "source", "text", n = 3)),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -1771,6 +1833,104 @@ object SparkEntry {
         |SELECT min(tus) AS session_start_us, max(tus) AS session_end_us,
         |  user_id, count(*) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // TF-IDF keywords: the BM25-rational idf makes the score one IEEE
+    // division + multiplication of exactly-representable small integers on
+    // both engines — bit-identical, so the rank cut is deterministic
+    "q110_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+        |  WHERE length(trim(text)) > 0
+        |), words AS (SELECT doc_id, unnest(t) AS term FROM toks
+        |), tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2
+        |), dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+        |SELECT doc_id, term, tf, df, score, rank FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      ((CAST(n.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5)) AS score,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+        |      CAST(tf.tf AS DOUBLE) *
+        |        ((CAST(n.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5)) DESC,
+        |      tf.term) AS BIGINT) AS rank
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |) WHERE rank <= 3""".stripMargin,
+    // bigram novelty: integer sums only, two double divisions at the end
+    "q111_bigram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+        |  WHERE length(trim(text)) > 0
+        |), pos AS (
+        |  SELECT doc_id, unnest(t) AS word, unnest(generate_series(1, len(t))) AS pos FROM toks
+        |), big AS (
+        |  SELECT doc_id, word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS gram2 FROM pos
+        |), bb AS (SELECT doc_id, gram2 FROM big WHERE gram2 IS NOT NULL
+        |), cb AS (SELECT gram2, CAST(count(*) AS BIGINT) AS cnt FROM bb GROUP BY 1
+        |), per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(cnt) AS BIGINT) AS support_sum,
+        |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_cnt
+        |  FROM bb JOIN cb USING (gram2) GROUP BY 1
+        |)
+        |SELECT doc_id, n_bigrams, support_sum,
+        |  CAST(support_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_support,
+        |  CAST(novel_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS novel_frac
+        |FROM per""".stripMargin,
+    // fuzzy join: DuckDB brute-forces every pair; the engine's PassJoin
+    // blocking must reproduce it exactly
+    "q112_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey % 10 = 0 AND b.c_custkey % 10 = 0
+        |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    "q113_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events
+        |), v AS (SELECT user_id, min(tns) AS tv FROM e WHERE event_type = 'view' GROUP BY 1
+        |), c AS (SELECT e.user_id, min(tns) AS tc FROM e JOIN v USING (user_id)
+        |         WHERE event_type = 'click' AND tns > tv AND tns <= tv + 86400000000000 GROUP BY 1
+        |), p AS (SELECT e.user_id, min(tns) AS tp FROM e JOIN c USING (user_id)
+        |         WHERE event_type = 'purchase' AND tns > tc AND tns <= tc + 86400000000000 GROUP BY 1
+        |), u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT funnel_stage, CAST(count(*) AS BIGINT) AS n_users FROM (
+        |  SELECT CAST(CASE WHEN tp IS NOT NULL THEN 3 WHEN tc IS NOT NULL THEN 2
+        |              WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage
+        |  FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |) GROUP BY 1""".stripMargin,
+    "q114_partitioned_scan" ->
+      "SELECT doc_id, text, source, n_chars, lang FROM documents WHERE lang = 'en'",
+    "q115_text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents
+        |)
+        |SELECT doc_id, norm_text,
+        |  CAST(length(norm_text) AS BIGINT) AS norm_text_chars,
+        |  CAST(CASE WHEN length(norm_text) = 0 THEN 0
+        |       ELSE len(string_split_regex(norm_text, '\s+')) END AS BIGINT) AS norm_text_tokens
+        |FROM n""".stripMargin,
+    // source-overlap matrix over the same shingle definition as q43
+    "q116_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+        |  WHERE length(trim(text)) > 0
+        |), sh AS (
+        |  SELECT source,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks
+        |), g AS (SELECT DISTINCT source, unnest(s) AS gram FROM sh
+        |), sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1
+        |), inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS i
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2
+        |)
+        |SELECT s1.source AS src_a, s2.source AS src_b, s1.n AS grams_a, s2.n AS grams_b,
+        |  CAST(COALESCE(inter.i, 0) AS BIGINT) AS n_shared,
+        |  CAST(COALESCE(inter.i, 0) AS DOUBLE) / CAST(s1.n + s2.n - COALESCE(inter.i, 0) AS DOUBLE) AS jaccard
+        |FROM sz s1 JOIN sz s2 ON s1.source < s2.source
+        |LEFT JOIN inter ON inter.src_a = s1.source AND inter.src_b = s2.source""".stripMargin,
   )
 
   def oracleSql: Map[String, String] = ListMap(oraclePairs: _*)

@@ -342,6 +342,163 @@ object CorpusFilters {
   }
 
   /**
+   * TF-IDF keyword extraction: the top-`k` most characteristic terms per
+   * document, scored `tf · (N − df + 0.5)/(df + 0.5)` — the BM25 idf kernel
+   * (Robertson/Spärck Jones probabilistic idf), chosen over `ln(N/df)`
+   * deliberately: it is a RATIONAL function of integer counts, so the score
+   * is one IEEE division and one multiplication on any engine — bit-exact
+   * cross-engine, where `ln` is libm-specific in the last ulp. Ranking ties
+   * break on the term string, so the top-k set is fully deterministic.
+   *
+   * Shape at scale: term frequencies are one map-side-combined hash agg
+   * keyed (doc, term); document frequencies aggregate THAT relation keyed
+   * by term (vocabulary-sized — Heaps' law keeps it sublinear in the
+   * corpus); the single-row corpus count broadcasts. The only per-doc
+   * window runs over each document's DISTINCT terms — bounded by document
+   * size, never by corpus size.
+   */
+  def tfidfKeywords(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val docs = df.filter(length(trim(col(textCol))) > 0)
+    val tf = docs
+      .select(col(idCol).as("__cf_id"), explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy(col("__cf_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("__cf_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term")).join(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          ((col("__n").cast("double") - col("df").cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__cf_id").as(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  /**
+   * Bigram novelty / corpus-support scoring — the integer-exact core of an
+   * n-gram LM quality signal: for each document, how "familiar" its
+   * adjacent-word bigrams are corpus-wide. Per document: bigram count, the
+   * SUM of corpus-wide occurrence counts of its bigrams (exact integer —
+   * order-independent, so bit-identical under any partitioning), the mean
+   * support (one double division), and the fraction of its bigram
+   * occurrences that are corpus-unique (`cnt == 1`: this occurrence is the
+   * only one anywhere — high novel_frac flags either fresh content or
+   * noise, the same decision axis a smoothed bigram-LM perplexity scores).
+   * A true add-k log-perplexity is one `ln` away from these counts; it is
+   * left out of the ORACLE-checked surface only because libm `ln` is not
+   * bit-portable — [[bigramLogLik]] below computes it for pipeline use.
+   *
+   * Docs with fewer than 2 tokens have no bigrams and are dropped (same
+   * contract as the shingle operators).
+   */
+  def bigramNovelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val big = explodedGrams(df, idCol, textCol).filter(col("gram2").isNotNull)
+    val counts = big.groupBy(col("gram2")).agg(count(lit(1)).as("__cnt"))
+    big.join(counts, Seq("gram2"))
+      .groupBy(col("__cf_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__cnt")).as("support_sum"),
+        sum(when(col("__cnt") === 1, 1L).otherwise(0L)).as("novel_cnt"))
+      .select(col("__cf_id").as(idCol), col("n_bigrams"), col("support_sum"),
+        (col("support_sum").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_support"),
+        (col("novel_cnt").cast("double") / col("n_bigrams").cast("double"))
+          .as("novel_frac"))
+  }
+
+  /**
+   * Add-one-smoothed bigram LM average negative log-likelihood per document
+   * (the KenLM-style quality score, self-trained on the corpus):
+   * `-(1/B) Σ ln((c(w1,w2)+1)/(c(w1)+V))`. Same distributed shape as
+   * [[bigramNovelty]] plus a unigram-count join; kept separate from the
+   * oracle surface because `ln` is not bit-portable across engines — its
+   * spec checks hand-computed values on a tiny corpus instead.
+   */
+  def bigramLogLik(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val g = explodedGrams(df, idCol, textCol)
+    val big = g.filter(col("gram2").isNotNull)
+    val bigramCounts = big.groupBy(col("gram2")).agg(count(lit(1)).as("__cb"))
+    val unigramCounts = g.groupBy(col("word")).agg(count(lit(1)).as("__cu"))
+    val vocab = unigramCounts.agg(count(lit(1)).as("__v"))
+    big.join(bigramCounts, Seq("gram2"))
+      .join(unigramCounts, Seq("word"))
+      .join(broadcast(vocab))
+      .withColumn("__nll",
+        -log((col("__cb").cast("double") + 1.0) /
+          (col("__cu").cast("double") + col("__v").cast("double"))))
+      .groupBy(col("__cf_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll")).as("__s"))
+      .select(col("__cf_id").as(idCol), col("n_bigrams"),
+        (col("__s") / col("n_bigrams").cast("double")).as("avg_neg_log_lik"))
+  }
+
+  /**
+   * Cross-source contamination matrix: for every unordered pair of sources,
+   * the number of distinct word `n`-gram shingles they share and the
+   * Jaccard overlap of their shingle vocabularies — the corpus-level
+   * companion to per-document [[decontaminate]] (is source A leaking into
+   * source B?).
+   *
+   * Shape at scale: each source collapses to its DISTINCT grams (map-side
+   * combined agg keyed (source, gram)). The naive next step — self-join the
+   * gram dictionary on the gram key — fans out C(sources-containing-gram, 2)
+   * rows PER GRAM, which for a shared-vocabulary corpus is ~(#sources
+   * choose 2) × |vocabulary| intermediate rows. Instead each gram collapses
+   * to its SOURCE SET (collect_set of a dense source index, bounded by
+   * #sources — the same "sources are few" contract as [[mixtureReport]]),
+   * identical sets collapse to one counted row, and the pair expansion runs
+   * once per DISTINCT SET — thousands of rows, not per-gram. The per-source
+   * size table (#sources rows) broadcasts to complete the matrix with
+   * zero-overlap pairs. Grams ride as 8-byte xxhash64 longs from the codegen
+   * kernel ([[TextExpressionFunctions.shingle_hashes]]) — text never rides a
+   * shuffle; same 2^-64-collision caveat as the other set-similarity ops.
+   */
+  def sourceOverlap(
+      df: DataFrame, sourceCol: String, textCol: String, n: Int = 3): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    // dense source index so sets ride as int arrays (the window runs over
+    // #sources rows, not data)
+    val srcIdx = df.select(col(sourceCol).as("__src")).distinct()
+      .withColumn("__sid", row_number().over(Window.orderBy(col("__src"))).cast("int"))
+    val grams = df
+      .select(col(sourceCol).as("__src"),
+        explode(TextExpressionFunctions.shingle_hashes(
+          Dedup.tokens(col(textCol)), n, 0L)).as("gram"))
+      .distinct()
+      .join(broadcast(srcIdx), Seq("__src"))
+    val sizes = grams.groupBy(col("__src")).agg(count(lit(1)).as("n_grams"))
+    // gram -> sorted source set -> count of identical sets
+    val sets = grams.groupBy(col("gram"))
+      .agg(sort_array(collect_set(col("__sid"))).as("__sids"))
+      .groupBy(col("__sids")).agg(count(lit(1)).as("__cnt"))
+    // expand each distinct set's (i < j) pairs exactly once
+    val pairExpr = flatten(transform(
+      sequence(lit(0), size(col("__sids")) - 2),
+      i => transform(
+        slice(col("__sids"), i + 2, size(col("__sids"))),
+        j => struct(element_at(col("__sids"), i + 1).as("sa"), j.as("sb")))))
+    val inter = sets.filter(size(col("__sids")) >= 2)
+      .select(col("__cnt"), explode(pairExpr).as("__p"))
+      .groupBy(col("__p.sa").as("__sa"), col("__p.sb").as("__sb"))
+      .agg(sum(col("__cnt")).as("n_shared"))
+    val named = broadcast(sizes.join(srcIdx, Seq("__src")))
+    named.select(col("__src").as("src_a"), col("__sid").as("__sa"), col("n_grams").as("grams_a"))
+      .join(named.select(col("__src").as("src_b"), col("__sid").as("__sb"), col("n_grams").as("grams_b")),
+        col("__sa") < col("__sb"))
+      .join(inter, Seq("__sa", "__sb"), "left")
+      .select(col("src_a"), col("src_b"), col("grams_a"), col("grams_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          (col("grams_a") + col("grams_b") - coalesce(col("n_shared"), lit(0L))).cast("double"))
+          .as("jaccard"))
+  }
+
+  /**
    * Rate-based token-budget selection (the 100 TB path): per source, keep a
    * document iff its md5-derived uniform draw is below
    * `budgetTokens / sourceTokens`. Two fully parallel passes (agg + filter),

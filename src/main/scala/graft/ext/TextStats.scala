@@ -109,6 +109,24 @@ object TextStats {
       .withColumn("simhash_fp", TextExpressionFunctions.simhash64(Dedup.tokens(col(textCol))))
   }
 
+  /**
+   * Canonical text-normalization chain (the pre-dedup normalizer every
+   * curation pipeline runs so that near-identical texts collide): lowercase
+   * → strip everything that is not a letter, digit, or whitespace → collapse
+   * whitespace runs to single spaces → trim. Unicode-aware (`\p{L}`/`\p{N}`
+   * classes, so CJK and accented letters survive). Pure codegen'd regexp
+   * projection — scan-fused, no shuffle; emits the normalized text plus its
+   * char/token counts.
+   */
+  def normalize(df: DataFrame, textCol: String, outCol: String = "norm_text"): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^\\p{L}\\p{N}\\s]", " "),
+      "\\s+", " "))
+    df.withColumn(outCol, norm)
+      .withColumn(outCol + "_chars", length(col(outCol)).cast("long"))
+      .withColumn(outCol + "_tokens", size(tokens(col(outCol))).cast("long"))
+  }
+
   /** GPT-2-style pre-tokenizer regex (contractions | letter runs | digit
     * runs | symbol runs), giving a BPE-ish token count without a vocab. */
   private val bpeIshPattern =

@@ -102,6 +102,27 @@ object ParquetIO {
   }
 
   /**
+   * Hive-layout partitioned parquet write: one directory per distinct value
+   * combination of `partitionCols` (`lang=en/part-*.parquet`). The payoff is
+   * at read time: a filter on a partition column prunes whole directories
+   * BEFORE any file is opened (`PartitionFilters` in the scan node — cheaper
+   * even than footer-stats pruning, which still lists and opens files). The
+   * 100 TB layout rule: partition by the low-cardinality columns every query
+   * filters on (date, source, language); never by a high-cardinality key
+   * (one directory per value would melt the file listing).
+   */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      compression: Option[String] = None): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must not be empty")
+    val w = df.write.mode("overwrite").partitionBy(partitionCols: _*)
+    compression.foreach(c => w.option("compression", c))
+    w.parquet(path)
+  }
+
+  /**
    * Bucketed parquet table write: rows are hash-partitioned into `buckets`
    * files per partition by `bucketCols`, and the layout is recorded in the
    * catalog. Joins/aggregations between tables bucketed the same way on the

@@ -233,4 +233,71 @@ class CorpusFiltersSpec extends SparkSpec {
     val shards = a.keys.map(_._2 / 1099511627776L).toSet
     assert(shards.subsetOf(Set(0L, 1L, 2L, 3L)) && shards.size > 1)
   }
+
+  test("tfidfKeywords: hand-computed BM25-idf scores, deterministic tie-break, rank cut") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry"),
+      (4L, "   ") // no tokens: dropped, and not counted in N
+    ).toDF("doc_id", "text")
+    val r = CorpusFilters.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(5)) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    // N=3; df: apple 1, banana 2, cherry 2
+    // idf(apple) = 2.5/1.5; idf(banana) = idf(cherry) = 1.5/2.5 = 0.6
+    assert(r((1L, 1L))._1 === "apple")
+    assert(math.abs(r((1L, 1L))._4 - 2.0 * (2.5 / 1.5)) < 1e-15)
+    assert(r((1L, 2L)) === (("banana", 1L, 2L, 1.0 * (1.5 / 2.5))))
+    // d2: banana and cherry tie at 0.6 -> term asc breaks it
+    assert(r((2L, 1L))._1 === "banana" && r((2L, 2L))._1 === "cherry")
+    // d3: single term, no rank-2 row
+    assert(r((3L, 1L))._1 === "cherry" && !r.contains((3L, 2L)))
+    assert(math.abs(r((3L, 1L))._4 - 3.0 * 0.6) < 1e-15)
+    intercept[IllegalArgumentException] {
+      CorpusFilters.tfidfKeywords(docs, "doc_id", "text", k = 0)
+    }
+  }
+
+  test("bigramNovelty: hand-computed support sums; docs without bigrams dropped") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: "a b" x2, "b a" x1
+      (2L, "a b c"),   // bigrams: "a b", "b c"
+      (3L, "solo"),    // one token: no bigrams
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val r = CorpusFilters.bigramNovelty(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r.keySet === Set(1L, 2L))
+    // corpus counts: "a b"->3, "b a"->1, "b c"->1
+    assert(r(1L)._1 === 3L && r(1L)._2 === 7L) // 3+1+3
+    assert(math.abs(r(1L)._3 - 7.0 / 3.0) < 1e-15)
+    assert(math.abs(r(1L)._4 - 1.0 / 3.0) < 1e-15) // only "b a" is corpus-unique
+    assert(r(2L) === ((2L, 4L, 2.0, 0.5)))         // 3+1; "b c" unique
+  }
+
+  test("bigramLogLik: add-one-smoothed NLL matches the closed form on a tiny corpus") {
+    val docs = Seq((1L, "a b b")).toDF("doc_id", "text")
+    val r = CorpusFilters.bigramLogLik(docs, "doc_id", "text").collect()
+    assert(r.length === 1 && r(0).getLong(1) === 2L)
+    // unigrams: a=1, b=2; V=2; p(a b)=(1+1)/(1+2); p(b b)=(1+1)/(2+2)
+    val expected = -(math.log(2.0 / 3.0) + math.log(0.5)) / 2.0
+    assert(math.abs(r(0).getDouble(2) - expected) < 1e-12)
+  }
+
+  test("sourceOverlap: complete matrix incl. zero-overlap pairs; short-doc shingle fallback") {
+    val docs = Seq(
+      ("A", "x y z w"), // 3-grams: "x y z", "y z w"
+      ("B", "x y z"),   // exactly 3 tokens: one 3-gram "x y z"
+      ("C", "q")        // short doc: whole text is its own shingle
+    ).toDF("source", "text")
+    val r = CorpusFilters.sourceOverlap(docs, "source", "text", n = 3)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5)))).toMap
+    assert(r.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(r(("A", "B")) === ((2L, 1L, 1L, 0.5)))
+    assert(r(("A", "C")) === ((2L, 1L, 0L, 0.0)))
+    assert(r(("B", "C")) === ((1L, 1L, 0L, 0.0)))
+  }
 }

@@ -95,4 +95,20 @@ class TextStatsSpec extends SparkSpec {
       TextStats.chunkText(df, "doc_id", "text", chunkChars = 100, strideChars = 200)
     }
   }
+
+  test("normalize: unicode-aware lowering/stripping/collapsing, with counts") {
+    val df = Seq(
+      (1L, "  Hello, WORLD!!  foo_bar 42 "),
+      (2L, "Héllo — 中文, test"),
+      (3L, "!!!"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val r = TextStats.normalize(df, "text")
+      .select($"doc_id", $"norm_text", $"norm_text_chars", $"norm_text_tokens")
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) === (("hello world foo bar 42", 22L, 5L)))
+    assert(r(2L) === (("héllo 中文 test", 13L, 3L))) // letters (incl. CJK) survive
+    assert(r(3L) === (("", 0L, 0L)))                // punctuation-only -> empty
+    assert(r(4L) === (("", 0L, 0L)))
+  }
 }

@@ -116,4 +116,30 @@ class ParquetIOSpec extends SparkSpec {
     assert(ParquetIO.rowCount(spark, dir) === 12345)
     assert(ParquetIO.rowCount(spark, dir) === ParquetIO.read(spark, dir).count())
   }
+
+  test("partitioned sink: hive layout, content round-trip, and directory-level pruning") {
+    val dir = Files.createTempDirectory("graft_io").toString + "/part"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    ParquetIO.writePartitioned(docs, dir, Seq("lang"))
+    // hive directory layout exists
+    val langDirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(langDirs.nonEmpty && langDirs.forall(_.startsWith("lang=")))
+    // read-back content equals the source (partition col round-trips)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count())
+    val gotEn = back.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expEn = docs.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotEn === expEn && gotEn.nonEmpty)
+    // the filter prunes at the PARTITION level, before any file is opened
+    val plan = back.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"), plan)
+    intercept[IllegalArgumentException] {
+      ParquetIO.writePartitioned(docs, dir, Seq.empty)
+    }
+  }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select(col("id_a"), col("id_b"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("planted typos: substitutions, insertions, and deletions all surface") {
+    val rows = Seq(
+      (1L, "kitten"),
+      (2L, "sitten"),  // 1 substitution from kitten
+      (3L, "kittten"), // 1 insertion from kitten
+      (4L, "kitte"),   // 1 deletion from kitten
+      (5L, "zzzzzz")   // far from everything
+    ).toDF("id", "name")
+    val got = pairs(FuzzyJoin.join(rows, "id", "name", rows, "id", "name",
+      maxDist = 2, selfPairs = true))
+    val expected = Set(
+      (1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L))
+    assert(got === expected)
+  }
+
+  test("reverseKeys changes only the blocking, never the result") {
+    val rows = Seq(
+      (1L, "prefix-AAAA"), (2L, "prefix-AAAB"), (3L, "prefix-ZZZZ"),
+      (4L, "other-AAAA")
+    ).toDF("id", "name")
+    val plain = pairs(FuzzyJoin.join(rows, "id", "name", rows, "id", "name",
+      maxDist = 2, selfPairs = true))
+    val rev = pairs(FuzzyJoin.join(rows, "id", "name", rows, "id", "name",
+      maxDist = 2, reverseKeys = true, selfPairs = true))
+    assert(plain === rev)
+    assert(plain === Set((1L, 2L, 1L)))
+  }
+
+  test("exactness vs brute force on real keys (sf0.001 customers)") {
+    val c = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val fuzzy = pairs(FuzzyJoin.join(c, "id", "name", c, "id", "name",
+      maxDist = 2, reverseKeys = true, selfPairs = true))
+    val a = c.select(col("id").as("id_a"), col("name").as("name_a"))
+    val b = c.select(col("id").as("id_b"), col("name").as("name_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 2)
+    assert(fuzzy === pairs(brute))
+    assert(fuzzy.nonEmpty) // the dataset really exercises the operator
+  }
+
+  test("cross-frame join and maxDist=0 degenerate to exact equality") {
+    val l = Seq((1L, "abc"), (2L, "def")).toDF("id", "k")
+    val r = Seq((10L, "abc"), (11L, "xyz")).toDF("id", "k")
+    val got = pairs(FuzzyJoin.join(l, "id", "k", r, "id", "k", maxDist = 0))
+    assert(got === Set((1L, 10L, 0L)))
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.join(l, "id", "k", r, "id", "k", maxDist = -1)
+    }
+  }
+}
