@@ -845,6 +845,9 @@ object SparkEntry {
     "q86_stream_corpus_filter" -> ((s, dir) => StreamGate.corpusFilter(s, dir)),
     // stateless streaming router: emitted assignment == batch q58 oracle
     "q87_stream_hash_split" -> ((s, dir) => StreamGate.hashSplitRoute(s, dir)),
+    // per-user funnel state machine (flatMapGroupsWithState), sentinel-
+    // flushed; emitted stages == batch q113 exactly
+    "q88_stream_funnel" -> ((s, dir) => StreamGate.funnel(s, dir)),
 
     // ranking-function surface: dense_rank / percent_rank / ntile /
     // cume_dist share one window sort (deterministic tie-break on key)
@@ -931,6 +934,16 @@ object SparkEntry {
     // for every unordered source pair (zero-overlap pairs included)
     "q116_source_overlap" -> ((s, dir) =>
       CorpusFilters.sourceOverlap(t(s, dir, "documents"), "source", "text", n = 3)),
+    // Bloom-filter decontamination (q66's 100 TB sibling): joinless probe
+    // against a one-pass mergeable filter. Probabilistic (fpp=0.01) => no
+    // SQL oracle; BloomFilterSpec pins the no-false-negative contract vs
+    // the exact q66 path
+    "q117_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusFilters.bloomDecontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 5)
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -996,6 +1009,22 @@ object SparkEntry {
   // repetition stats: unnest+zip exploded words, lead() bigrams, same
   // two-level agg as the engine (counts are BIGINT both sides; ratio
   // expression trees written identically for bit-equal doubles)
+  // staged-min-ts funnel, 24h conversion windows; shared by the batch
+  // (q113) and streaming (q88) forms — the stream must match it exactly
+  private lazy val funnelOracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events
+      |), v AS (SELECT user_id, min(tns) AS tv FROM e WHERE event_type = 'view' GROUP BY 1
+      |), c AS (SELECT e.user_id, min(tns) AS tc FROM e JOIN v USING (user_id)
+      |         WHERE event_type = 'click' AND tns > tv AND tns <= tv + 86400000000000 GROUP BY 1
+      |), p AS (SELECT e.user_id, min(tns) AS tp FROM e JOIN c USING (user_id)
+      |         WHERE event_type = 'purchase' AND tns > tc AND tns <= tc + 86400000000000 GROUP BY 1
+      |), u AS (SELECT DISTINCT user_id FROM e)
+      |SELECT funnel_stage, CAST(count(*) AS BIGINT) AS n_users FROM (
+      |  SELECT CAST(CASE WHEN tp IS NOT NULL THEN 3 WHEN tc IS NOT NULL THEN 2
+      |              WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage
+      |  FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |) GROUP BY 1""".stripMargin
+
   private lazy val repetitionOracle: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -1884,19 +1913,10 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE a.c_custkey % 10 = 0 AND b.c_custkey % 10 = 0
         |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
-    "q113_event_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events
-        |), v AS (SELECT user_id, min(tns) AS tv FROM e WHERE event_type = 'view' GROUP BY 1
-        |), c AS (SELECT e.user_id, min(tns) AS tc FROM e JOIN v USING (user_id)
-        |         WHERE event_type = 'click' AND tns > tv AND tns <= tv + 86400000000000 GROUP BY 1
-        |), p AS (SELECT e.user_id, min(tns) AS tp FROM e JOIN c USING (user_id)
-        |         WHERE event_type = 'purchase' AND tns > tc AND tns <= tc + 86400000000000 GROUP BY 1
-        |), u AS (SELECT DISTINCT user_id FROM e)
-        |SELECT funnel_stage, CAST(count(*) AS BIGINT) AS n_users FROM (
-        |  SELECT CAST(CASE WHEN tp IS NOT NULL THEN 3 WHEN tc IS NOT NULL THEN 2
-        |              WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage
-        |  FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-        |) GROUP BY 1""".stripMargin,
+    "q113_event_funnel" -> funnelOracle,
+    // the streaming funnel's sentinel-flushed state machine must reproduce
+    // the batch answer exactly
+    "q88_stream_funnel" -> funnelOracle,
     "q114_partitioned_scan" ->
       "SELECT doc_id, text, source, n_chars, lang FROM documents WHERE lang = 'en'",
     "q115_text_normalize" ->

@@ -156,6 +156,44 @@ object CorpusFilters {
   }
 
   /**
+   * Bloom-filter decontamination — [[decontaminate]]'s 100 TB sibling for
+   * when the eval/blocklist side outgrows a broadcastable distinct-gram
+   * set: the blocklist collapses into a ~1.2 byte/key (at fpp=0.01) Bloom
+   * filter in ONE pass with NO shuffle (the filter aggregate is map-side
+   * mergeable by bitwise OR), is read once driver-side (the q106 two-pass
+   * sketch pattern) and ships inside the plan; the training corpus then
+   * streams through a codegen'd per-gram membership probe — no join at all.
+   *
+   * Guarantee direction is the safe one for decontamination: NO false
+   * negatives (every truly shared gram is flagged), false positives at
+   * `fpp` per probed gram — a flagged count can only OVER-estimate, so a
+   * `maybe_contaminated = false` is definitive. Output mirrors
+   * [[decontaminate]]: one row per train doc with `n_flagged_grams` (>= the
+   * exact shared count) and `maybe_contaminated`.
+   */
+  def bloomDecontaminate(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 5, fpp: Double = 0.01): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    import org.apache.spark.sql.graft.BloomFunctions
+    val gramExpr =
+      TextExpressionFunctions.shingle_hashes(Dedup.tokens(col(textCol)), n, 0L)
+    val evalGrams = eval.select(explode(gramExpr).as("__gram"))
+    // sizing pass: Bloom shape needs the key count up front. Both passes
+    // are shuffle-free scans of the (small-side) eval set; duplicates only
+    // waste a few bits, so no distinct anywhere.
+    val expected = math.max(1L, evalGrams.count())
+    val filterBytes = evalGrams
+      .agg(BloomFunctions.bloom_filter_agg(col("__gram"), expected, fpp))
+      .head.getAs[Array[Byte]](0)
+    val flagged = filter(gramExpr, g => BloomFunctions.bloom_might_contain(filterBytes, g))
+    train.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        size(flagged).cast("long").as("n_flagged_grams"))
+      .withColumn("maybe_contaminated", col("n_flagged_grams") > 0)
+  }
+
+  /**
    * Corpus-wide most-frequent adjacent-word bigrams, deterministically
    * ranked (count desc, gram asc). The global count is a two-level hash agg
    * (map-side combine) and the top-k cut is `orderBy(...).limit(k)` —

@@ -161,9 +161,10 @@ object StreamGate {
    * iterator order, whose float addition order is not deterministic across
    * runs; bounds and counts are.
    */
-  def sessions(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Stage events + a second file of one far-future sentinel event per user
+    * (mtime-ordered AFTER the real events). Returns (dir, sentinelTs). */
+  private def stageEventsWithSentinels(spark: SparkSession, sfDir: String): (Path, Long) = {
     val dir = stageEventsDir(sfDir)
-
     // sentinel = max real ts + ~1 year, one per user, staged AFTER events
     val batchEvents = spark.read.schema(StreamOps.eventsSchema).parquet(s"$sfDir/events.parquet")
     val maxTs = batchEvents.agg(max(col("ts"))).head().getLong(0)
@@ -181,12 +182,33 @@ object StreamGate {
     val target = dir.resolve("zzz_sentinel.parquet")
     Files.copy(part, target, StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(target, FileTime.fromMillis(System.currentTimeMillis()))
+    (dir, sentinelTs)
+  }
 
+  def sessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dir, sentinelTs) = stageEventsWithSentinels(spark, sfDir)
     val sessions = StreamOps.sessionizeStream(
       StreamOps.eventsStream(spark, dir.toString, maxFilesPerTrigger = 1))
     runToTable(sessions.toDF(), "stream_sessions", "append")
       .filter(col("session_start_us") < sentinelTs / 1000)
       .select(col("session_start_us"), col("session_end_us"), col("user_id"), col("n_events"))
+  }
+
+  /**
+   * Streaming conversion funnel ([[StreamOps.funnelStream]]): per-user
+   * custom-state machine, flushed by the per-user sentinel file; the
+   * emitted per-user stages aggregate to EXACTLY the batch q113 counts
+   * (in-event-time-order "first qualifying" == batch "min qualifying").
+   * Sentinels only flush — a sentinel never advances a funnel, so no
+   * start-time filter is needed.
+   */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dir, _) = stageEventsWithSentinels(spark, sfDir)
+    val stages = StreamOps.funnelStream(
+      StreamOps.eventsStream(spark, dir.toString, maxFilesPerTrigger = 1))
+    runToTable(stages.toDF(), "stream_funnel", "append")
+      .groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   /** Stream-stream interval join (see [[StreamOps.clickBeforePurchaseJoin]]);

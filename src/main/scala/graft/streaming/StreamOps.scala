@@ -152,6 +152,73 @@ object StreamOps {
       }
   }
 
+  /** Final funnel stage emitted by [[funnelStream]] once a user's stream
+    * ends: 0 none, 1 viewed, 2 clicked, 3 purchased. */
+  final case class UserFunnel(user_id: Long, funnel_stage: Long)
+
+  /** Funnel machine state: first-view / first-qualifying-click /
+    * first-qualifying-purchase times in nanos; -1 = not reached. */
+  final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+
+  final case class FunnelEvent(user_id: Long, tns: Long, event_type: String)
+
+  /**
+   * Streaming conversion funnel via `flatMapGroupsWithState`: a per-user
+   * state machine tracking view -> click -> purchase, each stage accepted
+   * only within `windowNs` of the previous stage's time — the streaming
+   * form of the batch q113 semantics (first view; first click in
+   * (tView, tView+w]; first purchase in (tClick, tClick+w]). Events are
+   * processed in event-time order (sorted within each batch; the staged
+   * replay delivers batches in file order), under which "first qualifying"
+   * equals the batch "min qualifying" — so the emitted stages are EXACTLY
+   * the batch answer, not an approximation.
+   *
+   * A user's final stage is emitted when their `sentinelType` event arrives
+   * (the finite-replay close signal, same pattern as the sessionization
+   * gate); state is O(1) per user — three longs — and is removed at flush.
+   */
+  def funnelStream(
+      events: DataFrame,
+      windowNs: Long = 86400000000000L,
+      sentinelType: String = "__sentinel"): Dataset[UserFunnel] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def stage(st: FunnelState): Long =
+      if (st.tPurchase >= 0) 3L else if (st.tClick >= 0) 2L else if (st.tView >= 0) 1L else 0L
+
+    def step(st: FunnelState, e: FunnelEvent): FunnelState = e.event_type match {
+      case "view" if st.tView < 0 => st.copy(tView = e.tns)
+      case "click" if st.tView >= 0 && st.tClick < 0 &&
+        e.tns > st.tView && e.tns <= st.tView + windowNs => st.copy(tClick = e.tns)
+      case "purchase" if st.tClick >= 0 && st.tPurchase < 0 &&
+        e.tns > st.tClick && e.tns <= st.tClick + windowNs => st.copy(tPurchase = e.tns)
+      case _ => st
+    }
+
+    withEventTime(events)
+      .select(col("user_id"), col("ts").as("tns"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, UserFunnel](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          var flush = false
+          batch.toSeq.sortBy(_.tns).foreach { e =>
+            if (e.event_type == sentinelType) flush = true
+            else st = step(st, e)
+          }
+          if (flush) {
+            if (state.exists) state.remove()
+            Iterator(UserFunnel(userId, stage(st)))
+          } else {
+            state.update(st)
+            Iterator.empty
+          }
+      }
+  }
+
   /**
    * Streaming exact dedup on a key, with watermark-bounded state: the first
    * occurrence of each key within the watermark horizon survives.

@@ -1,0 +1,183 @@
+package org.apache.spark.sql.graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/**
+ * Bloom filter over LONG keys (the engine's gram/fingerprint hashes are
+ * already xxhash64 longs) as a mergeable aggregate + a codegen membership
+ * probe. This is the 100 TB membership-test path: a benchmark/blocklist too
+ * big to broadcast as a hash set (a distinct-gram set keeps every key — 8+
+ * bytes/key and join machinery) collapses into ~1.2 bytes/key at 1% false
+ * positives, with NO false negatives — the safe direction for
+ * decontamination, where a false positive only over-quarantines a training
+ * document.
+ *
+ * Bit positions use Kirsch-Mitzenmacher double hashing (h1 + i·h2 mod m,
+ * "Less hashing, same performance", ESA'06): two XXH64 evaluations serve
+ * any number of probe functions with the classic FP guarantee.
+ *
+ * Filters built with the same (numBits, numHashes) merge by bitwise OR —
+ * the aggregate is partition-order-independent and map-side combinable, so
+ * building the filter is ONE pass over the blocklist with no shuffle
+ * beyond the (numBits/8)-byte buffers themselves.
+ */
+final class BloomBuffer(val numBits: Long, val numHashes: Int) extends Serializable {
+  require(numBits > 0 && numBits % 64 == 0, s"numBits must be a positive multiple of 64, got $numBits")
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+  val words = new Array[Long]((numBits / 64).toInt)
+
+  @inline private def bitFor(v: Long, i: Int): Long = {
+    val h1 = XXH64.hashLong(v, 0L)
+    val h2 = XXH64.hashLong(v, 1L)
+    val combined = h1 + i.toLong * h2
+    (combined & Long.MaxValue) % numBits // mask sign, then mod
+  }
+
+  def add(v: Long): Unit = {
+    var i = 0
+    while (i < numHashes) {
+      val bit = bitFor(v, i)
+      words((bit >>> 6).toInt) |= (1L << (bit & 63))
+      i += 1
+    }
+  }
+
+  def mightContain(v: Long): Boolean = {
+    var i = 0
+    while (i < numHashes) {
+      val bit = bitFor(v, i)
+      if ((words((bit >>> 6).toInt) & (1L << (bit & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def mergeFrom(other: BloomBuffer): Unit = {
+    require(other.numBits == numBits && other.numHashes == numHashes,
+      "cannot merge bloom filters with different shapes")
+    var i = 0
+    while (i < words.length) { words(i) |= other.words(i); i += 1 }
+  }
+
+  def serialized: Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 4 + words.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(numBits)
+    bb.putInt(numHashes)
+    words.foreach(bb.putLong)
+    bb.array()
+  }
+}
+
+object BloomBuffer {
+  /** Standard sizing: m = -n·ln(p)/ln(2)^2 bits (rounded up to a word),
+    * k = max(1, round((m/n)·ln 2)) probes. */
+  def shapeFor(expectedItems: Long, fpp: Double): (Long, Int) = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val ln2 = math.log(2.0)
+    val m0 = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong
+    val m = ((m0 + 63) / 64) * 64
+    val k = math.max(1, math.round(m.toDouble / expectedItems * ln2).toInt)
+    (m, k)
+  }
+
+  def deserialize(bytes: Array[Byte]): BloomBuffer = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val numBits = bb.getLong
+    val numHashes = bb.getInt
+    val buf = new BloomBuffer(numBits, numHashes)
+    var i = 0
+    while (i < buf.words.length) { buf.words(i) = bb.getLong; i += 1 }
+    buf
+  }
+}
+
+/** bloom_filter_agg(longCol) -> binary serialized filter. */
+case class BloomFilterAgg(
+    child: Expression,
+    numBits: Long,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomBuffer] with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_filter_agg"
+
+  override def createAggregationBuffer(): BloomBuffer = new BloomBuffer(numBits, numHashes)
+
+  override def update(buffer: BloomBuffer, input: InternalRow): BloomBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: BloomBuffer, other: BloomBuffer): BloomBuffer = {
+    buffer.mergeFrom(other)
+    buffer
+  }
+
+  override def eval(buffer: BloomBuffer): Any = buffer.serialized
+  override def serialize(buffer: BloomBuffer): Array[Byte] = buffer.serialized
+  override def deserialize(storageFormat: Array[Byte]): BloomBuffer =
+    BloomBuffer.deserialize(storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomFilterAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomFilterAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * bloom_might_contain(<built filter bytes>, longCol) -> boolean. The filter
+ * rides the expression as plain constructor state (the q106 two-pass
+ * pattern: the built sketch is read once driver-side, then ships to
+ * executors inside the serialized plan — one broadcast-sized object, parsed
+ * once per executor, probed per row from codegen).
+ */
+case class BloomMightContain(filterBytes: Array[Byte], child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val parsed: BloomBuffer = BloomBuffer.deserialize(filterBytes)
+
+  override def nullSafeEval(v: Any): Any = parsed.mightContain(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", parsed,
+      classOf[BloomBuffer].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.mightContain($v)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object BloomFunctions {
+  import org.apache.spark.sql.Column
+
+  /** Aggregate a long column into a serialized Bloom filter sized for
+    * `expectedItems` keys at false-positive rate `fpp`. */
+  def bloom_filter_agg(e: Column, expectedItems: Long, fpp: Double = 0.01): Column = {
+    val (m, k) = BloomBuffer.shapeFor(expectedItems, fpp)
+    ColumnBridge.column(
+      BloomFilterAgg(ColumnBridge.expression(e), m, k).toAggregateExpression())
+  }
+
+  /** Probe a built filter (bytes from [[bloom_filter_agg]]). No false
+    * negatives; false positives at the built fpp. */
+  def bloom_might_contain(filter: Array[Byte], e: Column): Column =
+    ColumnBridge.column(BloomMightContain(filter, ColumnBridge.expression(e)))
+}

@@ -67,5 +67,14 @@ object GraftExtensions {
         "frequent_items(item, k) - Misra-Gries heavy-hitters sketch (aggregate)"),
       arity(2, "frequent_items")(e =>
         FrequentItems(e(0), litLong(e(1), "k").toInt).toAggregateExpression())),
+    (FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg",
+        "bloom_filter_agg(key, expectedItems, fppPct) - mergeable Bloom filter over " +
+          "long keys, fpp = fppPct/100 (aggregate, returns binary)"),
+      arity(3, "bloom_filter_agg")(e => {
+        val (m, k) = BloomBuffer.shapeFor(litLong(e(1), "expectedItems"),
+          litLong(e(2), "fppPct").toDouble / 100.0)
+        BloomFilterAgg(e(0), m, k).toAggregateExpression()
+      })),
   )
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{BloomBuffer, BloomFunctions}
+
+class BloomFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("buffer: inserted keys always hit; serde round-trips; merge is bitwise-or") {
+    val (m, k) = BloomBuffer.shapeFor(1000, 0.01)
+    val a = new BloomBuffer(m, k)
+    val b = new BloomBuffer(m, k)
+    (0L until 500L).foreach(a.add)
+    (500L until 1000L).foreach(b.add)
+    a.mergeFrom(b)
+    assert((0L until 1000L).forall(a.mightContain)) // no false negatives, ever
+    val rt = BloomBuffer.deserialize(a.serialized)
+    assert(rt.numBits === m && rt.numHashes === k)
+    assert((0L until 1000L).forall(rt.mightContain))
+  }
+
+  test("false-positive rate lands near the built fpp") {
+    val (m, k) = BloomBuffer.shapeFor(10000, 0.01)
+    val buf = new BloomBuffer(m, k)
+    (0L until 10000L).foreach(i => buf.add(i * 2654435761L)) // spread keys
+    val probes = (1L to 20000L).map(i => -i) // disjoint from inserts
+    val fp = probes.count(buf.mightContain).toDouble / probes.size
+    assert(fp < 0.03, s"fp rate $fp far above built 0.01")
+  }
+
+  test("shape sizing validates inputs") {
+    intercept[IllegalArgumentException] { BloomBuffer.shapeFor(0, 0.01) }
+    intercept[IllegalArgumentException] { BloomBuffer.shapeFor(100, 0.0) }
+    intercept[IllegalArgumentException] { BloomBuffer.shapeFor(100, 1.0) }
+  }
+
+  test("aggregate + probe: distributed build matches local; partitioning-independent") {
+    val keys = (1L to 5000L).map(i => i * 104729L)
+    val df = keys.toDF("k").repartition(7)
+    val bytes = df.agg(BloomFunctions.bloom_filter_agg(col("k"), 5000, 0.01))
+      .head.getAs[Array[Byte]](0)
+    val local = BloomBuffer.deserialize(bytes)
+    assert(keys.forall(local.mightContain))
+    // the codegen probe expression agrees with the local buffer
+    val probeDf = (1L to 1000L).map(i => i * 104729L).toDF("k")
+      .withColumn("hit", BloomFunctions.bloom_might_contain(bytes, col("k")))
+    assert(probeDf.filter(!col("hit")).count() === 0)
+    // different partitioning -> same filter bytes (merge is commutative OR)
+    val bytes2 = df.repartition(3).agg(BloomFunctions.bloom_filter_agg(col("k"), 5000, 0.01))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(bytes, bytes2))
+  }
+
+  test("bloomDecontaminate: superset of the exact decontaminate flags (no false negatives)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+    val exact = graft.ext.CorpusFilters.decontaminate(train, evalSet, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = graft.ext.CorpusFilters.bloomDecontaminate(train, evalSet, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom.keySet === exact.keySet) // same doc universe
+    // every exact hit is flagged, and counts never under-count
+    exact.foreach { case (id, nExact) =>
+      assert(bloom(id) >= nExact, s"doc $id: bloom ${bloom(id)} < exact $nExact")
+    }
+    assert(exact.exists(_._2 > 0)) // the fixture really plants contamination
+  }
+}

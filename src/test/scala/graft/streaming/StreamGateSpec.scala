@@ -38,4 +38,69 @@ class StreamGateSpec extends SparkSpec {
     assert(got.count() === batch.count())
     assert(got.exceptAll(batch).count() === 0)
   }
+
+  test("sentinel-flushed streaming funnel equals the batch staged-min-ts funnel") {
+    val got = StreamGate.funnel(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val win = 86400000000000L
+    val ev = spark.read.schema(StreamOps.eventsSchema).parquet(s"$sf0001/events.parquet")
+      .select($"user_id", $"event_type", $"ts")
+    val v = ev.filter($"event_type" === "view").groupBy($"user_id").agg(min($"ts").as("tv"))
+    val c = ev.filter($"event_type" === "click").join(v, Seq("user_id"))
+      .filter($"ts" > $"tv" && $"ts" <= $"tv" + win)
+      .groupBy($"user_id").agg(min($"ts").as("tc"))
+    val p = ev.filter($"event_type" === "purchase").join(c, Seq("user_id"))
+      .filter($"ts" > $"tc" && $"ts" <= $"tc" + win)
+      .groupBy($"user_id").agg(min($"ts").as("tp"))
+    val batch = ev.select($"user_id").distinct()
+      .join(v, Seq("user_id"), "left").join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .groupBy(when($"tp".isNotNull, 3L).when($"tc".isNotNull, 2L)
+        .when($"tv".isNotNull, 1L).otherwise(0L).as("funnel_stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(got === batch)
+    // every user is accounted for exactly once
+    assert(got.values.sum === ev.select($"user_id").distinct().count())
+  }
+
+  test("funnel state machine: window bound and stage order enforced on crafted events") {
+    import org.apache.spark.sql.types._
+    val h = 3600000000000L // 1h in nanos
+    val rows = Seq(
+      // user 1: full conversion inside the windows
+      (1L, 0L * h, "view"), (1L, 1L * h, "click"), (1L, 2L * h, "purchase"),
+      // user 2: click arrives 25h after view -> stuck at stage 1
+      (2L, 0L * h, "view"), (2L, 25L * h, "click"),
+      // user 3: purchase BEFORE click -> stage 2 (order matters)
+      (3L, 0L * h, "view"), (3L, 1L * h, "purchase"), (3L, 2L * h, "click"),
+      // user 4: no view at all -> stage 0
+      (4L, 0L * h, "click"), (4L, 1L * h, "purchase"))
+    val sentinels = Seq(1L, 2L, 3L, 4L).map(u => (u, 1000L * h, "__sentinel"))
+    val dir = graft.io.TempDirs.create("graft_funnel_spec")
+    val mk = (data: Seq[(Long, Long, String)], name: String) =>
+      data.toDF("user_id", "ts", "event_type")
+        .select(lit(0L).as("event_id"), $"ts", $"user_id", $"event_type",
+          lit(0.0).as("value"), lit(null).cast(StringType).as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+    mk(rows, "a_events"); mk(sentinels, "b_sentinels")
+    // stage the two files into one source dir, events first by mtime
+    val src = graft.io.TempDirs.create("graft_funnel_src")
+    def firstPart(sub: String): java.nio.file.Path = {
+      val l = java.nio.file.Files.list(dir.resolve(sub))
+      try l.filter(_.toString.endsWith(".parquet")).findFirst().get() finally l.close()
+    }
+    java.nio.file.Files.copy(firstPart("a_events"), src.resolve("a.parquet"))
+    java.nio.file.Files.copy(firstPart("b_sentinels"), src.resolve("b.parquet"))
+    java.nio.file.Files.setLastModifiedTime(src.resolve("a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val stages = StreamGate.runToTable(
+      StreamOps.funnelStream(
+        StreamOps.eventsStream(spark, src.toString, maxFilesPerTrigger = 1)).toDF(),
+      "funnel_spec", "append")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stages === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
+  }
 }
