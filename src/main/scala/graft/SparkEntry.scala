@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{CorpusFilters, Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{CorpusFilters, Dedup, Multimodal, QualityModel, Similarity, TextStats}
 import graft.operators.{FuzzyJoin, Profiler, Sampler, SemiJoinReducer}
 import graft.streaming.StreamGate
 
@@ -943,6 +943,29 @@ object SparkEntry {
       CorpusFilters.bloomDecontaminate(
         docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0),
         "doc_id", "text", n = 5)
+    }),
+    // incremental ingest: admit only batch docs (doc_id%10==0) whose
+    // normalized content is NOT already in the corpus, one representative
+    // per within-batch duplicate group (fp stays off the projection — the
+    // oracle compares via the normalized strings themselves)
+    "q118_incremental_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalIngest(
+        docs.filter(col("doc_id") % 10 === 0), docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text")
+        .select(col("doc_id"), col("batch_dups"))
+    }),
+    // model-based quality filter: MLlib LR trained on the heuristic weak
+    // label, scored via the exported codegen sigmoid expression. LBFGS
+    // coefficients aren't SQL-reproducible => rows-only; QualityModelSpec
+    // pins separability + expression-vs-MLlib agreement
+    "q119_quality_model" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = TextStats.qualityScore(docs, "text")
+        .withColumn("label", (col("quality_score") >= 1.0).cast("double"))
+      val model = QualityModel.train(labeled, "text", "label")
+      QualityModel.score(labeled, "text", model)
+        .select(col("doc_id"), col("label"), col("quality_prob"))
     }),
   )
 
@@ -1930,6 +1953,24 @@ object SparkEntry {
         |  CAST(CASE WHEN length(norm_text) = 0 THEN 0
         |       ELSE len(string_split_regex(norm_text, '\s+')) END AS BIGINT) AS norm_text_tokens
         |FROM n""".stripMargin,
+    // incremental ingest: fp-equality == normalized-string equality
+    // (modulo 2^-64 collisions), so the oracle dedups on the string
+    "q118_incremental_ingest" ->
+      """WITH norm AS (
+        |  SELECT doc_id, array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ') AS nt
+        |  FROM documents
+        |), corpus AS (SELECT DISTINCT nt FROM norm WHERE doc_id % 10 <> 0
+        |), batch AS (SELECT doc_id, nt FROM norm WHERE doc_id % 10 = 0
+        |), fresh AS (
+        |  SELECT b.doc_id, b.nt FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.nt = b.nt)
+        |)
+        |SELECT doc_id, batch_dups FROM (
+        |  SELECT doc_id,
+        |    CAST(count(*) OVER (PARTITION BY nt) AS BIGINT) AS batch_dups,
+        |    row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+        |  FROM fresh
+        |) WHERE rn = 1""".stripMargin,
     // source-overlap matrix over the same shingle definition as q43
     "q116_source_overlap" ->
       """WITH toks AS (

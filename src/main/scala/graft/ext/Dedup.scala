@@ -66,6 +66,33 @@ object Dedup {
       .drop("__graft_rn")
   }
 
+  /**
+   * Incremental ingest dedup — the "only admit genuinely new documents"
+   * gate every continuously-fed corpus runs on each arriving batch:
+   *  1. drop batch docs whose whitespace-normalized content fingerprint
+   *     already exists in the corpus (fp-keyed LEFT ANTI join — 8-byte
+   *     keys, the corpus text never moves);
+   *  2. collapse duplicates WITHIN the batch to the min-id representative.
+   * Output: one row per admitted doc with its fp and the batch-internal
+   * duplicate count. The corpus side reduces to distinct fingerprints —
+   * at any corpus size this is a co-partitioned hash join on longs, and
+   * the fp set is exactly the artifact a production pipeline persists
+   * between ingests (append the admitted fps and the index stays current).
+   * Same xxhash64-collision caveat as the other fingerprint operators.
+   */
+  def incrementalIngest(
+      batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def fp(c: Column) = xxhash64(concat_ws(" ", tokens(c)))
+    val corpusFps = corpus.select(fp(col(textCol)).as("__fp")).distinct()
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    batch.select(col(idCol), fp(col(textCol)).as("__fp"))
+      .join(corpusFps, Seq("__fp"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch_dups", count(lit(1)).over(Window.partitionBy(col("__fp"))))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__fp").as("content_fp"), col("batch_dups").cast("long").as("batch_dups"))
+  }
+
   /** Fixed seed for the shingle-hash fingerprinting shared by every
     * set-similarity operator (minhash / exact jaccard / clustering). A FIXED
     * seed makes the hashed shingle universe identical across operators,

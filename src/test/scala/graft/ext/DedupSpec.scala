@@ -154,4 +154,22 @@ class DedupSpec extends SparkSpec {
     assert(r(3L)._2 === 0L && r(3L)._3 === 0.0)
     assert(r(4L) === ((1L, 1L, 1.0)) && r(5L) === ((1L, 1L, 1.0)))
   }
+
+  test("incrementalIngest: corpus hits rejected, batch dups collapse to min id, whitespace-robust") {
+    val corpus = Seq(
+      (100L, "existing corpus document one"),
+      (101L, "another old document")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "a brand new document"),
+      (2L, "  Existing   corpus DOCUMENT one "), // normalizes to a corpus hit
+      (3L, "a duplicated fresh document"),
+      (4L, "A   DUPLICATED fresh document"),     // within-batch dup of 3
+      (5L, "another old document"),              // exact corpus hit
+      (6L, "a brand new document")               // within-batch dup of 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalIngest(batch, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 2L, 3L -> 2L))
+  }
 }
