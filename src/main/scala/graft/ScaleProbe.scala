@@ -252,6 +252,25 @@ object ScaleProbe {
             .when(col("t_view").isNotNull, 1L).otherwise(0L).as("stage"))
           .agg(count(lit(1))).count()
       }
+      timed("bloom_decontaminate", k) {
+        val docs = read("documents", k)
+        // eval/blocklist fixed to the base copy, like decontaminate
+        val evalSet = docs.filter(col("doc_id") < 1000000L && col("doc_id") % 50 === 0)
+        ext.CorpusFilters.bloomDecontaminate(docs.filter(col("doc_id") % 50 =!= 0), evalSet,
+          "doc_id", "text", n = 5).count()
+      }
+      timed("incremental_ingest", k) {
+        val docs = read("documents", k)
+        ext.Dedup.incrementalIngest(
+          docs.filter(col("doc_id") % 10 === 0), docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text").count()
+      }
+      timed("quality_model_train_score", k) {
+        val labeled = ext.TextStats.qualityScore(read("documents", k), "text")
+          .withColumn("label", (col("quality_score") >= 1.0).cast("double"))
+        val model = ext.QualityModel.train(labeled, "text", "label")
+        ext.QualityModel.score(labeled, "text", model).count()
+      }
       timed("partitioned_write", k) {
         graft.io.ParquetIO.writePartitioned(read("documents", k),
           s"$work/part_x$k.parquet", Seq("lang"))

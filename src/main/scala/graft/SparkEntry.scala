@@ -955,6 +955,15 @@ object SparkEntry {
         "doc_id", "text")
         .select(col("doc_id"), col("batch_dups"))
     }),
+    // corpus vocabulary coverage (tokenizer-training export): top-k tokens
+    // with rank + integer-cumsum coverage fraction
+    "q120_vocab_coverage" -> ((s, dir) =>
+      CorpusFilters.vocabCoverage(t(s, dir, "documents"), "text", k = 1000)),
+    // chunk-level dedup over content-defined chunks: gear-hash boundaries
+    // aren't SQL-reproducible => rows-only; CdcSpec pins tiling,
+    // edit re-alignment, and the planted-dup signal
+    "q121_cdc_chunk_dedup" -> ((s, dir) =>
+      Dedup.cdcChunkShared(t(s, dir, "documents"), "doc_id", "text")),
     // model-based quality filter: MLlib LR trained on the heuristic weak
     // label, scored via the exported codegen sigmoid expression. LBFGS
     // coefficients aren't SQL-reproducible => rows-only; QualityModelSpec
@@ -1953,6 +1962,23 @@ object SparkEntry {
         |  CAST(CASE WHEN length(norm_text) = 0 THEN 0
         |       ELSE len(string_split_regex(norm_text, '\s+')) END AS BIGINT) AS norm_text_tokens
         |FROM n""".stripMargin,
+    // vocab coverage: integer cumulative counts, one division at the end
+    "q120_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+        |  WHERE length(trim(text)) > 0
+        |), w AS (SELECT unnest(t) AS token FROM toks
+        |), cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1
+        |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM cnt
+        |), top AS (SELECT token, cnt FROM cnt ORDER BY cnt DESC, token LIMIT 1000)
+        |SELECT token, cnt, rank,
+        |  CAST(cum_cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_coverage
+        |FROM (
+        |  SELECT token, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+        |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+        |  FROM top
+        |) CROSS JOIN tot""".stripMargin,
     // incremental ingest: fp-equality == normalized-string equality
     // (modulo 2^-64 collisions), so the oracle dedups on the string
     "q118_incremental_ingest" ->

@@ -156,6 +156,31 @@ object CorpusFilters {
   }
 
   /**
+   * Corpus vocabulary coverage — the token-frequency export tokenizer
+   * training starts from: the top-`k` tokens by corpus count with rank and
+   * CUMULATIVE coverage fraction ("the top 1000 tokens cover X% of all
+   * token occurrences"). One map-side-combined count agg over the exploded
+   * tokens, a TakeOrdered top-k cut, then rank/cumsum windows over just
+   * those k rows (never the full vocabulary). The running sum stays in
+   * INTEGERS (cum count, divided once at the end) so the coverage column is
+   * bit-identical on any engine, free of float-accumulation order.
+   */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = df.select(explode(Dedup.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("__tot"))
+    val ord = Window.orderBy(col("cnt").desc, col("token").asc)
+    counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("__cum", sum(col("cnt")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(tot))
+      .select(col("token"), col("cnt"), col("rank"),
+        (col("__cum").cast("double") / col("__tot").cast("double")).as("cum_coverage"))
+  }
+
+  /**
    * Bloom-filter decontamination — [[decontaminate]]'s 100 TB sibling for
    * when the eval/blocklist side outgrows a broadcastable distinct-gram
    * set: the blocklist collapses into a ~1.2 byte/key (at fpp=0.01) Bloom

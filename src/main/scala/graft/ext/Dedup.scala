@@ -93,6 +93,36 @@ object Dedup {
       .select(col(idCol), col("__fp").as("content_fp"), col("batch_dups").cast("long").as("batch_dups"))
   }
 
+  /**
+   * Chunk-level dedup signal over content-defined chunks (the
+   * [[org.apache.spark.sql.graft.CdcAlgo]] kernel): per document, how many
+   * of its CDC chunks also appear in at least one OTHER document. Because
+   * CDC boundaries re-align after an edit, two near-identical documents
+   * share almost all chunk hashes even when fixed-width chunks would all
+   * shift — the standard dedup granularity for code/doc corpora between
+   * document-level fingerprints and token n-grams. Shape: one generator
+   * projection, one hash-keyed count agg (map-side combined), one join
+   * back on the 8-byte chunk hash; text never rides a shuffle.
+   */
+  def cdcChunkShared(
+      df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 32, maxLen: Int = 256, maskBits: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graft.CdcFunctions
+    val ch = df
+      .select(col(idCol).as("__cd_id"),
+        explode(CdcFunctions.cdc_chunks(col(textCol), minLen, maxLen, maskBits)).as("__c"))
+      .select(col("__cd_id"), col("__c.hash").as("__h"))
+    val docsPerHash = ch.groupBy(col("__h"))
+      .agg(countDistinct(col("__cd_id")).as("__nd"))
+    ch.join(docsPerHash, Seq("__h"))
+      .groupBy(col("__cd_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .select(col("__cd_id").as(idCol), col("n_chunks"), col("n_shared_chunks"),
+        (col("n_shared_chunks").cast("double") / col("n_chunks").cast("double"))
+          .as("shared_chunk_frac"))
+  }
+
   /** Fixed seed for the shingle-hash fingerprinting shared by every
     * set-similarity operator (minhash / exact jaccard / clustering). A FIXED
     * seed makes the hashed shingle universe identical across operators,

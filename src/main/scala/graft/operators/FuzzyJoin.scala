@@ -96,23 +96,31 @@ object FuzzyJoin {
       .select(col("id_a"), col("key_a"), col("lb"), col("seg"),
         col("__ak").substr(col("__p") + 1, col("__len")).as("segtext"))
 
-    // candidates ride as ID PAIRS ONLY through the dedup shuffle (keys can
-    // be wide — URLs, names; ids are ints), and the self-pair cut happens
-    // inside the block join so half the pairs never materialize. Keys
-    // rejoin afterwards from the original (narrow, AQE-broadcastable)
-    // frames for the levenshtein verify.
+    // Verify BEFORE dedup: keys ride through the block join so the
+    // levenshtein filter runs streaming on the join output — candidates
+    // never hit a shuffle. This is the hot-block defense: a low-entropy
+    // segment shared by most keys (a constant "Customer#"/URL-host region)
+    // makes candidate volume quadratic in the block, and deduplicating
+    // candidates FIRST would shuffle that quadratic set; verifying first
+    // costs one cheap codegen levenshtein per candidate (embarrassingly
+    // parallel, no data movement) and only TRUE pairs — output-sized, at
+    // most (d+1)x duplicated across matching segments — reach the distinct.
     val pairCond = if (selfPairs) col("id_a") < col("id_b") else lit(true)
-    val cand = probe.select(col("id_a"), col("lb"), col("seg"), col("segtext"))
-      .join(idx.select(col("id_b"), col("lb"), col("seg"), col("segtext")),
-        Seq("lb", "seg", "segtext"))
+    // spread the probe fan-out across the session's full parallelism: a
+    // compact input (one parquet file) would otherwise put EVERY candidate
+    // of a hot block on one core — candidate production, not data volume,
+    // is the cost to parallelize
+    val target = left.sparkSession.sessionState.conf.numShufflePartitions
+    val probeSpread =
+      if (probe.rdd.getNumPartitions < target) probe.repartition(target) else probe
+    probeSpread.join(idx, Seq("lb", "seg", "segtext"))
       .filter(pairCond)
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    cand
-      .join(left.select(col(leftId).as("id_a"), col(leftKey).as("key_a")), Seq("id_a"))
-      .join(right.select(col(rightId).as("id_b"), col(rightKey).as("key_b")), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("key_a"), col("key_b")).cast("long"))
-      .filter(col("dist") <= d)
+      // banded threshold levenshtein: O(len·d) with early exit (-1 when the
+      // band overflows) instead of the full O(len²) DP — the verify runs
+      // once per CANDIDATE, so its constant factor is the hot-block cost
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b"), d).cast("long"))
+      .filter(col("dist") =!= -1L)
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"), col("dist"))
+      .distinct()
   }
 }
