@@ -959,6 +959,13 @@ object SparkEntry {
     // with rank + integer-cumsum coverage fraction
     "q120_vocab_coverage" -> ((s, dir) =>
       CorpusFilters.vocabCoverage(t(s, dir, "documents"), "text", k = 1000)),
+    // pipeline quality evaluation: language-ID confusion matrix against the
+    // corpus ground-truth lang column (the eval every heuristic filter
+    // should ship with)
+    "q122_langid_confusion" -> ((s, dir) =>
+      TextStats.langId(t(s, dir, "documents"), "text")
+        .groupBy(col("lang").as("lang_true"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))),
     // chunk-level dedup over content-defined chunks: gear-hash boundaries
     // aren't SQL-reproducible => rows-only; CdcSpec pins tiling,
     // edit re-alignment, and the planted-dup signal
@@ -1962,6 +1969,12 @@ object SparkEntry {
         |  CAST(CASE WHEN length(norm_text) = 0 THEN 0
         |       ELSE len(string_split_regex(norm_text, '\s+')) END AS BIGINT) AS norm_text_tokens
         |FROM n""".stripMargin,
+    // confusion matrix composed from the q62 lang-id oracle
+    "q122_langid_confusion" ->
+      s"""WITH pred AS ($langIdOracle)
+        |SELECT d.lang AS lang_true, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents d JOIN pred p USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
     // vocab coverage: integer cumulative counts, one division at the end
     "q120_vocab_coverage" ->
       """WITH toks AS (

@@ -154,4 +154,31 @@ class PlanSpec extends SparkSpec {
       "expected map-side partial aggregate below the shuffle\n" + plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("tfidf: scan prunes to (doc_id, text); term aggs are partial before their exchange") {
+    val plan = formatted(SparkEntry.queries("q110_tfidf_keywords")(spark, sf0001))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+    val exchange = plan.indexOf("Exchange")
+    assert(exchange > 0 && plan.indexOf("HashAggregate", exchange) > exchange,
+      "expected map-side partial term count below the shuffle\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("fuzzy join: candidates come from an equi-join, never a nested-loop/cartesian product") {
+    val plan = formatted(SparkEntry.queries("q112_fuzzy_join")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only NestedLoop tolerable would be a broadcast one with a real
+    // condition; the PassJoin block key makes even that unnecessary
+    assert(!plan.contains("NestedLoopJoin"), plan)
+  }
+
+  test("bloom decontamination scores with NO join and NO shuffle: pure scan projection") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val scored = graft.ext.CorpusFilters.bloomDecontaminate(
+      docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 5)
+    val plan = formatted(scored)
+    assert(!plan.contains("Join"), "the probe path must be joinless\n" + plan)
+    assert(!plan.contains("Exchange"), "the probe path must be shuffle-free\n" + plan)
+  }
 }
