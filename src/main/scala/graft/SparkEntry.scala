@@ -966,6 +966,43 @@ object SparkEntry {
       TextStats.langId(t(s, dir, "documents"), "text")
         .groupBy(col("lang").as("lang_true"), col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))),
+    // curriculum-training data ordering: equal-depth difficulty tiers +
+    // fully tie-broken global rank (reproducible on any engine)
+    "q123_curriculum_order" -> ((s, dir) =>
+      CorpusFilters.curriculumOrder(t(s, dir, "documents"), "doc_id", "text", bins = 10)),
+    // equi-depth histogram (quantile bucketing) of prices: ntile over a
+    // fully tie-broken order, exact decimal per-bucket sums
+    "q124_equidepth_histogram" -> ((s, dir) => {
+      val ord = Window.orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("bucket", ntile(10).over(ord).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_price"))
+    }),
+    // per-group z-score normalization (feature prep): `value` is 2-decimal,
+    // so stats run in INTEGER cents (exact, order-independent sums — the
+    // q92 fixed-point discipline) and the z formula is scale-invariant;
+    // every double op is then identical on both engines
+    "q125_zscore_normalize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("__c", round(col("value") * 100).cast("long"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__s"),
+          sum(col("__c") * col("__c")).as("__ss"))
+        .select(col("event_type"),
+          (col("__s").cast("double") / col("__n").cast("double")).as("__mean"),
+          sqrt((col("__ss").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double") / col("__n").cast("double"))
+            / col("__n").cast("double")).as("__std"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          ((col("__c").cast("double") - col("__mean")) / col("__std")).as("zscore"))
+    }),
     // chunk-level dedup over content-defined chunks: gear-hash boundaries
     // aren't SQL-reproducible => rows-only; CdcSpec pins tiling,
     // edit re-alignment, and the planted-dup signal
@@ -1969,6 +2006,39 @@ object SparkEntry {
         |  CAST(CASE WHEN length(norm_text) = 0 THEN 0
         |       ELSE len(string_split_regex(norm_text, '\s+')) END AS BIGINT) AS norm_text_tokens
         |FROM n""".stripMargin,
+    "q123_curriculum_order" ->
+      """SELECT doc_id, difficulty,
+        |  CAST(ntile(10) OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS difficulty_bin,
+        |  CAST(row_number() OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS curriculum_rank
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS difficulty
+        |  FROM documents
+        |)""".stripMargin,
+    "q124_equidepth_histogram" ->
+      """SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT l_extendedprice,
+        |    CAST(ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS bucket
+        |  FROM lineitem
+        |) GROUP BY 1""".stripMargin,
+    // z-score in integer-cents domain: exact sums, identical double formula
+    "q125_zscore_normalize" ->
+      """WITH c AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |), stats AS (
+        |  SELECT event_type,
+        |    CAST(SUM(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_c,
+        |    sqrt((CAST(SUM(cents * cents) AS DOUBLE) -
+        |          CAST(SUM(cents) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |         / CAST(count(*) AS DOUBLE)) AS std_c
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT event_id, c.event_type, (CAST(cents AS DOUBLE) - mean_c) / std_c AS zscore
+        |FROM c JOIN stats USING (event_type)""".stripMargin,
     // confusion matrix composed from the q62 lang-id oracle
     "q122_langid_confusion" ->
       s"""WITH pred AS ($langIdOracle)

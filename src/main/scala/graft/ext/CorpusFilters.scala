@@ -156,6 +156,27 @@ object CorpusFilters {
   }
 
   /**
+   * Curriculum ordering — the data-ordering step of curriculum training:
+   * rank documents easiest-first by a difficulty proxy (whitespace token
+   * count — longer documents are harder context), bucket into `bins`
+   * equal-depth difficulty tiers (`ntile`), and emit a deterministic global
+   * curriculum rank (difficulty, then id — fully tie-broken, so the order
+   * is reproducible on any engine). The global windows are the exact-order
+   * price; for corpora where a total order is too expensive, rank within
+   * [[hashSplit]]-style shards instead — curriculum semantics only need
+   * approximate difficulty monotonicity.
+   */
+  def curriculumOrder(
+      df: DataFrame, idCol: String, textCol: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val ord = Window.orderBy(col("difficulty").asc, col(idCol).asc)
+    df.select(col(idCol),
+        size(Dedup.tokens(col(textCol))).cast("long").as("difficulty"))
+      .withColumn("difficulty_bin", ntile(bins).over(ord).cast("long"))
+      .withColumn("curriculum_rank", row_number().over(ord).cast("long"))
+  }
+
+  /**
    * Corpus vocabulary coverage — the token-frequency export tokenizer
    * training starts from: the top-`k` tokens by corpus count with rank and
    * CUMULATIVE coverage fraction ("the top 1000 tokens cover X% of all

@@ -286,6 +286,26 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(math.abs(r(0).getDouble(2) - expected) < 1e-12)
   }
 
+  test("curriculumOrder: easiest-first, dense deterministic rank, equal-depth bins") {
+    val docs = Seq(
+      (3L, "one two three"),
+      (1L, "one"),
+      (2L, "one two"),
+      (4L, "one two three four"),
+      (5L, "one two") // ties with doc 2 -> id breaks it
+    ).toDF("doc_id", "text")
+    val r = CorpusFilters.curriculumOrder(docs, "doc_id", "text", bins = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) === ((1L, 1L, 1L)))
+    assert(r(2L) === ((2L, 1L, 2L)))
+    assert(r(5L) === ((2L, 1L, 3L))) // tie after doc 2 by id
+    assert(r(3L) === ((3L, 2L, 4L)))
+    assert(r(4L) === ((4L, 2L, 5L)))
+    intercept[IllegalArgumentException] {
+      CorpusFilters.curriculumOrder(docs, "doc_id", "text", bins = 0)
+    }
+  }
+
   test("sourceOverlap: complete matrix incl. zero-overlap pairs; short-doc shingle fallback") {
     val docs = Seq(
       ("A", "x y z w"), // 3-grams: "x y z", "y z w"
