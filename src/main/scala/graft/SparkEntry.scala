@@ -848,6 +848,9 @@ object SparkEntry {
     // per-user funnel state machine (flatMapGroupsWithState), sentinel-
     // flushed; emitted stages == batch q113 exactly
     "q88_stream_funnel" -> ((s, dir) => StreamGate.funnel(s, dir)),
+    // stream-static LEFT ANTI join (the streaming ingest gate): stateless
+    // per row, emitted set == the batch anti join exactly
+    "q89_stream_ingest_filter" -> ((s, dir) => StreamGate.ingestFilter(s, dir)),
 
     // ranking-function surface: dense_rank / percent_rank / ntile /
     // cume_dist share one window sort (deterministic tie-break on key)
@@ -970,6 +973,12 @@ object SparkEntry {
     // fully tie-broken global rank (reproducible on any engine)
     "q123_curriculum_order" -> ((s, dir) =>
       CorpusFilters.curriculumOrder(t(s, dir, "documents"), "doc_id", "text", bins = 10)),
+    // BPE merge discovery (tokenizer training core): iterative corpus-wide
+    // top-pair merges, deterministic tie-break. The iteration isn't
+    // SQL-expressible => rows-only; CorpusFiltersSpec hand-computes the
+    // merge table on a tiny corpus (incl. overlap + tie cases)
+    "q126_bpe_merges" -> ((s, dir) =>
+      CorpusFilters.bpeMergeTable(t(s, dir, "documents"), "text", numMerges = 8)),
     // equi-depth histogram (quantile bucketing) of prices: ntile over a
     // fully tie-broken order, exact decimal per-bucket sums
     "q124_equidepth_histogram" -> ((s, dir) => {
@@ -2006,6 +2015,16 @@ object SparkEntry {
         |  CAST(CASE WHEN length(norm_text) = 0 THEN 0
         |       ELSE len(string_split_regex(norm_text, '\s+')) END AS BIGINT) AS norm_text_tokens
         |FROM n""".stripMargin,
+    // streaming ingest filter == batch anti join on normalized content
+    // (all new-content docs pass, incl. within-batch dup groups — the
+    // min-id collapse is q118's batch-side job)
+    "q89_stream_ingest_filter" ->
+      """WITH norm AS (
+        |  SELECT doc_id, array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ') AS nt
+        |  FROM documents
+        |), corpus AS (SELECT DISTINCT nt FROM norm WHERE doc_id % 10 <> 0)
+        |SELECT b.doc_id FROM (SELECT doc_id, nt FROM norm WHERE doc_id % 10 = 0) b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.nt = b.nt)""".stripMargin,
     "q123_curriculum_order" ->
       """SELECT doc_id, difficulty,
         |  CAST(ntile(10) OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS difficulty_bin,

@@ -177,6 +177,90 @@ object CorpusFilters {
   }
 
   /**
+   * BPE merge discovery — the distributed core of byte-pair-encoding
+   * tokenizer training (Sennrich et al. 2016, arXiv:1508.07909): starting
+   * from characters, repeatedly find the corpus-wide most frequent adjacent
+   * symbol pair (ties broken lexicographically → fully deterministic) and
+   * merge it everywhere. Returns the merge table (rank, left, right,
+   * frequency at merge time) — the artifact a tokenizer ships.
+   *
+   * Distribution shape: the corpus lives as a DataFrame of symbol arrays;
+   * each round is ONE map-side-combined pair-count aggregation plus a
+   * TakeOrdered(1) (no full-dictionary sort), then a codegen'd
+   * `transform`-free merge pass (an aggregate-fold over each row's symbol
+   * array). k merges = k passes — exactly how distributed BPE trainers
+   * work; production caps the training corpus by sampling first (the same
+   * trainFraction discipline as the IVF/SemDeDup quantizers). The iteration
+   * count is bounded and driver state is one (pair, count) row per round.
+   *
+   * Word-internal BPE: text lowercases and splits on whitespace; pairs
+   * never cross word boundaries (each word is an independent symbol
+   * sequence, the standard formulation).
+   */
+  def bpeMerges(
+      df: DataFrame, textCol: String, numMerges: Int): Seq[(Int, String, String, Long)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = df.sparkSession
+    // one row per word occurrence, as an array of single-char symbols
+    var words = df
+      .select(explode(Dedup.tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      // split keeps a trailing empty match (limit -1): drop empties
+      .select(filter(split(col("__w"), "(?!^)"), s => length(s) > 0).as("__syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var round = 0
+      var exhausted = false
+      while (round < numMerges && !exhausted) {
+        // single-symbol words have no pairs (sequence(0, -1) would DESCEND)
+        val pairIdx = when(size(col("__syms")) >= 2,
+          sequence(lit(0), size(col("__syms")) - 2))
+          .otherwise(array().cast("array<int>"))
+        val top = words
+          .select(explode(transform(pairIdx,
+            i => struct(
+              element_at(col("__syms"), i + 1).as("l"),
+              element_at(col("__syms"), i + 2).as("r")))).as("__p"))
+          .groupBy(col("__p.l"), col("__p.r")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((round + 1, l, r, cnt))
+          // merge every non-overlapping (l, r) occurrence left-to-right:
+          // fold the symbol array, joining when the accumulator's tail is l
+          // and the next symbol is r. `get` (0-based, null-safe) instead of
+          // element_at: ANSI mode would throw on the empty accumulator
+          val merged = aggregate(
+            col("__syms"),
+            array().cast("array<string>"),
+            (acc, s) => when(
+              get(acc, size(acc) - 1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(concat(lit(l), lit(r))))
+            ).otherwise(concat(acc, array(s))))
+          val next = words.select(merged.as("__syms"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before unpersisting the parent
+          words.unpersist()
+          words = next
+          round += 1
+        }
+      }
+    } finally words.unpersist()
+    merges.toSeq
+  }
+
+  /** [[bpeMerges]] as a DataFrame (rank, left, right, freq) for the gate. */
+  def bpeMergeTable(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeMerges(df, textCol, numMerges).toDF("rank", "left", "right", "freq")
+      .select(col("rank").cast("long"), col("left"), col("right"), col("freq"))
+  }
+
+  /**
    * Corpus vocabulary coverage — the token-frequency export tokenizer
    * training starts from: the top-`k` tokens by corpus count with rank and
    * CUMULATIVE coverage fraction ("the top 1000 tokens cover X% of all

@@ -80,12 +80,16 @@ object Dedup {
    * between ingests (append the admitted fps and the index stays current).
    * Same xxhash64-collision caveat as the other fingerprint operators.
    */
+  /** Whitespace-normalized content fingerprint (the exact-dup key shared by
+    * [[incrementalIngest]] and the streaming ingest filter). */
+  def contentFingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", tokens(text)))
+
   def incrementalIngest(
       batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def fp(c: Column) = xxhash64(concat_ws(" ", tokens(c)))
-    val corpusFps = corpus.select(fp(col(textCol)).as("__fp")).distinct()
+    val corpusFps = corpus.select(contentFingerprint(col(textCol)).as("__fp")).distinct()
     val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
-    batch.select(col(idCol), fp(col(textCol)).as("__fp"))
+    batch.select(col(idCol), contentFingerprint(col(textCol)).as("__fp"))
       .join(corpusFps, Seq("__fp"), "left_anti")
       .withColumn("__rn", row_number().over(w))
       .withColumn("batch_dups", count(lit(1)).over(Window.partitionBy(col("__fp"))))

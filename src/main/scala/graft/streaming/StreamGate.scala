@@ -211,6 +211,31 @@ object StreamGate {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /**
+   * Streaming incremental-ingest filter: a document stream anti-joins
+   * against the STATIC corpus fingerprint set (stream-static LEFT ANTI —
+   * the join mode a continuously-fed corpus gate runs: admit only docs
+   * whose content is not already ingested). Stateless per row, so the
+   * emitted set is EXACTLY the batch anti join — an exact SQL oracle.
+   * The static side re-plans per micro-batch, picking up corpus growth.
+   */
+  def ingestFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageTableDir(sfDir, "documents")
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val batchDocs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        graft.ext.Dedup.contentFingerprint(col("text")).as("__fp"))
+    val corpusFps = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(graft.ext.Dedup.contentFingerprint(col("text")).as("__fp"))
+      .distinct()
+    val admitted = batchDocs.join(corpusFps, Seq("__fp"), "left_anti")
+      .select(col("doc_id"))
+    runToTable(admitted, "stream_ingest", "append")
+  }
+
   /** Stream-stream interval join (see [[StreamOps.clickBeforePurchaseJoin]]);
     * inner join -> the emitted pair set is exact under any batching. */
   def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {

@@ -306,6 +306,29 @@ class CorpusFiltersSpec extends SparkSpec {
     }
   }
 
+  test("bpeMerges: hand-computed merge table — counts, tie-break, overlap, exhaustion") {
+    // corpus "aa ab aa": pairs (a,a)x2 (a,b)x1 -> merge1 (a,a,2);
+    // then only (a,b)x1 -> merge2 (a,b,1); then no pairs -> exhausted
+    val docs = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    val m = CorpusFilters.bpeMerges(docs, "text", numMerges = 5)
+    assert(m === Seq((1, "a", "a", 2L), (2, "a", "b", 1L)))
+
+    // tie at count 2 between (a,b) and (c,d): lexicographic -> (a,b) first
+    val tie = Seq((1L, "ab cd ab cd")).toDF("doc_id", "text")
+    val mt = CorpusFilters.bpeMerges(tie, "text", numMerges = 2)
+    assert(mt === Seq((1, "a", "b", 2L), (2, "c", "d", 2L)))
+
+    // overlap: "aaa" has (a,a)x2 but only ONE non-overlapping merge fires,
+    // leaving [aa, a] -> next round merges (aa, a)
+    val ov = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val mo = CorpusFilters.bpeMerges(ov, "text", numMerges = 3)
+    assert(mo === Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+
+    intercept[IllegalArgumentException] {
+      CorpusFilters.bpeMerges(docs, "text", numMerges = 0)
+    }
+  }
+
   test("sourceOverlap: complete matrix incl. zero-overlap pairs; short-doc shingle fallback") {
     val docs = Seq(
       ("A", "x y z w"), // 3-grams: "x y z", "y z w"
