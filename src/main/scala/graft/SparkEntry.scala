@@ -798,6 +798,20 @@ object SparkEntry {
           sum(dec("o_totalprice")).cast("double").as("sum_price"),
           max(col("o_custkey")).as("max_cust"))
     }),
+    // schema evolution: two writer generations (one without `lang`), read
+    // back as ONE table via mergeSchema — old rows surface NULL for the
+    // added column (the lakehouse column-add path, no rewrite of old data)
+    "q127_schema_evolution" -> ((s, dir) => {
+      val out = graft.io.TempDirs.create("graft_evo").toString
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), col("text")).write.mode("overwrite")
+        .parquet(s"$out/gen=1")
+      docs.select(col("doc_id"), col("text"), col("lang")).write.mode("overwrite")
+        .parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/gen=1", s"$out/gen=2")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+          coalesce(col("lang"), lit("(pre-evolution)")).as("lang"))
+    }),
     "q104_orc_roundtrip" -> ((s, dir) => {
       val out = graft.io.TempDirs.create("graft_orc").toString
       val orders = t(s, dir, "orders")
@@ -974,11 +988,16 @@ object SparkEntry {
     "q123_curriculum_order" -> ((s, dir) =>
       CorpusFilters.curriculumOrder(t(s, dir, "documents"), "doc_id", "text", bins = 10)),
     // BPE merge discovery (tokenizer training core): iterative corpus-wide
-    // top-pair merges, deterministic tie-break. The iteration isn't
-    // SQL-expressible => rows-only; CorpusFiltersSpec hand-computes the
-    // merge table on a tiny corpus (incl. overlap + tie cases)
+    // top-pair merges, deterministic tie-break. Trains on a DETERMINISTIC
+    // 20% document sample — the standard tokenizer-training discipline
+    // (and the same scale-safety rule as the IVF/SemDeDup quantizer caps:
+    // never ship a default that makes k full-corpus passes). The iteration
+    // isn't SQL-expressible => rows-only; CorpusFiltersSpec hand-computes
+    // the merge table on a tiny corpus (incl. overlap + tie cases)
     "q126_bpe_merges" -> ((s, dir) =>
-      CorpusFilters.bpeMergeTable(t(s, dir, "documents"), "text", numMerges = 8)),
+      CorpusFilters.bpeMergeTable(
+        t(s, dir, "documents").filter(pmod(xxhash64(col("doc_id")), lit(5)) === 0),
+        "text", numMerges = 8)),
     // equi-depth histogram (quantile bucketing) of prices: ntile over a
     // fully tie-broken order, exact decimal per-bucket sums
     "q124_equidepth_histogram" -> ((s, dir) => {
@@ -2004,6 +2023,12 @@ object SparkEntry {
     "q88_stream_funnel" -> funnelOracle,
     "q114_partitioned_scan" ->
       "SELECT doc_id, text, source, n_chars, lang FROM documents WHERE lang = 'en'",
+    // both writer generations of every doc: one pre-evolution (NULL lang),
+    // one with the column
+    "q127_schema_evolution" ->
+      """SELECT doc_id, md5(text) AS text_md5, '(pre-evolution)' AS lang FROM documents
+        |UNION ALL
+        |SELECT doc_id, md5(text) AS text_md5, lang FROM documents""".stripMargin,
     "q115_text_normalize" ->
       """WITH n AS (
         |  SELECT doc_id,
