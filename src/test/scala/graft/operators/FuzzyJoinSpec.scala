@@ -53,6 +53,33 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(fuzzy.nonEmpty) // the dataset really exercises the operator
   }
 
+  test("exactness vs brute force on VARIABLE-length keys (indels shift every segment)") {
+    // deterministic corpus of mutated strings: base words plus copies with
+    // one or two deletions/insertions/substitutions at varying positions
+    val base = Seq("sparkenginequery", "distributedjoin", "tokenizerfoo", "zzzzzzzz")
+    val variants = base.zipWithIndex.flatMap { case (w, bi) =>
+      Seq(
+        w,                                        // exact dup (dist 0)
+        w.substring(1),                           // 1 deletion at front
+        w.substring(0, w.length - 2),             // 2 deletions at end
+        w.substring(0, 3) + "X" + w.substring(3), // 1 insertion
+        "Y" + w + "Z"                             // 2 insertions
+      ).zipWithIndex.map { case (s, vi) => (bi * 10L + vi, s) }
+    }
+    val df = variants.toDF("id", "name")
+    val fuzzy = pairs(FuzzyJoin.join(df, "id", "name", df, "id", "name",
+      maxDist = 2, selfPairs = true))
+    val a = df.select(col("id").as("id_a"), col("name").as("name_a"))
+    val b = df.select(col("id").as("id_b"), col("name").as("name_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 2)
+    assert(fuzzy === pairs(brute))
+    // the corpus really exercises cross-length matches
+    assert(fuzzy.exists { case (ia, ib, d) => d > 0 &&
+      variants.toMap.apply(ia).length != variants.toMap.apply(ib).length })
+  }
+
   test("cross-frame join and maxDist=0 degenerate to exact equality") {
     val l = Seq((1L, "abc"), (2L, "def")).toDF("id", "k")
     val r = Seq((10L, "abc"), (11L, "xyz")).toDF("id", "k")
