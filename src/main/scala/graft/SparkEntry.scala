@@ -998,14 +998,16 @@ object SparkEntry {
       CorpusFilters.bpeMergeTable(
         t(s, dir, "documents").filter(pmod(xxhash64(col("doc_id")), lit(5)) === 0),
         "text", numMerges = 8)),
-    // equi-depth histogram (quantile bucketing) of prices: ntile over a
-    // fully tie-broken order, exact decimal per-bucket sums
+    // equi-depth histogram (quantile bucketing) of prices: NTILE semantics
+    // over a fully tie-broken order, computed via GlobalRank's distributed
+    // range-sort (no single-partition window), exact decimal per-bucket sums
     "q124_equidepth_histogram" -> ((s, dir) => {
-      val ord = Window.orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
-        col("l_linenumber").asc)
-      t(s, dir, "lineitem")
+      val base = t(s, dir, "lineitem")
         .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-        .withColumn("bucket", ntile(10).over(ord).cast("long"))
+      graft.operators.GlobalRank.withNtile(base,
+          Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc),
+          bins = 10, binName = "bucket", rankName = "__rank")
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           min(col("l_extendedprice")).as("lo"),

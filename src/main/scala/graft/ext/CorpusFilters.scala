@@ -159,21 +159,23 @@ object CorpusFilters {
    * Curriculum ordering — the data-ordering step of curriculum training:
    * rank documents easiest-first by a difficulty proxy (whitespace token
    * count — longer documents are harder context), bucket into `bins`
-   * equal-depth difficulty tiers (`ntile`), and emit a deterministic global
-   * curriculum rank (difficulty, then id — fully tie-broken, so the order
-   * is reproducible on any engine). The global windows are the exact-order
-   * price; for corpora where a total order is too expensive, rank within
-   * [[hashSplit]]-style shards instead — curriculum semantics only need
-   * approximate difficulty monotonicity.
+   * equal-depth difficulty tiers (NTILE semantics), and emit a deterministic
+   * global curriculum rank (difficulty, then id — fully tie-broken, so the
+   * order is reproducible on any engine). The total order is DISTRIBUTED —
+   * [[graft.operators.GlobalRank]]'s range-partitioned sort + zipWithIndex,
+   * never a single-partition global window — so the plan survives a corpus
+   * that doesn't fit one task.
    */
   def curriculumOrder(
       df: DataFrame, idCol: String, textCol: String, bins: Int): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
-    val ord = Window.orderBy(col("difficulty").asc, col(idCol).asc)
-    df.select(col(idCol),
-        size(Dedup.tokens(col(textCol))).cast("long").as("difficulty"))
-      .withColumn("difficulty_bin", ntile(bins).over(ord).cast("long"))
-      .withColumn("curriculum_rank", row_number().over(ord).cast("long"))
+    val scored = df.select(col(idCol),
+      size(Dedup.tokens(col(textCol))).cast("long").as("difficulty"))
+    graft.operators.GlobalRank
+      .withNtile(scored, Seq(col("difficulty").asc, col(idCol).asc), bins,
+        binName = "difficulty_bin", rankName = "curriculum_rank")
+      .select(col(idCol), col("difficulty"), col("difficulty_bin"),
+        col("curriculum_rank"))
   }
 
   /**
@@ -617,34 +619,34 @@ object CorpusFilters {
    * gram dictionary on the gram key — fans out C(sources-containing-gram, 2)
    * rows PER GRAM, which for a shared-vocabulary corpus is ~(#sources
    * choose 2) × |vocabulary| intermediate rows. Instead each gram collapses
-   * to its SOURCE SET (collect_set of a dense source index, bounded by
-   * #sources — the same "sources are few" contract as [[mixtureReport]]),
-   * identical sets collapse to one counted row, and the pair expansion runs
-   * once per DISTINCT SET — thousands of rows, not per-gram. The per-source
-   * size table (#sources rows) broadcasts to complete the matrix with
-   * zero-overlap pairs. Grams ride as 8-byte xxhash64 longs from the codegen
-   * kernel ([[TextExpressionFunctions.shingle_hashes]]) — text never rides a
-   * shuffle; same 2^-64-collision caveat as the other set-similarity ops.
+   * to its SOURCE SET (collect_set of an 8-byte source id — `xxhash64` of
+   * the source name, no dense-index window, no extra join; #sources is small
+   * by the same contract as [[mixtureReport]]), identical sets collapse to
+   * one counted row, and the pair expansion runs once per DISTINCT SET —
+   * thousands of rows, not per-gram. The per-source size table (#sources
+   * rows) broadcasts to complete the matrix with zero-overlap pairs. Grams
+   * ride as 8-byte xxhash64 longs from the codegen kernel
+   * ([[TextExpressionFunctions.shingle_hashes]]) — text never rides a
+   * shuffle; same 2^-64-collision caveat as the other set-similarity ops
+   * (and the same for source-name hashes).
    */
   def sourceOverlap(
       df: DataFrame, sourceCol: String, textCol: String, n: Int = 3): DataFrame = {
     require(n > 0, s"n-gram size must be positive, got $n")
-    // dense source index so sets ride as int arrays (the window runs over
-    // #sources rows, not data)
-    val srcIdx = df.select(col(sourceCol).as("__src")).distinct()
-      .withColumn("__sid", row_number().over(Window.orderBy(col("__src"))).cast("int"))
     val grams = df
       .select(col(sourceCol).as("__src"),
         explode(TextExpressionFunctions.shingle_hashes(
           Dedup.tokens(col(textCol)), n, 0L)).as("gram"))
       .distinct()
-      .join(broadcast(srcIdx), Seq("__src"))
+      .withColumn("__sid", xxhash64(col("__src")))
     val sizes = grams.groupBy(col("__src")).agg(count(lit(1)).as("n_grams"))
-    // gram -> sorted source set -> count of identical sets
+      .withColumn("__sid", xxhash64(col("__src")))
+    // gram -> sorted source-id set -> count of identical sets
     val sets = grams.groupBy(col("gram"))
       .agg(sort_array(collect_set(col("__sid"))).as("__sids"))
       .groupBy(col("__sids")).agg(count(lit(1)).as("__cnt"))
-    // expand each distinct set's (i < j) pairs exactly once
+    // expand each distinct set's (i < j) pairs exactly once (ids ascend
+    // within the sorted set, so emitted pairs are hash-ordered)
     val pairExpr = flatten(transform(
       sequence(lit(0), size(col("__sids")) - 2),
       i => transform(
@@ -654,10 +656,14 @@ object CorpusFilters {
       .select(col("__cnt"), explode(pairExpr).as("__p"))
       .groupBy(col("__p.sa").as("__sa"), col("__p.sb").as("__sb"))
       .agg(sum(col("__cnt")).as("n_shared"))
-    val named = broadcast(sizes.join(srcIdx, Seq("__src")))
-    named.select(col("__src").as("src_a"), col("__sid").as("__sa"), col("n_grams").as("grams_a"))
-      .join(named.select(col("__src").as("src_b"), col("__sid").as("__sb"), col("n_grams").as("grams_b")),
-        col("__sa") < col("__sb"))
+    val named = broadcast(sizes)
+    // name-ordered output pairs; the hash-ordered (least, greatest) key
+    // matches inter's sorted-set pair orientation
+    named.select(col("__src").as("src_a"), col("__sid").as("__ha"), col("n_grams").as("grams_a"))
+      .join(named.select(col("__src").as("src_b"), col("__sid").as("__hb"), col("n_grams").as("grams_b")),
+        col("src_a") < col("src_b"))
+      .withColumn("__sa", least(col("__ha"), col("__hb")))
+      .withColumn("__sb", greatest(col("__ha"), col("__hb")))
       .join(inter, Seq("__sa", "__sb"), "left")
       .select(col("src_a"), col("src_b"), col("grams_a"), col("grams_b"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/**
+ * Distributed total-order primitives.
+ *
+ * A global `row_number()`/`ntile()` over an unpartitioned `Window.orderBy`
+ * funnels every row through ONE task — correct, but a guaranteed straggler
+ * (and eventually an OOM) at 100 TB. The scale-safe plan is the one
+ * [[Sampler.exactN]] already uses for its rank selection: a RANGE-partitioned
+ * sort (each of N tasks sorts ~1/N of the data; partition i's keys all
+ * precede partition i+1's) followed by `zipWithIndex`, which assigns
+ * contiguous global indices from per-partition counts with one extra
+ * lightweight count job — no single task ever holds the whole input.
+ *
+ * This object factors that recipe out so every total-order consumer
+ * (curriculum ordering, equi-depth histograms, exact sampling) shares it
+ * instead of re-inventing the global window.
+ *
+ * Determinism: ranks are reproducible for a given dataset iff `sortCols`
+ * fully tie-breaks (no two rows equal on the full sort tuple). Range
+ * boundaries chosen by the partitioner vary run-to-run, but they only decide
+ * WHERE a row sorts, never its position in the total order.
+ */
+object GlobalRank {
+
+  /**
+   * Appends a 1-based dense global rank column ordered by `sortCols`.
+   * Two shuffle-free-after-sort passes: range sort, then zipWithIndex's
+   * count job + index assignment. O(rows/partitions) memory per task.
+   */
+  def withGlobalRank(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      rankName: String = "global_rank",
+      numPartitions: Int = 0): DataFrame = {
+    require(sortCols.nonEmpty, "sortCols must be non-empty")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(
+      df.schema.fields :+ StructField(rankName, LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(ranked, schema)
+  }
+
+  /**
+   * SQL `NTILE(bins)` as a closed-form expression over a 1-based global rank:
+   * with n rows, the first n%bins buckets get ⌈n/bins⌉ rows and the rest get
+   * ⌊n/bins⌋ — identical to the window function, but computed from (rank, n)
+   * with no window at all.
+   */
+  def ntileExpr(rank: Column, totalRows: Long, bins: Int): Column = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val q = totalRows / bins // small-bucket size
+    val r0 = totalRows % bins // number of (q+1)-sized leading buckets
+    val threshold = r0 * (q + 1) // last rank inside a big bucket
+    if (q == 0) rank // fewer rows than bins: one row per bucket
+    else
+      when(rank <= threshold, (rank - 1) / (q + 1) + 1)
+        .otherwise(lit(r0) + (rank - threshold - 1) / q + 1)
+  }
+
+  /**
+   * Appends both a global rank and its `NTILE(bins)` bucket, ordered by
+   * `sortCols`. The row count comes from one extra `df.count()` — for
+   * file-backed inputs Catalyst prunes that to a metadata-only scan.
+   */
+  def withNtile(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      bins: Int,
+      binName: String,
+      rankName: String = "global_rank",
+      numPartitions: Int = 0): DataFrame = {
+    val n = df.count()
+    withGlobalRank(df, sortCols, rankName, numPartitions)
+      .withColumn(binName, ntileExpr(col(rankName), n, bins).cast(LongType))
+  }
+}

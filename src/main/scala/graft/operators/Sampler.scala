@@ -35,6 +35,7 @@ object Sampler {
   final case class SampleReport(inputRows: Long, sampleRows: Long, ratio: Double, seed: Long)
 
   private val RCOL = "__graft_sample_r"
+  private val GRANK = "__graft_sample_rank"
 
   /** Bernoulli sampling: output size is binomial(n, ratio), single pass. */
   def bernoulli(df: DataFrame, ratio: Double, seed: Long): DataFrame = {
@@ -81,22 +82,17 @@ object Sampler {
     val gamma = -math.log(1e-8) / total
     val q = math.min(1.0, p + gamma + math.sqrt(gamma * gamma + 2.0 * gamma * p))
 
-    val schema: StructType = StructType(df.schema.fields :+ StructField(RCOL, DoubleType, nullable = false))
     val candidates = withR.filter(col(RCOL) < q)
     candidates.persist()
     try {
       val candCount = candidates.count()
       val pool = if (candCount >= n) candidates else withR // fallback: full sort (prob < 1e-8)
-      val rIdx = schema.fieldIndex(RCOL)
-      // Distributed exact selection of the n smallest ranks: range-partitioned
-      // sort, then contiguous global indices via zipWithIndex (two narrow
-      // passes over ~n rows; no driver materialization).
-      val taken = pool.rdd
-        .sortBy(_.getDouble(rIdx))
-        .zipWithIndex()
-        .filter(_._2 < n)
-        .keys
-      spark.createDataFrame(taken, schema).drop(RCOL)
+      // Distributed exact selection of the n smallest ranks: GlobalRank's
+      // range-partitioned sort + zipWithIndex over ~n candidate rows — the
+      // shared total-order primitive; no driver materialization.
+      GlobalRank.withGlobalRank(pool, Seq(col(RCOL).asc), GRANK)
+        .filter(col(GRANK) <= n)
+        .drop(GRANK, RCOL)
     } finally {
       candidates.unpersist(blocking = false)
     }

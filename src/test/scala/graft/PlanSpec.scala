@@ -172,6 +172,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("NestedLoopJoin"), plan)
   }
 
+  test("no query plans a global (unpartitioned) window over an unbounded input") {
+    // A Window with an empty partition spec forces Exchange(SinglePartition):
+    // every input row funnels through ONE task — the textbook 100 TB
+    // straggler. Total-order consumers must use GlobalRank's distributed
+    // range-sort instead. A global window IS fine when its input is already
+    // bounded by a limit/top-k cut (e.g. rank/cumsum over a TakeOrdered's
+    // k rows) — those plans never see the full table.
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bounded(p: SparkPlan): Boolean = p.exists {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec | _: LocalLimitExec => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queryPairs.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"single-partition global window over unbounded input in: ${offenders.mkString(", ")}")
+  }
+
+  test("curriculum ordering + equi-depth histogram rank via distributed range sort (no global window)") {
+    for (q <- Seq("q123_curriculum_order", "q124_equidepth_histogram")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001).queryExecution.sparkPlan.toString
+      assert(!plan.contains("Window"), s"$q must not use a window\n$plan")
+      // GlobalRank's createDataFrame severs the visible lineage at the RDD
+      // rank assignment — the range-partitioned sort lives in that RDD's
+      // lineage (pinned by GlobalRankSpec), never in a single-partition plan
+      assert(plan.contains("ExistingRDD"), s"$q must rank via GlobalRank's RDD path\n$plan")
+    }
+  }
+
   test("bloom decontamination scores with NO join and NO shuffle: pure scan projection") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val scored = graft.ext.CorpusFilters.bloomDecontaminate(
