@@ -89,6 +89,29 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sm,"spill_mb":$spm,"passes":$passes,"sf":"$sfDir"}""")
     println(headline)
+    // The driver's stdout tail capture is bounded (~2000 chars) — the
+    // per-query line above doesn't survive it. Persist the full detail to a
+    // committed file so cross-round per-query regression tracking works
+    // from repo evidence alone.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detail = results.map { case (k, (v, s, p)) =>
+      s"""    "$k": {"sec": ${math.round(v * 1e4) / 1e4}, "shuffle_mb": ${math.round(s * 10) / 10.0}, "spill_mb": ${math.round(p * 10) / 10.0}}"""
+    }.mkString(",\n")
+    val json =
+      s"""{
+         |  "metric": "total", "value": $total, "unit": "sec",
+         |  "passes": $passes, "n_queries": ${results.size},
+         |  "shuffle_mb": ${math.round(totalShuffleMb)}, "spill_mb": ${math.round(totalSpillMb)},
+         |  "sf": "$sfDir",
+         |  "queries": {
+         |$detail
+         |  }
+         |}""".stripMargin
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"bench detail -> $detailPath")
+    } catch { case e: Exception => println(s"bench detail write failed: $e") }
     spark.stop()
   }
 }

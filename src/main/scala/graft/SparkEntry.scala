@@ -988,16 +988,16 @@ object SparkEntry {
     "q123_curriculum_order" -> ((s, dir) =>
       CorpusFilters.curriculumOrder(t(s, dir, "documents"), "doc_id", "text", bins = 10)),
     // BPE merge discovery (tokenizer training core): iterative corpus-wide
-    // top-pair merges, deterministic tie-break. Trains on a DETERMINISTIC
-    // 20% document sample — the standard tokenizer-training discipline
-    // (and the same scale-safety rule as the IVF/SemDeDup quantizer caps:
-    // never ship a default that makes k full-corpus passes). The iteration
-    // isn't SQL-expressible => rows-only; CorpusFiltersSpec hand-computes
-    // the merge table on a tiny corpus (incl. overlap + tie cases)
+    // top-pair merges, deterministic tie-break. Trains on a deterministic
+    // 20% content-hash sample via the API's own trainFraction cap — the
+    // standard tokenizer-training discipline (and the same scale-safety
+    // rule as the IVF/SemDeDup quantizer caps: never ship a default that
+    // makes k full-corpus passes). The iteration isn't SQL-expressible =>
+    // rows-only; CorpusFiltersSpec hand-computes the merge table on a tiny
+    // corpus (incl. overlap + tie cases)
     "q126_bpe_merges" -> ((s, dir) =>
       CorpusFilters.bpeMergeTable(
-        t(s, dir, "documents").filter(pmod(xxhash64(col("doc_id")), lit(5)) === 0),
-        "text", numMerges = 8)),
+        t(s, dir, "documents"), "text", numMerges = 8, trainFraction = 0.2)),
     // equi-depth histogram (quantile bucketing) of prices: NTILE semantics
     // over a fully tie-broken order, computed via GlobalRank's distributed
     // range-sort (no single-partition window), exact decimal per-bucket sums

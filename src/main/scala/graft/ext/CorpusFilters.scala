@@ -191,20 +191,44 @@ object CorpusFilters {
    * TakeOrdered(1) (no full-dictionary sort), then a codegen'd
    * `transform`-free merge pass (an aggregate-fold over each row's symbol
    * array). k merges = k passes — exactly how distributed BPE trainers
-   * work; production caps the training corpus by sampling first (the same
-   * trainFraction discipline as the IVF/SemDeDup quantizers). The iteration
-   * count is bounded and driver state is one (pair, count) row per round.
+   * work. The iteration count is bounded and driver state is one
+   * (pair, count) row per round.
+   *
+   * Training-corpus cap — the same `trainFraction`/`maxTrainRows`
+   * discipline as the IVF/SemDeDup quantizers, IN the API so a library
+   * caller can't accidentally run k full-corpus passes: auto mode
+   * (`trainFraction < 0`) sizes the sample so at most `maxTrainRows`
+   * documents train (the corpus `count()` is metadata-only on parquet);
+   * the sample itself is a CONTENT-HASH Bernoulli cut
+   * (`xxhash64(text) mod 2^20 < frac·2^20`, ~1e-6 fraction granularity) —
+   * deterministic, seedless, independent of file layout, so the merge
+   * table is reproducible run-to-run. Pass `trainFraction = 1.0` to train
+   * on everything.
    *
    * Word-internal BPE: text lowercases and splits on whitespace; pairs
    * never cross word boundaries (each word is an independent symbol
    * sequence, the standard formulation).
    */
   def bpeMerges(
-      df: DataFrame, textCol: String, numMerges: Int): Seq[(Int, String, String, Long)] = {
+      df: DataFrame, textCol: String, numMerges: Int,
+      trainFraction: Double = -1.0,
+      maxTrainRows: Long = 2000000L): Seq[(Int, String, String, Long)] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    require(trainFraction <= 1.0, s"trainFraction must be <= 1, got $trainFraction")
     val spark = df.sparkSession
+    val frac =
+      if (trainFraction >= 0.0) trainFraction
+      else {
+        require(maxTrainRows > 0, s"maxTrainRows must be positive, got $maxTrainRows")
+        val n = df.count()
+        if (n <= maxTrainRows) 1.0 else maxTrainRows.toDouble / n
+      }
+    val trainSrc =
+      if (frac < 1.0)
+        df.filter(pmod(xxhash64(col(textCol)), lit(1L << 20)) < (frac * (1L << 20)).toLong)
+      else df
     // one row per word occurrence, as an array of single-char symbols
-    var words = df
+    var words = trainSrc
       .select(explode(Dedup.tokens(col(textCol))).as("__w"))
       .filter(length(col("__w")) > 0)
       // split keeps a trailing empty match (limit -1): drop empties
@@ -255,10 +279,13 @@ object CorpusFilters {
   }
 
   /** [[bpeMerges]] as a DataFrame (rank, left, right, freq) for the gate. */
-  def bpeMergeTable(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def bpeMergeTable(
+      df: DataFrame, textCol: String, numMerges: Int,
+      trainFraction: Double = -1.0, maxTrainRows: Long = 2000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    bpeMerges(df, textCol, numMerges).toDF("rank", "left", "right", "freq")
+    bpeMerges(df, textCol, numMerges, trainFraction, maxTrainRows)
+      .toDF("rank", "left", "right", "freq")
       .select(col("rank").cast("long"), col("left"), col("right"), col("freq"))
   }
 

@@ -180,20 +180,39 @@ object Dedup {
 
   // memoized indexes, keyed by (session, canonicalized source plan, cols, n):
   // q-pipelines that run minhash + exact-jaccard + clustering over the same
-  // corpus share ONE hashing pass and ONE collapse shuffle
+  // corpus share ONE hashing pass and ONE collapse shuffle. BOUNDED: a
+  // long-lived session processing many corpora must not accumulate pinned
+  // MEMORY_AND_DISK storage, so eviction is LRU with eager unpersist of the
+  // evicted base (the groups frame is localCheckpoint'ed — its blocks are
+  // reclaimed by the ContextCleaner once the evicted index is unreachable).
+  private val MaxCachedIndexes = 2
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, String, Int), ShingleIndex]()
+    new java.util.LinkedHashMap[(Int, String, String, String, Int), ShingleIndex](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String, String, String, Int), ShingleIndex]): Boolean =
+        if (size > MaxCachedIndexes) { e.getValue.base.unpersist(false); true } else false
+    }
 
   /** Memoized [[shingleIndex]]: repeated calls with a semantically-equal
-    * source in the same session return the already-materialized index. */
+    * source in the same session return the already-materialized index.
+    * At most [[MaxCachedIndexes]] indexes stay resident (LRU). */
   def sharedShingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): ShingleIndex = {
     val key = (System.identityHashCode(df.sparkSession),
       df.queryExecution.analyzed.canonicalized.toString, idCol, textCol, n)
-    indexCache.computeIfAbsent(key, _ => shingleIndex(df, idCol, textCol, n))
+    indexCache.synchronized {
+      val hit = indexCache.get(key)
+      if (hit != null) hit
+      else {
+        val ix = shingleIndex(df, idCol, textCol, n)
+        indexCache.put(key, ix)
+        ix
+      }
+    }
   }
 
   /** Drop all memoized indexes and unpersist their storage. */
-  def clearShingleIndexCache(): Unit = {
+  def clearShingleIndexCache(): Unit = indexCache.synchronized {
     indexCache.values.iterator().asScala.foreach(ix => ix.base.unpersist())
     indexCache.clear()
   }

@@ -37,14 +37,15 @@ object QualityModel {
   val featureNames: Seq[String] =
     Seq("n_tokens", "mean_token_len", "punct_ratio", "digit_ratio", "space_ratio")
 
+  // feature columns stay under this reserved prefix end-to-end so a caller
+  // DataFrame that already has e.g. an `n_tokens` column is never clobbered
+  private val Prefix = "__qm_"
+
   private def withFeatures(df: DataFrame, textCol: String): DataFrame = {
-    val s = TextStats.withStats(df, textCol, prefix = "__qm_")
-    s.withColumn("n_tokens", col("__qm_n_tokens").cast("double"))
-      .withColumn("mean_token_len", col("__qm_mean_token_len"))
-      .withColumn("punct_ratio", col("__qm_punct_ratio"))
-      .withColumn("digit_ratio", col("__qm_digit_ratio"))
-      .withColumn("space_ratio", col("__qm_space_ratio"))
-      .drop(s.columns.filter(_.startsWith("__qm_")).toIndexedSeq: _*)
+    val s = TextStats.withStats(df, textCol, prefix = Prefix)
+    val keep = featureNames.map(Prefix + _).toSet
+    s.withColumn(Prefix + "n_tokens", col(Prefix + "n_tokens").cast("double"))
+      .drop(s.columns.filter(c => c.startsWith(Prefix) && !keep(c)).toIndexedSeq: _*)
   }
 
   /**
@@ -60,7 +61,8 @@ object QualityModel {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     require(regParam >= 0, s"regParam must be non-negative, got $regParam")
     val feats = withFeatures(df, textCol)
-      .select((featureNames.map(col) :+ col(labelCol).cast("double").as("__label")): _*)
+      .select((featureNames.map(n => col(Prefix + n).as(n)) :+
+        col(labelCol).cast("double").as("__label")): _*)
     val assembled = new VectorAssembler()
       .setInputCols(featureNames.toArray).setOutputCol("__features")
       .transform(feats)
@@ -76,7 +78,7 @@ object QualityModel {
   private def sigmoidExpr(model: LogisticModel): Column = {
     val margin = model.featureNames.zip(model.weights)
       .foldLeft(lit(model.intercept)) { case (acc, (name, w)) =>
-        acc + col(name) * lit(w)
+        acc + col(Prefix + name) * lit(w)
       }
     lit(1.0) / (lit(1.0) + exp(-margin))
   }
@@ -90,5 +92,5 @@ object QualityModel {
       outCol: String = "quality_prob"): DataFrame =
     withFeatures(df, textCol)
       .withColumn(outCol, sigmoidExpr(model))
-      .drop(featureNames: _*)
+      .drop(featureNames.map(Prefix + _): _*)
 }

@@ -30,6 +30,10 @@ import org.apache.spark.sql.types._
  */
 final class BloomBuffer(val numBits: Long, val numHashes: Int) extends Serializable {
   require(numBits > 0 && numBits % 64 == 0, s"numBits must be a positive multiple of 64, got $numBits")
+  require(numBits <= BloomBuffer.MaxBits,
+    s"numBits=$numBits exceeds the single-filter ceiling of ${BloomBuffer.MaxBits} " +
+      "(the serialized filter must fit one JVM byte array; at fpp=0.01 that is " +
+      "~1.8e9 keys per filter — shard the blocklist across several filters beyond that)")
   require(numHashes > 0, s"numHashes must be positive, got $numHashes")
   val words = new Array[Long]((numBits / 64).toInt)
 
@@ -76,6 +80,11 @@ final class BloomBuffer(val numBits: Long, val numHashes: Int) extends Serializa
 }
 
 object BloomBuffer {
+  /** Largest per-filter bit count whose word array AND serialized form
+    * (8 + 4 + words·8 bytes) both fit a JVM array: ~2 GB of filter,
+    * ~1.8e9 keys at fpp=0.01. Larger blocklists shard across filters. */
+  val MaxBits: Long = ((Int.MaxValue.toLong - 16) / 8) * 64
+
   /** Standard sizing: m = -n·ln(p)/ln(2)^2 bits (rounded up to a word),
     * k = max(1, round((m/n)·ln 2)) probes. */
   def shapeFor(expectedItems: Long, fpp: Double): (Long, Int) = {
@@ -84,6 +93,9 @@ object BloomBuffer {
     val ln2 = math.log(2.0)
     val m0 = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong
     val m = ((m0 + 63) / 64) * 64
+    require(m <= MaxBits,
+      s"expectedItems=$expectedItems at fpp=$fpp needs $m bits > per-filter ceiling $MaxBits; " +
+        "lower fpp precision, or shard the key set across multiple filters")
     val k = math.max(1, math.round(m.toDouble / expectedItems * ln2).toInt)
     (m, k)
   }

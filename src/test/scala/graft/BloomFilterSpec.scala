@@ -28,6 +28,22 @@ class BloomFilterSpec extends SparkSpec {
     assert(fp < 0.03, s"fp rate $fp far above built 0.01")
   }
 
+  test("per-filter ceiling: sizing beyond one JVM array fails fast with the shard hint") {
+    import org.apache.spark.sql.graft.BloomBuffer
+    // ~1.8e9 keys at fpp=0.01 is the documented ceiling; 10x that must not
+    // wrap (numBits/64).toInt or ByteBuffer.allocate into a negative size
+    val e = intercept[IllegalArgumentException] {
+      BloomBuffer.shapeFor(expectedItems = 20000000000L, fpp = 0.01)
+    }
+    assert(e.getMessage.contains("shard"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      new BloomBuffer(BloomBuffer.MaxBits + 64, 7)
+    }
+    assert(e2.getMessage.contains("ceiling"), e2.getMessage)
+    // the largest legal shape still constructs a real word array
+    assert(BloomBuffer.MaxBits % 64 == 0)
+  }
+
   test("shape sizing validates inputs") {
     intercept[IllegalArgumentException] { BloomBuffer.shapeFor(0, 0.01) }
     intercept[IllegalArgumentException] { BloomBuffer.shapeFor(100, 0.0) }

@@ -329,6 +329,29 @@ class CorpusFiltersSpec extends SparkSpec {
     }
   }
 
+  test("bpeMerges training cap: auto mode trains full on small corpora; sampling is deterministic") {
+    val docs = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    // auto mode: n <= maxTrainRows -> full corpus, identical to explicit 1.0
+    assert(CorpusFilters.bpeMerges(docs, "text", 5) ===
+      CorpusFilters.bpeMerges(docs, "text", 5, trainFraction = 1.0))
+    // content-hash sampling is seedless-deterministic: same input, same table
+    val many = (1L to 60L).map(i => (i, s"w$i x$i common words here")).toDF("doc_id", "text")
+    val a = CorpusFilters.bpeMerges(many, "text", 3, trainFraction = 0.5)
+    val b = CorpusFilters.bpeMerges(many, "text", 3, trainFraction = 0.5)
+    assert(a === b)
+    assert(a.nonEmpty, "half the corpus must still produce merges")
+    // auto cap engages above maxTrainRows (frac < 1 -> a strict subset
+    // trains; the capped table still exists and is deterministic)
+    val capped = CorpusFilters.bpeMerges(many, "text", 3, maxTrainRows = 10)
+    assert(capped === CorpusFilters.bpeMerges(many, "text", 3, maxTrainRows = 10))
+    intercept[IllegalArgumentException] {
+      CorpusFilters.bpeMerges(docs, "text", 1, trainFraction = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusFilters.bpeMerges(docs, "text", 1, maxTrainRows = 0)
+    }
+  }
+
   test("sourceOverlap: complete matrix incl. zero-overlap pairs; short-doc shingle fallback") {
     val docs = Seq(
       ("A", "x y z w"), // 3-grams: "x y z", "y z w"

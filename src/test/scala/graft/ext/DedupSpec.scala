@@ -104,6 +104,26 @@ class DedupSpec extends SparkSpec {
     assert(viaMinhash.contains((0L, 1L)))
   }
 
+  test("shingle index cache is LRU-bounded: an evicted corpus's pinned storage is freed") {
+    import org.apache.spark.storage.StorageLevel
+    Dedup.clearShingleIndexCache()
+    // three distinct corpora at the same (cols, n): the cache holds 2, so
+    // indexing the third must evict and UNPERSIST the least-recently-used
+    val ixA = Dedup.sharedShingleIndex(docs.filter($"doc_id" < 4), "doc_id", "text", 3)
+    val ixB = Dedup.sharedShingleIndex(docs.filter($"doc_id" >= 4), "doc_id", "text", 3)
+    assert(ixA.base.storageLevel != StorageLevel.NONE, "resident index must stay persisted")
+    val ixC = Dedup.sharedShingleIndex(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", 3)
+    assert(ixA.base.storageLevel == StorageLevel.NONE,
+      "evicted index must release its MEMORY_AND_DISK storage")
+    assert(ixB.base.storageLevel != StorageLevel.NONE)
+    assert(ixC.base.storageLevel != StorageLevel.NONE)
+    // a re-request after eviction rebuilds (fresh instance), and evicts B
+    val ixA2 = Dedup.sharedShingleIndex(docs.filter($"doc_id" < 4), "doc_id", "text", 3)
+    assert(ixA2 ne ixA)
+    assert(ixA2.base.storageLevel != StorageLevel.NONE)
+    Dedup.clearShingleIndexCache()
+  }
+
   test("duplicateClusters: components labeled by min id; singletons keep their own id") {
     val verts = (0L to 9L).toDF("id")
     // components: {0,1,2} (chain), {3,4}, singletons 5..9

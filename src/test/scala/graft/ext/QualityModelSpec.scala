@@ -55,6 +55,27 @@ class QualityModelSpec extends SparkSpec {
     }
   }
 
+  test("caller columns named like model features are never clobbered by score()") {
+    // the feature block runs under a reserved __qm_ prefix end-to-end: a
+    // pre-existing n_tokens/punct_ratio column must survive untouched
+    val df = crafted
+      .withColumn("n_tokens", lit(-7L))
+      .withColumn("punct_ratio", lit(-1.5))
+    val model = QualityModel.train(df, "text", "label")
+    val out = QualityModel.score(df, "text", model)
+    assert(out.columns.count(_ == "n_tokens") == 1)
+    val row = out.filter($"doc_id" === 1L).select($"n_tokens", $"punct_ratio", $"quality_prob").head()
+    assert(row.getLong(0) == -7L && row.getDouble(1) == -1.5,
+      "caller's feature-named columns must pass through unchanged")
+    // and the scores are identical to scoring the clean frame (the caller
+    // columns never leak into the model's features)
+    val clean = QualityModel.score(crafted, "text", model)
+      .select($"doc_id", $"quality_prob").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.select($"doc_id", $"quality_prob").collect().foreach { r =>
+      assert(r.getDouble(1) == clean(r.getLong(0)))
+    }
+  }
+
   test("input validation") {
     intercept[IllegalArgumentException] {
       QualityModel.train(crafted, "text", "label", maxIter = 0)
