@@ -404,32 +404,44 @@ object SparkEntry {
         .filter(col("cnt") * lit(100L) >= lit(n))
     }),
 
-    // ---- multimodal plumbing (stub decoder; see Multimodal scaladoc) ----
-    // the feature vector itself is projected to scalar invariants (dim +
-    // fold checksum): the harness' row compare can't order raw arrays, and
-    // the scalars pin the full vector content anyway
+    // ---- multimodal: REAL compressed-image decode (JDK ImageIO) ---------
+    // PNG (even ids) / BMP (odd ids) payloads genuinely encoded + decoded;
+    // features = grayscale histogram over the DECODED raster. Both formats
+    // are lossless, so DuckDB recomputes the histogram moment from the
+    // closed-form pixel formula — a codec bug breaks the hash-compare
     "q70_multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(
-        Multimodal.attachSyntheticMedia(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
-        "media", dim = 16)
-        .select(col("doc_id"), col("media_meta.media_type").as("media_type"),
+      Multimodal.imageGrayHistogram(
+        Multimodal.attachSyntheticImage(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", w = 24, h = 16),
+        "img", bins = 16)
+        .select(col("doc_id"), col("media_type"),
           size(col("features")).cast("long").as("feat_dim"),
-          aggregate(col("features"), lit(0.0),
-            (acc, x) => acc + x.cast("double")).as("feat_checksum"))),
+          col("n_pixels"),
+          aggregate(zip_with(col("gray_counts"),
+              sequence(lit(0L), lit(15L)), (c, b) => c * b),
+            lit(0L), (acc, x) => acc + x).as("hist_moment"))),
+    // frame sampling over opaque payload bytes (pure-expression plumbing:
+    // stride slicing, NULL-safe explode) — the byte slices stand in for
+    // compressed frame extraction, which has no JDK codec
     "q71_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(
         Multimodal.attachSyntheticMedia(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "media", "media_meta", stride = 5)
         .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))),
-    // thumbnail "resize" through the stub decoder; projected to scalar
-    // invariants (byte length + crc32) for the harness row compare
-    "q72_multimodal_resize" -> ((s, dir) =>
-      Multimodal.resizeMedia(
-        Multimodal.attachSyntheticMedia(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
-        "media", w = 64, h = 64)
-        .select(col("doc_id"), col("media_meta.media_type").as("media_type"),
-          length(col("thumbnail")).cast("long").as("thumb_len"),
-          crc32(col("thumbnail")).as("thumb_crc"))),
+    // REAL thumbnail pipeline over compressed inputs: ImageIO decode ->
+    // shared P6 toolchain (box-filter resize, truncating block averages) ->
+    // per-channel means of the 8x8 thumbnail, oracle-recomputed in SQL
+    "q72_multimodal_resize" -> ((s, dir) => {
+      val img = Multimodal.attachSyntheticImage(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", w = 24, h = 16)
+      val ppm = Multimodal.transcodeToPpm(img, "img")
+      Multimodal.ppmStats(
+        Multimodal.ppmResize(ppm, "ppm", outW = 8, outH = 8)
+          .select(col("doc_id"), col("media_type"), col("thumb_ppm")),
+        "thumb_ppm")
+        .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
 
     // real PPM decode path: valid P6 payloads generated from a closed-form
     // pixel formula, genuinely decoded; DuckDB recomputes the decoded
@@ -1451,6 +1463,51 @@ object SparkEntry {
     "q63_token_counts" -> tokenCountOracle,
 
     "q64_repetition_stats" -> repetitionOracle,
+
+    // REAL PNG/BMP decode + grayscale-histogram features: both formats are
+    // lossless, so the closed-form pixel formula survives the JDK encode +
+    // decode round-trip exactly; the oracle recomputes the histogram moment
+    // (sum of each pixel's bucket index) from the formula — a codec or
+    // bucketing bug breaks the hash-compare
+    "q70_multimodal_features" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |    ((doc_id*31 + xs.x*7 + ys.y*13 + 0) % 256
+        |     + (doc_id*31 + xs.x*7 + ys.y*13 + 5) % 256
+        |     + (doc_id*31 + xs.x*7 + ys.y*13 + 10) % 256) // 3 AS g
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) ys
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+        |  CAST(16 AS BIGINT) AS feat_dim,
+        |  CAST(384 AS BIGINT) AS n_pixels,
+        |  CAST(SUM((g * 16) // 256) AS BIGINT) AS hist_moment
+        |FROM px GROUP BY 1, 2""".stripMargin,
+
+    // REAL compressed-image thumbnail pipeline: ImageIO decode -> shared
+    // P6 box-filter resize (24x16 -> 8x8, 3x2 blocks, truncating /6) ->
+    // channel means; same oracle recipe as q74 but through the codec path
+    "q72_multimodal_resize" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, xs.x AS x, ys.y AS y FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) ys
+        |), blocks AS (
+        |  SELECT doc_id, x // 3 AS ox, y // 2 AS oy,
+        |    CAST(SUM((doc_id*31 + x*7 + y*13 + 0) % 256) AS BIGINT) // 6 AS pr,
+        |    CAST(SUM((doc_id*31 + x*7 + y*13 + 5) % 256) AS BIGINT) // 6 AS pg,
+        |    CAST(SUM((doc_id*31 + x*7 + y*13 + 10) % 256) AS BIGINT) // 6 AS pb
+        |  FROM px GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+        |  8 AS width, 8 AS height,
+        |  CAST(CAST(SUM(pr) AS BIGINT) AS DOUBLE) / 64.0 AS mean_r,
+        |  CAST(CAST(SUM(pg) AS BIGINT) AS DOUBLE) / 64.0 AS mean_g,
+        |  CAST(CAST(SUM(pb) AS BIGINT) AS DOUBLE) / 64.0 AS mean_b
+        |FROM blocks GROUP BY 1, 2""".stripMargin,
 
     // PPM decode stats: the synthetic image's channel (x,y,c) of doc `id`
     // is (id*31 + x*7 + y*13 + c*5) mod 256 — SQL recomputes the decoded

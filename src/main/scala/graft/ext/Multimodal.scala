@@ -10,19 +10,25 @@ import org.apache.spark.sql.types._
  * extraction / frame sampling run as distributed per-partition batch
  * operators.
  *
- * Two decode tiers:
+ * Decode tiers:
  *  - [[PpmCodec]] is a REAL pure-JVM codec for binary PPM (P6) images —
  *    encode, parse, pixel stats, box-filter resize — exercised end-to-end
  *    (and oracle-checked: the synthetic image generator uses a closed-form
  *    pixel formula DuckDB can evaluate in SQL, so a decode bug breaks the
  *    hash-compare).
- *  - COMPRESSED codecs (jpeg/png/wav/mp4) are STUBBED (this container
- *    ships no codec libraries): [[StubDecoder]] derives deterministic
- *    pseudo-features from the bytes, clearly marked below. Everything
- *    around the stub — schema, partitioning, batch iteration shape,
- *    encoder wiring — is the real thing: swap
- *    [[StubDecoder.decodeFeatures]] for a JNI/codec call and nothing else
- *    changes.
+ *  - [[ImageIoCodec]] is a REAL compressed-image codec via the JDK's own
+ *    `javax.imageio` (PNG/JPEG/BMP/GIF standard plugins, zero added
+ *    dependencies); it decodes to the same raster type, so the whole PPM
+ *    toolchain applies to compressed images. PNG/BMP are lossless and
+ *    oracle-checked end-to-end; JPEG is lossy and spec-tested with
+ *    tolerance.
+ *  - COMPRESSED AUDIO/VIDEO codecs (mp3/aac/mp4/h264...) are STUBBED —
+ *    the JDK has no decoder and this container ships no codec libraries:
+ *    [[StubDecoder]] derives deterministic pseudo-features from the
+ *    bytes, clearly marked below. Everything around the stub — schema,
+ *    partitioning, batch iteration shape, encoder wiring — is the real
+ *    thing: swap [[StubDecoder.decodeFeatures]] for a JNI/codec call and
+ *    nothing else changes.
  *
  * Scale notes: feature extraction is mapPartitions (one decoder init per
  * partition, not per row — the expensive part of real codec pipelines);
@@ -149,6 +155,58 @@ object Multimodal {
         oy += 1
       }
       Image(outW, outH, out)
+    }
+  }
+
+  /**
+   * REAL compressed-image codec via the JDK's own `javax.imageio` (PNG,
+   * JPEG, BMP, GIF ship as standard plugins — no external dependency).
+   * Decodes to the same raster [[PpmCodec.Image]] the PPM path uses, so
+   * every downstream raster operator (stats, box-filter resize, grayscale)
+   * is SHARED between the uncompressed and compressed paths. PNG/BMP are
+   * lossless: a closed-form synthetic pixel round-trips bit-exactly, which
+   * is what lets the DuckDB oracle recompute decoded statistics without a
+   * codec. JPEG is lossy — spec-tested with tolerance, never oracle-hashed.
+   */
+  object ImageIoCodec {
+    /** Encode a closed-form image as `format` ("png", "bmp", "jpg", "gif"). */
+    def encode(format: String, w: Int, h: Int, pixel: (Int, Int, Int) => Int): Array[Byte] = {
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            ((pixel(x, y, 0) & 0xFF) << 16) | ((pixel(x, y, 1) & 0xFF) << 8) | (pixel(x, y, 2) & 0xFF))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ok = javax.imageio.ImageIO.write(img, format, bos)
+      require(ok, s"no JDK ImageIO writer for format '$format'")
+      bos.toByteArray
+    }
+
+    /** Decode any ImageIO-supported payload to an interleaved-RGB raster. */
+    def decode(bytes: Array[Byte]): PpmCodec.Image = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image (no ImageIO reader matched)")
+      val w = img.getWidth
+      val h = img.getHeight
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < rgb.length) {
+        val v = rgb(i)
+        out(i * 3) = ((v >> 16) & 0xFF).toByte
+        out(i * 3 + 1) = ((v >> 8) & 0xFF).toByte
+        out(i * 3 + 2) = (v & 0xFF).toByte
+        i += 1
+      }
+      PpmCodec.Image(w, h, out)
     }
   }
 
@@ -395,6 +453,75 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Attach a VALID compressed image payload per row — PNG for even ids,
+    * BMP for odd ids (both lossless JDK codecs, so the [[syntheticPixel]]
+    * formula survives the round-trip exactly), plus its MIME type.
+    * Encoding runs once per row in mapPartitions; real pipelines read the
+    * bytes from parquet/object-store instead. */
+  def attachSyntheticImage(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("img", BinaryType), StructField("media_type", StringType)))
+    val idIdx = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val bytes = ImageIoCodec.encode(fmt, w, h, (x, y, c) => syntheticPixel(id, x, y, c))
+        Row.fromSeq(r.toSeq ++ Seq[Any](bytes, s"image/$fmt"))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL decode of a compressed image payload (PNG/JPEG/BMP/GIF via the
+    * JDK), re-encoded as P6 — after this, the whole PPM raster toolchain
+    * ([[ppmStats]], [[ppmResize]], [[ppmGrayscaleStats]]) applies to
+    * compressed inputs unchanged. */
+  def transcodeToPpm(df: DataFrame, mediaCol: String, outCol: String = "ppm"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(outCol, BinaryType))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val img = ImageIoCodec.decode(r.getAs[Array[Byte]](mediaIdx))
+        Row.fromSeq(r.toSeq :+ PpmCodec.encode(img.width, img.height, (x, y, c) => img.channel(x, y, c)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * REAL image feature extraction: decode the compressed payload with the
+   * JDK codec and project a `bins`-bucket grayscale histogram — exact
+   * integer counts (`gray_counts`, gray = truncating (r+g+b)/3, bucket =
+   * gray·bins/256) alongside the L1-normalized `features` vector an
+   * embedding/classifier stage would consume. One decoder pass per row in
+   * mapPartitions; bytes never shuffle.
+   */
+  def imageGrayHistogram(df: DataFrame, mediaCol: String, bins: Int): DataFrame = {
+    require(bins > 0 && bins <= 256, s"bins must be in [1,256], got $bins")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("n_pixels", LongType),
+      StructField("gray_counts", ArrayType(LongType, containsNull = false)),
+      StructField("features", ArrayType(DoubleType, containsNull = false))))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val img = ImageIoCodec.decode(r.getAs[Array[Byte]](mediaIdx))
+        val counts = new Array[Long](bins)
+        var i = 0
+        while (i < img.pixels.length) {
+          val g = ((img.pixels(i) & 0xFF) + (img.pixels(i + 1) & 0xFF) +
+            (img.pixels(i + 2) & 0xFF)) / 3
+          counts(g * bins / 256) += 1L
+          i += 3
+        }
+        val n = (img.width * img.height).toLong
+        Row.fromSeq(r.toSeq ++ Seq[Any](n, counts, counts.map(_.toDouble / n)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Typed metadata carried beside the raw bytes. */
   val mediaMetaType: StructType = StructType(Seq(
     StructField("media_type", StringType),
@@ -404,10 +531,11 @@ object Multimodal {
 
   /**
    * ===== STUB DECODER =====
-   * Stands in for a real image/audio decoder (libjpeg/ffmpeg/…): output is a
-   * deterministic function of the payload bytes via an xorshift PRNG seeded
-   * by a byte hash, so tests are stable and the distributed plumbing is
-   * exercised with realistic shapes.
+   * Stands in for a real COMPRESSED-AUDIO/VIDEO decoder (ffmpeg/…; images
+   * have a real JDK path via [[ImageIoCodec]]): output is a deterministic
+   * function of the payload bytes via an xorshift PRNG seeded by a byte
+   * hash, so tests are stable and the distributed plumbing is exercised
+   * with realistic shapes.
    */
   object StubDecoder {
     def byteHash(bytes: Array[Byte]): Long = {

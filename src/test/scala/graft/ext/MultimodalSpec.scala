@@ -51,6 +51,76 @@ class MultimodalSpec extends SparkSpec {
     assert(thumbs.forall(t => t != null && t.length === 64))
   }
 
+  test("ImageIoCodec: PNG and BMP encode -> decode round-trip every pixel exactly (lossless)") {
+    import Multimodal.ImageIoCodec
+    for (fmt <- Seq("png", "bmp")) {
+      val img = ImageIoCodec.decode(
+        ImageIoCodec.encode(fmt, 7, 5, (x, y, c) => (x * 37 + y * 11 + c * 5) % 256))
+      assert(img.width === 7 && img.height === 5, fmt)
+      for (x <- 0 until 7; y <- 0 until 5; c <- 0 until 3)
+        assert(img.channel(x, y, c) === (x * 37 + y * 11 + c * 5) % 256,
+          s"$fmt pixel ($x,$y,$c)")
+    }
+  }
+
+  test("ImageIoCodec: JPEG decodes with exact dimensions and channel means near the source (lossy)") {
+    import Multimodal.ImageIoCodec
+    // smooth horizontal gradient — JPEG-friendly, so means stay close
+    val w = 32; val h = 16
+    val img = ImageIoCodec.decode(
+      ImageIoCodec.encode("jpg", w, h, (x, _, c) => (x * 8 + c * 3) & 0xFF))
+    assert(img.width === w && img.height === h)
+    for (c <- 0 until 3) {
+      val want = (0 until w).map(x => (x * 8 + c * 3) & 0xFF).sum.toDouble / w
+      val got = (for (x <- 0 until w; y <- 0 until h) yield img.channel(x, y, c))
+        .sum.toDouble / (w * h)
+      assert(math.abs(got - want) < 8.0, s"channel $c mean: decoded $got vs source $want")
+    }
+  }
+
+  test("ImageIoCodec: non-image payloads fail fast") {
+    import Multimodal.ImageIoCodec
+    assert(intercept[IllegalArgumentException] {
+      ImageIoCodec.decode("definitely not an image".getBytes("US-ASCII"))
+    }.getMessage.contains("ImageIO"))
+    intercept[IllegalArgumentException] {
+      ImageIoCodec.encode("tiff-nope", 2, 2, (_, _, _) => 0)
+    }
+  }
+
+  test("compressed-image pipeline: attach -> ImageIO decode -> P6 transcode -> shared raster ops") {
+    val docs = (0L until 6L).toDF("doc_id")
+    val img = Multimodal.attachSyntheticImage(docs, "doc_id", w = 12, h = 8)
+    // format mix rides the metadata column
+    val fmts = img.select($"doc_id", $"media_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fmts(0L) === "image/png" && fmts(1L) === "image/bmp")
+    // transcode to P6, then the PPM stats operator decodes it — means must
+    // equal the closed-form formula exactly for BOTH formats
+    val stats = Multimodal.ppmStats(Multimodal.transcodeToPpm(img, "img"), "ppm")
+      .select($"doc_id", $"width", $"height", $"mean_r").collect()
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 12 && r.getInt(2) === 8)
+      val want = (for (x <- 0 until 12; y <- 0 until 8)
+        yield Multimodal.syntheticPixel(id, x, y, 0)).sum.toDouble / 96
+      assert(r.getDouble(3) === want, s"doc $id mean_r")
+    }
+    // histogram features: counts sum to n_pixels; normalized features sum to 1
+    val hist = Multimodal.imageGrayHistogram(img, "img", bins = 16)
+      .select($"doc_id", $"n_pixels", $"gray_counts", $"features").collect()
+    hist.foreach { r =>
+      assert(r.getSeq[Long](2).sum === r.getLong(1))
+      assert(math.abs(r.getSeq[Double](3).sum - 1.0) < 1e-12)
+      val wantCounts = new Array[Long](16)
+      for (x <- 0 until 12; y <- 0 until 8) {
+        val g = (0 until 3).map(c => Multimodal.syntheticPixel(r.getLong(0), x, y, c)).sum / 3
+        wantCounts(g * 16 / 256) += 1L
+      }
+      assert(r.getSeq[Long](2).toSeq === wantCounts.toSeq, s"doc ${r.getLong(0)} histogram")
+    }
+  }
+
   test("PpmCodec: encode -> decode round-trips dimensions and every pixel") {
     import Multimodal.PpmCodec
     val img = PpmCodec.decode(PpmCodec.encode(5, 3, (x, y, c) => x * 50 + y * 20 + c))
