@@ -920,6 +920,16 @@ object SparkEntry {
           maxDist = 2, reverseKeys = true, selfPairs = true)
         .select(col("id_a"), col("id_b"), col("dist"))
     }),
+    // the hot-block path of the fuzzy join (PassJoin recursive
+    // partitioning): a tiny threshold forces every block through the
+    // second-level complement re-blocking; the same brute-force oracle
+    // proves the two-level candidate set loses no pairs on real data
+    "q128_fuzzy_join_hotblock" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") % 10 === 0)
+      FuzzyJoin.join(c, "c_custkey", "c_name", c, "c_custkey", "c_name",
+          maxDist = 2, reverseKeys = true, selfPairs = true, hotBlockThreshold = 20)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    }),
     // staged conversion funnel (view -> click -> purchase, each stage within
     // 24h of the previous, strictly increasing event times per user); ts
     // stays long nanos on both engines
@@ -2071,6 +2081,13 @@ object SparkEntry {
     // fuzzy join: DuckDB brute-forces every pair; the engine's PassJoin
     // blocking must reproduce it exactly
     "q112_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey % 10 = 0 AND b.c_custkey % 10 = 0
+        |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    // identical ground truth for the forced hot-block (two-level) path
+    "q128_fuzzy_join_hotblock" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey

@@ -32,10 +32,39 @@ import org.apache.spark.sql.functions._
  * (URLs, `Customer#0000…` ids) put every row in one block; `reverseKeys`
  * re-blocks on the reversed strings — edit distance is reversal-invariant,
  * so the join stays exact while the distinctive suffix drives the
- * blocking. Residual hot blocks cost one cheap codegen verify per
- * candidate, fully parallel, with no candidate-level shuffle (see the
- * verify-before-dedup note below) — measured 3.1x for 10x data with 90%
- * of keys in one block (SCALEPROBE_r4.md).
+ * blocking. Probe substring windows use the multi-match-aware bound: a
+ * shift s needs ≥|s| edits before the segment and ≥|Δ−s| after it
+ * (Δ = length difference), so |s| + |Δ−s| ≤ d — at most d+1 candidate
+ * positions per (length, segment) instead of the naive 2d+1.
+ *
+ * Residual hot blocks — a low-entropy segment (constant "Customer#"/
+ * URL-host region) shared by most keys — make candidate volume quadratic
+ * in the block. Two defenses, chosen by where the key's entropy lives:
+ *
+ *  - RECURSIVE PARTITIONING (`hotBlockThreshold`): blocks whose index
+ *    side exceeds the threshold re-block on a SECOND-LEVEL segment of the
+ *    complement region. Soundness: if a ≤d pair's matched segment is
+ *    untouched, deleting that aligned segment from both keys leaves
+ *    complements that are themselves within distance d, so pigeonhole
+ *    applies again. This collapses the quadratic stream when the
+ *    complement CARRIES ENTROPY (URL paths after a constant host). It
+ *    cannot help — and adds ~(d+1)x hot-side fan-out — when the key's
+ *    entropy is concentrated in fewer characters than a sub-segment
+ *    (ids like `Customer#000000042`: every complement sub-piece is the
+ *    same zeros); for such corpora the true-pair neighborhoods are dense
+ *    and NO partition scheme can separate them, so the default leaves
+ *    recursion off.
+ *  - SPREAD THE VERIFY (always on): candidates never shuffle — they are
+ *    generated streaming against the (broadcast or shuffled) index and
+ *    verified by a codegen banded levenshtein in the probe's partitions,
+ *    whose count the probe repartition pins to the session parallelism.
+ *    More executors = proportionally faster hot blocks; measured 10x data
+ *    → 12s vs 1.2s at 1x on local[32], CPU-bound in the verify with zero
+ *    spill. (The repartition hashes a COLUMN on purpose: a bare
+ *    round-robin repartition is eligible for AQE's local-shuffle-read
+ *    rewrite, which silently fuses the verify back onto the file-split
+ *    count — observed 3.7x slower — while a hash-partitioned exchange is
+ *    not.)
  */
 object FuzzyJoin {
 
@@ -44,21 +73,34 @@ object FuzzyJoin {
    * maxDist`. Output: (id_a, id_b, key_a, key_b, dist). For a self-join
    * pass the same frame twice and `selfPairs = true` to keep only
    * `id_a < id_b`.
+   *
+   * @param hotBlockThreshold index-block size above which the block
+   *        re-blocks on a second-level complement segment (hot blocks are
+   *        found with one slim count aggregation over the index fan-out;
+   *        the hot set is at most |index|/threshold keys, so it
+   *        broadcasts). Default `Int.MaxValue` = single-level blocking
+   *        with no detection pass; enable for corpora whose keys share a
+   *        long constant region but carry entropy elsewhere (see the
+   *        scaladoc trade-off).
    */
   def join(
       left: DataFrame, leftId: String, leftKey: String,
       right: DataFrame, rightId: String, rightKey: String,
       maxDist: Int, reverseKeys: Boolean = false,
-      selfPairs: Boolean = false): DataFrame = {
+      selfPairs: Boolean = false,
+      hotBlockThreshold: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(hotBlockThreshold > 0, s"hotBlockThreshold must be positive, got $hotBlockThreshold")
     val d = maxDist
     val nSeg = d + 1
     def blockKey(c: org.apache.spark.sql.Column) = if (reverseKeys) reverse(c) else c
 
     // index side: d+1 positional segments of the (possibly reversed) key.
     // Segment i of a length-L key covers [i*L/(d+1), (i+1)*L/(d+1)) — the
-    // floor-division scheme both sides recompute identically.
-    val idx = right.select(col(rightId).as("id_b"), col(rightKey).as("key_b"))
+    // floor-division scheme both sides recompute identically. The wide
+    // frame keeps the raw key and segment geometry for the hot path's
+    // second-level blocking; the cold join drops them before shuffling.
+    val idxW = right.select(col(rightId).as("id_b"), col(rightKey).as("key_b"))
       .filter(col("key_b").isNotNull)
       .withColumn("__bk", blockKey(col("key_b")))
       .withColumn("__lb", length(col("__bk")))
@@ -72,13 +114,19 @@ object FuzzyJoin {
         col("__bk"))
       .select(col("id_b"), col("key_b"), col("__lb").as("lb"),
         col("__s.seg").as("seg"),
-        col("__bk").substr(col("__s.start") + 1, col("__s.len")).as("segtext"))
+        col("__bk").substr(col("__s.start") + 1, col("__s.len")).as("segtext"),
+        col("__bk"), col("__s.start").as("__bstart"), col("__s.len").as("__slen"))
 
     // probe side: for every compatible index length lb = la + delta and
     // segment ordinal, the substrings of the probe key with that segment's
-    // length, starting within the ±d PassJoin shift window.
-    val probe = left.select(col(leftId).as("id_a"), col(leftKey).as("key_a"))
+    // length, starting within the ±d PassJoin shift window. Repartition the
+    // BASE rows (pre-fan-out, so the spread shuffle moves each key once)
+    // across the session's full parallelism: a compact input would
+    // otherwise run all candidate generation on a handful of cores.
+    val target = left.sparkSession.sessionState.conf.numShufflePartitions
+    val probeW = left.select(col(leftId).as("id_a"), col(leftKey).as("key_a"))
       .filter(col("key_a").isNotNull)
+      .repartition(target, col("id_a"))
       .withColumn("__ak", blockKey(col("key_a")))
       .withColumn("__la", length(col("__ak")))
       .withColumn("__delta", explode(sequence(lit(-d), lit(d))))
@@ -89,15 +137,24 @@ object FuzzyJoin {
       .withColumn("__len",
         (floor((col("seg") + 1) * col("lb") / nSeg) - floor(col("seg") * col("lb") / nSeg))
           .cast("int"))
-      // empty window when the bounds cross (sequence(a,b) would otherwise
-      // DESCEND for a > b and emit junk positions)
-      .withColumn("__lo", greatest(col("__start") - d, lit(0)))
-      .withColumn("__hi", least(col("__start") + d, col("__la") - col("__len")))
+      // Multi-match-aware shift window (PassJoin §5): with Δ = la - lb, a
+      // shift s needs ≥|s| edits before the segment and ≥|Δ-s| after it, so
+      // |s| + |Δ-s| <= d — an interval of at most d+1 positions instead of
+      // the naive 2d+1. Empty window when the bounds cross (sequence(a,b)
+      // would otherwise DESCEND and emit junk positions).
+      .withColumn("__dl", col("__la") - col("lb"))
+      .withColumn("__slack", floor((lit(d) - abs(col("__dl"))) / 2).cast("int"))
+      .withColumn("__lo",
+        greatest(col("__start") + least(col("__dl"), lit(0)) - col("__slack"), lit(0)))
+      .withColumn("__hi",
+        least(col("__start") + greatest(col("__dl"), lit(0)) + col("__slack"),
+          col("__la") - col("__len")))
       .withColumn("__p", explode(
         when(col("__lo") <= col("__hi"), sequence(col("__lo"), col("__hi")))
           .otherwise(array().cast("array<int>"))))
       .select(col("id_a"), col("key_a"), col("lb"), col("seg"),
-        col("__ak").substr(col("__p") + 1, col("__len")).as("segtext"))
+        col("__ak").substr(col("__p") + 1, col("__len")).as("segtext"),
+        col("__ak"), col("__la"), col("__p"), col("__len"))
 
     // Verify BEFORE dedup: keys ride through the block join so the
     // levenshtein filter runs streaming on the join output — candidates
@@ -109,18 +166,92 @@ object FuzzyJoin {
     // parallel, no data movement) and only TRUE pairs — output-sized, at
     // most (d+1)x duplicated across matching segments — reach the distinct.
     val pairCond = if (selfPairs) col("id_a") < col("id_b") else lit(true)
-    // spread the probe fan-out across the session's full parallelism: a
-    // compact input (one parquet file) would otherwise put EVERY candidate
-    // of a hot block on one core — candidate production, not data volume,
-    // is the cost to parallelize
-    val target = left.sparkSession.sessionState.conf.numShufflePartitions
-    val probeSpread =
-      if (probe.rdd.getNumPartitions < target) probe.repartition(target) else probe
-    probeSpread.join(idx, Seq("lb", "seg", "segtext"))
+    val blockCols = Seq("lb", "seg", "segtext")
+    val outCols = Seq("id_a", "id_b", "key_a", "key_b")
+    val probeSlim = probeW.select((Seq("id_a", "key_a") ++ blockCols).map(col): _*)
+    val idxSlim = idxW.select((Seq("id_b", "key_b") ++ blockCols).map(col): _*)
+
+    val candidates = if (hotBlockThreshold == Int.MaxValue) {
+      // single-level blocking: one equi-join, no detection pass
+      probeSlim.join(idxSlim, blockCols).select(outCols.map(col): _*)
+    } else {
+      // Hot-block detection: one slim count agg over the index fan-out. The
+      // hot SET is at most |index|/threshold keys, so it broadcasts; the
+      // index fan-out is computed twice (detection + join) — it is a narrow
+      // codegen pipeline; persist it first if the index side is enormous.
+      val hot = idxW.groupBy(blockCols.map(col): _*)
+        .agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > hotBlockThreshold)
+        .select(blockCols.map(col): _*)
+
+      // Cold path: single-level block join, slim columns.
+      val cold = probeSlim
+        .join(broadcast(hot), blockCols, "left_anti")
+        .join(idxSlim.join(broadcast(hot), blockCols, "left_anti"), blockCols)
+        .select(outCols.map(col): _*)
+
+      // Hot path — PassJoin recursive partitioning. Deleting the matched
+      // segment from both keys leaves complements within distance d of each
+      // other, so the complement re-blocks into d+1 positional sub-segments
+      // with the same pigeonhole + ±d shift guarantees. The sub-segment
+      // geometry is computed from the INDEX complement length (lb - seglen),
+      // which both sides know, exactly like the first level uses lb.
+      val subSeq = sequence(lit(0), lit(d))
+      val idxHot = idxW.join(broadcast(hot), blockCols, "left_semi")
+        .withColumn("__comp", concat(
+          col("__bk").substr(lit(1), col("__bstart")),
+          col("__bk").substr(col("__bstart") + col("__slen") + 1, col("lb"))))
+        .withColumn("__cl", col("lb") - col("__slen"))
+        .withColumn("subseg", explode(subSeq))
+        .withColumn("__sstart", floor(col("subseg") * col("__cl") / nSeg).cast("int"))
+        .withColumn("__sslen",
+          (floor((col("subseg") + 1) * col("__cl") / nSeg) - floor(col("subseg") * col("__cl") / nSeg))
+            .cast("int"))
+        .select(col("id_b"), col("key_b"), col("lb"), col("seg"), col("segtext"),
+          col("subseg"),
+          col("__comp").substr(col("__sstart") + 1, col("__sslen")).as("subtext"))
+      val probeHot = probeW.join(broadcast(hot), blockCols, "left_semi")
+        // complement of the probe key under the "segment sits at position p"
+        // hypothesis of THIS candidate row
+        .withColumn("__comp", concat(
+          col("__ak").substr(lit(1), col("__p")),
+          col("__ak").substr(col("__p") + col("__len") + 1, col("__la"))))
+        .withColumn("__ca", col("__la") - col("__len")) // probe complement length
+        .withColumn("__cb", col("lb") - col("__len"))   // index complement length
+        .withColumn("subseg", explode(subSeq))
+        .withColumn("__sstart", floor(col("subseg") * col("__cb") / nSeg).cast("int"))
+        .withColumn("__sslen",
+          (floor((col("subseg") + 1) * col("__cb") / nSeg) - floor(col("subseg") * col("__cb") / nSeg))
+            .cast("int"))
+        // same multi-match-aware window on the complement pair: its length
+        // delta equals the key delta (the matched segment length cancels)
+        .withColumn("__sdl", col("__ca") - col("__cb"))
+        .withColumn("__sslack", floor((lit(d) - abs(col("__sdl"))) / 2).cast("int"))
+        .withColumn("__slo",
+          greatest(col("__sstart") + least(col("__sdl"), lit(0)) - col("__sslack"), lit(0)))
+        .withColumn("__shi",
+          least(col("__sstart") + greatest(col("__sdl"), lit(0)) + col("__sslack"),
+            col("__ca") - col("__sslen")))
+        .withColumn("__sp", explode(
+          when(col("__slo") <= col("__shi"), sequence(col("__slo"), col("__shi")))
+            .otherwise(array().cast("array<int>"))))
+        .select(col("id_a"), col("key_a"), col("lb"), col("seg"), col("segtext"),
+          col("subseg"),
+          col("__comp").substr(col("__sp") + 1, col("__sslen")).as("subtext"))
+      val hotCand = probeHot
+        .join(idxHot, blockCols ++ Seq("subseg", "subtext"))
+        .select(outCols.map(col): _*)
+
+      cold.unionAll(hotCand)
+    }
+
+    // Verify BEFORE dedup (see scaladoc): candidates stream through the
+    // banded threshold levenshtein — O(len·d) with early exit (-1 when the
+    // band overflows) instead of the full O(len²) DP — and only TRUE pairs
+    // (output-sized, duplicated at most (d+1)²x across matching segments)
+    // reach the distinct.
+    candidates
       .filter(pairCond)
-      // banded threshold levenshtein: O(len·d) with early exit (-1 when the
-      // band overflows) instead of the full O(len²) DP — the verify runs
-      // once per CANDIDATE, so its constant factor is the hot-block cost
       .withColumn("dist", levenshtein(col("key_a"), col("key_b"), d).cast("long"))
       .filter(col("dist") =!= -1L)
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"), col("dist"))

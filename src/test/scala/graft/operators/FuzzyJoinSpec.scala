@@ -80,6 +80,50 @@ class FuzzyJoinSpec extends SparkSpec {
       variants.toMap.apply(ia).length != variants.toMap.apply(ib).length })
   }
 
+  test("hot-block recursive partitioning returns exactly the single-level pair set") {
+    // a low-entropy corpus: every key shares the long constant prefix, so
+    // the prefix segments form one block holding ALL keys — with
+    // hotBlockThreshold=2 the hot path re-blocks on complement sub-segments
+    val df = (0L until 40L).map(i => (i, f"Customer#${i % 20}%09d")).toDF("id", "name")
+    val twoLevel = pairs(FuzzyJoin.join(df, "id", "name", df, "id", "name",
+      maxDist = 2, selfPairs = true, hotBlockThreshold = 2))
+    val oneLevel = pairs(FuzzyJoin.join(df, "id", "name", df, "id", "name",
+      maxDist = 2, selfPairs = true, hotBlockThreshold = Int.MaxValue))
+    assert(twoLevel === oneLevel)
+    assert(twoLevel.nonEmpty)
+    // brute-force ground truth for full confidence
+    val a = df.select(col("id").as("id_a"), col("name").as("name_a"))
+    val b = df.select(col("id").as("id_b"), col("name").as("name_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 2)
+    assert(twoLevel === pairs(brute))
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.join(df, "id", "name", df, "id", "name", maxDist = 1, hotBlockThreshold = 0)
+    }
+  }
+
+  test("hot path with variable-length keys (indels) still matches brute force") {
+    // shared constant prefix + distinctive tail, with insertions/deletions
+    // so probe and index lengths differ and complements shift
+    val base = (0L until 12L).map(i => (i, f"https://example.com/page/${i}%03d"))
+    val variants = base.flatMap { case (i, s) => Seq(
+      (i * 10, s), (i * 10 + 1, s.substring(0, s.length - 1)), // 1 del
+      (i * 10 + 2, s + "x"),                                   // 1 ins
+      (i * 10 + 3, s.substring(0, 10) + "Q" + s.substring(10)) // mid ins
+    )}
+    val df = variants.toDF("id", "name")
+    val twoLevel = pairs(FuzzyJoin.join(df, "id", "name", df, "id", "name",
+      maxDist = 2, selfPairs = true, hotBlockThreshold = 3))
+    val a = df.select(col("id").as("id_a"), col("name").as("name_a"))
+    val b = df.select(col("id").as("id_b"), col("name").as("name_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 2)
+    assert(twoLevel === pairs(brute))
+    assert(twoLevel.nonEmpty)
+  }
+
   test("cross-frame join and maxDist=0 degenerate to exact equality") {
     val l = Seq((1L, "abc"), (2L, "def")).toDF("id", "k")
     val r = Seq((10L, "abc"), (11L, "xyz")).toDF("id", "k")
