@@ -83,9 +83,16 @@ object SparkEntry {
     "q11_sample_positional" -> ((s, dir) =>
       Sampler.exactFromParquet(s, s"$dir/lineitem.parquet", 0.01, seed = 42L)),
     "q12_sample_bernoulli" -> ((s, dir) => Sampler.bernoulli(t(s, dir, "lineitem"), 0.01, seed = 42L)),
-    // the README.md:15-26 workflow end-to-end: sample the fact, reduce dims
+    // the README.md:15-26 workflow end-to-end: sample the fact, reduce
+    // dims. The sampler here is the PORTABLE deterministic exact-n flavor
+    // (n smallest md5(seed:primary-key) ranks — layout-independent, no
+    // RNG), so DuckDB replays the ENTIRE pipeline including the sampled
+    // row set and the chained semi-joins are hash-checked end-to-end; the
+    // reference's RNG flavors stay covered by q10/q11/q12
     "q13_sample_pipeline" -> ((s, dir) => {
-      val sampled = Sampler.exact(t(s, dir, "lineitem"), 0.05, seed = 42L)
+      val rk = md5(concat_ws(":", lit("42"), col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string")).cast("binary"))
+      val sampled = Sampler.exactNByHexRank(t(s, dir, "lineitem"), 0.05, rk)
       val orders = SemiJoinReducer.reduce(t(s, dir, "orders"), "o_orderkey", sampled, "l_orderkey")
       SemiJoinReducer.reduce(t(s, dir, "customer"), "c_custkey", orders, "o_custkey")
     }),
@@ -1220,6 +1227,24 @@ object SparkEntry {
         "(SELECT CAST(c_nationkey AS VARCHAR) FROM customer)"),
     "q08_antijoin_orders" ->
       "SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)",
+    // full pipeline replay: the portable deterministic sample (n smallest
+    // md5(seed:key) ranks, n = floor(rows * 0.05)) then both semi-joins —
+    // the sampled ROW SET itself is part of what the hash-compare pins
+    "q13_sample_pipeline" ->
+      """WITH rk AS (
+        |  SELECT l_orderkey,
+        |    md5('42:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS r
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT l_orderkey FROM rk
+        |  QUALIFY row_number() OVER (ORDER BY r)
+        |    <= (SELECT CAST(floor(count(*) * 0.05) AS BIGINT) FROM lineitem)
+        |), o AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE EXISTS (SELECT 1 FROM s WHERE s.l_orderkey = orders.o_orderkey)
+        |)
+        |SELECT * FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
 
     // column profile: per-column UNION ALL recomputation of the one-pass
     // Spark aggregate; DECIMAL/DATE casts make min/max strings identical

@@ -99,6 +99,49 @@ object Sampler {
   }
 
   /**
+   * Exact-count sample selected by a DETERMINISTIC hex rank (the n
+   * lexicographically-smallest ranks win). With a content-hash rank —
+   * `md5(seed || key columns)` — the sample is seedless-RNG-free,
+   * layout-independent (stable under file compaction/repartition, unlike
+   * position ranks), and REPLAYABLE BY ANY ENGINE with the same hash:
+   * DuckDB reproduces the exact row set with
+   * `QUALIFY row_number() OVER (ORDER BY md5(...)) <= n`, which is what
+   * lets a full sample->join pipeline be hash-oracle-checked end-to-end.
+   *
+   * Scale shape matches [[exactN]]: a ScaSRS-style threshold on the rank's
+   * 52-bit numeric prefix cuts ~n + O(sqrt n) candidates in one scan, then
+   * [[GlobalRank]]'s distributed range-sort selects the exact n smallest —
+   * no driver funnel, no full sort of the table.
+   *
+   * @param rank a LOWERCASE-HEX string column (md5-style), uniform in its
+   *             leading bits; ties (hash collisions) are broken arbitrarily
+   */
+  def exactNByHexRank(df: DataFrame, ratio: Double, rank: Column): DataFrame = {
+    require(ratio >= 0.0 && ratio <= 1.0, s"ratio must be in [0,1], got $ratio")
+    val total = df.count()
+    val n = (total * ratio).toLong
+    if (n <= 0) return df.limit(0)
+    if (n >= total) return df
+    val withR = df.withColumn(RCOL, rank)
+    // numeric prefix: first 13 hex chars = 52 bits, exact in a double
+    val u = conv(substring(col(RCOL), 1, 13), 16, 10).cast(DoubleType) /
+      lit((1L << 52).toDouble)
+    val p = n.toDouble / total
+    val gamma = -math.log(1e-8) / total
+    val q = math.min(1.0, p + gamma + math.sqrt(gamma * gamma + 2.0 * gamma * p))
+    val candidates = withR.filter(u < q)
+    candidates.persist()
+    try {
+      val pool = if (candidates.count() >= n) candidates else withR
+      GlobalRank.withGlobalRank(pool, Seq(col(RCOL).asc), GRANK)
+        .filter(col(GRANK) <= n)
+        .drop(GRANK, RCOL)
+    } finally {
+      candidates.unpersist(blocking = false)
+    }
+  }
+
+  /**
    * Partition-layout-independent sampling rank for file-backed DataFrames:
    * hash of (seed, file, row position in file) mapped to U[0,1). Mirrors the
    * reference's BY-POSITION sampling (duplicate rows are sampled

@@ -56,6 +56,33 @@ class SamplerSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("exactNByHexRank: exactly the n lexicographically-smallest md5 ranks, engine-replayable") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, md5}
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val rk = md5(concat_ws(":", lit("42"), col("l_orderkey").cast("string"),
+      col("l_linenumber").cast("string")).cast("binary"))
+    val got = Sampler.exactNByHexRank(li, 0.05, rk)
+    val total = li.count()
+    val n = (total * 0.05).toLong
+    assert(got.count() === n)
+    assert(got.schema === li.schema)
+    // ground truth: brute-force n smallest ranks (the DuckDB replay recipe)
+    val want = li.withColumn("__r", rk).orderBy($"__r").limit(n.toInt)
+      .select($"l_orderkey", $"l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val gotKeys = got.select($"l_orderkey", $"l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(gotKeys === want)
+    // deterministic: no RNG anywhere
+    val again = Sampler.exactNByHexRank(li, 0.05, rk)
+      .select($"l_orderkey", $"l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again === gotKeys)
+    assert(Sampler.exactNByHexRank(li, 0.0, rk).count() === 0)
+    assert(Sampler.exactNByHexRank(li, 1.0, rk).count() === total)
+    intercept[IllegalArgumentException] { Sampler.exactNByHexRank(li, 1.5, rk) }
+  }
+
   test("exactN caps at total and handles n=0") {
     assert(Sampler.exactN(li, total + 100, 42L).count() === total)
     assert(Sampler.exactN(li, 0, 42L).count() === 0)
