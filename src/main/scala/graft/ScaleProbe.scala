@@ -296,6 +296,26 @@ object ScaleProbe {
         AsOfJoin.asOfBucketed(e.select(col("event_id"), col("user_id"), col("ts")), "ts",
           purchases, "ts", Seq("user_id"), Seq("purchase_value"), buckets = 32).count()
       }
+      // r5: the ex-global-window total-order ops, now on GlobalRank's
+      // range-partitioned sort — the probe pins that they stay linear
+      timed("curriculum_order", k) {
+        ext.CorpusFilters.curriculumOrder(read("documents", k), "doc_id", "text", bins = 10).count()
+      }
+      timed("equidepth_histogram", k) {
+        val base = read("lineitem", k)
+          .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        graft.operators.GlobalRank.withNtile(base,
+            Seq(col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+            bins = 10, binName = "bucket", rankName = "__rank")
+          .groupBy(col("bucket")).agg(count(lit(1))).count()
+      }
+      // r5: real JDK ImageIO decode chain (PNG/BMP encode+decode per row)
+      timed("image_decode_features", k) {
+        ext.Multimodal.imageGrayHistogram(
+          ext.Multimodal.attachSyntheticImage(
+            read("documents", k).select(col("doc_id")), "doc_id", w = 24, h = 16),
+          "img", bins = 16).count()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")
