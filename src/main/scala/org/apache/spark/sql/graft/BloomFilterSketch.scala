@@ -166,6 +166,18 @@ case class BloomMightContain(filterBytes: Array[Byte], child: Expression)
 
   @transient private lazy val parsed: BloomBuffer = BloomBuffer.deserialize(filterBytes)
 
+  // The case-class default compares filterBytes by array REFERENCE, so two
+  // semantically identical probes would never compare equal — defeating
+  // subexpression elimination and semanticEquals-based plan reuse. Compare
+  // the filter by content instead.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      java.util.Arrays.equals(filterBytes, b.filterBytes) && child == b.child
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * java.util.Arrays.hashCode(filterBytes) + child.hashCode()
+
   override def nullSafeEval(v: Any): Any = parsed.mightContain(v.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

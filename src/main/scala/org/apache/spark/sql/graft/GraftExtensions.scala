@@ -38,6 +38,23 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** fpp accepts a decimal literal directly (0.005) or, for backwards
+    * compatibility, an integer literal read as a percent (1 = 0.01) —
+    * validated here so misuse fails with a message naming the parameter. */
+  private def litFpp(e: Expression): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Float, _) => v.toDouble
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) =>
+      require(v >= 1 && v <= 99,
+        s"integer fpp is a percent and must be in [1,99], got $v " +
+          "(pass a decimal literal like 0.001 for rates below 1%)")
+      v / 100.0
+    case other => throw new IllegalArgumentException(
+      s"fpp must be a numeric literal, got $other")
+  }
+
   private def arity(n: Int, name: String)(b: Seq[Expression] => Expression): FunctionBuilder =
     (exprs: Seq[Expression]) => {
       require(exprs.length == n, s"$name expects $n arguments, got ${exprs.length}")
@@ -69,11 +86,11 @@ object GraftExtensions {
         FrequentItems(e(0), litLong(e(1), "k").toInt).toAggregateExpression())),
     (FunctionIdentifier("bloom_filter_agg"),
       info("bloom_filter_agg",
-        "bloom_filter_agg(key, expectedItems, fppPct) - mergeable Bloom filter over " +
-          "long keys, fpp = fppPct/100 (aggregate, returns binary)"),
+        "bloom_filter_agg(key, expectedItems, fpp) - mergeable Bloom filter over " +
+          "long keys; fpp is a decimal rate (0.01) or an integer percent " +
+          "(aggregate, returns binary)"),
       arity(3, "bloom_filter_agg")(e => {
-        val (m, k) = BloomBuffer.shapeFor(litLong(e(1), "expectedItems"),
-          litLong(e(2), "fppPct").toDouble / 100.0)
+        val (m, k) = BloomBuffer.shapeFor(litLong(e(1), "expectedItems"), litFpp(e(2)))
         BloomFilterAgg(e(0), m, k).toAggregateExpression()
       })),
   )

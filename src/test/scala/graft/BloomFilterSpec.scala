@@ -67,6 +67,25 @@ class BloomFilterSpec extends SparkSpec {
     assert(java.util.Arrays.equals(bytes, bytes2))
   }
 
+  test("probe expression compares by filter content, not array reference") {
+    import org.apache.spark.sql.graft.BloomMightContain
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.types.LongType
+    val keys = (1L to 100L).map(i => i * 31L)
+    val bytes = keys.toDF("k").agg(BloomFunctions.bloom_filter_agg(col("k"), 100, 0.01))
+      .head.getAs[Array[Byte]](0)
+    val attr = AttributeReference("k", LongType)()
+    val a = BloomMightContain(bytes.clone(), attr)
+    val b = BloomMightContain(bytes.clone(), attr)
+    // distinct array instances with equal content: the expressions must be
+    // equal (subexpression elimination / semanticEquals reuse depends on it)
+    assert(a === b && a.hashCode === b.hashCode)
+    assert(a.semanticEquals(b))
+    val other = BloomMightContain(bytes ++ Array(0.toByte), attr)
+    assert(a !== other)
+    assert(a !== BloomMightContain(bytes, Literal(1L)))
+  }
+
   test("bloomDecontaminate: superset of the exact decontaminate flags (no false negatives)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val train = docs.filter(col("doc_id") % 50 =!= 0)

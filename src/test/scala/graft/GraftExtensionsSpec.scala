@@ -37,6 +37,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.nonEmpty && r.size <= 10)
   }
 
+  test("bloom_filter_agg accepts decimal fpp rates below 1% and integer percents") {
+    registered
+    spark.read.parquet(s"$sf0001/orders.parquet").createOrReplaceTempView("ord_ext")
+    // decimal literal: a 0.1% rate — inexpressible under the old integer-percent API
+    val dec = spark.sql(
+      "SELECT bloom_filter_agg(o_orderkey, 10000, 0.001) AS f FROM ord_ext")
+      .head().getAs[Array[Byte]](0)
+    // integer literal: still read as a percent
+    val pct = spark.sql(
+      "SELECT bloom_filter_agg(o_orderkey, 10000, 1) AS f FROM ord_ext")
+      .head().getAs[Array[Byte]](0)
+    assert(dec.length > pct.length) // lower fpp => more bits
+  }
+
+  test("out-of-range integer fpp fails with a message naming the parameter") {
+    registered
+    spark.read.parquet(s"$sf0001/orders.parquet").createOrReplaceTempView("ord_ext2")
+    val e = intercept[Exception] {
+      spark.sql("SELECT bloom_filter_agg(o_orderkey, 10000, 0) FROM ord_ext2").collect()
+    }
+    assert(e.getMessage.contains("fpp"))
+  }
+
   test("non-literal k fails with a clear message") {
     registered
     spark.read.parquet(s"$sf0001/documents.parquet").createOrReplaceTempView("docs_ext2")
