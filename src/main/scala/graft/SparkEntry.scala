@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{CorpusFilters, Dedup, Multimodal, QualityModel, Similarity, TextStats}
-import graft.operators.{FuzzyJoin, Profiler, Sampler, SemiJoinReducer}
+import graft.operators.{FuzzyJoin, Ingest, Profiler, Sampler, SemiJoinReducer}
 import graft.streaming.StreamGate
 
 /**
@@ -122,17 +122,25 @@ object SparkEntry {
             <= col("exact_customers").cast("double") * 0.05).as("approx_ok"),
           col("exact_customers"))),
 
+    // the three grouped samplers below all run the PORTABLE deterministic
+    // flavor (md5 rank — exactly replayable in DuckDB, so each is
+    // hash-oracled); the RNG/xxhash flavors (stratifiedExact,
+    // perGroupExactK, perGroupWeightedK) stay spec-covered in SamplerSpec
     "q14_sample_stratified" -> ((s, dir) =>
-      Sampler.stratifiedExact(t(s, dir, "lineitem"), "l_returnflag", 0.01, seed = 42L)),
+      Sampler.stratifiedExactByRank(t(s, dir, "lineitem"), "l_returnflag", 0.01,
+        Sampler.hexRank("42", col("l_orderkey"), col("l_linenumber")))),
     // custom TypedImperativeAggregate: k rows per group in one shuffle
     "q15_sample_per_group" -> ((s, dir) =>
-      Sampler.perGroupExactK(t(s, dir, "documents"), Seq("lang", "source"), k = 3, seed = 42L)),
-    // quality-weighted data selection: per language, 20 docs biased by score
+      Sampler.perGroupExactKByRank(t(s, dir, "documents"), Seq("lang", "source"), k = 3,
+        Sampler.hexRank("42", col("doc_id")))),
+    // quality-weighted data selection: per language, 20 docs biased by
+    // score — priority sampling (u/w), bit-replayable division
     "q16_sample_weighted" -> ((s, dir) =>
-      Sampler.perGroupWeightedK(
-        TextStats.qualityScore(t(s, dir, "documents"), "text"),
-        Seq("lang"), "quality_score", k = 20, seed = 42L)
-        .select(col("doc_id"), col("lang"), col("quality_score"))),
+      Sampler.perGroupWeightedKByRank(
+        TextStats.qualityScore(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("lang"), col("quality_score")),
+        Seq("lang"), "quality_score", k = 20,
+        Sampler.hexRank("42", col("doc_id")))),
 
     // ---- analytics over the star schema (Catalyst-native ops) ----------
     "q20_agg_pricing" -> ((s, dir) =>
@@ -831,6 +839,51 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
           coalesce(col("lang"), lit("(pre-evolution)")).as("lang"))
     }),
+    // keyed upsert (MERGE-INTO semantics): a refresh batch replaces every
+    // tenth document and appends ten new ones; the base side is never
+    // shuffled (anti join broadcasts the small update batch)
+    "q129_upsert_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val refreshed = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), upper(col("text")).as("text"), col("lang"),
+          lit("refresh").as("source"), col("n_chars"))
+      val fresh = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+          col("lang"), lit("fresh").as("source"),
+          length(concat(lit("new doc "), col("doc_id").cast("string"))).cast("long").as("n_chars"))
+      Ingest.upsert(docs, refreshed.unionByName(fresh), Seq("doc_id"))
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+    }),
+    // small-file compaction: fragment the corpus into 64 files, compact
+    // back by footer/listing-driven sizing (no data read to size), prove
+    // content identity; the shuffle-free coalesce path
+    "q130_compaction" -> ((s, dir) => {
+      val tmp = graft.io.TempDirs.create("graft_compact").toString
+      t(s, dir, "documents").repartition(64).write.mode("overwrite")
+        .parquet(s"$tmp/fragmented")
+      graft.io.ParquetIO.compact(s, s"$tmp/fragmented", s"$tmp/compacted",
+        targetFileBytes = 512L << 20)
+      s.read.parquet(s"$tmp/compacted")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+    }),
+    // snapshot diff: per-key added/removed/changed/unchanged between two
+    // corpus versions by content fingerprint — one key-shuffle full-outer
+    // join over fixed-width fingerprints, document bytes never move
+    "q131_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newV = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") < 15)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", lit("added doc")))
+      Ingest.snapshotDiff(docs, newV, Seq("doc_id"), md5(col("text").cast("binary")))
+    }),
+
     "q104_orc_roundtrip" -> ((s, dir) => {
       val out = graft.io.TempDirs.create("graft_orc").toString
       val orders = t(s, dir, "orders")
@@ -1245,6 +1298,39 @@ object SparkEntry {
         |)
         |SELECT * FROM customer c
         |WHERE EXISTS (SELECT 1 FROM o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    // portable stratified sample: per-stratum floor(n*ratio) rows with the
+    // smallest md5 ranks — both windows share the stratum partitioning
+    "q14_sample_stratified" ->
+      """SELECT * FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY md5('42:' || CAST(l_orderkey AS VARCHAR) || ':'
+        |                        || CAST(l_linenumber AS VARCHAR)))
+        |  <= floor(count(*) OVER (PARTITION BY l_returnflag) * 0.01)""".stripMargin,
+
+    // portable per-group exact-k: the engine's one-shuffle bottom-k sketch
+    // must equal the window selection over the same md5 rank
+    "q15_sample_per_group" ->
+      """SELECT * FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang, source
+        |    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR))) <= 3""".stripMargin,
+
+    // portable weighted sample (priority sampling): u = 52-bit md5 prefix
+    // as an exact integer-valued double; u/w is one correctly-rounded
+    // IEEE-754 division, so the priority BITS match the engine's exactly;
+    // full hex rank breaks ties; weight replays via the q61 quality oracle
+    "q16_sample_weighted" ->
+      s"""WITH q AS ($qualityOracle),
+        |d AS (
+        |  SELECT doc_id, docs.lang, q.quality_score,
+        |         md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents docs JOIN q USING (doc_id)
+        |  WHERE q.quality_score > 0
+        |)
+        |SELECT doc_id, lang, quality_score FROM d
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST(('0x' || substr(h, 1, 13))::BIGINT AS DOUBLE) / quality_score,
+        |             h) <= 20""".stripMargin,
 
     // column profile: per-column UNION ALL recomputation of the one-pass
     // Spark aggregate; DECIMAL/DATE casts make min/max strings identical
@@ -2130,6 +2216,46 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS text_md5, '(pre-evolution)' AS lang FROM documents
         |UNION ALL
         |SELECT doc_id, md5(text) AS text_md5, lang FROM documents""".stripMargin,
+
+    // keyed upsert: NOT EXISTS anti join + union == MERGE matched-update /
+    // not-matched-insert; replays the exact refresh-batch construction
+    "q129_upsert_merge" ->
+      """WITH updates AS (
+        |  SELECT doc_id, upper(text) AS text, lang, 'refresh' AS source, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR), lang,
+        |         'fresh', CAST(length('new doc ' || CAST(doc_id AS VARCHAR)) AS BIGINT)
+        |  FROM documents WHERE doc_id < 10
+        |), merged AS (
+        |  SELECT * FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = d.doc_id)
+        |  UNION ALL
+        |  SELECT * FROM updates
+        |)
+        |SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars FROM merged""".stripMargin,
+
+    // compaction preserves content exactly — the oracle is the identity
+    "q130_compaction" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        |FROM documents""".stripMargin,
+
+    // snapshot diff: full-outer fingerprint join, same version-2 recipe
+    "q131_corpus_diff" ->
+      """WITH oldv AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |newv AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5('added doc') FROM documents WHERE doc_id < 15
+        |)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.fp IS NULL THEN 'added'
+        |       WHEN n.fp IS NULL THEN 'removed'
+        |       WHEN o.fp = n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id""".stripMargin,
     "q115_text_normalize" ->
       """WITH n AS (
         |  SELECT doc_id,

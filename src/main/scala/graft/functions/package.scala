@@ -28,6 +28,13 @@ package object functions {
   def bottom_k_sample_weighted(e: Column, w: Column, k: Int, seed: Long): Column =
     org.apache.spark.sql.graft.BottomKSampleFunctions.bottom_k_sample_weighted(e, w, k, seed)
 
+  /** Aggregate: the k payload values with the smallest rank expression —
+    * top/bottom-k per group in one shuffle (mergeable sketch, no window
+    * sort). With a portable rank (md5 of a key) the selection is exactly
+    * replayable by any SQL engine. */
+  def bottom_k_by_rank(rank: Column, payload: Column, k: Int): Column =
+    org.apache.spark.sql.graft.BottomKSampleFunctions.bottom_k_by_rank(rank, payload, k)
+
   /** Aggregate: Misra-Gries heavy-hitters sketch of a string column — one
     * pass, O(k) memory, mergeable; superset of all items with true count
     * > N/(k+1). Pair with an exact recount of the candidates for a

@@ -102,6 +102,51 @@ object ParquetIO {
   }
 
   /**
+   * Small-file compaction: rewrite the (flat) parquet directory at
+   * `inPath` into ~`targetFileBytes`-sized files at `outPath`. The
+   * many-small-files problem is THE silent killer of a 100 TB lake — every
+   * query pays per-file open/footer/list costs, and a 1000-executor scan
+   * of 10 KB files is pure overhead. Ingest appends (streaming
+   * micro-batches, per-partition upserts) create them; this repairs them.
+   *
+   * Sizing is decided from the file listing alone (no data read): output
+   * file count = ceil(totalBytes / targetFileBytes). By default the rewrite
+   * is `coalesce` — NO shuffle: input splits are concatenated into output
+   * tasks, the cheapest possible rewrite (one read + one write). Pass
+   * `balanced = true` to round-robin `repartition` instead — that pays a
+   * full shuffle but evens out skewed input files; use it when the input
+   * mixes KB-scale and GB-scale files badly enough that coalesce's
+   * concatenation would leave stragglers.
+   *
+   * Returns (filesBefore, filesAfter, totalBytes).
+   */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetFileBytes: Long = 128L << 20,
+      balanced: Boolean = false,
+      compression: Option[String] = None): (Int, Int, Long) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(inPath)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"no parquet files under $inPath")
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val out = if (balanced) df.repartition(nOut) else df.coalesce(nOut)
+    val w = out.write.mode("overwrite")
+    compression.foreach(c => w.option("compression", c))
+    w.parquet(outPath)
+    val after = fs.listStatus(new Path(outPath)).count(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, after, totalBytes)
+  }
+
+  /**
    * Hive-layout partitioned parquet write: one directory per distinct value
    * combination of `partitionCols` (`lang=en/part-*.parquet`). The payoff is
    * at read time: a filter on a partition column prunes whole directories

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental-corpus maintenance operators: keyed upsert (refresh a corpus
+ * snapshot with a batch of new/updated documents) and snapshot diff
+ * (classify what changed between two corpus versions). Both are the batch
+ * complements of the streaming ingest gate (StreamGate.ingestFilter) and
+ * the fingerprint-keyed incremental dedup (Dedup.incrementalIngest).
+ *
+ * No counterpart exists in the reference (its sink is write-once,
+ * /root/reference/src/lib.rs:13-134); these are the operations a living
+ * 100 TB corpus needs between training runs.
+ */
+object Ingest {
+
+  /**
+   * Keyed upsert: rows of `updates` replace base rows with the same key;
+   * unmatched base rows pass through; new keys append. SCD-type-1 /
+   * MERGE-INTO-matched-update semantics, as a plan:
+   *
+   *   base ANTI-JOIN updates (null-safe on the keys)  UNION ALL  updates
+   *
+   * The 100 TB shape is the point: the huge base side is NEVER shuffled —
+   * when `updates` is broadcast-small (the daily refresh case) the anti
+   * join is a broadcast hash join and the whole upsert is one scan over
+   * base; a groupBy/window merge would shuffle every base byte instead.
+   * NULL key components match null-safely (a NULL-keyed update replaces
+   * the NULL-keyed base row, like MERGE's IS NOT DISTINCT FROM).
+   *
+   * Keys should be unique within each input (corpus snapshots are keyed by
+   * doc id); duplicate update keys all survive, duplicates in base are all
+   * replaced together.
+   */
+  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must not be empty")
+    val missing = keyCols.filterNot(base.columns.contains) ++
+      keyCols.filterNot(updates.columns.contains)
+    require(missing.isEmpty, s"key columns not present in both inputs: ${missing.distinct.mkString(", ")}; " +
+      s"base has [${base.columns.mkString(", ")}], updates has [${updates.columns.mkString(", ")}]")
+    // anti-join base against the update KEYS only (renamed to side-local
+    // names): broadcasts just the key columns, and never trips the
+    // ambiguous-self-join analysis when updates derive from base itself
+    val renamed = keyCols.map(k => k -> s"__graft_uk_$k")
+    val updateKeys = updates.select(renamed.map { case (k, a) => col(k).as(a) }: _*).distinct()
+    val cond = renamed.map { case (k, a) => col(k) <=> col(a) }.reduce(_ && _)
+    base.join(updateKeys, cond, "left_anti")
+      .unionByName(updates.select(base.columns.map(col).toSeq: _*))
+  }
+
+  /**
+   * Snapshot diff: per-key change classification between two corpus
+   * versions — `added` (key only in new), `removed` (key only in old),
+   * `changed` (key in both, fingerprint differs), `unchanged`. The
+   * fingerprint expression is evaluated on each side (pass a content hash,
+   * e.g. `md5(text)`, or a version/etag column).
+   *
+   * One full-outer hash join on the key — both sides shuffle once on the
+   * key and nothing else moves (fingerprints are fixed-width; document
+   * bytes stay in place). Null-safe on the keys. Output: key columns +
+   * `status`; aggregate downstream for a summary
+   * (`.groupBy("status").count()`).
+   */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String],
+      fingerprint: org.apache.spark.sql.Column): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must not be empty")
+    // distinct side-local column names (not df("col") references): the two
+    // sides often derive from the SAME Dataset (version snapshots of one
+    // table), which trips Spark's ambiguous-self-join analysis otherwise
+    val o = oldDf.select(keyCols.map(k => col(k).as(s"__graft_ok_$k")) :+
+      fingerprint.as("__graft_fp_old"): _*)
+    val n = newDf.select(keyCols.map(k => col(k).as(s"__graft_nk_$k")) :+
+      fingerprint.as("__graft_fp_new"): _*)
+    val cond = keyCols.map(k => col(s"__graft_ok_$k") <=> col(s"__graft_nk_$k")).reduce(_ && _)
+    val joined = o.join(n, cond, "full_outer")
+    joined.select(
+      keyCols.map(k => coalesce(col(s"__graft_ok_$k"), col(s"__graft_nk_$k")).as(k)) :+
+        when(col("__graft_fp_old").isNull, lit("added"))
+          .when(col("__graft_fp_new").isNull, lit("removed"))
+          .when(col("__graft_fp_old") === col("__graft_fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"): _*)
+  }
+}

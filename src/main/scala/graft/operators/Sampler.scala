@@ -222,6 +222,90 @@ object Sampler {
       .select(allCols.map(c => col(s"__graft_row.`$c`").as(c)): _*)
   }
 
+  /**
+   * Portable deterministic sampling rank: lowercase-hex `md5(seed:k1:k2…)`
+   * over the row's unique key columns. Any engine with md5 reproduces the
+   * identical rank (and therefore the identical sample) — DuckDB:
+   * `md5('seed:' || k1 || ':' || k2)`. Pair with [[exactNByHexRank]],
+   * [[stratifiedExactByRank]], [[perGroupExactKByRank]] or
+   * [[perGroupWeightedKByRank]].
+   */
+  def hexRank(seed: String, keys: Column*): Column =
+    md5(concat_ws(":", (lit(seed) +: keys.map(_.cast("string"))): _*).cast("binary"))
+
+  /**
+   * Exact-count stratified sample selected by a deterministic portable
+   * rank: exactly floor(stratumCount * ratio) rows per stratum, the rows
+   * with the smallest rank within their stratum. Replayable cross-engine:
+   * `QUALIFY row_number() OVER (PARTITION BY s ORDER BY rank)
+   *    <= floor(count(*) OVER (PARTITION BY s) * ratio)`.
+   * One shuffle (both windows share the stratum partitioning). Same
+   * giant-stratum caveat as [[stratifiedExact]]: a stratum sorts within
+   * one task, so for a dominant stratum run [[exactNByHexRank]] on its
+   * slice instead.
+   */
+  def stratifiedExactByRank(df: DataFrame, stratumCol: String, ratio: Double, rank: Column): DataFrame = {
+    require(ratio >= 0.0 && ratio <= 1.0, s"ratio must be in [0,1], got $ratio")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col(RCOL))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+    df.withColumn(RCOL, rank)
+      .withColumn("__graft_rk", row_number().over(w))
+      .withColumn("__graft_n", count(lit(1)).over(cw))
+      .filter(col("__graft_rk") <= floor(col("__graft_n") * ratio))
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
+  /**
+   * Portable per-group exact-k sample: min(k, groupSize) rows per group,
+   * the rows with the k smallest `rank` values. Same one-shuffle mergeable
+   * sketch shape as [[perGroupExactK]] (bottom-k sketches combine
+   * map-side, O(k) memory per group, no per-group window sort), but ranked
+   * by a caller expression ANY engine can recompute — with [[hexRank]]
+   * the sample replays in SQL as
+   * `QUALIFY row_number() OVER (PARTITION BY g ORDER BY md5(...)) <= k`.
+   */
+  def perGroupExactKByRank(df: DataFrame, groupCols: Seq[String], k: Int, rank: Column): DataFrame = {
+    val allCols = df.columns.toSeq
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.bottom_k_by_rank(rank, struct(allCols.map(col): _*), k)
+        .as("__graft_rows"))
+      .select(explode(col("__graft_rows")).as("__graft_row"))
+      .select(allCols.map(c => col(s"__graft_row.`$c`").as(c)): _*)
+  }
+
+  /**
+   * Portable weighted per-group sample via sequential Poisson / priority
+   * sampling (Ohlsson 1998; Duffield-Lund-Thorup priority sampling): each
+   * row draws a hash-uniform u and gets priority u / w — the k SMALLEST
+   * priorities per group win, so inclusion probability scales with weight,
+   * without replacement. Fully deterministic AND bit-replayable in any
+   * engine: u is the rank's 13-hex-char (52-bit) prefix as an exact
+   * integer-valued double, and IEEE-754 division is correctly rounded, so
+   * DuckDB's `(('0x'||substr(h,1,13))::BIGINT)::DOUBLE / w` reproduces the
+   * identical priority bits. Ties (identical priorities) break on the full
+   * hex rank. Rows with null/non-positive weight are excluded (matching
+   * [[perGroupWeightedK]]). One shuffle, mergeable, O(k)/group.
+   *
+   * Note the weight must survive an exact cast to double on both engines —
+   * integers < 2^53 and short decimals qualify; bit-identical replay of a
+   * COMPUTED double weight requires the computing expression itself to be
+   * portable (e.g. the quality-score formula the q61 oracle replays).
+   */
+  def perGroupWeightedKByRank(
+      df: DataFrame, groupCols: Seq[String], weightCol: String, k: Int, rank: Column): DataFrame = {
+    val allCols = df.columns.toSeq
+    val u = conv(substring(rank, 1, 13), 16, 10).cast(DoubleType)
+    val priority = struct(
+      (u / col(weightCol).cast(DoubleType)).as("p"), rank.as("h"))
+    df.filter(col(weightCol).isNotNull && col(weightCol).cast(DoubleType) > 0.0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.bottom_k_by_rank(priority, struct(allCols.map(col): _*), k)
+        .as("__graft_rows"))
+      .select(explode(col("__graft_rows")).as("__graft_row"))
+      .select(allCols.map(c => col(s"__graft_row.`$c`").as(c)): _*)
+  }
+
   /** File-based exact sample with a partition-layout-independent seed. */
   def exactFromParquet(spark: SparkSession, path: String, ratio: Double, seed: Long): DataFrame = {
     require(ratio >= 0.0 && ratio <= 1.0,

@@ -275,6 +275,152 @@ case class WeightedBottomKSample(
     copy(child = l, weight = r)
 }
 
+/** Rank-keyed bottom-k buffer: entries carry an arbitrary orderable rank
+  * value (compared with the Catalyst interpreted ordering for its type)
+  * alongside the serialized (rank, payload) row bytes. */
+final class RankedBottomKBuffer(val k: Int, ord: Ordering[Any]) {
+  val items: ArrayBuffer[(Any, Array[Byte])] = ArrayBuffer.empty
+  private var bound: Any = _ // null until the first compact
+
+  /** can `key` still make the bottom-k? (false -> skip the byte copy) */
+  def admits(key: Any): Boolean =
+    items.length < k || bound == null || ord.lt(key, bound)
+
+  def add(key: Any, bytes: Array[Byte]): Unit = {
+    items += ((key, bytes))
+    if (items.length >= 2 * k) compact()
+  }
+
+  def compact(): Unit = if (items.length > k) {
+    val sorted = items.sortBy(_._1)(ord).take(k)
+    items.clear()
+    items ++= sorted
+    bound = items.last._1
+  }
+
+  def sorted(): Seq[(Any, Array[Byte])] = {
+    compact()
+    items.sortBy(_._1)(ord).toSeq
+  }
+}
+
+/**
+ * Generic order-statistic sample: keep the k payload values whose RANK
+ * expression is smallest — `bottom_k_by_rank(rank, payload, k)`. The rank
+ * is any orderable Catalyst type (string, numeric, struct for
+ * lexicographic multi-key ranks); ties beyond the rank are broken
+ * arbitrarily, so pass a rank that is unique per row (e.g. a full md5 hex
+ * of a unique key) when exact reproducibility matters.
+ *
+ * This is the PORTABLE cousin of [[BottomKSample]]: where that ranks by an
+ * engine-internal xxhash of the row bytes, this one ranks by a caller
+ * expression any engine can recompute — `md5(seed || id)` makes the
+ * per-group sample replayable in standard SQL
+ * (`QUALIFY row_number() OVER (PARTITION BY g ORDER BY md5(...)) <= k`),
+ * which is what lets the driver hash-oracle per-group/weighted sampling.
+ * Same scale properties: one shuffle (partial sketches merge map-side),
+ * O(k) memory per group, partition-layout-independent. It is also a
+ * general top-k-per-group operator that avoids a per-group window sort.
+ */
+case class BottomKByRank(
+    rank: Expression,
+    payload: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[RankedBottomKBuffer]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  @transient private lazy val ord =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(rank.dataType)
+  @transient private lazy val proj =
+    UnsafeProjection.create(Array[DataType](rank.dataType, payload.dataType))
+  @transient private lazy val scratch = new Array[Any](2)
+
+  override def left: Expression = rank
+  override def right: Expression = payload
+  override def dataType: DataType = ArrayType(payload.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bottom_k_by_rank"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    org.apache.spark.sql.catalyst.util.TypeUtils.checkForOrderingExpr(rank.dataType, prettyName)
+
+  override def createAggregationBuffer(): RankedBottomKBuffer = new RankedBottomKBuffer(k, ord)
+
+  override def update(buffer: RankedBottomKBuffer, input: InternalRow): RankedBottomKBuffer = {
+    val r = rank.eval(input)
+    val v = payload.eval(input)
+    if (r != null && v != null && buffer.admits(r)) {
+      // r may alias reused evaluation buffers (UTF8String over the input
+      // row) — admits only COMPARES it, which is safe; the stored key is
+      // re-read from our own copied row bytes below, so it never aliases.
+      scratch(0) = r
+      scratch(1) = v
+      val bytes = proj(InternalRow.fromSeq(scratch.toSeq)).copy().getBytes
+      val stored = new UnsafeRow(2)
+      stored.pointTo(bytes, bytes.length)
+      buffer.add(stored.get(0, rank.dataType), bytes)
+    }
+    buffer
+  }
+
+  override def merge(buffer: RankedBottomKBuffer, other: RankedBottomKBuffer): RankedBottomKBuffer = {
+    other.items.foreach { case (key, bytes) => buffer.add(key, bytes) }
+    buffer
+  }
+
+  override def eval(buffer: RankedBottomKBuffer): Any = {
+    val winners = buffer.sorted()
+    val out = new Array[Any](winners.length)
+    var i = 0
+    winners.foreach { case (_, bytes) =>
+      val row = new UnsafeRow(2)
+      row.pointTo(bytes, bytes.length)
+      out(i) = row.get(1, payload.dataType)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: RankedBottomKBuffer): Array[Byte] = {
+    buffer.compact()
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.items.length)
+    buffer.items.foreach { case (_, bytes) =>
+      out.writeInt(bytes.length); out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(storageFormat: Array[Byte]): RankedBottomKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(storageFormat))
+    val buffer = new RankedBottomKBuffer(k, ord)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val bytes = new Array[Byte](in.readInt())
+      in.readFully(bytes)
+      val row = new UnsafeRow(2)
+      row.pointTo(bytes, bytes.length)
+      buffer.items += ((row.get(0, rank.dataType), bytes))
+      i += 1
+    }
+    buffer
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKByRank =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKByRank =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(rank = l, payload = r)
+}
+
 object BottomKSampleFunctions {
   /** Aggregate column: uniform deterministic sample of up to k values of e
     * per group. */
@@ -287,5 +433,13 @@ object BottomKSampleFunctions {
   def bottom_k_sample_weighted(e: Column, w: Column, k: Int, seed: Long): Column =
     ColumnBridge.column(
       WeightedBottomKSample(ColumnBridge.expression(e), ColumnBridge.expression(w), k, seed)
+        .toAggregateExpression())
+
+  /** Aggregate column: the k payload values with the smallest rank —
+    * general top/bottom-k-per-group without a window sort; replayable in
+    * any engine when the rank is a portable expression (md5). */
+  def bottom_k_by_rank(rank: Column, payload: Column, k: Int): Column =
+    ColumnBridge.column(
+      BottomKByRank(ColumnBridge.expression(rank), ColumnBridge.expression(payload), k)
         .toAggregateExpression())
 }

@@ -117,6 +117,31 @@ class ParquetIOSpec extends SparkSpec {
     assert(ParquetIO.rowCount(spark, dir) === ParquetIO.read(spark, dir).count())
   }
 
+  test("compact: footer-sized rewrite cuts file count, preserves content, coalesce path shuffle-free") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_compact").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    docs.repartition(32).write.mode("overwrite").parquet(s"$base/frag")
+    val (before, after, bytes) = ParquetIO.compact(spark, s"$base/frag", s"$base/out",
+      targetFileBytes = 256L << 20)
+    assert(before === 32)
+    assert(after === 1) // tiny corpus -> everything fits one target file
+    assert(bytes > 0)
+    // content identity (multiset)
+    val a = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val b = spark.read.parquet(s"$base/out").select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    // default path must not shuffle: no Exchange anywhere in the write plan
+    val plan = spark.read.parquet(s"$base/frag").coalesce(1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // a mid-range target lands between 1 file and the input count
+    val (_, midFiles, _) = ParquetIO.compact(spark, s"$base/frag", s"$base/out2",
+      targetFileBytes = bytes / 4 + 1)
+    assert(midFiles >= 2 && midFiles < 32, s"got $midFiles files")
+  }
+
   test("partitioned sink: hive layout, content round-trip, and directory-level pruning") {
     val dir = Files.createTempDirectory("graft_io").toString + "/part"
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import graft.SparkSpec
+
+class IngestSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("upsert: updates replace matched keys, new keys append, unmatched base survives") {
+    val updates = docs.filter($"doc_id" % 10 === 0)
+      .withColumn("text", upper($"text"))
+      .unionByName(docs.filter($"doc_id" === 1)
+        .withColumn("doc_id", $"doc_id" + 5000L).withColumn("text", lit("brand new")))
+    val merged = Ingest.upsert(docs, updates, Seq("doc_id"))
+    assert(merged.count() === docs.count() + 1) // replaced in place, one appended
+    // a replaced key carries the update's text
+    val replaced = merged.filter($"doc_id" === 0).select($"text").as[String].head()
+    assert(replaced === replaced.toUpperCase)
+    // an untouched key keeps the base text
+    val kept = merged.filter($"doc_id" === 1).select($"text").as[String].head()
+    assert(kept === docs.filter($"doc_id" === 1).select($"text").as[String].head())
+    assert(merged.filter($"doc_id" === 5001L).count() === 1)
+    assert(merged.schema === docs.schema)
+  }
+
+  test("upsert: NULL key components match null-safely (MERGE semantics)") {
+    val base = Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c"))
+      .toDF("k", "v")
+    val updates = Seq((Option.empty[Long], "B2")).toDF("k", "v")
+    val merged = Ingest.upsert(base, updates, Seq("k")).as[(Option[Long], String)]
+      .collect().toSet
+    // the NULL-keyed base row is REPLACED, not duplicated
+    assert(merged === Set((Some(1L), "a"), (None, "B2"), (Some(2L), "c")))
+  }
+
+  test("upsert: huge base side is not shuffled (anti join broadcasts the update keys)") {
+    val updates = docs.filter($"doc_id" % 10 === 0)
+    val plan = Ingest.upsert(docs, updates, Seq("doc_id")).queryExecution.executedPlan
+    def findBroadcastAnti(p: SparkPlan): Boolean =
+      collectWithSubqueries(p) {
+        case b: BroadcastHashJoinExec
+          if b.joinType.toString.toLowerCase.contains("anti") => b
+      }.nonEmpty
+    assert(findBroadcastAnti(plan),
+      s"expected a broadcast LeftAnti join, got:\n${plan.toString.take(2000)}")
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged classification") {
+    val newV = docs.filter($"doc_id" % 7 =!= 0)
+      .withColumn("text",
+        when($"doc_id" % 5 === 0, concat($"text", lit(" v2"))).otherwise($"text"))
+      .unionByName(docs.filter($"doc_id" === 3)
+        .withColumn("doc_id", $"doc_id" + 9000L).withColumn("text", lit("x")))
+    val diff = Ingest.snapshotDiff(docs, newV, Seq("doc_id"), md5($"text".cast("binary")))
+    val byStatus = diff.groupBy($"status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    val removed = docs.filter($"doc_id" % 7 === 0).count()
+    val changed = docs.filter($"doc_id" % 7 =!= 0 && $"doc_id" % 5 === 0).count()
+    assert(byStatus.getOrElse("removed", 0L) === removed)
+    assert(byStatus.getOrElse("added", 0L) === 1L)
+    assert(byStatus.getOrElse("changed", 0L) === changed)
+    assert(byStatus.getOrElse("unchanged", 0L) === n - removed - changed)
+    // per-key sanity: a specific changed key
+    assert(diff.filter($"doc_id" === 5 && $"status" === "changed").count() === 1)
+  }
+
+  test("snapshotDiff: NULL keys pair up null-safely instead of double-counting") {
+    val oldV = Seq((Some(1L), "a"), (None, "b")).toDF("k", "v")
+    val newV = Seq((Some(1L), "a"), (None, "b2")).toDF("k", "v")
+    val diff = Ingest.snapshotDiff(oldV, newV, Seq("k"), md5($"v".cast("binary")))
+    val rows = diff.as[(Option[Long], String)].collect().toSet
+    assert(rows === Set((Some(1L), "unchanged"), (None, "changed")))
+  }
+}

@@ -63,6 +63,55 @@ class PerGroupSampleSpec extends SparkSpec {
     assert(hits.forall(_.size === 10))
   }
 
+  test("perGroupExactKByRank: sketch equals the window selection over the same rank") {
+    val rank = Sampler.hexRank("42", $"doc_id")
+    val got = Sampler.perGroupExactKByRank(docs, Seq("lang", "source"), 3, rank)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"source").orderBy(Sampler.hexRank("42", $"doc_id"))
+    val want = docs.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got === want)
+    // and is partition-layout-independent (the sketch merges map-side)
+    val re = Sampler.perGroupExactKByRank(docs.repartition(17, $"n_chars"),
+      Seq("lang", "source"), 3, rank).select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(re === want)
+  }
+
+  test("bottom_k_by_rank: general top-k per group by a numeric rank (no window sort)") {
+    import graft.functions.bottom_k_by_rank
+    // k smallest n_chars per lang == window selection with the same tie-break
+    val got = docs.groupBy($"lang")
+      .agg(bottom_k_by_rank(struct($"n_chars", $"doc_id"), $"doc_id", 5).as("ids"))
+      .select($"lang", explode($"ids").as("doc_id"))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+    val want = docs.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got === want)
+  }
+
+  test("perGroupWeightedKByRank: weights bias selection; w<=0 excluded; deterministic") {
+    val df = (0L until 100L).toDF("id").withColumn("g", lit(1))
+      .withColumn("w",
+        when($"id" < 5, 1000.0).when($"id" === 99L, 0.0).otherwise(1.0))
+    // different seeds = independent draws; heavy ids should dominate
+    val hits = (1 to 10).map { seed =>
+      Sampler.perGroupWeightedKByRank(df, Seq("g"), "w", k = 10,
+        Sampler.hexRank(seed.toString, $"id")).select($"id").as[Long].collect().toSet
+    }
+    val heavyHitRate = hits.map(s => (0L until 5L).count(s.contains)).sum / 50.0
+    assert(heavyHitRate > 0.9, s"heavy-weight hit rate $heavyHitRate")
+    assert(hits.forall(!_.contains(99L))) // zero weight never selected
+    assert(hits.forall(_.size === 10))
+    // bit-determinism across partition layouts (priority = one IEEE division)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampler.perGroupWeightedKByRank(d, Seq("g"), "w", k = 10,
+        Sampler.hexRank("7", $"id")).select($"id").as[Long].collect().sorted.toSeq
+    assert(run(df) === run(df.repartition(13)))
+  }
+
   test("sampling is unbiased across the id range (chi-square, 10 buckets)") {
     // one group, k=200 of 500 docs; bucket selected ids by decile
     val sel = Sampler.perGroupExactK(docs.withColumn("g", lit(1)), Seq("g"), 200, seed = 3L)

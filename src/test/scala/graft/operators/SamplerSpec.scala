@@ -115,6 +115,25 @@ class SamplerSpec extends SparkSpec {
     assert(got.filter($"stratum".isNull).count() === (nullCount * 0.1).toLong)
   }
 
+  test("stratifiedExactByRank: per-stratum floor cardinality, md5-smallest rows win, layout-independent") {
+    val rank = Sampler.hexRank("42", $"l_orderkey", $"l_linenumber")
+    val got = Sampler.stratifiedExactByRank(li, "l_returnflag", 0.1, rank)
+    val perStratum = li.groupBy($"l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotSizes = got.groupBy($"l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perStratum.foreach { case (k, n) =>
+      assert(gotSizes.getOrElse(k, 0L) === (n * 0.1).toLong, s"stratum $k")
+    }
+    assert(got.schema === li.schema)
+    // selected = the per-stratum md5-smallest prefix, stable under repartition
+    def keys(d: org.apache.spark.sql.DataFrame) =
+      Sampler.stratifiedExactByRank(d, "l_returnflag", 0.1,
+        Sampler.hexRank("42", col("l_orderkey"), col("l_linenumber")))
+        .select($"l_orderkey", $"l_linenumber").as[(Long, Long)].collect().sorted.toSeq
+    assert(keys(li) === keys(li.repartition(13, $"l_partkey")))
+  }
+
   test("stratified (Bernoulli): only listed strata survive; seeded") {
     val s1 = Sampler.stratified(li, "l_returnflag", Map[Any, Double]("A" -> 0.2, "R" -> 0.1), 5L)
     assert(s1.select($"l_returnflag").distinct().as[String].collect().toSet.subsetOf(Set("A", "R")))
