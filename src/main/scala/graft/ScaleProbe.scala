@@ -316,6 +316,41 @@ object ScaleProbe {
             read("documents", k).select(col("doc_id")), "doc_id", w = 24, h = 16),
           "img", bins = 16).count()
       }
+      // r5: incremental-corpus maintenance — the upsert's base side must
+      // never shuffle (broadcast anti join), the diff is one key shuffle
+      timed("upsert_merge", k) {
+        val docs = read("documents", k)
+        val updates = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("text", upper(col("text")))
+        graft.operators.Ingest.upsert(docs, updates, Seq("doc_id")).count()
+      }
+      timed("snapshot_diff", k) {
+        val docs = read("documents", k)
+        val newV = docs.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        graft.operators.Ingest.snapshotDiff(docs, newV, Seq("doc_id"),
+          md5(col("text").cast("binary"))).count()
+      }
+      timed("compact_files", k) {
+        val frag = s"$work/compact_in_x$k"
+        read("documents", k).repartition(64).write.mode("overwrite").parquet(frag)
+        val (_, after, _) = graft.io.ParquetIO.compact(spark, frag,
+          s"$work/compact_out_x$k", targetFileBytes = 8L << 20)
+        after.toLong
+      }
+      timed("schema_report", k) {
+        graft.io.ParquetIO.schemaReport(spark,
+          Seq(s"$work/compact_in_x$k")).count()
+      }
+      // r5: PQ build + ADC search — train is sample-capped, encode is one
+      // distributed pass, the ADC scan ships <= rerank candidates/query
+      timed("knn_pq", k) {
+        val e = read("embeddings", k)
+        ext.Similarity.pqTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, ext.Similarity.PqConfig(m = 8, ksub = 32), rerank = 100).count()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")

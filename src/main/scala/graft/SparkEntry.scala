@@ -377,6 +377,26 @@ object SparkEntry {
         e.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, Similarity.IvfConfig(nlist = 32, nprobe = 4))
     }),
+    // product quantization (32x compression: 64-dim floats -> 8 byte codes)
+    // + ADC scan + exact rerank. The neighbor rows are KMeans-dependent, so
+    // the EXPORTED result is the engine-replayable recall CONTRACT (q19's
+    // pattern): recall@10 vs the exact brute-force top-10 must clear 0.5
+    // per query — pinned TRUE by the oracle, so a codebook/ADC/rerank
+    // regression fails the hash-compare
+    "q133_knn_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val pq = Similarity.pqTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 10, Similarity.PqConfig(m = 8, ksub = 32), rerank = 100)
+      val brute = Similarity.bruteTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      val hits = pq.join(brute.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"))
+    }),
 
     // array-column function surface over the embedding table; norm_sq runs
     // the codegen vec_dot kernel (bit-exact vs DuckDB list_dot_product)
@@ -868,6 +888,19 @@ object SparkEntry {
       s.read.parquet(s"$tmp/compacted")
         .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
           col("lang"), col("source"), col("n_chars"))
+    }),
+    // schema-drift audit: distributed footer-only scan over a
+    // two-generation dataset planted with BOTH drift kinds — a column-add
+    // (lang only in gen 2) and a physical-type change (doc_id INT32 in
+    // gen 1, INT64 in gen 2); no data page is ever read
+    "q132_schema_drift" -> ((s, dir) => {
+      val out = graft.io.TempDirs.create("graft_drift").toString
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id").cast("int").as("doc_id"), col("text"))
+        .repartition(2).write.mode("overwrite").parquet(s"$out/gen=1")
+      docs.select(col("doc_id"), col("text"), col("lang"))
+        .repartition(3).write.mode("overwrite").parquet(s"$out/gen=2")
+      graft.io.ParquetIO.schemaReport(s, Seq(s"$out/gen=1", s"$out/gen=2"))
     }),
     // snapshot diff: per-key added/removed/changed/unchanged between two
     // corpus versions by content fingerprint — one key-shuffle full-outer
@@ -2239,6 +2272,25 @@ object SparkEntry {
     "q130_compaction" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
         |FROM documents""".stripMargin,
+
+    // PQ recall contract (the q19/q96 sketch-contract pattern): the oracle
+    // pins recall_ok TRUE for every query id — the PQ pipeline must beat
+    // 50% recall@10 vs exact brute force or the hash-compare fails
+    "q133_knn_pq" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // closed-form drift expectation (the q127 pattern): the fixture's two
+    // generations are fully specified, so the report — column-add drift
+    // (lang in 3 of 5 files) and type drift (doc_id INT32 twice + INT64
+    // three times) — is a static truth the footer walk must reproduce
+    "q132_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('doc_id', 'INT32', CAST(2 AS BIGINT)),
+        |  ('doc_id', 'INT64', CAST(3 AS BIGINT)),
+        |  ('text', 'BINARY', CAST(5 AS BIGINT)),
+        |  ('lang', 'BINARY', CAST(3 AS BIGINT))
+        |) AS t(col_name, physical_type, n_files)""".stripMargin,
 
     // snapshot diff: full-outer fingerprint join, same version-2 recipe
     "q131_corpus_diff" ->

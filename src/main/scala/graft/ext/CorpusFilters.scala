@@ -227,12 +227,20 @@ object CorpusFilters {
       if (frac < 1.0)
         df.filter(pmod(xxhash64(col(textCol)), lit(1L << 20)) < (frac * (1L << 20)).toLong)
       else df
-    // one row per word occurrence, as an array of single-char symbols
+    // one row per DISTINCT word with its occurrence count (the standard
+    // Sennrich formulation trains on the frequency-weighted vocabulary):
+    // every occurrence of a word contributes the same pairs and merges
+    // identically, so counting words once and weighting by frequency
+    // yields the IDENTICAL merge table while each round's agg and
+    // fold-merge run over vocabulary-sized input (≪ occurrence count —
+    // the corpus can grow 100x while the vocabulary barely moves)
     var words = trainSrc
       .select(explode(Dedup.tokens(col(textCol))).as("__w"))
       .filter(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__freq"))
       // split keeps a trailing empty match (limit -1): drop empties
-      .select(filter(split(col("__w"), "(?!^)"), s => length(s) > 0).as("__syms"))
+      .select(filter(split(col("__w"), "(?!^)"), s => length(s) > 0).as("__syms"),
+        col("__freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
@@ -247,8 +255,9 @@ object CorpusFilters {
           .select(explode(transform(pairIdx,
             i => struct(
               element_at(col("__syms"), i + 1).as("l"),
-              element_at(col("__syms"), i + 2).as("r")))).as("__p"))
-          .groupBy(col("__p.l"), col("__p.r")).agg(count(lit(1)).as("cnt"))
+              element_at(col("__syms"), i + 2).as("r")))).as("__p"),
+            col("__freq"))
+          .groupBy(col("__p.l"), col("__p.r")).agg(sum(col("__freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
           .limit(1).collect()
         if (top.isEmpty) exhausted = true
@@ -266,7 +275,7 @@ object CorpusFilters {
               get(acc, size(acc) - 1) === lit(l) && s === lit(r),
               concat(slice(acc, lit(1), size(acc) - 1), array(concat(lit(l), lit(r))))
             ).otherwise(concat(acc, array(s))))
-          val next = words.select(merged.as("__syms"))
+          val next = words.select(merged.as("__syms"), col("__freq"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           next.count() // materialize before unpersisting the parent
           words.unpersist()

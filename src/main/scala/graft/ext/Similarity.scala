@@ -261,6 +261,237 @@ object Similarity {
         col("__dropped").isNull.as("kept"))
   }
 
+  /**
+   * Product-quantization configuration.
+   *
+   * @param m    number of subspaces (vector dim must divide evenly); the
+   *             code is m bytes per vector — a 64-dim float vector (256 B)
+   *             at m=8 compresses 32x
+   * @param ksub centroids per subspace, <= 256 so a code fits one byte
+   */
+  final case class PqConfig(
+      m: Int = 8,
+      ksub: Int = 32,
+      seed: Long = 42L,
+      trainFraction: Double = -1.0,
+      maxTrainRows: Long = 100000L,
+      maxIter: Int = 10)
+
+  /** Per-subspace codebook: `centroids(j)(c)` is the c-th centroid of
+    * subspace j (length dim/m). Driver-small: m * ksub * dsub doubles. */
+  final case class PqCodebook(m: Int, dsub: Int, centroids: Array[Array[Array[Double]]])
+    extends Serializable
+
+  /**
+   * A built PQ index: the corpus compressed to m-byte codes plus the tiny
+   * codebook — the FAISS-style memory math that makes 100 TB of embeddings
+   * searchable: 100 TB of 64-dim floats becomes ~3 TB of codes, which DOES
+   * fit a cluster's RAM. Persistable like [[IvfIndex]]: build once, save,
+   * search many times.
+   */
+  final case class PqIndex(codes: DataFrame, codebook: PqCodebook) {
+    def save(dir: String): Unit = {
+      codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
+      val spark = codes.sparkSession
+      val rows = for {
+        j <- codebook.centroids.indices
+        c <- codebook.centroids(j).indices
+      } yield Row(j, c, codebook.centroids(j)(c).toSeq)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("subspace", IntegerType, nullable = false),
+          StructField("code", IntegerType, nullable = false),
+          StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false))))
+        .write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+    }
+  }
+
+  /** Rehydrate a [[PqIndex]] written by [[PqIndex.save]]. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+    val cb = spark.read.parquet(s"$dir/codebook.parquet")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cb.map(_._1).max + 1
+    val byS = cb.groupBy(_._1).map { case (j, rows) =>
+      j -> rows.sortBy(_._2).map(_._3)
+    }
+    val centroids = (0 until m).map(byS(_)).toArray
+    PqIndex(spark.read.parquet(s"$dir/codes.parquet"),
+      PqCodebook(m, centroids(0)(0).length, centroids))
+  }
+
+  /** L2-normalized copy of an `array<float>` column (zero vectors pass
+    * through unscaled). On the unit sphere L2² = 2 - 2·cos, so PQ's
+    * euclidean machinery ranks by cosine. */
+  private def l2normalize(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+    transform(v, x => (x / when(n === 0.0, 1.0).otherwise(n)).cast("float"))
+  }
+
+  /**
+   * Build a PQ index (Jégou, Douze, Schmid: "Product Quantization for
+   * Nearest Neighbor Search", TPAMI 2011): vectors are L2-normalized,
+   * split into m subvectors, and each subspace is vector-quantized with
+   * its own ksub-centroid KMeans — a vector becomes m byte codes.
+   *
+   * Scale shape mirrors [[buildIvfIndex]]: the m KMeans fits all run over
+   * ONE bounded sample (auto-capped at maxTrainRows, localCheckpointed so
+   * the corpus is sampled once, not m times); encoding is a single
+   * distributed pass with the codebook broadcast, argmin in plain JVM
+   * loops inside `mapPartitions` (per-element imperative math over every
+   * corpus row — the documented case where mapPartitions beats expression
+   * trees).
+   */
+  def buildPqIndex(
+      data: DataFrame, dataId: String, dataVec: String,
+      cfg: PqConfig = PqConfig()): PqIndex = {
+    require(cfg.m > 0 && cfg.ksub > 1 && cfg.ksub <= 256,
+      s"need m > 0 and 1 < ksub <= 256, got m=${cfg.m} ksub=${cfg.ksub}")
+    val spark = data.sparkSession
+    import spark.implicits._
+
+    val dim = data.select(size(col(dataVec))).head().getInt(0)
+    require(dim % cfg.m == 0, s"vector dim $dim must be divisible by m=${cfg.m}")
+    val dsub = dim / cfg.m
+
+    val frac =
+      if (cfg.trainFraction >= 0.0) math.min(cfg.trainFraction, 1.0)
+      else {
+        val n = data.count()
+        if (n <= cfg.maxTrainRows) 1.0 else cfg.maxTrainRows.toDouble / n
+      }
+    val base = data.select(l2normalize(col(dataVec)).as("__nv"))
+    val train = (if (frac < 1.0) base.sample(withReplacement = false, frac, cfg.seed) else base)
+      .localCheckpoint()
+
+    val centroids: Array[Array[Array[Double]]] = (0 until cfg.m).map { j =>
+      val model = new KMeans().setK(cfg.ksub).setSeed(cfg.seed + j)
+        .setFeaturesCol("__features").setMaxIter(cfg.maxIter).setInitMode("random")
+        .fit(train.select(array_to_vector(
+          slice(col("__nv"), j * dsub + 1, dsub)).as("__features")))
+      model.clusterCenters.map(_.toArray)
+    }.toArray
+    val codebook = PqCodebook(cfg.m, dsub, centroids)
+    val bc = spark.sparkContext.broadcast(codebook)
+
+    val codes = data
+      .select(col(dataId).cast("long").as("neighbor_id"), l2normalize(col(dataVec)).as("__nv"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cb = bc.value
+        it.map { case (id, v) =>
+          val code = new Array[Byte](cb.m)
+          var j = 0
+          while (j < cb.m) {
+            val cents = cb.centroids(j)
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < cents.length) {
+              val cent = cents(c)
+              var d = 0.0; var p = 0
+              while (p < cb.dsub) {
+                val diff = v(j * cb.dsub + p) - cent(p)
+                d += diff * diff
+                p += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            code(j) = best.toByte
+            j += 1
+          }
+          (id, code)
+        }
+      }.toDF("neighbor_id", "pq_code")
+    PqIndex(codes, codebook)
+  }
+
+  /**
+   * Search a [[PqIndex]] with asymmetric distance (ADC): each query builds
+   * an m x ksub lookup table of exact subvector-to-centroid distances, and
+   * a corpus row's approximate distance is m table lookups summed — no
+   * decompression, the scan touches only the m-byte codes. The ADC top
+   * `rerank` candidates are then re-scored with EXACT cosine against the
+   * original vectors (the standard recall-restoring refinement; the join
+   * touches only `|Q| * rerank` ids).
+   *
+   * The per-query top-k over ADC scores runs as [[graft.functions.bottom_k_by_rank]]
+   * partial aggregates — each partition ships at most rerank candidates
+   * per query, never the full scored scan.
+   */
+  def searchPq(
+      index: PqIndex,
+      data: DataFrame, dataId: String, dataVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, rerank: Int = 100): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+
+    val bcCb = spark.sparkContext.broadcast(index.codebook)
+    val qRows = queries.select(col(queryId).cast("long").as("query_id"),
+        l2normalize(col(queryVec)).as("__qv"))
+      .as[(Long, Seq[Float])].collect()
+    require(qRows.nonEmpty, "empty query set")
+    val bcQ = spark.sparkContext.broadcast(qRows)
+
+    val adc = index.codes.as[(Long, Array[Byte])].mapPartitions { it =>
+      val cb = bcCb.value
+      // one LUT per query per partition: luts(q)(j * ksub + c)
+      val ksub = cb.centroids(0).length
+      val luts = bcQ.value.map { case (qid, qv) =>
+        val lut = new Array[Double](cb.m * ksub)
+        var j = 0
+        while (j < cb.m) {
+          var c = 0
+          while (c < ksub) {
+            val cent = cb.centroids(j)(c)
+            var d = 0.0; var p = 0
+            while (p < cb.dsub) {
+              val diff = qv(j * cb.dsub + p) - cent(p)
+              d += diff * diff
+              p += 1
+            }
+            lut(j * ksub + c) = d
+            c += 1
+          }
+          j += 1
+        }
+        (qid, lut)
+      }
+      it.flatMap { case (nid, code) =>
+        luts.iterator.map { case (qid, lut) =>
+          var d = 0.0; var j = 0
+          while (j < cb.m) {
+            d += lut(j * ksub + (code(j) & 0xff))
+            j += 1
+          }
+          (qid, nid, d)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "adist")
+
+    val shortlist = adc.groupBy(col("query_id"))
+      .agg(graft.functions.bottom_k_by_rank(
+        struct(col("adist"), col("neighbor_id")), col("neighbor_id"), rerank).as("__cand"))
+      .select(col("query_id"), explode(col("__cand")).as("neighbor_id"))
+
+    val cand = shortlist
+      .join(data.select(col(dataId).cast("long").as("neighbor_id"), col(dataVec).as("__dv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).as("__qv"))), "query_id")
+      .withColumn("cosine", vec_cosine(col("__dv"), col("__qv")))
+    rankTopK(cand, k)
+  }
+
+  /** Build + search in one call (gate/bench convenience). */
+  def pqTopK(
+      data: DataFrame, dataId: String, dataVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, cfg: PqConfig = PqConfig(), rerank: Int = 100): DataFrame =
+    searchPq(buildPqIndex(data, dataId, dataVec, cfg),
+      data, dataId, dataVec, queries, queryId, queryVec, k, rerank)
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -102,6 +102,56 @@ object ParquetIO {
   }
 
   /**
+   * Schema-drift report: which physical column schema does each file of a
+   * (possibly multi-generation) parquet dataset actually carry? Returns one
+   * row per (column, physical type) with the number of files carrying it —
+   * a column present only in newer files (column-add evolution) shows a
+   * smaller file count; a column whose type changed (INT32 -> INT64 writer
+   * drift) shows TWO rows. This is the audit that decides whether a
+   * directory is safe to read with `mergeSchema` / schema enforcement,
+   * without touching a single data page.
+   *
+   * Scale shape: file listing on the driver (O(#files) names), then footer
+   * reads DISTRIBUTED across executors (`mapPartitions` over the file
+   * list, session Hadoop conf broadcast for filesystem access) — at 100 TB
+   * with millions of files the footer fetches are the cost, and they
+   * parallelize perfectly; only (file, column, type) tuples shuffle into
+   * the final count.
+   */
+  def schemaReport(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(paths.nonEmpty, "paths must not be empty")
+    val conf = spark.sessionState.newHadoopConf()
+    val files: Seq[String] = paths.flatMap { p =>
+      val root = new Path(p)
+      val fs = root.getFileSystem(conf)
+      val status = fs.getFileStatus(root)
+      if (status.isDirectory)
+        fs.listStatus(root).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString)
+      else Seq(status.getPath.toString)
+    }
+    require(files.nonEmpty, s"no parquet files under ${paths.mkString(", ")}")
+    val bc = org.apache.spark.sql.graft.HadoopConfBridge.broadcastConf(spark)
+    val perFile = spark.createDataset(files)
+      .repartition(math.min(files.size, spark.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        val c = org.apache.spark.sql.graft.HadoopConfBridge.confOf(bc)
+        it.flatMap { f =>
+          val footer = ParquetFileReader.readFooter(c, new Path(f),
+            ParquetMetadataConverter.NO_FILTER)
+          footer.getFileMetaData.getSchema.getColumns.asScala.map { cd =>
+            (f, cd.getPath.mkString("."), cd.getPrimitiveType.getPrimitiveTypeName.name)
+          }
+        }
+      }.toDF("file", "col_name", "physical_type")
+    perFile.groupBy(col("col_name"), col("physical_type"))
+      .agg(count(lit(1)).as("n_files"))
+  }
+
+  /**
    * Small-file compaction: rewrite the (flat) parquet directory at
    * `inPath` into ~`targetFileBytes`-sized files at `outPath`. The
    * many-small-files problem is THE silent killer of a 100 TB lake — every

@@ -115,6 +115,78 @@ class SimilaritySpec extends SparkSpec {
     assert(viaDisk.nonEmpty && (viaDisk.toSeq == direct.toSeq))
   }
 
+  test("pqTopK: exact rerank scores, high recall vs brute, self at rank 1") {
+    val rng = new scala.util.Random(41)
+    val data = (0L until 300L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val q = df.filter($"vec_id" < 3L)
+    val brute = Similarity.bruteTopK(df, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+    val pq = Similarity.pqTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 10, Similarity.PqConfig(m = 4, ksub = 32), rerank = 60)
+    val got = pq.collect()
+    assert(got.length === 30) // 3 queries x k
+    // rerank is EXACT cosine: every returned score matches brute-force math
+    got.foreach { r =>
+      val c = cosine(data(r.getLong(0).toInt)._2, data(r.getLong(1).toInt)._2)
+      assert(math.abs(c - r.getDouble(2)) < 1e-9)
+    }
+    // self survives compression and reranking at rank 1
+    assert(got.filter(_.getLong(3) == 1L).forall(r => r.getLong(0) == r.getLong(1)))
+    // recall@10 against brute
+    val byQ = got.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+    val recall = brute.map { case (qid, truth) =>
+      byQ(qid).intersect(truth).size.toDouble / truth.size
+    }.sum / brute.size
+    assert(recall >= 0.7, s"recall@10 = $recall")
+  }
+
+  test("PQ index: m-byte codes, codebook shape, save/load round-trip bit-exact") {
+    val rng = new scala.util.Random(43)
+    val data = (0L until 200L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val cfg = Similarity.PqConfig(m = 4, ksub = 16)
+    val idx = Similarity.buildPqIndex(df, "vec_id", "embedding", cfg)
+    // compression contract: every code is exactly m bytes, all < ksub
+    val codes = idx.codes.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    assert(codes.length === 200)
+    assert(codes.forall(_._2.length === cfg.m))
+    assert(codes.forall(_._2.forall(b => (b & 0xff) < cfg.ksub)))
+    assert(idx.codebook.m === 4 && idx.codebook.dsub === 4)
+    // save -> load -> search equals direct search exactly
+    val q = df.filter($"vec_id" < 2L)
+    def run(i: Similarity.PqIndex) =
+      Similarity.searchPq(i, df, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 5, rerank = 30)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted
+    val direct = run(idx)
+    val dir = graft.io.TempDirs.create("graft_pq_idx").toString
+    idx.save(dir)
+    val viaDisk = run(Similarity.loadPqIndex(spark, dir))
+    assert(viaDisk.nonEmpty && viaDisk.toSeq === direct.toSeq)
+  }
+
+  test("pq validation: bad m/ksub/rerank fail fast") {
+    val df = (0L until 10L).map(i => (i, Seq.fill(8)(0.1f))).toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    intercept[IllegalArgumentException] { // dim 8 not divisible by m=3
+      Similarity.buildPqIndex(df, "vec_id", "embedding", Similarity.PqConfig(m = 3))
+    }
+    intercept[IllegalArgumentException] { // ksub > 256 can't fit a byte
+      Similarity.buildPqIndex(df, "vec_id", "embedding", Similarity.PqConfig(ksub = 300))
+    }
+    intercept[IllegalArgumentException] { // rerank < k
+      val idx = Similarity.buildPqIndex(df, "vec_id", "embedding",
+        Similarity.PqConfig(m = 2, ksub = 4))
+      Similarity.searchPq(idx, df, "vec_id", "embedding", df.limit(1), "vec_id", "embedding",
+        k = 10, rerank = 5)
+    }
+  }
+
   test("semDedup: planted intra-cluster duplicates dropped, min-id representative kept") {
     val rng = new scala.util.Random(11)
     val base = (0L until 120L).map(i => (i, Seq.fill(8)(rng.nextGaussian().toFloat)))

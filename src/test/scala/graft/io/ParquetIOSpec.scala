@@ -142,6 +142,36 @@ class ParquetIOSpec extends SparkSpec {
     assert(midFiles >= 2 && midFiles < 32, s"got $midFiles files")
   }
 
+  test("schemaReport: footer-only drift audit — column-add, type drift, nested leaves") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_drift_spec").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    docs.select(col("doc_id").cast("int").as("doc_id"), col("text"))
+      .repartition(2).write.mode("overwrite").parquet(s"$base/g1")
+    docs.select(col("doc_id"), col("text"), col("lang"))
+      .repartition(3).write.mode("overwrite").parquet(s"$base/g2")
+    val rep = ParquetIO.schemaReport(spark, Seq(s"$base/g1", s"$base/g2"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rep === Map(
+      ("doc_id", "INT32") -> 2L, ("doc_id", "INT64") -> 3L,
+      ("text", "BINARY") -> 5L, ("lang", "BINARY") -> 3L))
+    // nested types surface as dotted leaf paths, not a crash
+    docs.limit(10).select(col("doc_id"),
+      struct(col("lang"), col("n_chars")).as("meta"),
+      array(col("source")).as("tags"))
+      .write.mode("overwrite").parquet(s"$base/nested")
+    val nested = ParquetIO.schemaReport(spark, Seq(s"$base/nested"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(nested("meta.lang") === "BINARY")
+    assert(nested("meta.n_chars") === "INT64")
+    assert(nested.keys.exists(_.startsWith("tags."))) // list leaf path
+    // empty input fails fast
+    val e = intercept[IllegalArgumentException] {
+      ParquetIO.schemaReport(spark, Seq(Files.createTempDirectory("graft_empty").toString))
+    }
+    assert(e.getMessage.contains("no parquet files"))
+  }
+
   test("partitioned sink: hive layout, content round-trip, and directory-level pruning") {
     val dir = Files.createTempDirectory("graft_io").toString + "/part"
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
