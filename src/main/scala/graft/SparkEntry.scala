@@ -970,6 +970,9 @@ object SparkEntry {
     // stream-static LEFT ANTI join (the streaming ingest gate): stateless
     // per row, emitted set == the batch anti join exactly
     "q89_stream_ingest_filter" -> ((s, dir) => StreamGate.ingestFilter(s, dir)),
+    // the custom bottom-k sketch as STREAMING aggregation state: mergeable
+    // + order-independent => complete-mode output == the batch selection
+    "q134_stream_topk" -> ((s, dir) => StreamGate.topKPerGroup(s, dir)),
 
     // ranking-function surface: dense_rank / percent_rank / ntile /
     // cume_dist share one window sort (deterministic tie-break on key)
@@ -2329,6 +2332,12 @@ object SparkEntry {
         |), corpus AS (SELECT DISTINCT nt FROM norm WHERE doc_id % 10 <> 0)
         |SELECT b.doc_id FROM (SELECT doc_id, nt FROM norm WHERE doc_id % 10 = 0) b
         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.nt = b.nt)""".stripMargin,
+    // streaming top-k == the same md5-window selection the q15 oracle uses
+    "q134_stream_topk" ->
+      """SELECT lang, source, doc_id FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang, source
+        |    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR))) <= 3""".stripMargin,
+
     "q123_curriculum_order" ->
       """SELECT doc_id, difficulty,
         |  CAST(ntile(10) OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS difficulty_bin,

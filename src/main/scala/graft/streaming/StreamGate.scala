@@ -134,6 +134,30 @@ object StreamGate {
     runToTable(routed, "stream_split", "append")
   }
 
+  /**
+   * Streaming per-group top-k: the portable-rank bottom-k sketch
+   * ([[graft.functions.bottom_k_by_rank]]) running as STREAMING aggregation
+   * state — each micro-batch's partial sketches merge into the state store
+   * exactly as map-side partials merge in batch (the aggregate is
+   * mergeable and order-independent by construction), so the final
+   * complete-mode table equals the batch selection EXACTLY and the q15-
+   * style md5-window oracle re-checks it row for row. The production
+   * shape: a continuously-arriving corpus maintaining "k sample docs per
+   * (lang, source)" with O(k) state per group.
+   */
+  def topKPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageTableDir(sfDir, "documents")
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val ranked = docs.groupBy(col("lang"), col("source"))
+      .agg(graft.functions.bottom_k_by_rank(
+        md5(concat_ws(":", lit("42"), col("doc_id").cast("string")).cast("binary")),
+        col("doc_id"), 3).as("__ids"))
+    val out = ranked.select(col("lang"), col("source"), explode(col("__ids")).as("doc_id"))
+    runToTable(out, "stream_topk", "complete")
+  }
+
   /** Streaming exact dedup on a key column; only the key survives to the
     * output (WHICH physical row wins per key is arrival-order-dependent, the
     * key set itself is exact — the oracle is SELECT DISTINCT). */

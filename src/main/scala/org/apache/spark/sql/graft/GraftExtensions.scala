@@ -84,6 +84,18 @@ object GraftExtensions {
         "frequent_items(item, k) - Misra-Gries heavy-hitters sketch (aggregate)"),
       arity(2, "frequent_items")(e =>
         FrequentItems(e(0), litLong(e(1), "k").toInt).toAggregateExpression())),
+    (FunctionIdentifier("frequent_items_weighted"),
+      info("frequent_items_weighted",
+        "frequent_items_weighted(item, weight, k) - weighted Misra-Gries heavy " +
+          "hitters: items with total weight > W/(k+1) guaranteed present (aggregate)"),
+      arity(3, "frequent_items_weighted")(e =>
+        FrequentItemsWeighted(e(0), e(1), litLong(e(2), "k").toInt).toAggregateExpression())),
+    (FunctionIdentifier("bottom_k_by_rank"),
+      info("bottom_k_by_rank",
+        "bottom_k_by_rank(rank, payload, k) - the k payload values with the " +
+          "smallest rank; top-k per group without a window sort (aggregate)"),
+      arity(3, "bottom_k_by_rank")(e =>
+        BottomKByRank(e(0), e(1), litLong(e(2), "k").toInt).toAggregateExpression())),
     (FunctionIdentifier("bloom_filter_agg"),
       info("bloom_filter_agg",
         "bloom_filter_agg(key, expectedItems, fpp) - mergeable Bloom filter over " +

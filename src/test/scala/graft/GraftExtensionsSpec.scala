@@ -60,6 +60,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("fpp"))
   }
 
+  test("bottom_k_by_rank and frequent_items_weighted resolve via pure SQL") {
+    registered
+    spark.read.parquet(s"$sf0001/documents.parquet").createOrReplaceTempView("docs_bk")
+    // per-lang 3 smallest doc ids, via the portable-rank aggregate in SQL
+    val r = spark.sql(
+      """SELECT lang, bottom_k_by_rank(md5(CAST(doc_id AS STRING)), doc_id, 3) AS ids
+        |FROM docs_bk GROUP BY lang""".stripMargin).collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getSeq[Long](1).size <= 3))
+    val w = spark.sql(
+      "SELECT frequent_items_weighted(lang, n_chars, 5) FROM docs_bk").head().getSeq[Any](0)
+    assert(w.nonEmpty && w.size <= 5)
+  }
+
   test("non-literal k fails with a clear message") {
     registered
     spark.read.parquet(s"$sf0001/documents.parquet").createOrReplaceTempView("docs_ext2")

@@ -39,6 +39,17 @@ class StreamGateSpec extends SparkSpec {
     assert(got.exceptAll(batch).count() === 0)
   }
 
+  test("streaming bottom-k sketch state equals the batch per-group selection exactly") {
+    val got = StreamGate.topKPerGroup(spark, sf0001)
+    val batch = graft.operators.Sampler.perGroupExactKByRank(
+      spark.read.parquet(s"$sf0001/documents.parquet"), Seq("lang", "source"), 3,
+      graft.operators.Sampler.hexRank("42", col("doc_id")))
+      .select($"lang", $"source", $"doc_id")
+    assert(got.count() === batch.count())
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+  }
+
   test("sentinel-flushed streaming funnel equals the batch staged-min-ts funnel") {
     val got = StreamGate.funnel(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
