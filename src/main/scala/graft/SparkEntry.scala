@@ -398,6 +398,33 @@ object SparkEntry {
           (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"))
     }),
 
+    // the composed IVF-PQ architecture (coarse cells -> ADC over probed
+    // cells' byte codes -> exact rerank), exported as the same recall
+    // contract as q133 — through BOTH approximations recall@10 vs brute
+    // must clear 0.5 per query
+    "q135_knn_ivfpq" -> ((s, dir) => {
+      // cosine retrieval => index the UNIT-SPHERE copy (L2² = 2 - 2·cos
+      // there, so euclidean cells/codes rank by cosine); cosine itself is
+      // scale-invariant so the contract's ground truth is unchanged
+      val e = t(s, dir, "embeddings")
+        .withColumn("embedding", Similarity.l2normalized(col("embedding")))
+      val q = e.filter(col("vec_id") < 5)
+      val ivf = Similarity.buildIvfIndex(e, "vec_id", "embedding",
+        Similarity.IvfConfig(nlist = 32, nprobe = 16))
+      val pq = Similarity.buildPqIndex(e, "vec_id", "embedding",
+        Similarity.PqConfig(m = 8, ksub = 32))
+      val approx = Similarity.searchIvfPq(ivf, pq, e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10, nprobe = 16, rerank = 300)
+      val brute = Similarity.bruteTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      val hits = approx.join(brute.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"))
+    }),
+
     // array-column function surface over the embedding table; norm_sq runs
     // the codegen vec_dot kernel (bit-exact vs DuckDB list_dot_product)
     "q53_vector_funcs" -> ((s, dir) =>
@@ -2280,6 +2307,11 @@ object SparkEntry {
     // pins recall_ok TRUE for every query id — the PQ pipeline must beat
     // 50% recall@10 vs exact brute force or the hash-compare fails
     "q133_knn_pq" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // same contract through the composed IVF-PQ path
+    "q135_knn_ivfpq" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
 

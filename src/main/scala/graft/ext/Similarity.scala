@@ -176,21 +176,29 @@ object Similarity {
    * |queries| x nlist rows only), scan the nprobe nearest cells, exact
    * cosine, top-k.
    */
-  def searchIvf(
-      index: IvfIndex,
+  /** Per-query nprobe nearest cells by euclidean centroid distance:
+    * (query_id, __qv, cell). |Q| x nlist rows only. */
+  private def probeCells(
+      centroids: DataFrame,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("__cd").asc, col("cell").asc)
     val qvDouble = col("__qv").cast("array<double>")
-    val probes = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
-      .join(broadcast(index.centroids))
+    queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .join(broadcast(centroids))
       .withColumn("__cd", aggregate(
         zip_with(qvDouble, col("__cv"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, d) => acc + d))
       .withColumn("__pr", row_number().over(probeW))
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("__qv"), col("cell"))
+  }
 
+  def searchIvf(
+      index: IvfIndex,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val probes = probeCells(index.centroids, queries, queryId, queryVec, nprobe)
     val cand = index.assigned.join(probes, "cell")
       .withColumn("cosine", vec_cosine(col("__dv"), col("__qv")))
     rankTopK(cand, k)
@@ -321,8 +329,13 @@ object Similarity {
   }
 
   /** L2-normalized copy of an `array<float>` column (zero vectors pass
-    * through unscaled). On the unit sphere L2² = 2 - 2·cos, so PQ's
-    * euclidean machinery ranks by cosine. */
+    * through unscaled). On the unit sphere L2² = 2 - 2·cos, so euclidean
+    * machinery (KMeans cells, PQ codebooks) ranks by cosine — for COSINE
+    * retrieval, build IVF/PQ indexes over normalized vectors (cosine
+    * itself is scale-invariant, so final scores are unaffected). */
+  def l2normalized(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    l2normalize(v)
+
   private def l2normalize(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val n = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
     transform(v, x => (x / when(n === 0.0, 1.0).otherwise(n)).cast("float"))
@@ -482,6 +495,91 @@ object Similarity {
         col(queryVec).as("__qv"))), "query_id")
       .withColumn("cosine", vec_cosine(col("__dv"), col("__qv")))
     rankTopK(cand, k)
+  }
+
+  /**
+   * IVF-PQ search — the composed FAISS-canonical 100 TB architecture:
+   * the coarse quantizer routes each query to `nprobe` cells, ONLY those
+   * cells' m-byte codes are ADC-scored (per-query scan work =
+   * |corpus| * nprobe / nlist rows of m bytes each, no full vectors
+   * touched), and the shortlist alone is re-ranked with exact cosine
+   * against the original vectors. The two index artifacts are built,
+   * persisted, and loaded independently ([[buildIvfIndex]] /
+   * [[buildPqIndex]]) and join on the row id.
+   */
+  def searchIvfPq(
+      ivf: IvfIndex, pq: PqIndex,
+      data: DataFrame, dataId: String, dataVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nprobe: Int, rerank: Int = 100): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val spark = pq.codes.sparkSession
+    import spark.implicits._
+
+    val probes = probeCells(ivf.centroids, queries, queryId, queryVec, nprobe)
+      .select(col("query_id"), col("cell"))
+    // slim assignment: (neighbor_id, cell) only — the whole point of PQ is
+    // that full vectors are NOT carried into the scan
+    val cand = ivf.assigned.select(col("neighbor_id"), col("cell"))
+      .join(probes, "cell")
+      .join(pq.codes, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("pq_code"))
+
+    val bcCb = spark.sparkContext.broadcast(pq.codebook)
+    val qRows = queries.select(col(queryId).cast("long").as("query_id"),
+        l2normalize(col(queryVec)).as("__qv"))
+      .as[(Long, Seq[Float])].collect()
+    require(qRows.nonEmpty, "empty query set")
+    val bcQ = spark.sparkContext.broadcast(qRows.toMap)
+
+    val adc = cand.as[(Long, Long, Array[Byte])].mapPartitions { it =>
+      val cb = bcCb.value
+      val ksub = cb.centroids(0).length
+      val luts = scala.collection.mutable.HashMap.empty[Long, Array[Double]]
+      def lutFor(qid: Long): Array[Double] = luts.getOrElseUpdate(qid, {
+        val qv = bcQ.value(qid)
+        val lut = new Array[Double](cb.m * ksub)
+        var j = 0
+        while (j < cb.m) {
+          var c = 0
+          while (c < ksub) {
+            val cent = cb.centroids(j)(c)
+            var d = 0.0; var p = 0
+            while (p < cb.dsub) {
+              val diff = qv(j * cb.dsub + p) - cent(p)
+              d += diff * diff
+              p += 1
+            }
+            lut(j * ksub + c) = d
+            c += 1
+          }
+          j += 1
+        }
+        lut
+      })
+      it.map { case (qid, nid, code) =>
+        val lut = lutFor(qid)
+        var d = 0.0; var j = 0
+        while (j < cb.m) {
+          d += lut(j * ksub + (code(j) & 0xff))
+          j += 1
+        }
+        (qid, nid, d)
+      }
+    }.toDF("query_id", "neighbor_id", "adist")
+
+    val shortlist = adc.groupBy(col("query_id"))
+      .agg(graft.functions.bottom_k_by_rank(
+        struct(col("adist"), col("neighbor_id")), col("neighbor_id"), rerank).as("__cand"))
+      .select(col("query_id"), explode(col("__cand")).as("neighbor_id"))
+
+    val scored = shortlist
+      .join(data.select(col(dataId).cast("long").as("neighbor_id"), col(dataVec).as("__dv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).as("__qv"))), "query_id")
+      .withColumn("cosine", vec_cosine(col("__dv"), col("__qv")))
+    rankTopK(scored, k)
   }
 
   /** Build + search in one call (gate/bench convenience). */

@@ -170,6 +170,37 @@ class SimilaritySpec extends SparkSpec {
     assert(viaDisk.nonEmpty && viaDisk.toSeq === direct.toSeq)
   }
 
+  test("searchIvfPq: probed-cell ADC + exact rerank; subset of brute with exact scores") {
+    val rng = new scala.util.Random(47)
+    val data = (0L until 400L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val q = df.filter($"vec_id" < 3L)
+    val ivf = Similarity.buildIvfIndex(df, "vec_id", "embedding",
+      Similarity.IvfConfig(nlist = 8, nprobe = 4))
+    val pq = Similarity.buildPqIndex(df, "vec_id", "embedding",
+      Similarity.PqConfig(m = 4, ksub = 32))
+    val got = Similarity.searchIvfPq(ivf, pq, df, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10, nprobe = 4, rerank = 60).collect()
+    assert(got.length === 30)
+    // rerank scores are EXACT cosine
+    got.foreach { r =>
+      val c = cosine(data(r.getLong(0).toInt)._2, data(r.getLong(1).toInt)._2)
+      assert(math.abs(c - r.getDouble(2)) < 1e-9)
+    }
+    // a query in the corpus probes its own cell -> self at rank 1
+    assert(got.filter(_.getLong(3) == 1L).forall(r => r.getLong(0) == r.getLong(1)))
+    // decent recall vs brute even through BOTH approximations
+    val brute = Similarity.bruteTopK(df, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+    val byQ = got.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+    val recall = brute.map { case (qid, truth) =>
+      byQ(qid).intersect(truth).size.toDouble / truth.size }.sum / brute.size
+    assert(recall >= 0.5, s"ivf-pq recall@10 = $recall")
+  }
+
   test("pq validation: bad m/ksub/rerank fail fast") {
     val df = (0L until 10L).map(i => (i, Seq.fill(8)(0.1f))).toDF("vec_id", "embedding")
       .withColumn("embedding", $"embedding".cast("array<float>"))
