@@ -126,9 +126,15 @@ object SparkEntry {
     // flavor (md5 rank — exactly replayable in DuckDB, so each is
     // hash-oracled); the RNG/xxhash flavors (stratifiedExact,
     // perGroupExactK, perGroupWeightedK) stay spec-covered in SamplerSpec
+    // rank key note: (l_orderkey, l_linenumber) is NOT unique in this
+    // synthetic lineitem — md5 ties there would let each engine keep a
+    // different tie member. The extended key below is verified unique at
+    // all three SFs, so the selection is fully determined
     "q14_sample_stratified" -> ((s, dir) =>
       Sampler.stratifiedExactByRank(t(s, dir, "lineitem"), "l_returnflag", 0.01,
-        Sampler.hexRank("42", col("l_orderkey"), col("l_linenumber")))),
+        Sampler.hexRank("42", col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate").cast("date")))),
     // custom TypedImperativeAggregate: k rows per group in one shuffle
     "q15_sample_per_group" -> ((s, dir) =>
       Sampler.perGroupExactKByRank(t(s, dir, "documents"), Seq("lang", "source"), k = 3,
@@ -1363,12 +1369,17 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
 
     // portable stratified sample: per-stratum floor(n*ratio) rows with the
-    // smallest md5 ranks — both windows share the stratum partitioning
+    // smallest md5 ranks — both windows share the stratum partitioning;
+    // the rank key is the verified-unique extended tuple (see query note)
     "q14_sample_stratified" ->
       """SELECT * FROM lineitem
         |QUALIFY row_number() OVER (PARTITION BY l_returnflag
-        |    ORDER BY md5('42:' || CAST(l_orderkey AS VARCHAR) || ':'
-        |                        || CAST(l_linenumber AS VARCHAR)))
+        |    ORDER BY md5('42:' || CAST(l_orderkey AS VARCHAR)
+        |      || ':' || CAST(l_linenumber AS VARCHAR)
+        |      || ':' || CAST(l_partkey AS VARCHAR)
+        |      || ':' || CAST(l_suppkey AS VARCHAR)
+        |      || ':' || l_returnflag || ':' || l_linestatus
+        |      || ':' || CAST(CAST(l_shipdate AS DATE) AS VARCHAR)))
         |  <= floor(count(*) OVER (PARTITION BY l_returnflag) * 0.01)""".stripMargin,
 
     // portable per-group exact-k: the engine's one-shuffle bottom-k sketch

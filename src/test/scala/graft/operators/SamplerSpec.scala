@@ -116,7 +116,13 @@ class SamplerSpec extends SparkSpec {
   }
 
   test("stratifiedExactByRank: per-stratum floor cardinality, md5-smallest rows win, layout-independent") {
-    val rank = Sampler.hexRank("42", $"l_orderkey", $"l_linenumber")
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem;
+    // a unique rank key keeps the selection fully determined (tied ranks
+    // would make the picked tie member layout-dependent)
+    def uniqueRank = Sampler.hexRank("42", col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate").cast("date"))
+    val rank = uniqueRank
     val got = Sampler.stratifiedExactByRank(li, "l_returnflag", 0.1, rank)
     val perStratum = li.groupBy($"l_returnflag").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -128,8 +134,7 @@ class SamplerSpec extends SparkSpec {
     assert(got.schema === li.schema)
     // selected = the per-stratum md5-smallest prefix, stable under repartition
     def keys(d: org.apache.spark.sql.DataFrame) =
-      Sampler.stratifiedExactByRank(d, "l_returnflag", 0.1,
-        Sampler.hexRank("42", col("l_orderkey"), col("l_linenumber")))
+      Sampler.stratifiedExactByRank(d, "l_returnflag", 0.1, uniqueRank)
         .select($"l_orderkey", $"l_linenumber").as[(Long, Long)].collect().sorted.toSeq
     assert(keys(li) === keys(li.repartition(13, $"l_partkey")))
   }
