@@ -377,13 +377,28 @@ object Similarity {
     val train = (if (frac < 1.0) base.sample(withReplacement = false, frac, cfg.seed) else base)
       .localCheckpoint()
 
-    val centroids: Array[Array[Array[Double]]] = (0 until cfg.m).map { j =>
-      val model = new KMeans().setK(cfg.ksub).setSeed(cfg.seed + j)
-        .setFeaturesCol("__features").setMaxIter(cfg.maxIter).setInitMode("random")
-        .fit(train.select(array_to_vector(
-          slice(col("__nv"), j * dsub + 1, dsub)).as("__features")))
-      model.clusterCenters.map(_.toArray)
-    }.toArray
+    // the m subspace fits are INDEPENDENT (disjoint columns of one
+    // materialized sample) — run them as concurrent Spark jobs from driver
+    // threads instead of serially: wall time ≈ one fit, not m fits. Each
+    // fit keeps its own deterministic seed, so the codebook is unchanged.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(cfg.m, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val centroids: Array[Array[Array[Double]]] =
+      try {
+        val fits = (0 until cfg.m).map { j =>
+          scala.concurrent.Future {
+            new KMeans().setK(cfg.ksub).setSeed(cfg.seed + j)
+              .setFeaturesCol("__features").setMaxIter(cfg.maxIter).setInitMode("random")
+              .fit(train.select(array_to_vector(
+                slice(col("__nv"), j * dsub + 1, dsub)).as("__features")))
+              .clusterCenters.map(_.toArray)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fits),
+          scala.concurrent.duration.Duration.Inf).toArray
+      } finally pool.shutdown()
     val codebook = PqCodebook(cfg.m, dsub, centroids)
     val bc = spark.sparkContext.broadcast(codebook)
 
