@@ -415,9 +415,8 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
         .withColumn("embedding", Similarity.l2normalized(col("embedding")))
       val q = e.filter(col("vec_id") < 5)
-      val ivf = Similarity.buildIvfIndex(e, "vec_id", "embedding",
-        Similarity.IvfConfig(nlist = 32, nprobe = 16))
-      val pq = Similarity.buildPqIndex(e, "vec_id", "embedding",
+      val (ivf, pq) = Similarity.buildIvfPq(e, "vec_id", "embedding",
+        Similarity.IvfConfig(nlist = 32, nprobe = 16),
         Similarity.PqConfig(m = 8, ksub = 32))
       val approx = Similarity.searchIvfPq(ivf, pq, e, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 10, nprobe = 16, rerank = 300)

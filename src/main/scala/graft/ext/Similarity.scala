@@ -513,6 +513,30 @@ object Similarity {
   }
 
   /**
+   * Build the IVF and PQ artifacts CONCURRENTLY — the two builds are
+   * independent (separate fits, separate corpus passes), so running them
+   * as parallel driver-thread job groups makes the combined build cost
+   * ~max(ivf, pq) instead of their sum. For cosine retrieval pass data
+   * whose vector column is already [[l2normalized]] (PQ normalizes
+   * internally either way; IVF cells must match the query-probe metric).
+   */
+  def buildIvfPq(
+      data: DataFrame, dataId: String, dataVec: String,
+      ivfCfg: IvfConfig = IvfConfig(),
+      pqCfg: PqConfig = PqConfig()): (IvfIndex, PqIndex) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fIvf = scala.concurrent.Future(buildIvfIndex(data, dataId, dataVec, ivfCfg))
+      val fPq = scala.concurrent.Future(buildPqIndex(data, dataId, dataVec, pqCfg))
+      val ivf = scala.concurrent.Await.result(fIvf, scala.concurrent.duration.Duration.Inf)
+      val pq = scala.concurrent.Await.result(fPq, scala.concurrent.duration.Duration.Inf)
+      (ivf, pq)
+    } finally pool.shutdown()
+  }
+
+  /**
    * IVF-PQ search — the composed FAISS-canonical 100 TB architecture:
    * the coarse quantizer routes each query to `nprobe` cells, ONLY those
    * cells' m-byte codes are ADC-scored (per-query scan work =

@@ -176,9 +176,10 @@ class SimilaritySpec extends SparkSpec {
     val df = data.toDF("vec_id", "embedding")
       .withColumn("embedding", $"embedding".cast("array<float>"))
     val q = df.filter($"vec_id" < 3L)
-    val ivf = Similarity.buildIvfIndex(df, "vec_id", "embedding",
-      Similarity.IvfConfig(nlist = 8, nprobe = 4))
-    val pq = Similarity.buildPqIndex(df, "vec_id", "embedding",
+    // the combined builder runs both fits concurrently; results must be
+    // identical to sequential builds (deterministic seeds per component)
+    val (ivf, pq) = Similarity.buildIvfPq(df, "vec_id", "embedding",
+      Similarity.IvfConfig(nlist = 8, nprobe = 4),
       Similarity.PqConfig(m = 4, ksub = 32))
     val got = Similarity.searchIvfPq(ivf, pq, df, "vec_id", "embedding",
       q, "vec_id", "embedding", k = 10, nprobe = 4, rerank = 60).collect()
