@@ -286,9 +286,52 @@ object Similarity {
       maxIter: Int = 10)
 
   /** Per-subspace codebook: `centroids(j)(c)` is the c-th centroid of
-    * subspace j (length dim/m). Driver-small: m * ksub * dsub doubles. */
+    * subspace j (length dim/m). Driver-small: m * ksub * dsub doubles.
+    * Subspace centroid COUNTS may differ (KMeans can return fewer than k
+    * centers on degenerate subspaces, e.g. constant dims), so ADC lookup
+    * tables are ragged per subspace — never sized off subspace 0. */
   final case class PqCodebook(m: Int, dsub: Int, centroids: Array[Array[Array[Double]]])
-    extends Serializable
+    extends Serializable {
+
+    /** Ragged ADC lookup table for one (normalized) query vector:
+      * `lut(j)(c)` = exact squared L2 distance from the query's j-th
+      * subvector to centroid c of subspace j. */
+    def adcLut(qv: Seq[Float]): Array[Array[Double]] = {
+      val lut = new Array[Array[Double]](m)
+      var j = 0
+      while (j < m) {
+        val cents = centroids(j)
+        val row = new Array[Double](cents.length)
+        var c = 0
+        while (c < cents.length) {
+          val cent = cents(c)
+          var d = 0.0; var p = 0
+          while (p < dsub) {
+            val diff = qv(j * dsub + p) - cent(p)
+            d += diff * diff
+            p += 1
+          }
+          row(c) = d
+          c += 1
+        }
+        lut(j) = row
+        j += 1
+      }
+      lut
+    }
+
+    /** Approximate distance of an encoded row: m ragged-table lookups.
+      * Codes were produced by argmin over the SAME centroids, so
+      * `code(j) < lut(j).length` always holds. */
+    def adcDistance(lut: Array[Array[Double]], code: Array[Byte]): Double = {
+      var d = 0.0; var j = 0
+      while (j < m) {
+        d += lut(j)(code(j) & 0xff)
+        j += 1
+      }
+      d
+    }
+  }
 
   /**
    * A built PQ index: the corpus compressed to m-byte codes plus the tiny
@@ -464,37 +507,10 @@ object Similarity {
 
     val adc = index.codes.as[(Long, Array[Byte])].mapPartitions { it =>
       val cb = bcCb.value
-      // one LUT per query per partition: luts(q)(j * ksub + c)
-      val ksub = cb.centroids(0).length
-      val luts = bcQ.value.map { case (qid, qv) =>
-        val lut = new Array[Double](cb.m * ksub)
-        var j = 0
-        while (j < cb.m) {
-          var c = 0
-          while (c < ksub) {
-            val cent = cb.centroids(j)(c)
-            var d = 0.0; var p = 0
-            while (p < cb.dsub) {
-              val diff = qv(j * cb.dsub + p) - cent(p)
-              d += diff * diff
-              p += 1
-            }
-            lut(j * ksub + c) = d
-            c += 1
-          }
-          j += 1
-        }
-        (qid, lut)
-      }
+      // one ragged LUT per query per partition (see PqCodebook.adcLut)
+      val luts = bcQ.value.map { case (qid, qv) => (qid, cb.adcLut(qv)) }
       it.flatMap { case (nid, code) =>
-        luts.iterator.map { case (qid, lut) =>
-          var d = 0.0; var j = 0
-          while (j < cb.m) {
-            d += lut(j * ksub + (code(j) & 0xff))
-            j += 1
-          }
-          (qid, nid, d)
-        }
+        luts.iterator.map { case (qid, lut) => (qid, nid, cb.adcDistance(lut, code)) }
       }
     }.toDF("query_id", "neighbor_id", "adist")
 
@@ -573,37 +589,11 @@ object Similarity {
 
     val adc = cand.as[(Long, Long, Array[Byte])].mapPartitions { it =>
       val cb = bcCb.value
-      val ksub = cb.centroids(0).length
-      val luts = scala.collection.mutable.HashMap.empty[Long, Array[Double]]
-      def lutFor(qid: Long): Array[Double] = luts.getOrElseUpdate(qid, {
-        val qv = bcQ.value(qid)
-        val lut = new Array[Double](cb.m * ksub)
-        var j = 0
-        while (j < cb.m) {
-          var c = 0
-          while (c < ksub) {
-            val cent = cb.centroids(j)(c)
-            var d = 0.0; var p = 0
-            while (p < cb.dsub) {
-              val diff = qv(j * cb.dsub + p) - cent(p)
-              d += diff * diff
-              p += 1
-            }
-            lut(j * ksub + c) = d
-            c += 1
-          }
-          j += 1
-        }
-        lut
-      })
+      // LUTs built lazily per qid (rows arrive keyed, not query-batched)
+      val luts = scala.collection.mutable.HashMap.empty[Long, Array[Array[Double]]]
       it.map { case (qid, nid, code) =>
-        val lut = lutFor(qid)
-        var d = 0.0; var j = 0
-        while (j < cb.m) {
-          d += lut(j * ksub + (code(j) & 0xff))
-          j += 1
-        }
-        (qid, nid, d)
+        val lut = luts.getOrElseUpdate(qid, cb.adcLut(bcQ.value(qid)))
+        (qid, nid, cb.adcDistance(lut, code))
       }
     }.toDF("query_id", "neighbor_id", "adist")
 

@@ -127,11 +127,19 @@ object ParquetIO {
       val root = new Path(p)
       val fs = root.getFileSystem(conf)
       val status = fs.getFileStatus(root)
-      if (status.isDirectory)
-        fs.listStatus(root).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString)
-      else Seq(status.getPath.toString)
+      if (status.isDirectory) {
+        // RECURSIVE listing: drift most often hides inside hive-partition
+        // subdirectories (lang=en/...), which a flat listStatus would
+        // silently skip — the audit must see every file
+        val out = Seq.newBuilder[String]
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+            out += f.getPath.toString
+        }
+        out.result()
+      } else Seq(status.getPath.toString)
     }
     require(files.nonEmpty, s"no parquet files under ${paths.mkString(", ")}")
     val bc = org.apache.spark.sql.graft.HadoopConfBridge.broadcastConf(spark)

@@ -71,18 +71,22 @@ object Ingest {
     require(keyCols.nonEmpty, "keyCols must not be empty")
     // distinct side-local column names (not df("col") references): the two
     // sides often derive from the SAME Dataset (version snapshots of one
-    // table), which trips Spark's ambiguous-self-join analysis otherwise
+    // table), which trips Spark's ambiguous-self-join analysis otherwise.
+    // Key presence is tracked with explicit marker columns — inferring it
+    // from fingerprint nullness would misclassify a matched key whose
+    // fingerprint expression evaluates to NULL (e.g. md5 of a NULL text)
+    // as added/removed.
     val o = oldDf.select(keyCols.map(k => col(k).as(s"__graft_ok_$k")) :+
-      fingerprint.as("__graft_fp_old"): _*)
+      fingerprint.as("__graft_fp_old") :+ lit(true).as("__graft_in_old"): _*)
     val n = newDf.select(keyCols.map(k => col(k).as(s"__graft_nk_$k")) :+
-      fingerprint.as("__graft_fp_new"): _*)
+      fingerprint.as("__graft_fp_new") :+ lit(true).as("__graft_in_new"): _*)
     val cond = keyCols.map(k => col(s"__graft_ok_$k") <=> col(s"__graft_nk_$k")).reduce(_ && _)
     val joined = o.join(n, cond, "full_outer")
     joined.select(
       keyCols.map(k => coalesce(col(s"__graft_ok_$k"), col(s"__graft_nk_$k")).as(k)) :+
-        when(col("__graft_fp_old").isNull, lit("added"))
-          .when(col("__graft_fp_new").isNull, lit("removed"))
-          .when(col("__graft_fp_old") === col("__graft_fp_new"), lit("unchanged"))
+        when(col("__graft_in_old").isNull, lit("added"))
+          .when(col("__graft_in_new").isNull, lit("removed"))
+          .when(col("__graft_fp_old") <=> col("__graft_fp_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"): _*)
   }
 }

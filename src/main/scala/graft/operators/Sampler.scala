@@ -229,9 +229,16 @@ object Sampler {
    * `md5('seed:' || k1 || ':' || k2)`. Pair with [[exactNByHexRank]],
    * [[stratifiedExactByRank]], [[perGroupExactKByRank]] or
    * [[perGroupWeightedKByRank]].
+   *
+   * NULL-propagating, matching SQL `||`: a NULL key component yields a
+   * NULL rank (a `concat_ws` would silently SKIP the component, colliding
+   * distinct keys like (1, NULL) and (1)). Rows with a NULL rank are
+   * excluded by the sketch selections (like SQL aggregates ignoring
+   * NULLs); use non-null key columns for exact cross-engine replay.
    */
   def hexRank(seed: String, keys: Column*): Column =
-    md5(concat_ws(":", (lit(seed) +: keys.map(_.cast("string"))): _*).cast("binary"))
+    md5(keys.foldLeft(lit(seed): Column)((acc, k) =>
+      concat(acc, lit(":"), k.cast("string"))).cast("binary"))
 
   /**
    * Exact-count stratified sample selected by a deterministic portable

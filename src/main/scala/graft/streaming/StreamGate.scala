@@ -152,7 +152,7 @@ object StreamGate {
       .parquet(dir.toString)
     val ranked = docs.groupBy(col("lang"), col("source"))
       .agg(graft.functions.bottom_k_by_rank(
-        md5(concat_ws(":", lit("42"), col("doc_id").cast("string")).cast("binary")),
+        graft.operators.Sampler.hexRank("42", col("doc_id")),
         col("doc_id"), 3).as("__ids"))
     val out = ranked.select(col("lang"), col("source"), explode(col("__ids")).as("doc_id"))
     runToTable(out, "stream_topk", "complete")

@@ -175,8 +175,10 @@ case class BloomMightContain(filterBytes: Array[Byte], child: Expression)
       java.util.Arrays.equals(filterBytes, b.filterBytes) && child == b.child
     case _ => false
   }
-  override def hashCode(): Int =
-    31 * java.util.Arrays.hashCode(filterBytes) + child.hashCode()
+  // hashCode is hit repeatedly during analysis (ExpressionSet, attribute
+  // maps) and the filter can be hundreds of MB — hash the bytes ONCE
+  @transient private lazy val filterBytesHash = java.util.Arrays.hashCode(filterBytes)
+  override def hashCode(): Int = 31 * filterBytesHash + child.hashCode()
 
   override def nullSafeEval(v: Any): Any = parsed.mightContain(v.asInstanceOf[Long])
 

@@ -318,6 +318,12 @@ final class RankedBottomKBuffer(val k: Int, ord: Ordering[Any]) {
  * per-group sample replayable in standard SQL
  * (`QUALIFY row_number() OVER (PARTITION BY g ORDER BY md5(...)) <= k`),
  * which is what lets the driver hash-oracle per-group/weighted sampling.
+ *
+ * NULL semantics: rows whose rank (or payload) evaluates to NULL are
+ * EXCLUDED, like SQL aggregates ignoring NULL inputs — note a window
+ * `ORDER BY rank` formulation differs there (Spark ASC puts NULLS FIRST,
+ * DuckDB NULLS LAST); for exact cross-engine replay use a non-null rank
+ * or filter NULLs explicitly on both sides.
  * Same scale properties: one shuffle (partial sketches merge map-side),
  * O(k) memory per group, partition-layout-independent. It is also a
  * general top-k-per-group operator that avoids a per-group window sort.

@@ -70,6 +70,18 @@ class IngestSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(diff.filter($"doc_id" === 5 && $"status" === "changed").count() === 1)
   }
 
+  test("snapshotDiff: NULL fingerprints do not masquerade as added/removed") {
+    // key 1: NULL -> 'x' (changed); key 2: NULL -> NULL (unchanged);
+    // key 3 only in old (removed) — presence must come from the key sides,
+    // never from fingerprint nullness
+    val oldV = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Some("z"))).toDF("k", "v")
+    val newV = Seq((1L, Some("x")), (2L, Option.empty[String])).toDF("k", "v")
+    val diff = Ingest.snapshotDiff(oldV, newV, Seq("k"), md5($"v".cast("binary")))
+      .as[(Long, String)].collect().toMap
+    assert(diff === Map(1L -> "changed", 2L -> "unchanged", 3L -> "removed"))
+  }
+
   test("snapshotDiff: NULL keys pair up null-safely instead of double-counting") {
     val oldV = Seq((Some(1L), "a"), (None, "b")).toDF("k", "v")
     val newV = Seq((Some(1L), "a"), (None, "b2")).toDF("k", "v")

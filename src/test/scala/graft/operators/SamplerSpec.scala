@@ -139,6 +139,20 @@ class SamplerSpec extends SparkSpec {
     assert(keys(li) === keys(li.repartition(13, $"l_partkey")))
   }
 
+  test("hexRank: NULL key components null-propagate (no silent collisions) and match SQL ||") {
+    val df = Seq((Some(1L), Some(2L)), (Some(1L), None), (None, Some(2L)))
+      .toDF("a", "b")
+      .select(Sampler.hexRank("s", col("a"), col("b")).as("r"),
+        md5(concat(lit("s"), lit(":"), col("a").cast("string"),
+          lit(":"), col("b").cast("string")).cast("binary")).as("want"))
+      .collect()
+    df.foreach(r => assert(r.isNullAt(0) === r.isNullAt(1)))
+    // non-null row equals the plain concat form; NULL-key rows yield NULL
+    // rank instead of colliding with shorter keys (concat_ws would skip)
+    assert(df.count(_.isNullAt(0)) === 2)
+    assert(df.filter(r => !r.isNullAt(0)).forall(r => r.getString(0) == r.getString(1)))
+  }
+
   test("stratified (Bernoulli): only listed strata survive; seeded") {
     val s1 = Sampler.stratified(li, "l_returnflag", Map[Any, Double]("A" -> 0.2, "R" -> 0.1), 5L)
     assert(s1.select($"l_returnflag").distinct().as[String].collect().toSet.subsetOf(Set("A", "R")))
