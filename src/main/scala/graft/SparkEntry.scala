@@ -1148,6 +1148,24 @@ object SparkEntry {
     "q126_bpe_merges" -> ((s, dir) =>
       CorpusFilters.bpeMergeTable(
         t(s, dir, "documents"), "text", numMerges = 8, trainFraction = 0.2)),
+    // the tokenizer's OTHER half: apply the trained merge table to the
+    // full corpus. Token ids are merge-table-dependent (no SQL oracle) —
+    // the EXPORTED contract is the roundtrip: tokens concatenate back to
+    // exactly the lowercased whitespace-normalized text, pinned TRUE per
+    // doc, plus the compression bound tokens <= chars (hand-computed
+    // token sequences live in the spec)
+    "q136_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = CorpusFilters.bpeMerges(docs, "text", numMerges = 8, trainFraction = 0.2)
+        .map { case (_, l, r, _) => (l, r) }
+      val enc = CorpusFilters.bpeEncode(docs, "doc_id", "text", merges)
+      enc.join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          (concat_ws("", col("bpe_tokens")) ===
+            concat_ws("", graft.ext.Dedup.tokens(col("text")))).as("roundtrip_ok"),
+          (col("n_bpe_tokens") <= length(regexp_replace(lower(trim(col("text"))), "\\s+", "")))
+            .as("compresses_ok"))
+    }),
     // equi-depth histogram (quantile bucketing) of prices: NTILE semantics
     // over a fully tie-broken order, computed via GlobalRank's distributed
     // range-sort (no single-partition window), exact decimal per-bucket sums
@@ -2324,6 +2342,12 @@ object SparkEntry {
     "q135_knn_ivfpq" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // BPE apply contract: every doc must reconstruct exactly and never
+    // grow past its non-space character count
+    "q136_bpe_encode" ->
+      """SELECT doc_id, true AS roundtrip_ok, true AS compresses_ok
+        |FROM documents""".stripMargin,
 
     // closed-form drift expectation (the q127 pattern): the fixture's two
     // generations are fully specified, so the report — column-add drift

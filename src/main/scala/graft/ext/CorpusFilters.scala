@@ -287,6 +287,69 @@ object CorpusFilters {
     merges.toSeq
   }
 
+  /**
+   * Apply a learned merge table to the corpus — the OTHER half of the
+   * tokenizer ([[bpeMerges]] trains it): each word splits to single-char
+   * symbols, then the lowest-RANK merge present in the word is applied to
+   * all its non-overlapping occurrences left-to-right, repeatedly, until
+   * no mergeable pair remains (the canonical BPE apply; matches what the
+   * greedy trainer would have produced on the training corpus).
+   *
+   * Scale shape: the merge table is driver-small (k rows) and broadcasts;
+   * encoding is ONE distributed `mapPartitions` pass with plain JVM loops
+   * per word (per-element imperative symbol merging — the documented
+   * mapPartitions case); nothing shuffles. Output: one row per input row
+   * with the token array and its length. Tokens concatenate back to the
+   * lowercased whitespace-joined words by construction (merges only fuse
+   * adjacent symbols), which the gate pins as a roundtrip contract.
+   */
+  def bpeEncode(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
+    df.select(col(idCol).cast("long").as("__id"),
+        Dedup.tokens(col(textCol)).as("__toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val ranks: Map[(String, String), Int] = ms.zipWithIndex.toMap
+        def encodeWord(w: String): Seq[String] = {
+          var syms = w.map(_.toString).toBuffer
+          var done = syms.length < 2 || ranks.isEmpty
+          while (!done) {
+            // lowest-rank pair present in the word
+            var best = Int.MaxValue
+            var i = 0
+            while (i < syms.length - 1) {
+              val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+              if (r < best) best = r
+              i += 1
+            }
+            if (best == Int.MaxValue) done = true
+            else {
+              val (l, r) = ms(best)
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                  out += (l + r); j += 2 // non-overlapping, left-to-right
+                } else { out += syms(j); j += 1 }
+              }
+              syms = out
+            }
+          }
+          syms.toSeq
+        }
+        it.map { case (id, toks) =>
+          val encoded = toks.filter(_.nonEmpty).flatMap(encodeWord)
+          (id, encoded, encoded.length.toLong)
+        }
+      }.toDF("__id", "bpe_tokens", "n_bpe_tokens")
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** [[bpeMerges]] as a DataFrame (rank, left, right, freq) for the gate. */
   def bpeMergeTable(
       df: DataFrame, textCol: String, numMerges: Int,

@@ -329,6 +329,41 @@ class CorpusFiltersSpec extends SparkSpec {
     }
   }
 
+  test("bpeEncode: hand-computed tokenizations — rank priority, non-overlap, roundtrip, unknown chars") {
+    // merge table trained on "aa ab aa": rank1 (a,a), rank2 (a,b)
+    val docs = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
+    val merges = CorpusFilters.bpeMerges(docs, "text", 5).map { case (_, l, r, _) => (l, r) }
+    assert(merges === Seq(("a", "a"), ("a", "b")))
+
+    val corpus = Seq(
+      (1L, "aa ab"),    // [aa] [ab]
+      (2L, "aaa"),      // (a,a) left-to-right non-overlap -> [aa, a]; (aa,a) not in table
+      (3L, "aab"),      // rank1 first: [aa, b] — NOT [a, ab] (rank2 would lose)
+      (4L, "ba xyz"),   // b,a is not a merge; unknown chars stay single
+      (5L, "AA  ab ")   // lowercasing + whitespace normalization upstream
+    ).toDF("doc_id", "text")
+    val enc = CorpusFilters.bpeEncode(corpus, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(enc(1L) === Seq("aa", "ab"))
+    assert(enc(2L) === Seq("aa", "a"))
+    assert(enc(3L) === Seq("aa", "b"))
+    assert(enc(4L) === Seq("b", "a", "x", "y", "z"))
+    assert(enc(5L) === Seq("aa", "ab"))
+    // empty merge table = character tokenizer
+    val chars = CorpusFilters.bpeEncode(corpus.filter($"doc_id" === 1L), "doc_id", "text", Nil)
+      .head().getSeq[String](1)
+    assert(chars === Seq("a", "a", "a", "b"))
+    // roundtrip on real docs: concatenated tokens == normalized text
+    val real = spark.read.parquet(s"$sf0001/documents.parquet")
+    val realMerges = CorpusFilters.bpeMerges(real, "text", 8, trainFraction = 0.2)
+      .map { case (_, l, r, _) => (l, r) }
+    val rt = CorpusFilters.bpeEncode(real, "doc_id", "text", realMerges)
+      .join(real, "doc_id")
+      .select((concat_ws("", $"bpe_tokens") ===
+        concat_ws("", graft.ext.Dedup.tokens($"text"))).as("ok"))
+    assert(rt.filter(!$"ok").count() === 0)
+  }
+
   test("bpeMerges training cap: auto mode trains full on small corpora; sampling is deterministic") {
     val docs = Seq((1L, "aa ab aa")).toDF("doc_id", "text")
     // auto mode: n <= maxTrainRows -> full corpus, identical to explicit 1.0
