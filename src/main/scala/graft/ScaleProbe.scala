@@ -351,6 +351,14 @@ object ScaleProbe {
           e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, ext.Similarity.PqConfig(m = 8, ksub = 32), rerank = 100).count()
       }
+      // r5: tokenizer apply — broadcast merge table, one shuffle-free pass
+      timed("bpe_encode", k) {
+        val d = read("documents", k)
+        val merges = ext.CorpusFilters.bpeMerges(d, "text", numMerges = 8,
+          trainFraction = 0.2)
+          .map { case (_, l, r, _) => (l, r) }
+        ext.CorpusFilters.bpeEncode(d, "doc_id", "text", merges).count()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")
