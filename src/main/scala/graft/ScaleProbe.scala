@@ -352,12 +352,16 @@ object ScaleProbe {
           k = 10, ext.Similarity.PqConfig(m = 8, ksub = 32), rerank = 100).count()
       }
       // r5: tokenizer apply — broadcast merge table, one shuffle-free pass
-      timed("bpe_encode", k) {
+      // (training runs OUTSIDE the timed block: the probe characterizes
+      // the encode pass, not the 8-round trainer)
+      locally {
         val d = read("documents", k)
         val merges = ext.CorpusFilters.bpeMerges(d, "text", numMerges = 8,
           trainFraction = 0.2)
           .map { case (_, l, r, _) => (l, r) }
-        ext.CorpusFilters.bpeEncode(d, "doc_id", "text", merges).count()
+        timed("bpe_encode", k) {
+          ext.CorpusFilters.bpeEncode(d, "doc_id", "text", merges).count()
+        }
       }
     }
 

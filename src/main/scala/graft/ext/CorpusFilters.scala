@@ -310,13 +310,32 @@ object CorpusFilters {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
     df.select(col(idCol).cast("long").as("__id"),
-        Dedup.tokens(col(textCol)).as("__toks"))
-      .as[(Long, Seq[String])]
+        coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>")).as("__toks"))
+      .as[(Option[Long], Seq[String])]
       .mapPartitions { it =>
         val ms = bc.value
-        val ranks: Map[(String, String), Int] = ms.zipWithIndex.toMap
+        // FIRST occurrence wins for duplicated pairs (lowest-rank priority;
+        // zipWithIndex.toMap would silently keep the last)
+        val ranks = {
+          val m = scala.collection.mutable.HashMap.empty[(String, String), Int]
+          ms.zipWithIndex.foreach { case (p, i) => if (!m.contains(p)) m(p) = i }
+          m
+        }
         def encodeWord(w: String): Seq[String] = {
-          var syms = w.map(_.toString).toBuffer
+          // split by CODE POINTS, matching the trainer's `(?!^)` regex split
+          // (and Spark length()'s char counting) — UTF-16 code-unit
+          // splitting would halve non-BMP characters into surrogate symbols
+          // the trainer never saw
+          var syms = {
+            val b = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < w.length) {
+              val cp = w.codePointAt(i)
+              b += new String(Character.toChars(cp))
+              i += Character.charCount(cp)
+            }
+            b
+          }
           var done = syms.length < 2 || ranks.isEmpty
           while (!done) {
             // lowest-rank pair present in the word

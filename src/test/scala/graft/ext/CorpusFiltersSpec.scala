@@ -353,6 +353,20 @@ class CorpusFiltersSpec extends SparkSpec {
     val chars = CorpusFilters.bpeEncode(corpus.filter($"doc_id" === 1L), "doc_id", "text", Nil)
       .head().getSeq[String](1)
     assert(chars === Seq("a", "a", "a", "b"))
+    // non-BMP chars split by CODE POINT (like the trainer), never into
+    // surrogate halves; NULL text encodes to zero tokens instead of NPE
+    val tricky = Seq((1L, Some("😀a")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val te = CorpusFilters.bpeEncode(tricky, "doc_id", "text", Nil)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(te(1L) === Seq("😀", "a"))
+    assert(te(2L) === Seq.empty)
+    // duplicated pair in a caller-supplied table: FIRST rank wins
+    val dup = CorpusFilters.bpeEncode(
+      Seq((1L, "abcd")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq(("a", "b"), ("c", "d"), ("a", "b")))
+      .head().getSeq[String](1)
+    assert(dup === Seq("ab", "cd"))
     // roundtrip on real docs: concatenated tokens == normalized text
     val real = spark.read.parquet(s"$sf0001/documents.parquet")
     val realMerges = CorpusFilters.bpeMerges(real, "text", 8, trainFraction = 0.2)
