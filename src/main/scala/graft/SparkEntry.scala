@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{CorpusFilters, Dedup, Multimodal, QualityModel, Similarity, TextStats}
+import graft.ext.{CorpusFilters, CorpusRewrite, Dedup, Multimodal, QualityModel, Similarity, TextStats}
 import graft.operators.{FuzzyJoin, Ingest, Profiler, Sampler, SemiJoinReducer}
 import graft.streaming.StreamGate
 
@@ -1218,6 +1218,22 @@ object SparkEntry {
       QualityModel.score(labeled, "text", model)
         .select(col("doc_id"), col("label"), col("quality_prob"))
     }),
+    // corpus REWRITE family (CorpusRewrite): the corpus comes back with its
+    // text rewritten, not just scored. C4-style corpus-level segment dedup —
+    // every distinct 3-word segment keeps only its first (doc_id, seg)
+    // occurrence anywhere in the corpus. First-occurrence is a min-struct
+    // hash agg, NOT a per-segment window (no skew funnel; PlanSpec sweep)
+    "q137_corpus_segment_dedup" -> ((s, dir) =>
+      CorpusRewrite.dedupSegmentsCorpus(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+    // within-document repetition removal: repeated 2-word segments inside a
+    // doc keep their lowest-position occurrence; other docs are untouched
+    "q138_intradoc_segment_dedup" -> ((s, dir) =>
+      CorpusRewrite.dedupSegmentsWithinDoc(t(s, dir, "documents"), "doc_id", "text", k = 2)),
+    // boilerplate strip: 2-word segments present in >5% of all documents
+    // (nav-bar/footer analog) are removed from every document
+    "q139_boilerplate_strip" -> ((s, dir) =>
+      CorpusRewrite.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+        k = 2, maxDocFrac = 0.05)),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -1345,6 +1361,23 @@ object SparkEntry {
       |  COALESCE(h.n, 0) > 0 AS contaminated
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0 AND length(trim(text)) > 0) d
       |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin
+
+  /** Shared k-word segment CTE for the CorpusRewrite oracles: DuckDB
+    * positions are 1-based, the engine's posexplode is 0-based, hence the
+    * `(pos - 1) // k`. Reassembly is `string_agg ORDER BY seg` — fine in an
+    * oracle (DuckDB on sf tables), banned in the engine (see CorpusRewrite
+    * scaladoc for the min-struct plan). */
+  private def segmentCte(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents WHERE length(trim(text)) > 0
+       |), w AS (
+       |  SELECT doc_id, unnest(t) AS word, unnest(generate_series(1, len(t))) AS pos FROM toks
+       |), segs AS (
+       |  SELECT doc_id, CAST((pos - 1) // $k AS BIGINT) AS seg,
+       |         string_agg(word, ' ' ORDER BY pos) AS segtext
+       |  FROM w GROUP BY 1, 2
+       |)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(queryPairs: _*)
 
@@ -2348,6 +2381,32 @@ object SparkEntry {
     "q136_bpe_encode" ->
       """SELECT doc_id, true AS roundtrip_ok, true AS compresses_ok
         |FROM documents""".stripMargin,
+
+    // corpus rewrite family: the oracle may use the per-segment window the
+    // engine deliberately avoids (DuckDB at sf scale vs 100 TB plans)
+    "q137_corpus_segment_dedup" ->
+      (segmentCte(3) +
+        """, kept AS (
+          |  SELECT doc_id, seg, segtext,
+          |         row_number() OVER (PARTITION BY segtext ORDER BY doc_id, seg) AS rn
+          |  FROM segs)
+          |SELECT doc_id, string_agg(segtext, ' ' ORDER BY seg) AS text
+          |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin),
+    "q138_intradoc_segment_dedup" ->
+      (segmentCte(2) +
+        """, kept AS (
+          |  SELECT doc_id, segtext, min(seg) AS seg FROM segs GROUP BY 1, 2)
+          |SELECT doc_id, string_agg(segtext, ' ' ORDER BY seg) AS text
+          |FROM kept GROUP BY doc_id""".stripMargin),
+    "q139_boilerplate_strip" ->
+      (segmentCte(2) +
+        """, freq AS (SELECT segtext, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1
+          |), tot AS (SELECT count(*) AS n FROM documents
+          |), kept AS (
+          |  SELECT s.doc_id, s.seg, s.segtext FROM segs s JOIN freq USING (segtext), tot
+          |  WHERE df <= n * 0.05)
+          |SELECT doc_id, string_agg(segtext, ' ' ORDER BY seg) AS text
+          |FROM kept GROUP BY doc_id""".stripMargin),
 
     // closed-form drift expectation (the q127 pattern): the fixture's two
     // generations are fully specified, so the report — column-add drift

@@ -207,6 +207,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("corpus rewrite: first-occurrence dedup is a min-struct agg — no window, no join") {
+    // a per-segtext window would funnel a million-doc boilerplate segment
+    // through one task; the shipped plan must stay pure hash-agg
+    val plan = SparkEntry.queries("q137_corpus_segment_dedup")(spark, sf0001)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"), "corpus dedup must not use a window\n" + plan)
+    assert(!plan.contains("Join"), "corpus dedup must not join\n" + plan)
+  }
+
+  test("boilerplate strip: the removal set broadcasts (no sort-merge anti join)") {
+    val plan = SparkEntry.queries("q139_boilerplate_strip")(spark, sf0001)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "expected broadcast anti join for the boilerplate set\n" + plan)
+    assert(!plan.contains("SortMergeJoin"), "the corpus must never sort-merge\n" + plan)
+  }
+
   test("bloom decontamination scores with NO join and NO shuffle: pure scan projection") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val scored = graft.ext.CorpusFilters.bloomDecontaminate(
