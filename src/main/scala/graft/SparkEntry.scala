@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{CorpusFilters, CorpusRewrite, Dedup, Multimodal, QualityModel, Similarity, TextStats}
+import graft.ext.{CorpusFilters, CorpusRewrite, Dedup, Multimodal, QualityModel, Similarity, TextStats, VectorOps}
 import graft.operators.{FuzzyJoin, Ingest, Profiler, Sampler, SemiJoinReducer}
 import graft.streaming.StreamGate
 
@@ -1234,6 +1234,52 @@ object SparkEntry {
     "q139_boilerplate_strip" -> ((s, dir) =>
       CorpusRewrite.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text",
         k = 2, maxDocFrac = 0.05)),
+    // int8 scalar quantization ANN (4x memory cut, byte codes + on-the-fly
+    // dequant + exact rerank), exported as the q133 recall contract:
+    // recall@10 vs exact brute must clear 0.5 per query
+    "q140_knn_sq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val sq = VectorOps.sqTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 10, rerank = 100)
+      val brute = Similarity.bruteTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      val hits = sq.join(brute.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"))
+    }),
+    // seeded ±1 random projection (JL dimensionality reduction) — the sign
+    // matrix is a pure function of the seed, so the oracle replays the
+    // exact doubles with the same literal rows (q50's bit-exact discipline)
+    "q141_random_projection" -> ((s, dir) =>
+      VectorOps.randomProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, outDim = 8, seed = 7L)),
+    // MMR diversified rerank over a bounded pool, exported as an
+    // engine-replayable contract: exactly k picks per query, the first pick
+    // is the plain cosine top-1, and every pick comes from the pool
+    "q142_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val mmr = VectorOps.mmrRerank(e, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 10, poolSize = 50, lambda = 0.7)
+      val pool = Similarity.bruteTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 50)
+      val outOfPool = mmr.join(pool.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__out"))
+      val top1 = pool.filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("__t1"))
+      mmr.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__n"),
+          max(when(col("rank") === 1, col("neighbor_id"))).as("__first"))
+        .join(top1, Seq("query_id"))
+        .join(outOfPool, Seq("query_id"), "left")
+        .select(col("query_id"), (col("__n") === 10L).as("k_ok"),
+          (col("__first") === col("__t1")).as("first_is_top1"),
+          col("__out").isNull.as("subset_ok"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2407,6 +2453,27 @@ object SparkEntry {
           |  WHERE df <= n * 0.05)
           |SELECT doc_id, string_agg(segtext, ' ' ORDER BY seg) AS text
           |FROM kept GROUP BY doc_id""".stripMargin),
+
+    // SQ recall contract (q133 pattern): pinned TRUE, so a bounds/dequant/
+    // rerank regression fails the hash compare
+    "q140_knn_sq" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    // exact replay of the seeded ±1 projection: same sign rows as literals,
+    // same left-to-right double accumulation, same sqrt(8) scale
+    "q141_random_projection" -> {
+      val rows = (0 until 8).map { j =>
+        val signs = graft.ext.VectorOps.signRow(7L, j, 64)
+          .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        s"list_dot_product(embedding::DOUBLE[], $signs) / sqrt(8) AS proj_$j"
+      }
+      s"SELECT vec_id,\n  ${rows.mkString(",\n  ")}\nFROM embeddings"
+    },
+    // MMR contract: k picks, relevance-first start, pool-closed selection
+    "q142_mmr_rerank" ->
+      """SELECT vec_id AS query_id, true AS k_ok, true AS first_is_top1,
+        |  true AS subset_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
 
     // closed-form drift expectation (the q127 pattern): the fixture's two
     // generations are fully specified, so the report — column-add drift

@@ -619,7 +619,7 @@ object Similarity {
     searchPq(buildPqIndex(data, dataId, dataVec, cfg),
       data, dataId, dataVec, queries, queryId, queryVec, k, rerank)
 
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[ext] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored

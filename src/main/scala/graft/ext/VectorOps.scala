@@ -1,0 +1,220 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+import graft.functions.vec_cosine
+
+/**
+ * Embedding utility operators beyond ANN search (extension surface; the
+ * reference has no vector operators — SURVEY.md §2.2): int8 scalar
+ * quantization, seeded random projection, and MMR diversification.
+ *
+ * 100 TB design notes:
+ *  - Scalar quantization stores ONE BYTE per dimension (4x smaller than
+ *    float32): the per-dim [lo, hi] bounds come from one map-side-combined
+ *    aggregation, codes are a codegen projection, and search dequantizes on
+ *    the fly inside the scan — the corpus never shuffles.
+ *  - Random projection is a pure projection (no shuffle, no fit): the
+ *    matrix is regenerated from the seed on every executor via a splitmix
+ *    hash, so nothing is broadcast and the output is layout-independent.
+ *  - MMR re-ranks a BOUNDED candidate pool (the top-`poolSize` ANN/brute
+ *    result, poolSize ~ 100): the O(poolSize^2 * k) selection loop runs
+ *    per-query inside `flatMapGroups` over groups that are poolSize-bounded
+ *    by construction — this is driver-free and skew-free at any corpus
+ *    size because the pool, not the corpus, sets the group width.
+ */
+object VectorOps {
+
+  // ---- int8 scalar quantization -----------------------------------------
+
+  /** A scalar-quantized corpus: byte codes plus the per-dim bounds (tiny,
+    * dim-sized — index metadata like the PQ codebook). Codes are stored
+    * offset by -128 to fit a signed byte; `code[i]` maps back to
+    * `lo[i] + (code[i] + 128) * (hi[i] - lo[i]) / 255`. */
+  final case class SqIndex(codes: DataFrame, lo: Array[Double], hi: Array[Double])
+
+  /**
+   * Fit per-dimension bounds and quantize every vector to one byte per dim.
+   * The bounds aggregation is a posexplode + (pos)-keyed min/max — map-side
+   * combined, shuffling at most (dims x partitions) rows regardless of
+   * corpus size; the code projection is codegen (`transform` over literal
+   * bound arrays).
+   */
+  def buildSqIndex(data: DataFrame, idCol: String, vecCol: String): SqIndex = {
+    val bounds = data.select(posexplode(col(vecCol)))
+      .groupBy(col("pos"))
+      .agg(min(col("col").cast("double")).as("lo"), max(col("col").cast("double")).as("hi"))
+      .collect().sortBy(_.getInt(0))
+    require(bounds.nonEmpty, "empty corpus or empty vectors")
+    val lo = bounds.map(_.getDouble(1))
+    val hi = bounds.map(r => if (r.getDouble(2) > r.getDouble(1)) r.getDouble(2) else r.getDouble(1) + 1.0)
+    val loLit = typedLit(lo.toSeq)
+    val stepLit = typedLit(lo.indices.map(i => (hi(i) - lo(i)) / 255.0))
+    // stored as a true signed byte (value - 128): the index really is one
+    // byte per dimension on disk and in shuffle buffers
+    val codes = data.select(col(idCol).cast("long").as("neighbor_id"),
+      transform(col(vecCol), (x, i) =>
+        (round(least(greatest((x.cast("double") - element_at(loLit, i + 1)) /
+          element_at(stepLit, i + 1), lit(0.0)), lit(255.0))) - 128).cast("byte")).as("code"))
+    SqIndex(codes, lo, hi)
+  }
+
+  /**
+   * ANN search over the quantized corpus: approximate cosine on the
+   * dequantized codes (codegen transform + native [[vec_cosine]], corpus
+   * never shuffles), shortlist of `rerank` per query via the mergeable
+   * bottom-k aggregate (no window over the full scored relation), then an
+   * exact-cosine rerank of the shortlist against the original vectors.
+   */
+  def searchSq(
+      index: SqIndex,
+      data: DataFrame, dataId: String, dataVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, rerank: Int = 100): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val loLit = typedLit(index.lo.toSeq)
+    val stepLit = typedLit(index.lo.indices.map(i => (index.hi(i) - index.lo(i)) / 255.0))
+    val deq = transform(col("code"), (c, i) =>
+      (element_at(loLit, i + 1) +
+        (c.cast("double") + 128.0) * element_at(stepLit, i + 1)).cast(FloatType))
+    val approx = index.codes
+      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).as("__qv"))))
+      .withColumn("adist", -vec_cosine(deq, col("__qv")))
+    val shortlist = approx.groupBy(col("query_id"))
+      .agg(graft.functions.bottom_k_by_rank(
+        struct(col("adist"), col("neighbor_id")), col("neighbor_id"), rerank).as("__cand"))
+      .select(col("query_id"), explode(col("__cand")).as("neighbor_id"))
+    val cand = shortlist
+      .join(data.select(col(dataId).cast("long").as("neighbor_id"), col(dataVec).as("__dv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).as("__qv"))), "query_id")
+      .withColumn("cosine", vec_cosine(col("__dv"), col("__qv")))
+    Similarity.rankTopK(cand, k)
+  }
+
+  /** Build + search in one call (the [[Similarity.pqTopK]] shape). */
+  def sqTopK(
+      data: DataFrame, dataId: String, dataVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, rerank: Int = 100): DataFrame =
+    searchSq(buildSqIndex(data, dataId, dataVec),
+      data, dataId, dataVec, queries, queryId, queryVec, k, rerank)
+
+  // ---- seeded random projection (Johnson-Lindenstrauss) -----------------
+
+  /** splitmix64 finalizer — the deterministic sign source for the
+    * projection matrix (public-domain mixing constants, Steele et al. 2014,
+    * "Fast Splittable Pseudorandom Number Generators"). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The ±1 sign matrix row for output dimension j (length `dim`),
+    * regenerated identically anywhere from (seed, j). */
+  private[graft] def signRow(seed: Long, j: Int, dim: Int): IndexedSeq[Double] =
+    (0 until dim).map(i => if ((mix64(seed * 0x100000001b3L + j.toLong * dim + i) & 1L) == 0L) 1.0 else -1.0)
+
+  /**
+   * Dense random projection to `outDim` dimensions: out[j] =
+   * (sum_i vec[i] * sign(seed, j, i)) / sqrt(outDim) — the ±1 variant of
+   * the JL transform (Achlioptas 2003, "Database-friendly random
+   * projections"). A pure codegen projection: `outDim` zip_with/aggregate
+   * chains over literal sign rows; no fit, no shuffle, no broadcast state.
+   * Sums run left-to-right in doubles, so the result is bit-reproducible
+   * by any engine that does the same (the q50 oracle discipline).
+   */
+  def randomProject(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int, seed: Long = 42L): DataFrame = {
+    require(outDim > 0 && dim > 0, s"dims must be positive, got dim=$dim outDim=$outDim")
+    val scale = math.sqrt(outDim.toDouble)
+    val comps = (0 until outDim).map { j =>
+      val row = typedLit(signRow(seed, j, dim))
+      (aggregate(
+        zip_with(col(vecCol), row, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x) / scale).as(s"proj_$j")
+    }
+    df.select(col(idCol) +: comps: _*)
+  }
+
+  // ---- MMR (maximal marginal relevance) diversification -----------------
+
+  /**
+   * Re-rank each query's top-`poolSize` neighbors for diversity: greedily
+   * pick `k` items maximizing `lambda * cos(query, cand) - (1 - lambda) *
+   * max_{s in selected} cos(cand, s)` (Carbonell & Goldstein 1998). Ties
+   * break on neighbor id; the first pick is always the plain top-1.
+   *
+   * The selection is inherently sequential in k, so it runs per-query over
+   * the POOL, not the corpus: candidate generation is [[Similarity.bruteTopK]]
+   * (swap in any ANN tier upstream), and the in-group loop touches at most
+   * poolSize vectors (`flatMapGroups`; groups are poolSize-bounded by
+   * construction, so no skew and no driver funnel).
+   *
+   * Output: (query_id, neighbor_id, relevance, mmr_score, rank) — rank is
+   * the 1-based selection order; `mmr_score` of rank 1 is its relevance.
+   */
+  def mmrRerank(
+      data: DataFrame, dataId: String, dataVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, poolSize: Int = 100, lambda: Double = 0.7): DataFrame = {
+    require(k <= poolSize, s"k ($k) must be <= poolSize ($poolSize)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val spark = data.sparkSession
+    import spark.implicits._
+    val pool = Similarity.bruteTopK(data, dataId, dataVec, queries, queryId, queryVec, poolSize)
+      .join(data.select(col(dataId).cast("long").as("neighbor_id"), col(dataVec).as("__dv")),
+        "neighbor_id")
+      .select(col("query_id").cast("long"), col("neighbor_id"), col("cosine"), col("__dv"))
+      .as[(Long, Long, Double, Seq[Float])]
+
+    val out = pool.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      // pool-bounded: at most poolSize rows per group
+      val cands = it.toArray.sortBy(c => (-c._3, c._2))
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+        if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double, Long)]
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val maxSim = Array.fill(cands.length)(0.0)
+      var r = 1
+      while (r <= math.min(k, cands.length)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cands.length) {
+          if (!chosen.contains(i)) {
+            val score = if (r == 1) cands(i)._3
+              else lambda * cands(i)._3 - (1.0 - lambda) * maxSim(i)
+            if (score > bestScore ||
+                (score == bestScore && (best < 0 || cands(i)._2 < cands(best)._2))) {
+              best = i; bestScore = score
+            }
+          }
+          i += 1
+        }
+        chosen += best
+        selected += ((qid, cands(best)._2, cands(best)._3, bestScore, r.toLong))
+        var j = 0
+        while (j < cands.length) { // update the diversity penalty
+          if (!chosen.contains(j)) {
+            val s = cos(cands(j)._4, cands(best)._4)
+            if (s > maxSim(j)) maxSim(j) = s
+          }
+          j += 1
+        }
+        r += 1
+      }
+      selected.iterator
+    }
+    out.toDF("query_id", "neighbor_id", "relevance", "mmr_score", "rank")
+  }
+}
