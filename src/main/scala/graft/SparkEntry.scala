@@ -1280,6 +1280,26 @@ object SparkEntry {
           (col("__first") === col("__t1")).as("first_is_top1"),
           col("__out").isNull.as("subset_ok"))
     }),
+    // Count-Min frequency sketch (the estimate companion of q106's
+    // Misra-Gries candidates): build once (map-side-combined aggregate, the
+    // sketch not the stream crosses the wire), probe the true top-20 keys
+    // from codegen. Contract pinned TRUE by the oracle: estimates are never
+    // under the true count and stay within the (e/width)*N theory bound
+    "q143_countmin_freq" -> ((s, dir) => {
+      import graft.functions.{count_min_agg, cms_estimate}
+      val keys = t(s, dir, "lineitem").select(col("l_suppkey").cast("string").as("__k"))
+      val built = keys.agg(count_min_agg(col("__k"), 4, 2048).as("__cms"),
+        count(lit(1)).as("__n")).head
+      val sketch = built.getAs[Array[Byte]](0)
+      val bound = math.ceil(math.E / 2048.0 * built.getLong(1)).toLong
+      val est = cms_estimate(sketch, col("l_suppkey").cast("string"))
+      t(s, dir, "lineitem").groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("__cnt"))
+        .orderBy(col("__cnt").desc, col("l_suppkey").asc).limit(20)
+        .select(col("l_suppkey"),
+          (est >= col("__cnt")).as("lower_ok"),
+          (est <= col("__cnt") + bound).as("upper_ok"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2474,6 +2494,11 @@ object SparkEntry {
       """SELECT vec_id AS query_id, true AS k_ok, true AS first_is_top1,
         |  true AS subset_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    // CMS contract over the same deterministic top-20 key set
+    "q143_countmin_freq" ->
+      """SELECT l_suppkey, true AS lower_ok, true AS upper_ok FROM (
+        |  SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1
+        |  ORDER BY c DESC, l_suppkey LIMIT 20)""".stripMargin,
 
     // closed-form drift expectation (the q127 pattern): the fixture's two
     // generations are fully specified, so the report — column-add drift

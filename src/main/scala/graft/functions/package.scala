@@ -46,4 +46,17 @@ package object functions {
     * W/(k+1) are guaranteed in the sketch. */
   def frequent_items_weighted(e: Column, w: Column, k: Int): Column =
     org.apache.spark.sql.graft.FrequentItemsFunctions.frequent_items_weighted(e, w, k)
+
+  /** Aggregate: mergeable Count-Min frequency sketch of a string column
+    * (serialized binary; depth x width counters). Estimates from
+    * [[cms_estimate]] are >= the true count always and <= true +
+    * (e/width)*N with probability 1 - e^-depth. */
+  def count_min_agg(e: Column, depth: Int, width: Int): Column =
+    org.apache.spark.sql.graft.CountMinFunctions.count_min_agg(e, depth, width)
+
+  /** Scalar: estimated count of `e` in a built Count-Min sketch (bytes
+    * from [[count_min_agg]], collected driver-side — the Bloom two-pass
+    * pattern). */
+  def cms_estimate(sketch: Array[Byte], e: Column): Column =
+    org.apache.spark.sql.graft.CountMinFunctions.cms_estimate(sketch, e)
 }

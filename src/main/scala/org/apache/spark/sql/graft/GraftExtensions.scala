@@ -105,5 +105,13 @@ object GraftExtensions {
         val (m, k) = BloomBuffer.shapeFor(litLong(e(1), "expectedItems"), litFpp(e(2)))
         BloomFilterAgg(e(0), m, k).toAggregateExpression()
       })),
+    (FunctionIdentifier("count_min_agg"),
+      info("count_min_agg",
+        "count_min_agg(item, depth, width) - mergeable Count-Min frequency " +
+          "sketch over strings (aggregate, returns binary); estimates are " +
+          ">= true count, <= true + (e/width)*N w.p. 1-e^-depth"),
+      arity(3, "count_min_agg")(e =>
+        CountMinAgg(e(0), litLong(e(1), "depth").toInt, litLong(e(2), "width").toInt)
+          .toAggregateExpression())),
   )
 }

@@ -51,6 +51,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(dec.length > pct.length) // lower fpp => more bits
   }
 
+  test("count_min_agg resolves via pure SQL and matches the column API bit-for-bit") {
+    registered
+    import spark.implicits._
+    val df = (1 to 300).map(i => s"w${i % 9}").toDF("k")
+    df.createOrReplaceTempView("cms_in")
+    val viaSql = spark.sql("SELECT count_min_agg(k, 4, 256) AS c FROM cms_in")
+      .head.getAs[Array[Byte]](0)
+    val viaCol = df.agg(graft.functions.count_min_agg(
+      org.apache.spark.sql.functions.col("k"), 4, 256)).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(viaSql, viaCol))
+  }
+
   test("out-of-range integer fpp fails with a message naming the parameter") {
     registered
     spark.read.parquet(s"$sf0001/orders.parquet").createOrReplaceTempView("ord_ext2")
