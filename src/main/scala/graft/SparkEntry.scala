@@ -1280,6 +1280,30 @@ object SparkEntry {
           (col("__first") === col("__t1")).as("first_is_top1"),
           col("__out").isNull.as("subset_ok"))
     }),
+    // exact duplicated-span removal (Lee et al. ExactSubstr as a rewrite):
+    // every position covered by a corpus-duplicated 8-gram is excised from
+    // EVERY occurrence; sub-8-word docs pass through untouched
+    "q144_dup_span_removal" -> ((s, dir) =>
+      CorpusRewrite.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)),
+    // partition-mergeable distinct counting: per-source HLL sketches (Spark
+    // 4's built-in Apache DataSketches surface), then a sketch-UNION to the
+    // global distinct — the 100 TB pattern where per-partition sketches
+    // merge instead of re-scanning. Contract: every estimate lands within
+    // 5% of its exact count (doc_ids are globally unique, so the exact
+    // union is the sum of per-source distincts)
+    "q145_hll_union" -> ((s, dir) => {
+      val per = t(s, dir, "documents").groupBy(col("source"))
+        .agg(hll_sketch_agg(col("doc_id")).as("__sk"),
+          count_distinct(col("doc_id")).as("__true"))
+      val perOk = per.select(col("source"),
+        (abs(hll_sketch_estimate(col("__sk")) - col("__true")) <=
+          col("__true") * 0.05 + lit(1)).as("est_ok"))
+      val allOk = per.agg(hll_union_agg(col("__sk")).as("__u"), sum(col("__true")).as("__t"))
+        .select(lit("__all__").as("source"),
+          (abs(hll_sketch_estimate(col("__u")) - col("__t")) <=
+            col("__t") * 0.05 + lit(1)).as("est_ok"))
+      perOk.unionAll(allOk)
+    }),
     // Count-Min frequency sketch (the estimate companion of q106's
     // Misra-Gries candidates): build once (map-side-combined aggregate, the
     // sketch not the stream crosses the wire), probe the true top-20 keys
@@ -2494,6 +2518,34 @@ object SparkEntry {
       """SELECT vec_id AS query_id, true AS k_ok, true AS first_is_top1,
         |  true AS subset_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    // duplicated-span removal: range-join coverage replay (the oracle may
+    // use the position range join the engine replaces with a bounded frame)
+    "q144_dup_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), w AS (
+        |  SELECT doc_id, unnest(t) AS word, unnest(generate_series(1, len(t))) AS pos FROM toks
+        |), g AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(t) - 7)) AS s,
+        |    unnest(list_transform(generate_series(1, len(t) - 7),
+        |      i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS gram
+        |  FROM toks WHERE len(t) >= 8
+        |), dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) > 1
+        |), ds AS (SELECT g.doc_id, g.s FROM g JOIN dup USING (gram)
+        |), cov AS (
+        |  SELECT DISTINCT w.doc_id, w.pos FROM w
+        |  JOIN ds ON w.doc_id = ds.doc_id AND w.pos BETWEEN ds.s AND ds.s + 7
+        |), kept AS (
+        |  SELECT w.doc_id, w.pos, w.word FROM w
+        |  LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos
+        |  WHERE cov.pos IS NULL)
+        |SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text
+        |FROM kept GROUP BY doc_id""".stripMargin,
+    // HLL union contract: per-source + merged-global estimates in bounds
+    "q145_hll_union" ->
+      """SELECT source, true AS est_ok FROM (SELECT DISTINCT source FROM documents)
+        |UNION ALL SELECT '__all__' AS source, true AS est_ok""".stripMargin,
     // CMS contract over the same deterministic top-20 key set
     "q143_countmin_freq" ->
       """SELECT l_suppkey, true AS lower_ok, true AS upper_ok FROM (

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -127,5 +128,57 @@ object CorpusRewrite {
       .filter(col("__df") > col("__n_docs") * maxDocFrac)
       .select(col("segtext"))
     reassemble(segs.join(broadcast(boiler), Seq("segtext"), "left_anti"), idCol)
+  }
+
+  /**
+   * Exact duplicated-SPAN removal (the rewrite counterpart of
+   * [[CorpusFilters]]' q68 dup-span detection; Lee et al. 2022,
+   * arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+   * Better" §ExactSubstr): every word position covered by an n-gram that
+   * occurs MORE THAN ONCE anywhere in the corpus (including twice in the
+   * same document) is excised, and documents are reassembled from the
+   * surviving words. Overlapping duplicated grams merge naturally — a
+   * position is kept iff NO duplicated gram covers it.
+   *
+   * Unlike the segment ops above, spans here are position-free exact
+   * substrings, so "keep one copy" is ill-defined on overlaps; the
+   * contract is REMOVE EVERY OCCURRENCE (use [[dedupSegmentsCorpus]] for
+   * keep-first semantics). Documents shorter than n words pass through
+   * untouched (they cannot contain an n-word span).
+   *
+   * Plan, all per-doc windows bounded by document length:
+   *  1. gram construction: one per-doc window of n-1 `lead`s (a single
+   *     sort per doc partition, no self-join);
+   *  2. duplicate detection: gram-keyed count agg (map-side combined);
+   *  3. coverage: LEFT join of gram starts against the duplicate set
+   *     (equi-join on the gram key; a corpus-hot gram skews its probe
+   *     partition — AQE skew-join splits it), then a bounded
+   *     `rowsBetween(-(n-1), 0)` frame max turns start flags into
+   *     position coverage with no further shuffle.
+   */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n > 1, s"span gram size n must be > 1, got $n")
+    val w = Window.partitionBy(col("__cr_id")).orderBy(col("pos"))
+    val toks = df.select(col(idCol).as("__cr_id"), posexplode(Dedup.tokens(col(textCol))))
+      .withColumnRenamed("col", "word")
+    val leads = (1 until n).map(i => lead(col("word"), i).over(w))
+    // __gram is null on tail positions (no full n-gram starts there)
+    val g = toks.withColumn("__gram",
+      when(lead(col("word"), n - 1).over(w).isNotNull,
+        concat_ws(" ", col("word") +: leads: _*)))
+    val dupStarts = g.filter(col("__gram").isNotNull)
+      .groupBy(col("__gram")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("__gram"), lit(1).as("__dup"))
+    val covW = Window.partitionBy(col("__cr_id")).orderBy(col("pos"))
+      .rowsBetween(-(n - 1), 0)
+    g.join(dupStarts, Seq("__gram"), "left")
+      .withColumn("__cov", max(col("__dup")).over(covW))
+      .filter(col("__cov").isNull)
+      .groupBy(col("__cr_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("word")))), s => s("word")),
+        " ").as("text"))
+      .select(col("__cr_id").as(idCol), col("text"))
   }
 }

@@ -31,8 +31,25 @@ object VectorOps {
   /** A scalar-quantized corpus: byte codes plus the per-dim bounds (tiny,
     * dim-sized — index metadata like the PQ codebook). Codes are stored
     * offset by -128 to fit a signed byte; `code[i]` maps back to
-    * `lo[i] + (code[i] + 128) * (hi[i] - lo[i]) / 255`. */
-  final case class SqIndex(codes: DataFrame, lo: Array[Double], hi: Array[Double])
+    * `lo[i] + (code[i] + 128) * (hi[i] - lo[i]) / 255`. Persistable like
+    * [[Similarity.IvfIndex]]/[[Similarity.PqIndex]]: build once, save,
+    * search many times. */
+  final case class SqIndex(codes: DataFrame, lo: Array[Double], hi: Array[Double]) {
+    def save(dir: String): Unit = {
+      codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
+      val spark = codes.sparkSession
+      import spark.implicits._
+      lo.indices.map(i => (i, lo(i), hi(i))).toDF("dim", "lo", "hi")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/bounds.parquet")
+    }
+  }
+
+  def loadSqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): SqIndex = {
+    val bounds = spark.read.parquet(s"$dir/bounds.parquet")
+      .collect().sortBy(_.getAs[Int]("dim"))
+    SqIndex(spark.read.parquet(s"$dir/codes.parquet"),
+      bounds.map(_.getAs[Double]("lo")), bounds.map(_.getAs[Double]("hi")))
+  }
 
   /**
    * Fit per-dimension bounds and quantize every vector to one byte per dim.

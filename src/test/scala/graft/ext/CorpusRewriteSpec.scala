@@ -77,4 +77,55 @@ class CorpusRewriteSpec extends SparkSpec {
     val out = CorpusRewrite.dedupSegmentsWithinDoc(df, "doc_id", "text", k = 2)
     assert(textOf(out, 1L) === Some("hello world"))
   }
+
+  test("removeDuplicatedSpans excises every occurrence of a cross-doc span") {
+    // "a b c" duplicated across docs 1 and 2 -> removed from BOTH
+    val df = Seq(
+      (1L, "a b c x y z"),
+      (2L, "p q a b c r"),
+      (3L, "u v w")
+    ).toDF("doc_id", "text")
+    val out = CorpusRewrite.removeDuplicatedSpans(df, "doc_id", "text", n = 3)
+    assert(textOf(out, 1L) === Some("x y z"))
+    assert(textOf(out, 2L) === Some("p q r"))
+    assert(textOf(out, 3L) === Some("u v w")) // sub-n doc? len 3 = n, unique -> intact
+  }
+
+  test("removeDuplicatedSpans merges overlapping duplicated grams into one excision") {
+    // doc 1 repeats "a b c d" -> within-doc duplicate; the two occurrences
+    // overlap nothing but chain through shared grams in doc 2
+    val df = Seq(
+      (1L, "a b c d k a b c d"),
+      (2L, "m n o p q r s t")
+    ).toDF("doc_id", "text")
+    val out = CorpusRewrite.removeDuplicatedSpans(df, "doc_id", "text", n = 4)
+    // both "a b c d" occurrences covered; "k" at pos 4 is covered by the
+    // duplicated gram only if a dup gram starts within 3 before it — the
+    // grams "b c d k", "c d k a", "d k a b" occur once each, so "k" survives
+    assert(textOf(out, 1L) === Some("k"))
+    assert(textOf(out, 2L) === Some("m n o p q r s t"))
+  }
+
+  test("removeDuplicatedSpans passes sub-n documents through untouched") {
+    val df = Seq(
+      (1L, "same short"),
+      (2L, "same short"), // exact dup but only 2 words < n=3: kept
+      (3L, "one two three four")
+    ).toDF("doc_id", "text")
+    val out = CorpusRewrite.removeDuplicatedSpans(df, "doc_id", "text", n = 3)
+    assert(textOf(out, 1L) === Some("same short"))
+    assert(textOf(out, 2L) === Some("same short"))
+    assert(textOf(out, 3L) === Some("one two three four"))
+  }
+
+  test("removeDuplicatedSpans drops a doc that is one big duplicated span") {
+    val df = Seq(
+      (1L, "x y z w"),
+      (2L, "x y z w"),
+      (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = CorpusRewrite.removeDuplicatedSpans(df, "doc_id", "text", n = 4)
+    assert(out.count() === 1)
+    assert(textOf(out, 3L) === Some("a b c d"))
+  }
 }

@@ -81,6 +81,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(mmr(1) === 3L, "second pick must be the diverse item, not the near-duplicate")
   }
 
+  test("SqIndex round-trips through save/load and searches identically") {
+    val dir = java.nio.file.Files.createTempDirectory("sqidx").toString
+    val built = VectorOps.buildSqIndex(emb, "vec_id", "embedding")
+    built.save(dir)
+    val loaded = VectorOps.loadSqIndex(spark, dir)
+    assert(loaded.lo.toSeq === built.lo.toSeq && loaded.hi.toSeq === built.hi.toSeq)
+    val a = VectorOps.searchSq(built, emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+    val b = VectorOps.searchSq(loaded, emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
   test("mmrRerank is deterministic and pool-closed") {
     val a = VectorOps.mmrRerank(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
       k = 5, poolSize = 20, lambda = 0.7)
