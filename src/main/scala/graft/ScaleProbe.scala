@@ -363,6 +363,54 @@ object ScaleProbe {
           ext.CorpusFilters.bpeEncode(d, "doc_id", "text", merges).count()
         }
       }
+      // r6: corpus rewrite family — per-copy token suffixes keep segment/
+      // gram universes disjoint, so duplicate structure replicates per copy
+      // and the rewrites should scale linearly
+      timed("corpus_segment_dedup", k) {
+        ext.CorpusRewrite.dedupSegmentsCorpus(read("documents", k), "doc_id", "text", 3).count()
+      }
+      timed("boilerplate_strip", k) {
+        ext.CorpusRewrite.stripBoilerplate(read("documents", k), "doc_id", "text",
+          k = 2, maxDocFrac = 0.05).count()
+      }
+      timed("dup_span_removal", k) {
+        ext.CorpusRewrite.removeDuplicatedSpans(read("documents", k), "doc_id", "text", 8).count()
+      }
+      // r6: SQ build (bounds agg + byte-code projection) + dequant search
+      timed("knn_sq", k) {
+        val e = read("embeddings", k)
+        ext.VectorOps.sqTopK(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10, rerank = 100).count()
+      }
+      // r6: pure projection — should be flat-per-row (scan-bound)
+      timed("random_projection", k) {
+        ext.VectorOps.randomProject(read("embeddings", k), "vec_id", "embedding",
+          dim = 64, outDim = 8, seed = 7L).count()
+      }
+      // r6: MMR over a fixed pool — candidate generation scans the corpus,
+      // the selection loop is pool-bounded (cost must track the scan only)
+      timed("mmr_rerank", k) {
+        val e = read("embeddings", k)
+        ext.VectorOps.mmrRerank(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, poolSize = 50, lambda = 0.7).count()
+      }
+      // r6: CMS build is one map-side-combined agg (the sketch crosses the
+      // wire, not the stream); probe is a codegen scan of 20 keys
+      timed("countmin_freq", k) {
+        import graft.functions.{count_min_agg, cms_estimate}
+        val keys = read("lineitem", k).select(col("l_suppkey").cast("string").as("__k"))
+        val sketch = keys.agg(count_min_agg(col("__k"), 4, 2048)).head.getAs[Array[Byte]](0)
+        read("lineitem", k).groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("l_suppkey").asc).limit(20)
+          .select(cms_estimate(sketch, col("l_suppkey").cast("string"))).count()
+      }
+      // r6: HLL sketch union — per-source sketches + one union agg
+      timed("hll_union", k) {
+        val per = read("documents", k).groupBy(col("source"))
+          .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+        per.agg(hll_union_agg(col("sk"))).count()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")
