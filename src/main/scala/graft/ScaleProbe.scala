@@ -289,6 +289,15 @@ object ScaleProbe {
         AsOfJoin.asOf(e.select(col("event_id"), col("user_id"), col("ts")), "ts",
           purchases, "ts", Seq("user_id"), Seq("purchase_value")).count()
       }
+      // r6: native whole-operator merge exec — same workload as asof_join,
+      // cost must track the two sorted scans linearly
+      timed("asof_native", k) {
+        val e = read("events", k)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+        AsOfJoin.asOfNative(e.select(col("event_id"), col("user_id"), col("ts")), "ts",
+          purchases, "ts", Seq("user_id"), Seq("purchase_value")).count()
+      }
       timed("asof_join_bucketed", k) {
         val e = read("events", k)
         val purchases = e.filter(col("event_type") === "purchase")

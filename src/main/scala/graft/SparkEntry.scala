@@ -1304,6 +1304,20 @@ object SparkEntry {
             col("__t") * 0.05 + lit(1)).as("est_ok"))
       perOk.unionAll(allOk)
     }),
+    // the NATIVE whole-operator as-of join (AsOfJoinNode -> AsOfJoinExec:
+    // co-partitioned co-sorted children, one O(1)-state merge pass per
+    // partition — the custom-SparkPlan rung of the extension ladder) on the
+    // exact q102 workload, checked against the same DuckDB ASOF oracle
+    "q146_asof_native" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      graft.operators.AsOfJoin.asOfNative(
+        e.select(col("event_id"), col("user_id"), col("ts")), "ts",
+        purchases, "ts", keyCols = Seq("user_id"), valueCols = Seq("purchase_value"),
+        tolerance = Some(1800000000000L))
+        .select(col("event_id"), col("user_id"), col("asof_purchase_value"))
+    }),
     // Count-Min frequency sketch (the estimate companion of q106's
     // Misra-Gries candidates): build once (map-side-combined aggregate, the
     // sketch not the stream crosses the wire), probe the true top-20 keys
@@ -2546,6 +2560,13 @@ object SparkEntry {
     "q145_hll_union" ->
       """SELECT source, true AS est_ok FROM (SELECT DISTINCT source FROM documents)
         |UNION ALL SELECT '__all__' AS source, true AS est_ok""".stripMargin,
+    // native-exec as-of join: the identical ASOF oracle as q102
+    "q146_asof_native" ->
+      """SELECT e.event_id, e.user_id,
+        |  CASE WHEN p.ts IS NULL OR epoch_ns(e.ts) - epoch_ns(p.ts) > 1800000000000
+        |       THEN NULL ELSE p.value END AS asof_purchase_value
+        |FROM events e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
     // CMS contract over the same deterministic top-20 key set
     "q143_countmin_freq" ->
       """SELECT l_suppkey, true AS lower_ok, true AS upper_ok FROM (

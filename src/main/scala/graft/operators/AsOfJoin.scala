@@ -178,4 +178,27 @@ object AsOfJoin {
         df.withColumn(s"asof_$vc", when(stale, lit(null)).otherwise(col(packCol)(vc))))
       .select((leftCols ++ valueCols.map(vc => s"asof_$vc")).map(col): _*)
   }
+
+  /**
+   * The same join as [[asOf]] executed by the NATIVE whole-operator plan
+   * ([[org.apache.spark.sql.graft.AsOfJoinExec]]): both sides are
+   * co-partitioned on the key and co-sorted on (key, time), then merged in
+   * one forward-only pass with O(1) state per partition. Compared with the
+   * composed union+window plan this shuffles each side's own payload only
+   * (no null-padded union widening), keeps (key, time) partitioning+order
+   * on its output for downstream reuse, and lets EnsureRequirements elide
+   * a side's exchange when it is already clustered on the key.
+   *
+   * Requires LongType time columns (cast epochs first — the events table's
+   * nanosAsLong `ts` is already right). Output schema and semantics are
+   * bit-identical to [[asOf]] (AsOfNativeSpec pins it).
+   */
+  def asOfNative(
+      left: DataFrame, leftTime: String,
+      right: DataFrame, rightTime: String,
+      keyCols: Seq[String],
+      valueCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    org.apache.spark.sql.graft.AsOfJoinPlanBuilder.build(
+      left, leftTime, right, rightTime, keyCols, valueCols, tolerance)
 }

@@ -12,18 +12,26 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
  *   spark-submit --conf spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
  *   spark.sql("SELECT vec_cosine(a.embedding, b.embedding) FROM ...")
  *
- * This is the ONLY extension-point registration the engine needs: operator
- * semantics all compose from built-ins (SURVEY.md §4 — no custom Rule /
- * Strategy / SparkPlan is justified), but SQL users can't reach a Scala
- * `Column` helper, so functions get registry entries. Each builder
- * validates its literal parameters eagerly for sane error messages.
+ * Almost all operator semantics compose from built-ins (SURVEY.md §4), so
+ * the bulk of the registrations are scalar/aggregate functions: SQL users
+ * can't reach a Scala `Column` helper, so functions get registry entries,
+ * each builder validating its literal parameters eagerly for sane error
+ * messages. The one whole-operator exception is the native AS-OF join
+ * ([[AsOfJoinNode]]/[[AsOfJoinExec]]) — a point-in-time join genuinely is
+ * not expressible as a function or a composition with the right physical
+ * contract, so its planner strategy is injected here too (sessions built
+ * without the extension get it lazily via
+ * [[AsOfJoinPlanBuilder.build]]'s `experimental.extraStrategies`
+ * fallback).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     registrations.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -207,6 +207,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("native as-of join: q146 plans the custom AsOfJoinExec, no window, no generic join") {
+    // the whole-operator path: one merge exec over co-partitioned sorted
+    // children — neither the union+window fill nor any built-in join node
+    val plan = SparkEntry.queries("q146_asof_native")(spark, sf0001)
+      .queryExecution.sparkPlan
+    assert(plan.exists(_.isInstanceOf[org.apache.spark.sql.graft.AsOfJoinExec]),
+      s"expected AsOfJoinExec in\n$plan")
+    val s = plan.toString
+    assert(!s.contains("WindowExec") && !s.contains("SortMergeJoin") &&
+      !s.contains("BroadcastHashJoin"), s"unexpected fallback operator in\n$s")
+  }
+
   test("corpus rewrite: first-occurrence dedup is a min-struct agg — no window, no join") {
     // a per-segtext window would funnel a million-doc boilerplate segment
     // through one task; the shipped plan must stay pure hash-agg
