@@ -385,6 +385,11 @@ object ScaleProbe {
       timed("dup_span_removal", k) {
         ext.CorpusRewrite.removeDuplicatedSpans(read("documents", k), "doc_id", "text", 8).count()
       }
+      // r6: keep-best dedup — one map-side-combined max_by agg; linear
+      timed("dedup_keep_best", k) {
+        ext.Dedup.dedupKeepBest(read("documents", k), "doc_id", "text",
+          col("n_chars").cast("double")).count()
+      }
       // r6: SQ build (bounds agg + byte-code projection) + dequant search
       timed("knn_sq", k) {
         val e = read("embeddings", k)

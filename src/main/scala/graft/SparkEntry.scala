@@ -1318,6 +1318,13 @@ object SparkEntry {
         tolerance = Some(1800000000000L))
         .select(col("event_id"), col("user_id"), col("asof_purchase_value"))
     }),
+    // quality-aware exact dedup: keep the BEST copy per duplicate group
+    // (highest quality, ties to lowest id) via one map-side-combined
+    // max_by agg — no window, no join; the curation-grade dedup policy
+    "q147_dedup_keep_best" -> ((s, dir) =>
+      Dedup.dedupKeepBest(t(s, dir, "documents"), "doc_id", "text",
+          col("n_chars").cast("double"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("n_dups"))),
     // Count-Min frequency sketch (the estimate companion of q106's
     // Misra-Gries candidates): build once (map-side-combined aggregate, the
     // sketch not the stream crosses the wire), probe the true top-20 keys
@@ -2567,6 +2574,18 @@ object SparkEntry {
         |       THEN NULL ELSE p.value END AS asof_purchase_value
         |FROM events e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    // keep-best dedup: window replay over the same normalized-content
+    // groups (tokens == split(lower(trim),'\s+'), joined by single spaces)
+    "q147_dedup_keep_best" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ') AS norm
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, n_dups FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY norm ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY norm) AS n_dups
+        |  FROM g) WHERE rn = 1""".stripMargin,
     // CMS contract over the same deterministic top-20 key set
     "q143_countmin_freq" ->
       """SELECT l_suppkey, true AS lower_ok, true AS upper_ok FROM (

@@ -67,6 +67,44 @@ object Dedup {
   }
 
   /**
+   * Quality-aware exact dedup: per group of content-identical documents
+   * (whitespace-normalized fingerprint, same key as [[exactDedup]]'s
+   * callers use), keep the row with the HIGHEST quality score — ties to the
+   * lowest id — instead of blindly the lowest id. This is the curation
+   * variant every web-scale pipeline actually wants: duplicate crawls
+   * differ in boilerplate damage, and the keep-best policy retains the
+   * cleanest copy (e.g. highest quality-classifier score or longest
+   * undamaged text).
+   *
+   * Scale shape: ONE hash aggregation, partial (map-side) combined — the
+   * whole surviving row rides inside a `max_by` buffer, so each partition
+   * contributes at most one candidate row per distinct fingerprint to the
+   * shuffle (a window formulation would shuffle every duplicate copy and
+   * sort whole partitions). No join, no window, no sort.
+   *
+   * Output: the kept rows' original columns plus `n_dups` (group size) and
+   * `content_fp` (the group key — the artifact to persist for incremental
+   * ingest gating). Same xxhash64-collision caveat as the other
+   * fingerprint operators.
+   *
+   * @param quality any deterministic numeric expression over the row
+   *                (cast to double); higher wins
+   */
+  def dedupKeepBest(df: DataFrame, idCol: String, textCol: String, quality: Column): DataFrame = {
+    val cols = df.columns.toSeq
+    val packed = df.select(
+      contentFingerprint(col(textCol)).as("__fp"),
+      struct(cols.map(col): _*).as("__row"),
+      struct(quality.cast("double").as("q"),
+        (lit(Long.MaxValue) - col(idCol).cast("long")).as("inv_id")).as("__ord"))
+    packed.groupBy(col("__fp"))
+      .agg(max_by(col("__row"), col("__ord")).as("__row"),
+        count(lit(1)).as("n_dups"))
+      .select(cols.map(c => col(s"__row.$c").as(c)) ++
+        Seq(col("n_dups"), col("__fp").as("content_fp")): _*)
+  }
+
+  /**
    * Incremental ingest dedup — the "only admit genuinely new documents"
    * gate every continuously-fed corpus runs on each arriving batch:
    *  1. drop batch docs whose whitespace-normalized content fingerprint

@@ -192,4 +192,31 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got === Map(1L -> 2L, 3L -> 2L))
   }
+
+  test("dedupKeepBest: highest quality wins per normalized group, ties to min id") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the same document", 2.0),
+      (2L, "THE   same Document", 9.0),  // normalizes equal; best quality -> kept
+      (3L, "the same document", 9.0),    // quality tie with 2 -> higher id loses
+      (4L, "a unique document", 1.0),
+      (5L, "another unique one", 3.0)
+    ).toDF("doc_id", "text", "score")
+    val out = Dedup.dedupKeepBest(docs, "doc_id", "text", col("score"))
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "text", "score", "n_dups", "content_fp"))
+    val kept = out.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(kept === Map(2L -> 3L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("dedupKeepBest plans one partial hash agg — no window, no join, no sort") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = Dedup.dedupKeepBest(docs, "doc_id", "text", col("n_chars"))
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("Join") &&
+      !plan.contains("SortExec"), s"expected pure hash agg:\n$plan")
+    assert(plan.contains("partial_max_by") || plan.contains("partial_maxby") ||
+      plan.toLowerCase.contains("partial"), s"expected map-side combine:\n$plan")
+  }
 }
