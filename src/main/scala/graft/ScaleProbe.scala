@@ -282,6 +282,14 @@ object ScaleProbe {
           "user_id", "value", numFiles = 8)
         spark.read.parquet(s"$work/zorder_x$k.parquet").count()
       }
+      // r6: hilbert layout rewrite — same cost shape as zorder (one range
+      // repartition + local sort), key is a per-row codegen transform
+      timed("hilbert_rewrite", k) {
+        val ev = read("events", k).select(col("event_id"), col("user_id"), col("value"))
+        graft.io.HilbertOrder.writeHilbertOrdered(ev, s"$work/hilbert_x$k.parquet",
+          Seq("user_id", "value"), numFiles = 8)
+        spark.read.parquet(s"$work/hilbert_x$k.parquet").count()
+      }
       timed("asof_join", k) {
         val e = read("events", k)
         val purchases = e.filter(col("event_type") === "purchase")

@@ -1318,6 +1318,39 @@ object SparkEntry {
         tolerance = Some(1800000000000L))
         .select(col("event_id"), col("user_id"), col("asof_purchase_value"))
     }),
+    // Hilbert-curve layout (ZORDER's better-locality sibling, n-dim): the
+    // scan result is layout-independent — the oracle proves the rewrite
+    // lost/duplicated nothing — while HilbertSpec pins the curve math
+    // (bijective, consecutive cells Manhattan-1 adjacent) and the
+    // both-dims row-group pruning the layout exists for
+    "q149_hilbert_scan" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("value"))
+      val out = graft.io.TempDirs.create("graft_hilbert_gate").toString
+      graft.io.HilbertOrder.writeHilbertOrdered(ev, out, Seq("user_id", "value"),
+        numFiles = 4)
+      s.read.parquet(out)
+        .filter(col("user_id") <= 12 && col("value") <= 45.0)
+        .groupBy((col("user_id") % 3).as("user_mod"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec("value")).cast("double").as("sum_value"),
+          sum(col("event_id")).as("sum_event_ids"))
+    }),
+    // XML source/sink roundtrip (Spark 4's built-in xml format — the
+    // spark-xml lineage merged upstream): write orders as <order> rows,
+    // read back with the explicit schema, aggregate. Same
+    // lossless-roundtrip contract as the CSV/JSON/ORC queries — the
+    // aggregate hash-matches DuckDB over the ORIGINAL parquet, so any
+    // write/read corruption fails the gate
+    "q148_xml_roundtrip" -> ((s, dir) => {
+      val out = graft.io.TempDirs.create("graft_xml").toString
+      val orders = t(s, dir, "orders")
+      orders.write.mode("overwrite").option("rowTag", "order").xml(out)
+      s.read.schema(orders.schema).option("rowTag", "order").xml(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"),
+          max(col("o_orderdate")).as("last_date"))
+    }),
     // quality-aware exact dedup: keep the BEST copy per duplicate group
     // (highest quality, ties to lowest id) via one map-side-combined
     // max_by agg — no window, no join; the curation-grade dedup policy
@@ -2574,6 +2607,20 @@ object SparkEntry {
         |       THEN NULL ELSE p.value END AS asof_purchase_value
         |FROM events e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    // hilbert layout: content is layout-independent
+    "q149_hilbert_scan" ->
+      """SELECT CAST(user_id % 3 AS BIGINT) AS user_mod, count(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_event_ids
+        |FROM events WHERE user_id <= 12 AND value <= 45.0
+        |GROUP BY 1""".stripMargin,
+    // XML roundtrip: aggregate over the original table (roundtrip must be
+    // lossless for the result to hash-match)
+    "q148_xml_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,
+        |  max(o_orderdate) AS last_date
+        |FROM orders GROUP BY 1""".stripMargin,
     // keep-best dedup: window replay over the same normalized-content
     // groups (tokens == split(lower(trim),'\s+'), joined by single spaces)
     "q147_dedup_keep_best" ->
