@@ -1318,6 +1318,24 @@ object SparkEntry {
         tolerance = Some(1800000000000L))
         .select(col("event_id"), col("user_id"), col("asof_purchase_value"))
     }),
+    // binaryFile ingest: raw image FILES (not inline payloads) enter via
+    // Spark's binaryFile source and flow through the unchanged decode
+    // chain — listing-time glob prune, per-task whole-file reads, ids
+    // parsed from names. Fixture BMPs carry the closed-form raster, so
+    // byte size (54 + 72*16 = 1206) and the gray histogram moment are
+    // SQL-recomputable
+    "q150_binaryfile_ingest" -> ((s, dir) => {
+      val fixture = graft.io.TempDirs.create("graft_binfiles").toString
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 40).collect().map(_.getLong(0)).toSeq
+      Multimodal.writeImageFixtureDir(fixture, ids, w = 24, h = 16)
+      Multimodal.imageGrayHistogram(
+        Multimodal.ingestBinaryDir(s, fixture, "*.bmp"), "content", bins = 16)
+        .select(col("file_id").as("doc_id"), col("n_bytes"), col("n_pixels"),
+          aggregate(zip_with(col("gray_counts"),
+              sequence(lit(0L), lit(15L)), (c, b) => c * b),
+            lit(0L), (acc, x) => acc + x).as("hist_moment"))
+    }),
     // Hilbert-curve layout (ZORDER's better-locality sibling, n-dim): the
     // scan result is layout-independent — the oracle proves the rewrite
     // lost/duplicated nothing — while HilbertSpec pins the curve math
@@ -2607,6 +2625,21 @@ object SparkEntry {
         |       THEN NULL ELSE p.value END AS asof_purchase_value
         |FROM events e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    // binaryFile ingest: closed-form raster statistics + textbook BMP size
+    "q150_binaryfile_ingest" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |    ((doc_id*31 + xs.x*7 + ys.y*13 + 0) % 256
+        |     + (doc_id*31 + xs.x*7 + ys.y*13 + 5) % 256
+        |     + (doc_id*31 + xs.x*7 + ys.y*13 + 10) % 256) // 3 AS g
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) ys
+        |  WHERE d.doc_id < 40)
+        |SELECT doc_id, CAST(1206 AS BIGINT) AS n_bytes,
+        |  CAST(384 AS BIGINT) AS n_pixels,
+        |  CAST(SUM((g * 16) // 256) AS BIGINT) AS hist_moment
+        |FROM px GROUP BY 1""".stripMargin,
     // hilbert layout: content is layout-independent
     "q149_hilbert_scan" ->
       """SELECT CAST(user_id % 3 AS BIGINT) AS user_mod, count(*) AS n_rows,

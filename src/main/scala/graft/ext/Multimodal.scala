@@ -458,6 +458,39 @@ object Multimodal {
     * formula survives the round-trip exactly), plus its MIME type.
     * Encoding runs once per row in mapPartitions; real pipelines read the
     * bytes from parquet/object-store instead. */
+  /**
+   * Real multimodal INGEST path: a directory of raw media files becomes a
+   * DataFrame of (file_id, n_bytes, content) via Spark's `binaryFile`
+   * source — the standard way an on-disk/object-store image corpus enters
+   * the engine. Each task reads whole files in parallel straight from the
+   * listing (nothing funnels through the driver), `pathGlobFilter` prunes
+   * non-matching files at listing time, and the id parses from the file
+   * name. Downstream the `content` column feeds the same decode operators
+   * as inline payloads — q150 chains [[imageGrayHistogram]] unchanged over
+   * ingested files.
+   */
+  def ingestBinaryDir(
+      spark: org.apache.spark.sql.SparkSession, dir: String, glob: String): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.[A-Za-z0-9]+$", 1).cast("long").as("file_id"),
+        col("length").as("n_bytes"),
+        col("content"))
+
+  /** Deterministic on-disk image fixture (driver-side setup helper, not an
+    * operator — the q132 footer-fixture precedent): one BMP per id carrying
+    * the closed-form [[syntheticPixel]] raster, so decoded statistics are
+    * SQL-recomputable and the 24-bit BMP byte size is the textbook
+    * 54 + rowPad4(w*3)*h. */
+  def writeImageFixtureDir(dir: String, ids: Seq[Long], w: Int, h: Int): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    ids.foreach { id =>
+      val bytes = ImageIoCodec.encode("bmp", w, h, (x, y, c) => syntheticPixel(id, x, y, c))
+      java.nio.file.Files.write(p.resolve(s"img_$id.bmp"), bytes)
+    }
+  }
+
   def attachSyntheticImage(df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields ++ Seq(
