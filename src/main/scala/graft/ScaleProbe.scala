@@ -43,10 +43,15 @@ object ScaleProbe {
     def copyOf(base: DataFrame, i: Int, keyCols: Seq[String], offset: Long): DataFrame =
       keyCols.foldLeft(base)((df, kc) => df.withColumn(kc, col(kc) + lit(i * offset)))
 
+    def readBase(table: String): DataFrame = {
+      val df = spark.read.parquet(s"$src/$table.parquet")
+      // events.ts → long nanos regardless of the fixture's timestamp flavor
+      if (table == "events") graft.io.ParquetIO.tsToNanos(df) else df
+    }
+
     def replicate(table: String, copies: Int, keyCols: Seq[String], offset: Long,
         perturb: (DataFrame, Int) => DataFrame = (df, _) => df): DataFrame =
-      (0 until copies).map(i => perturb(copyOf(
-        spark.read.parquet(s"$src/$table.parquet"), i, keyCols, offset), i))
+      (0 until copies).map(i => perturb(copyOf(readBase(table), i, keyCols, offset), i))
         .reduce(_ unionAll _)
 
     // per-copy disjoint shingle universe: suffix every token

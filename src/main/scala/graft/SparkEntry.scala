@@ -26,8 +26,13 @@ import graft.streaming.StreamGate
  */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts → long epoch nanos regardless of the fixture's parquet
+    // timestamp flavor (see ParquetIO.tsToNanos); all event-time queries
+    // do integer nanos arithmetic on it
+    if (name == "events") graft.io.ParquetIO.tsToNanos(df) else df
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The full
     * curation pipeline composes the widest slice of the engine in one plan:

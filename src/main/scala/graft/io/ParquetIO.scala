@@ -32,6 +32,27 @@ object ParquetIO {
     spark.read.parquet(path)
 
   /**
+   * Normalize an event-time column to the engine contract: LONG EPOCH
+   * NANOSECONDS. The `events` fixture has shipped as parquet
+   * TIMESTAMP(NANOS) (surfaced as long nanos under
+   * `spark.sql.legacy.parquet.nanosAsLong`) and as TIMESTAMP(MICROS)
+   * (surfaced as TIMESTAMP_NTZ) across data generations; every downstream
+   * operator does pure integer nanos arithmetic, so both shapes funnel
+   * here. NTZ wall time is interpreted as UTC (the session time zone) —
+   * the same convention DuckDB's `epoch_ns` applies to naive timestamps,
+   * so the oracles agree bit-for-bit.
+   */
+  def tsToNanos(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn(tsCol,
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col(tsCol)
+              .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    }
+
+  /**
    * Overwrite-mode write, mirroring the reference's `File::create` overwrite
    * semantics (src/bin/sample.rs:10, src/bin/join.rs:9).
    *

@@ -30,11 +30,23 @@ object StreamGate {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Stage `<sfDir>/events.parquet` into a fresh directory; mtime is set
+  /** Stage `<sfDir>/events.parquet` into a fresh directory with `ts`
+    * normalized to long epoch nanos (the [[StreamOps.eventsSchema]]
+    * contract — the on-disk fixture's timestamp flavor varies across data
+    * generations, see [[graft.io.ParquetIO.tsToNanos]]); mtime is set
     * 60s in the past so later-staged sentinel files reliably sort AFTER it
     * in the file source's modification-time order. */
-  private def stageEventsDir(sfDir: String): Path = {
-    val dir = stageTableDir(sfDir, "events")
+  private[graft] def stageEventsDir(sfDir: String): Path = {
+    val spark = SparkSession.active
+    val dir = graft.io.TempDirs.create("graft_stream_events")
+    val tmp = graft.io.TempDirs.create("graft_stream_events_src")
+    graft.io.ParquetIO.tsToNanos(spark.read.parquet(s"$sfDir/events.parquet"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
+    Files.copy(part, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(dir.resolve("events.parquet"),
       FileTime.fromMillis(System.currentTimeMillis() - 60000))
     dir
@@ -190,7 +202,7 @@ object StreamGate {
   private def stageEventsWithSentinels(spark: SparkSession, sfDir: String): (Path, Long) = {
     val dir = stageEventsDir(sfDir)
     // sentinel = max real ts + ~1 year, one per user, staged AFTER events
-    val batchEvents = spark.read.schema(StreamOps.eventsSchema).parquet(s"$sfDir/events.parquet")
+    val batchEvents = StreamOps.batchEvents(spark, s"$sfDir/events.parquet")
     val maxTs = batchEvents.agg(max(col("ts"))).head().getLong(0)
     val sentinelTs = maxTs + 365L * 24 * 3600 * 1000000000L
     val sentinels = batchEvents.select(col("user_id")).distinct()
@@ -278,8 +290,7 @@ object StreamGate {
    */
   def staticJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stageEventsDir(sfDir)
-    val userStats = spark.read.schema(StreamOps.eventsSchema)
-      .parquet(s"$sfDir/events.parquet")
+    val userStats = StreamOps.batchEvents(spark, s"$sfDir/events.parquet")
       .groupBy(col("user_id"))
       .agg(sum(col("value").cast("decimal(15,2)")).as("user_ltv"),
         count(lit(1)).as("user_events"))

@@ -11,21 +11,27 @@ import org.apache.spark.sql.types._
  * batch-only (SURVEY.md §2.2 "Streaming: none"); this is extension work
  * re-using the same operator semantics on an unbounded source.
  *
- * events.parquet carries TIMESTAMP(NANOS); with
- * `spark.sql.legacy.parquet.nanosAsLong=true` the column arrives as long
- * nanoseconds and [[withEventTime]] converts to a proper timestamp for
- * watermarking.
+ * The engine contract for `ts` is LONG EPOCH NANOS regardless of the
+ * fixture's parquet timestamp flavor (see [[graft.io.ParquetIO.tsToNanos]]);
+ * [[StreamGate]] stages events pre-normalized to this shape so the file
+ * streaming source reads [[eventsSchema]] directly, and [[withEventTime]]
+ * converts to a proper timestamp for watermarking.
  */
 object StreamOps {
 
-  /** Schema of the events table as surfaced under nanosAsLong. */
+  /** Schema of the events table in its staged, ts-normalized form. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long nanos
+    StructField("ts", LongType), // long epoch nanos
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Batch read of an events parquet with `ts` normalized to long nanos —
+    * the batch-equivalence counterpart of a staged stream. */
+  def batchEvents(spark: SparkSession, path: String): DataFrame =
+    graft.io.ParquetIO.tsToNanos(spark.read.parquet(path))
 
   /** File-based streaming read of an events directory (one file per
     * micro-batch by default — `maxFilesPerTrigger` tunes replay pace). */

@@ -35,9 +35,9 @@ class AsOfNativeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("native == composed on the real events table, tolerance included") {
-    val e = spark.read.parquet(s"$sf0001/events.parquet")
+    val e = graft.io.ParquetIO.tsToNanos(spark.read.parquet(s"$sf0001/events.parquet"))
       .select($"event_id", $"user_id", $"ts")
-    val purchases = spark.read.parquet(s"$sf0001/events.parquet")
+    val purchases = graft.io.ParquetIO.tsToNanos(spark.read.parquet(s"$sf0001/events.parquet"))
       .filter($"event_type" === "purchase")
       .select($"user_id", $"ts", $"value".as("purchase_value"))
     for (tol <- Seq(None, Some(1800000000000L))) {

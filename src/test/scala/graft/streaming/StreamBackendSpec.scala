@@ -15,13 +15,8 @@ import graft.SparkSpec
 class StreamBackendSpec extends SparkSpec {
   import spark.implicits._
 
-  private lazy val eventsDir: String = {
-    val dir = graft.io.TempDirs.create("graft_backend_events").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    dir
-  }
+  // staged with ts normalized to the long-nanos contract
+  private lazy val eventsDir: String = StreamGate.stageEventsDir(sf0001).toString
 
   test("foreachBatch drains a stream to parquet; result equals the batch aggregation") {
     val out = graft.io.TempDirs.create("graft_feb_out").toString
@@ -37,7 +32,7 @@ class StreamBackendSpec extends SparkSpec {
 
     val got = spark.read.parquet(out).select($"window_start", $"event_type", $"n_events")
     val batch = StreamOps.windowedAgg(
-      spark.read.schema(StreamOps.eventsSchema).parquet(s"$sf0001/events.parquet"))
+      StreamOps.batchEvents(spark, s"$sf0001/events.parquet"))
       .select($"window_start", $"event_type", $"n_events")
     assert(got.count() === batch.count())
     assert(got.exceptAll(batch).count() === 0)

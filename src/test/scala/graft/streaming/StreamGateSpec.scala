@@ -14,7 +14,7 @@ class StreamGateSpec extends SparkSpec {
     val got = StreamGate.sessions(spark, sf0001)
       .select($"session_start_us", $"session_end_us", $"user_id", $"n_events")
 
-    val batch = spark.read.schema(StreamOps.eventsSchema).parquet(s"$sf0001/events.parquet")
+    val batch = StreamOps.batchEvents(spark, s"$sf0001/events.parquet")
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .groupBy(session_window($"event_time", "10 minutes"), $"user_id")
       .agg(count(lit(1)).as("n_events"))
@@ -31,7 +31,7 @@ class StreamGateSpec extends SparkSpec {
 
   test("complete-mode streaming hourly agg equals the batch aggregation") {
     val got = StreamGate.hourlyAgg(spark, sf0001)
-    val batch = spark.read.schema(StreamOps.eventsSchema).parquet(s"$sf0001/events.parquet")
+    val batch = StreamOps.batchEvents(spark, s"$sf0001/events.parquet")
       .groupBy(expr("(ts div 3600000000000) * 3600").as("bucket_s"), $"event_type")
       .agg(count(lit(1)).as("n_events"),
         sum($"value".cast("decimal(15,2)")).cast("double").as("sum_value"))
@@ -55,7 +55,7 @@ class StreamGateSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     val win = 86400000000000L
-    val ev = spark.read.schema(StreamOps.eventsSchema).parquet(s"$sf0001/events.parquet")
+    val ev = StreamOps.batchEvents(spark, s"$sf0001/events.parquet")
       .select($"user_id", $"event_type", $"ts")
     val v = ev.filter($"event_type" === "view").groupBy($"user_id").agg(min($"ts").as("tv"))
     val c = ev.filter($"event_type" === "click").join(v, Seq("user_id"))

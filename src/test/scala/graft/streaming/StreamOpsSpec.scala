@@ -8,14 +8,8 @@ class StreamOpsSpec extends SparkSpec {
   import spark.implicits._
 
   // the file streaming source requires a DIRECTORY; stage the single
-  // events.parquet file into one
-  private lazy val eventsDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    dir
-  }
+  // events.parquet file into one, ts normalized to the long-nanos contract
+  private lazy val eventsDir: String = StreamGate.stageEventsDir(sf0001).toString
 
   private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
       mode: String = "append"): Unit = {
@@ -31,7 +25,7 @@ class StreamOpsSpec extends SparkSpec {
       .select($"window_start", $"event_type", $"n_events")
 
     val batch = StreamOps.windowedAgg(
-      spark.read.schema(StreamOps.eventsSchema).parquet(s"$sf0001/events.parquet"))
+      StreamOps.batchEvents(spark, s"$sf0001/events.parquet"))
       .select($"window_start", $"event_type", $"n_events")
 
     // watermark may hold back the final window in append mode; everything
@@ -41,7 +35,7 @@ class StreamOpsSpec extends SparkSpec {
   }
 
   test("stream-safe sampling: deterministic content-hash acceptance, ratio honored") {
-    val batchEvents = spark.read.schema(StreamOps.eventsSchema).parquet(s"$sf0001/events.parquet")
+    val batchEvents = StreamOps.batchEvents(spark, s"$sf0001/events.parquet")
     val a = StreamOps.sampleStream(batchEvents, 0.2, seed = 42L).count()
     val b = StreamOps.sampleStream(batchEvents, 0.2, seed = 42L).count()
     assert(a === b)
@@ -70,7 +64,7 @@ class StreamOpsSpec extends SparkSpec {
       .select($"session_start_us", $"user_id", $"n_events")
 
     // batch ground truth from the q31 logic: session_window islands
-    val src = spark.read.schema(StreamOps.eventsSchema).parquet(s"$sf0001/events.parquet")
+    val src = StreamOps.batchEvents(spark, s"$sf0001/events.parquet")
     val batch = src
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .groupBy(session_window($"event_time", "10 minutes"), $"user_id")
@@ -93,7 +87,7 @@ class StreamOpsSpec extends SparkSpec {
     runToMemory(StreamOps.clickBeforePurchaseJoin(stream), "ssjoin")
     val got = spark.table("ssjoin").select($"purchase_id", $"click_id")
 
-    val src = spark.read.schema(StreamOps.eventsSchema).parquet(s"$sf0001/events.parquet")
+    val src = StreamOps.batchEvents(spark, s"$sf0001/events.parquet")
     val p = src.filter($"event_type" === "purchase")
       .select($"event_id".as("purchase_id"), $"user_id", expr("ts div 1000").as("pt"))
     val c = src.filter($"event_type" === "click")
