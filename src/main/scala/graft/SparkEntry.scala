@@ -1401,6 +1401,21 @@ object SparkEntry {
           (est >= col("__cnt")).as("lower_ok"),
           (est <= col("__cnt") + bound).as("upper_ok"))
     }),
+    // perceptual image dedup: 64-bit dHash over REAL decoded payloads
+    // (PNG/BMP via the JDK codec) + EXACT hamming pairs via pigeonhole
+    // banding and bit_count verify (Dedup.hammingPairs — the simhash
+    // machinery over an image signature). The planted near-dup groups share
+    // a closed-form raster, so DuckDB recomputes every dHash bit from the
+    // pixel formula and BRUTE-FORCES all pairs — a full hash oracle over
+    // the whole decode→hash→LSH→verify pipeline
+    "q151_image_dhash_pairs" -> ((s, dir) => {
+      val imgs = Multimodal.attachSyntheticImageGroups(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        w = 36, h = 32, groupSize = 8)
+      val hashed = Multimodal.imageDHash(imgs, "img").select(col("doc_id"), col("dhash"))
+      Dedup.hammingPairs(hashed, "doc_id", "dhash", maxHamming = 3, chunks = 4)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2676,6 +2691,46 @@ object SparkEntry {
       """SELECT l_suppkey, true AS lower_ok, true AS upper_ok FROM (
         |  SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1
         |  ORDER BY c DESC, l_suppkey LIMIT 20)""".stripMargin,
+
+    // image dHash near-dup pairs: DuckDB recomputes every dHash bit from
+    // the closed-form group-pixel formula (decode is lossless PNG/BMP, so
+    // raster == formula), builds the 64-bit hash as two 32-bit halves
+    // (1<<63 would overflow BIGINT), then BRUTE-FORCES all pairs with
+    // bit_count(xor) — the Spark side must reproduce the exact pair set
+    // through its banded-LSH path (pigeonhole recall is a theorem, so
+    // exact equality is the correct expectation, not an approximation)
+    "q151_image_dhash_pairs" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, d.doc_id // 8 AS gid, xs.x AS x, ys.y AS y
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 35)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS y) ys
+        |), gray AS (
+        |  SELECT doc_id, x // 4 AS cx, y // 4 AS cy,
+        |    ((gid*31 + x*7*(1 + gid % 5) + y*13*(1 + gid % 7)
+        |        + CASE WHEN x < 4 AND y < 4 THEN (doc_id % 8) * 3 ELSE 0 END) % 256
+        |     + (gid*31 + x*7*(1 + gid % 5) + y*13*(1 + gid % 7) + 5) % 256
+        |     + (gid*31 + x*7*(1 + gid % 5) + y*13*(1 + gid % 7) + 10) % 256) // 3 AS g
+        |  FROM px
+        |), cells AS (
+        |  SELECT doc_id, cx, cy, CAST(SUM(g) AS BIGINT) // 16 AS cg
+        |  FROM gray GROUP BY 1, 2, 3
+        |), bits AS (
+        |  SELECT l.doc_id, l.cy * 8 + l.cx AS b,
+        |    CASE WHEN r.cg > l.cg THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY 1
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
 
     // closed-form drift expectation (the q127 pattern): the fixture's two
     // generations are fully specified, so the report — column-add drift

@@ -377,7 +377,26 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       chunks: Int = 4,
-      seed: Long = 0L): DataFrame = {
+      seed: Long = 0L): DataFrame =
+    hammingPairs(
+      spread(df).select(col(idCol),
+        TextExpressionFunctions.simhash64(tokens(col(textCol)), seed).as("__sh64")),
+      idCol, "__sh64", maxHamming, chunks)
+
+  /**
+   * EXACT hamming-distance pairs (<= maxHamming) over ANY precomputed
+   * 64-bit signature column (simhash, image dHash, audio fingerprint, …).
+   * Same pigeonhole candidate generation as [[simhashPairs]]: any pair
+   * within hamming h < chunks shares at least one identical chunk, so the
+   * bucket join has full recall; exact `bit_count(xor)` verification runs
+   * BEFORE the pair-dedup shuffle so only passing pairs move.
+   */
+  def hammingPairs(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      chunks: Int = 4): DataFrame = {
     require(64 % chunks == 0, "chunks must divide 64")
     require(maxHamming < chunks, "pigeonhole recall needs maxHamming < chunks")
     val bits = 64 / chunks
@@ -389,8 +408,7 @@ object Dedup {
     // pair expansion bounded by the true output (same treatment as
     // embeddingNearDupPairs; hamming within a group is 0, so expansion
     // preserves the predicate trivially)
-    val base = spread(df).select(col(idCol).as("id"),
-      TextExpressionFunctions.simhash64(tokens(col(textCol)), seed).as("sh64"))
+    val base = df.select(col(idCol).as("id"), col(hashCol).as("sh64"))
     val groups = base.groupBy(col("sh64"))
       .agg(min(col("id")).as("rid"), collect_list(col("id")).as("ids"))
       .localCheckpoint()

@@ -555,6 +555,112 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Decode an image payload by magic bytes: "P6" → [[PpmCodec]] (raw
+    * raster), anything else → [[ImageIoCodec]] (PNG/JPEG/BMP/GIF). */
+  private def decodeAnyImage(bytes: Array[Byte]): PpmCodec.Image =
+    if (bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == '6'.toByte)
+      PpmCodec.decode(bytes)
+    else ImageIoCodec.decode(bytes)
+
+  /**
+   * 64-bit perceptual difference hash (dHash) of an image payload — the
+   * standard near-duplicate-image signature: a hash whose HAMMING distance
+   * tracks visual similarity, robust to small pixel perturbations and
+   * (by construction) invariant to global brightness shifts.
+   *
+   * Pipeline per row, all integer arithmetic so any engine reproduces the
+   * exact bits: decode (PPM or any JDK codec) → per-pixel truncating
+   * grayscale (r+g+b)/3 → box-average to a 9x8 grid (truncating block
+   * means, the [[PpmCodec.resize]] arithmetic — input dims must be
+   * multiples of 9 and 8) → bit (row*8+col) = 1 iff grid(col+1,row) >
+   * grid(col,row). One decoder pass in mapPartitions; bytes never shuffle.
+   * Feed the result to [[graft.ext.Dedup.hammingPairs]] for exact
+   * near-duplicate pairing at corpus scale.
+   */
+  def imageDHash(df: DataFrame, mediaCol: String, outCol: String = "dhash"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(outCol, LongType))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val img = decodeAnyImage(r.getAs[Array[Byte]](mediaIdx))
+        require(img.width % 9 == 0 && img.height % 8 == 0,
+          s"dHash needs dims divisible by 9x8, got ${img.width}x${img.height}")
+        val bx = img.width / 9
+        val by = img.height / 8
+        val cells = new Array[Long](9 * 8)
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 9) {
+            var sum = 0L
+            var dy = 0
+            while (dy < by) {
+              var dx = 0
+              while (dx < bx) {
+                val x = cx * bx + dx
+                val y = cy * by + dy
+                sum += ((img.channel(x, y, 0) + img.channel(x, y, 1) +
+                  img.channel(x, y, 2)) / 3).toLong
+                dx += 1
+              }
+              dy += 1
+            }
+            cells(cy * 9 + cx) = sum / (bx.toLong * by)
+            cx += 1
+          }
+          cy += 1
+        }
+        var hash = 0L
+        cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            if (cells(cy * 9 + cx + 1) > cells(cy * 9 + cx))
+              hash |= 1L << (cy * 8 + cx)
+            cx += 1
+          }
+          cy += 1
+        }
+        Row.fromSeq(r.toSeq :+ hash)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Closed-form pixel for GROUPED synthetic images: documents in the same
+    * group of `groupSize` consecutive ids share a base pattern whose
+    * gradient slopes depend on the group (cross-group dHashes decorrelate);
+    * members differ only by a small brightness bump on the top-left 4x4
+    * block — a true near-duplicate family. SQL-recomputable, like
+    * [[syntheticPixel]]. */
+  def syntheticGroupPixel(id: Long, groupSize: Int, x: Int, y: Int, c: Int): Int = {
+    val gid = id / groupSize
+    val pert = if (x < 4 && y < 4 && c == 0) (id % groupSize) * 3 else 0L
+    ((gid * 31 + x.toLong * 7 * (1 + gid % 5) + y.toLong * 13 * (1 + gid % 7) +
+      c.toLong * 5 + pert) % 256).toInt
+  }
+
+  /** Attach VALID lossless compressed payloads (PNG even ids / BMP odd ids)
+    * carrying [[syntheticGroupPixel]] rasters — the planted near-duplicate
+    * image corpus for perceptual-hash dedup. */
+  def attachSyntheticImageGroups(
+      df: DataFrame, idCol: String, w: Int, h: Int, groupSize: Int): DataFrame = {
+    require(groupSize > 0, s"groupSize must be positive, got $groupSize")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("img", BinaryType), StructField("media_type", StringType)))
+    val idIdx = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val bytes = ImageIoCodec.encode(fmt, w, h,
+          (x, y, c) => syntheticGroupPixel(id, groupSize, x, y, c))
+        Row.fromSeq(r.toSeq ++ Seq[Any](bytes, s"image/$fmt"))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Typed metadata carried beside the raw bytes. */
   val mediaMetaType: StructType = StructType(Seq(
     StructField("media_type", StringType),

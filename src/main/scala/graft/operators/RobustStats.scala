@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Rank-based robust statistics over groups — exact per-group quantile
+ * thresholds and winsorization (outlier clipping), the feature-hygiene
+ * pass a training pipeline runs before normalizing numeric columns
+ * (q125's z-score sibling: z-scores are distorted by heavy tails unless
+ * the tails are clipped first).
+ *
+ * Scale shape: the obvious plan — `row_number() OVER (PARTITION BY group
+ * ORDER BY value)` — sorts each group inside ONE task, which melts down
+ * when a group holds a third of a 100 TB fact table (low-cardinality
+ * group columns are the common case: return flags, languages, sources).
+ * Instead the thresholds come from ONE [[GlobalRank]] distributed total
+ * order over (group, value): a group's rows occupy a contiguous global
+ * rank range, so its k-th order statistic is the row at global rank
+ * `groupStart + k - 1` — per-group quantiles with NO per-group sort,
+ * every task holding only its range slice. Quantile indices use integer
+ * ceil-division (no float epsilon ambiguity at bucket boundaries).
+ */
+object RobustStats {
+
+  /**
+   * Exact per-group (loPct, hiPct) percentile thresholds of `valueCol`:
+   * the k-th smallest value per group with k = max(1, ceil(pct*n/100)).
+   * Output: one row per group — (groupCol, n, lo, hi).
+   */
+  def groupQuantileThresholds(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      loPct: Int,
+      hiPct: Int): DataFrame = {
+    require(loPct >= 0 && hiPct <= 100 && loPct <= hiPct,
+      s"need 0 <= loPct <= hiPct <= 100, got ($loPct, $hiPct)")
+    val ranked = GlobalRank.withGlobalRank(
+      df.select(col(groupCol), col(valueCol)),
+      Seq(col(groupCol), col(valueCol)), rankName = "__gr")
+    // a group's rows are contiguous in the total order; its k-th order
+    // statistic sits at global rank (min group rank) + k - 1
+    val spans = ranked.groupBy(col(groupCol))
+      .agg(min(col("__gr")).as("__r0"), count(lit(1)).as("n"))
+      .select(col(groupCol), col("n"),
+        (col("__r0") + expr(s"greatest(1L, (n * $loPct + 99) div 100)") - 1).as("__kLo"),
+        (col("__r0") + expr(s"greatest(1L, (n * $hiPct + 99) div 100)") - 1).as("__kHi"))
+    // group count is small by assumption (that's why the window was the
+    // tempting-but-wrong plan) — broadcast the k-indices back
+    ranked
+      .join(broadcast(spans), groupCol)
+      .filter(col("__gr") === col("__kLo") || col("__gr") === col("__kHi"))
+      .groupBy(col(groupCol))
+      .agg(first(col("n")).as("n"),
+        min(when(col("__gr") === col("__kLo"), col(valueCol))).as("lo"),
+        min(when(col("__gr") === col("__kHi"), col(valueCol))).as("hi"))
+  }
+
+  /**
+   * Winsorize `valueCol` per group: values below the loPct-th percentile
+   * clip up to it, values above the hiPct-th percentile clip down to it.
+   * Appends `<valueCol>_w` (clipped value) plus the group thresholds; the
+   * join back is a broadcast on the small per-group threshold table, so
+   * the data side stays a scan-fused projection.
+   */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      loPct: Int,
+      hiPct: Int): DataFrame = {
+    val th = groupQuantileThresholds(df, groupCol, valueCol, loPct, hiPct)
+      .select(col(groupCol), col("lo"), col("hi"))
+    df.join(broadcast(th), groupCol)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("lo")), col("hi")))
+  }
+
+  /** Convenience: clip column expression given lo/hi. */
+  def clip(value: Column, lo: Column, hi: Column): Column =
+    least(greatest(value, lo), hi)
+}

@@ -214,4 +214,54 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getDouble(3) === expected, s"doc $id")
     }
   }
+
+  test("dHash: constant image hashes to 0; horizontal ramp sets all 64 bits") {
+    val flat = (0L until 2L).toDF("doc_id").mapPartitions { rows =>
+      rows.map(r => org.apache.spark.sql.Row(r.getLong(0),
+        Multimodal.PpmCodec.encode(36, 32, (_, _, _) => 128)))
+    }(org.apache.spark.sql.Encoders.row(new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("img", "binary")))
+    val h0 = Multimodal.imageDHash(flat, "img").select($"dhash").head().getLong(0)
+    assert(h0 === 0L)
+
+    // gray rises 2/column (no 256 wrap across 36 px): every adjacent-cell
+    // comparison is strictly increasing -> all 64 bits set
+    val ramp = (0L until 1L).toDF("doc_id").mapPartitions { rows =>
+      rows.map(r => org.apache.spark.sql.Row(r.getLong(0),
+        Multimodal.PpmCodec.encode(36, 32, (x, _, _) => 2 * x)))
+    }(org.apache.spark.sql.Encoders.row(new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("img", "binary")))
+    val h1 = Multimodal.imageDHash(ramp, "img").select($"dhash").head().getLong(0)
+    assert(h1 === -1L) // all 64 bits
+  }
+
+  test("dHash identical through the raw-PPM and compressed (PNG/BMP) paths") {
+    val ids = (0L until 10L).toDF("doc_id")
+    val viaPpm = Multimodal.imageDHash(
+      Multimodal.attachSyntheticPpm(ids, "doc_id", w = 36, h = 32), "ppm")
+      .select($"doc_id", $"dhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCodec = Multimodal.imageDHash(
+      Multimodal.attachSyntheticImage(ids, "doc_id", w = 36, h = 32), "img")
+      .select($"doc_id", $"dhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPpm === viaCodec)
+  }
+
+  test("dHash hammingPairs == brute force over the planted near-dup groups") {
+    val imgs = Multimodal.attachSyntheticImageGroups(
+      (0L until 40L).toDF("doc_id"), "doc_id", w = 36, h = 32, groupSize = 8)
+    val hashed = Multimodal.imageDHash(imgs, "img").select($"doc_id", $"dhash")
+    val hashes = hashed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+
+    val got = Dedup.hammingPairs(hashed, "doc_id", "dhash", maxHamming = 3, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty)
+    // the planted family structure holds: every pair is intra-group
+    assert(brute.forall { case (a, b, _) => a / 8 === b / 8 })
+  }
 }
