@@ -1416,6 +1416,25 @@ object SparkEntry {
       Dedup.hammingPairs(hashed, "doc_id", "dhash", maxHamming = 3, chunks = 4)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     }),
+    // link-graph quality propagation: fixed-point integer PageRank (10
+    // iterations) over a deterministic citation graph derived from the
+    // corpus (3 modular-arithmetic out-edges per doc — the fixture; the
+    // operator takes ANY edge list). Integer sums are order-independent,
+    // which is what puts an ITERATIVE distributed computation on the
+    // exact-hash oracle: DuckDB replays all 10 rounds as chained CTEs
+    "q152_graph_pagerank" -> ((s, dir) => {
+      val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
+      // 1-4 out-edges per node through a quadratic map: irregular degrees
+      // and a genuinely skewed rank distribution (affine maps on a ring
+      // make every node symmetric -> constant ranks -> a blind oracle)
+      val edges = nodes.crossJoin(nodes.agg(count(lit(1)).as("n")))
+        .select(col("node").as("src"), col("n"))
+        .select(col("src"), col("n"),
+          explode(expr("sequence(1, 1 + src % 4)")).as("j"))
+        .select(col("src"), expr("(src * (src + 3) + j * 97) % n").as("dst"))
+      graft.ext.GraphOps.pageRankFixedPoint(nodes, edges, iters = 10)
+        .select(col("node").as("doc_id"), col("rank_fp"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -1522,6 +1541,35 @@ object SparkEntry {
       |  CAST(top_word_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
       |  COALESCE(CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0) AS top_bigram_frac
       |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id""".stripMargin
+
+  // fixed-point PageRank replay: the 10 iterations unroll as chained CTEs
+  // (generated here — no recursive-CTE aggregation restrictions to fight).
+  // All arithmetic is integer (DuckDB SUM promotes to HUGEINT; values stay
+  // < 2^63 so the final BIGINT cast is lossless), so every round matches
+  // the engine's long math bit-for-bit.
+  private lazy val pageRankOracle: String = {
+    val iters = 10
+    val head =
+      """WITH nodes AS (SELECT doc_id AS node FROM documents),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |ej AS (SELECT node AS src,
+        |         unnest(generate_series(1, 1 + node % 4)) AS j FROM nodes),
+        |edges AS (SELECT src, (src * (src + 3) + j * 97) % n AS dst FROM ej, nn),
+        |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+        |base AS (SELECT CAST(1000000000000 AS BIGINT) * 15 // 100 // n AS b FROM nn),
+        |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) // n AS rank_fp FROM nodes, nn)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT nd.node, (SELECT b FROM base) + COALESCE(c.s, 0) AS rank_fp
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, SUM((r.rank_fp * 85) // (100 * o.od)) AS s
+         |    FROM r${k - 1} r JOIN edges e ON e.src = r.node
+         |    JOIN outdeg o ON o.src = r.node
+         |    GROUP BY e.dst) c ON c.node = nd.node)""".stripMargin
+    }
+    (Seq(head) ++ steps).mkString(",\n") +
+      s"\nSELECT node AS doc_id, CAST(rank_fp AS BIGINT) AS rank_fp FROM r$iters"
+  }
 
   // decontamination: string 5-grams on the oracle side vs xxhash64'd
   // grams on the engine side — counts agree modulo ~2^-64 collisions
@@ -2731,6 +2779,8 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
+
+    "q152_graph_pagerank" -> pageRankOracle,
 
     // closed-form drift expectation (the q127 pattern): the fixture's two
     // generations are fully specified, so the report — column-add drift
