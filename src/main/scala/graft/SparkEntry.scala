@@ -1435,6 +1435,25 @@ object SparkEntry {
       graft.ext.GraphOps.pageRankFixedPoint(nodes, edges, iters = 10)
         .select(col("node").as("doc_id"), col("rank_fp"))
     }),
+    // per-group winsorization (outlier clipping at exact p05/p95 order
+    // statistics) — the robust-scaling pass before q125's z-scores. The
+    // thresholds come from ONE GlobalRank distributed total order over
+    // (group, value): a group's k-th order statistic is the row at
+    // global rank groupStart+k-1, so there is NO per-group window sort (a
+    // 3-value group column would funnel a third of the table through one
+    // task). Quantile indices are integer ceil-division — no float
+    // epsilon at bucket boundaries
+    "q153_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+      graft.operators.RobustStats.winsorize(li, "l_returnflag", "l_extendedprice", 5, 95)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min(col("lo")).as("p05"),
+          min(col("hi")).as("p95"),
+          sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+          sum(col("l_extendedprice_w").cast("decimal(15,2)")).cast("double").as("sum_w"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2781,6 +2800,27 @@ object SparkEntry {
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
 
     "q152_graph_pagerank" -> pageRankOracle,
+
+    // winsorize: window replay (fine at oracle scale; the engine side
+    // deliberately avoids the per-group window — see the query comment)
+    "q153_winsorize" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |th AS (
+        |  SELECT g,
+        |    MAX(CASE WHEN rn = GREATEST(1, (n * 5 + 99) // 100) THEN v END) AS lo,
+        |    MAX(CASE WHEN rn = GREATEST(1, (n * 95 + 99) // 100) THEN v END) AS hi
+        |  FROM ranked GROUP BY g)
+        |SELECT r.g AS l_returnflag, count(*) AS n,
+        |  MIN(t.lo) AS p05, MIN(t.hi) AS p95,
+        |  CAST(SUM(CASE WHEN r.v < t.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN r.v > t.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  CAST(SUM(CAST(LEAST(GREATEST(r.v, t.lo), t.hi) AS DECIMAL(15,2))) AS DOUBLE) AS sum_w
+        |FROM ranked r JOIN th t ON r.g = t.g
+        |GROUP BY 1""".stripMargin,
 
     // closed-form drift expectation (the q127 pattern): the fixture's two
     // generations are fully specified, so the report — column-add drift
