@@ -1454,6 +1454,19 @@ object SparkEntry {
           sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
           sum(col("l_extendedprice_w").cast("decimal(15,2)")).cast("double").as("sum_w"))
     }),
+    // video scene-change detection: REAL frame-by-frame decode of the
+    // concatenated-P6 payload, integer grayscale-sum deltas, cuts where
+    // |delta| >= 3*n_pixels (within-scene drift is exactly n_pixels, a
+    // planted cut is 6*n_pixels). Wrap-free pixel formula -> DuckDB
+    // recomputes every frame sum and lag-delta exactly
+    "q154_video_scene_cuts" -> ((s, dir) =>
+      Multimodal.sceneChanges(
+        Multimodal.attachSyntheticSceneVideo(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          w = 16, h = 12, nFrames = 12, sceneLen = 4),
+        "video", minSumDiff = 3L * 16 * 12)
+        .select(col("doc_id"), col("frame_idx"), col("gray_sum"),
+          col("diff"), col("is_cut"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2821,6 +2834,29 @@ object SparkEntry {
         |  CAST(SUM(CAST(LEAST(GREATEST(r.v, t.lo), t.hi) AS DECIMAL(15,2))) AS DOUBLE) AS sum_w
         |FROM ranked r JOIN th t ON r.g = t.g
         |GROUP BY 1""".stripMargin,
+
+    // scene cuts: per-pixel gray = base+1 exactly ((3*base+3)/3 with
+    // channel offsets 0/1/2), frame sums + lag deltas replayed in SQL
+    "q154_video_scene_cuts" ->
+      """WITH fr AS (SELECT unnest(generate_series(0, 11)) AS f),
+        |px AS (
+        |  SELECT d.doc_id, fr.f,
+        |    (d.doc_id % 7) * 4 + (fr.f // 4) * 9 + (fr.f % 4)
+        |      + (xs.x % 8) + (ys.y % 8) + 1 AS g
+        |  FROM documents d CROSS JOIN fr
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS y) ys
+        |), s AS (
+        |  SELECT doc_id, f AS frame_idx, CAST(SUM(g) AS BIGINT) AS gray_sum
+        |  FROM px GROUP BY 1, 2
+        |), dif AS (
+        |  SELECT doc_id, frame_idx, gray_sum,
+        |    CAST(COALESCE(gray_sum - lag(gray_sum)
+        |      OVER (PARTITION BY doc_id ORDER BY frame_idx), 0) AS BIGINT) AS diff
+        |  FROM s)
+        |SELECT doc_id, frame_idx, gray_sum, diff,
+        |  (frame_idx > 0 AND abs(diff) >= 576) AS is_cut
+        |FROM dif""".stripMargin,
 
     // closed-form drift expectation (the q127 pattern): the fixture's two
     // generations are fully specified, so the report — column-add drift

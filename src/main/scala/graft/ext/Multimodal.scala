@@ -751,6 +751,86 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Closed-form pixel for the SCENE-CUT video fixture: frames within a
+    * scene (`f / sceneLen`) differ by +1 everywhere; crossing a scene
+    * boundary jumps +9-(sceneLen-1). Coefficients keep every channel
+    * value far below 256 — NO mod wrap — because a uniform-mod-256 raster
+    * is shift-invariant in the mean (the [[syntheticVideoPixel]] fixture
+    * deliberately has no detectable cuts). */
+  def sceneVideoPixel(id: Long, sceneLen: Int, f: Int, x: Int, y: Int, c: Int): Int =
+    ((id % 7) * 4 + (f / sceneLen) * 9 + (f % sceneLen) + (x % 8) + (y % 8) + c).toInt
+
+  /** Attach a VALID concatenated-P6 video whose frames carry
+    * [[sceneVideoPixel]] — planted scene cuts every `sceneLen` frames. */
+  def attachSyntheticSceneVideo(
+      df: DataFrame, idCol: String, w: Int, h: Int,
+      nFrames: Int, sceneLen: Int): DataFrame = {
+    require(nFrames > 0 && sceneLen > 0, "nFrames and sceneLen must be positive")
+    require(6 * 4 + ((nFrames - 1) / sceneLen) * 9 + (sceneLen - 1) + 7 + 7 + 2 < 256,
+      "fixture coefficients must stay below 256 (no mod wrap)")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("video", BinaryType))
+    val idIdx = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val frames = (0 until nFrames).map(f =>
+          PpmCodec.encode(w, h, (x, y, c) => sceneVideoPixel(id, sceneLen, f, x, y, c)))
+        val out = new Array[Byte](frames.map(_.length).sum)
+        var off = 0
+        frames.foreach { fb => System.arraycopy(fb, 0, out, off, fb.length); off += fb.length }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * Scene-change (shot-boundary) detection over a concatenated-P6 video
+   * payload: decode frames sequentially, track each frame's integer
+   * grayscale sum, and flag frames whose absolute sum delta from the
+   * previous frame reaches `minSumDiff` — the classic intensity-difference
+   * cut detector, in pure integer arithmetic so the flags are
+   * engine-reproducible. The walk is per-clip sequential inside
+   * mapPartitions (consecutive frames live in one payload), so the
+   * operator needs NO window and NO shuffle at any corpus size.
+   */
+  def sceneChanges(df: DataFrame, mediaCol: String, minSumDiff: Long): DataFrame = {
+    require(minSumDiff > 0, s"minSumDiff must be positive, got $minSumDiff")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("frame_idx", LongType),
+      StructField("gray_sum", LongType),
+      StructField("diff", LongType),
+      StructField("is_cut", BooleanType)))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        var pos = 0
+        var f = 0L
+        var prev = 0L
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (pos < bytes.length) {
+          val (img, next) = PpmCodec.decodeFrom(bytes, pos)
+          var sum = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            sum += ((img.pixels(i) & 0xFF) + (img.pixels(i + 1) & 0xFF) +
+              (img.pixels(i + 2) & 0xFF)) / 3
+            i += 3
+          }
+          val diff = if (f == 0L) 0L else sum - prev
+          out += Row.fromSeq(r.toSeq ++ Seq[Any](
+            f, sum, diff, f > 0L && math.abs(diff) >= minSumDiff))
+          prev = sum
+          pos = next
+          f += 1
+        }
+        out
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /**
    * REAL frame extraction: walk the concatenated-P6 payload parsing each
    * frame header for its boundary, decode every `stride`-th frame, and

@@ -264,4 +264,19 @@ class MultimodalSpec extends SparkSpec {
     // the planted family structure holds: every pair is intra-group
     assert(brute.forall { case (a, b, _) => a / 8 === b / 8 })
   }
+
+  test("scene-change detection flags exactly the planted scene boundaries") {
+    val clips = Multimodal.attachSyntheticSceneVideo(
+      (0L until 5L).toDF("doc_id"), "doc_id", w = 16, h = 12, nFrames = 12, sceneLen = 4)
+    val rows = Multimodal.sceneChanges(clips, "video", minSumDiff = 3L * 16 * 12)
+      .select($"doc_id", $"frame_idx", $"diff", $"is_cut").collect()
+    assert(rows.length === 5 * 12)
+    rows.foreach { r =>
+      val f = r.getLong(1)
+      val expectCut = f > 0 && f % 4 == 0
+      assert(r.getBoolean(3) === expectCut, s"doc ${r.getLong(0)} frame $f")
+      // within-scene drift is exactly n_pixels; a cut is 6*n_pixels
+      if (f > 0) assert(r.getLong(2) === (if (expectCut) 6L * 192 else 192L))
+    }
+  }
 }
