@@ -438,6 +438,41 @@ object ScaleProbe {
           .agg(hll_sketch_agg(col("doc_id")).as("sk"))
         per.agg(hll_union_agg(col("sk"))).count()
       }
+      // r5b: perceptual image dedup — decode+hash is per-row codegen-free
+      // mapPartitions work; pair volume is bounded by the planted families
+      // (disjoint doc_id ranges per copy -> groups never straddle copies)
+      timed("image_dhash_pairs", k) {
+        val imgs = ext.Multimodal.attachSyntheticImageGroups(
+          read("documents", k).select(col("doc_id")), "doc_id", 36, 32, 8)
+        val hashed = ext.Multimodal.imageDHash(imgs, "img")
+          .select(col("doc_id"), col("dhash"))
+        Dedup.hammingPairs(hashed, "doc_id", "dhash", 3, 4).count()
+      }
+      // r5b: fixed-point PageRank — per-iteration cost is one edge join +
+      // one dst agg, linear in edges
+      timed("pagerank", k) {
+        val nodes = read("documents", k).select(col("doc_id").as("node"))
+        val edges = nodes.crossJoin(nodes.agg(count(lit(1)).as("n")))
+          .select(col("node").as("src"), col("n"))
+          .select(col("src"), col("n"),
+            explode(expr("sequence(1, 1 + src % 4)")).as("j"))
+          .select(col("src"), expr("(src * (src + 3) + j * 97) % n").as("dst"))
+        ext.GraphOps.pageRankFixedPoint(nodes, edges, iters = 5).count()
+      }
+      // r5b: winsorize — one GlobalRank total order + broadcast threshold
+      // join; group count constant, rows scale linearly
+      timed("winsorize", k) {
+        graft.operators.RobustStats.winsorize(
+          read("lineitem", k).select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", "l_extendedprice", 5, 95).count()
+      }
+      // r5b: scene cuts — sequential per-clip walk, no shuffle at all
+      timed("video_scene_cuts", k) {
+        val ids = read("documents", k).select(col("doc_id"))
+        ext.Multimodal.sceneChanges(
+          ext.Multimodal.attachSyntheticSceneVideo(ids, "doc_id", 16, 12, 12, 4),
+          "video", 3L * 16 * 12).count()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")

@@ -1467,6 +1467,18 @@ object SparkEntry {
         "video", minSumDiff = 3L * 16 * 12)
         .select(col("doc_id"), col("frame_idx"), col("gray_sum"),
           col("diff"), col("is_cut"))),
+    // perceptual near-dup CLUSTERS: the q151 dHash pair graph through the
+    // same min-label connected components as q46 — image-corpus dedup
+    // end-to-end (decode -> hash -> LSH pairs -> clusters), all exact
+    "q155_image_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val hashed = Multimodal.imageDHash(
+        Multimodal.attachSyntheticImageGroups(docs, "doc_id", w = 36, h = 32, groupSize = 8),
+        "img").select(col("doc_id"), col("dhash"))
+      val pairs = Dedup.hammingPairs(hashed, "doc_id", "dhash", maxHamming = 3, chunks = 4)
+      Dedup.duplicateClusters(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2857,6 +2869,49 @@ object SparkEntry {
         |SELECT doc_id, frame_idx, gray_sum, diff,
         |  (frame_idx > 0 AND abs(diff) >= 576) AS is_cut
         |FROM dif""".stripMargin,
+
+    // image dup clusters: q151's brute-forced pair graph through the q46
+    // recursive min-label component replay
+    "q155_image_dup_clusters" ->
+      """WITH RECURSIVE px AS (
+        |  SELECT d.doc_id, d.doc_id // 8 AS gid, xs.x AS x, ys.y AS y
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 35)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS y) ys
+        |), gray AS (
+        |  SELECT doc_id, x // 4 AS cx, y // 4 AS cy,
+        |    ((gid*31 + x*7*(1 + gid % 5) + y*13*(1 + gid % 7)
+        |        + CASE WHEN x < 4 AND y < 4 THEN (doc_id % 8) * 3 ELSE 0 END) % 256
+        |     + (gid*31 + x*7*(1 + gid % 5) + y*13*(1 + gid % 7) + 5) % 256
+        |     + (gid*31 + x*7*(1 + gid % 5) + y*13*(1 + gid % 7) + 10) % 256) // 3 AS g
+        |  FROM px
+        |), cells AS (
+        |  SELECT doc_id, cx, cy, CAST(SUM(g) AS BIGINT) // 16 AS cg
+        |  FROM gray GROUP BY 1, 2, 3
+        |), bits AS (
+        |  SELECT l.doc_id, l.cy * 8 + l.cx AS b,
+        |    CASE WHEN r.cg > l.cg THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), comp(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, c.label FROM comp c JOIN edges e ON c.id = e.src
+        |)
+        |SELECT id AS doc_id, min(label) AS cluster_id FROM comp GROUP BY id""".stripMargin,
 
     // closed-form drift expectation (the q127 pattern): the fixture's two
     // generations are fully specified, so the report — column-add drift

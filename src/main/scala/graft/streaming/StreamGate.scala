@@ -30,6 +30,21 @@ object StreamGate {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  // one ts-normalized rewrite per source fixture per JVM; every staging
+  // then copies the cached file (a byte copy, not a Spark job)
+  private val normalizedEvents = new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  private def normalizedEventsFile(sfDir: String): Path =
+    normalizedEvents.computeIfAbsent(sfDir, { _ =>
+      val spark = SparkSession.active
+      val tmp = graft.io.TempDirs.create("graft_events_norm")
+      graft.io.ParquetIO.tsToNanos(spark.read.parquet(s"$sfDir/events.parquet"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
+    })
+
   /** Stage `<sfDir>/events.parquet` into a fresh directory with `ts`
     * normalized to long epoch nanos (the [[StreamOps.eventsSchema]]
     * contract — the on-disk fixture's timestamp flavor varies across data
@@ -37,16 +52,9 @@ object StreamGate {
     * 60s in the past so later-staged sentinel files reliably sort AFTER it
     * in the file source's modification-time order. */
   private[graft] def stageEventsDir(sfDir: String): Path = {
-    val spark = SparkSession.active
     val dir = graft.io.TempDirs.create("graft_stream_events")
-    val tmp = graft.io.TempDirs.create("graft_stream_events_src")
-    graft.io.ParquetIO.tsToNanos(spark.read.parquet(s"$sfDir/events.parquet"))
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val listing = Files.list(tmp)
-    val part =
-      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
-      finally listing.close()
-    Files.copy(part, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(normalizedEventsFile(sfDir), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(dir.resolve("events.parquet"),
       FileTime.fromMillis(System.currentTimeMillis() - 60000))
     dir
