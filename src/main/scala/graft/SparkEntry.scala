@@ -1479,6 +1479,20 @@ object SparkEntry {
       Dedup.duplicateClusters(docs, "doc_id", pairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
+    // audio silence segmentation (energy-gate VAD): REAL RIFF/PCM decode,
+    // non-overlapping 160-sample windows, integer energy vs threshold.
+    // Planted silent windows at (window + id) % 3 == 0; silent energy
+    // <= 4*160 and voiced >= 500^2*160, so the 1600 threshold separates
+    // them with orders of magnitude to spare — and the oracle recomputes
+    // every window energy exactly from the sample formula
+    "q156_audio_silence" -> ((s, dir) =>
+      Multimodal.audioSilence(
+        Multimodal.attachSyntheticSpeechWav(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          sampleRate = 8000, nSamples = 1600, windowLen = 160),
+        "wav", windowLen = 160, maxWindowEnergy = 1600L)
+        .select(col("doc_id"), col("window_idx"), col("n_window"),
+          col("energy"), col("is_silent"))),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2912,6 +2926,21 @@ object SparkEntry {
         |  SELECT e.dst, c.label FROM comp c JOIN edges e ON c.id = e.src
         |)
         |SELECT id AS doc_id, min(label) AS cluster_id FROM comp GROUP BY id""".stripMargin,
+
+    // audio silence: window energies replayed from the closed-form sample
+    "q156_audio_silence" ->
+      """WITH sm AS (
+        |  SELECT d.doc_id, s.i, s.i // 160 AS w,
+        |    CASE WHEN ((s.i // 160) + d.doc_id) % 3 = 0
+        |         THEN ((d.doc_id + s.i) % 5) - 2
+        |         ELSE ((d.doc_id * 7 + s.i * 3) % 4096) + 500 END AS v
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 1599)) AS i) s)
+        |SELECT doc_id, CAST(w AS BIGINT) AS window_idx,
+        |  count(*) AS n_window,
+        |  CAST(SUM(v * v) AS BIGINT) AS energy,
+        |  (CAST(SUM(v * v) AS BIGINT) <= 1600) AS is_silent
+        |FROM sm GROUP BY doc_id, w""".stripMargin,
 
     // closed-form drift expectation (the q127 pattern): the fixture's two
     // generations are fully specified, so the report — column-add drift

@@ -341,6 +341,73 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Closed-form sample for the VOICED/SILENT fixture: windows of
+    * `windowLen` samples are silent (|v| <= 2) when `(window + id) % 3 == 0`
+    * (phase varies per clip) and loud (v >= 500) otherwise — planted
+    * silence the energy detector must find exactly. */
+  def syntheticSpeechSample(id: Long, windowLen: Int, i: Int): Int =
+    if (((i / windowLen) + id) % 3 == 0) ((id + i) % 5).toInt - 2
+    else (((id * 7 + i * 3) % 4096) + 500).toInt
+
+  /** Attach a VALID 16-bit mono PCM WAV carrying [[syntheticSpeechSample]]. */
+  def attachSyntheticSpeechWav(
+      df: DataFrame, idCol: String, sampleRate: Int, nSamples: Int, windowLen: Int): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("wav", BinaryType))
+    val idIdx = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val samples = Array.tabulate(nSamples)(i =>
+          syntheticSpeechSample(id, windowLen, i).toShort)
+        Row.fromSeq(r.toSeq :+ WavCodec.encode(sampleRate, samples))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * Silence / voice-activity segmentation over a PCM payload: decode, cut
+   * into non-overlapping `windowLen`-sample windows, and flag windows whose
+   * integer energy (sum of squared samples) is at most `maxWindowEnergy` —
+   * the standard energy-gate VAD, in pure integer arithmetic so the flags
+   * are engine-reproducible (sum of squares <= n*2^30, well under 2^63).
+   * Sequential per-clip walk in mapPartitions: no window function, no
+   * shuffle. The last window may be partial (its energy sums fewer
+   * samples; threshold semantics are absolute by design — scale it by
+   * window length upstream if per-sample gating is wanted).
+   */
+  def audioSilence(df: DataFrame, mediaCol: String, windowLen: Int,
+      maxWindowEnergy: Long): DataFrame = {
+    require(windowLen > 0, s"windowLen must be positive, got $windowLen")
+    require(maxWindowEnergy >= 0, s"maxWindowEnergy must be >= 0, got $maxWindowEnergy")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("window_idx", LongType),
+      StructField("n_window", LongType),
+      StructField("energy", LongType),
+      StructField("is_silent", BooleanType)))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val a = WavCodec.decode(r.getAs[Array[Byte]](mediaIdx))
+        val nWin = (a.samples.length + windowLen - 1) / windowLen
+        (0 until nWin).iterator.map { w =>
+          val start = w * windowLen
+          val end = math.min(start + windowLen, a.samples.length)
+          var e = 0L
+          var i = start
+          while (i < end) {
+            val v = a.samples(i).toLong
+            e += v * v
+            i += 1
+          }
+          Row.fromSeq(r.toSeq ++ Seq[Any](
+            w.toLong, (end - start).toLong, e, e <= maxWindowEnergy))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Decode -> decimate (keep every `factor`-th sample; the simplest
     * integer resample — halving the rate twice etc.) -> re-encode at the
     * reduced rate, appending the payload and its decoded sample count. */

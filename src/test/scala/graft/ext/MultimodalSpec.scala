@@ -265,6 +265,20 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.forall { case (a, b, _) => a / 8 === b / 8 })
   }
 
+  test("audio silence VAD flags exactly the planted silent windows") {
+    val clips = Multimodal.attachSyntheticSpeechWav(
+      (0L until 6L).toDF("doc_id"), "doc_id", sampleRate = 8000,
+      nSamples = 1600, windowLen = 160)
+    val rows = Multimodal.audioSilence(clips, "wav", 160, 1600L)
+      .select($"doc_id", $"window_idx", $"n_window", $"is_silent").collect()
+    assert(rows.length === 6 * 10)
+    rows.foreach { r =>
+      val (id, w) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) === 160L)
+      assert(r.getBoolean(3) === ((w + id) % 3 == 0), s"doc $id window $w")
+    }
+  }
+
   test("scene-change detection flags exactly the planted scene boundaries") {
     val clips = Multimodal.attachSyntheticSceneVideo(
       (0L until 5L).toDF("doc_id"), "doc_id", w = 16, h = 12, nFrames = 12, sceneLen = 4)
