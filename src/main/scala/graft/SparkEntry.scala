@@ -1493,6 +1493,10 @@ object SparkEntry {
         "wav", windowLen = 160, maxWindowEnergy = 1600L)
         .select(col("doc_id"), col("window_idx"), col("n_window"),
           col("energy"), col("is_silent"))),
+    // streaming drift monitor: per-hour event-type mix vs the global mix,
+    // total variation distance with an integer numerator (one final
+    // division) — streaming state maintains the counts, the score is exact
+    "q157_stream_drift" -> ((s, dir) => StreamGate.driftMonitor(s, dir)),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2941,6 +2945,26 @@ object SparkEntry {
         |  CAST(SUM(v * v) AS BIGINT) AS energy,
         |  (CAST(SUM(v * v) AS BIGINT) <= 1600) AS is_silent
         |FROM sm GROUP BY doc_id, w""".stripMargin,
+
+    // streaming drift: hourly mix vs global mix, integer TVD numerator +
+    // one final double division (identical expression tree both engines)
+    "q157_stream_drift" ->
+      """WITH h AS (
+        |  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s,
+        |    event_type, count(*) AS n_ht
+        |  FROM events GROUP BY 1, 2),
+        |hour_tot AS (SELECT bucket_s, CAST(SUM(n_ht) AS BIGINT) AS n_h FROM h GROUP BY 1),
+        |type_tot AS (SELECT event_type, CAST(SUM(n_ht) AS BIGINT) AS n_t FROM h GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_ht) AS BIGINT) AS n FROM h),
+        |grid AS (
+        |  SELECT ht.bucket_s, tt.event_type, COALESCE(h.n_ht, 0) AS n_ht, ht.n_h, tt.n_t
+        |  FROM hour_tot ht CROSS JOIN type_tot tt
+        |  LEFT JOIN h ON h.bucket_s = ht.bucket_s AND h.event_type = tt.event_type)
+        |SELECT g.bucket_s, MIN(g.n_h) AS n_h,
+        |  CAST(SUM(ABS(g.n_ht * t.n - g.n_t * g.n_h)) AS BIGINT) AS tvd_num,
+        |  CAST(CAST(SUM(ABS(g.n_ht * t.n - g.n_t * g.n_h)) AS BIGINT) AS DOUBLE)
+        |    / (2.0 * MIN(t.n) * MIN(g.n_h)) AS tvd
+        |FROM grid g CROSS JOIN tot t GROUP BY 1""".stripMargin,
 
     // closed-form drift expectation (the q127 pattern): the fixture's two
     // generations are fully specified, so the report — column-add drift

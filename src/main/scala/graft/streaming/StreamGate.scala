@@ -311,6 +311,44 @@ object StreamGate {
     runToTable(joined, "stream_static_join", "append")
   }
 
+  /**
+   * Streaming distribution-drift monitor: maintain per-hour event-type
+   * counts as streaming state (the [[hourlyAgg]] machinery, complete
+   * mode — so the emitted counts equal the batch group-by EXACTLY), then
+   * score each hour's type mix against the whole stream's mix by total
+   * variation distance. The TVD numerator stays in INTEGER cross-products
+   * (|n_ht*n − n_t*n_h| summed over types — order-independent), with ONE
+   * final double division, so the drift scores are bit-reproducible
+   * cross-engine — the alerting metric a production ingest pipeline
+   * watches for upstream mix shifts.
+   */
+  def driftMonitor(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = hourlyAgg(spark, sfDir)
+      .select(col("bucket_s"), col("event_type"), col("n_events").as("n_ht"))
+    // distinct key names on the aggregate sides: all three aggregates
+    // descend from the same sink table, so joining back on the original
+    // grouping attributes would hit conflicting references
+    val hourTot = h.groupBy(col("bucket_s")).agg(sum(col("n_ht")).as("n_h"))
+      .select(col("bucket_s").as("hb"), col("n_h"))
+    val typeTot = h.groupBy(col("event_type")).agg(sum(col("n_ht")).as("n_t"))
+      .select(col("event_type").as("te"), col("n_t"))
+    val tot = h.agg(sum(col("n_ht")).as("n"))
+    // full hour x type grid: a type absent from an hour still contributes
+    // |0*n - n_t*n_h| to that hour's distance
+    val grid = hourTot.crossJoin(typeTot)
+      .join(h, col("hb") === col("bucket_s") && col("te") === col("event_type"), "left")
+      .select(col("hb").as("bucket_s"),
+        coalesce(col("n_ht"), lit(0L)).as("n_ht"),
+        col("n_h"), col("n_t"))
+      .crossJoin(tot)
+    grid.groupBy(col("bucket_s"))
+      .agg(min(col("n_h")).as("n_h"),
+        sum(abs(col("n_ht") * col("n") - col("n_t") * col("n_h"))).as("tvd_num"),
+        min(col("n")).as("__n"))
+      .select(col("bucket_s"), col("n_h"), col("tvd_num"),
+        (col("tvd_num").cast("double") / (lit(2.0) * col("__n") * col("n_h"))).as("tvd"))
+  }
+
   /** Streaming content-hash Bernoulli sample (retry-stable acceptance). */
   def sample(spark: SparkSession, sfDir: String, ratio: Double, seed: Long): DataFrame = {
     val dir = stageEventsDir(sfDir)
