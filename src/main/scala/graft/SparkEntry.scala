@@ -1497,6 +1497,37 @@ object SparkEntry {
     // total variation distance with an integer numerator (one final
     // division) — streaming state maintains the counts, the score is exact
     "q157_stream_drift" -> ((s, dir) => StreamGate.driftMonitor(s, dir)),
+    // FILTERED vector search: the allow-set (label % 3 = 0) semi-joins the
+    // SQ index's code table BEFORE ADC scoring — index-level filtering, no
+    // post-filter recall loss. rerank covers the whole filtered corpus, so
+    // the result is EXACT and DuckDB brute-forces the filtered search
+    "q158_knn_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val allowed = e.filter(col("label") % 3 === 0).select(col("vec_id"))
+      graft.ext.VectorOps.searchSq(
+        graft.ext.VectorOps.buildSqIndex(e, "vec_id", "embedding"),
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, rerank = 1000000, allowed = Some(allowed))
+    }),
+    // hybrid retrieval: lexical word-3-gram overlap + vector cosine fused
+    // by reciprocal-rank fusion — the standard hybrid-search ranking; both
+    // ranks and the two-term fused score are engine-reproducible exactly
+    "q159_hybrid_rrf" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .join(t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("id"), col("text"), col("embedding"))
+      val queries = corpus.filter(col("id") < 5)
+      val scored = corpus
+        .select(col("id").as("neighbor_id"),
+          Dedup.shingles(col("text"), 3).as("__ds"), col("embedding").as("__dv"))
+        .join(broadcast(queries.select(col("id").as("query_id"),
+          Dedup.shingles(col("text"), 3).as("__qs"), col("embedding").as("__qv"))))
+        .withColumn("lex", size(array_intersect(col("__ds"), col("__qs"))).cast("long"))
+        .withColumn("cosine", graft.functions.vec_cosine(col("__dv"), col("__qv")))
+      Similarity.rrfFuse(scored, "lex", "cosine", k = 10, kRrf = 60)
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -2945,6 +2976,62 @@ object SparkEntry {
         |  CAST(SUM(v * v) AS BIGINT) AS energy,
         |  (CAST(SUM(v * v) AS BIGINT) <= 1600) AS is_silent
         |FROM sm GROUP BY doc_id, w""".stripMargin,
+
+    // filtered vector search: exact over the filtered corpus (rerank
+    // covers it), so the q50 brute recipe with the label predicate is the
+    // oracle
+    "q158_knn_filtered" ->
+      """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |    CASE WHEN list_dot_product(d.embedding::DOUBLE[], d.embedding::DOUBLE[]) = 0
+        |           OR list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) = 0 THEN 0.0
+        |         ELSE list_dot_product(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+        |              (sqrt(list_dot_product(d.embedding::DOUBLE[], d.embedding::DOUBLE[])) *
+        |               sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) END AS cosine
+        |  FROM (SELECT * FROM embeddings WHERE label % 3 = 0) d CROSS JOIN q
+        |)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored
+        |) WHERE rank <= 10""".stripMargin,
+
+    // hybrid RRF: the q43 gram recipe for lexical overlap, the q50 cosine
+    // recipe for the vector side, per-query rank windows, fixed two-term
+    // fused sum — every column bit-replayable
+    "q159_hybrid_rrf" ->
+      """WITH corpus AS (
+        |  SELECT d.doc_id AS id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |g AS (
+        |  SELECT id, embedding,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t)-2),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM (SELECT id, embedding, string_split_regex(lower(trim(text)), '\s+') AS t FROM corpus)),
+        |q AS (SELECT * FROM g WHERE id < 5),
+        |scored AS (
+        |  SELECT q.id AS query_id, g.id AS neighbor_id,
+        |    CAST(len(list_intersect(g.s, q.s)) AS BIGINT) AS lex,
+        |    CASE WHEN list_dot_product(g.embedding::DOUBLE[], g.embedding::DOUBLE[]) = 0
+        |           OR list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) = 0 THEN 0.0
+        |         ELSE list_dot_product(g.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+        |              (sqrt(list_dot_product(g.embedding::DOUBLE[], g.embedding::DOUBLE[])) *
+        |               sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) END AS cosine
+        |  FROM g CROSS JOIN q),
+        |r AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY lex DESC, neighbor_id) AS BIGINT) AS r_lex,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS r_vec
+        |  FROM scored),
+        |f AS (
+        |  SELECT query_id, neighbor_id, r_lex, r_vec,
+        |    1.0 / (60 + r_lex) + 1.0 / (60 + r_vec) AS rrf
+        |  FROM r)
+        |SELECT query_id, neighbor_id, r_lex, r_vec, rrf, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM f
+        |) WHERE rank <= 10""".stripMargin,
 
     // streaming drift: hourly mix vs global mix, integer TVD numerator +
     // one final double division (identical expression tree both engines)

@@ -627,4 +627,39 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard way
+   * hybrid retrieval combines a lexical ranking and a vector ranking
+   * without score calibration: each candidate's fused score is
+   * `1/(kRrf + lexRank) + 1/(kRrf + vecRank)`.
+   *
+   * Input: one row per (query_id, neighbor_id) carrying BOTH raw scores
+   * (higher = better). Ranks are per-query `row_number` with deterministic
+   * id tie-breaks, and the fused score is a fixed two-term IEEE sum, so
+   * the output is engine-reproducible bit-for-bit. Windows partition by
+   * query — per-query candidate sets are bounded by construction, so this
+   * is scale-safe (never a global sort).
+   */
+  def rrfFuse(
+      scored: DataFrame, lexCol: String, vecCol: String,
+      k: Int = 10, kRrf: Int = 60): DataFrame = {
+    require(k > 0 && kRrf > 0, s"k and kRrf must be positive, got ($k, $kRrf)")
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col(lexCol).desc, col("neighbor_id").asc)
+    val wVec = Window.partitionBy(col("query_id"))
+      .orderBy(col(vecCol).desc, col("neighbor_id").asc)
+    val ranked = scored
+      .withColumn("r_lex", row_number().over(wLex).cast("long"))
+      .withColumn("r_vec", row_number().over(wVec).cast("long"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(kRrf) + col("r_lex")) + lit(1.0) / (lit(kRrf) + col("r_vec")))
+    val wFused = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id").asc)
+    ranked
+      .withColumn("rank", row_number().over(wFused).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("r_lex"), col("r_vec"),
+        col("rrf"), col("rank"))
+  }
 }

@@ -88,14 +88,27 @@ object VectorOps {
       index: SqIndex,
       data: DataFrame, dataId: String, dataVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, rerank: Int = 100): DataFrame = {
+      k: Int, rerank: Int = 100,
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val loLit = typedLit(index.lo.toSeq)
     val stepLit = typedLit(index.lo.indices.map(i => (index.hi(i) - index.lo(i)) / 255.0))
     val deq = transform(col("code"), (c, i) =>
       (element_at(loLit, i + 1) +
         (c.cast("double") + 128.0) * element_at(stepLit, i + 1)).cast(FloatType))
-    val approx = index.codes
+    // FILTERED vector search: the allow-set semi-joins the CODES table
+    // BEFORE ADC scoring, so the shortlist is drawn entirely from rows
+    // that pass the predicate — index-level filtering, no post-filter
+    // recall loss (with rerank >= |allowed| the search is exact over the
+    // filtered corpus). The allow-set is its single id column.
+    val codes = allowed match {
+      case None => index.codes
+      case Some(a) =>
+        index.codes.join(
+          a.select(col(a.columns.head).cast("long").as("neighbor_id")),
+          Seq("neighbor_id"), "left_semi")
+    }
+    val approx = codes
       .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
         col(queryVec).as("__qv"))))
       .withColumn("adist", -vec_cosine(deq, col("__qv")))

@@ -239,4 +239,24 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
     assert(again === r.map { case (k, v) => k -> v._2 })
   }
+
+  test("rrfFuse matches a hand-computed fusion") {
+    import spark.implicits._
+    // query 1: doc 10 wins lexically, doc 20 wins on vectors, doc 30 mid
+    val scored = Seq(
+      (1L, 10L, 5L, 0.1), (1L, 20L, 1L, 0.9), (1L, 30L, 3L, 0.5)
+    ).toDF("query_id", "neighbor_id", "lex", "cos")
+    val got = Similarity.rrfFuse(scored, "lex", "cos", k = 3, kRrf = 60)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    // lex ranks: 10->1, 30->2, 20->3; vec ranks: 20->1, 30->2, 10->3
+    assert(got(10L)._1 === 1L && got(10L)._2 === 3L)
+    assert(got(20L)._1 === 3L && got(20L)._2 === 1L)
+    assert(got(30L)._1 === 2L && got(30L)._2 === 2L)
+    assert(got(10L)._3 === 1.0 / 61 + 1.0 / 63)
+    assert(got(30L)._3 === 1.0 / 62 + 1.0 / 62)
+    // 10 and 20 tie exactly (1/61+1/63 both ways) -> id tiebreak; 30's
+    // balanced ranks fuse strictly lower: 1/62+1/62 < 1/61+1/63
+    assert(got(10L)._4 === 1L && got(20L)._4 === 2L && got(30L)._4 === 3L)
+  }
 }

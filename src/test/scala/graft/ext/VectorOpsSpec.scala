@@ -105,4 +105,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(a.join(pool.select("query_id", "neighbor_id"),
       Seq("query_id", "neighbor_id"), "left_anti").count() === 0)
   }
+
+  test("filtered searchSq == brute force over the filtered corpus (full rerank)") {
+    val allowed = emb.filter(col("label") % 2 === 0).select(col("vec_id"))
+    val got = VectorOps.searchSq(
+      VectorOps.buildSqIndex(emb, "vec_id", "embedding"),
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, rerank = 100000, allowed = Some(allowed))
+    val brute = Similarity.bruteTopK(
+      emb.join(allowed, Seq("vec_id"), "left_semi"), "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+    assert(got.except(brute).count() === 0 && brute.except(got).count() === 0)
+    // and every neighbor actually passes the predicate
+    assert(got.join(allowed.withColumnRenamed("vec_id", "neighbor_id"),
+      Seq("neighbor_id"), "left_anti").count() === 0)
+  }
 }
