@@ -245,4 +245,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), "the probe path must be joinless\n" + plan)
     assert(!plan.contains("Exchange"), "the probe path must be shuffle-free\n" + plan)
   }
+
+  test("hamming pairs: candidates come from an equi-join on chunk keys, never a cartesian") {
+    val plan = formatted(SparkEntry.queries("q151_image_dhash_pairs")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("winsorize: threshold join broadcasts; no per-group window sort anywhere") {
+    val plan = formatted(SparkEntry.queries("q153_winsorize")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), "thresholds must come from GlobalRank, not a window\n" + plan)
+  }
+
+  test("filtered vector search: the allow-set prunes the index via a semi join") {
+    val plan = formatted(SparkEntry.queries("q158_knn_filtered")(spark, sf0001))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
