@@ -1528,6 +1528,31 @@ object SparkEntry {
         .withColumn("cosine", graft.functions.vec_cosine(col("__dv"), col("__qv")))
       Similarity.rrfFuse(scored, "lex", "cosine", k = 10, kRrf = 60)
     }),
+    // incremental IMAGE ingest gate (q118's sibling for the visual
+    // modality): a batch of arriving images is admitted only where its
+    // dHash is NOT within hamming 3 of any corpus image — even-indexed
+    // batch rows duplicate existing corpus groups (rejected), odd rows are
+    // novel patterns (admitted unless a genuine hash collision, which the
+    // oracle replays identically). The corpus's distinct dHash set is the
+    // small persistable artifact between ingests
+    "q160_image_ingest_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val corpusHash = Multimodal.imageDHash(
+        Multimodal.attachSyntheticImageGroups(docs, "doc_id", w = 36, h = 32, groupSize = 8),
+        "img").select(col("dhash"))
+      val batchIds = docs.filter(col("doc_id") < 100)
+        .select((lit(1000000L) + col("doc_id")).as("batch_id"),
+          when(col("doc_id") % 2 === 0, expr("doc_id div 2"))
+            .otherwise(lit(1000000L) + col("doc_id")).as("bid"))
+      val batchHash = Multimodal.imageDHash(
+        Multimodal.attachSyntheticImageGroups(batchIds, "bid", w = 36, h = 32, groupSize = 8),
+        "img").select(col("batch_id"), col("dhash"))
+      Dedup.hammingIngestFilter(batchHash, corpusHash, "batch_id", "dhash",
+          maxHamming = 3, chunks = 4)
+        .select(col("batch_id"),
+          shiftrightunsigned(col("dhash"), 32).as("h_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("h_lo"))
+    }),
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
@@ -3032,6 +3057,49 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM f
         |) WHERE rank <= 10""".stripMargin,
+
+    // image ingest gate: ONE dhash pipeline over both sides (corpus ids as
+    // themselves, batch content ids via the even/odd mapping), NOT EXISTS
+    // on hamming <= 3 — brute-forced, like q151
+    "q160_image_ingest_gate" ->
+      """WITH allids AS (
+        |  SELECT 'c' AS side, doc_id AS oid, doc_id AS hid FROM documents
+        |  UNION ALL
+        |  SELECT 'b', 1000000 + doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN doc_id // 2 ELSE 1000000 + doc_id END
+        |  FROM documents WHERE doc_id < 100
+        |), px AS (
+        |  SELECT a.side, a.oid, a.hid, a.hid // 8 AS gid, xs.x AS x, ys.y AS y
+        |  FROM allids a
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 35)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS y) ys
+        |), gray AS (
+        |  SELECT side, oid, x // 4 AS cx, y // 4 AS cy,
+        |    ((gid*31 + x*7*(1 + gid % 5) + y*13*(1 + gid % 7)
+        |        + CASE WHEN x < 4 AND y < 4 THEN (hid % 8) * 3 ELSE 0 END) % 256
+        |     + (gid*31 + x*7*(1 + gid % 5) + y*13*(1 + gid % 7) + 5) % 256
+        |     + (gid*31 + x*7*(1 + gid % 5) + y*13*(1 + gid % 7) + 10) % 256) // 3 AS g
+        |  FROM px
+        |), cells AS (
+        |  SELECT side, oid, cx, cy, CAST(SUM(g) AS BIGINT) // 16 AS cg
+        |  FROM gray GROUP BY 1, 2, 3, 4
+        |), bits AS (
+        |  SELECT l.side, l.oid, l.cy * 8 + l.cx AS b,
+        |    CASE WHEN r.cg > l.cg THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r
+        |    ON r.side = l.side AND r.oid = l.oid AND r.cy = l.cy AND r.cx = l.cx + 1
+        |  WHERE l.cx < 8
+        |), h AS (
+        |  SELECT side, oid,
+        |    CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY 1, 2
+        |)
+        |SELECT b.oid AS batch_id, b.hi AS h_hi, b.lo AS h_lo
+        |FROM h b
+        |WHERE b.side = 'b' AND NOT EXISTS (
+        |  SELECT 1 FROM h c WHERE c.side = 'c'
+        |    AND bit_count(xor(b.lo, c.lo)) + bit_count(xor(b.hi, c.hi)) <= 3)""".stripMargin,
 
     // streaming drift: hourly mix vs global mix, integer TVD numerator +
     // one final double division (identical expression tree both engines)

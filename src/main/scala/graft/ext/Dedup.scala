@@ -438,6 +438,39 @@ object Dedup {
   }
 
   /**
+   * Hamming ingest gate — [[incrementalIngest]]'s sibling for 64-bit
+   * perceptual signatures: admit only batch rows whose signature is NOT
+   * within `maxHamming` of ANY corpus signature. The corpus side reduces
+   * to DISTINCT signatures (8-byte keys — at any corpus size this is the
+   * small persistable artifact, like the fingerprint set), candidates come
+   * from the same pigeonhole chunk join as [[hammingPairs]] (full recall
+   * for maxHamming < chunks — no false admissions), and the exact
+   * `bit_count` verify runs before the match-id distinct, so only matched
+   * ids move. Admitted = batch LEFT ANTI matched.
+   */
+  def hammingIngestFilter(
+      batch: DataFrame, corpus: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    require(64 % chunks == 0, "chunks must divide 64")
+    require(maxHamming < chunks, "pigeonhole recall needs maxHamming < chunks")
+    val bits = 64 / chunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    def chunkCols(h: Column) = (0 until chunks).map(c =>
+      shiftrightunsigned(h, c * bits).bitwiseAND(lit(mask)))
+
+    val cch = corpus.select(col(hashCol).as("__ch")).distinct()
+      .select(col("__ch"), posexplode(array(chunkCols(col("__ch")): _*)))
+      .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__cv")
+    val bch = batch.select(col(idCol).as("__bid"), col(hashCol).as("__bh"))
+      .select(col("__bid"), col("__bh"), posexplode(array(chunkCols(col("__bh")): _*)))
+      .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__cv")
+    val matched = bch.join(cch, Seq("__chunk", "__cv"))
+      .filter(bit_count(col("__bh").bitwiseXOR(col("__ch"))) <= maxHamming)
+      .select(col("__bid").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /**
    * EXACT n-gram Jaccard pairs (no LSH, no recall loss, no cross join),
    * using the prefix-filtering principle of set-similarity joins (PPJoin,
    * Xiao et al., WWW'08):

@@ -265,6 +265,25 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.forall { case (a, b, _) => a / 8 === b / 8 })
   }
 
+  test("hamming ingest gate: duplicate signatures rejected, novel admitted, recall exact") {
+    val corpus = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("id", "h")
+    // batch: exact dup of 100, 1-bit neighbor of 200, far-away value
+    val batch = Seq((10L, 100L), (11L, 200L ^ 4L), (12L, 0x0F0F0F0F0F0F0F0FL))
+      .toDF("id", "h")
+    val admitted = Dedup.hammingIngestFilter(batch, corpus, "id", "h",
+      maxHamming = 3, chunks = 4).select($"id").collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(12L))
+    // equals the brute-force gate on the q160 fixture shape
+    val imgs = Multimodal.attachSyntheticImageGroups(
+      (0L until 24L).toDF("doc_id"), "doc_id", w = 36, h = 32, groupSize = 8)
+    val ch = Multimodal.imageDHash(imgs, "img").select($"doc_id", $"dhash")
+    val corpusHashes = ch.select($"dhash")
+    val batchSide = ch.filter($"doc_id" < 8)
+      .select(($"doc_id" + 1000L).as("id"), $"dhash")
+    // every batch row duplicates a corpus hash exactly -> all rejected
+    assert(Dedup.hammingIngestFilter(batchSide, corpusHashes, "id", "dhash").count() === 0)
+  }
+
   test("audio silence VAD flags exactly the planted silent windows") {
     val clips = Multimodal.attachSyntheticSpeechWav(
       (0L until 6L).toDF("doc_id"), "doc_id", sampleRate = 8000,
