@@ -1553,7 +1553,133 @@ object SparkEntry {
           shiftrightunsigned(col("dhash"), 32).as("h_hi"),
           col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("h_lo"))
     }),
+    // 1-bit binary-quantized ANN: sign bits packed into 32-bit words (32x
+    // smaller than float32 — the most compressed ANN tier), hamming
+    // shortlist over the code table only, exact-cosine rerank. Every stage
+    // is deterministic (hamming ints, total-order tie-breaks, q50's
+    // bit-exact cosine), so DuckDB replays the WHOLE pipeline — codes,
+    // shortlist cut, rerank — not just a recall contract
+    "q161_knn_binary" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ext.VectorOps.searchBinary(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, k = 10, rerank = 50)
+    }),
+    // exact triangle counting (compact-forward, degree-oriented) over the
+    // q152 citation-graph fixture — the clustering-coefficient numerator.
+    // Degree orientation bounds any hub's wedge fan-out by O(sqrt(m));
+    // DuckDB replays the same orientation and joins
+    "q162_graph_triangles" -> ((s, dir) => {
+      val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
+      val edges = nodes.crossJoin(nodes.agg(count(lit(1)).as("n")))
+        .select(col("node").as("src"), col("n"))
+        .select(col("src"), col("n"),
+          explode(expr("sequence(1, 1 + src % 4)")).as("j"))
+        .select(col("src"), expr("(src * (src + 3) + j * 97) % n").as("dst"))
+      graft.ext.GraphOps.triangleCount(edges)
+        .select(col("node").as("doc_id"), col("n_triangles"))
+    }),
+    // median/MAD robust outlier flags per group — the heavy-tail-immune
+    // outlier gate (one wild value moves a mean/stddev arbitrarily, a
+    // median not at all). Both order statistics come from GlobalRank total
+    // orders (no per-group window sort); prices run in integer cents and
+    // the 1.5x-MAD comparison is cross-multiplied, so every flag is
+    // integer-exact
+    "q163_mad_outliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      graft.operators.RobustStats.madOutliers(li, "l_returnflag", "cents",
+          kNum = 3, kDen = 2)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min(col("med")).as("med_cents"),
+          min(col("mad")).as("mad_cents"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          sum(when(col("is_outlier"), col("cents")).otherwise(0L)).as("sum_outlier_cents"))
+    }),
+    // stream-stream LEFT OUTER interval join: clicks annotated with the
+    // purchases that followed within 1h, or an explicit no-conversion row.
+    // Outer rows only flush when the watermark proves no match can arrive;
+    // the sentinel file pushes it past every horizon, so the emitted set
+    // equals the batch LEFT OUTER join exactly
+    "q164_stream_interval_outer" -> ((s, dir) => StreamGate.intervalJoinOuter(s, dir)),
+    // URL canonicalization (the C4/RefinedWeb URL-dedup key): a synthetic
+    // messy-URL fixture (case-mixed scheme/host, www., tracking params,
+    // fragments, trailing slashes) collapses under the normalize chain;
+    // per-domain accounting shows the dedup effect (distinct raw URLs vs
+    // distinct normalized). RE2-safe regex chain — DuckDB replays it
+    // identically
+    "q165_url_normalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", expr(urlFixtureSql))
+      val normed = docs
+        .withColumn("norm_url", TextStats.urlNormalize(col("url")))
+        .withColumn("domain", TextStats.urlDomain(col("norm_url")))
+      normed.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("n_distinct_raw"),
+          countDistinct(col("norm_url")).as("n_distinct_norm"),
+          min(col("norm_url")).as("first_url"))
+    }),
+    // contrastive-training triplet mining: per anchor, the hardest positive
+    // (same label, highest cosine) and hardest negative (different label,
+    // highest cosine) plus the margin — one mergeable bottom-k aggregate
+    // per (anchor, side), no window over the corpus-sized score relation
+    "q166_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ext.VectorOps.hardestPairs(e, "vec_id", "embedding", "label",
+        e.filter(col("vec_id") < 50))
+    }),
+    // token-balanced shard assignment (the training-shard writer's split):
+    // md5-ordered docs, shard = floor(exclusiveTokenPrefix * n / total) —
+    // prefix sums from GlobalRank's two-pass distributed scan, NOT a
+    // global sum-over window; integer arithmetic end to end
+    "q167_pack_shards" -> ((s, dir) =>
+      CorpusFilters.packShards(t(s, dir, "documents"), "doc_id", "text", nShards = 8)),
+    // synchronous label propagation (5 deterministic rounds, ties to the
+    // smallest label) over the q152 citation graph, seeded with node % 10
+    // — community structure by pure integer argmax votes, every round
+    // replayed by the oracle
+    "q168_label_propagation" -> ((s, dir) => {
+      val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
+      val edges = nodes.crossJoin(nodes.agg(count(lit(1)).as("n")))
+        .select(col("node").as("src"), col("n"))
+        .select(col("src"), col("n"),
+          explode(expr("sequence(1, 1 + src % 4)")).as("j"))
+        .select(col("src"), expr("(src * (src + 3) + j * 97) % n").as("dst"))
+      graft.ext.GraphOps.labelPropagation(
+        nodes.withColumn("label", col("node") % 10), edges, iters = 5)
+        .select(col("node").as("doc_id"), col("label"))
+    }),
+    // k-core backbone: 6 synchronous peeling rounds at k=3 on the same
+    // graph — every round's degree table and edge survivor set replays
+    "q169_kcore" -> ((s, dir) => {
+      val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
+      val edges = nodes.crossJoin(nodes.agg(count(lit(1)).as("n")))
+        .select(col("node").as("src"), col("n"))
+        .select(col("src"), col("n"),
+          explode(expr("sequence(1, 1 + src % 4)")).as("j"))
+        .select(col("src"), expr("(src * (src + 3) + j * 97) % n").as("dst"))
+      graft.ext.GraphOps.kCoreSurvivors(edges, k = 3, rounds = 6)
+        .select(col("node").as("doc_id"), col("degree"))
+    }),
   )
+
+  /** The q165 messy-URL fixture: deterministic surface-form noise (shared
+    * verbatim, modulo dialect casts, with the DuckDB oracle). */
+  private val urlFixtureSql: String =
+    """concat(
+      |  CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+      |  'Site-', CAST(doc_id % 7 AS STRING), '.Example.COM',
+      |  '/Articles/item-', CAST(doc_id % 40 AS STRING),
+      |  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+      |  CASE WHEN doc_id % 5 = 0 THEN concat('?utm_source=feed&id=', CAST(doc_id % 11 AS STRING), '&utm_campaign=x')
+      |       WHEN doc_id % 5 = 1 THEN concat('?id=', CAST(doc_id % 11 AS STRING), '&ref=tw')
+      |       WHEN doc_id % 5 = 2 THEN '?utm_medium=em'
+      |       ELSE '' END,
+      |  CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END)""".stripMargin
 
   // ---- DuckDB oracles ---------------------------------------------------
 
@@ -1687,6 +1813,57 @@ object SparkEntry {
     }
     (Seq(head) ++ steps).mkString(",\n") +
       s"\nSELECT node AS doc_id, CAST(rank_fp AS BIGINT) AS rank_fp FROM r$iters"
+  }
+
+  /** Shared head for the generated graph oracles: the q152 edge fixture. */
+  private val graphFixtureHead: String =
+    """WITH nodes AS (SELECT doc_id AS node FROM documents),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |ej AS (SELECT node AS src,
+      |         unnest(generate_series(1, 1 + node % 4)) AS j FROM nodes),
+      |edges AS (SELECT src, (src * (src + 3) + j * 97) % n AS dst FROM ej, nn)""".stripMargin
+
+  // label propagation: all 5 synchronous rounds replayed as chained CTEs
+  // (the pageRankOracle pattern) — per-dst argmax with ties to the
+  // smallest label via (count DESC, label) row_number
+  private lazy val labelPropOracle: String = {
+    val iters = 5
+    val head = graphFixtureHead +
+      ",\nl0 AS (SELECT node, node % 10 AS label FROM nodes)"
+    val steps = (1 to iters).map { k =>
+      s"""v$k AS MATERIALIZED (
+         |  SELECT dst AS node, l AS newl FROM (
+         |    SELECT e.dst AS dst, lab.label AS l,
+         |      row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, lab.label) AS rn
+         |    FROM edges e JOIN l${k - 1} lab ON lab.node = e.src
+         |    GROUP BY e.dst, lab.label) WHERE rn = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT nd.node, COALESCE(vt.newl, pv.label) AS label
+         |  FROM nodes nd JOIN l${k - 1} pv ON pv.node = nd.node
+         |  LEFT JOIN v$k vt ON vt.node = nd.node)""".stripMargin
+    }
+    (Seq(head) ++ steps).mkString(",\n") +
+      s"\nSELECT node AS doc_id, CAST(label AS BIGINT) AS label FROM l$iters"
+  }
+
+  // k-core: every peeling round's degree table and survivor set replayed
+  private lazy val kCoreOracle: String = {
+    val (k, rounds) = (3, 6)
+    val head = graphFixtureHead +
+      ",\ne0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges WHERE src <> dst)"
+    // MATERIALIZED: e(i) references e(i-1) five times transitively —
+    // inlined CTEs would expand 5^rounds scans of the base table
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+         |  SELECT a AS v FROM e${i - 1} UNION ALL SELECT b AS v FROM e${i - 1}) GROUP BY v),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN d$i da ON da.v = e.a JOIN d$i db ON db.v = e.b
+         |  WHERE da.c >= $k AND db.c >= $k)""".stripMargin
+    }
+    (Seq(head) ++ steps).mkString(",\n") +
+      s"""\nSELECT node AS doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+         |  SELECT a AS node FROM e$rounds UNION ALL SELECT b AS node FROM e$rounds
+         |) GROUP BY 1""".stripMargin
   }
 
   // decontamination: string 5-grams on the oracle side vs xxhash64'd
@@ -3271,6 +3448,190 @@ object SparkEntry {
         |  CAST(COALESCE(inter.i, 0) AS DOUBLE) / CAST(s1.n + s2.n - COALESCE(inter.i, 0) AS DOUBLE) AS jaccard
         |FROM sz s1 JOIN sz s2 ON s1.source < s2.source
         |LEFT JOIN inter ON inter.src_a = s1.source AND inter.src_b = s2.source""".stripMargin,
+
+    // binary-quantized ANN: the WHOLE pipeline replays — 32-bit sign
+    // words as sums of distinct powers of two, hamming shortlist cut,
+    // q50's bit-exact cosine rerank
+    "q161_knn_binary" ->
+      """WITH sig AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(generate_series(0, 31),
+        |      j -> CASE WHEN embedding[j+1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+        |    CAST(list_sum(list_transform(generate_series(0, 31),
+        |      j -> CASE WHEN embedding[j+33] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+        |  FROM embeddings),
+        |q AS (SELECT * FROM sig WHERE vec_id < 5),
+        |ham AS (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(d.w0, q.w0)) + bit_count(xor(d.w1, q.w1)) AS BIGINT) AS hamming,
+        |    d.embedding AS de, q.embedding AS qe
+        |  FROM sig d CROSS JOIN q),
+        |short AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS sr
+        |    FROM ham) WHERE sr <= 50),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, hamming,
+        |    CASE WHEN list_dot_product(de::DOUBLE[], de::DOUBLE[]) = 0
+        |           OR list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) = 0 THEN 0.0
+        |         ELSE list_dot_product(de::DOUBLE[], qe::DOUBLE[]) /
+        |              (sqrt(list_dot_product(de::DOUBLE[], de::DOUBLE[])) *
+        |               sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))) END AS cosine
+        |  FROM short)
+        |SELECT query_id, neighbor_id, hamming, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored
+        |) WHERE rank <= 10""".stripMargin,
+
+    // triangle counting: the q152 edge fixture, same degree orientation
+    // and compact-forward joins as the engine
+    "q162_graph_triangles" ->
+      """WITH nodes AS (SELECT doc_id AS node FROM documents),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |ej AS (SELECT node AS src,
+        |         unnest(generate_series(1, 1 + node % 4)) AS j FROM nodes),
+        |edges AS (SELECT src, (src * (src + 3) + j * 97) % n AS dst FROM ej, nn),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM edges WHERE src <> dst),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        |          SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0) GROUP BY v),
+        |o AS (
+        |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+        |              THEN e0.a ELSE e0.b END AS u,
+        |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+        |              THEN e0.b ELSE e0.a END AS v,
+        |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e0.a < e0.b)
+        |              THEN db.deg ELSE da.deg END AS dv
+        |  FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
+        |tri AS (
+        |  SELECT w1.u AS u, w1.v AS x, w2.v AS y
+        |  FROM o w1 JOIN o w2 ON w1.u = w2.u
+        |   AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))
+        |  JOIN o c ON c.u = w1.v AND c.v = w2.v)
+        |SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |  SELECT u AS node FROM tri
+        |  UNION ALL SELECT x FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |) GROUP BY 1""".stripMargin,
+
+    // MAD outliers: lower-median order statistics (k = max(1, ceil(n/2)))
+    // replayed by per-group windows at oracle scale; integer cents and a
+    // cross-multiplied threshold keep every flag exact
+    "q163_mad_outliers" ->
+      """WITH c AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |m AS (SELECT g, v AS med FROM (
+        |    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |           count(*) OVER (PARTITION BY g) AS n
+        |    FROM c) WHERE rn = greatest(1, (n * 50 + 99) // 100)),
+        |d AS (SELECT c.g, c.v, m.med, abs(c.v - m.med) AS ad FROM c JOIN m ON c.g = m.g),
+        |md AS (SELECT g, ad AS mad FROM (
+        |    SELECT g, ad, row_number() OVER (PARTITION BY g ORDER BY ad) AS rn,
+        |           count(*) OVER (PARTITION BY g) AS n
+        |    FROM d) WHERE rn = greatest(1, (n * 50 + 99) // 100)),
+        |f AS (SELECT d.g, d.v, d.med, md.mad, (d.ad * 2 > md.mad * 3) AS is_out
+        |      FROM d JOIN md ON d.g = md.g)
+        |SELECT g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  MIN(med) AS med_cents, MIN(mad) AS mad_cents,
+        |  CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN is_out THEN v ELSE 0 END) AS BIGINT) AS sum_outlier_cents
+        |FROM f GROUP BY 1""".stripMargin,
+
+    // stream left-outer interval join: sentinel-flushed, so the emitted
+    // set is the batch LEFT JOIN exactly (micros — the q84 convention)
+    "q164_stream_interval_outer" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) // 1000 AS t, user_id, event_type FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, t AS ct FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, t AS pt FROM e WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id,
+        |  COALESCE(p.purchase_id, -1) AS purchase_id,
+        |  (p.purchase_id IS NOT NULL) AS matched
+        |FROM c LEFT JOIN p ON p.p_user = c.user_id
+        |  AND p.pt >= c.ct AND p.pt <= c.ct + 3600000000""".stripMargin,
+
+    // URL normalization: the fixture and the whole regex chain replayed
+    // step for step ('g' flags — Spark replaces all matches)
+    "q165_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id, concat(
+        |    CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+        |    'Site-', CAST(doc_id % 7 AS VARCHAR), '.Example.COM',
+        |    '/Articles/item-', CAST(doc_id % 40 AS VARCHAR),
+        |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN concat('?utm_source=feed&id=', CAST(doc_id % 11 AS VARCHAR), '&utm_campaign=x')
+        |         WHEN doc_id % 5 = 1 THEN concat('?id=', CAST(doc_id % 11 AS VARCHAR), '&ref=tw')
+        |         WHEN doc_id % 5 = 2 THEN '?utm_medium=em'
+        |         ELSE '' END,
+        |    CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |n1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nofrag FROM u),
+        |n2 AS (SELECT doc_id, url, nofrag,
+        |    regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS prefix FROM n1),
+        |n3 AS (SELECT doc_id, url,
+        |    regexp_replace(lower(prefix), '://www\.', '://', 'g') AS head,
+        |    substr(nofrag, length(prefix) + 1) AS tail FROM n2),
+        |n4 AS (SELECT doc_id, url, head,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(tail, '(utm_[A-Za-z0-9]+|ref|fbclid|gclid)=[^&#]*', '', 'g'),
+        |          '&+', '&', 'g'),
+        |        '\?&', '?', 'g'),
+        |      '[?&]+$', '', 'g') AS tail2 FROM n3),
+        |n5 AS (SELECT doc_id, url, head,
+        |    regexp_replace(regexp_replace(tail2, '/+$', '', 'g'), '/+\?', '?', 'g') AS tail3 FROM n4),
+        |norm AS (SELECT doc_id, url, head || tail3 AS norm_url FROM n5),
+        |dom AS (SELECT doc_id, url, norm_url,
+        |    regexp_extract(norm_url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS domain FROM norm)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+        |  CAST(count(DISTINCT norm_url) AS BIGINT) AS n_distinct_norm,
+        |  MIN(norm_url) AS first_url
+        |FROM dom GROUP BY 1""".stripMargin,
+
+    // hard-example mining: per-(anchor, side) top-1 by (cosine desc, id),
+    // q50 cosine recipe — margins are one IEEE subtraction
+    "q166_hard_negatives" ->
+      """WITH a AS (SELECT * FROM embeddings WHERE vec_id < 50),
+        |s AS (
+        |  SELECT a.vec_id AS anchor_id, d.vec_id AS neighbor_id,
+        |    (d.label = a.label) AS is_pos,
+        |    CASE WHEN list_dot_product(d.embedding::DOUBLE[], d.embedding::DOUBLE[]) = 0
+        |           OR list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) = 0 THEN 0.0
+        |         ELSE list_dot_product(d.embedding::DOUBLE[], a.embedding::DOUBLE[]) /
+        |              (sqrt(list_dot_product(d.embedding::DOUBLE[], d.embedding::DOUBLE[])) *
+        |               sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))) END AS cosine
+        |  FROM embeddings d CROSS JOIN a WHERE d.vec_id <> a.vec_id),
+        |t1 AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY anchor_id, is_pos ORDER BY cosine DESC, neighbor_id) AS rn
+        |    FROM s) WHERE rn = 1)
+        |SELECT anchor_id,
+        |  MAX(CASE WHEN is_pos THEN neighbor_id END) AS pos_id,
+        |  MAX(CASE WHEN is_pos THEN cosine END) AS pos_cos,
+        |  MAX(CASE WHEN NOT is_pos THEN neighbor_id END) AS neg_id,
+        |  MAX(CASE WHEN NOT is_pos THEN cosine END) AS neg_cos,
+        |  MAX(CASE WHEN is_pos THEN cosine END) - MAX(CASE WHEN NOT is_pos THEN cosine END) AS margin
+        |FROM t1 GROUP BY 1""".stripMargin,
+
+    // shard packing: the q55 token/md5-order recipe + a window cumsum at
+    // oracle scale (the engine side uses the distributed two-pass scan)
+    "q167_pack_shards" ->
+      """WITH tok AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS ws_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, ws_tokens,
+        |    CAST(SUM(ws_tokens) OVER (ORDER BY rk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |  FROM tok),
+        |tot AS (SELECT greatest(1, CAST(SUM(ws_tokens) AS BIGINT)) AS total FROM tok)
+        |SELECT doc_id, ws_tokens,
+        |  least(CAST(7 AS BIGINT), ((c - ws_tokens) * 8) // total) AS shard
+        |FROM cum, tot""".stripMargin,
+
+    "q168_label_propagation" -> labelPropOracle,
+    "q169_kcore" -> kCoreOracle,
   )
 
   def oracleSql: Map[String, String] = ListMap(oraclePairs: _*)

@@ -817,4 +817,39 @@ object CorpusFilters {
       .filter(col("__u") < col("__rate"))
       .select(col(idCol), col(sourceCol), col("ws_tokens"))
   }
+
+  /**
+   * Token-balanced shard assignment — the training-shard writer's split:
+   * docs ordered by the portable md5 rank (the q55 tokenBudget order, so
+   * shard contents are layout-independent and engine-replayable), then
+   * shard i = `floor(exclusiveTokenPrefix · nShards / totalTokens)`,
+   * capped at nShards−1. Contiguous token mass per shard ⇒ every shard's
+   * token sum is within one max-document of the ideal `total/nShards` —
+   * the balance a sequence-packing trainer wants from its input files.
+   *
+   * The prefix sums come from [[graft.operators.GlobalRank.withPrefixSum]]'s
+   * two-pass distributed scan (range sort + per-partition offsets) — NOT a
+   * `SUM OVER (ORDER BY ...)` global window, which would funnel the corpus
+   * through one task. All arithmetic is integer ⇒ bit-exact anywhere.
+   *
+   * Output: (idCol, ws_tokens, shard) — join back to the corpus to write
+   * `partitionBy(shard)`.
+   */
+  def packShards(
+      df: DataFrame, idCol: String, textCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val tok = df.select(col(idCol),
+      md5(col(idCol).cast("string").cast("binary")).as("__rk"),
+      size(Dedup.tokens(col(textCol))).cast("long").as("ws_tokens"))
+    // total from the cheap projection, not a re-run of the sorted scan
+    val total = math.max(1L,
+      Option(tok.agg(sum(col("ws_tokens"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L))
+    val summed = graft.operators.GlobalRank.withPrefixSum(
+      tok, Seq(col("__rk"), col(idCol)), col("ws_tokens"),
+      rankName = "__gr", sumName = "__cum")
+    summed.select(col(idCol), col("ws_tokens"),
+      expr(s"least(CAST(${nShards - 1} AS BIGINT), ((__cum - ws_tokens) * $nShards) div $total)")
+        .as("shard"))
+  }
 }

@@ -78,4 +78,136 @@ object GraphOps {
     }
     ranks
   }
+
+  /**
+   * Synchronous label propagation (Raghavan et al. 2007) — community
+   * detection / semi-supervised label spreading over the link graph: each
+   * round, every node adopts the most frequent label among its in-
+   * neighbors from the PREVIOUS round (ties to the smallest label; nodes
+   * with no in-edges keep their label). Fully deterministic — synchronous
+   * updates plus a total tie-break order — so k rounds replay exactly on
+   * any engine (the fixed-point PageRank discipline; asynchronous LPA is
+   * the textbook nondeterminism trap).
+   *
+   * Per round: ONE equi-join of the label table to the edge list and two
+   * hash aggregations ((dst, label) counts, then the per-dst argmax as a
+   * `max(struct(count, -label))` — no window); `localCheckpoint` keeps the
+   * plan O(1) deep.
+   *
+   * @param nodes (node, label) — labels must be LongType-castable
+   */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    var labels = nodes
+      .select(col("node"), col("label").cast("long").as("label"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val votes = edges
+        .join(labels.select(col("node").as("src"), col("label").as("l")), "src")
+        .groupBy(col("dst"), col("l"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("l")).as("nl"))).as("w"))
+        .select(col("dst").as("node"), (-col("w.nl")).as("newl"))
+      labels = labels.join(votes, Seq("node"), "left")
+        .select(col("node"), coalesce(col("newl"), col("label")).as("label"))
+        .localCheckpoint()
+      i += 1
+    }
+    labels
+  }
+
+  /**
+   * `rounds` synchronous rounds of k-core peeling (Seidman 1983): each
+   * round removes every node whose degree in the CURRENT subgraph is
+   * below k (and its edges). Once no round removes anything the surviving
+   * subgraph is exactly the k-core — the standard "dense backbone" filter
+   * for link-spam analysis; the fixed round count keeps the computation
+   * deterministic and engine-replayable (a convergence test would make
+   * the plan depth data-dependent — callers size `rounds` to their
+   * graph's peel depth and verify stability with one extra round).
+   *
+   * Direction, parallel edges, and self-loops collapse first. Per round:
+   * one degree aggregation + two semi joins; `localCheckpoint` truncates
+   * lineage. Output: surviving (node, degree).
+   */
+  def kCoreSurvivors(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be non-negative, got $rounds")
+    var und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val keep = und.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+      und = und
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      i += 1
+    }
+    und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /**
+   * Exact per-node triangle counts over an undirected simple graph
+   * (parallel edges, self-loops, and direction collapse first) — the
+   * clustering-coefficient numerator, the standard structure signal for
+   * link-spam/community detection on a document link graph.
+   *
+   * Algorithm: compact-forward (Latapy 2008). Each edge is oriented from
+   * the lower to the higher endpoint in the (degree, id) total order;
+   * wedges form only at each triangle's LOWEST-order vertex and close
+   * against the oriented edge between the other two. Degree orientation is
+   * the scale move: a hub of degree D contributes wedges quadratic in its
+   * lower-order OUT-degree, which the (deg, id) order bounds by O(sqrt(m))
+   * — a celebrity node with 10^8 followers generates no 10^16-wedge task.
+   * Every step is an equi-join or hash aggregation on node keys; nothing
+   * driver-side, nothing quadratic in a partition.
+   *
+   * Output: (node, n_triangles) for every node in at least one triangle
+   * (each triangle credits all three corners).
+   */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val keyed = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    // orient toward the higher (deg, id); u is the lower-order endpoint
+    val oriented = keyed.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("da").as("du"),
+          col("b").as("v"), col("db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("db").as("du"),
+          col("a").as("v"), col("da").as("dv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.du").as("du"),
+        col("e.v").as("v"), col("e.dv").as("dv"))
+    // wedges at the lowest-order corner: (u -> x), (u -> y) with x before y
+    // in the same order; the triangle closes iff the oriented edge x -> y
+    // exists (x is the middle of the three in the total order)
+    val wedges = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")), "u")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val triangles = wedges
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"))
+    triangles
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

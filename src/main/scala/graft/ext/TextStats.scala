@@ -150,6 +150,41 @@ object TextStats {
    * ~len/stride, which is the output size itself, not an intermediate
    * blow-up.
    */
+  /**
+   * Canonical URL normalization (the C4/RefinedWeb URL-dedup key): strip
+   * the fragment, lowercase the scheme+host, drop a leading `www.`, remove
+   * tracking query parameters (`utm_*`, `ref`, `fbclid`, `gclid`) while
+   * preserving the relative order of the survivors, tidy the separators
+   * the removals leave behind, and drop a trailing path slash. Web corpora
+   * carry the same page under dozens of surface URL spellings; this chain
+   * collapses them to one dedup key.
+   *
+   * Pure codegen regexp projection (RE2-safe patterns — no backreferences
+   * or lookarounds — so the DuckDB oracle replays the identical chain);
+   * scan-fused, no shuffle. `urlDomain` extracts the normalized host for
+   * per-domain corpus accounting.
+   */
+  def urlNormalize(url: Column): Column = {
+    // 1. fragment off; 2. split after the host so only scheme+host
+    // lowercases; 3. www. off; 4. tracking params off; 5. tidy the "?&",
+    // "&&", and trailing "?"/"&" the removals leave; 6. trailing path
+    // slash off (also right before a query)
+    val noFrag = regexp_replace(url, "#.*", "")
+    val prefix = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val head = regexp_replace(lower(prefix), "://www\\.", "://")
+    val tail = noFrag.substr(length(prefix) + 1, length(noFrag))
+    val noTrack = regexp_replace(tail, "(utm_[A-Za-z0-9]+|ref|fbclid|gclid)=[^&#]*", "")
+    val tidied = regexp_replace(regexp_replace(regexp_replace(noTrack,
+      "&+", "&"), "\\?&", "?"), "[?&]+$", "")
+    val noSlash = regexp_replace(regexp_replace(tidied, "/+$", ""), "/+\\?", "?")
+    concat(head, noSlash)
+  }
+
+  /** The normalized host of a [[urlNormalize]]d URL (empty string if the
+    * value has no `scheme://host` prefix). */
+  def urlDomain(normUrl: Column): Column =
+    regexp_extract(normUrl, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+
   def chunkText(df: DataFrame, idCol: String, textCol: String,
       chunkChars: Int, strideChars: Int): DataFrame = {
     require(chunkChars > 0, s"chunkChars must be positive, got $chunkChars")

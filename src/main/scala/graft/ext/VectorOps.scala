@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.FloatType
 import graft.functions.vec_cosine
@@ -132,6 +132,128 @@ object VectorOps {
       k: Int, rerank: Int = 100): DataFrame =
     searchSq(buildSqIndex(data, dataId, dataVec),
       data, dataId, dataVec, queries, queryId, queryVec, k, rerank)
+
+  // ---- 1-bit binary quantization (sign hashing) -------------------------
+
+  /**
+   * Pack the sign bits of a float vector into 32-bit words (stored in
+   * longs): bit j of word w is set iff `vec[32w + j] > 0`. 32-bit words —
+   * not 64 — so the per-word value stays well inside a signed long and
+   * every engine (and the DuckDB oracle) can rebuild it as a plain SUM of
+   * distinct powers of two with no sign/overflow edge at bit 63.
+   *
+   * One-bit codes are the most compressed ANN tier (32x smaller than
+   * float32): hamming distance on the codes approximates angular distance
+   * (Charikar 2002, SimHash — here applied to the RAW dimensions rather
+   * than random projections, i.e. the classic sign-binarization baseline).
+   * A pure codegen projection: `zip_with` the dim slice against a literal
+   * power table and sum — no shuffle, no fit, no state.
+   */
+  def binarySignature(vec: Column, dim: Int): Column = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val words = (dim + 31) / 32
+    val cols = (0 until words).map { w =>
+      val len = math.min(32, dim - w * 32)
+      val powers = typedLit((0 until len).map(j => 1L << j))
+      aggregate(
+        zip_with(slice(vec, w * 32 + 1, len), powers,
+          (x, p) => when(x.cast("double") > 0.0, p).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+    }
+    array(cols: _*)
+  }
+
+  /** Hamming distance between two signatures from [[binarySignature]]:
+    * popcount of the per-word XOR, summed — integer-exact everywhere. */
+  def binaryHamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /**
+   * ANN search over 1-bit codes: hamming shortlist (the code table is the
+   * only thing scanned — 32x less data than the vectors), then an exact
+   * cosine rerank of `rerank` candidates per query against the original
+   * vectors. The shortlist is the mergeable bottom-k aggregate over the
+   * total order (hamming, neighbor_id) — deterministic, no window over the
+   * scored relation, and at 100 TB the code scan is embarrassingly
+   * parallel with only k·queries rows ever leaving a partition.
+   *
+   * Output: (query_id, neighbor_id, hamming, cosine, rank).
+   */
+  def searchBinary(
+      data: DataFrame, dataId: String, dataVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      dim: Int, k: Int, rerank: Int = 100): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val codes = data.select(col(dataId).cast("long").as("neighbor_id"),
+      binarySignature(col(dataVec), dim).as("__sig"))
+    val qcodes = queries.select(col(queryId).cast("long").as("query_id"),
+      binarySignature(col(queryVec), dim).as("__qsig"))
+    val scored = codes.join(broadcast(qcodes))
+      .withColumn("hamming", binaryHamming(col("__sig"), col("__qsig")))
+    val shortlist = scored.groupBy(col("query_id"))
+      .agg(graft.functions.bottom_k_by_rank(
+        struct(col("hamming"), col("neighbor_id")),
+        struct(col("neighbor_id"), col("hamming")), rerank).as("__cand"))
+      .select(col("query_id"), explode(col("__cand")).as("__c"))
+      .select(col("query_id"), col("__c.neighbor_id").as("neighbor_id"),
+        col("__c.hamming").as("hamming"))
+    val cand = shortlist
+      .join(data.select(col(dataId).cast("long").as("neighbor_id"), col(dataVec).as("__dv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).as("__qv"))), "query_id")
+      .withColumn("cosine", vec_cosine(col("__dv"), col("__qv")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("cosine"), col("rank"))
+  }
+
+  // ---- hard-example mining (contrastive training pairs) -----------------
+
+  /**
+   * For each anchor vector, the hardest positive (same label, highest
+   * cosine — the most redundant in-class example) and the hardest negative
+   * (different label, highest cosine — the confusable out-of-class
+   * example), plus the margin between them. This is the triplet-mining
+   * pass of contrastive/metric-learning data prep (Schroff et al. 2015,
+   * FaceNet semi-hard mining — here the global-hardest variant).
+   *
+   * Scale shape: anchors broadcast (mining runs per anchor batch, not per
+   * corpus pair); the per-(anchor, class-side) top-1 is ONE mergeable
+   * bottom-k aggregate over the total order (-cosine, id) — a single
+   * shuffle of k·anchors rows, no window over the corpus-sized score
+   * relation. Ties break on the lower neighbor id.
+   *
+   * Output: (anchor_id, pos_id, pos_cos, neg_id, neg_cos, margin).
+   */
+  def hardestPairs(
+      data: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      anchors: DataFrame): DataFrame = {
+    val scored = data.select(col(idCol).cast("long").as("neighbor_id"),
+        col(labelCol).as("__nl"), col(vecCol).as("__dv"))
+      .join(broadcast(anchors.select(col(idCol).cast("long").as("anchor_id"),
+        col(labelCol).as("__al"), col(vecCol).as("__qv"))))
+      .filter(col("neighbor_id") =!= col("anchor_id"))
+      .withColumn("cosine", vec_cosine(col("__dv"), col("__qv")))
+      .withColumn("is_pos", col("__nl") === col("__al"))
+    val top1 = scored.groupBy(col("anchor_id"), col("is_pos"))
+      .agg(graft.functions.bottom_k_by_rank(
+        struct(-col("cosine"), col("neighbor_id")),
+        struct(col("neighbor_id"), col("cosine")), 1).as("__t"))
+      .select(col("anchor_id"), col("is_pos"),
+        element_at(col("__t"), 1).as("__b"))
+    top1.groupBy(col("anchor_id"))
+      .agg(
+        min(when(col("is_pos"), col("__b.neighbor_id"))).as("pos_id"),
+        min(when(col("is_pos"), col("__b.cosine"))).as("pos_cos"),
+        min(when(!col("is_pos"), col("__b.neighbor_id"))).as("neg_id"),
+        min(when(!col("is_pos"), col("__b.cosine"))).as("neg_cos"))
+      .withColumn("margin", col("pos_cos") - col("neg_cos"))
+  }
 
   // ---- seeded random projection (Johnson-Lindenstrauss) -----------------
 

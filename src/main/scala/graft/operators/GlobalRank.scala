@@ -71,6 +71,61 @@ object GlobalRank {
   }
 
   /**
+   * Appends a 1-based global rank AND the inclusive/exclusive running sums
+   * of `valueCol` over the same total order — the distributed PREFIX SCAN
+   * (Blelloch): range sort, one pass computing per-partition local running
+   * sums plus each partition's total, then a driver-side exclusive scan of
+   * the (numPartitions-sized) totals broadcast back as offsets. No task
+   * ever sees more than its range slice; the offsets array is tiny. The
+   * global-window formulation (`SUM OVER (ORDER BY ...)`) would funnel the
+   * entire input through one task — same anti-pattern GlobalRank exists to
+   * avoid.
+   *
+   * `valueCol` must be integral (LongType after cast) so the sums are
+   * order-independent and bit-reproducible on any engine.
+   */
+  def withPrefixSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: Column,
+      rankName: String = "global_rank",
+      sumName: String = "prefix_sum",
+      numPartitions: Int = 0): DataFrame = {
+    require(sortCols.nonEmpty, "sortCols must be non-empty")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val withV = df.withColumn("__psv", valueCol.cast(LongType))
+    val sorted = withV
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .rdd
+    // pass 1: per-partition (row count, value total) — one tiny row each
+    val partStats = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; var s = 0L
+      it.foreach { r => n += 1; s += r.getAs[Long]("__psv") }
+      Iterator((pid, n, s))
+    }.collect().sortBy(_._1)
+    val rankOffsets = partStats.scanLeft(0L)(_ + _._2).init
+    val sumOffsets = partStats.scanLeft(0L)(_ + _._3).init
+    val vIdx = withV.schema.fieldIndex("__psv")
+    val schema = StructType(
+      df.schema.fields ++ Seq(
+        StructField(rankName, LongType, nullable = false),
+        StructField(sumName, LongType, nullable = false)))
+    // pass 2: local running sums + broadcast offsets = global prefix sums
+    val ranked = sorted.mapPartitionsWithIndex { (pid, it) =>
+      var rank = rankOffsets(pid); var acc = sumOffsets(pid)
+      it.map { row =>
+        rank += 1; acc += row.getLong(vIdx)
+        Row.fromSeq(row.toSeq.patch(vIdx, Nil, 1) :+ rank :+ acc)
+      }
+    }
+    spark.createDataFrame(ranked, schema)
+  }
+
+  /**
    * Appends both a global rank and its `NTILE(bins)` bucket, ordered by
    * `sortCols`. The row count comes from one extra `df.count()` — for
    * file-backed inputs Catalyst prunes that to a metadata-only scan.

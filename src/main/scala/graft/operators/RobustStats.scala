@@ -80,4 +80,42 @@ object RobustStats {
   /** Convenience: clip column expression given lo/hi. */
   def clip(value: Column, lo: Column, hi: Column): Column =
     least(greatest(value, lo), hi)
+
+  /**
+   * Median/MAD robust outlier flags per group: a row is an outlier iff
+   * `|value - median| * kDen > kNum * MAD`, where both the median and the
+   * MAD (median absolute deviation) are EXACT lower-median order
+   * statistics (k = max(1, ceil(n/2))) from [[groupQuantileThresholds]]'s
+   * GlobalRank total order — the heavy-tail-immune alternative to z-score
+   * thresholds (one wild value moves a mean/stddev arbitrarily; it moves
+   * a median not at all).
+   *
+   * The threshold multiplier is the RATIONAL kNum/kDen and the comparison
+   * is cross-multiplied, so on integer-valued columns (prices in cents,
+   * token counts) the outlier decision is integer-exact — no float
+   * boundary ambiguity, bit-reproducible on any engine.
+   *
+   * Scale shape: two GlobalRank total orders (value, then |value-median|)
+   * and two broadcast threshold joins; the data side stays a scan-fused
+   * projection, no per-group window sort anywhere.
+   *
+   * Output: the input rows plus (med, mad, is_outlier).
+   */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      kNum: Long,
+      kDen: Long): DataFrame = {
+    require(kNum >= 0 && kDen > 0, s"need kNum >= 0, kDen > 0; got ($kNum, $kDen)")
+    val med = groupQuantileThresholds(df, groupCol, valueCol, 50, 50)
+      .select(col(groupCol), col("lo").as("med"))
+    val withMed = df.join(broadcast(med), groupCol)
+      .withColumn("__absdev", abs(col(valueCol) - col("med")))
+    val mad = groupQuantileThresholds(withMed, groupCol, "__absdev", 50, 50)
+      .select(col(groupCol), col("lo").as("mad"))
+    withMed.join(broadcast(mad), groupCol)
+      .withColumn("is_outlier", col("__absdev") * kDen > col("mad") * kNum)
+      .drop("__absdev")
+  }
 }

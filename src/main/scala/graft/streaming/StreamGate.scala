@@ -290,6 +290,22 @@ object StreamGate {
   }
 
   /**
+   * Stream-stream LEFT OUTER interval join
+   * ([[StreamOps.clickPurchaseLeftOuter]]): outer (no-conversion) rows only
+   * emit once the watermark proves no match can arrive, so the per-user
+   * far-future sentinel file is what makes a finite stream flush them all —
+   * after it, the emitted set equals the batch LEFT OUTER join exactly
+   * (sentinel events advance the watermark inside the join's inputs and
+   * are dropped by the event-type filters before they can join).
+   */
+  def intervalJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dir, _) = stageEventsWithSentinels(spark, sfDir)
+    val joined = StreamOps.clickPurchaseLeftOuter(
+      StreamOps.eventsStream(spark, dir.toString, maxFilesPerTrigger = 1))
+    runToTable(joined, "stream_interval_outer", "append")
+  }
+
+  /**
    * Stream-static join: the stream enriches against a BATCH DataFrame (here
    * a per-user lifetime-value aggregate computed from the same table's
    * batch read). The static side re-plans per micro-batch (picking up

@@ -263,4 +263,44 @@ object StreamOps {
         col("c_time") <= col("p_time"))
       .select(col("purchase_id"), col("click_id"), col("user_id"))
   }
+
+  /**
+   * Stream-stream LEFT OUTER interval join: every click, annotated with
+   * the purchases that followed it within `horizon` — or an explicit
+   * no-conversion row. Outer rows can only emit once the watermark proves
+   * no matching purchase can still arrive (c_time + horizon behind the
+   * watermark), so unlike the inner join (q84) the emitted set depends on
+   * watermark progress: the gate's far-future sentinel file pushes the
+   * watermark past every real click's horizon, making the final emitted
+   * set equal the BATCH left outer join exactly.
+   *
+   * Sentinel rows (type `__sentinel`, far-future event time) are KEPT in
+   * both join inputs rather than filtered out: the global watermark is the
+   * minimum over every EventTimeWatermark operator's observed max, and a
+   * type filter would be pushed below the watermark operator by the
+   * optimizer — dropping sentinels before they can advance it, which
+   * strands exactly the clicks whose horizon extends past the last real
+   * event. Flowing through, a sentinel can never join (its time is a year
+   * past any real horizon) and never flushes as an outer row (the
+   * watermark never passes sentinel + horizon); the post-join id filter
+   * removes any residue defensively.
+   */
+  def clickPurchaseLeftOuter(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val et = withEventTime(events).withWatermark("event_time", "0 seconds")
+    val clicks = et.filter(col("event_type").isin("click", "__sentinel"))
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("event_time").as("c_time"))
+    val purchases = et.filter(col("event_type").isin("purchase", "__sentinel"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("event_time").as("p_time"))
+    clicks.join(purchases,
+      col("user_id") === col("c_user") &&
+        col("p_time") >= col("c_time") &&
+        col("p_time") <= col("c_time") + expr(s"INTERVAL $horizon"),
+      "left_outer")
+      .filter(col("click_id") =!= -1L)
+      .select(col("click_id"), col("c_user").as("user_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        col("purchase_id").isNotNull.as("matched"))
+  }
 }

@@ -415,4 +415,35 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(r(("A", "C")) === ((2L, 1L, 0L, 0.0)))
     assert(r(("B", "C")) === ((1L, 1L, 0L, 0.0)))
   }
+
+  test("packShards: every doc assigned once, shards contiguous in the md5 order, token-balanced") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val n = docs.count()
+    val nShards = 8
+    val got = CorpusFilters.packShards(docs, "doc_id", "text", nShards)
+    assert(got.count() === n)                       // total assignment
+    assert(got.select("doc_id").distinct().count() === n)
+    val byShard = got.groupBy($"shard")
+      .agg(sum($"ws_tokens").as("tok"), count(lit(1)).as("docs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byShard.keySet === (0L until nShards.toLong).toSet)
+    // balance: contiguous token-mass split => each shard within one max
+    // document of the ideal share
+    val total = got.agg(sum($"ws_tokens")).head().getLong(0)
+    val maxDoc = got.agg(max($"ws_tokens")).head().getLong(0)
+    val ideal = total.toDouble / nShards
+    // a shard's span can miss the ideal by at most one document on each
+    // boundary
+    for ((s, tok) <- byShard)
+      assert(math.abs(tok - ideal) <= 2.0 * maxDoc + 1,
+        s"shard $s: $tok vs ideal $ideal (maxDoc $maxDoc)")
+    // layout independence (the md5 order, not file order, decides shards)
+    val again = CorpusFilters.packShards(docs.repartition(13), "doc_id", "text", nShards)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    val first = got.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    assert(again === first)
+    intercept[IllegalArgumentException] {
+      CorpusFilters.packShards(docs, "doc_id", "text", 0)
+    }
+  }
 }

@@ -111,4 +111,38 @@ class TextStatsSpec extends SparkSpec {
     assert(r(3L) === (("", 0L, 0L)))                // punctuation-only -> empty
     assert(r(4L) === (("", 0L, 0L)))
   }
+
+  test("urlNormalize: canonical collapse of surface URL noise") {
+    val cases = Seq(
+      // scheme/host case + www + fragment
+      ("HTTPS://WWW.Example.COM/Path#frag", "https://example.com/Path"),
+      // tracking params stripped, survivor order kept, separators tidied
+      ("https://a.com/p?utm_source=x&id=3&utm_campaign=y&q=z", "https://a.com/p?id=3&q=z"),
+      ("https://a.com/p?utm_source=x&utm_medium=y", "https://a.com/p"),
+      ("https://a.com/p?ref=tw", "https://a.com/p"),
+      ("https://a.com/p?fbclid=abc&gclid=def", "https://a.com/p"),
+      // trailing slash off (also right before a query)
+      ("http://b.org/dir/", "http://b.org/dir"),
+      ("http://b.org/dir/?id=1", "http://b.org/dir?id=1"),
+      // path case preserved — only scheme+host lowercase
+      ("http://B.org/CaseSensitive/Path", "http://b.org/CaseSensitive/Path"),
+      // no scheme: passes through the tail rules only
+      ("plain-text-no-url", "plain-text-no-url"))
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select($"id", TextStats.urlNormalize($"url").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (((_, want), i) <- cases.zipWithIndex)
+      assert(got(i.toLong) === want, s"case $i: ${cases(i)._1}")
+  }
+
+  test("urlDomain extracts the normalized host; empty when schemeless") {
+    val got = Seq(
+      (1L, "https://docs.site.io/a/b?x=1"),
+      (2L, "no-scheme-here")).toDF("id", "u")
+      .select($"id", TextStats.urlDomain($"u").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "docs.site.io")
+    assert(got(2L) === "")
+  }
 }

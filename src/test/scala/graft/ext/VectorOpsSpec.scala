@@ -120,4 +120,82 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.join(allowed.withColumnRenamed("vec_id", "neighbor_id"),
       Seq("neighbor_id"), "left_anti").count() === 0)
   }
+
+  test("binarySignature packs sign bits into 32-bit words, hand-checked") {
+    // dims 0,2,5 positive in word 0; dims 32,34 positive in word 1
+    val v = Array.fill(64)(-1.0f)
+    for (i <- Seq(0, 2, 5, 32, 34)) v(i) = 0.5f
+    val df = Seq((1L, v.toSeq)).toDF("id", "vec")
+      .select(col("id"), VectorOps.binarySignature(col("vec"), 64).as("sig"))
+    val sig = df.as[(Long, Seq[Long])].collect().head._2
+    assert(sig === Seq((1L << 0) | (1L << 2) | (1L << 5), (1L << 0) | (1L << 2)))
+    // zero is NOT positive: an all-zero vector has an all-zero signature
+    val z = Seq((2L, Array.fill(64)(0.0f).toSeq)).toDF("id", "vec")
+      .select(VectorOps.binarySignature(col("vec"), 64).as("sig"))
+      .as[Seq[Long]].collect().head
+    assert(z === Seq(0L, 0L))
+  }
+
+  test("binaryHamming counts differing sign bits exactly") {
+    val a = Array.fill(64)(1.0f); val b = Array.fill(64)(1.0f)
+    for (i <- Seq(3, 17, 40, 63)) b(i) = -1.0f
+    val got = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      .select(VectorOps.binaryHamming(
+        VectorOps.binarySignature(col("a"), 64),
+        VectorOps.binarySignature(col("b"), 64)).as("h"))
+      .as[Long].collect().head
+    assert(got === 4L)
+  }
+
+  test("searchBinary with rerank covering the corpus equals exact brute-force") {
+    val n = emb.count().toInt
+    val got = VectorOps.searchBinary(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", dim = 64, k = 10, rerank = n)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    assert(got.except(brute).count() === 0 && brute.except(got).count() === 0)
+  }
+
+  test("searchBinary shortlist is genuinely hamming-driven at small rerank") {
+    val got = VectorOps.searchBinary(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", dim = 64, k = 5, rerank = 20)
+    // k rows per query, hamming never exceeds the dimension, each query's
+    // own row is hamming 0 and must survive any shortlist
+    assert(got.groupBy(col("query_id")).count().collect().forall(_.getLong(1) === 5L))
+    assert(got.filter(col("hamming") > 64 || col("hamming") < 0).count() === 0)
+    assert(got.filter(col("query_id") === col("neighbor_id"))
+      .collect().forall(_.getAs[Long]("hamming") === 0L))
+  }
+
+  test("hardestPairs: planted geometry picks the right positive and negative") {
+    // anchor 0 (label A) at e0; 1 (A) near e0; 2 (A) far; 3 (B) nearer
+    // than any A; 4 (B) orthogonal
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat, 0f, 0f)
+    val data = Seq(
+      (0L, 0, v(1, 0)), (1L, 0, v(0.9, 0.1)), (2L, 0, v(0.1, 0.9)),
+      (3L, 1, v(0.99, 0.05)), (4L, 1, v(0, 1))
+    ).toDF("id", "label", "vec")
+    val got = VectorOps.hardestPairs(data, "id", "vec", "label",
+        data.filter(col("id") === 0L))
+      .collect().head
+    assert(got.getAs[Long]("pos_id") === 1L)   // nearest same-label
+    assert(got.getAs[Long]("neg_id") === 3L)   // most confusable other-label
+    assert(got.getAs[Double]("pos_cos") > got.getAs[Double]("neg_cos") - 1.0)
+    // margin is exactly the difference of the two reported cosines
+    assert(got.getAs[Double]("margin") ===
+      got.getAs[Double]("pos_cos") - got.getAs[Double]("neg_cos"))
+  }
+
+  test("hardestPairs excludes the anchor itself and ties break on lower id") {
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    // two identical positives (ids 5, 6): the tie goes to id 5
+    val data = Seq(
+      (0L, 0, v(1, 0)), (5L, 0, v(0.5, 0.5)), (6L, 0, v(0.5, 0.5)),
+      (9L, 1, v(0, 1))).toDF("id", "label", "vec")
+    val got = VectorOps.hardestPairs(data, "id", "vec", "label",
+      data.filter(col("id") === 0L)).collect().head
+    assert(got.getAs[Long]("pos_id") === 5L)
+    assert(got.getAs[Long]("neg_id") === 9L)
+  }
 }

@@ -61,4 +61,36 @@ class GlobalRankSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"), plan)
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  test("withPrefixSum equals the window running sum on a fully tie-broken order") {
+    val df = randomDf(400, seed = 4L).withColumn("w", ($"id" % 13) + 1)
+    val got = GlobalRank.withPrefixSum(df,
+        Seq($"v".asc, $"id".asc), $"w", rankName = "r", sumName = "ps")
+      .select($"id", $"r", $"ps")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"v".asc, $"id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = df
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"v".asc, $"id".asc)).cast("long"))
+      .withColumn("ps", sum($"w").over(w))
+      .select($"id", $"r", $"ps")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(got === want)
+  }
+
+  test("withPrefixSum is layout-independent and keeps input columns") {
+    val df = randomDf(300, seed = 5L).withColumn("w", ($"id" % 7) + 1)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      GlobalRank.withPrefixSum(d, Seq($"v".asc, $"id".asc), $"w")
+        .select($"id", $"global_rank", $"prefix_sum")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(run(df) === run(df.repartition(11)))
+    val out = GlobalRank.withPrefixSum(df, Seq($"id".asc), $"w")
+    assert(out.columns.toSeq === Seq("id", "v", "w", "global_rank", "prefix_sum"))
+    // the last row's inclusive prefix sum is the grand total
+    val total = df.agg(sum($"w")).head().getLong(0)
+    assert(out.orderBy($"global_rank".desc).head().getAs[Long]("prefix_sum") === total)
+  }
 }

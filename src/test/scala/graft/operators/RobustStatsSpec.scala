@@ -56,4 +56,35 @@ class RobustStatsSpec extends SparkSpec {
       RobustStats.groupQuantileThresholds(df, "g", "v", -1, 50)
     }
   }
+
+  test("madOutliers: hand-computed medians, MADs, and flags") {
+    // group a: values 1..9 plus a wild 1000 (n=10).
+    // lower median (k = ceil(10/2) = 5) = 5; |v-5| sorted:
+    // 0,1,1,2,2,3,3,4,4,995 -> MAD (k=5) = 2. Threshold 3/2: outlier iff
+    // |v-5|*2 > 3*2=6, i.e. |v-5| > 3 -> values 1, 9, 1000.
+    val vals = (1L to 9L) :+ 1000L
+    val df = vals.map(("a", _)).toDF("g", "v")
+    val got = RobustStats.madOutliers(df, "g", "v", kNum = 3, kDen = 2)
+    val rows = got.collect()
+    assert(rows.forall(_.getAs[Long]("med") === 5L))
+    assert(rows.forall(_.getAs[Long]("mad") === 2L))
+    val flagged = rows.filter(_.getAs[Boolean]("is_outlier")).map(_.getAs[Long]("v")).sorted
+    assert(flagged === Array(1L, 9L, 1000L))
+    // the wild value moved neither the median nor the MAD: robust by
+    // construction (a mean/std gate would have been dragged to ~105)
+  }
+
+  test("madOutliers keeps groups independent and validates k") {
+    val df = (Seq.fill(5)("a").zip(Seq(1L, 2L, 3L, 4L, 100L)) ++
+      Seq.fill(3)("b").zip(Seq(10L, 11L, 12L))).toDF("g", "v")
+    val got = RobustStats.madOutliers(df, "g", "v", kNum = 3, kDen = 1)
+      .collect().groupBy(_.getAs[String]("g"))
+    // group a: med 3, deviations 0,1,1,2,97 -> mad 1; |100-3|=97 > 3 flagged
+    assert(got("a").count(_.getAs[Boolean]("is_outlier")) === 1)
+    // group b: med 11, mad 1, no value deviates beyond 3
+    assert(got("b").forall(!_.getAs[Boolean]("is_outlier")))
+    intercept[IllegalArgumentException] {
+      RobustStats.madOutliers(df, "g", "v", kNum = 1, kDen = 0)
+    }
+  }
 }

@@ -114,4 +114,29 @@ class StreamGateSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stages === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
   }
+
+  test("sentinel-flushed left-outer interval join equals the batch LEFT JOIN") {
+    val got = StreamGate.intervalJoinOuter(spark, sf0001)
+    val ev = StreamOps.batchEvents(spark, s"$sf0001/events.parquet")
+      .select($"event_id", expr("ts div 1000").as("t"), $"user_id", $"event_type")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"t".as("ct"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"t".as("pt"))
+    val batch = clicks.join(purchases,
+        $"p_user" === $"user_id" && $"pt" >= $"ct" && $"pt" <= $"ct" + 3600000000L,
+        "left_outer")
+      .select($"click_id", $"user_id",
+        coalesce($"purchase_id", lit(-1L)).as("purchase_id"),
+        $"purchase_id".isNotNull.as("matched"))
+    assert(got.count() === batch.count())
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+    // the unmatched (outer) rows genuinely exist — including any click
+    // whose horizon extends past the last real event (the rows only a
+    // sentinel-advanced watermark can flush)
+    assert(got.filter(!$"matched").count() > 0)
+    // no sentinel residue leaks into the result
+    assert(got.filter($"click_id" === -1L).count() === 0)
+  }
 }
