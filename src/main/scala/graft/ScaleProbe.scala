@@ -473,6 +473,74 @@ object ScaleProbe {
           ext.Multimodal.attachSyntheticSceneVideo(ids, "doc_id", 16, 12, 12, 4),
           "video", 3L * 16 * 12).count()
       }
+      // r5c: binary ANN — the code scan is linear; shortlist traffic is
+      // k-bounded per query regardless of corpus size
+      timed("knn_binary", k) {
+        val e = read("embeddings", k)
+        ext.VectorOps.searchBinary(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          dim = 64, k = 10, rerank = 50).count()
+      }
+      // r5c: triangle counting — degree orientation bounds wedge fan-out;
+      // the deterministic graph's triangle structure replicates per copy
+      timed("triangle_count", k) {
+        val nodes = read("documents", k).select(col("doc_id").as("node"))
+        val edges = nodes.crossJoin(nodes.agg(count(lit(1)).as("n")))
+          .select(col("node").as("src"), col("n"))
+          .select(col("src"), col("n"),
+            explode(expr("sequence(1, 1 + src % 4)")).as("j"))
+          .select(col("src"), expr("(src * (src + 3) + j * 97) % n").as("dst"))
+        ext.GraphOps.triangleCount(edges).count()
+      }
+      // r5c: label propagation — per round one edge join + two hash aggs
+      timed("label_prop", k) {
+        val nodes = read("documents", k).select(col("doc_id").as("node"))
+        val edges = nodes.crossJoin(nodes.agg(count(lit(1)).as("n")))
+          .select(col("node").as("src"), col("n"))
+          .select(col("src"), col("n"),
+            explode(expr("sequence(1, 1 + src % 4)")).as("j"))
+          .select(col("src"), expr("(src * (src + 3) + j * 97) % n").as("dst"))
+        ext.GraphOps.labelPropagation(
+          nodes.withColumn("label", col("node") % 10), edges, iters = 3).count()
+      }
+      // r5c: k-core peeling — per round one degree agg + two semi joins
+      timed("kcore", k) {
+        val nodes = read("documents", k).select(col("doc_id").as("node"))
+        val edges = nodes.crossJoin(nodes.agg(count(lit(1)).as("n")))
+          .select(col("node").as("src"), col("n"))
+          .select(col("src"), col("n"),
+            explode(expr("sequence(1, 1 + src % 4)")).as("j"))
+          .select(col("src"), expr("(src * (src + 3) + j * 97) % n").as("dst"))
+        ext.GraphOps.kCoreSurvivors(edges, k = 3, rounds = 4).count()
+      }
+      // r5c: MAD outliers — two GlobalRank total orders + broadcast joins
+      timed("mad_outliers", k) {
+        graft.operators.RobustStats.madOutliers(
+          read("lineitem", k).select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents")),
+          "l_returnflag", "cents", 3, 2).count()
+      }
+      // r5c: shard packing — the two-pass distributed prefix scan
+      timed("pack_shards", k) {
+        ext.CorpusFilters.packShards(read("documents", k), "doc_id", "text", 8).count()
+      }
+      // r5c: hard-negative mining — anchors broadcast, one bottom-k shuffle
+      timed("hardest_pairs", k) {
+        val e = read("embeddings", k)
+        ext.VectorOps.hardestPairs(e, "vec_id", "embedding", "label",
+          e.filter(col("vec_id") < 50)).count()
+      }
+      // r5c: URL normalize + HTML strip — scan-fused codegen projections
+      timed("url_html_text", k) {
+        val d = read("documents", k)
+        val url = concat(lit("https://WWW.Site-"), (col("doc_id") % 7).cast("string"),
+          lit(".Example.COM/Articles/item-"), (col("doc_id") % 40).cast("string"),
+          lit("?utm_source=feed&id=1#frag"))
+        d.select(col("doc_id"),
+            ext.TextStats.urlNormalize(url).as("u"),
+            ext.TextStats.stripHtml(concat(lit("<p>"), col("text"), lit("</p>"))).as("t"))
+          .filter(length(col("u")) > 0 && length(col("t")) >= 0).count()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")

@@ -1664,7 +1664,45 @@ object SparkEntry {
       graft.ext.GraphOps.kCoreSurvivors(edges, k = 3, rounds = 6)
         .select(col("node").as("doc_id"), col("degree"))
     }),
+    // design-time skew salting: a synthetic hot key (a third of lineitem
+    // lands on supplier 1) joins through SkewJoin.saltedInnerJoin — the
+    // hot key's rows spread over 8 salted reducers instead of one; the
+    // result is provably identical to the plain join, which IS the oracle
+    "q170_skew_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(expr("CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END").as("s_suppkey"),
+          col("l_quantity"))
+      val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      graft.operators.SkewJoin.saltedInnerJoin(li, supp, "s_suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(15,2)")).cast("double").as("sum_qty"))
+    }),
+    // markup-to-text extraction: documents wrapped in deterministic messy
+    // HTML (script/style blocks, comments, entities incl. the &amp;lt;
+    // double-escape trap) come back out as clean prose — the chain is
+    // replayed step for step by the oracle
+    "q171_html_strip" -> ((s, dir) => {
+      val html = t(s, dir, "documents").select(col("doc_id"),
+        expr(htmlFixtureSql).as("html"))
+      html.select(col("doc_id"),
+          TextStats.stripHtml(col("html")).as("clean_text"))
+        .withColumn("n_chars", length(col("clean_text")).cast("long"))
+    }),
   )
+
+  /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
+    * DuckDB oracle). `&amp;lt;` tests unescape ordering: it must surface
+    * as the literal string `&lt;`, not as `<`. */
+  private val htmlFixtureSql: String =
+    """concat(
+      |  '<html><head><title>Doc ', CAST(doc_id AS STRING),
+      |  '</title><style>p { color: red; }</style></head><body>',
+      |  CASE WHEN doc_id % 4 = 0 THEN '<script>var x = 1 < 2 && doc;</script>' ELSE '' END,
+      |  '<h1>Heading ', CAST(doc_id % 7 AS STRING), '</h1><p class="body">',
+      |  text, '</p>',
+      |  CASE WHEN doc_id % 3 = 0 THEN '<div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; it&#39;s&nbsp;here &amp;lt;escaped</div>' ELSE '' END,
+      |  '<!-- hidden ', CAST(doc_id AS STRING), ' --></body></html>')""".stripMargin
 
   /** The q165 messy-URL fixture: deterministic surface-form noise (shared
     * verbatim, modulo dialect casts, with the DuckDB oracle). */
@@ -3632,6 +3670,37 @@ object SparkEntry {
 
     "q168_label_propagation" -> labelPropOracle,
     "q169_kcore" -> kCoreOracle,
+
+    // salted skew join: salting is invisible in the result — the oracle
+    // is the plain join
+    "q170_skew_join" ->
+      """SELECT s.s_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty
+        |FROM (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END AS k, l_quantity
+        |      FROM lineitem) li
+        |JOIN supplier s ON s.s_suppkey = li.k
+        |GROUP BY 1""".stripMargin,
+
+    // HTML strip: fixture + the whole chain replayed ('g' flags; &amp;
+    // unescapes LAST in both engines)
+    "q171_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id, concat(
+        |    '<html><head><title>Doc ', CAST(doc_id AS VARCHAR),
+        |    '</title><style>p { color: red; }</style></head><body>',
+        |    CASE WHEN doc_id % 4 = 0 THEN '<script>var x = 1 < 2 && doc;</script>' ELSE '' END,
+        |    '<h1>Heading ', CAST(doc_id % 7 AS VARCHAR), '</h1><p class="body">',
+        |    text, '</p>',
+        |    CASE WHEN doc_id % 3 = 0 THEN '<div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; it&#39;s&nbsp;here &amp;lt;escaped</div>' ELSE '' END,
+        |    '<!-- hidden ', CAST(doc_id AS VARCHAR), ' --></body></html>') AS html
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+        |c2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM c2),
+        |c4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+        |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM c3),
+        |f AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text FROM c4)
+        |SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS n_chars FROM f""".stripMargin,
   )
 
   def oracleSql: Map[String, String] = ListMap(oraclePairs: _*)

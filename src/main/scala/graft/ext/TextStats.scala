@@ -185,6 +185,31 @@ object TextStats {
   def urlDomain(normUrl: Column): Column =
     regexp_extract(normUrl, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
 
+  /**
+   * Markup-to-text extraction — the step every web-corpus pipeline runs
+   * before any text filter sees a crawled page: drop `<script>`/`<style>`
+   * blocks wholesale (their CONTENT is code, not prose — stripping only
+   * the tags would leak JavaScript into the corpus), drop comments, strip
+   * the remaining tags, unescape the core entities (`&amp;` LAST, so
+   * `&amp;lt;` surfaces as the literal `&lt;` instead of resurrecting a
+   * tag), collapse whitespace, trim.
+   *
+   * Pure codegen chain of RE2-safe regexes ((?is) flags and non-greedy
+   * `.*?` are RE2-supported — no backreferences/lookarounds) and literal
+   * replaces — scan-fused, no shuffle, replayed identically by the oracle.
+   */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val unescaped = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   def chunkText(df: DataFrame, idCol: String, textCol: String,
       chunkChars: Int, strideChars: Int): DataFrame = {
     require(chunkChars > 0, s"chunkChars must be positive, got $chunkChars")

@@ -136,6 +136,26 @@ class TextStatsSpec extends SparkSpec {
       assert(got(i.toLong) === want, s"case $i: ${cases(i)._1}")
   }
 
+  test("stripHtml: script/style content dies, tags strip, entities unescape in order") {
+    val cases = Seq(
+      // script CONTENT must vanish (stripping only tags would leak JS)
+      ("<p>keep</p><script>var x = 1 < 2;</script><p>this</p>", "keep this"),
+      ("<style>p{color:red}</style><b>bold</b>", "bold"),
+      ("before<!-- secret -->after", "before after"),
+      // entity unescape, &amp; last: &amp;lt; is the LITERAL &lt;
+      ("Tom &amp; Jerry &lt;3 &quot;q&quot; it&#39;s&nbsp;x &amp;lt;esc", "Tom & Jerry <3 \"q\" it's x &lt;esc"),
+      // attributes and self-closing tags
+      ("<img src=\"a.png\"/><a href='x'>link</a>", "link"),
+      ("   <div>  spaced   out  </div>  ", "spaced out"),
+      ("no markup at all", "no markup at all"))
+    val got = cases.zipWithIndex.map { case ((h, _), i) => (i.toLong, h) }
+      .toDF("id", "h")
+      .select($"id", TextStats.stripHtml($"h").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (((h, want), i) <- cases.zipWithIndex)
+      assert(got(i.toLong) === want, s"case $i: $h")
+  }
+
   test("urlDomain extracts the normalized host; empty when schemeless") {
     val got = Seq(
       (1L, "https://docs.site.io/a/b?x=1"),
