@@ -481,16 +481,22 @@ object ScaleProbe {
           e.filter(col("vec_id") < 5), "vec_id", "embedding",
           dim = 64, k = 10, rerank = 50).count()
       }
-      // r5c: triangle counting — degree orientation bounds wedge fan-out;
-      // the deterministic graph's triangle structure replicates per copy
+      // r5c: triangle counting — degree orientation bounds wedge fan-out.
+      // The quadratic map alone can be triangle-free at some n, which
+      // would probe a zero-output run; planted (3i, 3i+1, 3i+2) triangles
+      // make the output scale linearly with the graph
       timed("triangle_count", k) {
         val nodes = read("documents", k).select(col("doc_id").as("node"))
-        val edges = nodes.crossJoin(nodes.agg(count(lit(1)).as("n")))
+        val quad = nodes.crossJoin(nodes.agg(count(lit(1)).as("n")))
           .select(col("node").as("src"), col("n"))
           .select(col("src"), col("n"),
             explode(expr("sequence(1, 1 + src % 4)")).as("j"))
           .select(col("src"), expr("(src * (src + 3) + j * 97) % n").as("dst"))
-        ext.GraphOps.triangleCount(edges).count()
+        val base = nodes.filter(col("node") % 3 === 0)
+        val planted = base.select(col("node").as("src"), (col("node") + 1).as("dst"))
+          .unionAll(base.select((col("node") + 1).as("src"), (col("node") + 2).as("dst")))
+          .unionAll(base.select(col("node").as("src"), (col("node") + 2).as("dst")))
+        ext.GraphOps.triangleCount(quad.unionAll(planted)).count()
       }
       // r5c: label propagation — per round one edge join + two hash aggs
       timed("label_prop", k) {

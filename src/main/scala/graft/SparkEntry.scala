@@ -1664,6 +1664,48 @@ object SparkEntry {
       graft.ext.GraphOps.kCoreSurvivors(edges, k = 3, rounds = 6)
         .select(col("node").as("doc_id"), col("degree"))
     }),
+    // time-series anomaly detection: hourly event-volume outliers by
+    // per-type median/MAD gates (q163's machinery over the q30 buckets) —
+    // the alerting pass an ingest pipeline runs on its own telemetry;
+    // robust gates don't let one crazy hour drag the threshold the way a
+    // mean/stddev gate would
+    "q172_anomalous_hours" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy((expr("ts div 3600000000000") * 3600).cast("long").as("bucket_s"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.RobustStats.madOutliers(
+          hourly, "event_type", "n_events", kNum = 3, kDen = 1)
+        .filter(col("is_outlier"))
+        .select(col("event_type"), col("bucket_s"),
+          col("n_events"), col("med"), col("mad"))
+    }),
+    // asymmetric containment join: |A∩B|/|A| >= 0.8 with A the smaller
+    // shingle set — the subset-duplicate detector Jaccard structurally
+    // misses (a doc fully quoted inside a much larger one); PPJoin prefix
+    // on the contained side only, probed against full postings
+    "q174_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8)),
+    // dedup-tier QA harness: the LSH tier audited against the exact tier
+    // on the same corpus and threshold — the acceptance test a pipeline
+    // runs before swapping the O(n^2)-free tier in. Precision is
+    // structural (minhash candidates are exact-jaccard verified => LSH
+    // pairs are a subset of the true pairs); recall >= 0.8 is the pinned
+    // contract; the true pair count rides the hash oracle
+    "q173_dedup_qa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
+        .select(col("id_a"), col("id_b"))
+      val lsh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.7)
+        .select(col("id_a"), col("id_b"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("__nl")))
+        .crossJoin(lsh.intersect(exact).agg(count(lit(1)).as("__nc")))
+        .select(col("n_exact"),
+          (col("__nc") === col("__nl")).as("lsh_subset_of_exact"),
+          (col("__nc") * 10 >= col("n_exact") * 8).as("recall_ge_08"))
+    }),
     // design-time skew salting: a synthetic hot key (a third of lineitem
     // lands on supplier 1) joins through SkewJoin.saltedInnerJoin — the
     // hot key's rows spread over 8 salted reducers instead of one; the
@@ -3670,6 +3712,74 @@ object SparkEntry {
 
     "q168_label_propagation" -> labelPropOracle,
     "q169_kcore" -> kCoreOracle,
+
+    // anomalous hours: hourly counts + per-type lower-median order
+    // statistics replayed by windows (oracle scale); integer throughout
+    "q172_anomalous_hours" ->
+      """WITH h AS (
+        |  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, n_events AS med FROM (
+        |    SELECT event_type, n_events,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY n_events) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM h) WHERE rn = greatest(1, (n * 50 + 99) // 100)),
+        |d AS (SELECT h.event_type, h.bucket_s, h.n_events, m.med,
+        |        abs(h.n_events - m.med) AS ad
+        |      FROM h JOIN m ON h.event_type = m.event_type),
+        |md AS (SELECT event_type, ad AS mad FROM (
+        |    SELECT event_type, ad,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM d) WHERE rn = greatest(1, (n * 50 + 99) // 100))
+        |SELECT d.event_type, d.bucket_s, d.n_events, d.med, md.mad
+        |FROM d JOIN md ON d.event_type = md.event_type
+        |WHERE d.ad * 1 > md.mad * 3""".stripMargin,
+
+    // containment: brute all-pairs with the q43 shingle recipe; the
+    // contained side is the smaller set (ties by id), score = |∩|/|small|
+    "q174_containment_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+        |  WHERE length(trim(text)) > 0
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks
+        |)
+        |SELECT id_small, id_big, containment FROM (
+        |  SELECT
+        |    CASE WHEN len(a.s) < len(b.s) OR (len(a.s) = len(b.s) AND a.doc_id < b.doc_id)
+        |         THEN a.doc_id ELSE b.doc_id END AS id_small,
+        |    CASE WHEN len(a.s) < len(b.s) OR (len(a.s) = len(b.s) AND a.doc_id < b.doc_id)
+        |         THEN b.doc_id ELSE a.doc_id END AS id_big,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      CAST(least(len(a.s), len(b.s)) AS DOUBLE) AS containment
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |) WHERE containment >= 0.8""".stripMargin,
+
+    // dedup QA: the true pair count is the q43 brute recipe; both
+    // contracts pinned TRUE (subset is structural, recall is measured)
+    "q173_dedup_qa" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+        |  WHERE length(trim(text)) > 0
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks
+        |), ex AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.7)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |  TRUE AS lsh_subset_of_exact, TRUE AS recall_ge_08
+        |FROM ex""".stripMargin,
 
     // salted skew join: salting is invisible in the result — the oracle
     // is the plain join

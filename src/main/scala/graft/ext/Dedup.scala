@@ -225,10 +225,10 @@ object Dedup {
   // reclaimed by the ContextCleaner once the evicted index is unreachable).
   private val MaxCachedIndexes = 2
   private val indexCache =
-    new java.util.LinkedHashMap[(Int, String, String, String, Int), ShingleIndex](
+    new java.util.LinkedHashMap[(Int, String, Int, String, String, Int), ShingleIndex](
       16, 0.75f, /* accessOrder = */ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String, String, String, Int), ShingleIndex]): Boolean =
+          e: java.util.Map.Entry[(Int, String, Int, String, String, Int), ShingleIndex]): Boolean =
         if (size > MaxCachedIndexes) { e.getValue.base.unpersist(false); true } else false
     }
 
@@ -236,8 +236,13 @@ object Dedup {
     * source in the same session return the already-materialized index.
     * At most [[MaxCachedIndexes]] indexes stay resident (LRU). */
   def sharedShingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int): ShingleIndex = {
+    // key on the canonicalized plan's STRING *and* HASH: the string alone
+    // is not data-sensitive (LocalRelation prints only its schema, so two
+    // same-schema in-memory corpora would collide and share one index);
+    // the case-class hash covers the rows
+    val canonical = df.queryExecution.analyzed.canonicalized
     val key = (System.identityHashCode(df.sparkSession),
-      df.queryExecution.analyzed.canonicalized.toString, idCol, textCol, n)
+      canonical.toString, canonical.hashCode, idCol, textCol, n)
     indexCache.synchronized {
       val hit = indexCache.get(key)
       if (hit != null) hit
@@ -535,6 +540,87 @@ object Dedup {
       expandMemberPairs(repPairs, index.groups, "jaccard")
         .unionByName(intraMemberPairs(index.groups, lit(1.0), "jaccard")),
       "jaccard")
+  }
+
+  /**
+   * Exact CONTAINMENT pairs — the asymmetric set-similarity join
+   * (`|A ∩ B| / |A| >= threshold`, A the smaller set): catches
+   * quote-inclusion and subset duplicates that Jaccard structurally
+   * misses (a paragraph fully contained in a 100x-larger page has
+   * containment 1.0 but Jaccard ~0.01).
+   *
+   * Candidate generation adapts the PPJoin prefix filter to the
+   * asymmetric case: the CONTAINED side contributes its
+   * `sz − ceil(t·sz) + 1` globally-rarest shingles (pigeonhole: at most
+   * `sz − ceil(t·sz)` of A's grams can miss B, so any larger subset has a
+   * witness in B — valid for ANY prefix choice), probed against the
+   * container side's FULL posting list (the container has no usable
+   * prefix bound: it may be arbitrarily larger than A). Rare-first prefix
+   * order keeps the probe's gram keys low-frequency, so the equi-join
+   * fan-out stays bounded; the size filter `|B| >= ceil(t·|A|)` prunes
+   * the rest. Verification is the compiled sorted-merge intersection —
+   * shingle arrays never ride the candidate shuffle.
+   *
+   * Output: (id_small, id_big, containment), contained side first; pairs
+   * of equal size (containment is symmetric there) canonicalize to
+   * id_small < id_big.
+   */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame =
+    containmentPairs(sharedShingleIndex(df, idCol, textCol, n), threshold)
+
+  /** [[containmentPairs]] over a prebuilt (shareable) [[ShingleIndex]]. */
+  def containmentPairs(index: ShingleIndex, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
+    val base = index.base
+    val repBase = base.join(index.groups.select(col("rid").as("id")), Seq("id"), "left_semi")
+    val postings = repBase.select(col("id"), col("sz"), explode(col("shh")).as("g"))
+    val gdf = postings.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val rareFirst = Window.partitionBy(col("id")).orderBy(col("gdf").asc, col("g").asc)
+    val prefix = postings
+      .join(gdf, "g")
+      .withColumn("__rn", row_number().over(rareFirst))
+      .filter(col("__rn") <= (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
+      .select(col("id"), col("sz"), col("g"))
+    val a = prefix.alias("a")
+    val b = postings.alias("b")
+    val cand = a.join(b,
+        col("a.g") === col("b.g") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))) &&
+          col("b.sz") >= ceil(col("a.sz") * threshold))
+      .select(col("a.id").as("id_small"), col("b.id").as("id_big"))
+      .dropDuplicates("id_small", "id_big")
+    val verified = cand
+      .join(base.select(col("id").as("id_small"), col("shh").as("sh_s"), col("sz").as("sz_s")), "id_small")
+      .join(base.select(col("id").as("id_big"), col("shh").as("sh_b"), col("sz").as("sz_b")), "id_big")
+      .withColumn("shared", TextExpressionFunctions.sorted_intersect_count(col("sh_s"), col("sh_b")))
+      .withColumn("containment", col("shared").cast("double") / col("sz_s").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_small").as("rs"), col("id_big").as("rb2"),
+        col("containment"), (col("sz_s") === col("sz_b")).as("__eq"))
+    // expand duplicate groups: identical sets share a size, so roles carry
+    // over; equal-size member pairs re-canonicalize by id
+    val cross = verified
+      .join(index.groups.select(col("rid").as("rs"), col("ids").as("ids_s")), "rs")
+      .join(index.groups.select(col("rid").as("rb2"), col("ids").as("ids_b")), "rb2")
+      .select(explode(col("ids_s")).as("ism"), col("ids_b"), col("containment"), col("__eq"))
+      .select(col("ism"), explode(col("ids_b")).as("ibg"), col("containment"), col("__eq"))
+      .select(
+        when(col("__eq"), least(col("ism"), col("ibg"))).otherwise(col("ism")).as("id_small"),
+        when(col("__eq"), greatest(col("ism"), col("ibg"))).otherwise(col("ibg")).as("id_big"),
+        col("containment"))
+    val intra = index.groups.filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "ia")
+      .select(col("ia").as("id_small"),
+        explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("id_big"),
+        lit(1.0).as("containment"))
+    cross.unionByName(intra)
   }
 
   /**

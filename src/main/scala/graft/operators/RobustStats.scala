@@ -108,12 +108,17 @@ object RobustStats {
       kNum: Long,
       kDen: Long): DataFrame = {
     require(kNum >= 0 && kDen > 0, s"need kNum >= 0, kDen > 0; got ($kNum, $kDen)")
+    // the threshold tables are group-cardinality tiny but cost a GlobalRank
+    // total order each — localCheckpoint so downstream joins (and every
+    // action on the result) reuse them instead of re-running the rank
     val med = groupQuantileThresholds(df, groupCol, valueCol, 50, 50)
       .select(col(groupCol), col("lo").as("med"))
+      .localCheckpoint()
     val withMed = df.join(broadcast(med), groupCol)
       .withColumn("__absdev", abs(col(valueCol) - col("med")))
     val mad = groupQuantileThresholds(withMed, groupCol, "__absdev", 50, 50)
       .select(col(groupCol), col("lo").as("mad"))
+      .localCheckpoint()
     withMed.join(broadcast(mad), groupCol)
       .withColumn("is_outlier", col("__absdev") * kDen > col("mad") * kNum)
       .drop("__absdev")

@@ -263,4 +263,44 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("MAD outliers: both order-statistic joins broadcast; no per-group window sort") {
+    val plan = formatted(SparkEntry.queries("q163_mad_outliers")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"),
+      "medians/MADs must come from GlobalRank total orders, not windows\n" + plan)
+  }
+
+  test("triangle count: wedges and closures are hash equi-joins, never a cartesian") {
+    val plan = formatted(SparkEntry.queries("q162_graph_triangles")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop join allowed is the 1-row count broadcast in
+    // the edge FIXTURE (crossJoin with agg(count)); the triangle joins
+    // themselves must all be hash joins on node keys
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("hard-negative mining: anchors broadcast; per-side top-1 is an aggregate, not a window") {
+    val plan = formatted(SparkEntry.queries("q166_hard_negatives")(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"),
+      "top-1 per (anchor, side) must be the bottom-k aggregate, not a window\n" + plan)
+  }
+
+  test("skew join: the salted small side broadcasts (hot key spread across reducers)") {
+    val plan = formatted(SparkEntry.queries("q170_skew_join")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("URL normalize + HTML strip are single-scan projections: no join, no cartesian") {
+    for (q <- Seq("q165_url_normalize", "q171_html_strip")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sf0001))
+      // the whole normalize/strip chain fuses over ONE scan of documents
+      // (each scan prints one Location: line in formatted mode)
+      assert("Location:".r.findAllIn(plan).size === 1, s"$q\n$plan")
+      assert(!plan.contains("Join"), s"$q\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q\n$plan")
+    }
+  }
 }

@@ -219,4 +219,36 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("partial_max_by") || plan.contains("partial_maxby") ||
       plan.toLowerCase.contains("partial"), s"expected map-side combine:\n$plan")
   }
+
+  test("containmentPairs: planted subset found at containment 1.0 where jaccard misses it") {
+    // doc 1 is a 5-token quote fully contained in doc 2's 40-token page:
+    // containment = 1.0 but jaccard ~ 3/38 — invisible to the symmetric tier
+    val quote = "alpha beta gamma delta epsilon"
+    val page = quote + " " + (1 to 35).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, page), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
+    assert(jac.count() === 0L, "jaccard at 0.7 must NOT see the subset pair")
+  }
+
+  test("containmentPairs: identical sets, partial overlap below threshold, and role orientation") {
+    val a = "one two three four five six"           // 4 shingles
+    val dup = "one two three four five six"          // identical -> group member
+    val partial = "one two three nine ten eleven"    // shares 1 of 4 shingles
+    val big = a + " seven eight nine ten eleven twelve thirteen fourteen"
+    val docs = Seq((10L, a), (11L, dup), (12L, partial), (13L, big))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // identical pair at 1.0 (equal sizes -> id order); both members
+    // contained in the big page; partial overlap stays out
+    assert(got.contains((10L, 11L, 1.0)))
+    assert(got.contains((10L, 13L, 1.0)) && got.contains((11L, 13L, 1.0)))
+    assert(!got.exists(p => p._1 == 12L || p._2 == 12L))
+    // the contained side is always the smaller set
+    assert(got.forall { case (s, b, c) => c >= 0.8 && s != b })
+  }
 }
