@@ -1731,6 +1731,81 @@ object SparkEntry {
           TextStats.stripHtml(col("html")).as("clean_text"))
         .withColumn("n_chars", length(col("clean_text")).cast("long"))
     }),
+    // cohort retention matrix: users bucketed by first-active day, distinct
+    // actives per (cohort, day-offset) cell — the log collapses to distinct
+    // (user, day) before anything joins; integer day buckets end to end
+    "q175_retention_cohorts" -> ((s, dir) =>
+      graft.ext.EventAnalytics.retentionCohorts(t(s, dir, "events"), "user_id", "ts")),
+    // last-touch attribution: every purchase credited to the user's most
+    // recent preceding non-purchase event within 24h (or '(none)') — one
+    // carry-forward window pass per user, no log self-join
+    "q176_attribution" -> ((s, dir) =>
+      graft.ext.EventAnalytics.lastTouchAttribution(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "value", convType = "purchase",
+        orderTieCol = "event_id", windowNanos = 86400000000000L)),
+    // SCD type-2 compaction: per-user event_type runs → validity intervals
+    // with version numbers and an is_current flag — the dimension-history
+    // build, two per-user window passes
+    "q177_scd2_history" -> ((s, dir) =>
+      graft.ext.EventAnalytics.scd2History(t(s, dir, "events"),
+        "user_id", "ts", "event_type", orderTieCol = "event_id")),
+    // first-order Markov transition matrix: event_type → next event_type
+    // counts and probabilities; the normalizer window runs over the
+    // |types|^2 matrix, never the log
+    "q178_event_transitions" -> ((s, dir) =>
+      graft.ext.EventAnalytics.transitionMatrix(t(s, dir, "events"),
+        "user_id", "ts", "event_type", orderTieCol = "event_id")),
+    // declarative data-quality gate (the Deequ shape): 7 row-level checks +
+    // a composite-key uniqueness check, ALL in one scan + one single-row
+    // aggregate; qty_le_25 is deliberately failing so the passed=false path
+    // is exercised end to end
+    "q179_expectation_suite" -> ((s, dir) => {
+      import graft.ext.Expectations._
+      verify(t(s, dir, "lineitem"), Seq(
+        notNull("l_orderkey"),
+        nonNegative("l_quantity"),
+        inRange("l_discount", 0.0, 0.1),
+        inSet("l_returnflag", Seq("A", "N", "R")),
+        inSet("l_linestatus", Seq("O", "F")),
+        satisfies("qty_le_25", "l_quantity", col("l_quantity") <= 25.0, minFraction = 0.9),
+        satisfies("ship_before_2000", "l_shipdate",
+          col("l_shipdate") < lit("2000-01-01").cast("timestamp"))),
+        uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber")))
+    }),
+    // DDSketch mergeable quantile sketch (q96's contract discipline): per
+    // group, p50/p90/p99 estimates pinned within the alpha=1% relative-error
+    // envelope of the exact percentile (with a ±0.002 rank slack for the
+    // discrete-vs-interpolated difference); the exact count rides the hash
+    // oracle. Map-side combine ships one small bucket map per partition —
+    // the sketch, never the values, crosses the wire
+    "q180_dd_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.DDSketchFunctions._
+      val alpha = 0.01
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("price"))
+        .groupBy(col("l_returnflag"))
+        .agg(ddsketch_agg(col("price"), alpha, 4096).as("sk"),
+          expr("percentile(price, array(0.498, 0.502, 0.898, 0.902, 0.988, 0.992))").as("ex"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          (dd_quantile(col("sk"), 0.5) >= col("ex")(0) * (1.0 - alpha) &&
+           dd_quantile(col("sk"), 0.5) <= col("ex")(1) * (1.0 + alpha)).as("p50_ok"),
+          (dd_quantile(col("sk"), 0.9) >= col("ex")(2) * (1.0 - alpha) &&
+           dd_quantile(col("sk"), 0.9) <= col("ex")(3) * (1.0 + alpha)).as("p90_ok"),
+          (dd_quantile(col("sk"), 0.99) >= col("ex")(4) * (1.0 - alpha) &&
+           dd_quantile(col("sk"), 0.99) <= col("ex")(5) * (1.0 + alpha)).as("p99_ok"),
+          col("n"))
+    }),
+    // PCA projection of the embedding corpus to 8 whitened components —
+    // fit is one shuffle-free pass (per-partition Gram partials reduced to
+    // a 64x64 driver eigendecomposition), projection a scan-fused codegen
+    // chain. Eigen output is not SQL-expressible => rows-only; the
+    // orthonormality/variance/whitening contracts live in PcaOpsSpec
+    "q181_pca_project" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.ext.PcaOps.fit(e, "embedding", dim = 64, k = 8)
+      graft.ext.PcaOps.project(e, "vec_id", "embedding", model, whiten = true)
+    }),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -3811,6 +3886,98 @@ object SparkEntry {
         |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM c3),
         |f AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text FROM c4)
         |SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS n_chars FROM f""".stripMargin,
+
+    "q175_retention_cohorts" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q176_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS tns
+        |  FROM events),
+        |t AS (
+        |  SELECT *,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN tns END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_tns
+        |  FROM e)
+        |SELECT COALESCE(CASE WHEN tns - touch_tns <= 86400000000000 THEN touch_type END, '(none)') AS touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+
+    "q177_scd2_history" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns
+        |  FROM events),
+        |chg AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_type, tns, event_id,
+        |      LAG(event_type) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev_type
+        |    FROM e)
+        |  WHERE prev_type IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type AS attr_value, tns AS valid_from_ns,
+        |  LEAD(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS valid_to_ns,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tns, event_id) AS INT) AS version,
+        |  LEAD(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) IS NULL AS is_current
+        |FROM chg""".stripMargin,
+
+    "q178_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS tns, event_id
+        |  FROM events),
+        |n AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS to_type
+        |  FROM e),
+        |m AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM n WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM m""".stripMargin,
+
+    "q179_expectation_suite" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS tot,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS sat_nn,
+        |    CAST(SUM(CASE WHEN l_quantity >= 0 THEN 1 ELSE 0 END) AS DOUBLE) AS sat_nneg,
+        |    CAST(SUM(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 THEN 1 ELSE 0 END) AS DOUBLE) AS sat_disc,
+        |    CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS DOUBLE) AS sat_rf,
+        |    CAST(SUM(CASE WHEN l_linestatus IN ('O','F') THEN 1 ELSE 0 END) AS DOUBLE) AS sat_ls,
+        |    CAST(SUM(CASE WHEN l_quantity <= 25.0 THEN 1 ELSE 0 END) AS DOUBLE) AS sat_q25,
+        |    CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END) AS DOUBLE) AS sat_ship
+        |  FROM lineitem),
+        |u AS (SELECT CAST(COUNT(*) AS BIGINT) AS uq FROM
+        |  (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+        |   WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)),
+        |ut AS (SELECT CAST(COUNT(*) AS BIGINT) AS uqt FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+        |SELECT * FROM (
+        |  SELECT 'not_null' AS check_name, 'l_orderkey' AS col_name, sat_nn/tot AS metric, sat_nn/tot >= 1.0 AS passed FROM s
+        |  UNION ALL SELECT 'non_negative', 'l_quantity', sat_nneg/tot, sat_nneg/tot >= 1.0 FROM s
+        |  UNION ALL SELECT 'in_range', 'l_discount', sat_disc/tot, sat_disc/tot >= 1.0 FROM s
+        |  UNION ALL SELECT 'in_set', 'l_returnflag', sat_rf/tot, sat_rf/tot >= 1.0 FROM s
+        |  UNION ALL SELECT 'in_set', 'l_linestatus', sat_ls/tot, sat_ls/tot >= 1.0 FROM s
+        |  UNION ALL SELECT 'qty_le_25', 'l_quantity', sat_q25/tot, sat_q25/tot >= 0.9 FROM s
+        |  UNION ALL SELECT 'ship_before_2000', 'l_shipdate', sat_ship/tot, sat_ship/tot >= 1.0 FROM s
+        |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber',
+        |    CAST(uq AS DOUBLE)/CAST(uqt AS DOUBLE), uq = uqt FROM u, ut)""".stripMargin,
+
+    "q180_dd_quantiles" ->
+      """SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
   )
 
   def oracleSql: Map[String, String] = ListMap(oraclePairs: _*)

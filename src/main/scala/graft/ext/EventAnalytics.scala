@@ -1,0 +1,144 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Product/event analytics over an event log — the accounting queries every
+ * large-scale ingest pipeline runs on its own telemetry (and every product
+ * team runs on user events): cohort retention, conversion attribution,
+ * slowly-changing-dimension history compaction, and next-event transition
+ * matrices.
+ *
+ * All four operators take the event-time column as LONG EPOCH NANOS (the
+ * repo-wide events contract, see ParquetIO.tsToNanos) and do pure integer
+ * arithmetic on it, so a DuckDB oracle replays every derived bucket
+ * bit-for-bit via `epoch_ns(ts)`.
+ *
+ * Scale notes (100 TB): every per-user computation is a window partitioned
+ * by the user key — one hash shuffle on user_id, per-user sorts bounded by
+ * that user's event count (never a global sort). Retention reduces the log
+ * to distinct (user, day) FIRST, so the cohort join and the final
+ * count-distinct run on the collapsed activity relation, not the raw log.
+ * A single pathological user (a bot with billions of events) is the one
+ * skew risk; gate such keys with RobustStats/SkewJoin upstream.
+ */
+object EventAnalytics {
+
+  private val DayNanos = 86400000000000L
+
+  /**
+   * Cohort retention matrix: users bucketed by their first-activity day
+   * (the cohort), then for each (cohort_day, day_offset) the number of
+   * distinct cohort members active that day. `n_users` at offset 0 is the
+   * cohort size; the ratio downstream dashboards plot is n_users /
+   * cohort-size, left to the caller so the matrix stays integer-exact.
+   *
+   * Plan: project to (user, day) → distinct (one shuffle, the log never
+   * moves again) → min-day per user (map-side combinable agg) → equi-join
+   * back on user → count-distinct per cell.
+   */
+  def retentionCohorts(events: DataFrame, userCol: String, tsNanosCol: String): DataFrame = {
+    val activity = events
+      .select(col(userCol).as("__ret_user"),
+        expr(s"$tsNanosCol div $DayNanos").as("__ret_day"))
+      .distinct()
+    val cohorts = activity.groupBy(col("__ret_user"))
+      .agg(min(col("__ret_day")).as("cohort_day"))
+    activity.join(cohorts, "__ret_user")
+      .groupBy(col("cohort_day"), (col("__ret_day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("__ret_user")).as("n_users"))
+  }
+
+  /**
+   * Last-touch conversion attribution: each conversion event is credited to
+   * the user's most recent PRECEDING non-conversion event within
+   * `windowNanos`; conversions with no touch in the window credit
+   * `(none)`. Ties in event time break on `orderTieCol` (a unique id), so
+   * the attribution is deterministic and oracle-replayable.
+   *
+   * The carry-forward is `last(..., ignoreNulls) OVER (user ORDER BY ts
+   * ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)` — one pass per user, no
+   * self-join of the log against itself.
+   */
+  def lastTouchAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsNanosCol: String,
+      typeCol: String,
+      valueCol: String,
+      convType: String,
+      orderTieCol: String,
+      windowNanos: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsNanosCol), col(orderTieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol) =!= convType, col(typeCol))
+    val touchTs = when(col(typeCol) =!= convType, col(tsNanosCol))
+    events
+      .withColumn("__at_touch", last(touch, ignoreNulls = true).over(w))
+      .withColumn("__at_touch_ts", last(touchTs, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .groupBy(coalesce(
+        when(col(tsNanosCol) - col("__at_touch_ts") <= windowNanos, col("__at_touch")),
+        lit("(none)")).as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol).cast("decimal(15,2)")).cast("double").as("total_value"))
+  }
+
+  /**
+   * SCD type-2 history compaction: per user, consecutive runs of the same
+   * `attrCol` value collapse into validity intervals `[valid_from_ns,
+   * valid_to_ns)` with a version number and an is_current flag — the
+   * change-capture shape a dimension table wants, built from a raw event
+   * feed in two per-user window passes (detect change points, then seal
+   * each interval with the next change's timestamp).
+   */
+  def scd2History(
+      events: DataFrame,
+      userCol: String,
+      tsNanosCol: String,
+      attrCol: String,
+      orderTieCol: String): DataFrame = {
+    val wAll = Window.partitionBy(col(userCol)).orderBy(col(tsNanosCol), col(orderTieCol))
+    val changes = events
+      .withColumn("__scd_prev", lag(col(attrCol), 1).over(wAll))
+      // a lag'd constant distinguishes "first row" from "previous attr was
+      // NULL", so a leading NULL attr still opens version 1
+      .withColumn("__scd_first", lag(lit(1), 1).over(wAll).isNull)
+      // NULL-safe inequality elsewhere: NULL -> NULL is NOT a change
+      .filter(col("__scd_first") || !(col("__scd_prev") <=> col(attrCol)))
+    val wChg = Window.partitionBy(col(userCol)).orderBy(col(tsNanosCol), col(orderTieCol))
+    changes
+      .select(col(userCol).as("user_id"),
+        col(attrCol).as("attr_value"),
+        col(tsNanosCol).as("valid_from_ns"),
+        lead(col(tsNanosCol), 1).over(wChg).as("valid_to_ns"),
+        row_number().over(wChg).as("version"))
+      .withColumn("is_current", col("valid_to_ns").isNull)
+  }
+
+  /**
+   * Next-event transition matrix (first-order Markov): counts and
+   * probabilities of event_type → next event_type per user timeline. The
+   * probability is one IEEE division of two exact counts, so both engines
+   * produce the identical double. The normalizing window runs over the
+   * |types|² aggregated matrix, not the log.
+   */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsNanosCol: String,
+      typeCol: String,
+      orderTieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsNanosCol), col(orderTieCol))
+    val counts = events
+      .withColumn("__tm_next", lead(col(typeCol), 1).over(w))
+      .filter(col("__tm_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__tm_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p",
+      col("n").cast("double") / sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"))
+  }
+}

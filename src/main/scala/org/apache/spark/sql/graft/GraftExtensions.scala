@@ -63,6 +63,18 @@ object GraftExtensions {
       s"fpp must be a numeric literal, got $other")
   }
 
+  /** A fraction-valued literal parameter (quantile, alpha): any numeric
+    * literal form, validated by the consuming constructor. */
+  private def litFrac(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Float, _) => v.toDouble
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
   private def arity(n: Int, name: String)(b: Seq[Expression] => Expression): FunctionBuilder =
     (exprs: Seq[Expression]) => {
       require(exprs.length == n, s"$name expects $n arguments, got ${exprs.length}")
@@ -121,5 +133,17 @@ object GraftExtensions {
       arity(3, "count_min_agg")(e =>
         CountMinAgg(e(0), litLong(e(1), "depth").toInt, litLong(e(2), "width").toInt)
           .toAggregateExpression())),
+    (FunctionIdentifier("ddsketch_agg"),
+      info("ddsketch_agg",
+        "ddsketch_agg(value, alpha, maxBins) - mergeable relative-error " +
+          "quantile sketch over doubles (aggregate, returns binary); any " +
+          "quantile within alpha relative error"),
+      arity(3, "ddsketch_agg")(e =>
+        DDSketchAgg(e(0), litFrac(e(1), "alpha"), litLong(e(2), "maxBins").toInt)
+          .toAggregateExpression())),
+    (FunctionIdentifier("dd_quantile"),
+      info("dd_quantile",
+        "dd_quantile(sketch, q) - quantile q in [0,1] of a serialized DDSketch"),
+      arity(2, "dd_quantile")(e => DdQuantile(e(0), litFrac(e(1), "q")))),
   )
 }

@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hand-computed ground truth for the event-analytics family on a tiny
+  * fixed event log; the sf-scale versions ride the DuckDB hash oracle
+  * (q175–q178). */
+class EventAnalyticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Day = 86400000000000L
+  private val Hour = 3600000000000L
+
+  // (event_id, user, tsNanos, type, value)
+  private lazy val log = Seq(
+    // user 1: signup day0, click day0, purchase day0 (+2h), click day2, purchase day9
+    (1L, 1L, 0L * Day + 1 * Hour, "signup", 10.0),
+    (2L, 1L, 0L * Day + 2 * Hour, "click", 0.0),
+    (3L, 1L, 0L * Day + 4 * Hour, "purchase", 25.5),
+    (4L, 1L, 2L * Day + 1 * Hour, "click", 0.0),
+    (5L, 1L, 9L * Day + 1 * Hour, "purchase", 99.0),
+    // user 2: purchase with NO preceding touch; then view, view (same type run)
+    (6L, 2L, 1L * Day + 1 * Hour, "purchase", 7.0),
+    (7L, 2L, 1L * Day + 2 * Hour, "view", 0.0),
+    (8L, 2L, 1L * Day + 3 * Hour, "view", 0.0),
+    // user 3: click then purchase 30h later (outside the 24h window)
+    (9L, 3L, 0L * Day + 0 * Hour, "click", 0.0),
+    (10L, 3L, 1L * Day + 6 * Hour, "purchase", 11.0)
+  ).toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  test("retentionCohorts: cohort sizes and offsets match hand computation") {
+    val got = EventAnalytics.retentionCohorts(log, "user_id", "ts")
+      .orderBy("cohort_day", "day_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // cohort day0 = users {1, 3}: day0 both, day1 user3, day2 user1, day9 user1
+    // cohort day1 = user {2}: day1 only
+    assert(got === Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (0L, 9L, 1L),
+      (1L, 0L, 1L)))
+  }
+
+  test("lastTouchAttribution: window cut, none-bucket, and value sums") {
+    val got = EventAnalytics.lastTouchAttribution(log, "user_id", "ts",
+        "event_type", "value", convType = "purchase",
+        orderTieCol = "event_id", windowNanos = 24L * Hour)
+      .orderBy("touch_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // user1 purchase@4h → click@2h (in window); purchase@day9 → click@day2 (OUT of window → none)
+    // user2 purchase → no prior event → none
+    // user3 purchase → click 30h earlier → outside 24h → none
+    assert(got === Seq(("(none)", 3L, 117.0), ("click", 1L, 25.5)))
+  }
+
+  test("scd2History: run compaction, versions, is_current") {
+    val got = EventAnalytics.scd2History(log, "user_id", "ts", "event_type",
+        orderTieCol = "event_id")
+      .orderBy("user_id", "version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4), r.getBoolean(5))).toSeq
+    val u1 = Seq(
+      (1L, "signup", 1 * Hour, Some(2 * Hour), 1, false),
+      (1L, "click", 2 * Hour, Some(4 * Hour), 2, false),
+      (1L, "purchase", 4 * Hour, Some(2 * Day + 1 * Hour), 3, false),
+      (1L, "click", 2 * Day + 1 * Hour, Some(9 * Day + 1 * Hour), 4, false),
+      (1L, "purchase", 9 * Day + 1 * Hour, None, 5, true))
+    // user 2's two consecutive views collapse into ONE interval
+    val u2 = Seq(
+      (2L, "purchase", 1 * Day + 1 * Hour, Some(1 * Day + 2 * Hour), 1, false),
+      (2L, "view", 1 * Day + 2 * Hour, None, 2, true))
+    val u3 = Seq(
+      (3L, "click", 0L, Some(1 * Day + 6 * Hour), 1, false),
+      (3L, "purchase", 1 * Day + 6 * Hour, None, 2, true))
+    assert(got === u1 ++ u2 ++ u3)
+  }
+
+  test("transitionMatrix: counts and row-normalized probabilities") {
+    val got = EventAnalytics.transitionMatrix(log, "user_id", "ts", "event_type",
+        orderTieCol = "event_id")
+      .orderBy("from_type", "to_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    // transitions: u1: signup→click, click→purchase, purchase→click, click→purchase
+    //              u2: purchase→view, view→view
+    //              u3: click→purchase
+    assert(got === Seq(
+      ("click", "purchase", 3L, 1.0),
+      ("purchase", "click", 1L, 0.5),
+      ("purchase", "view", 1L, 0.5),
+      ("signup", "click", 1L, 1.0),
+      ("view", "view", 1L, 1.0)))
+  }
+
+  test("scd2History: leading NULL attribute still opens version 1") {
+    val withNull = Seq(
+      (1L, 9L, 0L, null.asInstanceOf[String], 0.0),
+      (2L, 9L, Hour, "click", 0.0),
+      (3L, 9L, 2 * Hour, "click", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.scd2History(withNull, "user_id", "ts", "event_type",
+        orderTieCol = "event_id")
+      .orderBy("version")
+      .collect().map(r => (Option(r.getString(1)), r.getLong(2), r.getInt(4))).toSeq
+    assert(got === Seq((None, 0L, 1), (Some("click"), Hour, 2)))
+  }
+}
