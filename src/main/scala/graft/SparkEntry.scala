@@ -1806,6 +1806,56 @@ object SparkEntry {
       val model = graft.ext.PcaOps.fit(e, "embedding", dim = 64, k = 8)
       graft.ext.PcaOps.project(e, "vec_id", "embedding", model, whiten = true)
     }),
+    // Bloom-filtered join reduction: lineitem probes a Bloom filter of the
+    // urgent-order keys BEFORE the join shuffle (non-matching fact rows die
+    // in the scan); the inner join removes false positives, so the oracle
+    // is simply the plain join — identity is the correctness proof
+    "q182_bloom_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.operators.BloomJoin.filteredInnerJoin(
+          t(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+    // per-group closed-form OLS from exact decimal sufficient statistics —
+    // one map-side-combined aggregate, sums (not points) cross the wire;
+    // slope/intercept/r2 are one fixed double expression tree both engines
+    // replay bit-for-bit
+    "q183_grouped_ols" -> ((s, dir) =>
+      graft.ext.RegressionOps.olsByGroup(t(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
+    // daily VWAP (volume-weighted average price): exact decimal
+    // sum-of-products, one IEEE division at the end
+    "q184_vwap" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").cast("date").as("ship_day"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("l_quantity")).cast("double").as("volume"),
+          (sum(dec("l_extendedprice") * dec("l_quantity")).cast("double") /
+            sum(dec("l_quantity")).cast("double")).as("vwap"))),
+    // pairwise Pearson correlation of hourly event-type volumes over the
+    // DENSIFIED (bucket x type) count matrix — integer sums, one fixed
+    // double expression; all post-agg relations are matrix-sized, never
+    // the log
+    "q185_type_correlation" -> ((s, dir) =>
+      graft.ext.RegressionOps.countCorrelation(t(s, dir, "events"),
+        expr("ts div 3600000000000"), "event_type")),
+    // CDC change-feed apply: orders replayed as a keyed change stream per
+    // customer (finalized status = tombstone); highest (date, orderkey)
+    // wins, dead keys vanish — merge-on-read compaction as one plan
+    "q186_cdc_apply" -> ((s, dir) => {
+      val changes = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"))
+      graft.operators.Ingest.cdcApply(changes, Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")), "op")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("op"))
+    }),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -3978,6 +4028,76 @@ object SparkEntry {
       """SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q182_bloom_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+
+    "q183_grouped_ols" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN (CAST(n AS DOUBLE)*sxx - sx*sx) <> 0
+        |    THEN (CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx) END AS slope,
+        |  CASE WHEN (CAST(n AS DOUBLE)*sxx - sx*sx) <> 0
+        |    THEN (sy - ((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx)) * sx) / CAST(n AS DOUBLE) END AS intercept,
+        |  CASE WHEN (CAST(n AS DOUBLE)*sxx - sx*sx) <> 0 AND (CAST(n AS DOUBLE)*syy - sy*sy) <> 0
+        |    THEN ((CAST(n AS DOUBLE)*sxy - sx*sy) * (CAST(n AS DOUBLE)*sxy - sx*sy))
+        |         / ((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy)) END AS r2
+        |FROM s""".stripMargin,
+
+    "q184_vwap" ->
+      """SELECT CAST(l_shipdate AS DATE) AS ship_day, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS volume,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS vwap
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q185_type_correlation" ->
+      """WITH c AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS b, event_type AS cat,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bk AS (SELECT DISTINCT b FROM c),
+        |ct AS (SELECT DISTINCT cat FROM c),
+        |d AS (
+        |  SELECT bk.b, ct.cat, COALESCE(c.n, 0) AS n
+        |  FROM bk CROSS JOIN ct LEFT JOIN c ON c.b = bk.b AND c.cat = ct.cat),
+        |p AS (
+        |  SELECT a.cat AS cat_a, bb.cat AS cat_b, a.n AS na, bb.n AS nb
+        |  FROM d a JOIN d bb ON a.b = bb.b WHERE a.cat < bb.cat),
+        |s AS (
+        |  SELECT cat_a, cat_b, CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(SUM(na) AS DOUBLE) AS sa, CAST(SUM(nb) AS DOUBLE) AS sb,
+        |    CAST(SUM(na*nb) AS DOUBLE) AS sab, CAST(SUM(na*na) AS DOUBLE) AS saa,
+        |    CAST(SUM(nb*nb) AS DOUBLE) AS sbb
+        |  FROM p GROUP BY 1, 2)
+        |SELECT cat_a, cat_b, n_buckets,
+        |  CASE WHEN (CAST(n_buckets AS DOUBLE)*saa - sa*sa) > 0
+        |        AND (CAST(n_buckets AS DOUBLE)*sbb - sb*sb) > 0
+        |    THEN (CAST(n_buckets AS DOUBLE)*sab - sa*sb)
+        |         / sqrt((CAST(n_buckets AS DOUBLE)*saa - sa*sa) * (CAST(n_buckets AS DOUBLE)*sbb - sb*sb)) END AS pearson_r
+        |FROM s""".stripMargin,
+
+    "q186_cdc_apply" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, op
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 AND op <> 'D'""".stripMargin,
   )
 
   def oracleSql: Map[String, String] = ListMap(oraclePairs: _*)

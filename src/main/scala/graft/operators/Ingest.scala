@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -88,5 +89,33 @@ object Ingest {
           .when(col("__graft_in_new").isNull, lit("removed"))
           .when(col("__graft_fp_old") <=> col("__graft_fp_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"): _*)
+  }
+
+  /**
+   * CDC change-feed apply: collapse an out-of-order stream of keyed change
+   * rows (upserts + tombstones) into the live snapshot — per key, the row
+   * with the highest `orderCols` wins; if that winner's `opCol` equals
+   * `deleteOp` the key is dead and emits nothing. The Delta/Iceberg
+   * merge-on-read compaction semantics, as one plan.
+   *
+   * `orderCols` must totally order each key's changes (version + a unique
+   * tie-breaker) or the winner is nondeterministic. The window partitions
+   * by key — one hash shuffle, per-key sorts bounded by that key's change
+   * count; a hot key with millions of updates is the one skew risk (gate
+   * with SkewJoin-style salting upstream, keeping only each salt's max,
+   * before the final per-key pick).
+   */
+  def cdcApply(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      opCol: String,
+      deleteOp: String = "D"): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must not be empty")
+    require(orderCols.nonEmpty, "orderCols must not be empty")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(_.desc): _*)
+    changes.withColumn("__cdc_rn", row_number().over(w))
+      .filter(col("__cdc_rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__cdc_rn")
   }
 }

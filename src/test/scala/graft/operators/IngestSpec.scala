@@ -89,4 +89,33 @@ class IngestSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val rows = diff.as[(Option[Long], String)].collect().toSet
     assert(rows === Set((Some(1L), "unchanged"), (None, "changed")))
   }
+
+  // ---- cdcApply -----------------------------------------------------------
+
+  // (key, version, op, payload)
+  private lazy val feed = Seq(
+    (1L, 1L, "U", "a1"), (1L, 3L, "U", "a3"), (1L, 2L, "U", "a2"), // out of order; v3 wins
+    (2L, 1L, "U", "b1"), (2L, 2L, "D", ""),                        // tombstoned
+    (3L, 5L, "D", ""), (3L, 6L, "U", "c6"),                        // resurrected after delete
+    (4L, 9L, "U", "d9")                                            // single insert
+  ).toDF("k", "v", "op", "payload")
+
+  test("cdcApply: highest version wins per key, out of order") {
+    val got = Ingest.cdcApply(feed, Seq("k"), Seq($"v"), "op")
+      .select("k", "v", "payload").as[(Long, Long, String)].collect().toSet
+    assert(got === Set((1L, 3L, "a3"), (3L, 6L, "c6"), (4L, 9L, "d9")))
+  }
+
+  test("cdcApply: a tombstone as latest change kills the key") {
+    val got = Ingest.cdcApply(feed, Seq("k"), Seq($"v"), "op")
+    assert(got.filter($"k" === 2L).isEmpty)
+  }
+
+  test("cdcApply: tie-breaker column makes same-version changes deterministic") {
+    val ties = Seq((1L, 1L, 10L, "U", "lo"), (1L, 1L, 20L, "U", "hi"))
+      .toDF("k", "v", "seq", "op", "payload")
+    val got = Ingest.cdcApply(ties, Seq("k"), Seq($"v", $"seq"), "op")
+      .select("payload").as[String].collect().toSeq
+    assert(got === Seq("hi"))
+  }
 }
