@@ -547,6 +547,61 @@ object ScaleProbe {
             ext.TextStats.stripHtml(concat(lit("<p>"), col("text"), lit("</p>"))).as("t"))
           .filter(length(col("u")) > 0 && length(col("t")) >= 0).count()
       }
+      // r5d: event analytics — per-user windows + collapsed-activity joins
+      timed("retention_cohorts", k) {
+        ext.EventAnalytics.retentionCohorts(
+          graft.io.ParquetIO.tsToNanos(read("events", k)), "user_id", "ts").count()
+      }
+      timed("attribution", k) {
+        ext.EventAnalytics.lastTouchAttribution(
+          graft.io.ParquetIO.tsToNanos(read("events", k)),
+          "user_id", "ts", "event_type", "value", "purchase", "event_id",
+          86400000000000L).count()
+      }
+      timed("scd2_history", k) {
+        ext.EventAnalytics.scd2History(
+          graft.io.ParquetIO.tsToNanos(read("events", k)),
+          "user_id", "ts", "event_type", "event_id").count()
+      }
+      // r5d: one-pass quality gate + sketch quantiles over the big fact
+      timed("expectation_suite", k) {
+        ext.Expectations.verify(read("lineitem", k), Seq(
+          ext.Expectations.notNull("l_orderkey"),
+          ext.Expectations.nonNegative("l_quantity"),
+          ext.Expectations.inSet("l_returnflag", Seq("A", "N", "R"))),
+          uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber"))).count()
+      }
+      timed("dd_quantiles", k) {
+        import org.apache.spark.sql.graft.DDSketchFunctions._
+        read("lineitem", k)
+          .groupBy(col("l_returnflag"))
+          .agg(ddsketch_agg(col("l_extendedprice").cast("double"), 0.01, 4096).as("sk"))
+          .select(dd_quantile(col("sk"), 0.99)).count()
+      }
+      // r5d: bloom-filtered join — the shuffle-cut fact join
+      timed("bloom_join", k) {
+        val urgent = read("orders", k).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        operators.BloomJoin.filteredInnerJoin(
+          read("lineitem", k), "l_orderkey", urgent, "o_orderkey").count()
+      }
+      // r5d: closed-form stats + CDC compaction + PCA fit/project
+      timed("grouped_ols", k) {
+        ext.RegressionOps.olsByGroup(read("lineitem", k),
+          "l_returnflag", "l_quantity", "l_extendedprice").count()
+      }
+      timed("cdc_apply", k) {
+        val changes = read("orders", k).select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"))
+        operators.Ingest.cdcApply(changes, Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")), "op").count()
+      }
+      timed("pca_fit_project", k) {
+        val e = read("embeddings", k)
+        val model = ext.PcaOps.fit(e, "embedding", 64, 8)
+        ext.PcaOps.project(e, "vec_id", "embedding", model, whiten = true).count()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")

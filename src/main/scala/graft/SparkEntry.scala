@@ -1856,6 +1856,26 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"),
           col("o_totalprice"), col("op"))
     }),
+    // inverted-index keyword search: build token -> sorted postings once
+    // (stopword-capped so no posting list melts a reducer), answer the
+    // conjunctive query from |terms| index rows — the corpus is scanned at
+    // BUILD time only; the oracle replays the search as a direct scan,
+    // proving index-vs-scan identity
+    "q187_keyword_search" -> ((s, dir) => {
+      val idx = graft.ext.SearchOps.buildInvertedIndex(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.ext.SearchOps.searchAnd(idx, Seq("vector", "hash", "stream"))
+    }),
+    // Jaro / Jaro-Winkler record-linkage scores as codegen expressions,
+    // rapidfuzz-order arithmetic => bit-identical to DuckDB's built-ins;
+    // scored against a deterministic vowel-rotated variant of each name
+    "q188_jaro_linkage" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.JaroFunctions._
+      val v = translate(col("c_name"), "aeiou", "eioua")
+      t(s, dir, "customer").select(col("c_custkey"),
+        jaro_similarity(col("c_name"), v).as("jaro"),
+        jaro_winkler_similarity(col("c_name"), v).as("jw"))
+    }),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4098,6 +4118,18 @@ object SparkEntry {
         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders)
         |WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    "q187_keyword_search" ->
+      """SELECT doc_id FROM documents
+        |WHERE len(list_intersect(
+        |        list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+        |        ['vector', 'hash', 'stream'])) = 3""".stripMargin,
+
+    "q188_jaro_linkage" ->
+      """SELECT c_custkey,
+        |  jaro_similarity(c_name, translate(c_name, 'aeiou', 'eioua')) AS jaro,
+        |  jaro_winkler_similarity(c_name, translate(c_name, 'aeiou', 'eioua')) AS jw
+        |FROM customer""".stripMargin,
   )
 
   def oracleSql: Map[String, String] = ListMap(oraclePairs: _*)

@@ -145,5 +145,14 @@ object GraftExtensions {
       info("dd_quantile",
         "dd_quantile(sketch, q) - quantile q in [0,1] of a serialized DDSketch"),
       arity(2, "dd_quantile")(e => DdQuantile(e(0), litFrac(e(1), "q")))),
+    (FunctionIdentifier("jaro_similarity"),
+      info("jaro_similarity",
+        "jaro_similarity(a, b) - Jaro string similarity in [0,1]; empty side scores 0"),
+      arity(2, "jaro_similarity")(e => JaroSimilarity(e(0), e(1)))),
+    (FunctionIdentifier("jaro_winkler_similarity"),
+      info("jaro_winkler_similarity",
+        "jaro_winkler_similarity(a, b) - Jaro-Winkler similarity (prefix-boosted " +
+          "above 0.7, scaling 0.1, prefix <= 4)"),
+      arity(2, "jaro_winkler_similarity")(e => JaroWinklerSimilarity(e(0), e(1)))),
   )
 }

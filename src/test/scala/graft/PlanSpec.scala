@@ -303,4 +303,51 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$q\n$plan")
     }
   }
+
+  test("bloom join: the probe scan is pre-filtered by the bloom probe; the dim side broadcasts") {
+    val plan = formatted(SparkEntry.queries("q182_bloom_join")(spark, sf0001))
+    // the probe expression must sit in a Filter BELOW the join — fact rows
+    // that can't match die before the shuffle/broadcast exchange
+    assert(plan.contains("bloom_might_contain"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("grouped OLS + VWAP: one map-side-combined aggregate pass, no join, no window") {
+    for (q <- Seq("q183_grouped_ols", "q184_vwap")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001).queryExecution.sparkPlan.toString
+      assert(!plan.contains("Join"), s"$q\n$plan")
+      assert(!plan.contains("Window"), s"$q\n$plan")
+      // partial aggregation present (sums, not points, cross the shuffle)
+      assert(plan.contains("partial_sum"),
+        s"$q expected map-side partial sums\n$plan")
+    }
+  }
+
+  test("expectation suite: the whole row-level check set is one scan + one single-row aggregate") {
+    val plan = SparkEntry.queries("q179_expectation_suite")(spark, sf0001)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Location:".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("retention cohorts: the log collapses to distinct (user, day) before any join") {
+    val plan = SparkEntry.queries("q175_retention_cohorts")(spark, sf0001)
+      .queryExecution.sparkPlan.toString
+    // both join inputs are aggregates of the projected two-column activity
+    // relation; the raw event log never reaches the join
+    assert(!plan.contains("CartesianProduct"), plan)
+    val joinAt = plan.indexOf("Join")
+    assert(joinAt > 0, plan)
+    assert(plan.indexOf("HashAggregate", joinAt) > joinAt,
+      "expected the distinct/min-day aggregates below the join\n" + plan)
+  }
+
+  test("DDSketch quantiles: the sketch aggregate partials map-side (sketches, not rows, shuffle)") {
+    val plan = SparkEntry.queries("q180_dd_quantiles")(spark, sf0001)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_ddsketch_agg"),
+      "expected a partial (map-side) ddsketch aggregate\n" + plan)
+  }
 }
