@@ -1876,6 +1876,14 @@ object SparkEntry {
         jaro_similarity(col("c_name"), v).as("jaro"),
         jaro_winkler_similarity(col("c_name"), v).as("jw"))
     }),
+    // streaming CDC snapshot: the change feed replays over 3 micro-batches;
+    // per-key struct-max state (O(keys), order-free) → final snapshot equals
+    // batch cdcApply exactly, so this shares q186's oracle verbatim
+    "q189_stream_cdc" -> ((s, dir) => StreamGate.cdcSnapshot(s, dir)),
+    // streaming quantile monitor: per-type DDSketch merged across
+    // micro-batches (bit-identical to the batch sketch), contract-pinned
+    // against batch-exact percentiles after the drain
+    "q190_stream_quantiles" -> ((s, dir) => StreamGate.quantileMonitor(s, dir)),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4130,6 +4138,20 @@ object SparkEntry {
         |  jaro_similarity(c_name, translate(c_name, 'aeiou', 'eioua')) AS jaro,
         |  jaro_winkler_similarity(c_name, translate(c_name, 'aeiou', 'eioua')) AS jw
         |FROM customer""".stripMargin,
+
+    "q189_stream_cdc" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, op
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    "q190_stream_quantiles" ->
+      """SELECT event_type, TRUE AS p50_ok, TRUE AS p90_ok, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
   )
 
   def oracleSql: Map[String, String] = ListMap(oraclePairs: _*)

@@ -372,4 +372,67 @@ object StreamGate {
       StreamOps.eventsStream(spark, dir.toString, maxFilesPerTrigger = 1), ratio, seed)
     runToTable(sampled, "stream_sample", "append")
   }
+
+  /** Stage a fixture split across `parts` files so the file source replays
+    * it as `parts` micro-batches (maxFilesPerTrigger=1) — proving state
+    * genuinely merges ACROSS batches, not within one. */
+  private def stageTableDirSplit(sfDir: String, table: String, parts: Int): Path = {
+    val dir = graft.io.TempDirs.create(s"graft_stream_$table")
+    SparkSession.active.read.parquet(s"$sfDir/$table.parquet")
+      .repartition(parts).write.mode("overwrite").parquet(dir.toString)
+    dir
+  }
+
+  /**
+   * Streaming CDC snapshot (complete mode): the orders change feed arrives
+   * over several micro-batches; per key the state keeps only the
+   * max-(version, tiebreak) change as ONE struct-max aggregate — O(keys)
+   * state, no per-change retention — and the final table filters the
+   * tombstone winners. The emitted snapshot equals the batch
+   * [[graft.operators.Ingest.cdcApply]] exactly under ANY batching (the
+   * struct max is order-free), so q189 shares q186's oracle verbatim.
+   */
+  def cdcSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageTableDirSplit(sfDir, "orders", parts = 3)
+    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    val orders = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val changes = orders.select(col("o_custkey"),
+      struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op")).as("__c"))
+    val latest = changes.groupBy(col("o_custkey"))
+      .agg(max(col("__c")).as("__w"))
+      .filter(col("__w.op") =!= "D")
+      .select(col("o_custkey"), col("__w.o_orderkey").as("o_orderkey"),
+        col("__w.o_totalprice").as("o_totalprice"), col("__w.op").as("op"))
+    runToTable(latest, "stream_cdc", "complete")
+  }
+
+  /**
+   * Streaming quantile monitor: a per-type DDSketch aggregates across
+   * micro-batches (bucket-count merges are order-free, so the drained
+   * sketch is IDENTICAL to the batch sketch), then the drained table joins
+   * the batch-exact percentiles — p50/p90 pinned inside the alpha=1%
+   * envelope, counts exact (the q180 contract, live on a stream).
+   */
+  def quantileMonitor(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.DDSketchFunctions._
+    val alpha = 0.01
+    val dir = stageEventsDir(sfDir)
+    val ev = StreamOps.eventsStream(spark, dir.toString, maxFilesPerTrigger = 1)
+    val sk = ev.groupBy(col("event_type"))
+      .agg(ddsketch_agg(col("value"), alpha, 4096).as("sk"),
+        count(lit(1)).as("n"))
+    val drained = runToTable(sk, "stream_quantiles", "complete")
+    val batch = StreamOps.batchEvents(spark, s"$sfDir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.498, 0.502, 0.898, 0.902))").as("ex"))
+    drained.join(batch, "event_type")
+      .select(col("event_type"),
+        (dd_quantile(col("sk"), 0.5) >= col("ex")(0) * (1.0 - alpha) &&
+         dd_quantile(col("sk"), 0.5) <= col("ex")(1) * (1.0 + alpha)).as("p50_ok"),
+        (dd_quantile(col("sk"), 0.9) >= col("ex")(2) * (1.0 - alpha) &&
+         dd_quantile(col("sk"), 0.9) <= col("ex")(3) * (1.0 + alpha)).as("p90_ok"),
+        col("n"))
+  }
 }
