@@ -59,4 +59,65 @@ object SearchOps {
       .filter(col("__n_terms") === distinctTerms.size)
       .select(col("doc_id"))
   }
+
+  /**
+   * Positional index: token → sorted (doc_id, pos) postings (+ doc_freq,
+   * same stop-list gate as [[buildInvertedIndex]]) — the structure phrase
+   * and proximity queries need.
+   */
+  def buildPositionalIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val pairs = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "token")))
+    val kept = pairs.select(col("token"), col("doc_id")).distinct()
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") <= maxDocFreq)
+    pairs.join(kept, "token")
+      .groupBy(col("token"), col("doc_freq"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("postings"))
+      .select(col("token"), col("postings"), col("doc_freq"))
+  }
+
+  /**
+   * Exact-phrase query over a positional index: doc ids where the terms
+   * occur ADJACENTLY in order. Each term i's postings re-base to
+   * (doc, pos - i); a doc matches when some base collects all |phrase|
+   * offsets. Touches only the phrase terms' postings. Repeated terms in
+   * the phrase are handled correctly (each occurrence re-bases its own
+   * posting row).
+   */
+  def searchPhrase(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must not be empty")
+    val perTerm = phrase.zipWithIndex.map { case (term, i) =>
+      index.filter(col("token") === term)
+        .select(explode(col("postings")).as("__p"))
+        .select(col("__p.doc_id").as("doc_id"), (col("__p.pos") - i).as("__base"),
+          lit(i).as("__i"))
+    }
+    perTerm.reduce(_ unionByName _)
+      .groupBy(col("doc_id"), col("__base"))
+      .agg(countDistinct(col("__i")).as("__hits"))
+      .filter(col("__hits") === phrase.length)
+      .select(col("doc_id")).distinct()
+  }
+
+  /**
+   * Incremental index maintenance: merge a delta corpus's index into an
+   * existing one (doc sets must be disjoint — dedup upstream via
+   * [[graft.operators.Ingest.upsert]]). Posting arrays concatenate and
+   * re-sort per token, doc_freqs add; the result is IDENTICAL to a
+   * from-scratch rebuild over the union corpus (q191 pins that identity),
+   * at the cost of touching only tokens present in either side — the
+   * index never rebuilds from the full corpus on ingest.
+   */
+  def mergeIndex(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = Seq("token", "postings", "doc_freq").map(col)
+    a.select(cols: _*).unionByName(b.select(cols: _*))
+      .groupBy(col("token"))
+      .agg(sort_array(flatten(collect_list(col("postings")))).as("postings"),
+        sum(col("doc_freq")).as("doc_freq"))
+      .select(col("token"), col("postings"), col("doc_freq"))
+  }
 }
