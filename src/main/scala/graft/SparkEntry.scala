@@ -1884,6 +1884,46 @@ object SparkEntry {
     // micro-batches (bit-identical to the batch sketch), contract-pinned
     // against batch-exact percentiles after the drain
     "q190_stream_quantiles" -> ((s, dir) => StreamGate.quantileMonitor(s, dir)),
+    // multi-source BFS: exact hop distance from the nearest seed over the
+    // q152 citation graph (seeds = doc_id % 97 == 0), 6 synchronous
+    // frontier rounds — each round joins only the FRONTIER to the edge
+    // list; integer distances make all 6 rounds DuckDB-replayable as
+    // chained CTEs (the pageRank/labelProp discipline)
+    "q191_bfs_distances" -> ((s, dir) => {
+      val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
+      val edges = nodes.crossJoin(nodes.agg(count(lit(1)).as("n")))
+        .select(col("node").as("src"), col("n"))
+        .select(col("src"), col("n"),
+          explode(expr("sequence(1, 1 + src % 4)")).as("j"))
+        .select(col("src"), expr("(src * (src + 3) + j * 97) % n").as("dst"))
+      val seeds = nodes.filter(col("node") % 97 === 0)
+      graft.ext.GraphOps.bfsDistances(seeds, edges, rounds = 6)
+        .select(col("node").as("doc_id"), col("dist"))
+    }),
+    // per-group weighted median: duplication-aware center (weight =
+    // integral l_quantity) from ONE distributed prefix scan over the
+    // (group, value) total order — no per-group window sort; integer
+    // cumulative-weight comparisons, so the pick is bit-exact
+    "q192_weighted_median" -> ((s, dir) =>
+      graft.operators.RobustStats.weightedMedianByGroup(
+        t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", "l_quantity")),
+    // pairwise association rules over order baskets at brand granularity:
+    // distinct (basket, item) first, triangular self-join on the basket
+    // key, broadcast support joins; confidence/lift are single IEEE
+    // divisions of exact longs — bit-reproducible
+    "q193_assoc_rules" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      graft.ext.MarketBasket.pairRules(baskets, "basket", "item", minPairSupport = 20)
+    }),
+    // consecutive event-type trigram mining: two leads over ONE per-user
+    // window sort, pattern-space count agg, broadcast total — the
+    // order-2 generalization of q178's transition matrix
+    "q194_event_trigrams" -> ((s, dir) =>
+      graft.ext.EventAnalytics.sequencePatterns(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id", n = 3)),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -2097,6 +2137,26 @@ object SparkEntry {
       s"""\nSELECT node AS doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
          |  SELECT a AS node FROM e$rounds UNION ALL SELECT b AS node FROM e$rounds
          |) GROUP BY 1""".stripMargin
+  }
+
+  // multi-source BFS: all 6 frontier rounds replayed as chained CTEs —
+  // round k extends only from nodes settled at k-1 (exact for unweighted
+  // BFS), min-distance per node
+  private lazy val bfsOracle: String = {
+    val rounds = 6
+    val head = graphFixtureHead +
+      ",\nb0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes WHERE node % 97 = 0)"
+    val steps = (1 to rounds).map { k =>
+      s"""b$k AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM b${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, f.dist + 1 AS dist
+         |    FROM b${k - 1} f JOIN edges e ON e.src = f.node
+         |    WHERE f.dist = ${k - 1}) GROUP BY node)""".stripMargin
+    }
+    (Seq(head) ++ steps).mkString(",\n") +
+      s"\nSELECT node AS doc_id, CAST(dist AS BIGINT) AS dist FROM b$rounds"
   }
 
   // decontamination: string 5-grams on the oracle side vs xxhash64'd
@@ -3865,6 +3925,72 @@ object SparkEntry {
 
     "q168_label_propagation" -> labelPropOracle,
     "q169_kcore" -> kCoreOracle,
+    "q191_bfs_distances" -> bfsOracle,
+
+    // weighted median: per-(group, value) weight sums + running cumulative
+    // weight replayed by windows (oracle scale); the pick is the smallest
+    // value whose doubled cumulative weight reaches the group total
+    "q192_weighted_median" ->
+      """WITH wv AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    SUM(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT g, v, w,
+        |    SUM(w) OVER (PARTITION BY g ORDER BY v) AS cumw,
+        |    SUM(w) OVER (PARTITION BY g) AS tot
+        |  FROM wv)
+        |SELECT g AS l_returnflag,
+        |  MIN(v) FILTER (WHERE 2 * cumw >= tot) AS weighted_median,
+        |  CAST(MIN(tot) AS BIGINT) AS total_w
+        |FROM cw GROUP BY g""".stripMargin,
+
+    // association rules: distinct (order, brand) baskets, triangular
+    // pair join, both rule directions; confidence/lift as the SAME single
+    // divisions of exact counts the engine computes
+    "q193_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |nb AS (SELECT count(DISTINCT b) AS n FROM items),
+        |sup AS (SELECT i, count(*) AS c FROM items GROUP BY 1),
+        |pr AS (
+        |  SELECT x.i AS a, y.i AS b2, count(*) AS np
+        |  FROM items x JOIN items y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 20),
+        |dir AS (
+        |  SELECT a AS ante, b2 AS cons, np FROM pr
+        |  UNION ALL
+        |  SELECT b2 AS ante, a AS cons, np FROM pr)
+        |SELECT d.ante, d.cons, CAST(d.np AS BIGINT) AS n_pair,
+        |  CAST(sa.c AS BIGINT) AS n_ante, CAST(sc.c AS BIGINT) AS n_cons,
+        |  CAST(nb.n AS BIGINT) AS n_baskets,
+        |  CAST(d.np AS DOUBLE) / CAST(sa.c AS DOUBLE) AS confidence,
+        |  CAST(d.np * nb.n AS DOUBLE) / CAST(sa.c * sc.c AS DOUBLE) AS lift
+        |FROM dir d
+        |JOIN sup sa ON sa.i = d.ante
+        |JOIN sup sc ON sc.i = d.cons
+        |CROSS JOIN nb""".stripMargin,
+
+    // event-type trigrams: two LEADs over the per-user timeline (ties on
+    // event_id), exact counts, share = ONE division by the grand total
+    "q194_event_trigrams" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS tns, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type AS step_0,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS step_1,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS step_2
+        |  FROM e),
+        |m AS (
+        |  SELECT step_0, step_1, step_2, CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM r WHERE step_1 IS NOT NULL AND step_2 IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS t FROM m)
+        |SELECT step_0, step_1, step_2, n_occurrences,
+        |  CAST(n_occurrences AS DOUBLE) / CAST(t AS DOUBLE) AS share
+        |FROM m CROSS JOIN tot""".stripMargin,
 
     // anomalous hours: hourly counts + per-type lower-median order
     // statistics replayed by windows (oracle scale); integer throughout

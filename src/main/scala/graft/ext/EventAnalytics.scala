@@ -141,4 +141,42 @@ object EventAnalytics {
     counts.withColumn("p",
       col("n").cast("double") / sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"))
   }
+
+  /**
+   * Consecutive event-type sequence mining (order-n patterns): counts of
+   * every length-`n` run of CONSECUTIVE event types on a user's timeline —
+   * the order-(n-1) generalization of [[transitionMatrix]], the standard
+   * "what do users actually do" exploration and the feature extractor for
+   * next-action models. Output columns `step_0..step_{n-1}`, the exact
+   * occurrence count `n_occurrences`, and `share` = count / total patterns
+   * (ONE division of exact longs — bit-reproducible).
+   *
+   * Plan shape: n-1 `lead`s over ONE per-user window sort (a single hash
+   * shuffle on the user key; per-user sorts bounded by that user's
+   * events), then a map-side-combined count agg over the |types|^n
+   * pattern space — the normalizing total comes from a broadcast
+   * single-row cross join, never a global window.
+   */
+  def sequencePatterns(
+      events: DataFrame,
+      userCol: String,
+      tsNanosCol: String,
+      typeCol: String,
+      orderTieCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 2, s"pattern length must be >= 2, got $n")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsNanosCol), col(orderTieCol))
+    val steps = (0 until n).map { i =>
+      (if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w)).as(s"step_$i")
+    }
+    val runs = events.select(steps: _*)
+      .filter((1 until n).map(i => col(s"step_$i").isNotNull).reduce(_ && _))
+    val counts = runs.groupBy((0 until n).map(i => col(s"step_$i")): _*)
+      .agg(count(lit(1)).as("n_occurrences"))
+    val total = counts.agg(sum(col("n_occurrences")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        col("n_occurrences").cast("double") / col("__total").cast("double"))
+      .drop("__total")
+  }
 }

@@ -156,6 +156,45 @@ object GraphOps {
   }
 
   /**
+   * Multi-source BFS: the exact hop distance from the nearest seed node,
+   * for every node reachable within `rounds` hops — link-distance-from-
+   * trusted-seeds is the classic spam/quality prior (TrustRank's
+   * propagation shape) and "distance from a labeled set" is the standard
+   * graph feature a curation pipeline joins back onto documents.
+   *
+   * Synchronous frontier relaxation: round i extends only from nodes
+   * whose distance settled at i-1 (exact for unweighted BFS — a node
+   * first reachable at depth d is reached from a depth-(d-1) node), so
+   * each round is ONE equi-join of the FRONTIER (not the whole distance
+   * table) to the edge list plus one min-aggregation; `localCheckpoint`
+   * keeps the plan O(1) deep. Fixed round count keeps plan depth
+   * data-independent (the kCoreSurvivors discipline) — callers size
+   * `rounds` to the diameter they care about; unreached nodes are simply
+   * absent. Integer distances make every round engine-replayable.
+   *
+   * @param sources one `node` column (the seed set; duplicates collapse)
+   * @param edges   directed `src`/`dst` columns
+   */
+  def bfsDistances(sources: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be non-negative, got $rounds")
+    var dist = sources.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var i = 1
+    while (i <= rounds) {
+      val next = dist.filter(col("dist") === (i - 1))
+        .select(col("node").as("src"))
+        .join(edges, "src")
+        .select(col("dst").as("node"), lit(i.toLong).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      i += 1
+    }
+    dist
+  }
+
+  /**
    * Exact per-node triangle counts over an undirected simple graph
    * (parallel edges, self-loops, and direction collapse first) — the
    * clustering-coefficient numerator, the standard structure signal for

@@ -77,6 +77,50 @@ object RobustStats {
         least(greatest(col(valueCol), col("lo")), col("hi")))
   }
 
+  /**
+   * Exact per-group WEIGHTED (lower) median of `valueCol` under integral
+   * non-negative `weightCol`: the smallest value v with
+   * `2 * cumWeight(<= v) >= totalWeight` — the duplication-aware center
+   * a curation pipeline needs when each row carries a multiplicity
+   * (token counts, repeat counts, sampling weights) and the unweighted
+   * median would let a million one-token rows outvote one million-token
+   * row.
+   *
+   * Scale shape: rows first collapse to per-(group, value) weight sums
+   * (one hash aggregation — the only corpus-sized shuffle), then ONE
+   * [[GlobalRank.withPrefixSum]] distributed prefix scan over the
+   * (group, value) total order yields cumulative weights with no
+   * per-group window sort; a group's in-group cumulative weight is its
+   * global prefix minus the group's exclusive start (groups are
+   * contiguous in the order). All comparisons are integer — the median
+   * pick is bit-reproducible on any engine.
+   *
+   * Output: one row per group — (groupCol, weighted_median, total_w).
+   */
+  def weightedMedianByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String): DataFrame = {
+    val wv = df.groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val ps = GlobalRank.withPrefixSum(
+      wv, Seq(col(groupCol), col(valueCol)), col("__w"),
+      rankName = "__gr", sumName = "__cw")
+    // group start = the prefix just before the group's first row; group
+    // cardinality is small by assumption — broadcast the spans back
+    val spans = ps.groupBy(col(groupCol))
+      .agg(min(col("__cw") - col("__w")).as("__start"),
+        max(col("__cw")).as("__end"))
+      .select(col(groupCol), col("__start"),
+        (col("__end") - col("__start")).as("total_w"))
+    ps.join(broadcast(spans), groupCol)
+      .filter((col("__cw") - col("__start")) * 2 >= col("total_w"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("weighted_median"),
+        first(col("total_w")).as("total_w"))
+  }
+
   /** Convenience: clip column expression given lo/hi. */
   def clip(value: Column, lo: Column, hi: Column): Column =
     least(greatest(value, lo), hi)

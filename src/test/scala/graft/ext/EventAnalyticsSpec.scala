@@ -105,4 +105,35 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => (Option(r.getString(1)), r.getLong(2), r.getInt(4))).toSeq
     assert(got === Seq((None, 0L, 1), (Some("click"), Hour, 2)))
   }
+
+  test("sequencePatterns: trigrams from hand timeline, no cross-user runs") {
+    // user 1 timeline: signup click purchase click purchase
+    //   -> trigrams (signup,click,purchase), (click,purchase,click),
+    //      (purchase,click,purchase)
+    // user 2: purchase view view -> (purchase,view,view)
+    // user 3: click purchase -> too short for a trigram
+    val got = EventAnalytics.sequencePatterns(log, "user_id", "ts",
+        "event_type", "event_id", n = 3)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet === Set(
+      ("signup", "click", "purchase"), ("click", "purchase", "click"),
+      ("purchase", "click", "purchase"), ("purchase", "view", "view")))
+    assert(got.values.map(_._1).sum === 4L)
+    assert(got(("purchase", "view", "view")) === ((1L, 0.25)))
+  }
+
+  test("sequencePatterns: n=2 counts equal the transition matrix") {
+    val bi = EventAnalytics.sequencePatterns(log, "user_id", "ts",
+        "event_type", "event_id", n = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val tm = EventAnalytics.transitionMatrix(log, "user_id", "ts",
+        "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bi === tm)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.sequencePatterns(log, "user_id", "ts", "event_type", "event_id", n = 1)
+    }
+  }
 }

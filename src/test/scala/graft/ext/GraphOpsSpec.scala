@@ -198,4 +198,48 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 === got)
   }
+
+  test("bfsDistances: hand chain, frontier-only correctness, round bound") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val d2 = GraphOps.bfsDistances(seeds, edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4 is beyond 2 hops
+    val d0 = GraphOps.bfsDistances(seeds, edges, rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d0 === Map(1L -> 0L))
+  }
+
+  test("bfsDistances: multi-source min, cycles, and unreachable nodes") {
+    // 1 -> 2 -> 3, 4 -> 3, 3 -> 1 (cycle back); 9 -> 9 self-loop island
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L), (3L, 1L), (9L, 9L))
+      .toDF("src", "dst")
+    val got = GraphOps.bfsDistances(Seq(1L, 4L, 4L).toDF("node"), edges, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 3 is 2 hops from seed 1 but 1 hop from seed 4 -> min wins
+    assert(got === Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L))
+    // 9 never reached: absent, not infinite
+    assert(!got.contains(9L))
+  }
+
+  test("bfsDistances matches a driver-side reference BFS on the fixture graph") {
+    val n = 60
+    val edgeSeq = for {
+      s <- 0L until n.toLong
+      j <- 1L to (1 + s % 4)
+    } yield (s, (s * (s + 3) + j * 97) % n)
+    val adj = edgeSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = (0L until n.toLong).filter(_ % 7 == 0)
+    val rounds = 4
+    var ref = seeds.map(_ -> 0L).toMap
+    for (r <- 1 to rounds) {
+      val frontier = ref.filter(_._2 == r - 1).keys
+      val reached = frontier.flatMap(s => adj.getOrElse(s, Nil)).toSet
+      ref = reached.filterNot(ref.contains).map(_ -> r.toLong).toMap ++ ref
+    }
+    val got = GraphOps.bfsDistances(
+      seeds.toDF("node"), edgeSeq.toDF("src", "dst").repartition(5), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref)
+  }
 }

@@ -87,4 +87,33 @@ class RobustStatsSpec extends SparkSpec {
       RobustStats.madOutliers(df, "g", "v", kNum = 1, kDen = 0)
     }
   }
+
+  test("weightedMedianByGroup: weight mass, not row count, picks the center") {
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 10L))
+      .toDF("g", "v", "w")
+    val got = RobustStats.weightedMedianByGroup(df, "g", "v", "w")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // total 12; cum at 1->1, 2->2, 3->12; first v with 2*cum >= 12 is 3
+    // (the UNWEIGHTED lower median would be 2)
+    assert(got === Map("a" -> ((3.0, 12L))))
+  }
+
+  test("weightedMedianByGroup: unit weights reduce to the lower median") {
+    val df = (1 to 4).map(v => ("a", v.toDouble, 1L)).toDF("g", "v", "w")
+    val got = RobustStats.weightedMedianByGroup(df, "g", "v", "w").collect()
+    assert(got.map(r => (r.getDouble(1), r.getLong(2))).toSeq === Seq((2.0, 4L)))
+  }
+
+  test("weightedMedianByGroup: duplicate values collapse, groups independent, layout-free") {
+    val df = Seq(
+      ("a", 1.0, 3L), ("a", 1.0, 3L), ("a", 2.0, 1L),
+      ("b", 5.0, 1L), ("b", 7.0, 2L)).toDF("g", "v", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      RobustStats.weightedMedianByGroup(d, "g", "v", "w")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val got = run(df)
+    // a: value 1 carries weight 6 of 7 -> 1; b: cum 5->1, 7->3, 2*1<3 -> 7
+    assert(got === Set(("a", 1.0, 7L), ("b", 7.0, 3L)))
+    assert(run(df.repartition(7)) === got)
+  }
 }
