@@ -1924,6 +1924,54 @@ object SparkEntry {
     "q194_event_trigrams" -> ((s, dir) =>
       graft.ext.EventAnalytics.sequencePatterns(
         t(s, dir, "events"), "user_id", "ts", "event_type", "event_id", n = 3)),
+    // sentence segmentation + per-doc sentence stats: corpus text carries
+    // no punctuation, so boundaries are injected deterministically (the
+    // q165/q171 fixture discipline — same replace chain in the oracle);
+    // scan-fused split + array HOFs, no explode, one IEEE division
+    "q195_sentence_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("stext",
+          regexp_replace(regexp_replace(col("text"), " the ", ". "), " data ", "! "))
+      TextStats.sentenceStats(docs, "stext")
+        .select(col("doc_id"), col("n_sentences"), col("n_sent_words"),
+          col("max_sent_words"), col("mean_sent_words"))
+    }),
+    // systematic 1-in-20 sampling over the portable md5 rank order —
+    // layout-independent, replayable by any engine with md5 (the q13/q14
+    // portable-sampler family); ONE GlobalRank range sort, no window
+    "q196_systematic_sample" -> ((s, dir) =>
+      graft.operators.Sampler.systematicByHexRank(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        step = 20,
+        md5(concat(lit("graft196:"), col("o_orderkey").cast("string")).cast("binary")))),
+    // file-skipping index scan: orders rewritten range-clustered on
+    // o_totalprice (8 files), per-file min/max footer index built
+    // DISTRIBUTED, then a range scan reads ONLY intersecting files —
+    // result provably equals the plain filtered scan (the oracle)
+    "q197_file_skip_scan" -> ((s, dir) => {
+      val out = graft.io.TempDirs.create("graft_fileskip").toString
+      t(s, dir, "orders")
+        .repartitionByRange(8, col("o_totalprice"))
+        .write.mode("overwrite").parquet(out)
+      graft.io.ParquetIO.prunedRead(s, out, "o_totalprice", 50000.0, 100000.0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(15,2)")).cast("double").as("sum_price"))
+    }),
+    // chi-square contingency cells (order priority x status): integer
+    // marginals from the |A|x|B| cell table, exact DECIMAL(38) squared
+    // numerator canonicalized through a string cast, ONE division per
+    // cell — bit-reproducible
+    "q198_chi2_cells" -> ((s, dir) =>
+      graft.ext.RegressionOps.chiSquareCells(
+        t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")),
+    // Welch's unequal-variance t per event type between even/odd user
+    // cohorts (the per-segment A/B test): exact integer-cents sufficient
+    // statistics, one fixed IEEE expression tree per group
+    "q199_welch_ttest" -> ((s, dir) =>
+      graft.ext.RegressionOps.welchTTest(
+        t(s, dir, "events").withColumn("cohort", (col("user_id") % 2).cast("string")),
+        "event_type", "cohort", "value", "0", "1")),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -3991,6 +4039,101 @@ object SparkEntry {
         |SELECT step_0, step_1, step_2, n_occurrences,
         |  CAST(n_occurrences AS DOUBLE) / CAST(t AS DOUBLE) AS share
         |FROM m CROSS JOIN tot""".stripMargin,
+
+    // sentence stats: same boundary-injection fixture ('g' flags), same
+    // split/filter/word-count chain, same single division
+    "q195_sentence_stats" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text, ' the ', '. ', 'g'),
+        |                   ' data ', '! ', 'g') AS stext
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(stext, '[.!?]+'),
+        |                x -> len(trim(x)) > 0) AS sent
+        |  FROM f),
+        |w AS (
+        |  SELECT doc_id, sent,
+        |    list_transform(sent,
+        |      x -> CAST(len(string_split_regex(trim(x), '\s+')) AS BIGINT)) AS wc
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(len(sent) AS BIGINT) AS n_sentences,
+        |  CAST(COALESCE(list_sum(wc), 0) AS BIGINT) AS n_sent_words,
+        |  CAST(COALESCE(list_max(wc), 0) AS BIGINT) AS max_sent_words,
+        |  CASE WHEN len(sent) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(wc) AS DOUBLE) / CAST(len(sent) AS DOUBLE)
+        |  END AS mean_sent_words
+        |FROM w""".stripMargin,
+
+    // systematic sample: the identical md5 order replayed; survivor =
+    // every 20th rank (no ties: md5 of distinct keys)
+    "q196_systematic_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (
+        |      ORDER BY md5('graft196:' || CAST(o_orderkey AS VARCHAR))) AS rn
+        |  FROM orders) WHERE (rn - 1) % 20 = 0""".stripMargin,
+
+    // file-skip scan: the pruned read provably equals the plain filtered
+    // scan — identity IS the proof (the q130/q182 pattern)
+    "q197_file_skip_scan" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 100000.0
+        |GROUP BY 1""".stripMargin,
+
+    // chi-square cells: HUGEINT exact squared numerator (the engine's
+    // DECIMAL(38,0)) canonicalized through VARCHAR, one division
+    "q198_chi2_cells" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS observed
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT o_orderpriority, o_orderstatus, observed,
+        |    CAST(SUM(observed) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS row_total,
+        |    CAST(SUM(observed) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS col_total,
+        |    CAST(SUM(observed) OVER () AS BIGINT) AS n_total
+        |  FROM cells)
+        |SELECT o_orderpriority, o_orderstatus, observed, row_total, col_total, n_total,
+        |  CAST(CAST(CAST(observed * n_total - row_total * col_total AS HUGEINT)
+        |            * CAST(observed * n_total - row_total * col_total AS HUGEINT) AS VARCHAR) AS DOUBLE)
+        |    / CAST(n_total * row_total * col_total AS DOUBLE) AS contribution
+        |FROM m""".stripMargin,
+
+    // Welch t: identical integer-cents sufficient statistics and the
+    // identical fixed expression tree — bit-exact
+    "q199_welch_ttest" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(user_id % 2 AS VARCHAR) AS cohort,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN cohort = '0' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN cohort = '0' THEN c ELSE 0 END) AS BIGINT) AS s_a,
+        |    CAST(SUM(CASE WHEN cohort = '0' THEN c * c ELSE 0 END) AS BIGINT) AS ss_a,
+        |    CAST(SUM(CASE WHEN cohort = '1' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN cohort = '1' THEN c ELSE 0 END) AS BIGINT) AS s_b,
+        |    CAST(SUM(CASE WHEN cohort = '1' THEN c * c ELSE 0 END) AS BIGINT) AS ss_b
+        |  FROM e GROUP BY 1),
+        |x AS (
+        |  SELECT event_type, n_a, n_b,
+        |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+        |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) - 1.0) AS vb,
+        |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+        |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb
+        |  FROM a)
+        |SELECT event_type, n_a, n_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2
+        |         AND sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) > 0.0
+        |       THEN (ma - mb) / sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
+        |  END AS t_stat
+        |FROM x""".stripMargin,
 
     // anomalous hours: hourly counts + per-type lower-median order
     // statistics replayed by windows (oracle scale); integer throughout

@@ -87,4 +87,86 @@ object RegressionOps {
     agged.select(col("cat_a"), col("cat_b"), col("n_buckets"),
       when(dena > 0.0 && denb > 0.0, num / sqrt(dena * denb)).as("pearson_r"))
   }
+
+  /**
+   * Chi-square contingency cells for two categorical columns: per cell,
+   * the observed count, the marginals, and the cell's chi-square
+   * contribution `(O·N − R·C)² / (N·R·C)` — algebraically `(O−E)²/E`
+   * with `E = R·C/N`, rearranged so the numerator is an EXACT integer
+   * (squared in DECIMAL(38,0): `O·N` tops out near 10^12 at warehouse
+   * scale, its square near 10^24 — far inside 38 digits, far outside
+   * int64). The decimal canonicalizes to double through a STRING cast
+   * (the [[olsByGroup]] discipline) and the contribution is ONE
+   * division — bit-reproducible per cell. The statistic itself is the
+   * SUM of contributions; it's left to the caller because cross-engine
+   * float summation order differs — per-cell rows are the exact,
+   * comparable artifact.
+   *
+   * Scale shape: one (a, b) hash aggregation over the data; marginals
+   * and N derive from the cell table (|A|·|B| rows) — the data is
+   * scanned once and never joined.
+   */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("observed"))
+    val withMarginals = cells
+      .withColumn("row_total",
+        sum(col("observed")).over(org.apache.spark.sql.expressions.Window.partitionBy(col(aCol))))
+      .withColumn("col_total",
+        sum(col("observed")).over(org.apache.spark.sql.expressions.Window.partitionBy(col(bCol))))
+      .crossJoin(broadcast(cells.agg(sum(col("observed")).as("n_total"))))
+    val dev = (col("observed") * col("n_total") - col("row_total") * col("col_total"))
+      .cast("decimal(38,0)")
+    withMarginals.select(col(aCol), col(bCol), col("observed"),
+      col("row_total"), col("col_total"), col("n_total"),
+      ((dev * dev).cast("string").cast("double") /
+        (col("n_total") * col("row_total") * col("col_total")).cast("double"))
+        .as("contribution"))
+  }
+
+  /**
+   * Welch's unequal-variance t statistic per group, comparing `valueCol`
+   * between two levels of `condCol` — the A/B significance test run
+   * per segment. Values are 2-decimal money/metric columns: they scale
+   * to EXACT integer cents (`round(v·100)` — the q125 discipline), so
+   * n/Σ/Σ² are order-independent longs; means, variances, and the t
+   * statistic then combine in ONE fixed IEEE expression tree per group —
+   * bit-reproducible on any engine. Groups missing a level or with
+   * fewer than 2 observations in either level emit NULL t.
+   *
+   * `t = (m₁ − m₂) / sqrt(s₁²/n₁ + s₂²/n₂)` with the unbiased
+   * `s² = (Σx² − (Σx)²/n) / (n−1)`.
+   *
+   * Scale shape: ONE map-side-combined conditional aggregation — six
+   * longs per group cross the wire, nothing else.
+   */
+  def welchTTest(
+      df: DataFrame,
+      groupCol: String,
+      condCol: String,
+      valueCol: String,
+      levelA: String,
+      levelB: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    def side(level: String, tag: String) = Seq(
+      sum(when(col(condCol) === level, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(col(condCol) === level, cents).otherwise(0L)).as(s"__s_$tag"),
+      sum(when(col(condCol) === level, cents * cents).otherwise(0L)).as(s"__ss_$tag"))
+    val agged = df.groupBy(col(groupCol))
+      .agg(side(levelA, "a").head, (side(levelA, "a").tail ++ side(levelB, "b")): _*)
+    def mean(tag: String) =
+      col(s"__s_$tag").cast("double") / col(s"n_$tag").cast("double")
+    def variance(tag: String) = {
+      val n = col(s"n_$tag").cast("double")
+      (col(s"__ss_$tag").cast("double") -
+        col(s"__s_$tag").cast("double") * col(s"__s_$tag").cast("double") / n) /
+        (n - 1.0)
+    }
+    val se = sqrt(variance("a") / col("n_a").cast("double") +
+      variance("b") / col("n_b").cast("double"))
+    agged.select(col(groupCol), col("n_a"), col("n_b"),
+      when(col("n_a") >= 2 && col("n_b") >= 2 && se > 0.0,
+        // means and t are in CENTS-space; the statistic is scale-invariant
+        (mean("a") - mean("b")) / se).as("t_stat"))
+  }
 }

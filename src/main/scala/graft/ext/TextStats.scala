@@ -210,6 +210,33 @@ object TextStats {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
+  /**
+   * Sentence segmentation + per-document sentence statistics: sentences
+   * are the maximal non-blank runs between `[.!?]+` boundary groups (the
+   * C4-style heuristic splitter — no abbreviation model, deliberately,
+   * so the rule is engine-replayable), words are whitespace tokens of
+   * each trimmed sentence. Appends `n_sentences`, `n_sent_words`,
+   * `max_sent_words`, and `mean_sent_words` (ONE IEEE division of exact
+   * longs).
+   *
+   * Whole computation is a scan-fused codegen projection (split + array
+   * higher-order functions) — no explode, no shuffle: the per-doc
+   * sentence array never leaves its row.
+   */
+  def sentenceStats(df: DataFrame, textCol: String): DataFrame = {
+    val sent = filter(split(col(textCol), "[.!?]+"),
+      s => length(trim(s)) > 0)
+    val wc = transform(sent, s => size(split(trim(s), "\\s+")).cast("long"))
+    val nSent = size(sent).cast("long")
+    df.withColumn("n_sentences", nSent)
+      .withColumn("n_sent_words",
+        aggregate(wc, lit(0L), (acc, x) => acc + x))
+      .withColumn("max_sent_words", coalesce(array_max(wc), lit(0L)))
+      .withColumn("mean_sent_words",
+        when(nSent === 0, lit(0.0))
+          .otherwise(col("n_sent_words").cast("double") / nSent.cast("double")))
+  }
+
   def chunkText(df: DataFrame, idCol: String, textCol: String,
       chunkChars: Int, strideChars: Int): DataFrame = {
     require(chunkChars > 0, s"chunkChars must be positive, got $chunkChars")

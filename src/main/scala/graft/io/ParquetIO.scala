@@ -181,6 +181,105 @@ object ParquetIO {
   }
 
   /**
+   * Per-file min/max SKIPPING INDEX for one numeric column — the data-
+   * skipping layer every lakehouse keeps beside the data (Delta/Iceberg
+   * file stats, Databricks Z-order's companion): footer statistics only,
+   * no data pages touched, so building it costs O(#files) footer fetches
+   * distributed across executors (the [[schemaReport]] machinery).
+   *
+   * Returns one row per file: (file, row_count, min_v, max_v, has_stats).
+   * Files whose footer lacks statistics for the column surface
+   * `has_stats = false` with NULL bounds — the honest "must read" marker
+   * ([[prunedFiles]] never skips them). int32/int64/float/double columns
+   * widen to double bounds (exact for ints < 2^53 — every key/date/cents
+   * column in practice).
+   */
+  def fileStatsIndex(spark: SparkSession, path: String, column: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files: Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          out += f.getPath.toString
+      }
+      out.result()
+    }
+    require(files.nonEmpty, s"no parquet files under $path")
+    val bc = org.apache.spark.sql.graft.HadoopConfBridge.broadcastConf(spark)
+    spark.createDataset(files)
+      .repartition(math.min(files.size, spark.sparkContext.defaultParallelism))
+      .map { f =>
+        val c = org.apache.spark.sql.graft.HadoopConfBridge.confOf(bc)
+        val footer = ParquetFileReader.readFooter(c, new Path(f),
+          ParquetMetadataConverter.NO_FILTER)
+        val blocks = footer.getBlocks.asScala
+        val rows = blocks.map(_.getRowCount).sum
+        def num(v: Any): Double = v match {
+          case i: java.lang.Integer => i.toDouble
+          case l: java.lang.Long => l.toDouble
+          case fl: java.lang.Float => fl.toDouble
+          case d: java.lang.Double => d
+          case other => throw new IllegalArgumentException(
+            s"fileStatsIndex supports numeric columns; $column has ${other.getClass}")
+        }
+        val perBlock = blocks.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .map(_.getStatistics)
+        }
+        val ok = perBlock.nonEmpty &&
+          perBlock.forall(s => s != null && s.hasNonNullValue)
+        if (ok)
+          (f, rows, perBlock.map(s => num(s.genericGetMin)).min,
+            perBlock.map(s => num(s.genericGetMax)).max, true)
+        else (f, rows, Double.NaN, Double.NaN, false)
+      }
+      .toDF("file", "row_count", "min_v", "max_v", "has_stats")
+  }
+
+  /**
+   * The files of `path` that can contain rows with `column` in
+   * `[lo, hi]` per the [[fileStatsIndex]] bounds — files without
+   * statistics are conservatively kept. The returned list is file NAMES
+   * (driver-sized: the listing already lives there); the data itself is
+   * never touched.
+   */
+  def prunedFiles(
+      spark: SparkSession, path: String, column: String,
+      lo: Double, hi: Double): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, not}
+    fileStatsIndex(spark, path, column)
+      .filter(not(col("has_stats")) ||
+        (col("min_v") <= hi && col("max_v") >= lo))
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /**
+   * Range scan through the skipping index: read ONLY the files whose
+   * stats admit `column ∈ [lo, hi]`, then apply the exact predicate. On
+   * a range-clustered layout (sorted/Z-ordered writes) this skips the
+   * bulk of the dataset before Spark even lists a row group — the
+   * coarse-grained layer above row-group pruning (q97), and the cheapest
+   * scan reduction after hive-partition pruning. Result == the plain
+   * filtered scan by construction (skipped files provably hold no
+   * qualifying rows).
+   */
+  def prunedRead(
+      spark: SparkSession, path: String, column: String,
+      lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keep = prunedFiles(spark, path, column, lo, hi)
+    require(keep.nonEmpty, s"no candidate files for $column in [$lo, $hi]")
+    spark.read.parquet(keep: _*)
+      .filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /**
    * Small-file compaction: rewrite the (flat) parquet directory at
    * `inPath` into ~`targetFileBytes`-sized files at `outPath`. The
    * many-small-files problem is THE silent killer of a 100 TB lake — every

@@ -142,6 +142,29 @@ object Sampler {
   }
 
   /**
+   * Systematic (every `step`-th) sampling over the deterministic hex-rank
+   * order: row i of the rank-sorted table survives iff `(i - 1) % step ==
+   * 0` — the 1-in-k design survey methodology prefers when even coverage
+   * of the (hash-shuffled) order matters more than independence, and the
+   * third member of the portable-sampler family ([[exactNByHexRank]],
+   * `perGroupExactKByRank`). With an md5 content rank the selected set is
+   * layout-independent and replayable by ANY engine
+   * (`QUALIFY (row_number() OVER (ORDER BY md5(...)) - 1) % step = 0`).
+   *
+   * Scale shape: ONE [[GlobalRank]] distributed range-sort +
+   * zipWithIndex; no threshold pre-cut is possible (survivors are spread
+   * evenly through the whole order, not concentrated at its head), so
+   * the full table rides the range sort — same cost class as any global
+   * ordering pass.
+   */
+  def systematicByHexRank(df: DataFrame, step: Long, rank: Column): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    GlobalRank.withGlobalRank(df.withColumn(RCOL, rank), Seq(col(RCOL).asc), GRANK)
+      .filter((col(GRANK) - 1) % step === 0)
+      .drop(GRANK, RCOL)
+  }
+
+  /**
    * Partition-layout-independent sampling rank for file-backed DataFrames:
    * hash of (seed, file, row position in file) mapped to U[0,1). Mirrors the
    * reference's BY-POSITION sampling (duplicate rows are sampled

@@ -71,4 +71,48 @@ class RegressionOpsSpec extends SparkSpec {
     assert(r.getLong(2) === 3L)
     assert(r.isNullAt(3))
   }
+
+  test("chiSquareCells: independent table contributes zero, dependent doesn't") {
+    // perfectly independent 2x2: every cell O = R*C/N exactly
+    val indep = Seq.fill(4)(("r1", "c1")) ++ Seq.fill(4)(("r1", "c2")) ++
+      Seq.fill(4)(("r2", "c1")) ++ Seq.fill(4)(("r2", "c2"))
+    val gotIndep = RegressionOps.chiSquareCells(indep.toDF("a", "b"), "a", "b")
+      .collect()
+    assert(gotIndep.length === 4)
+    assert(gotIndep.forall(_.getAs[Double]("contribution") === 0.0))
+    assert(gotIndep.forall(r => r.getAs[Long]("row_total") === 8L &&
+      r.getAs[Long]("col_total") === 8L && r.getAs[Long]("n_total") === 16L))
+
+    // textbook 2x2: [[10, 0], [0, 10]] — maximal association
+    val dep = Seq.fill(10)(("r1", "c1")) ++ Seq.fill(10)(("r2", "c2"))
+    val gotDep = RegressionOps.chiSquareCells(dep.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("contribution")).toMap
+    // each observed cell: (10*20 - 10*10)^2 / (20*10*10) = 10000/2000 = 5
+    assert(gotDep(("r1", "c1")) === 5.0)
+    assert(gotDep(("r2", "c2")) === 5.0)
+    // chi2 total = sum of contributions = 20 = N (phi = 1), absent cells
+    // aren't rows (observed 0 never forms a cell in a count table)
+    assert(gotDep.values.sum === 10.0 && gotDep.size === 2)
+  }
+
+  test("welchTTest: textbook values, guards on tiny or missing sides") {
+    // group g: A = {1, 2, 3}, B = {2, 4, 6} (values in whole units)
+    val rows = Seq(("g", "A", 1.0), ("g", "A", 2.0), ("g", "A", 3.0),
+      ("g", "B", 2.0), ("g", "B", 4.0), ("g", "B", 6.0),
+      // group h: B side has a single observation -> NULL t
+      ("h", "A", 1.0), ("h", "A", 2.0), ("h", "B", 5.0),
+      // group i: no B at all -> NULL t
+      ("i", "A", 1.0), ("i", "A", 2.0))
+    val got = RegressionOps.welchTTest(rows.toDF("g", "c", "v"), "g", "c", "v", "A", "B")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    // cents: A = {100,200,300} mean 200 var 10000; B = {200,400,600} mean 400 var 40000
+    // t = (200-400)/sqrt(10000/3 + 40000/3) = -200/sqrt(50000/3)
+    val expT = -200.0 / math.sqrt(10000.0 / 3.0 + 40000.0 / 3.0)
+    assert(got("g")._1 === 3L && got("g")._2 === 3L)
+    assert(math.abs(got("g")._3.get - expT) < 1e-12)
+    assert(got("h") === ((2L, 1L, None)))
+    assert(got("i") === ((2L, 0L, None)))
+  }
 }

@@ -165,4 +165,20 @@ class TextStatsSpec extends SparkSpec {
     assert(got(1L) === "docs.site.io")
     assert(got(2L) === "")
   }
+
+  test("sentenceStats: hand-computed boundaries, blanks, and empties") {
+    val df = Seq(
+      (1L, "Hello big world. Bye!"), // 2 sentences: 3 words + 1 word
+      (2L, "One?! Two.. . "), // double punctuation groups; blank tail dies
+      (3L, ""), // no sentences at all
+      (4L, "no punctuation here") // one unterminated sentence
+    ).toDF("id", "t")
+    val got = TextStats.sentenceStats(df, "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(1L) === ((2L, 4L, 3L, 2.0)))
+    assert(got(2L) === ((2L, 2L, 1L, 1.0)))
+    assert(got(3L) === ((0L, 0L, 0L, 0.0)))
+    assert(got(4L) === ((1L, 3L, 3L, 3.0)))
+  }
 }

@@ -197,4 +197,49 @@ class ParquetIOSpec extends SparkSpec {
       ParquetIO.writePartitioned(docs, dir, Seq.empty)
     }
   }
+
+  test("fileStatsIndex: per-file bounds are exact, counts sum to the table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_fsi").toString
+    (1L to 1000L).toDF("v")
+      .repartitionByRange(4, col("v"))
+      .write.mode("overwrite").parquet(dir)
+    val idx = ParquetIO.fileStatsIndex(spark, dir, "v").collect()
+    assert(idx.length === 4)
+    assert(idx.forall(_.getAs[Boolean]("has_stats")))
+    assert(idx.map(_.getAs[Long]("row_count")).sum === 1000L)
+    // bounds match the actual per-file extremes
+    idx.foreach { r =>
+      val actual = spark.read.parquet(r.getAs[String]("file"))
+        .agg(org.apache.spark.sql.functions.min(col("v")),
+          org.apache.spark.sql.functions.max(col("v")))
+        .collect().head
+      assert(r.getAs[Double]("min_v") === actual.getLong(0).toDouble)
+      assert(r.getAs[Double]("max_v") === actual.getLong(1).toDouble)
+    }
+    // range-clustered layout: file ranges are disjoint
+    val spans = idx.map(r => (r.getAs[Double]("min_v"), r.getAs[Double]("max_v")))
+      .sortBy(_._1)
+    assert(spans.sliding(2).forall { case Array(a, b) => a._2 < b._1; case _ => true })
+  }
+
+  test("prunedFiles skips out-of-range files; prunedRead equals the plain scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_fsp").toString
+    (1L to 1000L).toDF("v")
+      .repartitionByRange(4, col("v"))
+      .write.mode("overwrite").parquet(dir)
+    // a narrow probe hits 1 of the 4 ~250-wide range files (+ boundary)
+    val keep = ParquetIO.prunedFiles(spark, dir, "v", 100.0, 200.0)
+    assert(keep.size < 4 && keep.nonEmpty)
+    val got = ParquetIO.prunedRead(spark, dir, "v", 100.0, 200.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === (100L to 200L).toSet)
+    // degenerate probe outside all bounds: require fires (no files at all)
+    intercept[IllegalArgumentException] {
+      ParquetIO.prunedRead(spark, dir, "v", 5000.0, 6000.0)
+    }
+  }
 }

@@ -172,4 +172,29 @@ class SamplerSpec extends SparkSpec {
     // df=9; mean 9, sd ~4.24; 4 sigma ~ 26 — generous but catches gross bias
     assert(chi2 < 26.0, s"chi2=$chi2 buckets=${buckets.mkString(",")}")
   }
+
+  test("systematicByHexRank: exact 1-in-k coverage, layout independence, step=1") {
+    import org.apache.spark.sql.functions.{col, concat, lit, md5}
+    val df = (1L to 1000L).toDF("id")
+    val rank = md5(concat(lit("s:"), col("id").cast("string")).cast("binary"))
+    val got = Sampler.systematicByHexRank(df, step = 7, rank)
+      .collect().map(_.getLong(0)).toSet
+    // ranks 1, 8, 15, ... -> ceil(1000/7) survivors
+    assert(got.size === 143)
+    // deterministic under any physical layout
+    val got2 = Sampler.systematicByHexRank(df.repartition(13), step = 7, rank)
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 === got)
+    // the survivor set is the k-th-rank slice of the md5 order, exactly
+    val ordered = (1L to 1000L).sortBy(id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(got === ordered.zipWithIndex.collect {
+      case (id, i) if i % 7 == 0 => id
+    }.toSet)
+    assert(Sampler.systematicByHexRank(df, step = 1, rank).count() === 1000L)
+    intercept[IllegalArgumentException] {
+      Sampler.systematicByHexRank(df, step = 0, rank)
+    }
+  }
 }
