@@ -1972,6 +1972,49 @@ object SparkEntry {
       graft.ext.RegressionOps.welchTTest(
         t(s, dir, "events").withColumn("cohort", (col("user_id") % 2).cast("string")),
         "event_type", "cohort", "value", "0", "1")),
+    // time-weighted average value per user: LEAD durations as weights,
+    // DECIMAL(38) exact cents-nanos products (a long would overflow),
+    // string-canonicalized double conversion, one division
+    "q200_twap" -> ((s, dir) =>
+      graft.ext.EventAnalytics.timeWeightedAverage(
+        t(s, dir, "events"), "user_id", "ts", "value", "event_id")),
+    // top user journeys: first-5-event type paths, deterministic order
+    // (ties on event_id), path-space bounded by |types|^5
+    "q201_top_paths" -> ((s, dir) =>
+      graft.ext.EventAnalytics.topPaths(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+        maxEvents = 5)),
+    // rolling 7-day distinct actives (the WAU curve): bounded 7x explode
+    // of the collapsed (day, user) activity — no log self-join, no
+    // distinct-over-range window (which SQL can't even express)
+    "q202_rolling_actives" -> ((s, dir) =>
+      graft.ext.EventAnalytics.rollingDistinctUsers(
+        t(s, dir, "events"), "user_id", "ts", windowDays = 7)),
+    // two-sample KS statistic per return flag (even vs odd orders):
+    // BOTH cumulative side counts from ONE multi-column distributed
+    // prefix scan; cross-multiplied integer gaps, one final division
+    "q203_ks_test" -> ((s, dir) =>
+      graft.ext.RegressionOps.ksTest(
+        t(s, dir, "lineitem").withColumn("cohort", (col("l_orderkey") % 2).cast("string")),
+        "l_returnflag", "cohort", "l_extendedprice", "0", "1")),
+    // bucketed-table join on the gate: both sides written bucketed on the
+    // join key (8 buckets, sorted) -> the join is Exchange-free
+    // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
+    "q204_bucketed_join" -> ((s, dir) => {
+      import graft.io.ParquetIO
+      ParquetIO.writeBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        "g204_li", Seq("l_orderkey"), 8, sortCols = Seq("l_orderkey"))
+      ParquetIO.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+        "g204_o", Seq("o_orderkey"), 8, sortCols = Seq("o_orderkey"))
+      s.table("g204_li")
+        .join(s.table("g204_o"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(15,2)") - dec("l_discount")))
+            .cast("double").as("revenue"))
+    }),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4134,6 +4177,80 @@ object SparkEntry {
         |       THEN (ma - mb) / sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))
         |  END AS t_stat
         |FROM x""".stripMargin,
+
+    // TWAP: the identical LEAD segments; HUGEINT exact cents-nanos sums
+    // (the engine's DECIMAL(38,0)) canonicalized through VARCHAR
+    "q200_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS tns, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |seg AS (
+        |  SELECT user_id, c,
+        |    LEAD(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) - tns AS dur
+        |  FROM e),
+        |a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |    CAST(SUM(dur) AS BIGINT) AS total_ns,
+        |    SUM(CAST(c AS HUGEINT) * CAST(dur AS HUGEINT)) AS num
+        |  FROM seg WHERE dur IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_segments, total_ns,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(total_ns AS DOUBLE) / 100.0 AS twap
+        |FROM a WHERE total_ns > 0""".stripMargin,
+
+    // top paths: the identical ordered first-5 path strings
+    "q201_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS tns, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY tns, event_id) AS path
+        |  FROM e WHERE rn <= 5 GROUP BY 1)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY 1""".stripMargin,
+
+    // rolling distinct: the range-join formulation (oracle scale)
+    "q202_rolling_actives" ->
+      """WITH act AS (
+        |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM act)
+        |SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM days d JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1""".stripMargin,
+
+    // KS: per-(group, value) side counts, windowed cumulative replay,
+    // cross-multiplied integer gaps, one division
+    "q203_ks_test" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS val,
+        |    SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS cb
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT g, val, ca, cb,
+        |    CAST(SUM(ca) OVER (PARTITION BY g ORDER BY val) AS BIGINT) AS cuma,
+        |    CAST(SUM(cb) OVER (PARTITION BY g ORDER BY val) AS BIGINT) AS cumb,
+        |    CAST(SUM(ca) OVER (PARTITION BY g) AS BIGINT) AS na,
+        |    CAST(SUM(cb) OVER (PARTITION BY g) AS BIGINT) AS nb
+        |  FROM v)
+        |SELECT g AS l_returnflag,
+        |  CAST(MIN(na) AS BIGINT) AS n_a, CAST(MIN(nb) AS BIGINT) AS n_b,
+        |  CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+        |  CASE WHEN MIN(na) > 0 AND MIN(nb) > 0 THEN
+        |    CAST(MAX(ABS(cuma * nb - cumb * na)) AS DOUBLE)
+        |      / CAST(MIN(na) * MIN(nb) AS DOUBLE)
+        |  END AS d
+        |FROM c GROUP BY g""".stripMargin,
+
+    // bucketed join: the plain join IS the oracle (the q170 pattern —
+    // the layout changes the plan, never the result)
+    "q204_bucketed_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(15,2)) - CAST(l_discount AS DECIMAL(15,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     // anomalous hours: hourly counts + per-type lower-median order
     // statistics replayed by windows (oracle scale); integer throughout

@@ -143,6 +143,107 @@ object EventAnalytics {
   }
 
   /**
+   * Time-weighted average of `valueCol` per key: each observation holds
+   * until the next one, so its weight is the nanosecond gap to the
+   * successor (the finance TWAP / state-duration average — an unweighted
+   * mean over-counts bursts of rapid updates). The last observation per
+   * key carries no duration and drops out, the standard left-closed
+   * convention.
+   *
+   * Values scale to exact integer cents and weights are exact nanos; the
+   * (cents × nanos) products overflow a long (10^5 × 10^15), so the sums
+   * accumulate in DECIMAL(38,0) — exact, order-independent — and
+   * canonicalize to double through a STRING cast (the olsByGroup
+   * discipline) for ONE final division. Bit-reproducible.
+   *
+   * One LEAD over the per-key window sort (per-key bounded), one hash
+   * agg. Output: (key, n_segments, total_ns, twap) — twap in VALUE units.
+   */
+  def timeWeightedAverage(
+      events: DataFrame,
+      keyCol: String,
+      tsNanosCol: String,
+      valueCol: String,
+      orderTieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsNanosCol), col(orderTieCol))
+    val segs = events
+      .withColumn("__twa_next", lead(col(tsNanosCol), 1).over(w))
+      .filter(col("__twa_next").isNotNull)
+      .withColumn("__twa_dur", col("__twa_next") - col(tsNanosCol))
+      .withColumn("__twa_c", round(col(valueCol) * 100).cast("long"))
+    segs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("__twa_dur")).as("total_ns"),
+        sum(col("__twa_c").cast("decimal(38,0)") *
+          col("__twa_dur").cast("decimal(38,0)")).as("__twa_num"))
+      .filter(col("total_ns") > 0)
+      .select(col(keyCol), col("n_segments"), col("total_ns"),
+        (col("__twa_num").cast("string").cast("double") /
+          col("total_ns").cast("double") / 100.0).as("twap"))
+  }
+
+  /**
+   * Top event paths: the ordered sequence of each user's first
+   * `maxEvents` event types joined with `>` — the "what journeys do
+   * users actually take" rollup (the path-count precursor to funnel
+   * design). The per-user order ties-break on `orderTieCol`, so every
+   * path string is deterministic and engine-replayable; the path space
+   * is bounded by |types|^maxEvents regardless of corpus size.
+   *
+   * One row_number + one ordered collect per user (both over the same
+   * per-user window shuffle), then a map-side-combined path count.
+   */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      tsNanosCol: String,
+      typeCol: String,
+      orderTieCol: String,
+      maxEvents: Int): DataFrame = {
+    require(maxEvents >= 1, s"maxEvents must be >= 1, got $maxEvents")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsNanosCol), col(orderTieCol))
+    val paths = events
+      .withColumn("__tp_rn", row_number().over(w))
+      .filter(col("__tp_rn") <= maxEvents)
+      .groupBy(col(userCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(tsNanosCol).as("t"),
+            col(orderTieCol).as("i"), col(typeCol).as("e")))),
+          x => x.getField("e")), ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /**
+   * Rolling 7-day (or any `windowDays`) distinct actives per day — the
+   * WAU/MAU curve, which naive `COUNT(DISTINCT) OVER (RANGE ...)` can't
+   * express and a per-day self-join recomputes wastefully. Each distinct
+   * (day, user) activity row instead EXPLODES to the `windowDays` target
+   * days it covers (bounded fan-out = the window length), and distinct
+   * counting happens per target day — hash aggregations only, no join of
+   * the log to itself. Target days beyond the observed range are clipped
+   * by a semi join against the observed-day set.
+   */
+  def rollingDistinctUsers(
+      events: DataFrame,
+      userCol: String,
+      tsNanosCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val act = events
+      .select(expr(s"$tsNanosCol div $DayNanos").as("__rd_day"),
+        col(userCol).as("__rd_user"))
+      .distinct()
+    val days = act.select(col("__rd_day").as("day")).distinct()
+    act
+      .select(explode(sequence(col("__rd_day"),
+        col("__rd_day") + (windowDays - 1))).as("day"), col("__rd_user"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__rd_user")).as("n_users"))
+  }
+
+  /**
    * Consecutive event-type sequence mining (order-n patterns): counts of
    * every length-`n` run of CONSECUTIVE event types on a user's timeline —
    * the order-(n-1) generalization of [[transitionMatrix]], the standard

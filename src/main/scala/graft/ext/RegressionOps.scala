@@ -125,6 +125,66 @@ object RegressionOps {
   }
 
   /**
+   * Two-sample Kolmogorov–Smirnov statistic per group: the max absolute
+   * ECDF gap `D = max_v |F_a(v) − F_b(v)|` between two levels of
+   * `condCol` — the distribution-shift detector that catches what a mean
+   * test (Welch) can't: same mean, different shape. Cross-multiplied
+   * integers (`|cumA·n_b − cumB·n_a|`) make every candidate gap exact;
+   * `d` is ONE division at the end.
+   *
+   * Scale shape: rows collapse to per-(group, value) side counts (one
+   * hash agg — the only data-sized shuffle), then ONE
+   * [[graft.operators.GlobalRank.withPrefixSums]] distributed prefix
+   * scan carries BOTH sides' cumulative counts over the (group, value)
+   * total order — no per-group window sort (a 3-level group column would
+   * funnel a third of the table through one task). ECDF gaps evaluate at
+   * distinct values only (ties collapse before the scan — both ECDFs
+   * step at a tied value simultaneously, and the gap between steps is
+   * measured AFTER the full step on each side, which is exactly the KS
+   * convention).
+   *
+   * Output: one row per group — (groupCol, n_a, n_b, d_num, d) with
+   * `d = d_num / (n_a · n_b)`.
+   */
+  def ksTest(
+      df: DataFrame,
+      groupCol: String,
+      condCol: String,
+      valueCol: String,
+      levelA: String,
+      levelB: String): DataFrame = {
+    val sides = df
+      .filter(col(condCol) === levelA || col(condCol) === levelB)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(when(col(condCol) === levelA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(condCol) === levelB, 1L).otherwise(0L)).as("__cb"))
+    val ps = graft.operators.GlobalRank.withPrefixSums(
+      sides, Seq(col(groupCol), col(valueCol)),
+      Seq(col("__ca"), col("__cb")),
+      rankName = "__gr", sumNames = Seq("__cuma", "__cumb"))
+    // group starts: the prefix just before each group's first row (groups
+    // are contiguous in the total order); group cardinality is small —
+    // broadcast back
+    val spans = ps.groupBy(col(groupCol))
+      .agg(min(col("__cuma") - col("__ca")).as("__sa"),
+        min(col("__cumb") - col("__cb")).as("__sb"),
+        max(col("__cuma")).as("__ea"), max(col("__cumb")).as("__eb"))
+      .select(col(groupCol), col("__sa"), col("__sb"),
+        (col("__ea") - col("__sa")).as("n_a"),
+        (col("__eb") - col("__sb")).as("n_b"))
+    ps.join(broadcast(spans), groupCol)
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        abs((col("__cuma") - col("__sa")) * col("n_b") -
+          (col("__cumb") - col("__sb")) * col("n_a")).as("__gap"))
+      .groupBy(col(groupCol))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(col("__gap")).as("d_num"))
+      .withColumn("d",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double")))
+  }
+
+  /**
    * Welch's unequal-variance t statistic per group, comparing `valueCol`
    * between two levels of `condCol` — the A/B significance test run
    * per segment. Values are 2-decimal money/metric columns: they scale

@@ -363,6 +363,17 @@ object ParquetIO {
       buckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "bucketCols must not be empty")
+    val spark = df.sparkSession
+    // overwrite only replaces tables the CATALOG knows about; a fresh
+    // session (in-memory catalog) facing a leftover warehouse directory
+    // from a previous process would otherwise mix dead files into the new
+    // table — delete the orphaned location first
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new Path(spark.sessionState.conf.warehousePath,
+        table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val w = df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)

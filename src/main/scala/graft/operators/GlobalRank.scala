@@ -90,36 +90,70 @@ object GlobalRank {
       valueCol: Column,
       rankName: String = "global_rank",
       sumName: String = "prefix_sum",
+      numPartitions: Int = 0): DataFrame =
+    withPrefixSums(df, sortCols, Seq(valueCol), rankName, Seq(sumName), numPartitions)
+
+  /**
+   * The k-column generalization of [[withPrefixSum]]: ONE range sort
+   * yields the global rank plus the inclusive running sums of EVERY
+   * `valueCols(i)` over the same total order (per-partition local scans +
+   * one driver-side exclusive scan of the numPartitions×k totals matrix,
+   * broadcast back). Statistical consumers routinely need several
+   * cumulative counters over one order — a two-sample ECDF needs both
+   * sides' counts at every cut — and running the sort twice would double
+   * the dominant cost.
+   */
+  def withPrefixSums(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCols: Seq[Column],
+      rankName: String = "global_rank",
+      sumNames: Seq[String] = Seq("prefix_sum"),
       numPartitions: Int = 0): DataFrame = {
     require(sortCols.nonEmpty, "sortCols must be non-empty")
+    require(valueCols.nonEmpty && valueCols.size == sumNames.size,
+      s"need one sum name per value column, got ${valueCols.size} vs ${sumNames.size}")
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val withV = df.withColumn("__psv", valueCol.cast(LongType))
+    val k = valueCols.size
+    val tmpNames = valueCols.indices.map(i => s"__psv$i")
+    val withV = valueCols.zip(tmpNames).foldLeft(df) { case (d, (c, n)) =>
+      d.withColumn(n, c.cast(LongType))
+    }
     val sorted = withV
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .rdd
-    // pass 1: per-partition (row count, value total) — one tiny row each
+    val vIdx = tmpNames.map(withV.schema.fieldIndex).toArray
+    // pass 1: per-partition (row count, k value totals) — one tiny row each
     val partStats = sorted.mapPartitionsWithIndex { (pid, it) =>
-      var n = 0L; var s = 0L
-      it.foreach { r => n += 1; s += r.getAs[Long]("__psv") }
+      var n = 0L; val s = new Array[Long](k)
+      it.foreach { r =>
+        n += 1
+        var i = 0
+        while (i < k) { s(i) += r.getLong(vIdx(i)); i += 1 }
+      }
       Iterator((pid, n, s))
     }.collect().sortBy(_._1)
     val rankOffsets = partStats.scanLeft(0L)(_ + _._2).init
-    val sumOffsets = partStats.scanLeft(0L)(_ + _._3).init
-    val vIdx = withV.schema.fieldIndex("__psv")
+    val sumOffsets = Array.tabulate(k) { i =>
+      partStats.scanLeft(0L)((acc, p) => acc + p._3(i)).init
+    }
     val schema = StructType(
-      df.schema.fields ++ Seq(
-        StructField(rankName, LongType, nullable = false),
-        StructField(sumName, LongType, nullable = false)))
+      df.schema.fields ++ (StructField(rankName, LongType, nullable = false) +:
+        sumNames.map(n => StructField(n, LongType, nullable = false))))
     // pass 2: local running sums + broadcast offsets = global prefix sums
     val ranked = sorted.mapPartitionsWithIndex { (pid, it) =>
-      var rank = rankOffsets(pid); var acc = sumOffsets(pid)
+      var rank = rankOffsets(pid)
+      val acc = Array.tabulate(k)(i => sumOffsets(i)(pid))
       it.map { row =>
-        rank += 1; acc += row.getLong(vIdx)
-        Row.fromSeq(row.toSeq.patch(vIdx, Nil, 1) :+ rank :+ acc)
+        rank += 1
+        var i = 0
+        while (i < k) { acc(i) += row.getLong(vIdx(i)); i += 1 }
+        // drop the temp value columns (they sit at the tail, in order)
+        Row.fromSeq(row.toSeq.dropRight(k) ++ (rank +: acc.toSeq))
       }
     }
     spark.createDataFrame(ranked, schema)

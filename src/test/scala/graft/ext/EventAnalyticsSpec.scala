@@ -136,4 +136,53 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.sequencePatterns(log, "user_id", "ts", "event_type", "event_id", n = 1)
     }
   }
+
+  test("timeWeightedAverage: durations weight values, last event drops") {
+    // user 1: v=1.00 held 10ns, v=3.00 held 20ns, v=9.99 unterminated
+    val df = Seq(
+      (1L, 1L, 0L, "x", 1.0), (2L, 1L, 10L, "x", 3.0), (3L, 1L, 30L, "x", 9.99),
+      // user 2: single event -> no segments -> absent
+      (4L, 2L, 5L, "x", 7.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.timeWeightedAverage(df, "user_id", "ts", "value", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // twap = (100c*10 + 300c*20) / 30 / 100 = 7000/30/100
+    assert(got.keySet === Set(1L))
+    assert(got(1L)._1 === 2L && got(1L)._2 === 30L)
+    assert(math.abs(got(1L)._3 - 7000.0 / 30.0 / 100.0) < 1e-12)
+  }
+
+  test("topPaths: ordered, capped, tie-broken path strings") {
+    val df = Seq(
+      // user 1: a b c (c beyond the cap of 2)
+      (1L, 1L, 0L, "a", 0.0), (2L, 1L, 1L, "b", 0.0), (3L, 1L, 2L, "c", 0.0),
+      // user 2: same first-2 path via an event-id tie at ts=0
+      (5L, 2L, 0L, "b", 0.0), (4L, 2L, 0L, "a", 0.0),
+      // user 3: different path
+      (6L, 3L, 0L, "b", 0.0), (7L, 3L, 1L, "a", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.topPaths(df, "user_id", "ts", "event_type", "event_id",
+        maxEvents = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // user 2's tie: event_id 4 ("a") precedes 5 ("b") -> same a>b path
+    assert(got === Map("a>b" -> 2L, "b>a" -> 1L))
+  }
+
+  test("rollingDistinctUsers: window accumulates, repeats collapse, clips to observed days") {
+    val df = Seq(
+      // users 1,2 on day 0; user 1 again day 1 (twice); user 3 day 9
+      (1L, 1L, 0L * Day, "x", 0.0), (2L, 2L, 0L * Day, "x", 0.0),
+      (3L, 1L, 1L * Day, "x", 0.0), (4L, 1L, 1L * Day + Hour, "x", 0.0),
+      (5L, 3L, 9L * Day, "x", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.rollingDistinctUsers(df, "user_id", "ts", windowDays = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // observed days only: 0, 1, 9 (days 2-6 would also see users 1/2 but
+    // aren't in the data -> clipped); day 9 sees only user 3 (window 3-9)
+    assert(got === Map(0L -> 2L, 1L -> 2L, 9L -> 1L))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.rollingDistinctUsers(df, "user_id", "ts", windowDays = 0)
+    }
+  }
 }

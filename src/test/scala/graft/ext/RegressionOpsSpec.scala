@@ -115,4 +115,44 @@ class RegressionOpsSpec extends SparkSpec {
     assert(got("h") === ((2L, 1L, None)))
     assert(got("i") === ((2L, 0L, None)))
   }
+
+  test("ksTest: identical samples give D=0, disjoint samples give D=1") {
+    val same = (1 to 50).flatMap(v =>
+      Seq(("g", "A", v.toDouble), ("g", "B", v.toDouble)))
+    val gotSame = RegressionOps.ksTest(same.toDF("g", "c", "v"), "g", "c", "v", "A", "B")
+      .collect().head
+    assert(gotSame.getAs[Long]("n_a") === 50L && gotSame.getAs[Long]("n_b") === 50L)
+    assert(gotSame.getAs[Long]("d_num") === 0L)
+    assert(gotSame.getAs[Double]("d") === 0.0)
+
+    val disjoint = (1 to 20).map(v => ("g", "A", v.toDouble)) ++
+      (100 to 130).map(v => ("g", "B", v.toDouble))
+    val gotDis = RegressionOps.ksTest(disjoint.toDF("g", "c", "v"), "g", "c", "v", "A", "B")
+      .collect().head
+    assert(gotDis.getAs[Double]("d") === 1.0)
+  }
+
+  test("ksTest: hand ECDF gap, tie convention, and group independence") {
+    // group g: A = {1, 2, 3, 4}, B = {3, 4, 5, 6}
+    // ECDF gaps at 1:1/4, 2:2/4, 3:|3/4-1/4|=2/4, 4:|1-2/4|=2/4, 5:1/4, 6:0
+    // D = 1/2 (d_num = max|cumA*4 - cumB*4| = 8)
+    val rows = (1 to 4).map(v => ("g", "A", v.toDouble)) ++
+      (3 to 6).map(v => ("g", "B", v.toDouble)) ++
+      // group h: a tied value on both sides — the gap is measured AFTER
+      // both step: A = {1, 1, 2}, B = {1, 3, 3}
+      // at v=1: |2*3 - 1*3| = 3; v=2: |3*3 - 1*3| = 6; v=3: 0 -> D = 6/9
+      Seq(("h", "A", 1.0), ("h", "A", 1.0), ("h", "A", 2.0),
+        ("h", "B", 1.0), ("h", "B", 3.0), ("h", "B", 3.0))
+    val got = RegressionOps.ksTest(rows.toDF("g", "c", "v"), "g", "c", "v", "A", "B")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("d_num"), r.getAs[Double]("d")))).toMap
+    assert(got("g") === ((4L, 4L, 8L, 0.5)))
+    assert(got("h") === ((3L, 3L, 6L, 6.0 / 9.0)))
+    // layout independence of the prefix-scan plan
+    val again = RegressionOps.ksTest(rows.toDF("g", "c", "v").repartition(7),
+        "g", "c", "v", "A", "B")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("d_num")).toMap
+    assert(again === Map("g" -> 8L, "h" -> 6L))
+  }
 }

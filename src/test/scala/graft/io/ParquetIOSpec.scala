@@ -242,4 +242,24 @@ class ParquetIOSpec extends SparkSpec {
       ParquetIO.prunedRead(spark, dir, "v", 5000.0, 6000.0)
     }
   }
+
+  test("writeBucketed cleans an orphaned warehouse dir from a dead session") {
+    import spark.implicits._
+    // simulate a previous process's leftovers: files at the table's
+    // default location with NO catalog entry in this session
+    val loc = new java.io.File(
+      new java.net.URI(spark.sessionState.conf.warehousePath).getPath
+        match { case p if p.nonEmpty => p
+                case _ => spark.sessionState.conf.warehousePath },
+      "g_orphan_t")
+    loc.mkdirs()
+    (1L to 5L).toDF("old").write.mode("overwrite")
+      .parquet(new java.io.File(loc, "part-stale").toString)
+    assert(!spark.catalog.tableExists("g_orphan_t"))
+    ParquetIO.writeBucketed((10L to 12L).toDF("v"), "g_orphan_t", Seq("v"), 2)
+    // only the fresh rows: the stale files were deleted, not mixed in
+    assert(spark.table("g_orphan_t").collect().map(_.getLong(0)).sorted
+      === Array(10L, 11L, 12L))
+    spark.sql("DROP TABLE g_orphan_t")
+  }
 }

@@ -93,4 +93,36 @@ class GlobalRankSpec extends SparkSpec {
     val total = df.agg(sum($"w")).head().getLong(0)
     assert(out.orderBy($"global_rank".desc).head().getAs[Long]("prefix_sum") === total)
   }
+
+  test("withPrefixSums: k columns over ONE sort equal k single scans") {
+    val df = (1L to 500L).map(i => (i, i % 37, i % 5, (i % 7) - 3))
+      .toDF("id", "v", "wa", "wb")
+    val multi = GlobalRank.withPrefixSums(df,
+        Seq($"v".asc, $"id".asc), Seq($"wa", $"wb"),
+        rankName = "r", sumNames = Seq("sa", "sb"))
+      .select($"id", $"r", $"sa", $"sb")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    val singleA = GlobalRank.withPrefixSum(df, Seq($"v".asc, $"id".asc), $"wa",
+        rankName = "r", sumName = "sa")
+      .select($"id", $"r", $"sa")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val singleB = GlobalRank.withPrefixSum(df, Seq($"v".asc, $"id".asc), $"wb",
+        rankName = "r", sumName = "sb")
+      .select($"id", $"r", $"sb")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(multi === multi.map { case (id, r, _, _) =>
+      (id, r, singleA((id, r)), singleB((id, r)))
+    })
+    // layout independence and schema shape
+    val again = GlobalRank.withPrefixSums(df.repartition(13),
+        Seq($"v".asc, $"id".asc), Seq($"wa", $"wb"),
+        rankName = "r", sumNames = Seq("sa", "sb"))
+      .select($"id", $"r", $"sa", $"sb")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    assert(again === multi)
+    intercept[IllegalArgumentException] {
+      GlobalRank.withPrefixSums(df, Seq($"v"), Seq($"wa", $"wb"),
+        sumNames = Seq("only_one"))
+    }
+  }
 }
