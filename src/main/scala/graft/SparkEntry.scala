@@ -1997,6 +1997,30 @@ object SparkEntry {
       graft.ext.RegressionOps.ksTest(
         t(s, dir, "lineitem").withColumn("cohort", (col("l_orderkey") % 2).cast("string")),
         "l_returnflag", "cohort", "l_extendedprice", "0", "1")),
+    // Mann-Whitney U / exact ROC AUC per return flag (even vs odd
+    // orders): doubled midranks from ONE multi-column prefix scan keep
+    // everything integer; AUC is one division of exact longs
+    "q205_mann_whitney" -> ((s, dir) =>
+      graft.ext.RegressionOps.mannWhitneyAuc(
+        t(s, dir, "lineitem").withColumn("cohort", (col("l_orderkey") % 2).cast("string")),
+        "l_returnflag", "cohort", "l_extendedprice", "0", "1")),
+    // CUSUM change-point over per-type hourly volumes: scaled integer
+    // cumulative sums peak at the most likely level shift; windows run
+    // over the |types| x |hours| matrix, never the log
+    "q206_cusum_changepoint" -> ((s, dir) =>
+      graft.ext.EventAnalytics.cusumChangePoint(
+        t(s, dir, "events"), "ts", "event_type", bucketNanos = 3600000000000L)),
+    // Benford leading-digit audit of order totals: digit from the exact
+    // integer-cents STRING (double formatting is engine-specific),
+    // shared literal expectations, fixed-tree contributions
+    "q207_benford_digits" -> ((s, dir) =>
+      graft.ext.Expectations.leadingDigitProfile(t(s, dir, "orders"), "o_totalprice")),
+    // deflate compression-ratio quality signal (Gopher): zlib isn't SQL-
+    // reproducible => rows-only; CorpusFiltersSpec pins bounds,
+    // repetition monotonicity, and layout independence
+    "q208_compression_ratio" -> ((s, dir) =>
+      graft.ext.CorpusFilters.compressionStats(
+        t(s, dir, "documents"), "doc_id", "text")),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -2248,6 +2272,30 @@ object SparkEntry {
     }
     (Seq(head) ++ steps).mkString(",\n") +
       s"\nSELECT node AS doc_id, CAST(dist AS BIGINT) AS dist FROM b$rounds"
+  }
+
+  // Benford audit: the VALUES literals are generated from the SAME
+  // Expectations.BenfordP doubles the engine expression uses — identical
+  // bits by construction (a libm log10 at query time could differ)
+  private lazy val benfordOracle: String = {
+    // CAST('...' AS DOUBLE), not a bare numeric literal: DuckDB parses
+    // bare decimals as DECIMAL first and the decimal->double conversion
+    // can land on the adjacent ulp; the string parse is correctly rounded
+    val vals = graft.ext.Expectations.BenfordP.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, CAST('$p' AS DOUBLE))" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM orders WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0),
+       |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM d GROUP BY 1),
+       |n AS (SELECT CAST(SUM(observed) AS BIGINT) AS tot FROM g),
+       |bp(digit, p) AS (VALUES $vals)
+       |SELECT g.digit, g.observed,
+       |  CAST(g.observed AS DOUBLE) / CAST(n.tot AS DOUBLE) AS share,
+       |  bp.p AS benford_p,
+       |  (CAST(g.observed AS DOUBLE) - CAST(n.tot AS DOUBLE) * bp.p)
+       |    * (CAST(g.observed AS DOUBLE) - CAST(n.tot AS DOUBLE) * bp.p)
+       |    / (CAST(n.tot AS DOUBLE) * bp.p) AS contribution
+       |FROM g JOIN bp ON bp.digit = g.digit CROSS JOIN n""".stripMargin
   }
 
   // decontamination: string 5-grams on the oracle side vs xxhash64'd
@@ -4057,7 +4105,8 @@ object SparkEntry {
         |  CAST(sa.c AS BIGINT) AS n_ante, CAST(sc.c AS BIGINT) AS n_cons,
         |  CAST(nb.n AS BIGINT) AS n_baskets,
         |  CAST(d.np AS DOUBLE) / CAST(sa.c AS DOUBLE) AS confidence,
-        |  CAST(d.np * nb.n AS DOUBLE) / CAST(sa.c * sc.c AS DOUBLE) AS lift
+        |  CAST(d.np * nb.n AS DOUBLE) / CAST(sa.c * sc.c AS DOUBLE) AS lift,
+        |  CAST(d.np AS DOUBLE) / sqrt(CAST(sa.c * sc.c AS DOUBLE)) AS cosine
         |FROM dir d
         |JOIN sup sa ON sa.i = d.ante
         |JOIN sup sc ON sc.i = d.cons
@@ -4243,6 +4292,57 @@ object SparkEntry {
         |      / CAST(MIN(na) * MIN(nb) AS DOUBLE)
         |  END AS d
         |FROM c GROUP BY g""".stripMargin,
+
+    // Mann-Whitney / AUC: per-(group, value) side counts, windowed
+    // cumulative replay, doubled-midrank rank sums, one division
+    "q205_mann_whitney" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS val,
+        |    SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS cb
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT g, val, ca, cb,
+        |    CAST(SUM(ca + cb) OVER (PARTITION BY g ORDER BY val) AS BIGINT) AS cumab,
+        |    CAST(SUM(ca) OVER (PARTITION BY g) AS BIGINT) AS na,
+        |    CAST(SUM(cb) OVER (PARTITION BY g) AS BIGINT) AS nb
+        |  FROM v),
+        |r AS (
+        |  SELECT g, MIN(na) AS na, MIN(nb) AS nb,
+        |    CAST(SUM(ca * ((cumab - ca - cb) * 2 + ca + cb + 1)) AS BIGINT) AS r2a
+        |  FROM c GROUP BY g)
+        |SELECT g AS l_returnflag, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b, r2a AS r2_a,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    CAST(r2a - na * (na + 1) AS DOUBLE) / CAST(na * nb * 2 AS DOUBLE)
+        |  END AS auc
+        |FROM r""".stripMargin,
+
+    // CUSUM: hourly counts, scaled integer cumulative sums, earliest
+    // peak bucket — all windows over the type x hour matrix
+    "q206_cusum_changepoint" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bucket, x,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS b,
+        |    CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS t
+        |  FROM h),
+        |s AS (
+        |  SELECT event_type, bucket, b, t,
+        |    CAST(SUM(b * x - t) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cs
+        |  FROM c),
+        |p AS (SELECT event_type, CAST(MAX(ABS(cs)) AS BIGINT) AS peak FROM s GROUP BY 1)
+        |SELECT s.event_type, CAST(MIN(s.b) AS BIGINT) AS n_buckets,
+        |  CAST(MIN(s.t) AS BIGINT) AS total,
+        |  CAST(MIN(p.peak) AS BIGINT) AS cusum_peak,
+        |  CAST(MIN(s.bucket) AS BIGINT) AS peak_bucket
+        |FROM s JOIN p ON p.event_type = s.event_type AND ABS(s.cs) = p.peak
+        |GROUP BY 1""".stripMargin,
+
+    "q207_benford_digits" -> benfordOracle,
 
     // bucketed join: the plain join IS the oracle (the q170 pattern —
     // the layout changes the plan, never the result)

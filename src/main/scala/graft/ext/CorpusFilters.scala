@@ -852,4 +852,48 @@ object CorpusFilters {
       expr(s"least(CAST(${nShards - 1} AS BIGINT), ((__cum - ws_tokens) * $nShards) div $total)")
         .as("shard"))
   }
+
+  /**
+   * Deflate compression ratio per document — the Gopher/RefinedWeb
+   * "too compressible = boilerplate/repetition, incompressible = noise"
+   * quality signal: `deflate_ratio = compressed / raw bytes` at a fixed
+   * zlib level. Boilerplate-heavy or repeated text compresses far below
+   * typical prose (~0.4-0.6); random bytes sit near 1.
+   *
+   * The one operator in this family that is NOT a codegen expression —
+   * zlib is inherently imperative — so it runs in `mapPartitions` with
+   * one reused Deflater per partition (allocation-free per row, text
+   * bytes never shuffle). Deterministic for a fixed level/JVM zlib, but
+   * not SQL-reproducible → rows-only in the gate, property-spec'd
+   * (monotonicity, bounds, layout independence).
+   */
+  def compressionStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      level: Int = 6): DataFrame = {
+    require(level >= 0 && level <= 9, s"deflate level must be in [0,9], got $level")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val in =
+            if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, in.length.toLong, out)
+        }
+      }
+      .toDF(idCol, "n_bytes", "n_deflate")
+      .withColumn("deflate_ratio",
+        when(col("n_bytes") > 0,
+          col("n_deflate").cast("double") / col("n_bytes").cast("double")))
+  }
 }

@@ -244,6 +244,44 @@ object EventAnalytics {
   }
 
   /**
+   * CUSUM change-point detection over per-type hourly volumes: the
+   * classic "did the level shift, and when" monitor (Page 1954). For
+   * each type with bucket counts x₁..x_B and total T, the scaled
+   * cumulative sum `S_k = Σ_{i≤k} (B·x_i − T)` (×B keeps the mean
+   * subtraction INTEGER) peaks in magnitude at the most likely change
+   * point; a type with no level shift stays near zero. Output per type:
+   * (n_buckets, total, cusum_peak = max|S_k|, peak_bucket = earliest
+   * argmax) — all integer-exact, engine-replayable.
+   *
+   * Scale shape: the log collapses to (type, bucket) counts first (one
+   * map-side-combined agg); the windows run over that matrix-sized
+   * table (|types| × |buckets|), never the log — the q172 discipline.
+   */
+  def cusumChangePoint(
+      events: DataFrame,
+      tsNanosCol: String,
+      typeCol: String,
+      bucketNanos: Long): DataFrame = {
+    require(bucketNanos > 0, s"bucketNanos must be positive, got $bucketNanos")
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"$tsNanosCol div $bucketNanos").as("bucket"))
+      .agg(count(lit(1)).as("x"))
+    val wTot = Window.partitionBy(col("event_type"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val cum = hourly
+      .withColumn("__b", count(lit(1)).over(wTot))
+      .withColumn("__t", sum(col("x")).over(wTot))
+      .withColumn("__s", sum(col("__b") * col("x") - col("__t")).over(wCum))
+    cum.withColumn("__peak", max(abs(col("__s"))).over(wTot))
+      .filter(abs(col("__s")) === col("__peak"))
+      .groupBy(col("event_type"))
+      .agg(first(col("__b")).as("n_buckets"), first(col("__t")).as("total"),
+        first(col("__peak")).as("cusum_peak"),
+        min(col("bucket")).as("peak_bucket"))
+  }
+
+  /**
    * Consecutive event-type sequence mining (order-n patterns): counts of
    * every length-`n` run of CONSECUTIVE event types on a user's timeline —
    * the order-(n-1) generalization of [[transitionMatrix]], the standard

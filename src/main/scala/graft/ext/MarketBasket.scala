@@ -62,6 +62,11 @@ object MarketBasket {
         lit(nBaskets).as("n_baskets"),
         (col("n_pair").cast("double") / col("n_ante").cast("double")).as("confidence"),
         ((col("n_pair") * nBaskets).cast("double") /
-          (col("n_ante") * col("n_cons")).cast("double")).as("lift"))
+          (col("n_ante") * col("n_cons")).cast("double")).as("lift"),
+        // item-item cosine over basket-incidence vectors — the symmetric
+        // similarity collaborative filtering ranks by (one correctly-
+        // rounded sqrt + one division, bit-reproducible)
+        (col("n_pair").cast("double") /
+          sqrt((col("n_ante") * col("n_cons")).cast("double"))).as("cosine"))
   }
 }

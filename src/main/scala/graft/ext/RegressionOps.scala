@@ -185,6 +185,58 @@ object RegressionOps {
   }
 
   /**
+   * Mann–Whitney U / exact ROC AUC per group: the rank-sum test between
+   * two levels of `condCol`, whose normalized statistic
+   * `AUC = U_a / (n_a·n_b)` is EXACTLY the probability a random A value
+   * outranks a random B value (ties credit ½) — i.e. the ROC AUC of
+   * `valueCol` as a score for the A/B label. The robust complement to
+   * [[welchTTest]] (rank-based: immune to outliers and monotone
+   * transforms) and the distributed exact-AUC evaluator for model scores.
+   *
+   * All in integers: values collapse to per-(group, value) side counts,
+   * ONE [[graft.operators.GlobalRank.withPrefixSums]] scan carries the
+   * combined cumulative count, and each tie run's DOUBLED midrank
+   * `2·start + (c_a+c_b) + 1` keeps rank sums in longs; the AUC is ONE
+   * division of exact longs at the end — bit-reproducible. No per-group
+   * window sort anywhere (the ksTest scale shape).
+   *
+   * Output: (groupCol, n_a, n_b, r2_a = doubled A rank-sum, auc).
+   */
+  def mannWhitneyAuc(
+      df: DataFrame,
+      groupCol: String,
+      condCol: String,
+      valueCol: String,
+      levelA: String,
+      levelB: String): DataFrame = {
+    val sides = df
+      .filter(col(condCol) === levelA || col(condCol) === levelB)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(when(col(condCol) === levelA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(condCol) === levelB, 1L).otherwise(0L)).as("__cb"))
+    val ps = graft.operators.GlobalRank.withPrefixSums(
+      sides, Seq(col(groupCol), col(valueCol)),
+      Seq(col("__ca") + col("__cb"), col("__ca"), col("__cb")),
+      rankName = "__gr", sumNames = Seq("__cumab", "__cuma", "__cumb"))
+    val spans = ps.groupBy(col(groupCol))
+      .agg(min(col("__cumab") - col("__ca") - col("__cb")).as("__s0"),
+        (max(col("__cuma")) - min(col("__cuma") - col("__ca"))).as("n_a"),
+        (max(col("__cumb")) - min(col("__cumb") - col("__cb"))).as("n_b"))
+    ps.join(broadcast(spans), groupCol)
+      // doubled midrank of this value's tie run, in-group
+      .withColumn("__mr2",
+        (col("__cumab") - col("__s0") - col("__ca") - col("__cb")) * 2 +
+          col("__ca") + col("__cb") + 1)
+      .groupBy(col(groupCol))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(col("__ca") * col("__mr2")).as("r2_a"))
+      .withColumn("auc",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          (col("r2_a") - col("n_a") * (col("n_a") + 1)).cast("double") /
+            (col("n_a") * col("n_b") * 2).cast("double")))
+  }
+
+  /**
    * Welch's unequal-variance t statistic per group, comparing `valueCol`
    * between two levels of `condCol` — the A/B significance test run
    * per segment. Values are 2-decimal money/metric columns: they scale

@@ -446,4 +446,29 @@ class CorpusFiltersSpec extends SparkSpec {
       CorpusFilters.packShards(docs, "doc_id", "text", 0)
     }
   }
+
+  test("compressionStats: repetition compresses, bounds, empty row, layout-free") {
+    val rep = "spam ham " * 200
+    val varied = (1 to 200).map(i => s"w${i * 7919}x").mkString(" ")
+    val df = Seq((1L, rep), (2L, varied), (3L, "")).toDF("doc_id", "text")
+    val got = CorpusFilters.compressionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    // raw sizes are exact byte counts
+    assert(got(1L)._1 === rep.getBytes("UTF-8").length.toLong)
+    // the repeated text compresses far harder than the varied text
+    assert(got(1L)._3.get < 0.1)
+    assert(got(2L)._3.get > got(1L)._3.get * 3)
+    // deflate never inflates real text by much, never to zero
+    assert(got(1L)._2 > 0L && got(2L)._2 > 0L)
+    // empty text: 0 raw bytes, NULL ratio (guarded division)
+    assert(got(3L)._1 === 0L && got(3L)._3.isEmpty)
+    // deterministic under any partitioning
+    val again = CorpusFilters.compressionStats(df.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again === got.map { case (k, v) => k -> v._2 })
+    intercept[IllegalArgumentException] {
+      CorpusFilters.compressionStats(df, "doc_id", "text", level = 11)
+    }
+  }
 }

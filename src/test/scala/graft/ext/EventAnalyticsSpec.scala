@@ -185,4 +185,27 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.rollingDistinctUsers(df, "user_id", "ts", windowDays = 0)
     }
   }
+
+  test("cusumChangePoint: planted level shift peaks at the shift boundary") {
+    // type "a": 1 event/hour for hours 0-5, then 3/hour for hours 6-11
+    // B=12, T=24; S_k = sum(12*x - 24): -12 each early hour -> S_5 = -72
+    // (the |S| peak, exactly at the last pre-shift bucket), then +12
+    val rows = ((0 to 5).map(h => (h, 1)) ++ (6 to 11).map(h => (h, 3)))
+      .flatMap { case (h, k) => (1 to k).map(i =>
+        (h.toLong * 100 + i, 7L, h * Hour, "a", 0.0)) }
+      // type "b": flat 2/hour for 4 hours -> S_k = 0 everywhere, peak 0
+      // at the earliest bucket
+      .++((0 to 3).flatMap(h => (1 to 2).map(i =>
+        (9000L + h * 10 + i, 8L, h * Hour, "b", 0.0))))
+      .map { case (id, u, ts, ty, v) => (id, u, ts, ty, v) }
+    val df = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.cusumChangePoint(df, "ts", "event_type", Hour)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") === ((12L, 24L, 72L, 5L)))
+    assert(got("b") === ((4L, 8L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.cusumChangePoint(df, "ts", "event_type", 0L)
+    }
+  }
 }

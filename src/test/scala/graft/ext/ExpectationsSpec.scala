@@ -76,4 +76,23 @@ class ExpectationsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"expectation suite should not join:\n$plan")
   }
+
+  test("leadingDigitProfile: cents-string digits, exclusions, exact shares") {
+    import spark.implicits._
+    val vals = Seq(1.0, 25.5, 0.05, 999.99, 19.0, 0.0, -3.5)
+    val got = Expectations.leadingDigitProfile(vals.toDF("v"), "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getAs[Double]("share"), r.getAs[Double]("benford_p")))).toMap
+    // cents: 100->1, 2550->2, 5->5, 99999->9, 1900->1; 0 and negative out
+    assert(got.keySet === Set(1L, 2L, 5L, 9L))
+    assert(got(1L)._1 === 2L && got(1L)._2 === 0.4)
+    assert(got(2L)._1 === 1L && got(5L)._1 === 1L && got(9L)._1 === 1L)
+    // expectations are the shared literals, and contribution follows the
+    // fixed tree exactly
+    assert(got(1L)._3 === Expectations.BenfordP(0))
+    val r1 = Expectations.leadingDigitProfile(vals.toDF("v"), "v")
+      .filter($"digit" === 1).collect().head
+    val e = 5.0 * Expectations.BenfordP(0)
+    assert(r1.getAs[Double]("contribution") === (2.0 - e) * (2.0 - e) / e)
+  }
 }

@@ -20,6 +20,12 @@ class MarketBasketSpec extends SparkSpec {
     assert(got(("x", "y")) === ((2L, 3L, 2L, 3L, 2.0 / 3.0, 6.0 / 6.0)))
     assert(got(("y", "x")) === ((2L, 2L, 3L, 3L, 1.0, 1.0)))
     assert(got.size === 2)
+    // item-item cosine is symmetric: 2 / sqrt(3*2), both directions
+    val cos = MarketBasket.pairRules(df, "b", "i")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(cos(("x", "y")) === 2.0 / math.sqrt(6.0))
+    assert(cos(("x", "y")) === cos(("y", "x")))
   }
 
   test("pairRules: duplicate (basket, item) rows collapse before counting") {

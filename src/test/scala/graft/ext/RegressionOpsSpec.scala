@@ -155,4 +155,38 @@ class RegressionOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("d_num")).toMap
     assert(again === Map("g" -> 8L, "h" -> 6L))
   }
+
+  test("mannWhitneyAuc: separation extremes, tie credit, hand midranks") {
+    def run(rows: Seq[(String, String, Double)]) =
+      RegressionOps.mannWhitneyAuc(rows.toDF("g", "c", "v"), "g", "c", "v", "A", "B")
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+            r.getAs[Long]("r2_a"), r.getAs[Double]("auc")))).toMap
+    // A entirely below B -> AUC 0; entirely above -> 1
+    val lo = run(Seq(("g", "A", 1.0), ("g", "A", 2.0), ("g", "B", 3.0), ("g", "B", 4.0)))
+    assert(lo("g")._4 === 0.0)
+    val hi = run(Seq(("g", "A", 3.0), ("g", "A", 4.0), ("g", "B", 1.0), ("g", "B", 2.0)))
+    assert(hi("g")._4 === 1.0)
+    // full ties -> exactly 0.5 (the half-credit convention)
+    val tie = run(Seq(("g", "A", 5.0), ("g", "B", 5.0)))
+    assert(tie("g") === ((1L, 1L, 3L, 0.5))) // midrank 1.5, r2 = 3
+    // hand case: A = {1, 3}, B = {2, 3}; ranks 1, 2, (3.5, 3.5 tied)
+    // R_A = 1 + 3.5 = 4.5 -> r2_a = 9; U = 4.5 - 3 = 1.5; AUC = 1.5/4
+    val mid = run(Seq(("g", "A", 1.0), ("g", "A", 3.0), ("g", "B", 2.0), ("g", "B", 3.0)))
+    assert(mid("g") === ((2L, 2L, 9L, 0.375)))
+  }
+
+  test("mannWhitneyAuc is the exact ROC AUC of a score against a label") {
+    // scores for positives (A) and negatives (B); brute-force AUC =
+    // (wins + ties/2) / (n_a*n_b)
+    val a = Seq(0.9, 0.8, 0.8, 0.4, 0.3)
+    val b = Seq(0.7, 0.8, 0.2, 0.1)
+    val brute = (for { x <- a; y <- b } yield
+      if (x > y) 1.0 else if (x == y) 0.5 else 0.0).sum / (a.size * b.size)
+    val rows = a.map(("g", "A", _)) ++ b.map(("g", "B", _))
+    val got = RegressionOps.mannWhitneyAuc(rows.toDF("g", "c", "v").repartition(5),
+        "g", "c", "v", "A", "B")
+      .collect().head.getAs[Double]("auc")
+    assert(got === brute)
+  }
 }
