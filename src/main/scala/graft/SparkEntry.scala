@@ -2021,6 +2021,32 @@ object SparkEntry {
     "q208_compression_ratio" -> ((s, dir) =>
       graft.ext.CorpusFilters.compressionStats(
         t(s, dir, "documents"), "doc_id", "text")),
+    // per-group quantile vector (p25/p50/p75/p90/p99 in ONE GlobalRank
+    // total order — the summary-table pass, no per-group window sort)
+    "q209_group_quantiles" -> ((s, dir) =>
+      graft.operators.RobustStats.groupQuantiles(
+        t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq(25, 50, 75, 90, 99))),
+    // Tukey boxplot fences + exact outlier counts per group: quartiles
+    // from one total order, fixed-tree fence arithmetic, broadcast join
+    "q210_tukey_fences" -> ((s, dir) =>
+      graft.operators.RobustStats.tukeyFences(
+        t(s, dir, "orders"), "o_orderpriority", "o_totalprice")),
+    // conversion-latency percentiles: first view -> first subsequent
+    // purchase per user (integer nanos), then exact global p50/p90/p99
+    // through the same quantile machinery — operators composing
+    "q211_conversion_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      val lat = ev.filter(col("event_type") === "purchase")
+        .join(firstView, "user_id")
+        .filter(col("ts") >= col("tv"))
+        .groupBy(col("user_id")).agg(min(col("ts") - col("tv")).as("latency_ns"))
+        .withColumn("g", lit("all"))
+      graft.operators.RobustStats.groupQuantiles(lat, "g", "latency_ns", Seq(50, 90, 99))
+        .select(col("n"), col("p50"), col("p90"), col("p99"))
+    }),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -4343,6 +4369,68 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "q207_benford_digits" -> benfordOracle,
+
+    // quantile vector: each percentile replayed as the ceil-index order
+    // statistic by windows (oracle scale)
+    "q209_group_quantiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT g AS l_returnflag, CAST(MIN(n) AS BIGINT) AS n,
+        |  MIN(CASE WHEN rn = greatest(1, (n * 25 + 99) // 100) THEN v END) AS p25,
+        |  MIN(CASE WHEN rn = greatest(1, (n * 50 + 99) // 100) THEN v END) AS p50,
+        |  MIN(CASE WHEN rn = greatest(1, (n * 75 + 99) // 100) THEN v END) AS p75,
+        |  MIN(CASE WHEN rn = greatest(1, (n * 90 + 99) // 100) THEN v END) AS p90,
+        |  MIN(CASE WHEN rn = greatest(1, (n * 99 + 99) // 100) THEN v END) AS p99
+        |FROM r GROUP BY g""".stripMargin,
+
+    // Tukey fences: quartile order statistics + the same fixed fence
+    // tree + exact outside counts
+    "q210_tukey_fences" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS g, o_totalprice AS v,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |q AS (
+        |  SELECT g, CAST(MIN(n) AS BIGINT) AS n,
+        |    CAST(MIN(CASE WHEN rn = greatest(1, (n * 25 + 99) // 100) THEN v END) AS DOUBLE) AS q1,
+        |    CAST(MIN(CASE WHEN rn = greatest(1, (n * 75 + 99) // 100) THEN v END) AS DOUBLE) AS q3
+        |  FROM r GROUP BY g),
+        |f AS (
+        |  SELECT g, n, q1, q3,
+        |    q1 - 1.5 * (q3 - q1) AS lo_fence,
+        |    q3 + 1.5 * (q3 - q1) AS hi_fence
+        |  FROM q)
+        |SELECT f.g AS o_orderpriority, f.n, f.q1, f.q3, f.lo_fence, f.hi_fence,
+        |  CAST(SUM(CASE WHEN o.o_totalprice < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(SUM(CASE WHEN o.o_totalprice > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM f JOIN orders o ON o.o_orderpriority = f.g
+        |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
+    // conversion latency: nanos-exact first-view/first-purchase spine +
+    // the same ceil-index percentiles
+    "q211_conversion_latency" ->
+      """WITH fv AS (
+        |  SELECT user_id, MIN(epoch_ns(ts)) AS tv
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |lat AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts) - fv.tv) AS latency_ns
+        |  FROM events e JOIN fv ON fv.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= fv.tv
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT latency_ns,
+        |    row_number() OVER (ORDER BY latency_ns) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lat)
+        |SELECT CAST(MIN(n) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN rn = greatest(1, (n * 50 + 99) // 100) THEN latency_ns END) AS BIGINT) AS p50,
+        |  CAST(MIN(CASE WHEN rn = greatest(1, (n * 90 + 99) // 100) THEN latency_ns END) AS BIGINT) AS p90,
+        |  CAST(MIN(CASE WHEN rn = greatest(1, (n * 99 + 99) // 100) THEN latency_ns END) AS BIGINT) AS p99
+        |FROM r""".stripMargin,
 
     // bucketed join: the plain join IS the oracle (the q170 pattern —
     // the layout changes the plan, never the result)

@@ -78,6 +78,72 @@ object RobustStats {
   }
 
   /**
+   * Exact per-group quantile VECTOR: the k-th order statistics for every
+   * percentile in `pcts` (k = max(1, ceil(pct·n/100)), the
+   * [[groupQuantileThresholds]] convention) from ONE GlobalRank total
+   * order — the summary-table builder (p25/p50/p75/p90/p99 in a single
+   * pass) with the same no-per-group-window-sort scale shape. Output:
+   * (groupCol, n, p<pct>...) one column per requested percentile.
+   */
+  def groupQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty, "pcts must be non-empty")
+    require(pcts.forall(p => p >= 0 && p <= 100), s"pcts must be in [0,100], got $pcts")
+    require(pcts.distinct.size == pcts.size, s"pcts must be distinct, got $pcts")
+    val ranked = GlobalRank.withGlobalRank(
+      df.select(col(groupCol), col(valueCol)),
+      Seq(col(groupCol), col(valueCol)), rankName = "__gr")
+    val spans = ranked.groupBy(col(groupCol))
+      .agg(min(col("__gr")).as("__r0"), count(lit(1)).as("n"))
+    val withK = spans.select(
+      col(groupCol) +: col("n") +: pcts.map(p =>
+        (col("__r0") + expr(s"greatest(1L, (n * $p + 99) div 100)") - 1)
+          .as(s"__k$p")): _*)
+    ranked
+      .join(broadcast(withK), groupCol)
+      .filter(pcts.map(p => col("__gr") === col(s"__k$p")).reduce(_ || _))
+      .groupBy(col(groupCol))
+      .agg(first(col("n")).as("n"),
+        pcts.map(p =>
+          min(when(col("__gr") === col(s"__k$p"), col(valueCol))).as(s"p$p")): _*)
+  }
+
+  /**
+   * Tukey-fence outlier summary per group: quartiles from ONE
+   * [[groupQuantiles]] total order, fences at `q1 − k·IQR` / `q3 + k·IQR`
+   * (k = 1.5 by the boxplot convention, expressed as the rational
+   * kNum/kDen so the fence arithmetic is a fixed IEEE tree), and the
+   * exact count of rows outside each fence — the boxplot-summary /
+   * outlier-rate report for every numeric feature column. One broadcast
+   * threshold join back; the data side stays a scan-fused conditional
+   * aggregation.
+   */
+  def tukeyFences(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      kNum: Long = 3L,
+      kDen: Long = 2L): DataFrame = {
+    require(kNum >= 0 && kDen > 0, s"need kNum >= 0, kDen > 0; got ($kNum, $kDen)")
+    val k = kNum.toDouble / kDen.toDouble
+    val quart = groupQuantiles(df, groupCol, valueCol, Seq(25, 75))
+      .select(col(groupCol), col("n"),
+        col("p25").cast("double").as("q1"), col("p75").cast("double").as("q3"))
+      .withColumn("lo_fence", col("q1") - lit(k) * (col("q3") - col("q1")))
+      .withColumn("hi_fence", col("q3") + lit(k) * (col("q3") - col("q1")))
+    df.join(broadcast(quart), groupCol)
+      .groupBy(col(groupCol))
+      .agg(first(col("n")).as("n"),
+        first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+        first(col("lo_fence")).as("lo_fence"), first(col("hi_fence")).as("hi_fence"),
+        sum(when(col(valueCol) < col("lo_fence"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col(valueCol) > col("hi_fence"), 1L).otherwise(0L)).as("n_above"))
+  }
+
+  /**
    * Exact per-group WEIGHTED (lower) median of `valueCol` under integral
    * non-negative `weightCol`: the smallest value v with
    * `2 * cumWeight(<= v) >= totalWeight` — the duplication-aware center

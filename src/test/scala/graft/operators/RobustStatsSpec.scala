@@ -116,4 +116,36 @@ class RobustStatsSpec extends SparkSpec {
     assert(got === Set(("a", 1.0, 7L), ("b", 7.0, 3L)))
     assert(run(df.repartition(7)) === got)
   }
+
+  test("groupQuantiles: vector of ceil-index order statistics in one pass") {
+    val df = ((1 to 100).map(v => ("a", v.toDouble)) ++
+      Seq(("b", 5.0), ("b", 6.0))).toDF("g", "v")
+    val got = RobustStats.groupQuantiles(df, "g", "v", Seq(25, 50, 90, 100))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("a") === ((100L, 25.0, 50.0, 90.0, 100.0)))
+    // b: n=2 -> p25 = ceil(0.5) = 1st = 5, p50 = 1st = 5, p90/p100 = 2nd = 6
+    assert(got("b") === ((2L, 5.0, 5.0, 6.0, 6.0)))
+    // agrees with the two-point groupQuantileThresholds on the same rule
+    val th = RobustStats.groupQuantileThresholds(df, "g", "v", 25, 90)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(th("a") === ((got("a")._2, got("a")._4)))
+    intercept[IllegalArgumentException] {
+      RobustStats.groupQuantiles(df, "g", "v", Seq(50, 50))
+    }
+  }
+
+  test("tukeyFences: hand quartiles, fences, and outside counts") {
+    // group a: 1..11 plus wild 100 -> n=12; q1 = 3rd = 3, q3 = 9th = 9
+    // IQR 6 -> fences [-6, 18]; only 100 is outside (above)
+    val df = ((1 to 11).map(v => ("a", v.toDouble)) :+ (("a", 100.0))).toDF("g", "v")
+    val r = RobustStats.tukeyFences(df, "g", "v").collect().head
+    assert(r.getLong(1) === 12L)
+    assert(r.getDouble(2) === 3.0 && r.getDouble(3) === 9.0)
+    assert(r.getDouble(4) === -6.0 && r.getDouble(5) === 18.0)
+    assert(r.getLong(6) === 0L && r.getLong(7) === 1L)
+    intercept[IllegalArgumentException] {
+      RobustStats.tukeyFences(df, "g", "v", kNum = 1, kDen = 0)
+    }
+  }
 }
