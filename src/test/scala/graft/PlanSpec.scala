@@ -350,4 +350,46 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_ddsketch_agg"),
       "expected a partial (map-side) ddsketch aggregate\n" + plan)
   }
+
+  test("rank statistics (KS, Mann-Whitney, weighted median, quantile vector) rank via GlobalRank, never a window") {
+    for (q <- Seq("q203_ks_test", "q205_mann_whitney", "q192_weighted_median",
+        "q209_group_quantiles")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001).queryExecution.sparkPlan.toString
+      assert(!plan.contains("Window"), s"$q must not use a window\n$plan")
+      assert(plan.contains("ExistingRDD"), s"$q must rank via GlobalRank's RDD path\n$plan")
+      // the tiny per-group span/threshold tables join back broadcast
+      assert(plan.contains("BroadcastHashJoin"), s"$q span join must broadcast\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q must not sort-merge join\n$plan")
+    }
+  }
+
+  test("association rules: supports join back broadcast, no cartesian anywhere") {
+    val plan = SparkEntry.queries("q193_assoc_rules")(spark, sf0001)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("rolling actives: bounded explode + semi-join clip, the log never self-joins") {
+    val plan = SparkEntry.queries("q202_rolling_actives")(spark, sf0001)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Generate"), "expected the window-length explode\n" + plan)
+    assert(plan.contains("LeftSemi"), "expected the observed-day clip semi join\n" + plan)
+  }
+
+  test("bucketed join: neither join input is re-shuffled") {
+    // at sf0.001 the dim side broadcasts (fine — still no shuffle); at
+    // scale both sides are bucketed so an SMJ runs exchange-free either
+    // way. The pin: NO hash-partitioning Exchange below the join — the
+    // only shuffle in the whole plan is the final 3-row aggregate's.
+    val plan = SparkEntry.queries("q204_bucketed_join")(spark, sf0001)
+      .queryExecution.sparkPlan.toString
+    val joinAt = plan.indexOf("Join")
+    assert(joinAt > 0, plan)
+    assert(!plan.substring(joinAt).contains("Exchange hashpartitioning"),
+      "bucketed join must not re-shuffle its inputs\n" + plan)
+    assert(plan.contains("g204_li") && plan.contains("g204_o"),
+      "expected bucketed table scans\n" + plan)
+  }
 }
