@@ -602,6 +602,66 @@ object ScaleProbe {
         val model = ext.PcaOps.fit(e, "embedding", 64, 8)
         ext.PcaOps.project(e, "vec_id", "embedding", model, whiten = true).count()
       }
+      // r5e: rank statistics on the prefix scan, graph BFS, sequence/
+      // basket mining, rolling actives, deflate signal
+      timed("bfs_distances", k) {
+        val nodes = read("documents", k).select(col("doc_id").as("node"))
+        val edges = nodes.crossJoin(nodes.agg(count(lit(1)).as("n")))
+          .select(col("node").as("src"), col("n"))
+          .select(col("src"), col("n"), explode(expr("sequence(1, 1 + src % 4)")).as("j"))
+          .select(col("src"), expr("(src * (src + 3) + j * 97) % n").as("dst"))
+        ext.GraphOps.bfsDistances(nodes.filter(col("node") % 97 === 0), edges, 6).count()
+      }
+      timed("weighted_median", k) {
+        operators.RobustStats.weightedMedianByGroup(read("lineitem", k),
+          "l_returnflag", "l_extendedprice", "l_quantity").count()
+      }
+      timed("ks_test", k) {
+        ext.RegressionOps.ksTest(
+          read("lineitem", k).withColumn("cohort", (col("l_orderkey") % 2).cast("string")),
+          "l_returnflag", "cohort", "l_extendedprice", "0", "1").count()
+      }
+      timed("mann_whitney", k) {
+        ext.RegressionOps.mannWhitneyAuc(
+          read("lineitem", k).withColumn("cohort", (col("l_orderkey") % 2).cast("string")),
+          "l_returnflag", "cohort", "l_extendedprice", "0", "1").count()
+      }
+      timed("group_quantiles", k) {
+        operators.RobustStats.groupQuantiles(read("lineitem", k),
+          "l_returnflag", "l_extendedprice", Seq(25, 50, 75, 90, 99)).count()
+      }
+      timed("assoc_rules", k) {
+        // brand-granularity items keep the pair space constant while the
+        // basket count scales — the realistic shape
+        val baskets = read("lineitem", k)
+          .select(col("l_orderkey").as("basket"), (col("l_partkey") % 25).as("item"))
+        ext.MarketBasket.pairRules(baskets, "basket", "item", minPairSupport = 20).count()
+      }
+      timed("event_trigrams", k) {
+        ext.EventAnalytics.sequencePatterns(read("events", k),
+          "user_id", "ts", "event_type", "event_id", n = 3).count()
+      }
+      timed("rolling_actives", k) {
+        ext.EventAnalytics.rollingDistinctUsers(read("events", k),
+          "user_id", "ts", windowDays = 7).count()
+      }
+      timed("twap", k) {
+        ext.EventAnalytics.timeWeightedAverage(read("events", k),
+          "user_id", "ts", "value", "event_id").count()
+      }
+      timed("sentence_stats", k) {
+        ext.TextStats.sentenceStats(
+          read("documents", k).withColumn("stext",
+            regexp_replace(col("text"), " the ", ". ")), "stext").count()
+      }
+      timed("systematic_sample", k) {
+        Sampler.systematicByHexRank(read("lineitem", k), step = 20,
+          md5(concat(lit("sp:"), col("l_orderkey").cast("string"),
+            lit(":"), col("l_linenumber").cast("string")).cast("binary"))).count()
+      }
+      timed("compression_stats", k) {
+        ext.CorpusFilters.compressionStats(read("documents", k), "doc_id", "text").count()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")

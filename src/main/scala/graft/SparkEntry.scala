@@ -2047,6 +2047,26 @@ object SparkEntry {
       graft.operators.RobustStats.groupQuantiles(lat, "g", "latency_ns", Seq(50, 90, 99))
         .select(col("n"), col("p50"), col("p90"), col("p99"))
     }),
+    // streaming rolling actives: HLL distinct state per day across
+    // micro-batches (exact per-day user sets would be unbounded state);
+    // exact counts ride the batch hash oracle, the sketch pins its ±5%
+    // contract — the q145 discipline, live on a stream
+    "q212_stream_actives" -> ((s, dir) => StreamGate.rollingActives(s, dir)),
+    // entity resolution: first-word-blocked Jaro-Winkler pairs over part
+    // names -> min-label connected components; the codegen JW verify is
+    // fused into the block join probe (failing pairs never leave the
+    // task), clusters via the q46 CC machinery
+    "q213_entity_clusters" -> ((s, dir) =>
+      graft.ext.Dedup.jaroWinklerClusters(
+        t(s, dir, "part"), "p_partkey", "p_name",
+        split(col("p_name"), " ").getItem(0), threshold = 0.94)
+        .select(col("id").as("p_partkey"), col("cluster_id"))),
+    // percent-rank normalization table: SQL PERCENT_RANK() per distinct
+    // (group, value) from one prefix scan — rank-normalized features
+    // with no per-group window sort; one division of exact longs
+    "q214_percent_rank" -> ((s, dir) =>
+      graft.operators.RobustStats.percentRankTable(
+        t(s, dir, "lineitem"), "l_returnflag", "l_quantity")),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -4369,6 +4389,46 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "q207_benford_digits" -> benfordOracle,
+
+    // streaming rolling actives: exact counts replayed by the q202
+    // range-join oracle; the HLL contract rides as a pinned boolean
+    "q212_stream_actives" ->
+      """WITH act AS (
+        |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM act)
+        |SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users,
+        |  TRUE AS hll_ok
+        |FROM days d JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1""".stripMargin,
+
+    // entity clusters: brute within-block JW pairs (DuckDB's built-in is
+    // bit-identical to the engine expression — proven by q188) + the q46
+    // recursive-CTE min-label components
+    "q213_entity_clusters" ->
+      """WITH RECURSIVE k AS (
+        |  SELECT p_partkey AS id, p_name AS nm, string_split(p_name, ' ')[1] AS blk
+        |  FROM part),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.94),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |comp(id, label) AS (
+        |  SELECT p_partkey, p_partkey FROM part
+        |  UNION
+        |  SELECT e.dst, c.label FROM comp c JOIN edges e ON c.id = e.src)
+        |SELECT id AS p_partkey, min(label) AS cluster_id FROM comp GROUP BY id""".stripMargin,
+
+    // percent rank: the SQL built-in per distinct (group, value) — same
+    // (rank-1)/(n-1) single division
+    "q214_percent_rank" ->
+      """SELECT DISTINCT l_returnflag, l_quantity,
+        |  CAST(count(*) OVER (PARTITION BY l_returnflag, l_quantity) AS BIGINT) AS n_with_value,
+        |  percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS pct_rank
+        |FROM lineitem""".stripMargin,
 
     // quantile vector: each percentile replayed as the ceil-index order
     // statistic by windows (oracle scale)

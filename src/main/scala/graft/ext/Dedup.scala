@@ -389,6 +389,44 @@ object Dedup {
       idCol, "__sh64", maxHamming, chunks)
 
   /**
+   * Entity resolution by blocked Jaro–Winkler similarity: every within-
+   * block pair with `jw >= threshold` becomes an edge, and connected
+   * components assign each record its min-id entity cluster — the
+   * name/address/title record-linkage pipeline (blocking → pairwise
+   * scoring → transitive closure) as one operator. The candidate space is
+   * EXACTLY the within-block pairs — the caller's `blockCol` IS the
+   * recall contract (standard in record linkage; pairs split across
+   * blocks are invisible by design, which is what makes the join
+   * tractable: a block of size s costs s², the corpus never self-joins).
+   *
+   * Scale shape: one equi-join on the block key with the codegen JW
+   * verify fused into the probe (pairs that fail the threshold never
+   * leave the join task), then [[duplicateClusters]]' edge-touched
+   * min-label propagation. Skewed blocks (one giant last name) are the
+   * known hazard — pick a compound block key, exactly as a PassJoin user
+   * would.
+   */
+  def jaroWinklerClusters(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockCol: Column,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    import org.apache.spark.sql.graft.JaroFunctions.jaro_winkler_similarity
+    val keyed = df.select(col(idCol).as("__er_id"), col(nameCol).as("__er_nm"),
+      blockCol.as("__er_blk"))
+    val pairs = keyed.select(col("__er_blk"), col("__er_id").as("id_a"), col("__er_nm").as("na"))
+      .join(keyed.select(col("__er_blk"), col("__er_id").as("id_b"), col("__er_nm").as("nb")),
+        "__er_blk")
+      .filter(col("id_a") < col("id_b"))
+      .filter(jaro_winkler_similarity(col("na"), col("nb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    duplicateClusters(df.select(col(idCol)), idCol, pairs)
+  }
+
+  /**
    * EXACT hamming-distance pairs (<= maxHamming) over ANY precomputed
    * 64-bit signature column (simhash, image dHash, audio fingerprint, …).
    * Same pigeonhole candidate generation as [[simhashPairs]]: any pair

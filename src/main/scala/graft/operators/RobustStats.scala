@@ -144,6 +144,41 @@ object RobustStats {
   }
 
   /**
+   * Percent-rank feature-transform TABLE: for every DISTINCT (group,
+   * value), SQL `PERCENT_RANK()` = (rank − 1) / (n − 1) where rank is the
+   * 1-based position of the value's first tie-run row in the group order
+   * — the rank-normalization ML preprocessing step (maps any score
+   * distribution onto [0,1], immune to outliers and monotone transforms).
+   * Emitted as a mapping table (value count included) for the caller to
+   * join back; single-row groups map to 0 (the SQL convention).
+   *
+   * Scale shape: collapse to per-(group, value) counts, ONE
+   * [[GlobalRank.withPrefixSum]] scan gives each tie run's start — no
+   * per-group window sort; the percent rank is ONE division of exact
+   * longs.
+   */
+  def percentRankTable(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val wv = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("n_with_value"))
+    val ps = GlobalRank.withPrefixSum(
+      wv, Seq(col(groupCol), col(valueCol)), col("n_with_value"),
+      rankName = "__gr", sumName = "__cw")
+    val spans = ps.groupBy(col(groupCol))
+      .agg(min(col("__cw") - col("n_with_value")).as("__start"),
+        max(col("__cw")).as("__end"))
+      .select(col(groupCol), col("__start"),
+        (col("__end") - col("__start")).as("__n"))
+    ps.join(broadcast(spans), groupCol)
+      .select(col(groupCol), col(valueCol), col("n_with_value"),
+        when(col("__n") === 1, 0.0).otherwise(
+          (col("__cw") - col("n_with_value") - col("__start")).cast("double") /
+            (col("__n") - 1).cast("double")).as("pct_rank"))
+  }
+
+  /**
    * Exact per-group WEIGHTED (lower) median of `valueCol` under integral
    * non-negative `weightCol`: the smallest value v with
    * `2 * cumWeight(<= v) >= totalWeight` — the duplication-aware center

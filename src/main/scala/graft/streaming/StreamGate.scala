@@ -415,6 +415,40 @@ object StreamGate {
    * the batch-exact percentiles — p50/p90 pinned inside the alpha=1%
    * envelope, counts exact (the q180 contract, live on a stream).
    */
+  /**
+   * Streaming rolling-window distinct actives (the live WAU curve): each
+   * event explodes to the `windowDays` target days it covers (the
+   * [[graft.ext.EventAnalytics.rollingDistinctUsers]] shape) and a
+   * DataSketches HLL aggregate per day maintains the distinct-user state
+   * across micro-batches — exact distinct over a stream would need
+   * unbounded per-day user sets; the HLL union is the streaming-safe
+   * O(sketch) state, order-free, so the drained complete-mode table is
+   * identical under any batching. The gate joins the drained estimates
+   * to the BATCH-exact counts and pins the ±5% HLL contract per day (the
+   * q145 discipline): exact counts ride the hash oracle, the sketch ships
+   * its accuracy guarantee as a pinned boolean.
+   */
+  def rollingActives(spark: SparkSession, sfDir: String, windowDays: Int = 7): DataFrame = {
+    val dir = stageEventsDir(sfDir)
+    val ev = StreamOps.eventsStream(spark, dir.toString, maxFilesPerTrigger = 1)
+    val exp = ev.select(
+      explode(sequence(expr("ts div 86400000000000"),
+        expr("ts div 86400000000000") + (windowDays - 1))).as("day"),
+      col("user_id"))
+    val agged = exp.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val drained = runToTable(agged, "stream_actives", "complete")
+    val exact = graft.ext.EventAnalytics.rollingDistinctUsers(
+      StreamOps.batchEvents(spark, s"$sfDir/events.parquet"),
+      "user_id", "ts", windowDays)
+    // inner join clips the explode's past-the-horizon days to observed ones
+    exact.join(drained, "day")
+      .select(col("day"), col("n_users"),
+        (abs(hll_sketch_estimate(col("sk")).cast("double") -
+          col("n_users").cast("double")) <=
+          lit(0.05) * col("n_users").cast("double")).as("hll_ok"))
+  }
+
   def quantileMonitor(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.graft.DDSketchFunctions._
     val alpha = 0.01

@@ -251,4 +251,26 @@ class DedupSpec extends SparkSpec {
     // the contained side is always the smaller set
     assert(got.forall { case (s, b, c) => c >= 0.8 && s != b })
   }
+
+  test("jaroWinklerClusters: near-identical names cluster, blocking is the recall contract") {
+    import org.apache.spark.sql.functions.{col, split}
+    val df = Seq(
+      (1L, "smith john a"), (2L, "smith john b"),   // near-dup, same block
+      (3L, "smith zzv 99"),                          // same block, too far (jw 0.83)
+      (4L, "smyth john a"),                          // near-dup of 1 but
+                                                     // DIFFERENT block: invisible
+      (5L, "quincy solo x")                          // singleton
+    ).toDF("id", "name")
+    val got = Dedup.jaroWinklerClusters(df, "id", "name",
+        split(col("name"), " ").getItem(0), threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === got(2L)) // transitive entity
+    assert(got(3L) !== got(1L))
+    assert(got(4L) !== got(1L)) // blocked away by design
+    assert(got(5L) === 5L) // untouched singleton keeps its own label
+    assert(got.size === 5)
+    intercept[IllegalArgumentException] {
+      Dedup.jaroWinklerClusters(df, "id", "name", col("name"), threshold = 0.0)
+    }
+  }
 }

@@ -135,6 +135,28 @@ class RobustStatsSpec extends SparkSpec {
     }
   }
 
+  test("percentRankTable matches SQL PERCENT_RANK, incl. ties and 1-row groups") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0)) ++
+      Seq(("b", 9.0))).toDF("g", "v")
+    val got = RobustStats.percentRankTable(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // a: n=4; ranks 1, 2 (tie run of 2), 4 -> pct 0, 1/3, 1
+    assert(got(("a", 1.0)) === ((1L, 0.0)))
+    assert(got(("a", 2.0)) === ((2L, 1.0 / 3.0)))
+    assert(got(("a", 5.0)) === ((1L, 1.0)))
+    // single-row group: the SQL convention is 0
+    assert(got(("b", 9.0)) === ((1L, 0.0)))
+    // agrees with Spark's own window function on the same data
+    val ref = df.select($"g", $"v",
+        org.apache.spark.sql.functions.percent_rank()
+          .over(Window.partitionBy($"g").orderBy($"v")).as("pr"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(ref === got.map { case (k, v) => k -> v._2 })
+  }
+
   test("tukeyFences: hand quartiles, fences, and outside counts") {
     // group a: 1..11 plus wild 100 -> n=12; q1 = 3rd = 3, q3 = 9th = 9
     // IQR 6 -> fences [-6, 18]; only 100 is outside (above)
