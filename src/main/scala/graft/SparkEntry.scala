@@ -2067,6 +2067,37 @@ object SparkEntry {
     "q214_percent_rank" -> ((s, dir) =>
       graft.operators.RobustStats.percentRankTable(
         t(s, dir, "lineitem"), "l_returnflag", "l_quantity")),
+    // Spearman rank correlation per return flag: midrank tables from two
+    // prefix scans, decimal-exact rank moments, the fixed Pearson tree
+    "q215_spearman" -> ((s, dir) =>
+      graft.ext.RegressionOps.spearmanByGroup(
+        t(s, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")),
+    // burst / rate-limit detection: max events in any trailing 1h window
+    // per user (RANGE frame, per-user bounded), flag heavy hitters
+    "q216_burst_flags" -> ((s, dir) =>
+      graft.ext.EventAnalytics.burstFlags(
+        t(s, dir, "events"), "user_id", "ts",
+        windowNanos = 3600000000000L, threshold = 10L)),
+    // URL-keyed dedup (the C4 canonical-page pass): q165's normalization
+    // chain -> min-id representative per normalized URL -> per-domain
+    // accounting; composes the codegen chain with exact dedup
+    "q217_url_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", expr(urlFixtureSql))
+      val kept = docs.withColumn("norm_url", TextStats.urlNormalize(col("url")))
+        .groupBy(col("norm_url"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      kept.withColumn("domain", TextStats.urlDomain(col("norm_url")))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_pages"), sum(col("n_dups")).as("n_raw"),
+          min(col("keep_id")).as("first_keep_id"))
+    }),
+    // corpus-mix diversity (Gini impurity per source over languages):
+    // rational in exact counts — bit-reproducible where entropy is
+    // libm luck
+    "q218_gini_mix" -> ((s, dir) =>
+      graft.ext.CorpusFilters.giniMixReport(
+        t(s, dir, "documents"), "source", "lang")),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -2319,6 +2350,42 @@ object SparkEntry {
     (Seq(head) ++ steps).mkString(",\n") +
       s"\nSELECT node AS doc_id, CAST(dist AS BIGINT) AS dist FROM b$rounds"
   }
+
+  /** The q165 URL-normalization chain as CTEs ending in `dom(doc_id, url,
+    * norm_url, domain)` — shared by the q165 report and the q217 dedup. */
+  private val urlNormOracleCtes: String =
+    """WITH u AS (
+      |  SELECT doc_id, concat(
+      |    CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+      |    'Site-', CAST(doc_id % 7 AS VARCHAR), '.Example.COM',
+      |    '/Articles/item-', CAST(doc_id % 40 AS VARCHAR),
+      |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN concat('?utm_source=feed&id=', CAST(doc_id % 11 AS VARCHAR), '&utm_campaign=x')
+      |         WHEN doc_id % 5 = 1 THEN concat('?id=', CAST(doc_id % 11 AS VARCHAR), '&ref=tw')
+      |         WHEN doc_id % 5 = 2 THEN '?utm_medium=em'
+      |         ELSE '' END,
+      |    CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END) AS url
+      |  FROM documents),
+      |n1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nofrag FROM u),
+      |n2 AS (SELECT doc_id, url, nofrag,
+      |    regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS prefix FROM n1),
+      |n3 AS (SELECT doc_id, url,
+      |    regexp_replace(lower(prefix), '://www\.', '://', 'g') AS head,
+      |    substr(nofrag, length(prefix) + 1) AS tail FROM n2),
+      |n4 AS (SELECT doc_id, url, head,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(tail, '(utm_[A-Za-z0-9]+|ref|fbclid|gclid)=[^&#]*', '', 'g'),
+      |          '&+', '&', 'g'),
+      |        '\?&', '?', 'g'),
+      |      '[?&]+$', '', 'g') AS tail2 FROM n3),
+      |n5 AS (SELECT doc_id, url, head,
+      |    regexp_replace(regexp_replace(tail2, '/+$', '', 'g'), '/+\?', '?', 'g') AS tail3 FROM n4),
+      |norm AS (SELECT doc_id, url, head || tail3 AS norm_url FROM n5),
+      |dom AS (SELECT doc_id, url, norm_url,
+      |    regexp_extract(norm_url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS domain FROM norm)""".stripMargin
 
   // Benford audit: the VALUES literals are generated from the SAME
   // Expectations.BenfordP doubles the engine expression uses — identical
@@ -4028,44 +4095,29 @@ object SparkEntry {
 
     // URL normalization: the fixture and the whole regex chain replayed
     // step for step ('g' flags — Spark replaces all matches)
-    "q165_url_normalize" ->
-      """WITH u AS (
-        |  SELECT doc_id, concat(
-        |    CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END,
-        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
-        |    'Site-', CAST(doc_id % 7 AS VARCHAR), '.Example.COM',
-        |    '/Articles/item-', CAST(doc_id % 40 AS VARCHAR),
-        |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
-        |    CASE WHEN doc_id % 5 = 0 THEN concat('?utm_source=feed&id=', CAST(doc_id % 11 AS VARCHAR), '&utm_campaign=x')
-        |         WHEN doc_id % 5 = 1 THEN concat('?id=', CAST(doc_id % 11 AS VARCHAR), '&ref=tw')
-        |         WHEN doc_id % 5 = 2 THEN '?utm_medium=em'
-        |         ELSE '' END,
-        |    CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END) AS url
-        |  FROM documents),
-        |n1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nofrag FROM u),
-        |n2 AS (SELECT doc_id, url, nofrag,
-        |    regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS prefix FROM n1),
-        |n3 AS (SELECT doc_id, url,
-        |    regexp_replace(lower(prefix), '://www\.', '://', 'g') AS head,
-        |    substr(nofrag, length(prefix) + 1) AS tail FROM n2),
-        |n4 AS (SELECT doc_id, url, head,
-        |    regexp_replace(
-        |      regexp_replace(
-        |        regexp_replace(
-        |          regexp_replace(tail, '(utm_[A-Za-z0-9]+|ref|fbclid|gclid)=[^&#]*', '', 'g'),
-        |          '&+', '&', 'g'),
-        |        '\?&', '?', 'g'),
-        |      '[?&]+$', '', 'g') AS tail2 FROM n3),
-        |n5 AS (SELECT doc_id, url, head,
-        |    regexp_replace(regexp_replace(tail2, '/+$', '', 'g'), '/+\?', '?', 'g') AS tail3 FROM n4),
-        |norm AS (SELECT doc_id, url, head || tail3 AS norm_url FROM n5),
-        |dom AS (SELECT doc_id, url, norm_url,
-        |    regexp_extract(norm_url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS domain FROM norm)
+    "q165_url_normalize" -> (urlNormOracleCtes +
+      """
         |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw,
         |  CAST(count(DISTINCT norm_url) AS BIGINT) AS n_distinct_norm,
         |  MIN(norm_url) AS first_url
-        |FROM dom GROUP BY 1""".stripMargin,
+        |FROM dom GROUP BY 1""".stripMargin),
+
+    // URL-keyed dedup: the q165 chain feeding min-id canonical-page
+    // selection — the C4 URL-dedup pass end to end
+    "q217_url_dedup" -> (urlNormOracleCtes +
+      """,
+        |kept AS (
+        |  SELECT norm_url, MIN(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+        |  FROM dom GROUP BY 1),
+        |kd AS (
+        |  SELECT keep_id, n_dups,
+        |    regexp_extract(norm_url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS domain
+        |  FROM kept)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(SUM(n_dups) AS BIGINT) AS n_raw,
+        |  CAST(MIN(keep_id) AS BIGINT) AS first_keep_id
+        |FROM kd GROUP BY 1""".stripMargin),
 
     // hard-example mining: per-(anchor, side) top-1 by (cosine desc, id),
     // q50 cosine recipe — margins are one IEEE subtraction
@@ -4429,6 +4481,64 @@ object SparkEntry {
         |  CAST(count(*) OVER (PARTITION BY l_returnflag, l_quantity) AS BIGINT) AS n_with_value,
         |  percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS pct_rank
         |FROM lineitem""".stripMargin,
+
+    // Spearman: midrank2 tables replayed by windows, HUGEINT rank
+    // moments canonicalized through VARCHAR, the same Pearson tree
+    "q215_spearman" ->
+      """WITH d AS (
+        |  SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y
+        |  FROM lineitem),
+        |cx AS (SELECT g, x, count(*) AS c FROM d GROUP BY 1, 2),
+        |px AS (SELECT g, x,
+        |    2 * (SUM(c) OVER (PARTITION BY g ORDER BY x) - c) + c + 1 AS mrx
+        |  FROM cx),
+        |cy AS (SELECT g, y, count(*) AS c FROM d GROUP BY 1, 2),
+        |py AS (SELECT g, y,
+        |    2 * (SUM(c) OVER (PARTITION BY g ORDER BY y) - c) + c + 1 AS mry
+        |  FROM cy),
+        |j AS (
+        |  SELECT d.g, px.mrx, py.mry
+        |  FROM d JOIN px ON px.g = d.g AND px.x = d.x
+        |         JOIN py ON py.g = d.g AND py.y = d.y),
+        |a AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CAST(SUM(CAST(mrx AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(mry AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(mrx AS HUGEINT) * CAST(mry AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(SUM(CAST(mrx AS HUGEINT) * CAST(mrx AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(mry AS HUGEINT) * CAST(mry AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM j GROUP BY g)
+        |SELECT g AS l_returnflag, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+        |        AND CAST(n AS DOUBLE) * syy - sy * sy > 0.0 THEN
+        |    (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy))
+        |  END AS spearman_rho
+        |FROM a""".stripMargin,
+
+    // burst flags: the same trailing RANGE frame per user
+    "q216_burst_flags" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS tns FROM events),
+        |c AS (
+        |  SELECT user_id,
+        |    CAST(count(*) OVER (PARTITION BY user_id ORDER BY tns
+        |      RANGE BETWEEN 3599999999999 PRECEDING AND CURRENT ROW) AS BIGINT) AS w
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(w) AS BIGINT) AS max_in_window,
+        |  MAX(w) >= 10 AS flagged
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // Gini mix: integer cell counts, one squared-total division
+    "q218_gini_mix" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_cats,
+        |  1.0 - CAST(SUM(c * c) AS DOUBLE) / CAST(SUM(c) * SUM(c) AS DOUBLE) AS gini
+        |FROM cells GROUP BY 1""".stripMargin,
 
     // quantile vector: each percentile replayed as the ceil-index order
     // statistic by windows (oracle scale)

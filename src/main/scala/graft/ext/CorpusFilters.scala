@@ -854,6 +854,28 @@ object CorpusFilters {
   }
 
   /**
+   * Category-mix diversity report: per group, the Gini impurity
+   * `1 − Σ (c_i/N)²` of the category distribution — the corpus-mix
+   * diversity metric (0 = monoculture, →1 = uniform across many
+   * categories) a curation dashboard tracks per source/shard. Chosen
+   * over Shannon entropy deliberately: the Gini form is RATIONAL in the
+   * exact counts — one integer Σc², one squared total, ONE division —
+   * so it is bit-reproducible cross-engine where `ln`-based entropy is
+   * libm luck. One hash aggregation over (group, category), then a
+   * group-sized rollup.
+   */
+  def giniMixReport(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol), col(catCol)).agg(count(lit(1)).as("__c"))
+    cells.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_cats"),
+        sum(col("__c") * col("__c")).as("__ss"))
+      .select(col(groupCol), col("n_rows"), col("n_cats"),
+        (lit(1.0) - col("__ss").cast("double") /
+          (col("n_rows") * col("n_rows")).cast("double")).as("gini"))
+  }
+
+  /**
    * Deflate compression ratio per document — the Gopher/RefinedWeb
    * "too compressible = boilerplate/repetition, incompressible = noise"
    * quality signal: `deflate_ratio = compressed / raw bytes` at a fixed

@@ -244,6 +244,30 @@ object EventAnalytics {
   }
 
   /**
+   * Burst / rate-limit detection: per user, the maximum event count in
+   * any trailing `windowNanos` event-time window, flagged against
+   * `threshold` — the abuse/bot gate an ingest pipeline runs before the
+   * corpus ever sees a scraper's output. The sliding count is ONE
+   * per-user RANGE-frame window (frames are bounded by that user's
+   * events — never a global sort); ties in event time are handled by
+   * the RANGE frame itself (same-timestamp events share a count).
+   */
+  def burstFlags(
+      events: DataFrame,
+      userCol: String,
+      tsNanosCol: String,
+      windowNanos: Long,
+      threshold: Long): DataFrame = {
+    require(windowNanos > 0, s"windowNanos must be positive, got $windowNanos")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsNanosCol))
+      .rangeBetween(-(windowNanos - 1), 0)
+    events.withColumn("__bf_c", count(lit(1)).over(w))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"), max(col("__bf_c")).as("max_in_window"))
+      .withColumn("flagged", col("max_in_window") >= threshold)
+  }
+
+  /**
    * CUSUM change-point detection over per-type hourly volumes: the
    * classic "did the level shift, and when" monitor (Page 1954). For
    * each type with bucket counts x₁..x_B and total T, the scaled

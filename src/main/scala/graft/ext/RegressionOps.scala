@@ -237,6 +237,57 @@ object RegressionOps {
   }
 
   /**
+   * Spearman rank correlation per group — Pearson over the two
+   * variables' midranks, the monotone-association measure that ignores
+   * outliers and nonlinearity (the feature-screening complement to
+   * [[olsByGroup]]'s linear r²). DOUBLED midranks (the
+   * [[mannWhitneyAuc]] trick) keep every rank integer; their sufficient
+   * statistics accumulate in DECIMAL(38,0) (rank products overflow
+   * longs at warehouse scale), canonicalize to double through a STRING
+   * cast, and combine in the fixed [[countCorrelation]] expression tree
+   * — bit-reproducible. Doubling cancels: Pearson is scale-invariant.
+   *
+   * Scale shape: one prefix scan per variable over its (group, value)
+   * order (no per-group window sort), two equi-joins back to the data
+   * on (group, value), one map-side-combined moment aggregation.
+   */
+  def spearmanByGroup(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    def midranks(vCol: String, out: String): DataFrame = {
+      val wv = df.groupBy(col(groupCol), col(vCol)).agg(count(lit(1)).as("__c"))
+      val ps = graft.operators.GlobalRank.withPrefixSum(
+        wv, Seq(col(groupCol), col(vCol)), col("__c"),
+        rankName = "__gr", sumName = "__cw")
+      val spans = ps.groupBy(col(groupCol))
+        .agg(min(col("__cw") - col("__c")).as("__s"))
+      ps.join(broadcast(spans), groupCol)
+        .select(col(groupCol), col(vCol),
+          ((col("__cw") - col("__c") - col("__s")) * 2 + col("__c") + 1).as(out))
+    }
+    val joined = df.select(col(groupCol), col(xCol), col(yCol))
+      .join(midranks(xCol, "__mrx"), Seq(groupCol, xCol))
+      .join(midranks(yCol, "__mry"), Seq(groupCol, yCol))
+    def asD(c: Column): Column = c.cast("string").cast("double")
+    val mrx = col("__mrx").cast("decimal(38,0)")
+    val mry = col("__mry").cast("decimal(38,0)")
+    val agged = joined.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        asD(sum(mrx)).as("__sx"), asD(sum(mry)).as("__sy"),
+        asD(sum(mrx * mry)).as("__sxy"),
+        asD(sum(mrx * mrx)).as("__sxx"),
+        asD(sum(mry * mry)).as("__syy"))
+    val n = col("n").cast("double")
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    val dena = n * col("__sxx") - col("__sx") * col("__sx")
+    val denb = n * col("__syy") - col("__sy") * col("__sy")
+    agged.select(col(groupCol), col("n"),
+      when(dena > 0.0 && denb > 0.0, num / sqrt(dena * denb)).as("spearman_rho"))
+  }
+
+  /**
    * Welch's unequal-variance t statistic per group, comparing `valueCol`
    * between two levels of `condCol` — the A/B significance test run
    * per segment. Values are 2-decimal money/metric columns: they scale

@@ -471,4 +471,17 @@ class CorpusFiltersSpec extends SparkSpec {
       CorpusFilters.compressionStats(df, "doc_id", "text", level = 11)
     }
   }
+
+  test("giniMixReport: monoculture 0, uniform (k-1)/k, hand mixed case") {
+    val df = (Seq.fill(10)(("mono", "en")) ++
+      Seq(("uni", "en"), ("uni", "de"), ("uni", "fr"), ("uni", "ja")) ++
+      Seq.fill(3)(("mix", "en")) ++ Seq.fill(1)(("mix", "de"))).toDF("src", "lang")
+    val got = CorpusFilters.giniMixReport(df, "src", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("mono") === ((10L, 1L, 0.0)))
+    assert(got("uni") === ((4L, 4L, 0.75)))
+    // mix: 1 - (9 + 1)/16 = 0.375
+    assert(got("mix") === ((4L, 2L, 0.375)))
+  }
 }

@@ -208,4 +208,25 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.cusumChangePoint(df, "ts", "event_type", 0L)
     }
   }
+
+  test("burstFlags: trailing window counts, boundary inclusion, flags") {
+    // user 1: 3 events inside one hour (0, 30m, 59m59.999...s), then one
+    // exactly at the window edge (the event at t=0 ages out at t=1h)
+    val df = Seq(
+      (1L, 1L, 0L, "x", 0.0), (2L, 1L, Hour / 2, "x", 0.0),
+      (3L, 1L, Hour - 1, "x", 0.0), (4L, 1L, Hour, "x", 0.0),
+      // user 2: two events far apart
+      (5L, 2L, 0L, "x", 0.0), (6L, 2L, 10 * Hour, "x", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.burstFlags(df, "user_id", "ts", Hour, threshold = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // at t=Hour-1 the window [0, Hour-1] holds events 1,2,3 -> max 3;
+    // at t=Hour the window [1, Hour] holds only 2,3,4 -> still 3
+    assert(got(1L) === ((4L, 3L, true)))
+    assert(got(2L) === ((2L, 1L, false)))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.burstFlags(df, "user_id", "ts", 0L, 3L)
+    }
+  }
 }

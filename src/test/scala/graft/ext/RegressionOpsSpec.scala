@@ -189,4 +189,41 @@ class RegressionOpsSpec extends SparkSpec {
       .collect().head.getAs[Double]("auc")
     assert(got === brute)
   }
+
+  test("spearmanByGroup: monotone = 1, reversed = -1, outlier-immune, ties") {
+    // perfect monotone (nonlinear!) relation -> rho exactly 1
+    val mono = (1 to 20).map(i => ("g", i.toDouble, (i * i).toDouble))
+    val up = RegressionOps.spearmanByGroup(mono.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head
+    assert(up.getAs[Double]("spearman_rho") === 1.0)
+    // reversed -> -1 even with a wild y outlier (rank-based)
+    val rev = (1 to 20).map(i => ("g", i.toDouble,
+      if (i == 1) 1e9 else (21 - i).toDouble))
+    val dn = RegressionOps.spearmanByGroup(rev.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head
+    assert(dn.getAs[Double]("spearman_rho") === -1.0)
+    // all-tied x: zero rank variance -> NULL (guarded)
+    val flat = (1 to 5).map(i => ("g", 7.0, i.toDouble))
+    assert(RegressionOps.spearmanByGroup(flat.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head.isNullAt(2))
+    // hand midrank case vs a driver-side reference with average ranks
+    val rows = Seq(("g", 1.0, 2.0), ("g", 2.0, 2.0), ("g", 2.0, 5.0), ("g", 4.0, 1.0))
+    def ranks(vs: Seq[Double]): Seq[Double] = {
+      val sorted = vs.sorted
+      vs.map(v => {
+        val first = sorted.indexOf(v); val last = sorted.lastIndexOf(v)
+        (first + last) / 2.0 + 1.0
+      })
+    }
+    val rx = ranks(rows.map(_._2)); val ry = ranks(rows.map(_._3))
+    val n = rows.size.toDouble
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val sxx = rx.map(a => a * a).sum; val syy = ry.map(a => a * a).sum
+    val expRho = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val gotRho = RegressionOps.spearmanByGroup(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head.getAs[Double]("spearman_rho")
+    assert(math.abs(gotRho - expRho) < 1e-12)
+  }
 }
