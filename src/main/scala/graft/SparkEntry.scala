@@ -2098,6 +2098,60 @@ object SparkEntry {
     "q218_gini_mix" -> ((s, dir) =>
       graft.ext.CorpusFilters.giniMixReport(
         t(s, dir, "documents"), "source", "lang")),
+    // pairwise covariance matrix over lineitem's four numeric columns:
+    // ONE single-row aggregation of exact integer-cents moments, fixed
+    // IEEE combination tree, explode to (col_a, col_b, n, cov) rows
+    "q219_covariance_matrix" -> ((s, dir) =>
+      graft.ext.RegressionOps.covarianceMatrixCents(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // the TPC-H Q5 shape: six-table star join (region-filtered local
+    // supplier revenue) — every dim side broadcast, decimal-exact
+    // revenue; the classic warehouse query as a gate headline
+    "q220_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(15,2)") - dec("l_discount")))
+            .cast("double").as("revenue"))
+    }),
+    // referential-integrity audit: orphan counts per FK relationship via
+    // keys-only LEFT ANTI joins — the lakehouse consistency check
+    "q221_ref_integrity" -> ((s, dir) => {
+      def audit(rel: String, child: DataFrame, childKey: String,
+          parent: DataFrame, parentKey: String): DataFrame = {
+        val orphans = child.select(col(childKey))
+          .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(rel).as("relationship"), col("n_child"), col("n_orphans"))
+      }
+      audit("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey")
+        .unionByName(audit("lineitem->part", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"))
+        .unionByName(audit("lineitem->supplier", t(s, dir, "lineitem"), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(audit("orders->customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"))
+    }),
+    // streaming corpus-mix diversity: per-(source, lang) counts as
+    // complete-mode state (order-free integers => batch-identical under
+    // any batching), Gini rollup on the drained cells — shares q218's
+    // oracle verbatim
+    "q222_stream_gini" -> ((s, dir) => StreamGate.giniMonitor(s, dir)),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -2386,6 +2440,28 @@ object SparkEntry {
       |norm AS (SELECT doc_id, url, head || tail3 AS norm_url FROM n5),
       |dom AS (SELECT doc_id, url, norm_url,
       |    regexp_extract(norm_url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS domain FROM norm)""".stripMargin
+
+  // covariance matrix: the pair list, the cents scaling, and the fixed
+  // combination tree are all generated from the SAME column list the
+  // engine operator uses — HUGEINT product sums canonicalize via VARCHAR
+  private lazy val covMatrixOracle: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val cents = cols.map(c => s"CAST(ROUND($c * 100) AS BIGINT) AS c_$c").mkString(", ")
+    val sums = cols.map(c => s"CAST(SUM(c_$c) AS BIGINT) AS s_$c").mkString(", ")
+    val prods = (for { i <- cols.indices; j <- i until cols.size } yield
+      s"SUM(CAST(c_${cols(i)} AS HUGEINT) * CAST(c_${cols(j)} AS HUGEINT)) AS p_${i}_$j")
+      .mkString(", ")
+    val rows = (for { i <- cols.indices; j <- i until cols.size } yield
+      s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b, n,
+         |  (CAST(CAST(p_${i}_$j AS VARCHAR) AS DOUBLE)
+         |    - CAST(CAST(s_${cols(i)} AS VARCHAR) AS DOUBLE)
+         |      * CAST(CAST(s_${cols(j)} AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) - 1.0) / 10000.0 AS cov FROM a""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH c AS (SELECT $cents FROM lineitem),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n, $sums, $prods FROM c)
+       |$rows""".stripMargin
+  }
 
   // Benford audit: the VALUES literals are generated from the SAME
   // Expectations.BenfordP doubles the engine expression uses — identical
@@ -4481,6 +4557,55 @@ object SparkEntry {
         |  CAST(count(*) OVER (PARTITION BY l_returnflag, l_quantity) AS BIGINT) AS n_with_value,
         |  percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS pct_rank
         |FROM lineitem""".stripMargin,
+
+    "q219_covariance_matrix" -> covMatrixOracle,
+
+    // star join: the plain six-table SQL — the layout/broadcast strategy
+    // changes the plan, never the result
+    "q220_star_join" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (CAST(1 AS DECIMAL(15,2)) - CAST(l_discount AS DECIMAL(15,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+
+    // referential integrity: NOT EXISTS orphan counts per relationship
+    "q221_ref_integrity" ->
+      """SELECT 'lineitem->orders' AS relationship,
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+        |  CAST((SELECT count(*) FROM lineitem l
+        |        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem l
+        |        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'lineitem->supplier',
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem l
+        |        WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |  CAST((SELECT count(*) FROM orders o
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)""".stripMargin,
+
+    // streaming gini: complete-mode cell counts are batch-identical =>
+    // the q218 oracle verbatim
+    "q222_stream_gini" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_cats,
+        |  1.0 - CAST(SUM(c * c) AS DOUBLE) / CAST(SUM(c) * SUM(c) AS DOUBLE) AS gini
+        |FROM cells GROUP BY 1""".stripMargin,
 
     // Spearman: midrank2 tables replayed by windows, HUGEINT rank
     // moments canonicalized through VARCHAR, the same Pearson tree

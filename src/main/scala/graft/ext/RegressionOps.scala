@@ -237,6 +237,40 @@ object RegressionOps {
   }
 
   /**
+   * Pairwise covariance matrix over 2-decimal numeric columns — the
+   * feature-store summary a training pipeline exports before whitening
+   * (PcaOps' Gram pass is its dense-vector sibling). Columns scale to
+   * exact integer cents, every moment accumulates as a long / exact
+   * DECIMAL(38,0) product sum in ONE single-row aggregation (k + k(k+1)/2
+   * sums — nothing else crosses the wire), and each covariance combines
+   * in a fixed IEEE tree (string-canonicalized decimal→double, the
+   * olsByGroup discipline) scaled back to original units. Output: one
+   * row per unordered column pair (col_a, col_b, n, cov), diagonal
+   * included (= variance).
+   */
+  def covarianceMatrixCents(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got $cols")
+    require(cols.distinct.size == cols.size, s"columns must be distinct, got $cols")
+    val base = df.select(cols.map(c =>
+      round(col(c) * 100).cast("long").as(s"__cv_$c")): _*)
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      cols.map(c => sum(col(s"__cv_$c")).as(s"__s_$c")) ++
+      (for { i <- cols.indices; j <- i until cols.size } yield
+        sum(col(s"__cv_${cols(i)}").cast("decimal(38,0)") *
+          col(s"__cv_${cols(j)}").cast("decimal(38,0)")).as(s"__p_${i}_$j"))
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    def asD(c: Column): Column = c.cast("string").cast("double")
+    val n = col("__n").cast("double")
+    val entries = for { i <- cols.indices; j <- i until cols.size } yield
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col("__n").as("n"),
+        ((asD(col(s"__p_${i}_$j")) -
+          asD(col(s"__s_${cols(i)}")) * asD(col(s"__s_${cols(j)}")) / n) /
+          (n - 1.0) / 10000.0).as("cov"))
+    one.select(explode(array(entries: _*)).as("__e")).select(col("__e.*"))
+  }
+
+  /**
    * Spearman rank correlation per group — Pearson over the two
    * variables' midranks, the monotone-association measure that ignores
    * outliers and nonlinearity (the feature-screening complement to

@@ -449,6 +449,33 @@ object StreamGate {
           lit(0.05) * col("n_users").cast("double")).as("hll_ok"))
   }
 
+  /**
+   * Streaming corpus-mix diversity: the documents stream over 3
+   * micro-batches, per-(source, lang) counts as complete-mode state
+   * (integer counts are order-free ⇒ the drained cell table equals the
+   * batch cells under ANY batching), then the exact
+   * [[graft.ext.CorpusFilters.giniMixReport]] rollup on the drained
+   * table — so q222 shares q218's oracle verbatim (the q189/q186
+   * discipline).
+   */
+  def giniMonitor(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageTableDirSplit(sfDir, "documents", parts = 3)
+    val docs = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/documents.parquet").schema)
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch: state
+      .parquet(dir.toString)           // genuinely merges ACROSS batches
+    val cells = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("__c"))
+    val drained = runToTable(cells, "stream_gini", "complete")
+    drained.groupBy(col("source"))
+      .agg(sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_cats"),
+        sum(col("__c") * col("__c")).as("__ss"))
+      .select(col("source"), col("n_rows"), col("n_cats"),
+        (lit(1.0) - col("__ss").cast("double") /
+          (col("n_rows") * col("n_rows")).cast("double")).as("gini"))
+  }
+
   def quantileMonitor(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.graft.DDSketchFunctions._
     val alpha = 0.01

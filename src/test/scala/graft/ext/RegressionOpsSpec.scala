@@ -190,6 +190,27 @@ class RegressionOpsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("covarianceMatrixCents: textbook values, variance diagonal, pair count") {
+    // x = 1,2,3,4; y = 2,4,6,8 -> var(x) = 5/3, cov(x,y) = 10/3, var(y) = 20/3
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0)).toDF("x", "y")
+    val got = RegressionOps.covarianceMatrixCents(df, Seq("x", "y"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size === 3) // k(k+1)/2 unordered pairs incl. diagonal
+    assert(got(("x", "x"))._1 === 4L)
+    assert(math.abs(got(("x", "x"))._2 - 5.0 / 3.0) < 1e-12)
+    assert(math.abs(got(("x", "y"))._2 - 10.0 / 3.0) < 1e-12)
+    assert(math.abs(got(("y", "y"))._2 - 20.0 / 3.0) < 1e-12)
+    // constant column: zero variance and zero covariance, exactly
+    val dfc = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "k")
+    val gotc = RegressionOps.covarianceMatrixCents(dfc, Seq("x", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(gotc(("k", "k")) === 0.0 && gotc(("x", "k")) === 0.0)
+    intercept[IllegalArgumentException] {
+      RegressionOps.covarianceMatrixCents(df, Seq("x"))
+    }
+  }
+
   test("spearmanByGroup: monotone = 1, reversed = -1, outlier-immune, ties") {
     // perfect monotone (nonlinear!) relation -> rho exactly 1
     val mono = (1 to 20).map(i => ("g", i.toDouble, (i * i).toDouble))

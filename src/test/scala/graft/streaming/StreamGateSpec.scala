@@ -139,4 +139,18 @@ class StreamGateSpec extends SparkSpec {
     // no sentinel residue leaks into the result
     assert(got.filter($"click_id" === -1L).count() === 0)
   }
+
+  test("streaming gini monitor equals the batch mix report exactly") {
+    val sfDir = "/root/testdata/sf0.001"
+    val stream = StreamGate.giniMonitor(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val batch = graft.ext.CorpusFilters.giniMixReport(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "source", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // complete-mode integer counts are order-free: bit-identical ginis
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
 }
