@@ -2152,6 +2152,45 @@ object SparkEntry {
     // any batching), Gini rollup on the drained cells — shares q218's
     // oracle verbatim
     "q222_stream_gini" -> ((s, dir) => StreamGate.giniMonitor(s, dir)),
+    // median imputation: planted NULLs (event_id % 7) fill with the
+    // per-type exact median from the GlobalRank order statistics;
+    // integer-cents sum keeps the check exact
+    "q223_median_impute" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("value", when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      graft.operators.RobustStats.imputeGroupMedian(ev, "event_type", "value")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("was_imputed"), 1L).otherwise(0L)).as("n_imputed"),
+          sum(round(col("value_filled") * 100).cast("long")).as("sum_filled_cents"))
+    }),
+    // train/test split-leakage audit: md5 hash split x exact near-dup
+    // pairs — how many near-duplicate pairs straddle the split boundary
+    // (the eval-contamination check a pipeline runs before training)
+    "q224_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = graft.ext.CorpusFilters.hashSplit(docs, "doc_id",
+          Seq(("train", 0.9), ("test", 0.1)))
+        .select(col("doc_id"), col("split"))
+      graft.ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+    // term co-occurrence lift/cosine: the SAME pairRules operator over
+    // (doc, token) baskets — tokens that travel together far above
+    // independence (collocation mining for free from the basket miner)
+    "q225_term_cooccurrence" -> ((s, dir) => {
+      val items = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("basket"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("item"))
+        .filter(length(col("item")) > 0)
+      graft.ext.MarketBasket.pairRules(items, "basket", "item", minPairSupport = 50)
+    }),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -4559,6 +4598,86 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
 
     "q219_covariance_matrix" -> covMatrixOracle,
+
+    // median imputation: per-type ceil-index median over non-NULL rows,
+    // NULLs coalesce to it, integer-cents check
+    "q223_median_impute" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, v AS med FROM (
+        |    SELECT event_type, v,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM e WHERE v IS NOT NULL)
+        |  WHERE rn = greatest(1, (n * 50 + 99) // 100)),
+        |f AS (
+        |  SELECT e.event_type, COALESCE(e.v, m.med) AS fv, e.v IS NULL AS imp
+        |  FROM e JOIN m ON m.event_type = e.event_type)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN imp THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+        |  CAST(SUM(CAST(ROUND(fv * 100) AS BIGINT)) AS BIGINT) AS sum_filled_cents
+        |FROM f GROUP BY 1""".stripMargin,
+
+    // split leakage: the q43 brute pair set x the q58 md5 split
+    // assignment — cross-split pair counts
+    "q224_split_leakage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+        |  WHERE length(trim(text)) > 0
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.7
+        |), sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT least(sa.split, sb.split) AS split_a,
+        |  greatest(sa.split, sb.split) AS split_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pairs p
+        |JOIN sp sa ON sa.doc_id = p.id_a
+        |JOIN sp sb ON sb.doc_id = p.id_b
+        |GROUP BY 1, 2""".stripMargin,
+
+    // term co-occurrence: the q193 basket SQL over (doc, token) items
+    "q225_term_cooccurrence" ->
+      """WITH items AS (
+        |  SELECT DISTINCT doc_id AS b, tok AS i FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents WHERE length(trim(text)) > 0)
+        |  WHERE len(tok) > 0),
+        |nb AS (SELECT count(DISTINCT b) AS n FROM items),
+        |sup AS (SELECT i, count(*) AS c FROM items GROUP BY 1),
+        |pr AS (
+        |  SELECT x.i AS a, y.i AS b2, count(*) AS np
+        |  FROM items x JOIN items y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 50),
+        |dir AS (
+        |  SELECT a AS ante, b2 AS cons, np FROM pr
+        |  UNION ALL
+        |  SELECT b2 AS ante, a AS cons, np FROM pr)
+        |SELECT d.ante, d.cons, CAST(d.np AS BIGINT) AS n_pair,
+        |  CAST(sa.c AS BIGINT) AS n_ante, CAST(sc.c AS BIGINT) AS n_cons,
+        |  CAST(nb.n AS BIGINT) AS n_baskets,
+        |  CAST(d.np AS DOUBLE) / CAST(sa.c AS DOUBLE) AS confidence,
+        |  CAST(d.np * nb.n AS DOUBLE) / CAST(sa.c * sc.c AS DOUBLE) AS lift,
+        |  CAST(d.np AS DOUBLE) / sqrt(CAST(sa.c * sc.c AS DOUBLE)) AS cosine
+        |FROM dir d
+        |JOIN sup sa ON sa.i = d.ante
+        |JOIN sup sc ON sc.i = d.cons
+        |CROSS JOIN nb""".stripMargin,
 
     // star join: the plain six-table SQL — the layout/broadcast strategy
     // changes the plan, never the result

@@ -222,6 +222,29 @@ object RobustStats {
         first(col("total_w")).as("total_w"))
   }
 
+  /**
+   * Median imputation: NULLs in `valueCol` fill with their group's exact
+   * (lower) median — the robust default for numeric feature repair
+   * (mean imputation drags toward outliers; the median doesn't move).
+   * The median comes from [[groupQuantileThresholds]]' GlobalRank total
+   * order over the NON-NULL rows only; groups that are entirely NULL
+   * stay NULL (no global fallback — that's a caller policy). Appends
+   * `<valueCol>_filled` + `was_imputed`; the data side stays a
+   * scan-fused projection after one broadcast threshold join.
+   */
+  def imputeGroupMedian(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val med = groupQuantileThresholds(
+      df.filter(col(valueCol).isNotNull), groupCol, valueCol, 50, 50)
+      .select(col(groupCol), col("lo").as("__med"))
+    df.join(broadcast(med), Seq(groupCol), "left")
+      .withColumn(s"${valueCol}_filled", coalesce(col(valueCol), col("__med")))
+      .withColumn("was_imputed", col(valueCol).isNull && col("__med").isNotNull)
+      .drop("__med")
+  }
+
   /** Convenience: clip column expression given lo/hi. */
   def clip(value: Column, lo: Column, hi: Column): Column =
     least(greatest(value, lo), hi)

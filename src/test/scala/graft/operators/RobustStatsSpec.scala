@@ -157,6 +157,23 @@ class RobustStatsSpec extends SparkSpec {
     assert(ref === got.map { case (k, v) => k -> v._2 })
   }
 
+  test("imputeGroupMedian: NULLs fill with the group median, all-NULL groups stay NULL") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", Some(9.0)), ("a", None),
+      ("b", None), ("b", None)).map { case (g, v) => (g, v.map(Double.box).orNull) }
+      .toDF("g", "v").selectExpr("g", "CAST(v AS DOUBLE) AS v")
+    val got = RobustStats.imputeGroupMedian(df, "g", "v")
+      .collect().map(r => (r.getString(0), Option(r.get(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+    // a's lower median of {1, 3, 9} is 3; the NULL row fills with it
+    val aImputed = got.filter(r => r._1 == "a" && r._2.isEmpty)
+    assert(aImputed.map(r => (r._3, r._4)).toSeq === Seq((Some(3.0), true)))
+    assert(got.filter(r => r._1 == "a" && r._2.nonEmpty).forall(!_._4))
+    // b has no observed values: filled stays NULL, not imputed
+    assert(got.filter(_._1 == "b").forall(r => r._3.isEmpty && !r._4))
+    assert(got.length === 6)
+  }
+
   test("tukeyFences: hand quartiles, fences, and outside counts") {
     // group a: 1..11 plus wild 100 -> n=12; q1 = 3rd = 3, q3 = 9th = 9
     // IQR 6 -> fences [-6, 18]; only 100 is outside (above)
