@@ -2052,15 +2052,20 @@ object SparkEntry {
     // exact counts ride the batch hash oracle, the sketch pins its ±5%
     // contract — the q145 discipline, live on a stream
     "q212_stream_actives" -> ((s, dir) => StreamGate.rollingActives(s, dir)),
-    // entity resolution: first-word-blocked Jaro-Winkler pairs over part
-    // names -> min-label connected components; the codegen JW verify is
-    // fused into the block join probe (failing pairs never leave the
-    // task), clusters via the q46 CC machinery
+    // entity resolution: Jaro-Winkler linkage over a synthetic "account
+    // name" fixture (md5-derived 10-char names; every group of 4 ids
+    // carries tail-edit variants of one base — append, replace, swap —
+    // so within-group jw >= ~0.95 and cross-group jw is random-hex low).
+    // Blocks = first 2 name chars: 256 balanced blocks, tail edits never
+    // leave the block; the codegen JW verify fuses into the block-join
+    // probe, clusters via the q46 CC machinery
     "q213_entity_clusters" -> ((s, dir) =>
       graft.ext.Dedup.jaroWinklerClusters(
-        t(s, dir, "part"), "p_partkey", "p_name",
-        split(col("p_name"), " ").getItem(0), threshold = 0.94)
-        .select(col("id").as("p_partkey"), col("cluster_id"))),
+        t(s, dir, "documents").select(col("doc_id"),
+          expr(entityNameFixtureSql).as("acct_name")),
+        "doc_id", "acct_name",
+        substring(col("acct_name"), 1, 2), threshold = 0.9)
+        .select(col("id").as("doc_id"), col("cluster_id"))),
     // percent-rank normalization table: SQL PERCENT_RANK() per distinct
     // (group, value) from one prefix scan — rank-normalized features
     // with no per-group window sort; one division of exact longs
@@ -2443,6 +2448,20 @@ object SparkEntry {
     (Seq(head) ++ steps).mkString(",\n") +
       s"\nSELECT node AS doc_id, CAST(dist AS BIGINT) AS dist FROM b$rounds"
   }
+
+  /** The q213 entity-name fixture: every group of 4 ids carries tail-edit
+    * variants (identity / append / replace / swap) of one md5-derived
+    * 10-char base — shared verbatim (modulo dialect casts) with the
+    * oracle. Edits stay clear of the first 2 chars (the block key). */
+  private val entityNameFixtureSql: String =
+    """CASE CAST(doc_id % 4 AS INT)
+      |  WHEN 0 THEN substring(md5(CAST(CAST(doc_id div 4 AS STRING) AS BINARY)), 1, 10)
+      |  WHEN 1 THEN concat(substring(md5(CAST(CAST(doc_id div 4 AS STRING) AS BINARY)), 1, 10), 'x')
+      |  WHEN 2 THEN concat(substring(md5(CAST(CAST(doc_id div 4 AS STRING) AS BINARY)), 1, 9), 'zz')
+      |  ELSE concat(substring(md5(CAST(CAST(doc_id div 4 AS STRING) AS BINARY)), 1, 8),
+      |    substring(md5(CAST(CAST(doc_id div 4 AS STRING) AS BINARY)), 10, 1),
+      |    substring(md5(CAST(CAST(doc_id div 4 AS STRING) AS BINARY)), 9, 1))
+      |END""".stripMargin
 
   /** The q165 URL-normalization chain as CTEs ending in `dom(doc_id, url,
     * norm_url, domain)` — shared by the q165 report and the q217 dedup. */
@@ -4569,25 +4588,34 @@ object SparkEntry {
         |FROM days d JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
         |GROUP BY 1""".stripMargin,
 
-    // entity clusters: brute within-block JW pairs (DuckDB's built-in is
-    // bit-identical to the engine expression — proven by q188) + the q46
-    // recursive-CTE min-label components
+    // entity clusters: the same md5 name fixture, brute within-block JW
+    // pairs (DuckDB's built-in is bit-identical to the engine expression
+    // — proven by q188) + the q46 recursive-CTE min-label components
     "q213_entity_clusters" ->
       """WITH RECURSIVE k AS (
-        |  SELECT p_partkey AS id, p_name AS nm, string_split(p_name, ' ')[1] AS blk
-        |  FROM part),
+        |  SELECT doc_id AS id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 10)
+        |      WHEN 1 THEN substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 10) || 'x'
+        |      WHEN 2 THEN substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 9) || 'zz'
+        |      ELSE substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 8)
+        |        || substr(md5(CAST(doc_id // 4 AS VARCHAR)), 10, 1)
+        |        || substr(md5(CAST(doc_id // 4 AS VARCHAR)), 9, 1)
+        |    END AS nm
+        |  FROM documents),
+        |kb AS (SELECT id, nm, substr(nm, 1, 2) AS blk FROM k),
         |pairs AS (
         |  SELECT a.id AS id_a, b.id AS id_b
-        |  FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
-        |  WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.94),
+        |  FROM kb a JOIN kb b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.9),
         |edges AS (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
         |  UNION ALL SELECT id_b, id_a FROM pairs),
         |comp(id, label) AS (
-        |  SELECT p_partkey, p_partkey FROM part
+        |  SELECT doc_id, doc_id FROM documents
         |  UNION
         |  SELECT e.dst, c.label FROM comp c JOIN edges e ON c.id = e.src)
-        |SELECT id AS p_partkey, min(label) AS cluster_id FROM comp GROUP BY id""".stripMargin,
+        |SELECT id AS doc_id, min(label) AS cluster_id FROM comp GROUP BY id""".stripMargin,
 
     // percent rank: the SQL built-in per distinct (group, value) — same
     // (rank-1)/(n-1) single division
