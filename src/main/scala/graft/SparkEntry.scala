@@ -2196,6 +2196,21 @@ object SparkEntry {
         .filter(length(col("item")) > 0)
       graft.ext.MarketBasket.pairRules(items, "basket", "item", minPairSupport = 50)
     }),
+    // Flesch reading ease over the q195 boundary-injected fixture: exact
+    // regex counts + a fixed IEEE tree over shared literals
+    "q226_readability" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("stext",
+          regexp_replace(regexp_replace(col("text"), " the ", ". "), " data ", "! "))
+      TextStats.fleschReadability(docs, "stext")
+        .select(col("doc_id"), col("n_sentences"), col("n_words"),
+          col("n_syllables"), col("flesch"))
+    }),
+    // deterministic group mode (most frequent quantity per return flag,
+    // ties to the smallest value) — argmax as a struct max, no window
+    "q227_group_mode" -> ((s, dir) =>
+      graft.operators.RobustStats.modeByGroup(
+        t(s, dir, "lineitem"), "l_returnflag", "l_quantity")),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -4626,6 +4641,41 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
 
     "q219_covariance_matrix" -> covMatrixOracle,
+
+    // readability: same fixture, same counts, string-cast literals (the
+    // Benford lesson: bare decimals parse as DECIMAL and can be 1 ulp off)
+    "q226_readability" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text, ' the ', '. ', 'g'),
+        |                   ' data ', '! ', 'g') AS stext
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(stext, '[.!?]+'),
+        |        x -> len(trim(x)) > 0)) AS s,
+        |    CASE WHEN len(trim(stext)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(stext), '\s+')) END AS w,
+        |    len(regexp_extract_all(lower(stext), '[aeiouy]+')) AS y
+        |  FROM f)
+        |SELECT doc_id, CAST(s AS BIGINT) AS n_sentences,
+        |  CAST(w AS BIGINT) AS n_words, CAST(y AS BIGINT) AS n_syllables,
+        |  CASE WHEN s > 0 AND w > 0 THEN
+        |    CAST('206.835' AS DOUBLE)
+        |      - CAST('1.015' AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |      - CAST('84.6' AS DOUBLE) * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+        |  END AS flesch
+        |FROM m""".stripMargin,
+
+    // mode: row_number over (count desc, value asc) = 1 per group
+    "q227_group_mode" ->
+      """SELECT l_returnflag, mode_value, n_mode FROM (
+        |  SELECT l_returnflag, l_quantity AS mode_value,
+        |    CAST(count(*) AS BIGINT) AS n_mode,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY 1, 2)
+        |WHERE rn = 1""".stripMargin,
 
     // median imputation: per-type ceil-index median over non-NULL rows,
     // NULLs coalesce to it, integer-cents check

@@ -237,6 +237,34 @@ object TextStats {
           .otherwise(col("n_sent_words").cast("double") / nSent.cast("double")))
   }
 
+  /**
+   * Flesch reading-ease score: `206.835 − 1.015·(words/sentences) −
+   * 84.6·(syllables/words)` with the standard cheap proxies — sentences
+   * = `[.!?]+` boundary runs (the [[sentenceStats]] rule), syllables =
+   * vowel-group count (`[aeiouy]+` matches; summing per-text equals
+   * summing per-word) — the classic text-difficulty feature a curriculum
+   * or quality filter consumes. All three counts are exact integers from
+   * scan-fused codegen regexes; the score is a fixed IEEE tree over
+   * shared literals, so it replays bit-for-bit. Degenerate docs (no
+   * sentence or no word) emit NULL.
+   */
+  def fleschReadability(df: DataFrame, textCol: String): DataFrame = {
+    val sent = filter(split(col(textCol), "[.!?]+"), s => length(trim(s)) > 0)
+    val nSent = size(sent).cast("long")
+    val t = trim(col(textCol))
+    val words = when(length(t) === 0, 0L)
+      .otherwise(size(split(t, "\\s+")).cast("long"))
+    val syll = regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+    df.withColumn("n_sentences", nSent)
+      .withColumn("n_words", words)
+      .withColumn("n_syllables", syll)
+      .withColumn("flesch",
+        when(col("n_sentences") > 0 && col("n_words") > 0,
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double"))))
+  }
+
   def chunkText(df: DataFrame, idCol: String, textCol: String,
       chunkChars: Int, strideChars: Int): DataFrame = {
     require(chunkChars > 0, s"chunkChars must be positive, got $chunkChars")

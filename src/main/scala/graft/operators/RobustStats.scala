@@ -245,6 +245,21 @@ object RobustStats {
       .drop("__med")
   }
 
+  /**
+   * Deterministic per-group MODE of a numeric column: the most frequent
+   * value, ties broken to the SMALLEST value — one `max(struct(count,
+   * −value))` over the (group, value) cell table, no window, no sort
+   * (the labelPropagation argmax trick). Output: (groupCol, mode_value,
+   * n_mode).
+   */
+  def modeByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c"))
+    cells.groupBy(col(groupCol))
+      .agg(max(struct(col("__c"), (-col(valueCol)).as("__nv"))).as("__w"))
+      .select(col(groupCol), (-col("__w.__nv")).as("mode_value"),
+        col("__w.__c").as("n_mode"))
+  }
+
   /** Convenience: clip column expression given lo/hi. */
   def clip(value: Column, lo: Column, hi: Column): Column =
     least(greatest(value, lo), hi)

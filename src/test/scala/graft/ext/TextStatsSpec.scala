@@ -181,4 +181,23 @@ class TextStatsSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0L, 0L, 0.0)))
     assert(got(4L) === ((1L, 3L, 3L, 3.0)))
   }
+
+  test("fleschReadability: hand counts and the textbook formula") {
+    val df = Seq(
+      (1L, "The cat sat. It ran away!"), // 2 sentences, 6 words
+      (2L, ""), // degenerate -> NULL score
+      (3L, "zzz bcd") // words but ZERO syllables (no vowels)
+    ).toDF("id", "t")
+    val got = TextStats.fleschReadability(df, "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // tuple = (n_sentences, n_words, n_syllables, flesch)
+    // syllables by vowel groups: the=1 cat=1 sat=1 it=1 ran=1 away=2 -> 7
+    val exp = 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (7.0 / 6.0)
+    assert(got(1L) === ((2L, 6L, 7L, Some(exp))))
+    assert(got(2L) === ((0L, 0L, 0L, None)))
+    // zero syllables is fine (the score just goes high): 1 sentence, 2 words
+    assert(got(3L) === ((1L, 2L, 0L, Some(206.835 - 1.015 * 2.0))))
+  }
 }

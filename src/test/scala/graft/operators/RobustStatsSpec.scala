@@ -174,6 +174,17 @@ class RobustStatsSpec extends SparkSpec {
     assert(got.length === 6)
   }
 
+  test("modeByGroup: most frequent value, smallest-value tie-break") {
+    val df = Seq(
+      ("a", 2.0), ("a", 2.0), ("a", 5.0),
+      // b: 1.0 and 3.0 both appear twice -> tie to the smaller value
+      ("b", 3.0), ("b", 1.0), ("b", 3.0), ("b", 1.0), ("b", 9.0)
+    ).toDF("g", "v")
+    val got = RobustStats.modeByGroup(df, "g", "v")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got === Map("a" -> ((2.0, 2L)), "b" -> ((1.0, 2L))))
+  }
+
   test("tukeyFences: hand quartiles, fences, and outside counts") {
     // group a: 1..11 plus wild 100 -> n=12; q1 = 3rd = 3, q3 = 9th = 9
     // IQR 6 -> fences [-6, 18]; only 100 is outside (above)
