@@ -2211,6 +2211,14 @@ object SparkEntry {
     "q227_group_mode" -> ((s, dir) =>
       graft.operators.RobustStats.modeByGroup(
         t(s, dir, "lineitem"), "l_returnflag", "l_quantity")),
+    // per-dimension embedding health stats: dead-dim / scale-drift audit;
+    // power-of-two scaling keeps the sums exact and order-independent
+    "q228_embedding_dim_stats" -> ((s, dir) =>
+      graft.ext.VectorOps.dimStats(t(s, dir, "embeddings"), "embedding")),
+    // L2-norm histogram: the normalization audit over the codegen
+    // vec_dot norm (bit-identical to list_dot_product — q50 precedent)
+    "q229_embedding_norms" -> ((s, dir) =>
+      graft.ext.VectorOps.normHistogram(t(s, dir, "embeddings"), "embedding")),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -4666,6 +4674,28 @@ object SparkEntry {
         |      - CAST('84.6' AS DOUBLE) * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
         |  END AS flesch
         |FROM m""".stripMargin,
+
+    // dim stats: per-index explode, the same power-of-two scaled sums
+    "q228_embedding_dim_stats" ->
+      """WITH d AS (
+        |  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS s(i))
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(v * 1048576) AS BIGINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1048576.0 AS mean_v,
+        |  MIN(v) AS min_v, MAX(v) AS max_v
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // norm histogram: list_dot_product on double-cast lists (the q50
+    // bit-exact precedent), power-of-two bucket scaling
+    "q229_embedding_norms" ->
+      """WITH n AS (
+        |  SELECT sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings)
+        |SELECT CAST(floor(norm * 4) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  MIN(norm) AS min_norm, MAX(norm) AS max_norm
+        |FROM n GROUP BY 1""".stripMargin,
 
     // mode: row_number over (count desc, value asc) = 1 per group
     "q227_group_mode" ->

@@ -230,6 +230,49 @@ object VectorOps {
    *
    * Output: (anchor_id, pos_id, pos_cos, neg_id, neg_cos, margin).
    */
+  /**
+   * Per-dimension embedding health stats: n / mean / min / max for every
+   * vector dimension — the dead-dimension / scale-drift audit a vector
+   * pipeline runs before indexing (a dimension whose min == max carries
+   * no signal; one whose magnitude dwarfs the rest breaks unnormalized
+   * distance metrics). Values scale by 2^20 (a POWER OF TWO — the
+   * float→double widening and the multiply are both exact) and round to
+   * longs, so the per-dim sums are order-independent and the mean is a
+   * fixed two-division tree — bit-reproducible. One posexplode + one
+   * hash aggregation; output is dims-sized.
+   */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame = {
+    val Scale = 1048576L // 2^20
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col("dim").cast("long").as("dim"), col("__v").cast("double").as("__v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("__v") * Scale).cast("long")).as("__ssum"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+      .select(col("dim"), col("n"),
+        (col("__ssum").cast("double") / col("n").cast("double") / Scale.toDouble)
+          .as("mean_v"),
+        col("min_v"), col("max_v"))
+  }
+
+  /**
+   * L2-norm histogram of an embedding column: per 0.25-wide norm bucket,
+   * the vector count and exact min/max norms — the normalization audit
+   * (a cosine index assumes unit-ish norms; a fat tail of tiny or huge
+   * norms means the upstream encoder drifted). The norm rides the
+   * codegen `vec_dot` kernel (bit-identical to DuckDB's
+   * `list_dot_product` on double-cast lists — the q50/q53 precedent) and
+   * the bucket is `floor(norm · 4)` (× power of two: exact), so every
+   * count is engine-replayable.
+   */
+  def normHistogram(df: DataFrame, vecCol: String): DataFrame = {
+    val norm = sqrt(graft.functions.vec_dot(col(vecCol), col(vecCol)))
+    df.select(norm.as("__norm"))
+      .groupBy(floor(col("__norm") * 4).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("__norm")).as("min_norm"), max(col("__norm")).as("max_norm"))
+  }
+
   def hardestPairs(
       data: DataFrame, idCol: String, vecCol: String, labelCol: String,
       anchors: DataFrame): DataFrame = {

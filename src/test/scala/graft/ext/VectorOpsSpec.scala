@@ -198,4 +198,30 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.getAs[Long]("pos_id") === 5L)
     assert(got.getAs[Long]("neg_id") === 9L)
   }
+
+  test("dimStats: exact per-dimension means, dead-dim detection") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.5f, 2.0f)),
+      (2L, Seq(3.0f, 0.5f, -2.0f)),
+      (3L, Seq(5.0f, 0.5f, 0.0f))).toDF("id", "vec")
+      .withColumn("vec", $"vec".cast("array<float>"))
+    val got = VectorOps.dimStats(df, "vec")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(0L) === ((3L, 3.0, 1.0, 5.0)))
+    // the dead dimension: min == max == mean
+    assert(got(1L) === ((3L, 0.5, 0.5, 0.5)))
+    assert(got(2L) === ((3L, 0.0, -2.0, 2.0)))
+  }
+
+  test("normHistogram: exact buckets and bounds from the codegen norm") {
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)), // norm 5   -> bucket 20
+      (2L, Seq(0.3f, 0.4f)), // norm 0.5 -> bucket 2
+      (3L, Seq(0.0f, 0.0f)) // norm 0    -> bucket 0
+    ).toDF("id", "vec").withColumn("vec", $"vec".cast("array<float>"))
+    val got = VectorOps.normHistogram(df, "vec")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(20L -> 1L, 2L -> 1L, 0L -> 1L))
+  }
 }
