@@ -2219,6 +2219,27 @@ object SparkEntry {
     // vec_dot norm (bit-identical to list_dot_product — q50 precedent)
     "q229_embedding_norms" -> ((s, dir) =>
       graft.ext.VectorOps.normHistogram(t(s, dir, "embeddings"), "embedding")),
+    // join-key skew diagnostic on the q170 synthetic hot key: top-10
+    // hottest keys + the table-wide skew ratio (the salt-count signal)
+    "q230_key_skew" -> ((s, dir) =>
+      graft.operators.SkewJoin.keySkewReport(
+        t(s, dir, "lineitem").select(
+          expr("CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END").as("s_suppkey")),
+        "s_suppkey", topK = 10)),
+    // quantile normalization: each return flag's price distribution maps
+    // onto the global one (100-bin resolution) — in-group ECDF from one
+    // prefix scan, global targets from one GlobalRank pass, broadcast
+    // lookups; the batch-effect correction as a mapping table
+    "q231_quantile_normalize" -> ((s, dir) =>
+      graft.operators.RobustStats.quantileNormalizeTable(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice", bins = 100)
+        .groupBy(col("l_returnflag"), col("pct"))
+        .agg(count(lit(1)).as("n_values"),
+          sum(col("n_with_value")).as("n_rows"),
+          min(col("norm_v")).as("norm_v"),
+          min(col("l_extendedprice")).as("min_src"),
+          max(col("l_extendedprice")).as("max_src"))),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -4696,6 +4717,50 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_vecs,
         |  MIN(norm) AS min_norm, MAX(norm) AS max_norm
         |FROM n GROUP BY 1""".stripMargin,
+
+    // key skew: same counts, same single divisions
+    "q230_key_skew" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END AS s_suppkey
+        |  FROM lineitem),
+        |c AS (SELECT s_suppkey, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_rows, CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM c),
+        |top AS (SELECT * FROM c ORDER BY cnt DESC, s_suppkey LIMIT 10)
+        |SELECT t.s_suppkey, t.cnt,
+        |  CAST(t.cnt AS DOUBLE) / CAST(st.n_rows AS DOUBLE) AS share,
+        |  st.n_keys, st.n_rows, st.max_cnt,
+        |  CAST(st.max_cnt * st.n_keys AS DOUBLE) / CAST(st.n_rows AS DOUBLE) AS skew_ratio
+        |FROM top t CROSS JOIN st""".stripMargin,
+
+    // quantile normalization: in-group ECDF percentiles + global order
+    // statistics replayed by windows (oracle scale)
+    "q231_quantile_normalize" ->
+      """WITH wv AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM wv),
+        |m AS (SELECT g, v, c, (100 * cum + n - 1) // n AS pct FROM cw),
+        |r AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS nn
+        |  FROM (SELECT l_extendedprice AS v FROM lineitem)),
+        |tg AS (
+        |  SELECT p.p AS pct, MIN(r.v) AS norm_v
+        |  FROM (SELECT unnest(generate_series(1, 100)) AS p) p
+        |  JOIN r ON r.rn = greatest(1, (p.p * r.nn + 99) // 100)
+        |  GROUP BY 1)
+        |SELECT m.g AS l_returnflag, CAST(m.pct AS BIGINT) AS pct,
+        |  CAST(count(*) AS BIGINT) AS n_values,
+        |  CAST(SUM(m.c) AS BIGINT) AS n_rows,
+        |  MIN(tg.norm_v) AS norm_v,
+        |  MIN(m.v) AS min_src, MAX(m.v) AS max_src
+        |FROM m JOIN tg ON tg.pct = m.pct
+        |GROUP BY 1, 2""".stripMargin,
 
     // mode: row_number over (count desc, value asc) = 1 per group
     "q227_group_mode" ->

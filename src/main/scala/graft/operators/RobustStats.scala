@@ -260,6 +260,63 @@ object RobustStats {
         col("__w.__c").as("n_mode"))
   }
 
+  /**
+   * Quantile normalization TABLE: maps each group's values onto the
+   * GLOBAL distribution — per distinct (group, value), the in-group
+   * inclusive-ECDF percentile index `p = ceil(bins·cum/n)` and the
+   * global order statistic at that index (`k = max(1, ceil(p·N/bins))`,
+   * the [[groupQuantiles]] convention) — the batch-effect correction
+   * standard in ML feature prep (every group ends up with the same
+   * marginal distribution, exactly the global one at `bins` resolution).
+   *
+   * Scale shape: one prefix scan over the (group, value) order for the
+   * in-group ECDF (no per-group window sort), ONE GlobalRank pass over
+   * the global order for the bins-sized target vector, and broadcast
+   * joins for both lookups — the data never self-joins. Everything is
+   * integer until the emitted values.
+   *
+   * Output: (groupCol, valueCol, n_with_value, pct, norm_v).
+   */
+  def quantileNormalizeTable(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      bins: Int = 100): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    // global target vector: the bins order statistics of the whole column
+    val spark = df.sparkSession
+    val ranked = GlobalRank.withGlobalRank(
+      df.select(col(valueCol)), Seq(col(valueCol)), rankName = "__qr")
+    val total = df.count()
+    require(total > 0, "quantileNormalizeTable needs at least one row")
+    val kToP = (1 to bins).map { p =>
+      (math.max(1L, (p.toLong * total + bins - 1) / bins), p)
+    }
+    import spark.implicits._
+    val pk = kToP.toDF("__qk", "pct")
+    val targets = ranked.join(broadcast(pk), col("__qr") === col("__qk"))
+      .select(col("pct").cast("long").as("pct"), col(valueCol).as("norm_v"))
+    // in-group inclusive ECDF percentile per distinct (group, value)
+    val wv = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("n_with_value"))
+    val ps = GlobalRank.withPrefixSum(
+      wv, Seq(col(groupCol), col(valueCol)), col("n_with_value"),
+      rankName = "__gr", sumName = "__cw")
+    val spans = ps.groupBy(col(groupCol))
+      .agg(min(col("__cw") - col("n_with_value")).as("__start"),
+        max(col("__cw")).as("__end"))
+      .select(col(groupCol), col("__start"),
+        (col("__end") - col("__start")).as("__n"))
+    ps.join(broadcast(spans), groupCol)
+      // integer ceil-division (Column./ would be a double divide)
+      .withColumn("pct",
+        expr(s"(${bins}L * (__cw - __start) + __n - 1L) div __n"))
+      .select(col(groupCol), col(valueCol), col("n_with_value"), col("pct"))
+      .join(broadcast(targets), "pct")
+      .select(col(groupCol), col(valueCol), col("n_with_value"),
+        col("pct"), col("norm_v"))
+  }
+
   /** Convenience: clip column expression given lo/hi. */
   def clip(value: Column, lo: Column, hi: Column): Column =
     least(greatest(value, lo), hi)

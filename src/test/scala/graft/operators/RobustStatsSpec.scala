@@ -185,6 +185,27 @@ class RobustStatsSpec extends SparkSpec {
     assert(got === Map("a" -> ((2.0, 2L)), "b" -> ((1.0, 2L))))
   }
 
+  test("quantileNormalizeTable: groups map onto the global marginal") {
+    // group a = {10, 20}, group b = {100, 200}; global sorted =
+    // [10, 20, 100, 200], N=4, bins=4 -> targets p1..p4 = 10,20,100,200
+    // in-group ECDF (n=2): first value -> p = ceil(4*1/2) = 2,
+    // second -> p = 4; so a: 10->20, 20->200; b: 100->20, 200->200
+    val df = Seq(("a", 10.0), ("a", 20.0), ("b", 100.0), ("b", 200.0))
+      .toDF("g", "v")
+    val got = RobustStats.quantileNormalizeTable(df, "g", "v", bins = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("a", 10.0)) === ((2L, 20.0)))
+    assert(got(("a", 20.0)) === ((4L, 200.0)))
+    assert(got(("b", 100.0)) === ((2L, 20.0)))
+    assert(got(("b", 200.0)) === ((4L, 200.0)))
+    // both groups now share the identical marginal {20, 200}: the
+    // definition of quantile normalization
+    intercept[IllegalArgumentException] {
+      RobustStats.quantileNormalizeTable(df, "g", "v", bins = 0)
+    }
+  }
+
   test("tukeyFences: hand quartiles, fences, and outside counts") {
     // group a: 1..11 plus wild 100 -> n=12; q1 = 3rd = 3, q3 = 9th = 9
     // IQR 6 -> fences [-6, 18]; only 100 is outside (above)
