@@ -2240,6 +2240,17 @@ object SparkEntry {
           min(col("norm_v")).as("norm_v"),
           min(col("l_extendedprice")).as("min_src"),
           max(col("l_extendedprice")).as("max_src"))),
+    // seasonal-naive forecast floor: MAE of "same hour yesterday" per
+    // type over hourly volumes — exact integer error sums, one division
+    "q232_seasonal_naive" -> ((s, dir) =>
+      graft.ext.EventAnalytics.seasonalNaiveError(
+        t(s, dir, "events"), "ts", "event_type",
+        bucketNanos = 3600000000000L, season = 24)),
+    // Wilson 95% CI for the per-user-cohort purchase rate: exact counts,
+    // fixed IEEE tree over the shared z literal
+    "q233_wilson_ci" -> ((s, dir) =>
+      graft.ext.EventAnalytics.wilsonRate(
+        t(s, dir, "events"), "event_type", col("value") > 100.0)),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -4761,6 +4772,46 @@ object SparkEntry {
         |  MIN(m.v) AS min_src, MAX(m.v) AS max_src
         |FROM m JOIN tg ON tg.pct = m.pct
         |GROUP BY 1, 2""".stripMargin,
+
+    // seasonal naive: the same per-type LAG over the hourly matrix
+    "q232_seasonal_naive" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, x,
+        |    LAG(x, 24) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+        |  FROM h),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(SUM(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+        |    CAST(SUM(CASE WHEN prev IS NOT NULL THEN ABS(x - prev) ELSE 0 END) AS BIGINT) AS mae_num
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, n_buckets, n_scored, mae_num,
+        |  CASE WHEN n_scored > 0 THEN
+        |    CAST(mae_num AS DOUBLE) / CAST(n_scored AS DOUBLE) END AS mae
+        |FROM a""".stripMargin,
+
+    // Wilson CI: the identical fixed tree over the identical string-cast
+    // z literal
+    "q233_wilson_ci" ->
+      """WITH a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_trials,
+        |    CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_success
+        |  FROM events GROUP BY 1),
+        |x AS (
+        |  SELECT event_type, n_trials, n_success,
+        |    CAST(n_trials AS DOUBLE) AS n,
+        |    CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE) AS p,
+        |    CAST('1.959963984540054' AS DOUBLE) AS z
+        |  FROM a)
+        |SELECT event_type, n_trials, n_success, p AS rate,
+        |  (p + z * z / (2.0 * n) - z * sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n)))
+        |    / (1.0 + z * z / n) AS wilson_lo,
+        |  (p + z * z / (2.0 * n) + z * sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n)))
+        |    / (1.0 + z * z / n) AS wilson_hi
+        |FROM x""".stripMargin,
 
     // mode: row_number over (count desc, value asc) = 1 per group
     "q227_group_mode" ->

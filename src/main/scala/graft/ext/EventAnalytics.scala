@@ -306,6 +306,72 @@ object EventAnalytics {
   }
 
   /**
+   * Seasonal-naive forecast evaluation: per type, the MAE of the
+   * "same bucket last season" baseline (`x̂_t = x_{t−season}`) over the
+   * bucketed volume series — the sanity floor every real forecasting
+   * model must beat, and a drift signal in its own right (a rising
+   * naive-MAE means the seasonality itself broke). Integer volumes ⇒
+   * the absolute-error sum is exact; MAE is ONE division. Windows run
+   * over the |types| × |buckets| matrix only (the q172/q206 discipline).
+   *
+   * Output: (event_type, n_buckets, n_scored, mae_num, mae).
+   */
+  def seasonalNaiveError(
+      events: DataFrame,
+      tsNanosCol: String,
+      typeCol: String,
+      bucketNanos: Long,
+      season: Int): DataFrame = {
+    require(bucketNanos > 0, s"bucketNanos must be positive, got $bucketNanos")
+    require(season >= 1, s"season must be >= 1, got $season")
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"$tsNanosCol div $bucketNanos").as("bucket"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    // lag by ROW (the series is the observed bucket sequence; a fully
+    // dense spine would make absent buckets zeros — caller's choice via
+    // resample upstream)
+    hourly.withColumn("__prev", lag(col("x"), season).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("__prev").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("__prev").isNotNull, abs(col("x") - col("__prev")))
+          .otherwise(0L)).as("mae_num"))
+      .withColumn("mae",
+        when(col("n_scored") > 0,
+          col("mae_num").cast("double") / col("n_scored").cast("double")))
+  }
+
+  /**
+   * Wilson-score 95% confidence interval for a per-group conversion
+   * rate: `successes / trials` with the interval that stays sane at
+   * small n and extreme rates (the Wald interval collapses there) —
+   * the uncertainty every conversion/CTR dashboard should carry. One
+   * conditional aggregation; the bounds are a fixed IEEE tree over the
+   * exact counts and a shared z literal — bit-reproducible.
+   */
+  def wilsonRate(
+      df: DataFrame,
+      groupCol: String,
+      successCol: Column,
+      z: Double = 1.959963984540054): DataFrame = {
+    val agged = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_trials"),
+        sum(when(successCol, 1L).otherwise(0L)).as("n_success"))
+    val n = col("n_trials").cast("double")
+    val p = col("n_success").cast("double") / n
+    val z2 = lit(z) * lit(z)
+    val denom = lit(1.0) + z2 / n
+    val center = p + z2 / (lit(2.0) * n)
+    val spread = lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    agged
+      .withColumn("rate", p)
+      .withColumn("wilson_lo", (center - spread) / denom)
+      .withColumn("wilson_hi", (center + spread) / denom)
+  }
+
+  /**
    * Consecutive event-type sequence mining (order-n patterns): counts of
    * every length-`n` run of CONSECUTIVE event types on a user's timeline —
    * the order-(n-1) generalization of [[transitionMatrix]], the standard

@@ -209,6 +209,48 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("seasonalNaiveError: constant series scores 0, shifts score the jump") {
+    // type a: volumes 2,2,2,2 per hour with season=2 -> predictions exact
+    val a = (0 to 3).flatMap(h => (1 to 2).map(i =>
+      (h.toLong * 10 + i, 1L, h * Hour, "a", 0.0)))
+    // type b: volumes 1,1,3,3 with season=2 -> errors |3-1| + |3-1| = 4
+    val b = Seq((100L, 2L, 0L, "b", 0.0), (101L, 2L, Hour, "b", 0.0)) ++
+      (1 to 3).map(i => (110L + i, 2L, 2 * Hour, "b", 0.0)) ++
+      (1 to 3).map(i => (120L + i, 2L, 3 * Hour, "b", 0.0))
+    val df = (a ++ b).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.seasonalNaiveError(df, "ts", "event_type", Hour, season = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("a") === ((4L, 2L, 0L, Some(0.0))))
+    assert(got("b") === ((4L, 2L, 4L, Some(2.0))))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.seasonalNaiveError(df, "ts", "event_type", Hour, season = 0)
+    }
+  }
+
+  test("wilsonRate: textbook bounds, degenerate rates stay inside [0,1]") {
+    val df = ((1 to 8).map(i => (i.toLong, 1L, 0L, "x", 200.0)) ++
+      (9 to 10).map(i => (i.toLong, 1L, 0L, "x", 0.0)) ++
+      Seq((11L, 1L, 0L, "allfail", 0.0))).toDF("event_id", "user_id", "ts", "g", "value")
+    val got = EventAnalytics.wilsonRate(df, "g", col("value") > 100.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Double]("rate"),
+          r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi")))).toMap
+    val (n, s, z) = (10.0, 8.0, 1.959963984540054)
+    val p = s / n
+    val lo = (p + z * z / (2.0 * n) - z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))) /
+      (1.0 + z * z / n)
+    val hi = (p + z * z / (2.0 * n) + z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))) /
+      (1.0 + z * z / n)
+    assert(got("x")._1 === 10L && got("x")._2 === 8L && got("x")._3 === 0.8)
+    assert(got("x")._4 === lo && got("x")._5 === hi)
+    assert(lo > 0.44 && lo < 0.5 && hi > 0.94 && hi < 0.98) // textbook 8/10
+    // p = 0: the Wald interval would collapse to [0, 0]; Wilson doesn't
+    val af = got("allfail")
+    assert(af._3 === 0.0 && af._4 === 0.0 && af._5 > 0.5)
+  }
+
   test("burstFlags: trailing window counts, boundary inclusion, flags") {
     // user 1: 3 events inside one hour (0, 30m, 59m59.999...s), then one
     // exactly at the window edge (the event at t=0 ages out at t=1h)
