@@ -662,6 +662,53 @@ object ScaleProbe {
       timed("compression_stats", k) {
         ext.CorpusFilters.compressionStats(read("documents", k), "doc_id", "text").count()
       }
+      // r5f: Spearman, covariance, quantile normalization, entity
+      // clusters, percent rank, readability, embedding audits
+      timed("spearman", k) {
+        ext.RegressionOps.spearmanByGroup(read("lineitem", k),
+          "l_returnflag", "l_quantity", "l_extendedprice").count()
+      }
+      timed("covariance_matrix", k) {
+        ext.RegressionOps.covarianceMatrixCents(read("lineitem", k),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")).count()
+      }
+      timed("quantile_normalize", k) {
+        operators.RobustStats.quantileNormalizeTable(
+          read("lineitem", k).select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", "l_extendedprice", bins = 100).count()
+      }
+      timed("percent_rank_table", k) {
+        operators.RobustStats.percentRankTable(read("lineitem", k),
+          "l_returnflag", "l_extendedprice").count()
+      }
+      timed("entity_clusters", k) {
+        // the q213 fixture keyed on doc_id: groups of 4 tail-edit variants
+        val named = read("documents", k).select(col("doc_id"),
+          expr("""CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN substring(md5(CAST(CAST(doc_id div 4 AS STRING) AS BINARY)), 1, 10)
+            WHEN 1 THEN concat(substring(md5(CAST(CAST(doc_id div 4 AS STRING) AS BINARY)), 1, 10), 'x')
+            WHEN 2 THEN concat(substring(md5(CAST(CAST(doc_id div 4 AS STRING) AS BINARY)), 1, 9), 'zz')
+            ELSE concat(substring(md5(CAST(CAST(doc_id div 4 AS STRING) AS BINARY)), 1, 8),
+              substring(md5(CAST(CAST(doc_id div 4 AS STRING) AS BINARY)), 10, 1),
+              substring(md5(CAST(CAST(doc_id div 4 AS STRING) AS BINARY)), 9, 1))
+            END""").as("acct_name"))
+        ext.Dedup.jaroWinklerClusters(named, "doc_id", "acct_name",
+          substring(col("acct_name"), 1, 2), threshold = 0.9).count()
+      }
+      timed("readability", k) {
+        ext.TextStats.fleschReadability(
+          read("documents", k).withColumn("stext",
+            regexp_replace(col("text"), " the ", ". ")), "stext").count()
+      }
+      timed("embedding_dim_stats", k) {
+        ext.VectorOps.dimStats(read("embeddings", k), "embedding").count()
+      }
+      timed("key_skew_report", k) {
+        operators.SkewJoin.keySkewReport(
+          read("lineitem", k).select(
+            expr("CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END").as("k")),
+          "k", topK = 10).count()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")
