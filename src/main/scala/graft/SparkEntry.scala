@@ -2251,6 +2251,26 @@ object SparkEntry {
     "q233_wilson_ci" -> ((s, dir) =>
       graft.ext.EventAnalytics.wilsonRate(
         t(s, dir, "events"), "event_type", col("value") > 100.0)),
+    // streaming OLS monitor: the batch operator runs UNCHANGED on the
+    // stream — decimal sufficient statistics are order-free, so the
+    // drained slope/intercept/r2 equal batch OLS bit-for-bit (shares
+    // q183's oracle verbatim)
+    "q234_stream_ols" -> ((s, dir) => StreamGate.olsMonitor(s, dir)),
+    // diversity-capped dedup: q46's clusters, keep at most 2 smallest
+    // ids per cluster via ONE mergeable bottom-k aggregate (no window,
+    // no collect_list — a mega-cluster never funnels through one task)
+    "q235_cluster_cap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
+      val clusters = Dedup.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs)
+      Dedup.capClusters(clusters, "id", "cluster_id", k = 2)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+    // exact join-cardinality preflight: |lineitem x orders| from the
+    // key-count tables only — the row join never materializes
+    "q236_join_size" -> ((s, dir) =>
+      graft.operators.Profiler.joinSizeEstimate(
+        t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey")),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -2575,6 +2595,27 @@ object SparkEntry {
        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, $sums, $prods FROM c)
        |$rows""".stripMargin
   }
+
+  // grouped OLS: exact decimal sufficient statistics + one fixed tree —
+  // shared verbatim by batch q183 and streaming q234
+  private lazy val groupedOlsOracle: String =
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN (CAST(n AS DOUBLE)*sxx - sx*sx) <> 0
+        |    THEN (CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx) END AS slope,
+        |  CASE WHEN (CAST(n AS DOUBLE)*sxx - sx*sx) <> 0
+        |    THEN (sy - ((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx)) * sx) / CAST(n AS DOUBLE) END AS intercept,
+        |  CASE WHEN (CAST(n AS DOUBLE)*sxx - sx*sx) <> 0 AND (CAST(n AS DOUBLE)*syy - sy*sy) <> 0
+        |    THEN ((CAST(n AS DOUBLE)*sxy - sx*sy) * (CAST(n AS DOUBLE)*sxy - sx*sy))
+        |         / ((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy)) END AS r2
+        |FROM s""".stripMargin
 
   // Benford audit: the VALUES literals are generated from the SAME
   // Expectations.BenfordP doubles the engine expression uses — identical
@@ -4813,6 +4854,50 @@ object SparkEntry {
         |    / (1.0 + z * z / n) AS wilson_hi
         |FROM x""".stripMargin,
 
+    // cluster cap: the q46 recursive components + a per-cluster 2-row cut
+    "q235_cluster_cap" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+        |  WHERE length(trim(text)) > 0
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.7
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), comp(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, c.label FROM comp c JOIN edges e ON c.id = e.src
+        |), cl AS (SELECT id, min(label) AS cluster_id FROM comp GROUP BY id)
+        |SELECT id AS doc_id, cluster_id FROM (
+        |  SELECT id, cluster_id,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY id) AS rn
+        |  FROM cl) WHERE rn <= 2""".stripMargin,
+
+    // join preflight: the count-table sums ARE the join cardinality
+    "q236_join_size" ->
+      """WITH ca AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+        |cb AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT CAST(COALESCE(SUM(ca.c * cb.c), 0) AS BIGINT) AS n_join,
+        |    CAST(COALESCE(MAX(ca.c * cb.c), 0) AS BIGINT) AS max_key_fanout
+        |  FROM ca JOIN cb ON ca.k = cb.k)
+        |SELECT CAST((SELECT SUM(c) FROM ca) AS BIGINT) AS n_left,
+        |  CAST((SELECT SUM(c) FROM cb) AS BIGINT) AS n_right,
+        |  CAST((SELECT count(*) FROM ca) AS BIGINT) AS n_left_keys,
+        |  CAST((SELECT count(*) FROM cb) AS BIGINT) AS n_right_keys,
+        |  j.n_join, j.max_key_fanout
+        |FROM j""".stripMargin,
+
     // mode: row_number over (count desc, value asc) = 1 per group
     "q227_group_mode" ->
       """SELECT l_returnflag, mode_value, n_mode FROM (
@@ -5277,24 +5362,10 @@ object SparkEntry {
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
 
-    "q183_grouped_ols" ->
-      """WITH s AS (
-        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS sx,
-        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS sy,
-        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS sxy,
-        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS sxx,
-        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS syy
-        |  FROM lineitem GROUP BY 1)
-        |SELECT l_returnflag, n,
-        |  CASE WHEN (CAST(n AS DOUBLE)*sxx - sx*sx) <> 0
-        |    THEN (CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx) END AS slope,
-        |  CASE WHEN (CAST(n AS DOUBLE)*sxx - sx*sx) <> 0
-        |    THEN (sy - ((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx)) * sx) / CAST(n AS DOUBLE) END AS intercept,
-        |  CASE WHEN (CAST(n AS DOUBLE)*sxx - sx*sx) <> 0 AND (CAST(n AS DOUBLE)*syy - sy*sy) <> 0
-        |    THEN ((CAST(n AS DOUBLE)*sxy - sx*sy) * (CAST(n AS DOUBLE)*sxy - sx*sy))
-        |         / ((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy)) END AS r2
-        |FROM s""".stripMargin,
+    "q183_grouped_ols" -> groupedOlsOracle,
+    // streaming OLS: order-free decimal state => drained == batch exactly
+    "q234_stream_ols" -> groupedOlsOracle,
+
 
     "q184_vwap" ->
       """SELECT CAST(l_shipdate AS DATE) AS ship_day, CAST(count(*) AS BIGINT) AS n,

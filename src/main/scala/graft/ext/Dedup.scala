@@ -427,6 +427,29 @@ object Dedup {
   }
 
   /**
+   * Diversity-capped dedup: keep at most `k` representatives per
+   * duplicate cluster (the smallest ids win) — the policy between "drop
+   * all duplicates" (k = 1, plain dedup) and "keep everything": near-dup
+   * *variants* often carry signal worth a few copies (translations,
+   * quote contexts), but a million-member boilerplate cluster must not
+   * keep a million. The per-cluster selection is ONE mergeable
+   * [[graft.functions.bottom_k_by_rank]] aggregate — O(k) state per
+   * cluster, map-side combinable, so a mega-cluster never funnels its
+   * members through one task the way `collect_list` or a window would.
+   *
+   * @param clusters (idCol, clusterCol) — [[duplicateClusters]]' output
+   */
+  def capClusters(
+      clusters: DataFrame, idCol: String, clusterCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    clusters.groupBy(col(clusterCol))
+      .agg(graft.functions.bottom_k_by_rank(col(idCol), struct(col(idCol)), k)
+        .as("__keep"))
+      .select(col(clusterCol), explode(col("__keep")).as("__r"))
+      .select(col("__r")(idCol).as(idCol), col(clusterCol))
+  }
+
+  /**
    * EXACT hamming-distance pairs (<= maxHamming) over ANY precomputed
    * 64-bit signature column (simhash, image dHash, audio fingerprint, …).
    * Same pigeonhole candidate generation as [[simhashPairs]]: any pair

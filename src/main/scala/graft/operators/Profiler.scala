@@ -48,6 +48,33 @@ object Profiler {
   }
 
   /**
+   * Exact inner-join cardinality WITHOUT materializing the join:
+   * `|A ⋈ B| = Σ_k cA(k)·cB(k)` over the two key-count tables — the
+   * pre-flight a planner (or a human) runs before an expensive join to
+   * catch the key-multiplicity blow-up (a 10⁶×10⁶ hot key = 10¹² output
+   * rows) while touching only key-distinct-sized relations. One count
+   * agg per side, one equi-join of the count tables, one sum.
+   *
+   * Output: one row — (n_left, n_right, n_left_keys, n_right_keys,
+   * n_join, max_key_fanout).
+   */
+  def joinSizeEstimate(
+      leftDf: DataFrame, leftKey: String,
+      rightDf: DataFrame, rightKey: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ca = leftDf.groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__ca"))
+    val cb = rightDf.groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__cb"))
+    val joined = ca.join(cb, "__k")
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("n_join"),
+        coalesce(max(col("__ca") * col("__cb")), lit(0L)).as("max_key_fanout"))
+    val la = ca.agg(sum(col("__ca")).as("n_left"), count(lit(1)).as("n_left_keys"))
+    val lb = cb.agg(sum(col("__cb")).as("n_right"), count(lit(1)).as("n_right_keys"))
+    la.crossJoin(lb).crossJoin(joined)
+      .select(col("n_left"), col("n_right"), col("n_left_keys"),
+        col("n_right_keys"), col("n_join"), col("max_key_fanout"))
+  }
+
+  /**
    * Equi-width histogram with EXPLICIT bounds [lo, hi): bin i covers
    * [lo + i·w, lo + (i+1)·w), w = (hi-lo)/nBins; values outside the range
    * clamp into the edge bins (so the counts always sum to the non-null row

@@ -476,6 +476,26 @@ object StreamGate {
           (col("n_rows") * col("n_rows")).cast("double")).as("gini"))
   }
 
+  /**
+   * Streaming regression monitor: [[graft.ext.RegressionOps.olsByGroup]]
+   * runs UNCHANGED over the lineitem stream — its sufficient statistics
+   * are decimal sums (order-free, exact), so complete-mode state merges
+   * across micro-batches to the identical values and the drained
+   * slope/intercept/r² equal batch OLS bit-for-bit under ANY batching.
+   * q234 shares q183's oracle verbatim (the q189/q222 discipline) — the
+   * strongest possible statement that the operator is streaming-safe.
+   */
+  def olsMonitor(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageTableDirSplit(sfDir, "lineitem", parts = 3)
+    val li = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/lineitem.parquet").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    runToTable(
+      graft.ext.RegressionOps.olsByGroup(li, "l_returnflag", "l_quantity", "l_extendedprice"),
+      "stream_ols", "complete")
+  }
+
   def quantileMonitor(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.graft.DDSketchFunctions._
     val alpha = 0.01

@@ -252,6 +252,28 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (s, b, c) => c >= 0.8 && s != b })
   }
 
+  test("capClusters: at most k smallest ids survive per cluster, singletons untouched") {
+    import org.apache.spark.sql.functions.col
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), // cluster 1: 4 members
+      (5L, 5L), // singleton
+      (7L, 6L), (6L, 6L) // cluster 6: 2 members
+    ).toDF("id", "cluster_id")
+    val got = Dedup.capClusters(clusters, "id", "cluster_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (5L, 5L), (6L, 6L), (7L, 6L)))
+    // layout independence of the mergeable selection
+    val again = Dedup.capClusters(clusters.repartition(5), "id", "cluster_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === got)
+    // k = 1 is plain dedup-to-representative
+    assert(Dedup.capClusters(clusters, "id", "cluster_id", k = 1)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 5L, 6L))
+    intercept[IllegalArgumentException] {
+      Dedup.capClusters(clusters, "id", "cluster_id", k = 0)
+    }
+  }
+
   test("jaroWinklerClusters: near-identical names cluster, blocking is the recall contract") {
     import org.apache.spark.sql.functions.{col, split}
     val df = Seq(

@@ -61,4 +61,23 @@ class ProfilerSpec extends SparkSpec {
       Profiler.histogram(df, "v", 0.0, 1.0, 0)
     }
   }
+
+  test("joinSizeEstimate equals the materialized join, catches fanout") {
+    import spark.implicits._
+    // left: key 1 x 3, key 2 x 2, key 9 x 1; right: key 1 x 4, key 2 x 1
+    val l = (Seq.fill(3)(1L) ++ Seq.fill(2)(2L) :+ 9L).toDF("lk")
+    val r = (Seq.fill(4)(1L) :+ 2L).toDF("rk")
+    val got = Profiler.joinSizeEstimate(l, "lk", r, "rk").collect().head
+    assert(got.getLong(0) === 6L && got.getLong(1) === 5L)
+    assert(got.getLong(2) === 3L && got.getLong(3) === 2L)
+    // 3*4 + 2*1 = 14 — and the real join confirms
+    assert(got.getLong(4) === 14L)
+    assert(got.getLong(4) ===
+      l.join(r, l("lk") === r("rk")).count())
+    assert(got.getLong(5) === 12L) // the hot key's 3x4 block
+    // disjoint keys: zero, not null
+    val none = Profiler.joinSizeEstimate(l, "lk", Seq(7L).toDF("rk"), "rk")
+      .collect().head
+    assert(none.getLong(4) === 0L && none.getLong(5) === 0L)
+  }
 }
