@@ -675,11 +675,18 @@ object Dedup {
         when(col("__eq"), least(col("ism"), col("ibg"))).otherwise(col("ism")).as("id_small"),
         when(col("__eq"), greatest(col("ism"), col("ibg"))).otherwise(col("ibg")).as("id_big"),
         col("containment"))
+    // `ids` is a collect_list — partition-order, NOT sorted — so the
+    // member pairs must canonicalize by id explicitly (identical sets tie
+    // on size ⇒ id order decides small/big). Found by the sf0.1 oracle
+    // replay: at 32 shuffle partitions the list order finally diverged
+    // from ascending and five pairs came out orientation-swapped.
     val intra = index.groups.filter(size(col("ids")) > 1)
       .select(col("ids"), posexplode(col("ids")))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "ia")
-      .select(col("ia").as("id_small"),
-        explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("id_big"),
+      .select(col("ia"),
+        explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("ib"))
+      .select(least(col("ia"), col("ib")).as("id_small"),
+        greatest(col("ia"), col("ib")).as("id_big"),
         lit(1.0).as("containment"))
     cross.unionByName(intra)
   }

@@ -252,6 +252,28 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (s, b, c) => c >= 0.8 && s != b })
   }
 
+  test("containmentPairs: intra-group pairs canonicalize by id under ANY list order") {
+    // groups.ids is a collect_list (partition order, NOT sorted): many
+    // identical-text groups under an adversarial partitioning must still
+    // come out (min, max) — the sf0.1 regression (5 swapped pairs)
+    Dedup.clearShingleIndexCache()
+    val texts = (0 until 8).map(g => s"group $g payload words ${"x " * 5}")
+    val docs = (0 until 8).flatMap(g =>
+      Seq((100L + g * 10 + 7, texts(g)), (100L + g * 10 + 1, texts(g)),
+        (100L + g * 10 + 4, texts(g))))
+      .toDF("doc_id", "text")
+      .repartition(13) // scramble the collection order
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (s, b) => s < b },
+      s"orientation must be id-canonical for identical sets: ${got.filterNot(p => p._1 < p._2).mkString(",")}")
+    // every group contributes its full C(3,2) pair set exactly once
+    assert(got.length === 8 * 3)
+    assert(got.distinct.length === got.length)
+    Dedup.clearShingleIndexCache()
+  }
+
   test("capClusters: at most k smallest ids survive per cluster, singletons untouched") {
     import org.apache.spark.sql.functions.col
     val clusters = Seq(
