@@ -2271,6 +2271,37 @@ object SparkEntry {
     "q236_join_size" -> ((s, dir) =>
       graft.operators.Profiler.joinSizeEstimate(
         t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey")),
+    // privacy release gate: k-anonymity / l-diversity profile of the
+    // customer extract under (nation, segment) quasi-identifiers — one
+    // map-side-combined shuffle to the equivalence-class relation
+    "q237_k_anonymity" -> ((s, dir) =>
+      graft.ext.Privacy.kAnonymityProfile(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 8, l = 4)),
+    // suppression enforcement + audit summary: rows in sub-k classes drop
+    // via a broadcast anti-join; the per-segment kept/suppressed ledger is
+    // what the release audit files
+    "q238_k_suppression" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val kept = graft.ext.Privacy
+        .suppress(cust, Seq("c_nationkey", "c_mktsegment"), k = 8)
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("__n_kept"))
+      cust.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_total"))
+        .join(kept, Seq("c_mktsegment"), "left")
+        .select(col("c_mktsegment"), col("n_total"),
+          coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
+          (col("n_total") - coalesce(col("__n_kept"), lit(0L))).as("n_suppressed"))
+    }),
+    // label-QA agreement: Cohen's kappa between the declared `lang` tag and
+    // the q62 heuristic classifier — the chance-corrected scalar read off
+    // q122's confusion matrix; exact integer sufficient statistics
+    "q239_cohens_kappa" -> ((s, dir) =>
+      graft.ext.RegressionOps.cohensKappa(
+        TextStats.langId(t(s, dir, "documents"), "text"), "lang", "lang_pred")),
+    // hourly-count autocorrelation at calendar lags 1..6: the seasonality
+    // detector; the log collapses to |hours| rows, each lag a broadcast
+    // self-join on the shifted bucket
+    "q240_acf_hourly" -> ((s, dir) =>
+      graft.ext.EventAnalytics.acfHourly(t(s, dir, "events"), "ts", maxLag = 6)),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -4897,6 +4928,87 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM cb) AS BIGINT) AS n_right_keys,
         |  j.n_join, j.max_key_fanout
         |FROM j""".stripMargin,
+
+    // k-anonymity / l-diversity profile: pure counting per quasi tuple
+    "q237_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS class_n,
+        |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct,
+        |  count(*) < 8 AS k_violation,
+        |  count(DISTINCT c_acctbal) < 4 AS l_violation
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    // suppression: anti-join against sub-k classes, per-segment ledger
+    "q238_k_suppression" ->
+      """WITH viol AS (
+        |  SELECT c_nationkey, c_mktsegment FROM customer
+        |  GROUP BY 1, 2 HAVING count(*) < 8),
+        |kept AS (
+        |  SELECT c.c_mktsegment, count(*) AS n_kept FROM customer c
+        |  LEFT JOIN viol v ON c.c_nationkey = v.c_nationkey
+        |    AND c.c_mktsegment = v.c_mktsegment
+        |  WHERE v.c_nationkey IS NULL GROUP BY 1)
+        |SELECT t.c_mktsegment, CAST(t.n_total AS BIGINT) AS n_total,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(t.n_total - COALESCE(k.n_kept, 0) AS BIGINT) AS n_suppressed
+        |FROM (SELECT c_mktsegment, count(*) AS n_total FROM customer GROUP BY 1) t
+        |LEFT JOIN kept k USING (c_mktsegment)""".stripMargin,
+
+    // Cohen's kappa vs the q62 heuristic: integer confusion counts, one
+    // final division of exact HUGEINTs canonicalized through VARCHAR
+    "q239_cohens_kappa" ->
+      s"""WITH p AS (
+        |  SELECT lang AS a,
+        |    CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) <= 0.0 THEN 'und'
+        |         WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+        |         WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |         WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |         WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS b
+        |  FROM (SELECT lang,
+        |  $langScores
+        |  FROM documents)),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),
+        |rt AS (SELECT a AS cat, SUM(c) AS ra FROM cells GROUP BY 1),
+        |ct AS (SELECT b AS cat, SUM(c) AS cb FROM cells GROUP BY 1),
+        |ch AS (SELECT COALESCE(SUM(CAST(ra AS HUGEINT) * CAST(cb AS HUGEINT)),
+        |               CAST(0 AS HUGEINT)) AS sumrc
+        |       FROM rt JOIN ct USING (cat)),
+        |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree FROM cells)
+        |SELECT n, agree,
+        |  CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |  CAST(CAST(sumrc AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) AS VARCHAR) AS DOUBLE) AS pe,
+        |  CASE WHEN CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - sumrc <> 0
+        |       THEN CAST(CAST(CAST(n AS HUGEINT) * CAST(agree AS HUGEINT) - sumrc AS VARCHAR) AS DOUBLE)
+        |          / CAST(CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - sumrc AS VARCHAR) AS DOUBLE)
+        |  END AS kappa
+        |FROM tt, ch""".stripMargin,
+
+    // hourly-count ACF: integer sufficient stats per calendar lag, one
+    // fixed IEEE tree; variance terms to double BEFORE their product
+    "q240_acf_hourly" ->
+      """WITH h AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS hb, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 7)),
+        |st AS (
+        |  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    SUM(CAST(cur.x AS HUGEINT)) AS sx,
+        |    SUM(CAST(prev.x AS HUGEINT)) AS sy,
+        |    SUM(CAST(cur.x AS HUGEINT) * CAST(cur.x AS HUGEINT)) AS sxx,
+        |    SUM(CAST(prev.x AS HUGEINT) * CAST(prev.x AS HUGEINT)) AS syy,
+        |    SUM(CAST(cur.x AS HUGEINT) * CAST(prev.x AS HUGEINT)) AS sxy
+        |  FROM l CROSS JOIN h cur JOIN h prev ON cur.hb = prev.hb + l.lag
+        |  GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  CASE WHEN CAST(n_pairs AS HUGEINT) * sxx - sx * sx > 0
+        |        AND CAST(n_pairs AS HUGEINT) * syy - sy * sy > 0
+        |       THEN CAST(CAST(CAST(n_pairs AS HUGEINT) * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        |          / sqrt(CAST(CAST(CAST(n_pairs AS HUGEINT) * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+        |               * CAST(CAST(CAST(n_pairs AS HUGEINT) * syy - sy * sy AS VARCHAR) AS DOUBLE))
+        |  END AS acf
+        |FROM st""".stripMargin,
 
     // mode: row_number over (count desc, value asc) = 1 per group
     "q227_group_mode" ->

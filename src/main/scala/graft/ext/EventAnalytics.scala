@@ -408,4 +408,51 @@ object EventAnalytics {
         col("n_occurrences").cast("double") / col("__total").cast("double"))
       .drop("__total")
   }
+
+  /**
+   * Autocorrelation of the hourly event-count series at calendar lags
+   * 1..maxLag — the seasonality detector behind alerting and the
+   * seasonal-naive forecast's lag choice. `r(L)` is the Pearson correlation
+   * between count(hour t) and count(hour t−L) over every CALENDAR pair
+   * where both hours have events (a missing hour forms no pair — lag means
+   * wall-clock distance, not position in the observed sequence).
+   *
+   * Exact by construction: counts are integers, so all six sufficient
+   * statistics per lag are DECIMAL(38,0)-exact sums, and r is one fixed
+   * IEEE tree over their string-canonicalized doubles. The variance terms
+   * convert to double BEFORE their product (the decimal product of two
+   * n·ss−s² terms overflows 38 digits at petabyte counts).
+   *
+   * Plan shape (100 TB): the log collapses to its hourly-count relation in
+   * one map-side-combinable shuffle (|hours| rows — ~9k/year); each lag is
+   * a broadcast equi-join of that tiny relation against itself on the
+   * shifted bucket key, never a global window sort.
+   */
+  def acfHourly(events: DataFrame, tsNanosCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val HourNanos = 3600000000000L
+    def asD(c: Column): Column = c.cast("string").cast("double")
+    val dec = "decimal(38,0)"
+    val hourly = events
+      .groupBy(expr(s"$tsNanosCol div $HourNanos").as("__hb"))
+      .agg(count(lit(1)).as("__x"))
+    val lags = hourly.sparkSession.range(1, maxLag + 1).select(col("id").as("lag"))
+    val cur = hourly.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("__hb") - col("lag")).as("__key"), col("__x"))
+    val prev = hourly.select(col("__hb").as("__key"), col("__x").as("__y"))
+    val stats = cur.join(prev, "__key")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"),
+        sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__syy"),
+        sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"))
+    val n = col("n_pairs").cast(dec)
+    val num = asD(n * col("__sxy") - col("__sx") * col("__sy"))
+    val vx = asD(n * col("__sxx") - col("__sx") * col("__sx"))
+    val vy = asD(n * col("__syy") - col("__sy") * col("__sy"))
+    stats.select(col("lag"), col("n_pairs"),
+      when(vx > 0.0 && vy > 0.0, num / sqrt(vx * vy)).as("acf"))
+  }
 }

@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Privacy-governance operators over a table with quasi-identifier columns —
+ * the release-gate checks a data pipeline runs BEFORE publishing a training
+ * corpus or analytics extract (Sweeney, "k-anonymity: a model for protecting
+ * privacy", IJUFKS 2002; Machanavajjhala et al., "l-diversity", TKDD 2007).
+ *
+ * The reference engine (two CLI binaries, /root/reference/src/bin/) has no
+ * governance surface; this is blueprint extension work.
+ *
+ * Scale notes (100 TB): every op reduces the table to its EQUIVALENCE-CLASS
+ * relation first — one hash shuffle on the quasi-identifier tuple, map-side
+ * combinable counts, and everything downstream (profiling, the suppression
+ * join) runs on |distinct quasi tuples| rows, which is bounded by the
+ * identifier domain, not the corpus. Suppression joins the class relation
+ * back with a BROADCAST equi-join, so the raw rows shuffle zero times.
+ */
+object Privacy {
+
+  /**
+   * k-anonymity / l-diversity profile: one row per quasi-identifier
+   * equivalence class with its size (`class_n`), the number of DISTINCT
+   * sensitive values inside it (`l_distinct`), and the two violation flags.
+   * A class is k-anonymous when at least k rows share its quasi tuple, and
+   * l-diverse when the sensitive attribute takes at least l values in it —
+   * the profile is what a release audit reads, and [[suppress]] enforces.
+   */
+  def kAnonymityProfile(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      k: Int,
+      l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column required")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(l >= 1, s"l must be >= 1, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_n"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("k_violation", col("class_n") < k)
+      .withColumn("l_violation", col("l_distinct") < l)
+  }
+
+  /**
+   * Suppression enforcement: drop every row whose quasi-identifier
+   * equivalence class has fewer than k members (the classic cell-suppression
+   * release rule — the surviving relation is k-anonymous by construction).
+   * The violating-class relation is small (bounded by the quasi domain), so
+   * it broadcasts; the input streams through one broadcast hash anti-join.
+   */
+  def suppress(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column required")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val violating = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__class_n"))
+      .filter(col("__class_n") < k)
+      .select(quasiCols.map(c => col(c).as(s"__v_$c")): _*)
+    val cond = quasiCols.map(c => df(c) <=> violating(s"__v_$c")).reduce(_ && _)
+    df.join(broadcast(violating), cond, "left_anti")
+  }
+}

@@ -366,4 +366,50 @@ object RegressionOps {
         // means and t are in CENTS-space; the statistic is scale-invariant
         (mean("a") - mean("b")) / se).as("t_stat"))
   }
+
+  /**
+   * Cohen's kappa between two categorical labelers (Cohen, "A coefficient
+   * of agreement for nominal scales", 1960) — the chance-corrected
+   * agreement score a pipeline reads off its label-QA confusion matrix
+   * (declared metadata vs a heuristic classifier, or two annotators).
+   *
+   * Exact by construction: with integer confusion counts, kappa collapses
+   * to ONE division of exact integers —
+   * `(n·agree − Σ_c row_c·col_c) / (n² − Σ_c row_c·col_c)` — so the
+   * DECIMAL(38,0) sufficient statistics reproduce bit-for-bit in any
+   * engine. Products are cast to DECIMAL BEFORE multiplying (row·col
+   * marginal products overflow longs at petabyte row counts).
+   *
+   * Plan shape (100 TB): the input reduces to its confusion-cell relation
+   * in one map-side-combinable shuffle (|cells| <= |labels|²); marginals
+   * and the final scalar run on that tiny relation. Output: one row
+   * (n, agree, po, pe, kappa); kappa is NULL when chance agreement is
+   * total (pe = 1, the degenerate single-cell matrix).
+   */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def asD(c: Column): Column = c.cast("string").cast("double")
+    val dec = "decimal(38,0)"
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__ka"), col(bCol).as("__kb"))
+      .agg(count(lit(1)).as("__c"))
+    val rowT = cells.groupBy(col("__ka").as("__cat")).agg(sum(col("__c")).as("__ra"))
+    val colT = cells.groupBy(col("__kb").as("__cat")).agg(sum(col("__c")).as("__cb"))
+    // categories absent on one side contribute a zero product: inner join
+    val chance = rowT.join(colT, "__cat")
+      .agg(coalesce(sum(col("__ra").cast(dec) * col("__cb").cast(dec)),
+        lit(0).cast(dec)).as("__sumrc"))
+    val totals = cells.agg(
+      sum(col("__c")).as("n"),
+      sum(when(col("__ka") === col("__kb"), col("__c")).otherwise(0L)).as("agree"))
+    totals.crossJoin(chance)
+      .select(col("n"), col("agree"),
+        col("agree").cast("double") / col("n").cast("double"),
+        asD(col("__sumrc")) / asD(col("n").cast(dec) * col("n").cast(dec)),
+        (col("n").cast(dec) * col("agree").cast(dec) - col("__sumrc")).as("__num"),
+        (col("n").cast(dec) * col("n").cast(dec) - col("__sumrc")).as("__den"))
+      .toDF("n", "agree", "po", "pe", "__num", "__den")
+      .select(col("n"), col("agree"), col("po"), col("pe"),
+        when(col("__den") =!= lit(0).cast(dec),
+          asD(col("__num")) / asD(col("__den"))).as("kappa"))
+  }
 }

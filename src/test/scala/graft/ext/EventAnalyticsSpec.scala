@@ -271,4 +271,34 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.burstFlags(df, "user_id", "ts", 0L, 3L)
     }
   }
+
+  test("acfHourly: alternating series gives r=-1 at lag 1 and r=+1 at lag 2") {
+    // hourly counts [1, 2, 1, 2, 1]: one event in even hours, two in odd
+    val events = (0 until 5).flatMap { h =>
+      val n = if (h % 2 == 0) 1 else 2
+      (0 until n).map(i => (h.toLong * 100 + i, h * Hour + i))
+    }.toDF("event_id", "ts")
+    val got = EventAnalytics.acfHourly(events, "ts", maxLag = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) === ((4L, -1.0))) // (2,1),(1,2),(2,1),(1,2): perfect anti
+    assert(got(2L) === ((3L, 1.0))) // (1,1),(2,2),(1,1): identical series
+    assert(got(3L)._1 === 2L)
+    assert(math.abs(got(3L)._2 - (-1.0)) < 1e-15)
+  }
+
+  test("acfHourly: calendar lag — a missing hour forms no pair; constant is NULL") {
+    // hours 0,1,3 present (hour 2 empty): lag-1 pairs only (1,0); lag-2 (3,1)
+    val events = Seq((1L, 0L * Hour), (2L, 0L * Hour + 5),
+      (3L, 1L * Hour), (4L, 3L * Hour), (5L, 3L * Hour + 9), (6L, 3L * Hour + 10)
+    ).toDF("event_id", "ts")
+    val got = EventAnalytics.acfHourly(events, "ts", maxLag = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    // each lag has exactly ONE calendar pair -> zero variance -> NULL r
+    assert(got(1L) === ((1L, None)))
+    assert(got(2L) === ((1L, None)))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.acfHourly(events, "ts", maxLag = 0)
+    }
+  }
 }

@@ -1,0 +1,55 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Hand-computed ground truth for the privacy-governance family; the
+  * sf-scale versions ride the DuckDB hash oracle (q237/q238). */
+class PrivacySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // (city, age_band, diagnosis) — classic quasi = (city, age_band)
+  private lazy val records = Seq(
+    ("A", "20s", "flu"), ("A", "20s", "flu"), ("A", "20s", "cold"),
+    ("A", "30s", "flu"),
+    ("B", "20s", "cold"), ("B", "20s", "cold"),
+    (null.asInstanceOf[String], "30s", "flu"),
+    (null.asInstanceOf[String], "30s", "cold")
+  ).toDF("city", "age_band", "diagnosis")
+
+  test("kAnonymityProfile: class sizes, l-diversity, and flags match by hand") {
+    val got = Privacy
+      .kAnonymityProfile(records, Seq("city", "age_band"), "diagnosis", k = 2, l = 2)
+      .collect()
+      .map(r => ((Option(r.getString(0)).getOrElse("-"), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(got(("A", "20s")) === ((3L, 2L, false, false)))
+    assert(got(("A", "30s")) === ((1L, 1L, true, true))) // singleton: both violations
+    assert(got(("B", "20s")) === ((2L, 1L, false, true))) // 2 rows, 1 diagnosis
+    assert(got(("-", "30s")) === ((2L, 2L, false, false))) // NULL quasi is a class
+    assert(got.size === 4)
+  }
+
+  test("suppress: survivors are k-anonymous by construction, sub-k classes drop") {
+    val kept = Privacy.suppress(records, Seq("city", "age_band"), k = 2)
+    // only the (A, 30s) singleton drops — including its row count
+    assert(kept.count() === 7)
+    assert(kept.filter($"city" === "A" && $"age_band" === "30s").count() === 0)
+    // every surviving class has >= k members (the k-anonymity invariant)
+    val survivorClasses = kept.groupBy($"city", $"age_band").count().collect()
+    assert(survivorClasses.forall(_.getLong(2) >= 2))
+    // the NULL-quasi class survives intact (null-safe class equality)
+    assert(kept.filter($"city".isNull).count() === 2)
+  }
+
+  test("suppress: k=1 keeps everything; input guards fail fast") {
+    assert(Privacy.suppress(records, Seq("city", "age_band"), k = 1).count() === 8)
+    intercept[IllegalArgumentException] {
+      Privacy.suppress(records, Seq.empty, k = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityProfile(records, Seq("city"), "diagnosis", k = 0, l = 1)
+    }
+  }
+}

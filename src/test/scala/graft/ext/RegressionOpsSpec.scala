@@ -247,4 +247,36 @@ class RegressionOpsSpec extends SparkSpec {
       .collect().head.getAs[Double]("spearman_rho")
     assert(math.abs(gotRho - expRho) < 1e-12)
   }
+
+  test("cohensKappa: textbook 2x2 matrix matches the closed form") {
+    import spark.implicits._
+    // 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no:
+    // po = 35/50 = 0.7; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+        Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val got = RegressionOps.cohensKappa(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(got.getLong(0) === 50L)
+    assert(got.getLong(1) === 35L)
+    assert(got.getDouble(2) === 0.7)
+    assert(got.getDouble(3) === 0.5)
+    assert(math.abs(got.getDouble(4) - 0.4) < 1e-15)
+  }
+
+  test("cohensKappa: perfect agreement is 1; single-cell degenerate is NULL") {
+    import spark.implicits._
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z"), ("x", "x"))
+    assert(RegressionOps.cohensKappa(perfect.toDF("a", "b"), "a", "b")
+      .collect().head.getDouble(4) === 1.0)
+    // all mass in one cell: pe = 1, kappa undefined -> NULL
+    val degen = Seq(("x", "x"), ("x", "x"))
+    assert(RegressionOps.cohensKappa(degen.toDF("a", "b"), "a", "b")
+      .collect().head.isNullAt(4))
+    // NULL labels are excluded from the confusion matrix
+    val withNulls = Seq(("x", "x"), ("x", null), (null, "x"), ("y", "y"))
+      .toDF("a", "b")
+    assert(RegressionOps.cohensKappa(withNulls, "a", "b")
+      .collect().head.getLong(0) === 2L)
+  }
 }
