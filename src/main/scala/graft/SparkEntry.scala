@@ -2302,6 +2302,15 @@ object SparkEntry {
     // self-join on the shifted bucket
     "q240_acf_hourly" -> ((s, dir) =>
       graft.ext.EventAnalytics.acfHourly(t(s, dir, "events"), "ts", maxLag = 6)),
+    // source-drift JS divergence: src0 vs src1 unigram distributions.
+    // rows-only (libm ln is not bit-portable — the CorpusFilters policy);
+    // the integer tallies are exact and the extremes are spec-pinned
+    "q241_js_divergence" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.CorpusFilters.jsDivergence(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") === "src1"), "text")
+    }),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join

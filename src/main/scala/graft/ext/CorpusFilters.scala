@@ -918,4 +918,48 @@ object CorpusFilters {
         when(col("n_bytes") > 0,
           col("n_deflate").cast("double") / col("n_bytes").cast("double")))
   }
+
+  /**
+   * Jensen-Shannon divergence between the unigram token distributions of
+   * two corpora (Lin, "Divergence measures based on the Shannon entropy",
+   * IEEE-IT 1991) — the standard symmetric, bounded (0..ln 2 nats)
+   * distribution-drift score between a training mix and a new source, or
+   * two corpus snapshots. Output is ONE row: exact integer token/vocabulary
+   * tallies plus `js_nats`.
+   *
+   * `js_nats` needs libm `ln`, which is not bit-portable across engines, so
+   * this op is NOT on the DuckDB hash-oracle surface (same policy as
+   * [[bigramLogLik]]); the closed-form extremes — identical distributions
+   * = 0 exactly, disjoint vocabularies = ln 2 — and the [0, ln 2] bound are
+   * pinned in CorpusFiltersSpec instead. The integer columns ARE
+   * engine-exact (order-free sums).
+   *
+   * Plan shape (100 TB): each side collapses to its token-count relation in
+   * one map-side-combinable shuffle (vocabulary-bounded, not corpus-
+   * bounded); one full-outer equi-join on the token aligns them; the
+   * per-token contributions reduce in a single-row aggregate. The raw
+   * corpora shuffle only as (token, count) pairs.
+   */
+  def jsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, tag: String): DataFrame =
+      df.select(explode(Dedup.tokens(col(textCol))).as("__tok"))
+        .groupBy(col("__tok")).agg(count(lit(1)).as(s"__c$tag"))
+    val joined = counts(a, "a").join(counts(b, "b"), Seq("__tok"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val tot = joined.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    val p = col("__ca").cast("double") / col("__na").cast("double")
+    val q = col("__cb").cast("double") / col("__nb").cast("double")
+    val m = (p + q) / 2.0
+    val contrib =
+      when(col("__ca") > 0, p * log(p / m) * 0.5).otherwise(0.0) +
+        when(col("__cb") > 0, q * log(q / m) * 0.5).otherwise(0.0)
+    joined.crossJoin(broadcast(tot))
+      .agg(first(col("__na")).as("n_tokens_a"), first(col("__nb")).as("n_tokens_b"),
+        sum(when(col("__ca") > 0, 1L).otherwise(0L)).as("vocab_a"),
+        sum(when(col("__cb") > 0, 1L).otherwise(0L)).as("vocab_b"),
+        sum(when(col("__ca") > 0 && col("__cb") > 0, 1L).otherwise(0L)).as("vocab_shared"),
+        count(lit(1)).as("vocab_union"),
+        sum(when(col("__na") > 0 && col("__nb") > 0, contrib)).as("js_nats"))
+  }
 }

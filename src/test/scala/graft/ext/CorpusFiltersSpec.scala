@@ -484,4 +484,33 @@ class CorpusFiltersSpec extends SparkSpec {
     // mix: 1 - (9 + 1)/16 = 0.375
     assert(got("mix") === ((4L, 2L, 0.375)))
   }
+
+  test("jsDivergence: identical = 0 exactly, disjoint = ln 2, symmetric, bounded") {
+    val a = Seq("alpha beta beta gamma", "alpha gamma").toDF("text")
+    val same = CorpusFilters.jsDivergence(a, a, "text").collect().head
+    assert((same.getLong(0), same.getLong(1)) === ((6L, 6L)))
+    assert((same.getLong(2), same.getLong(3), same.getLong(4), same.getLong(5)) ===
+      ((3L, 3L, 3L, 3L)))
+    assert(same.getDouble(6) === 0.0) // p == m per token: every ln term is 0
+
+    val b = Seq("delta epsilon delta").toDF("text")
+    val disj = CorpusFilters.jsDivergence(a, b, "text").collect().head
+    assert(disj.getLong(4) === 0L) // no shared vocabulary
+    assert(math.abs(disj.getDouble(6) - math.log(2.0)) < 1e-12)
+
+    val c = Seq("alpha beta delta delta").toDF("text")
+    val ab = CorpusFilters.jsDivergence(a, c, "text").collect().head.getDouble(6)
+    val ba = CorpusFilters.jsDivergence(c, a, "text").collect().head.getDouble(6)
+    assert(math.abs(ab - ba) < 1e-12) // symmetric up to summation order
+    assert(ab > 0.0 && ab < math.log(2.0)) // strictly inside for partial overlap
+  }
+
+  test("jsDivergence: an empty side yields NULL score, zero tallies survive") {
+    val a = Seq("alpha beta").toDF("text")
+    val empty = Seq.empty[String].toDF("text")
+    val got = CorpusFilters.jsDivergence(a, empty, "text").collect().head
+    assert(got.getLong(0) === 2L)
+    assert(got.getLong(1) === 0L)
+    assert(got.isNullAt(6))
+  }
 }
