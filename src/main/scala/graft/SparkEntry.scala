@@ -2311,6 +2311,22 @@ object SparkEntry {
         docs.filter(col("source") === "src0"),
         docs.filter(col("source") === "src1"), "text")
     }),
+    // tokenizer-coverage drift: occurrence-weighted OOV rate of the held
+    // source against the rest-of-corpus vocabulary; pure counting
+    "q242_oov_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.CorpusFilters.oovRate(
+        docs.filter(col("source") =!= "src19"),
+        docs.filter(col("source") === "src19"), "text")
+    }),
+    // exact-proportion stratified split per source: md5-ranked in-stratum
+    // cut — proportions exact per stratum where q58's hash split is only
+    // exact in expectation
+    "q243_stratified_split" -> ((s, dir) =>
+      graft.ext.CorpusFilters.stratifiedSplit(
+        t(s, dir, "documents"), "doc_id", "source",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("source"), col("split"))),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -5018,6 +5034,44 @@ object SparkEntry {
         |               * CAST(CAST(CAST(n_pairs AS HUGEINT) * syy - sy * sy AS VARCHAR) AS DOUBLE))
         |  END AS acf
         |FROM st""".stripMargin,
+
+    // OOV rate: train vocabulary vs held-source token occurrences. The
+    // length(trim) guard mirrors the engine's empty-text -> no-tokens
+    // contract (explode of an empty array drops the row)
+    "q242_oov_rate" ->
+      """WITH tr AS (
+        |  SELECT DISTINCT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE source <> 'src19' AND length(trim(text)) > 0),
+        |inc AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE source = 'src19' AND length(trim(text)) > 0),
+        |cc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM inc GROUP BY 1),
+        |fl AS (SELECT cc.c, tr.tok IS NOT NULL AS iv
+        |       FROM cc LEFT JOIN tr ON cc.tok = tr.tok),
+        |vt AS (SELECT CAST(count(*) AS BIGINT) AS vocab_train FROM tr)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN NOT iv THEN c ELSE 0 END) AS BIGINT) AS n_oov_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab_incoming,
+        |  CAST(SUM(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT) AS oov_types,
+        |  vocab_train,
+        |  CASE WHEN SUM(c) > 0
+        |       THEN CAST(SUM(CASE WHEN NOT iv THEN c ELSE 0 END) AS DOUBLE)
+        |          / CAST(SUM(c) AS DOUBLE) END AS oov_rate
+        |FROM fl, vt GROUP BY vocab_train""".stripMargin,
+
+    // stratified split: md5-ranked in-stratum cut at floor(cum * n); the
+    // '0.8'/'0.9' string literals are the engine's BigDecimal cumulative
+    // thresholds bit-for-bit
+    "q243_stratified_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN rn <= FLOOR(CAST('0.8' AS DOUBLE) * CAST(n AS DOUBLE)) THEN 'train'
+        |       WHEN rn <= FLOOR(CAST('0.9' AS DOUBLE) * CAST(n AS DOUBLE)) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n
+        |FROM documents)""".stripMargin,
 
     // mode: row_number over (count desc, value asc) = 1 per group
     "q227_group_mode" ->

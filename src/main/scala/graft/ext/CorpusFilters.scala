@@ -940,6 +940,72 @@ object CorpusFilters {
    * per-token contributions reduce in a single-row aggregate. The raw
    * corpora shuffle only as (token, count) pairs.
    */
+  /**
+   * Out-of-vocabulary rate of an incoming corpus against a training
+   * corpus's token vocabulary — the tokenizer-coverage drift check run
+   * before mixing a new source in (high OOV = the tokenizer will shred it
+   * into bytes). Occurrence-weighted (`oov_rate` = fraction of incoming
+   * token OCCURRENCES whose type is unseen in training) plus the type-level
+   * tallies. One row; pure counting, so fully on the hash oracle.
+   *
+   * Plan shape (100 TB): training collapses to its DISTINCT-token
+   * vocabulary, incoming to its token-count relation (both map-side
+   * combinable, vocabulary-bounded); one left equi-join on the token
+   * aligns them. Raw text never shuffles.
+   */
+  def oovRate(train: DataFrame, incoming: DataFrame, textCol: String): DataFrame = {
+    val vocab = train.select(explode(Dedup.tokens(col(textCol))).as("__tok"))
+      .distinct().withColumn("__in_vocab", lit(true))
+    val newCounts = incoming.select(explode(Dedup.tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val vt = vocab.agg(count(lit(1)).as("vocab_train"))
+    newCounts.join(vocab, Seq("__tok"), "left")
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, col("__c")).otherwise(0L)).as("n_oov_tokens"),
+        count(lit(1)).as("vocab_incoming"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("oov_types"))
+      .crossJoin(broadcast(vt))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          col("n_oov_tokens").cast("double") / col("n_tokens").cast("double")))
+  }
+
+  /**
+   * Exact-proportion stratified split: within every stratum, rows rank by
+   * `md5(id)` (deterministic, layout-independent) and the first
+   * `floor(cumFraction·n)` take each split label — so every stratum hits
+   * its train/val/test proportions EXACTLY (±1 row), where [[hashSplit]]
+   * is only exact in expectation. Cumulative fractions sum in BigDecimal
+   * over the doubles' shortest decimal form, so the thresholds an oracle
+   * embeds as string literals ('0.8', '0.9') are the engine's bit-for-bit.
+   *
+   * Scale note (100 TB): the rank is a window sort PER STRATUM — fine for
+   * the many-moderate-strata shape this targets (sources, languages,
+   * shards); for one monster stratum prefer [[hashSplit]] or pre-shard the
+   * stratum key.
+   */
+  def stratifiedSplit(
+      df: DataFrame, idCol: String, strataCol: String,
+      splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 >= 0.0),
+      s"split fractions must be non-negative, got $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val cum = splits.map(s => BigDecimal(s._2.toString))
+      .scanLeft(BigDecimal(0))(_ + _).tail
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")))
+    val r = row_number().over(w).cast("long")
+    val n = count(lit(1)).over(Window.partitionBy(col(strataCol)))
+    val assigned = splits.init.zip(cum.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cf)) =>
+        val cond = r <= floor(lit(cf.toString).cast("double") * n.cast("double"))
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }.fold(lit(splits.last._1): Column)(_.otherwise(splits.last._1))
+    df.withColumn(outCol, assigned)
+  }
+
   def jsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
     def counts(df: DataFrame, tag: String): DataFrame =
       df.select(explode(Dedup.tokens(col(textCol))).as("__tok"))

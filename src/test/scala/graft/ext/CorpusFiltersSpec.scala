@@ -505,6 +505,48 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(ab > 0.0 && ab < math.log(2.0)) // strictly inside for partial overlap
   }
 
+  test("oovRate: hand-computed occurrence and type tallies") {
+    val train = Seq("a b c", "a b").toDF("text")
+    val incoming = Seq("a a d", "e").toDF("text")
+    val got = CorpusFilters.oovRate(train, incoming, "text").collect().head
+    // incoming occurrences: a,a,d,e -> 4; OOV occurrences d,e -> 2
+    assert(got.getLong(0) === 4L)
+    assert(got.getLong(1) === 2L)
+    assert(got.getLong(2) === 3L) // incoming types {a, d, e}
+    assert(got.getLong(3) === 2L) // OOV types {d, e}
+    assert(got.getLong(4) === 3L) // train vocab {a, b, c}
+    assert(got.getDouble(5) === 0.5)
+    // full coverage -> rate 0 exactly
+    assert(CorpusFilters.oovRate(train, Seq("c b").toDF("text"), "text")
+      .collect().head.getDouble(5) === 0.0)
+  }
+
+  test("stratifiedSplit: exact per-stratum proportions, layout-independent") {
+    val df = ((1 to 10).map(i => (i.toLong, "big")) ++
+      (11 to 15).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val got = CorpusFilters.stratifiedSplit(df, "id", "src", splits)
+      .groupBy($"src", $"split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // big (n=10): floor(8)/floor(9): 8 train, 1 val, 1 test
+    assert(got(("big", "train")) === 8L)
+    assert(got(("big", "val")) === 1L)
+    assert(got(("big", "test")) === 1L)
+    // small (n=5): floor(4)=4 train, floor(4.5)=4 -> 0 val, 1 test
+    assert(got(("small", "train")) === 4L)
+    assert(got.getOrElse(("small", "val"), 0L) === 0L)
+    assert(got(("small", "test")) === 1L)
+    // assignment is a pure function of (id, stratum): partitioning-immune
+    val a = CorpusFilters.stratifiedSplit(df, "id", "src", splits)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val b = CorpusFilters.stratifiedSplit(df.repartition(7), "id", "src", splits)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      CorpusFilters.stratifiedSplit(df, "id", "src", Seq(("train", 0.5)))
+    }
+  }
+
   test("jsDivergence: an empty side yields NULL score, zero tallies survive") {
     val a = Seq("alpha beta").toDF("text")
     val empty = Seq.empty[String].toDF("text")
