@@ -101,14 +101,19 @@ object ScaleProbe {
 
     def read(n: String, k: Int) = spark.read.parquet(paths((n, k)))
 
+    // optional probe-name filter: `runMain graft.ScaleProbe <workDir> n1 n2…`
+    // re-times just the named probes (fixtures are cached, so a targeted
+    // re-run costs seconds, not the full sweep)
+    val only = args.drop(1).toSet
     val results = scala.collection.mutable.LinkedHashMap[String, Map[Int, (Double, Long)]]()
-    def timed(name: String, k: Int)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"SCALE x$k%-3d $name%-24s $sec%8.2f s  rows=$rows")
-      results(name) = results.getOrElse(name, Map.empty) + (k -> (sec, rows))
-    }
+    def timed(name: String, k: Int)(f: => Long): Unit =
+      if (only.isEmpty || only.contains(name)) {
+        val t0 = System.nanoTime()
+        val rows = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE x$k%-3d $name%-24s $sec%8.2f s  rows=$rows")
+        results(name) = results.getOrElse(name, Map.empty) + (k -> (sec, rows))
+      }
 
     for (k <- scales) {
       Dedup.clearShingleIndexCache()
@@ -708,6 +713,43 @@ object ScaleProbe {
           read("lineitem", k).select(
             expr("CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END").as("k")),
           "k", topK = 10).count()
+      }
+      // r5g: privacy governance, label QA, seasonality, coverage drift —
+      // every one collapses to a domain-bounded relation in one shuffle
+      timed("privacy_profile", k) {
+        ext.Privacy.kAnonymityProfile(read("customer", k),
+          Seq("c_nationkey", "c_mktsegment"), "c_acctbal", 8, 4).count()
+      }
+      timed("privacy_suppress", k) {
+        ext.Privacy.suppress(read("customer", k),
+          Seq("c_nationkey", "c_mktsegment"), 8).count()
+      }
+      timed("cohens_kappa", k) {
+        ext.RegressionOps.cohensKappa(
+          ext.TextStats.langId(read("documents", k), "text"),
+          "lang", "lang_pred").count()
+      }
+      timed("acf_hourly", k) {
+        // replicated events keep their timestamps: the hourly relation
+        // stays |hours| while its counts grow 10x — the collapse the
+        // operator relies on at 100 TB
+        ext.EventAnalytics.acfHourly(
+          graft.io.ParquetIO.tsToNanos(read("events", k)), "ts", 6).count()
+      }
+      timed("oov_rate", k) {
+        val d = read("documents", k)
+        ext.CorpusFilters.oovRate(d.filter(col("source") =!= "src19"),
+          d.filter(col("source") === "src19"), "text").count()
+      }
+      timed("stratified_split", k) {
+        ext.CorpusFilters.stratifiedSplit(read("documents", k),
+          "doc_id", "source",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))).count()
+      }
+      timed("js_divergence", k) {
+        val d = read("documents", k)
+        ext.CorpusFilters.jsDivergence(d.filter(col("source") === "src0"),
+          d.filter(col("source") === "src1"), "text").count()
       }
     }
 
