@@ -2327,6 +2327,16 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "source",
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .select(col("doc_id"), col("source"), col("split"))),
+    // FK discovery: lineitem.l_partkey vs part.p_partkey inclusion — both
+    // sides collapse to distinct-key relations before the join
+    "q244_fk_inclusion" -> ((s, dir) =>
+      graft.operators.Profiler.inclusionCoefficient(
+        t(s, dir, "lineitem"), "l_partkey", t(s, dir, "part"), "p_partkey")),
+    // functional-dependency check: does nation determine market segment?
+    // (no — the violating-group count and max fanout quantify how far off)
+    "q245_fd_check" -> ((s, dir) =>
+      graft.operators.Profiler.functionalDependency(
+        t(s, dir, "customer"), Seq("c_nationkey"), "c_mktsegment")),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -5072,6 +5082,34 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn,
         |  count(*) OVER (PARTITION BY source) AS n
         |FROM documents)""".stripMargin,
+
+    // FK inclusion: distinct-key relations, one inner join, fixed divisions
+    "q244_fk_inclusion" ->
+      """WITH da AS (SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_partkey IS NOT NULL),
+        |db AS (SELECT DISTINCT p_partkey AS k FROM part WHERE p_partkey IS NOT NULL),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_a FROM da),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_b FROM db),
+        |sh AS (SELECT CAST(count(*) AS BIGINT) AS n_shared FROM da JOIN db USING (k))
+        |SELECT n_keys_a, n_keys_b, n_shared,
+        |  CASE WHEN n_keys_a > 0
+        |       THEN CAST(n_shared AS DOUBLE) / CAST(n_keys_a AS DOUBLE) END AS inclusion_a_in_b,
+        |  CASE WHEN n_keys_b > 0
+        |       THEN CAST(n_shared AS DOUBLE) / CAST(n_keys_b AS DOUBLE) END AS inclusion_b_in_a,
+        |  CASE WHEN n_keys_a + n_keys_b - n_shared > 0
+        |       THEN CAST(n_shared AS DOUBLE)
+        |          / CAST(n_keys_a + n_keys_b - n_shared AS DOUBLE) END AS key_jaccard
+        |FROM na, nb, sh""".stripMargin,
+
+    // FD check: one distinct-count per lhs group, then a single-row verdict
+    "q245_fd_check" ->
+      """WITH g AS (SELECT c_nationkey,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS nr
+        |FROM customer GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_lhs_groups,
+        |  CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  MAX(nr) AS max_rhs_per_lhs,
+        |  SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+        |FROM g""".stripMargin,
 
     // mode: row_number over (count desc, value asc) = 1 per group
     "q227_group_mode" ->

@@ -98,4 +98,60 @@ object Profiler {
       .select(col("bin"), (lit(lo) + col("bin") * w).as("bin_lo"),
         (lit(lo) + (col("bin") + 1L) * w).as("bin_hi"), col("n"))
   }
+
+  /**
+   * Inclusion coefficients between two key columns — the foreign-key
+   * discovery / referential-drift primitive: what fraction of A's distinct
+   * (non-null) keys appear in B, and vice versa, plus the key-set Jaccard.
+   * `inclusion_a_in_b = 1.0` is the FK candidate signal; values slipping
+   * below 1.0 over time measure referential decay (q221 checks a KNOWN
+   * FK row-exactly; this DISCOVERS candidates from data).
+   *
+   * Scale shape (100 TB): both sides collapse to their distinct-key
+   * relations first (map-side combinable), so the inner join runs on key
+   * cardinalities, never row counts. One row out; all counts exact longs,
+   * the three ratios one fixed division each.
+   */
+  def inclusionCoefficient(
+      a: DataFrame, keyA: String, b: DataFrame, keyB: String): DataFrame = {
+    val da = a.filter(col(keyA).isNotNull).select(col(keyA).as("__k")).distinct()
+    val db = b.filter(col(keyB).isNotNull).select(col(keyB).as("__k")).distinct()
+    val na = da.agg(count(lit(1)).as("n_keys_a"))
+    val nb = db.agg(count(lit(1)).as("n_keys_b"))
+    val shared = da.join(db, "__k").agg(count(lit(1)).as("n_shared"))
+    na.crossJoin(nb).crossJoin(shared)
+      .select(col("n_keys_a"), col("n_keys_b"), col("n_shared"),
+        when(col("n_keys_a") > 0,
+          col("n_shared").cast("double") / col("n_keys_a").cast("double"))
+          .as("inclusion_a_in_b"),
+        when(col("n_keys_b") > 0,
+          col("n_shared").cast("double") / col("n_keys_b").cast("double"))
+          .as("inclusion_b_in_a"),
+        when(col("n_keys_a") + col("n_keys_b") - col("n_shared") > 0,
+          col("n_shared").cast("double") /
+            (col("n_keys_a") + col("n_keys_b") - col("n_shared")).cast("double"))
+          .as("key_jaccard"))
+  }
+
+  /**
+   * Functional-dependency check `lhs → rhs`: does every distinct LHS tuple
+   * determine exactly one RHS value? The schema-discovery primitive behind
+   * denormalization safety and dimension extraction. Reports the violating
+   * LHS groups (those seeing >1 distinct RHS) plus the dependency verdict —
+   * `n_violating = 0` ⇔ the FD holds.
+   *
+   * Scale shape: ONE map-side-combinable aggregate to the distinct
+   * (lhs, rhs) relation, then one count per lhs — both bounded by the LHS
+   * domain, never a self-join.
+   */
+  def functionalDependency(
+      df: DataFrame, lhs: Seq[String], rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "lhs must be non-empty")
+    val perLhs = df.groupBy(lhs.map(col): _*)
+      .agg(countDistinct(col(rhs)).as("__n_rhs"))
+    perLhs.agg(count(lit(1)).as("n_lhs_groups"),
+      sum(when(col("__n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+      max(col("__n_rhs")).as("max_rhs_per_lhs"))
+      .withColumn("fd_holds", col("n_violating") === 0L)
+  }
 }

@@ -80,4 +80,37 @@ class ProfilerSpec extends SparkSpec {
       .collect().head
     assert(none.getLong(4) === 0L && none.getLong(5) === 0L)
   }
+
+  test("inclusionCoefficient: hand-computed overlap, nulls dropped") {
+    import spark.implicits._
+    // a keys {1,2,3} (dups + null ignored), b keys {2,3,4,5}
+    val a = Seq[java.lang.Long](1L, 1L, 2L, 3L, null).toDF("ka")
+    val b = Seq[java.lang.Long](2L, 3L, 4L, 5L, 5L).toDF("kb")
+    val got = Profiler.inclusionCoefficient(a, "ka", b, "kb").collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((3L, 4L, 2L)))
+    assert(got.getDouble(3) === 2.0 / 3.0)
+    assert(got.getDouble(4) === 0.5)
+    assert(got.getDouble(5) === 0.4) // 2 / (3 + 4 - 2)
+    // perfect FK: a subset of b -> inclusion 1.0
+    val fk = Profiler.inclusionCoefficient(
+      Seq(2L, 3L).toDF("ka"), "ka", b, "kb").collect().head
+    assert(fk.getDouble(3) === 1.0)
+  }
+
+  test("functionalDependency: holding and violating cases") {
+    import spark.implicits._
+    val df = Seq((1L, "x", "p"), (1L, "x", "q"), (2L, "y", "p"),
+      (2L, "y", "p"), (3L, "z", "r")).toDF("k", "det", "multi")
+    // k -> det holds (every k sees one det)
+    val holds = Profiler.functionalDependency(df, Seq("k"), "det").collect().head
+    assert((holds.getLong(0), holds.getLong(1), holds.getLong(2)) === ((3L, 0L, 1L)))
+    assert(holds.getBoolean(3))
+    // k -> multi violated by k=1 ({p, q})
+    val broken = Profiler.functionalDependency(df, Seq("k"), "multi").collect().head
+    assert((broken.getLong(0), broken.getLong(1), broken.getLong(2)) === ((3L, 1L, 2L)))
+    assert(!broken.getBoolean(3))
+    intercept[IllegalArgumentException] {
+      Profiler.functionalDependency(df, Seq.empty, "det")
+    }
+  }
 }
