@@ -751,6 +751,15 @@ object ScaleProbe {
         ext.CorpusFilters.jsDivergence(d.filter(col("source") === "src0"),
           d.filter(col("source") === "src1"), "text").count()
       }
+      timed("fk_inclusion", k) {
+        operators.Profiler.inclusionCoefficient(
+          read("lineitem", k), "l_partkey",
+          read("lineitem", k).select(col("l_partkey").as("pk")), "pk").count()
+      }
+      timed("fd_check", k) {
+        operators.Profiler.functionalDependency(
+          read("orders", k), Seq("o_custkey"), "o_orderpriority").count()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")
