@@ -2337,6 +2337,11 @@ object SparkEntry {
     "q245_fd_check" -> ((s, dir) =>
       graft.operators.Profiler.functionalDependency(
         t(s, dir, "customer"), Seq("c_nationkey"), "c_mktsegment")),
+    // streaming k-anonymity gate: offline-profiled violating classes
+    // enforced on the live feed via broadcast stream-static anti join;
+    // oracle = the batch suppression (q238's kept relation, row-exact)
+    "q246_stream_privacy_gate" -> ((s, dir) =>
+      graft.streaming.StreamGate.privacyGate(s, dir, k = 6)),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -5110,6 +5115,16 @@ object SparkEntry {
         |  MAX(nr) AS max_rhs_per_lhs,
         |  SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
         |FROM g""".stripMargin,
+
+    // streaming privacy gate == the batch suppression's kept relation
+    "q246_stream_privacy_gate" ->
+      """WITH viol AS (
+        |  SELECT c_nationkey, c_mktsegment FROM customer
+        |  GROUP BY 1, 2 HAVING count(*) < 6)
+        |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment FROM customer c
+        |LEFT JOIN viol v ON c.c_nationkey = v.c_nationkey
+        |  AND c.c_mktsegment = v.c_mktsegment
+        |WHERE v.c_nationkey IS NULL""".stripMargin,
 
     // mode: row_number over (count desc, value asc) = 1 per group
     "q227_group_mode" ->

@@ -392,6 +392,31 @@ object StreamGate {
    * [[graft.operators.Ingest.cdcApply]] exactly under ANY batching (the
    * struct max is order-free), so q189 shares q186's oracle verbatim.
    */
+  /**
+   * Streaming k-anonymity enforcement gate: the violating-class relation
+   * is profiled OFFLINE from the reference extract (the realistic
+   * deployment — the release audit runs in batch, the gate enforces it on
+   * the live feed), then every incoming row in a sub-k class drops via a
+   * broadcast stream-static LEFT ANTI join. Same semantics as
+   * [[graft.ext.Privacy.suppress]] on the batch table — the oracle and
+   * spec pin the equality — with O(classes) static state and zero
+   * streaming state.
+   */
+  def privacyGate(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    val dir = stageTableDir(sfDir, "customer")
+    val batch = spark.read.parquet(s"$sfDir/customer.parquet")
+    val violating = batch.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") < k)
+      .select(col("c_nationkey").as("__vn"), col("c_mktsegment").as("__vs"))
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val kept = stream.join(broadcast(violating),
+      stream("c_nationkey") === col("__vn") &&
+        stream("c_mktsegment") === col("__vs"), "left_anti")
+    runToTable(kept.select(col("c_custkey"), col("c_nationkey"),
+      col("c_mktsegment")), "stream_privacy_gate", "append")
+  }
+
   def cdcSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stageTableDirSplit(sfDir, "orders", parts = 3)
     val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema

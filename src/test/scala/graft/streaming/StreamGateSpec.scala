@@ -153,4 +153,20 @@ class StreamGateSpec extends SparkSpec {
     assert(stream === batch)
     assert(stream.nonEmpty)
   }
+
+  test("streaming k-anonymity gate equals batch Privacy.suppress row-exactly") {
+    val sfDir = "/root/testdata/sf0.001"
+    val gate = StreamGate.privacyGate(spark, sfDir, k = 3)
+      .collect().map(r => (r.get(0), r.get(1), r.getString(2))).toSet
+    val batch = graft.ext.Privacy.suppress(
+        spark.read.parquet(s"$sfDir/customer.parquet"),
+        Seq("c_nationkey", "c_mktsegment"), k = 3)
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+      .collect().map(r => (r.get(0), r.get(1), r.getString(2))).toSet
+    assert(gate === batch)
+    assert(gate.nonEmpty)
+    // the gate actually suppressed something at this k
+    assert(gate.size <
+      spark.read.parquet(s"$sfDir/customer.parquet").count())
+  }
 }
