@@ -2342,6 +2342,11 @@ object SparkEntry {
     // oracle = the batch suppression (q238's kept relation, row-exact)
     "q246_stream_privacy_gate" -> ((s, dir) =>
       graft.streaming.StreamGate.privacyGate(s, dir, k = 6)),
+    // classical seasonal decomposition: hourly seasonal profile from the
+    // even-period centered-MA detrend — integer numerators end to end, one
+    // division per season index; windows-free (contribution expansion)
+    "q247_seasonal_profile" -> ((s, dir) =>
+      graft.ext.EventAnalytics.seasonalProfile(t(s, dir, "events"), "ts", period = 24)),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -5125,6 +5130,31 @@ object SparkEntry {
         |LEFT JOIN viol v ON c.c_nationkey = v.c_nationkey
         |  AND c.c_mktsegment = v.c_mktsegment
         |WHERE v.c_nationkey IS NULL""".stripMargin,
+
+    // seasonal profile: densified grid, even-period centered-MA detrend
+    // replayed via window frames; HUGEINT numerators, one division
+    "q247_seasonal_profile" ->
+      """WITH h AS (
+        |  SELECT epoch_ns(ts) // 3600000000000 AS hb, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(hb) AS lo, max(hb) AS hi FROM h),
+        |g AS (SELECT gs.t AS hb, COALESCE(h.x, 0) AS x
+        |      FROM (SELECT unnest(generate_series(lo, hi)) AS t FROM b) gs
+        |      LEFT JOIN h ON h.hb = gs.t),
+        |w AS (SELECT hb, x,
+        |   SUM(x) OVER (ORDER BY hb ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS s,
+        |   COUNT(*) OVER (ORDER BY hb ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS cnt,
+        |   LAG(x, 12) OVER (ORDER BY hb) AS xm,
+        |   LEAD(x, 12) OVER (ORDER BY hb) AS xp
+        | FROM g),
+        |d AS (SELECT hb % 24 AS season_idx,
+        |   CAST(48 AS HUGEINT) * x - (CAST(2 AS HUGEINT) * s - xm - xp) AS dnum
+        | FROM w WHERE cnt = 25)
+        |SELECT CAST(season_idx AS BIGINT) AS season_idx,
+        |  CAST(count(*) AS BIGINT) AS n_obs,
+        |  CAST(CAST(SUM(dnum) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(48 AS HUGEINT) * count(*) AS VARCHAR) AS DOUBLE) AS seasonal
+        |FROM d GROUP BY 1""".stripMargin,
 
     // mode: row_number over (count desc, value asc) = 1 per group
     "q227_group_mode" ->

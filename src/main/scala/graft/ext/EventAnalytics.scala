@@ -455,4 +455,61 @@ object EventAnalytics {
     stats.select(col("lag"), col("n_pairs"),
       when(vx > 0.0 && vy > 0.0, num / sqrt(vx * vy)).as("acf"))
   }
+
+  /**
+   * Classical seasonal decomposition's SEASONAL PROFILE over the hourly
+   * event-count series (the additive moving-average method: Hyndman &
+   * Athanasopoulos, "Forecasting: Principles and Practice", §3.3): densify
+   * the calendar grid (missing hours count 0), detrend with the standard
+   * even-period centered moving average (half-weights at both ends:
+   * trend_t = (x_{t−p/2} + 2·Σ_{|j|<p/2} x_{t+j} + x_{t+p/2}) / 2p), and
+   * average the detrended values per season index `t mod p`. Output: one
+   * row per season index with `n_obs` interior observations and the
+   * `seasonal` deviation (count units).
+   *
+   * Exact by construction: counts are integers, so the detrended value is
+   * the rational `dnum_t / 2p` with an INTEGER numerator
+   * `2p·x_t − (2·S_t − x_{t−p/2} − x_{t+p/2})`, and each seasonal mean is
+   * ONE division of exact DECIMAL sums — bit-reproducible in any engine.
+   *
+   * Plan shape (100 TB): the log collapses once to the |hours|-bounded
+   * hourly relation; the grid, the (p+1)-way contribution expansion, and
+   * the three equi-joins all run on that tiny relation — NO window over an
+   * unbounded input anywhere (the PlanSpec global-window guard).
+   */
+  def seasonalProfile(
+      events: DataFrame, tsNanosCol: String, period: Int = 24): DataFrame = {
+    require(period >= 2 && period % 2 == 0,
+      s"period must be an even number >= 2, got $period")
+    val half = period / 2
+    val HourNanos = 3600000000000L
+    def asD(c: Column): Column = c.cast("string").cast("double")
+    val dec = "decimal(38,0)"
+    val hourly = events
+      .groupBy(expr(s"$tsNanosCol div $HourNanos").as("__hb"))
+      .agg(count(lit(1)).as("__x"))
+    val grid = hourly.agg(min(col("__hb")).as("__lo"), max(col("__hb")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__hb"))
+      .join(hourly, Seq("__hb"), "left")
+      .select(col("__hb"), coalesce(col("__x"), lit(0L)).as("__x"))
+    // S_t = Σ_{j=-half..half} x_{t+j} by contribution expansion; __cnt
+    // = period+1 exactly on the interior where the centered MA is defined
+    val s = grid
+      .select(explode(sequence(lit(-half), lit(half))).as("__j"),
+        col("__hb"), col("__x"))
+      .groupBy((col("__hb") + col("__j")).as("__t"))
+      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__cnt"))
+    val xm = grid.select((col("__hb") + half).as("__t"), col("__x").as("__xm"))
+    val xp = grid.select((col("__hb") - half).as("__t"), col("__x").as("__xp"))
+    val dnum = lit(2L * period) * col("__x") -
+      (lit(2L) * col("__s") - col("__xm") - col("__xp"))
+    grid.select(col("__hb").as("__t"), col("__x"))
+      .join(s, "__t").filter(col("__cnt") === (period + 1))
+      .join(xm, "__t").join(xp, "__t")
+      .groupBy((col("__t") % period).as("season_idx"))
+      .agg(count(lit(1)).as("n_obs"), sum(dnum.cast(dec)).as("__dsum"))
+      .select(col("season_idx"), col("n_obs"),
+        (asD(col("__dsum")) /
+          asD((lit(2L * period) * col("n_obs")).cast(dec))).as("seasonal"))
+  }
 }

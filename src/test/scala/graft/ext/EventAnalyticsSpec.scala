@@ -286,6 +286,30 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(got(3L)._2 - (-1.0)) < 1e-15)
   }
 
+  test("seasonalProfile: periodic series recovers exact seasonal deviations") {
+    // x_t = [1,2,3,2][t % 4] over 20 hours: the even-period centered MA is
+    // the cycle mean (2) at every interior point, so seasonal = x - 2
+    val pattern = Array(1, 2, 3, 2)
+    val events = (0 until 20).flatMap { h =>
+      (0 until pattern(h % 4)).map(i => (h.toLong * 10 + i, h * Hour + i))
+    }.toDF("event_id", "ts")
+    val got = EventAnalytics.seasonalProfile(events, "ts", period = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // interior t in [2, 17]: 16 points, 4 per season index
+    assert(got(0L) === ((4L, -1.0)))
+    assert(got(1L) === ((4L, 0.0)))
+    assert(got(2L) === ((4L, 1.0)))
+    assert(got(3L) === ((4L, 0.0)))
+    // a missing hour densifies to count 0 and shifts the means
+    val gappy = events.filter(col("ts") < 10L * Hour || col("ts") >= 11L * Hour)
+    val g = EventAnalytics.seasonalProfile(gappy, "ts", period = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(g(2L) < 1.0) // season 2 lost its t=10 count-3 hour to the gap
+    intercept[IllegalArgumentException] {
+      EventAnalytics.seasonalProfile(events, "ts", period = 5)
+    }
+  }
+
   test("acfHourly: calendar lag — a missing hour forms no pair; constant is NULL") {
     // hours 0,1,3 present (hour 2 empty): lag-1 pairs only (1,0); lag-2 (3,1)
     val events = Seq((1L, 0L * Hour), (2L, 0L * Hour + 5),
