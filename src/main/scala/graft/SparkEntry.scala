@@ -2347,6 +2347,12 @@ object SparkEntry {
     // division per season index; windows-free (contribution expansion)
     "q247_seasonal_profile" -> ((s, dir) =>
       graft.ext.EventAnalytics.seasonalProfile(t(s, dir, "events"), "ts", period = 24)),
+    // OHLC downsampling: per (event_type, hour) open/high/low/close bars —
+    // pure pass-through aggregates (min_by/max_by), one map-side-combinable
+    // shuffle, bit-exact oracle
+    "q248_ohlc_bars" -> ((s, dir) =>
+      graft.ext.EventAnalytics.ohlcBars(
+        t(s, dir, "events"), "event_type", "ts", "value", "event_id")),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -5155,6 +5161,28 @@ object SparkEntry {
         |  CAST(CAST(SUM(dnum) AS VARCHAR) AS DOUBLE)
         |    / CAST(CAST(CAST(48 AS HUGEINT) * count(*) AS VARCHAR) AS DOUBLE) AS seasonal
         |FROM d GROUP BY 1""".stripMargin,
+
+    // OHLC bars: first/last by (ts, event_id) replayed via row_number
+    // windows; every output column is a pass-through double — bit-exact
+    "q248_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket,
+        |    value, epoch_ns(ts) AS tns, event_id
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, bucket, value,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY tns, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY tns DESC, event_id DESC) AS rl
+        |  FROM e)
+        |SELECT event_type AS series_key, bucket,
+        |  MAX(CASE WHEN rf = 1 THEN value END) AS open,
+        |  MAX(value) AS high,
+        |  MIN(value) AS low,
+        |  MAX(CASE WHEN rl = 1 THEN value END) AS close,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     // mode: row_number over (count desc, value asc) = 1 per group
     "q227_group_mode" ->

@@ -477,6 +477,43 @@ object EventAnalytics {
    * the three equi-joins all run on that tiny relation — NO window over an
    * unbounded input anywhere (the PlanSpec global-window guard).
    */
+  /**
+   * OHLC time bars: per (series key, time bucket) the open / high / low /
+   * close of the value column plus the event count — the downsampled bar
+   * shape every monitoring and market-data pipeline stores instead of raw
+   * ticks. `open`/`close` are the values of the FIRST/LAST event in the
+   * bucket ordered by (ts, tieCol), so bars are deterministic under
+   * event-time ties (tieCol must be unique, e.g. event_id).
+   *
+   * Bit-exact by construction: every output is a pass-through of one input
+   * double (min_by/max_by/min/max) — no arithmetic happens, so any engine
+   * reproduces the bars exactly.
+   *
+   * Plan shape (100 TB): one hash aggregation on (key, bucket) — all five
+   * aggregates are map-side combinable (min_by/max_by combine by keeping
+   * the smaller/larger ordering struct), so the shuffle carries one row per
+   * bar, not per event. No windows, no sorts.
+   */
+  def ohlcBars(
+      events: DataFrame,
+      keyCol: String,
+      tsNanosCol: String,
+      valueCol: String,
+      tieCol: String,
+      bucketNanos: Long = 3600000000000L): DataFrame = {
+    require(bucketNanos > 0, s"bucketNanos must be positive, got $bucketNanos")
+    val ord = struct(col(tsNanosCol), col(tieCol))
+    events
+      .groupBy(col(keyCol).as("series_key"),
+        expr(s"$tsNanosCol div $bucketNanos").as("bucket"))
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n_events"))
+  }
+
   def seasonalProfile(
       events: DataFrame, tsNanosCol: String, period: Int = 24): DataFrame = {
     require(period >= 2 && period % 2 == 0,

@@ -286,6 +286,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(got(3L)._2 - (-1.0)) < 1e-15)
   }
 
+  test("ohlcBars: open/close follow (ts, tie) order; high/low/count exact") {
+    // bucket 0 of key "a": events at ts 5,1,9 (ids 1,2,3) → open = value at
+    // ts 1, close = value at ts 9; a ts tie breaks on event_id
+    val events = Seq(
+      ("a", 5L, 10L, 3.0), ("a", 1L, 20L, 7.0), ("a", 9L, 30L, 1.5),
+      ("a", Hour + 2, 40L, 9.0),
+      ("b", 4L, 50L, 2.0), ("b", 4L, 60L, 8.0) // tie: open=id50, close=id60
+    ).toDF("k", "ts", "event_id", "value")
+    val got = EventAnalytics.ohlcBars(events, "k", "ts", "value", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    assert(got(("a", 0L)) === ((7.0, 7.0, 1.5, 1.5, 3L)))
+    assert(got(("a", 1L)) === ((9.0, 9.0, 9.0, 9.0, 1L)))
+    assert(got(("b", 0L)) === ((2.0, 8.0, 2.0, 8.0, 2L)))
+  }
+
   test("seasonalProfile: periodic series recovers exact seasonal deviations") {
     // x_t = [1,2,3,2][t % 4] over 20 hours: the even-period centered MA is
     // the cycle mean (2) at every interior point, so seasonal = x - 2
