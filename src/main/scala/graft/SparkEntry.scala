@@ -2353,6 +2353,12 @@ object SparkEntry {
     "q248_ohlc_bars" -> ((s, dir) =>
       graft.ext.EventAnalytics.ohlcBars(
         t(s, dir, "events"), "event_type", "ts", "value", "event_id")),
+    // interval-sweep peak concurrency: sessionize (30 min gap) then per-day
+    // max of the running +1/-1 boundary sum — decomposed into partitioned
+    // hour sweeps + a day-carry expansion, no global window
+    "q249_peak_concurrency" -> ((s, dir) =>
+      graft.ext.EventAnalytics.peakConcurrency(
+        t(s, dir, "events"), "user_id", "ts")),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -5183,6 +5189,31 @@ object SparkEntry {
         |  MAX(CASE WHEN rl = 1 THEN value END) AS close,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // peak concurrency: DuckDB replays the sweep as ONE global running sum
+    // (fine at sf scale); the engine's decomposed hour/day-carry plan must
+    // match it bit for bit. Starts sort before ends at equal t (d DESC).
+    "q249_peak_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_ns(ts) AS t FROM events),
+        |s AS (
+        |  SELECT u, t,
+        |    CASE WHEN t - lag(t) OVER (PARTITION BY u ORDER BY t)
+        |      <= 1800000000000 THEN 0 ELSE 1 END AS nw
+        |  FROM e),
+        |sid AS (
+        |  SELECT u, t, SUM(nw) OVER (PARTITION BY u ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |sess AS (SELECT u, sid, min(t) AS st, max(t) AS en
+        |  FROM sid GROUP BY 1, 2),
+        |b AS (SELECT st AS t, 1 AS d FROM sess
+        |  UNION ALL SELECT en, -1 FROM sess),
+        |r AS (SELECT t, SUM(d) OVER (ORDER BY t, d DESC
+        |  ROWS UNBOUNDED PRECEDING) AS run FROM b)
+        |SELECT t // 86400000000000 AS day,
+        |  CAST(max(run) AS BIGINT) AS peak_concurrency
+        |FROM r GROUP BY 1""".stripMargin,
 
     // mode: row_number over (count desc, value asc) = 1 per group
     "q227_group_mode" ->

@@ -457,6 +457,74 @@ object EventAnalytics {
   }
 
   /**
+   * Peak concurrent sessions per day — the capacity-planning number ("how
+   * many users were on at once?") computed with the classic interval sweep:
+   * sessionize each user's events with `gapNanos` inactivity splits, emit
+   * +1/−1 boundaries at session start/end, and take the per-day maximum of
+   * the running boundary sum. Starts order before ends at equal timestamps,
+   * so touching sessions count as concurrent; the reported peak is the
+   * concurrency AT BOUNDARY INSTANTS (the standard sweep output — a day's
+   * carry-in is observed at its first boundary, and with a sub-day session
+   * gap every day an active session touches has a boundary).
+   *
+   * Integer-exact end to end (counts only), so a DuckDB window replay
+   * matches bit for bit.
+   *
+   * Plan shape (100 TB): NO global sweep. Sessionization is per-user
+   * windows (one shuffle on the user key); the running sum decomposes as
+   * hour-partitioned prefix sweeps (the irreducible per-hour sort, |hours|
+   * parallel partitions) + an intra-day hour chain (≤24 rows/partition) +
+   * a day-level carry computed by contribution expansion over the
+   * |days|-bounded daily-totals relation — every window is partitioned
+   * (the PlanSpec global-window guard holds).
+   */
+  def peakConcurrency(
+      events: DataFrame,
+      userCol: String,
+      tsNanosCol: String,
+      gapNanos: Long = 1800000000000L): DataFrame = {
+    require(gapNanos > 0 && gapNanos < DayNanos,
+      s"gapNanos must be in (0, one day) — the day densification relies on " +
+        s"sessions never spanning a full silent day; got $gapNanos")
+    val HourNanos = 3600000000000L
+    val wU = Window.partitionBy(col("__u")).orderBy(col("__t"))
+    val sess = events
+      .select(col(userCol).as("__u"), col(tsNanosCol).as("__t"))
+      .withColumn("__new",
+        when(col("__t") - lag(col("__t"), 1).over(wU) <= gapNanos, 0L).otherwise(1L))
+      .withColumn("__sid", sum(col("__new"))
+        .over(wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__u"), col("__sid"))
+      .agg(min(col("__t")).as("__st"), max(col("__t")).as("__en"))
+    val bounds = sess.select(col("__st").as("__t"), lit(1L).as("__d"))
+      .unionByName(sess.select(col("__en").as("__t"), lit(-1L).as("__d")))
+    val wH = Window.partitionBy(col("__hb"))
+      .orderBy(col("__t").asc, col("__d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hourly = bounds
+      .withColumn("__hb", expr(s"__t div $HourNanos"))
+      .withColumn("__run", sum(col("__d")).over(wH))
+      .groupBy(col("__hb"))
+      .agg(max(col("__run")).as("__maxp"), sum(col("__d")).as("__tot"))
+      .withColumn("__day", expr("__hb div 24"))
+    val wD = Window.partitionBy(col("__day")).orderBy(col("__hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withinDay = hourly
+      .withColumn("__dcar", coalesce(sum(col("__tot")).over(wD), lit(0L)))
+    val dayTot = withinDay.groupBy(col("__day")).agg(sum(col("__tot")).as("__dtot"))
+    val maxDay = dayTot.agg(max(col("__day")).as("__maxd"))
+    val carries = dayTot.crossJoin(broadcast(maxDay))
+      .filter(col("__day") < col("__maxd"))
+      .select(explode(sequence(col("__day") + 1, col("__maxd"))).as("__day2"),
+        col("__dtot"))
+      .groupBy(col("__day2")).agg(sum(col("__dtot")).as("__daycar"))
+    withinDay.join(carries, withinDay("__day") === carries("__day2"), "left")
+      .select(withinDay("__day").as("day"),
+        (coalesce(col("__daycar"), lit(0L)) + col("__dcar") + col("__maxp")).as("__peak"))
+      .groupBy(col("day")).agg(max(col("__peak")).as("peak_concurrency"))
+  }
+
+  /**
    * Classical seasonal decomposition's SEASONAL PROFILE over the hourly
    * event-count series (the additive moving-average method: Hyndman &
    * Athanasopoulos, "Forecasting: Principles and Practice", §3.3): densify

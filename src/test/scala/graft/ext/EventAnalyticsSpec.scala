@@ -14,6 +14,7 @@ class EventAnalyticsSpec extends SparkSpec {
 
   private val Day = 86400000000000L
   private val Hour = 3600000000000L
+  private val Min = 60000000000L
 
   // (event_id, user, tsNanos, type, value)
   private lazy val log = Seq(
@@ -301,6 +302,69 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(("a", 0L)) === ((7.0, 7.0, 1.5, 1.5, 3L)))
     assert(got(("a", 1L)) === ((9.0, 9.0, 9.0, 9.0, 1L)))
     assert(got(("b", 0L)) === ((2.0, 8.0, 2.0, 8.0, 2L)))
+  }
+
+  test("peakConcurrency: sessionization, touch ties, multi-day carry, gap days") {
+    // A: one session [0, 1000] (two events 1000ns apart), another at 3h
+    // B: one session [500, 1000] — overlaps A's first -> day-0 peak 2
+    // C ends exactly where D starts (10h+100): starts order first -> 2
+    // E: one long session [23h, 48.5h] (18 events every 90min, gap 2h
+    //    keeps it chained) — open across all of day 1, closes day 2
+    // F: a single-event session day1 5h -> day1 peak = E open + F = 2
+    val e = (0 until 18).map(i => (900L, 23L * Hour + i * 90 * Min))
+    val ev = (Seq(
+      (100L, 0L), (100L, 1000L), (100L, 3L * Hour),
+      (200L, 500L), (200L, 1000L),
+      (300L, 10L * Hour), (300L, 10L * Hour + 100),
+      (400L, 10L * Hour + 100),
+      (500L, Day + 5 * Hour)
+    ) ++ e).toDF("u", "ts")
+    val got = EventAnalytics.peakConcurrency(ev, "u", "ts", gapNanos = 2 * Hour)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // day 2's only boundary is E's end: the sweep reads the running sum AT
+    // the boundary (post-decrement) -> peak 0, and the day still appears
+    assert(got === Map(0L -> 2L, 1L -> 2L, 2L -> 0L))
+    // a day with NO boundary is absent: cut E down to end day1 2h (and F
+    // with it), add G in day 3 -> day 2 has no row at all
+    val ev2 = ev.filter(col("ts") <= Day + 2 * Hour)
+      .union(Seq((600L, 3L * Day + Hour)).toDF("u", "ts"))
+    val got2 = EventAnalytics.peakConcurrency(ev2, "u", "ts", gapNanos = 2 * Hour)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === Map(0L -> 2L, 1L -> 0L, 3L -> 1L)) // no day-2 key
+    intercept[IllegalArgumentException] {
+      EventAnalytics.peakConcurrency(ev, "u", "ts", gapNanos = Day)
+    }
+  }
+
+  test("peakConcurrency: decomposed plan matches a naive global sweep") {
+    val gap = 30L * Min
+    val rows = (0 until 500).map { i =>
+      ((i % 7).toLong, math.abs(i * 2654435761L) % (3 * Day))
+    }
+    val got = EventAnalytics.peakConcurrency(
+        rows.toDF("u", "ts"), "u", "ts", gapNanos = gap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive: sessionize in Scala, sweep one sorted boundary list
+    val sessions = rows.groupBy(_._1).values.flatMap { evs =>
+      val ts = evs.map(_._2).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var st = ts.head; var en = ts.head
+      for (t <- ts.tail) {
+        if (t - en <= gap) en = t
+        else { out += ((st, en)); st = t; en = t }
+      }
+      out += ((st, en)); out
+    }
+    val bounds = sessions.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .toSeq.sortBy { case (t, d) => (t, -d) }
+    var run = 0L
+    val naive = scala.collection.mutable.Map.empty[Long, Long]
+    for ((t, d) <- bounds) {
+      run += d
+      val day = t / Day
+      naive(day) = math.max(naive.getOrElse(day, Long.MinValue), run)
+    }
+    assert(got === naive.toMap)
   }
 
   test("seasonalProfile: periodic series recovers exact seasonal deviations") {
