@@ -2359,6 +2359,24 @@ object SparkEntry {
     "q249_peak_concurrency" -> ((s, dir) =>
       graft.ext.EventAnalytics.peakConcurrency(
         t(s, dir, "events"), "user_id", "ts")),
+    // spatial radius join: "suppliers within 30k planar units of each
+    // customer" — grid-blocked equi-join (3x3 neighbor fan-out on the
+    // small side), exact integer distance; points derived from keys by
+    // multiplicative hashing so both engines replay the arithmetic
+    "q250_geo_radius_join" -> ((s, dir) =>
+      graft.operators.GeoJoin.radiusJoin(
+        geoPoints(t(s, dir, "customer"), "c_custkey", 2654435761L, 1540483477L),
+        "c_custkey",
+        geoPoints(t(s, dir, "supplier"), "s_suppkey", 2246822519L, 3266489917L),
+        "s_suppkey", "lat", "lon", 30000L)),
+    // nearest supplier within the radius per customer: argmin via one
+    // map-side-combinable min(struct) — no per-customer window sort
+    "q251_geo_nearest" -> ((s, dir) =>
+      graft.operators.GeoJoin.nearestWithin(
+        geoPoints(t(s, dir, "customer"), "c_custkey", 2654435761L, 1540483477L),
+        "c_custkey",
+        geoPoints(t(s, dir, "supplier"), "s_suppkey", 2246822519L, 3266489917L),
+        "s_suppkey", "lat", "lon", 30000L)),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -2444,6 +2462,22 @@ object SparkEntry {
       |FROM (SELECT doc_id,
       |  $langScores
       |FROM documents)""".stripMargin
+
+  /** q250's brute-force pair set; q251 ranks it. Same multiplicative-hash
+    * point fixture as SparkEntry.geoPoints, radius 30000 (dist2 <= 9e8). */
+  private lazy val geoPairsSql: String =
+    """SELECT c.c_custkey, s.s_suppkey,
+      |  (c.lat-s.lat)*(c.lat-s.lat) + (c.lon-s.lon)*(c.lon-s.lon) AS dist2
+      |FROM (SELECT c_custkey,
+      |        c_custkey*2654435761 % 4294967296 % 1000000 AS lat,
+      |        c_custkey*1540483477 % 4294967296 % 1000000 AS lon
+      |      FROM customer) c,
+      |     (SELECT s_suppkey,
+      |        s_suppkey*2246822519 % 4294967296 % 1000000 AS lat,
+      |        s_suppkey*3266489917 % 4294967296 % 1000000 AS lon
+      |      FROM supplier) s
+      |WHERE (c.lat-s.lat)*(c.lat-s.lat) + (c.lon-s.lon)*(c.lon-s.lon)
+      |  <= 900000000""".stripMargin
 
   private lazy val hashSplitOracle: String =
     """SELECT doc_id,
@@ -2616,6 +2650,14 @@ object SparkEntry {
     * variants (identity / append / replace / swap) of one md5-derived
     * 10-char base — shared verbatim (modulo dialect casts) with the
     * oracle. Edits stay clear of the first 2 chars (the block key). */
+  /** Deterministic planar point fixture: integer coordinates in a
+    * 1e6 x 1e6 box via Knuth-style multiplicative hashing of the key —
+    * pure 64-bit arithmetic, replayed verbatim by the DuckDB oracle. */
+  private def geoPoints(df: DataFrame, key: String, mLat: Long, mLon: Long): DataFrame =
+    df.select(col(key),
+      (col(key) * lit(mLat) % lit(4294967296L) % lit(1000000L)).as("lat"),
+      (col(key) * lit(mLon) % lit(4294967296L) % lit(1000000L)).as("lon"))
+
   private val entityNameFixtureSql: String =
     """CASE CAST(doc_id % 4 AS INT)
       |  WHEN 0 THEN substring(md5(CAST(CAST(doc_id div 4 AS STRING) AS BINARY)), 1, 10)
@@ -5214,6 +5256,19 @@ object SparkEntry {
         |SELECT t // 86400000000000 AS day,
         |  CAST(max(run) AS BIGINT) AS peak_concurrency
         |FROM r GROUP BY 1""".stripMargin,
+
+    // geo radius join: DuckDB brute-forces the cross join with the same
+    // integer distance predicate (fine at sf scale); the engine's grid
+    // blocking must produce the identical pair set
+    "q250_geo_radius_join" -> geoPairsSql,
+
+    // nearest-within: rank the pair set per customer on (dist2, suppkey)
+    "q251_geo_nearest" ->
+      s"""WITH pairs AS ($geoPairsSql),
+         |r AS (SELECT c_custkey, s_suppkey, dist2,
+         |  row_number() OVER (PARTITION BY c_custkey
+         |    ORDER BY dist2, s_suppkey) AS rn FROM pairs)
+         |SELECT c_custkey, s_suppkey, dist2 FROM r WHERE rn = 1""".stripMargin,
 
     // mode: row_number over (count desc, value asc) = 1 per group
     "q227_group_mode" ->
