@@ -2377,6 +2377,26 @@ object SparkEntry {
         "c_custkey",
         geoPoints(t(s, dir, "supplier"), "s_suppkey", 2246822519L, 3266489917L),
         "s_suppkey", "lat", "lon", 30000L)),
+    // exact-phrase query from the positional index: only the phrase
+    // terms' postings move; the oracle replays it as a direct scan
+    // (normalized token stream LIKE), proving index-vs-scan identity
+    "q252_phrase_search" -> ((s, dir) => {
+      val idx = graft.ext.SearchOps.buildPositionalIndex(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.ext.SearchOps.searchPhrase(idx, Seq("table", "scan"))
+    }),
+    // incremental index maintenance on the gate: per-parity half-corpus
+    // indexes merged token-wise, then the same phrase query — the merge
+    // touches only index rows, never the corpus, yet answers identically
+    "q253_index_merge_search" -> ((s, dir) => {
+      import graft.ext.SearchOps
+      val docs = t(s, dir, "documents")
+      val a = SearchOps.buildPositionalIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val b = SearchOps.buildPositionalIndex(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      SearchOps.searchPhrase(SearchOps.mergeIndex(a, b), Seq("table", "scan"))
+    }),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -2462,6 +2482,12 @@ object SparkEntry {
       |FROM (SELECT doc_id,
       |  $langScores
       |FROM documents)""".stripMargin
+
+  private lazy val phraseSearchOracle: String =
+    """SELECT doc_id FROM documents
+      |WHERE concat(' ',
+      |    array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' '),
+      |    ' ') LIKE '% table scan %'""".stripMargin
 
   /** q250's brute-force pair set; q251 ranks it. Same multiplicative-hash
     * point fixture as SparkEntry.geoPoints, radius 30000 (dist2 <= 9e8). */
@@ -5256,6 +5282,13 @@ object SparkEntry {
         |SELECT t // 86400000000000 AS day,
         |  CAST(max(run) AS BIGINT) AS peak_concurrency
         |FROM r GROUP BY 1""".stripMargin,
+
+    // phrase search: adjacency over the whitespace tokenizer == substring
+    // of the space-joined token stream with space sentinels
+    "q252_phrase_search" -> phraseSearchOracle,
+    // merge-equals-rebuild: the merged half-corpus indexes answer exactly
+    // the scan answer
+    "q253_index_merge_search" -> phraseSearchOracle,
 
     // geo radius join: DuckDB brute-forces the cross join with the same
     // integer distance predicate (fine at sf scale); the engine's grid

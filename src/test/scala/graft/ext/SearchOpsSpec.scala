@@ -49,6 +49,41 @@ class SearchOpsSpec extends SparkSpec {
     assert(SearchOps.searchAnd(capped, Seq("spark", "parquet")).isEmpty)
   }
 
+  test("phrase search: adjacency in order, repeated terms, order matters") {
+    val pdocs = Seq(
+      (1L, "hash join beats nested loop"),
+      (2L, "a hash join and a hash table"),
+      (3L, "join hash order reversed"),       // both words, wrong order
+      (4L, "hash accumulate join split"),     // both words, not adjacent
+      (5L, "batch batch batch"),
+      (6L, "batch once only")
+    ).toDF("doc_id", "text")
+    val idx = SearchOps.buildPositionalIndex(pdocs, "doc_id", "text")
+    def run(p: String*) =
+      SearchOps.searchPhrase(idx, p).as[Long].collect().sorted.toSeq
+    assert(run("hash", "join") === Seq(1L, 2L))
+    assert(run("join", "hash") === Seq(3L))
+    // repeated-term phrase needs genuinely consecutive repeats
+    assert(run("batch", "batch") === Seq(5L))
+    assert(run("batch", "batch", "batch") === Seq(5L))
+    assert(run("batch") === Seq(5L, 6L)) // single-term degenerates to lookup
+    assert(run("nested", "loop", "wins") === Seq.empty)
+  }
+
+  test("mergeIndex over disjoint halves is identical to a from-scratch rebuild") {
+    val a = SearchOps.buildPositionalIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val b = SearchOps.buildPositionalIndex(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    val merged = SearchOps.mergeIndex(a, b)
+      .collect().map(r => (r.getString(0), r.getSeq[Any](1).toList, r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val rebuilt = SearchOps.buildPositionalIndex(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getSeq[Any](1).toList, r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(merged === rebuilt)
+  }
+
   test("stop-list gate runs before any posting list materializes") {
     val plan = SearchOps.buildInvertedIndex(docs, "doc_id", "text", maxDocFreq = 2)
       .queryExecution.sparkPlan.toString
