@@ -2397,6 +2397,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
       SearchOps.searchPhrase(SearchOps.mergeIndex(a, b), Seq("table", "scan"))
     }),
+    // CUPED variance-reduced A/B readout: per-user integer metrics (pre
+    // window event count, post window floor(value) sum), variant by key
+    // parity, pooled theta; two map-side aggs + a broadcast cross
+    "q254_cuped" -> ((s, dir) => {
+      val day = expr("ts div 86400000000000")
+      val units = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(when(day < 19738L, 1L).otherwise(0L)).as("pre_events"),
+          sum(when(day >= 19738L, floor(col("value"))).otherwise(0L))
+            .as("post_value"))
+        .withColumn("variant", col("user_id") % 2)
+      graft.ext.RegressionOps.cupedAdjust(
+        units, "variant", "pre_events", "post_value")
+    }),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -5289,6 +5302,41 @@ object SparkEntry {
     // merge-equals-rebuild: the merged half-corpus indexes answer exactly
     // the scan answer
     "q253_index_merge_search" -> phraseSearchOracle,
+
+    // CUPED: HUGEINT sufficient statistics -> varchar-cast doubles -> the
+    // same fixed IEEE tree as the engine (theta once, adjusted means by
+    // linearity)
+    "q254_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN epoch_ns(ts) // 86400000000000 < 19738
+        |      THEN 1 ELSE 0 END) AS xv,
+        |    SUM(CASE WHEN epoch_ns(ts) // 86400000000000 >= 19738
+        |      THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS yv
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS gn,
+        |    CAST(CAST(SUM(CAST(xv AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS gsx,
+        |    CAST(CAST(SUM(CAST(yv AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS gsy,
+        |    CAST(CAST(SUM(CAST(xv AS HUGEINT) * CAST(yv AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS gsxy,
+        |    CAST(CAST(SUM(CAST(xv AS HUGEINT) * CAST(xv AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS gsxx
+        |  FROM u),
+        |t AS (SELECT gn, gsx,
+        |    CASE WHEN gn * gsxx - gsx * gsx <> 0
+        |      THEN (gn * gsxy - gsx * gsy) / (gn * gsxx - gsx * gsx) END AS theta
+        |  FROM g),
+        |v AS (
+        |  SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(CAST(SUM(CAST(xv AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS vsx,
+        |    CAST(CAST(SUM(CAST(yv AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS vsy
+        |  FROM u GROUP BY 1)
+        |SELECT variant, n_units,
+        |  vsy / CAST(n_units AS DOUBLE) AS mean_post,
+        |  vsy / CAST(n_units AS DOUBLE)
+        |    - COALESCE(theta, 0) * (vsx / CAST(n_units AS DOUBLE) - gsx / gn)
+        |    AS mean_adj,
+        |  theta
+        |FROM v, t""".stripMargin,
 
     // geo radius join: DuckDB brute-forces the cross join with the same
     // integer distance predicate (fine at sf scale); the engine's grid

@@ -386,6 +386,57 @@ object RegressionOps {
    * (n, agree, po, pe, kappa); kappa is NULL when chance agreement is
    * total (pe = 1, the degenerate single-cell matrix).
    */
+  /**
+   * CUPED variance reduction for controlled experiments (Deng, Xu, Kohavi,
+   * Walker — "Improving the Sensitivity of Online Controlled Experiments
+   * by Utilizing Pre-Experiment Data", WSDM'13): per-variant means of the
+   * post-period metric adjusted by the pooled pre-period covariate,
+   * `Y' = Y − θ·(X − mean(X))` with `θ = cov(X,Y)/var(X)` estimated over
+   * ALL units (pooled θ keeps the adjustment unbiased under randomized
+   * assignment). The input is one row per experimental unit.
+   *
+   * Exactness: X/Y must be INTEGER-valued metrics (counts, cents,
+   * floor-ed sums) — the sufficient statistics (n, ΣX, ΣY, ΣXY, ΣX²)
+   * accumulate in DECIMAL(38,0), immune to summation order, and θ plus
+   * the adjusted means combine in one fixed IEEE tree, so a SQL oracle
+   * reproduces every double bit-for-bit. By linearity,
+   * `mean(Y')_v = mean(Y)_v − θ·(mean(X)_v − mean(X)_pooled)` — no
+   * per-unit adjusted column ever materializes.
+   *
+   * Plan shape (100 TB): two map-side-combined aggregates over the unit
+   * relation (one global, one per variant) and a broadcast cross of the
+   * one-row global moments — the units never shuffle twice and nothing is
+   * ordered. Output per variant: n_units, mean_post, mean_adj, theta
+   * (θ repeated per row for readability; NULL when var(X) = 0, in which
+   * case mean_adj degrades to mean_post).
+   */
+  def cupedAdjust(
+      units: DataFrame, variantCol: String,
+      preCol: String, postCol: String): DataFrame = {
+    def asD(c: Column): Column = c.cast("string").cast("double")
+    val dec = "decimal(38,0)"
+    val x = col(preCol).cast(dec)
+    val y = col(postCol).cast(dec)
+    val global = units.agg(
+      count(lit(1)).as("__gn"),
+      sum(x).as("__gsx"), sum(y).as("__gsy"),
+      sum(x * y).as("__gsxy"), sum(x * x).as("__gsxx"))
+    val perVariant = units.groupBy(col(variantCol))
+      .agg(count(lit(1)).as("n_units"),
+        sum(x).as("__vsx"), sum(y).as("__vsy"))
+    val gn = col("__gn").cast("double")
+    val num = gn * asD(col("__gsxy")) - asD(col("__gsx")) * asD(col("__gsy"))
+    val den = gn * asD(col("__gsxx")) - asD(col("__gsx")) * asD(col("__gsx"))
+    val theta = when(den =!= 0.0, num / den)
+    val nv = col("n_units").cast("double")
+    val meanPost = asD(col("__vsy")) / nv
+    val meanAdj = meanPost -
+      coalesce(theta, lit(0.0)) * (asD(col("__vsx")) / nv - asD(col("__gsx")) / gn)
+    perVariant.crossJoin(broadcast(global))
+      .select(col(variantCol), col("n_units"),
+        meanPost.as("mean_post"), meanAdj.as("mean_adj"), theta.as("theta"))
+  }
+
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     def asD(c: Column): Column = c.cast("string").cast("double")
     val dec = "decimal(38,0)"

@@ -248,6 +248,40 @@ class RegressionOpsSpec extends SparkSpec {
     assert(math.abs(gotRho - expRho) < 1e-12)
   }
 
+  test("cupedAdjust: removes a planted covariate imbalance; pooled theta exact") {
+    // y = 2x exactly, but variant 1 drew larger-x users: raw means differ
+    // (3 vs 7) purely from the pre-period imbalance; theta = 2 and both
+    // adjusted means collapse to the pooled 5 — the textbook CUPED win
+    val units = Seq((0L, 1L, 2L), (0L, 2L, 4L), (1L, 3L, 6L), (1L, 4L, 8L))
+      .toDF("variant", "x", "y")
+    val got = RegressionOps.cupedAdjust(units, "variant", "x", "y")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(0L) === ((2L, 3.0, 5.0, 2.0)))
+    assert(got(1L) === ((2L, 7.0, 5.0, 2.0)))
+  }
+
+  test("cupedAdjust: balanced covariate preserves the treatment effect; var(X)=0 is NULL theta") {
+    // y = 3x + 5*treat with identical x distributions: theta = 3 (the
+    // treatment indicator is orthogonal to x), adjusted = raw means
+    val units = Seq(
+      (0L, 1L, 3L), (0L, 2L, 6L), (0L, 3L, 9L),
+      (1L, 1L, 8L), (1L, 2L, 11L), (1L, 3L, 14L)).toDF("variant", "x", "y")
+    val got = RegressionOps.cupedAdjust(units, "variant", "x", "y")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(0L) === ((6.0, 6.0, 3.0)))
+    assert(got(1L) === ((11.0, 11.0, 3.0)))
+    // constant covariate: theta NULL, mean_adj degrades to mean_post
+    val flat = Seq((0L, 5L, 2L), (0L, 5L, 4L), (1L, 5L, 10L))
+      .toDF("variant", "x", "y")
+    val g2 = RegressionOps.cupedAdjust(flat, "variant", "x", "y")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.isNullAt(4)))).toMap
+    assert(g2(0L) === ((3.0, 3.0, true)))
+    assert(g2(1L) === ((10.0, 10.0, true)))
+  }
+
   test("cohensKappa: textbook 2x2 matrix matches the closed form") {
     import spark.implicits._
     // 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no:
