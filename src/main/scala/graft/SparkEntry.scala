@@ -2410,6 +2410,12 @@ object SparkEntry {
       graft.ext.RegressionOps.cupedAdjust(
         units, "variant", "pre_events", "post_value")
     }),
+    // Kaplan-Meier churn risk table: censoring-aware time-to-event counts
+    // from one per-user agg; everything after runs on the horizon-bounded
+    // duration relation (broadcast theta self-join, no global window)
+    "q255_km_survival" -> ((s, dir) =>
+      graft.ext.SurvivalOps.kmTable(
+        t(s, dir, "events"), "user_id", "ts", churnGapDays = 7L)),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -5337,6 +5343,29 @@ object SparkEntry {
         |    AS mean_adj,
         |  theta
         |FROM v, t""".stripMargin,
+
+    // KM table: per-user spans, inactivity churn flag, risk set via the
+    // same theta self-join; hazard = one integer division
+    "q255_km_survival" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(epoch_ns(ts) // 86400000000000) AS d0,
+        |    max(epoch_ns(ts) // 86400000000000) AS d1
+        |  FROM events GROUP BY 1),
+        |ob AS (SELECT max(d1) AS obs_end FROM pu),
+        |du AS (SELECT d1 - d0 AS t,
+        |    CASE WHEN d1 < obs_end - 7 THEN 1 ELSE 0 END AS ev
+        |  FROM pu, ob),
+        |g AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS n_events,
+        |    CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+        |  FROM du GROUP BY 1),
+        |r AS (SELECT a.t, a.n_events, a.n_censored,
+        |    CAST(SUM(b.n_events + b.n_censored) AS BIGINT) AS n_risk
+        |  FROM g a JOIN g b ON b.t >= a.t
+        |  GROUP BY 1, 2, 3)
+        |SELECT t AS duration_days, n_risk, n_events, n_censored,
+        |  CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard
+        |FROM r""".stripMargin,
 
     // geo radius join: DuckDB brute-forces the cross join with the same
     // integer distance predicate (fine at sf scale); the engine's grid
