@@ -2416,6 +2416,14 @@ object SparkEntry {
     "q255_km_survival" -> ((s, dir) =>
       graft.ext.SurvivalOps.kmTable(
         t(s, dir, "events"), "user_id", "ts", churnGapDays = 7L)),
+    // Markov removal-effect attribution: transition counts distributed,
+    // absorbing-chain solves on the channel-bounded matrix. Deterministic
+    // but the elimination is no single expression tree -> rows-only;
+    // closed-form chain ground truth lives in EventAnalyticsSpec
+    "q256_markov_attribution" -> ((s, dir) =>
+      graft.ext.EventAnalytics.markovAttribution(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        convChannel = "purchase", tieCol = "event_id")),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join

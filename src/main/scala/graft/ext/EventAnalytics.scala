@@ -457,6 +457,106 @@ object EventAnalytics {
   }
 
   /**
+   * Data-driven multi-touch attribution via the Markov removal effect
+   * (Anderl, Becker, von Wangenheim, Schumann — "Mapping the customer
+   * journey", IJRM 2016; the model behind R's ChannelAttribution): build
+   * the first-order Markov chain over user journeys (START → touches →
+   * CONV/DROP, truncated at the first conversion), then score each channel
+   * by how much the chain's conversion probability falls when every
+   * transition into that channel is redirected to DROP. Fixes last-touch's
+   * (q176) blindness to assist channels.
+   *
+   * Heavy work is fully distributed: one per-user window pass emits
+   * transitions, one map-side-combined agg counts them. The transition
+   * matrix — bounded by (|channel vocabulary| + 3)², independent of the
+   * log size — is then collected and the absorbing-chain linear systems
+   * (one per removal) solve on the driver with deterministic Gaussian
+   * elimination (states in sorted order, partial pivot). That driver step
+   * is O(|channels|⁴) on a ~dozens-sized vocabulary: legitimate at any
+   * corpus scale. Deterministic but not SQL-replayable (the elimination
+   * is not one fixed expression tree), so the gate is rows-only and the
+   * ground truth lives in closed-form chain specs.
+   *
+   * Self-transitions (repeated touches of one channel) are kept — they are
+   * real journey mass; collapsing them is a caller-side projection.
+   *
+   * Output: one row per channel — n_out (outgoing journey transitions),
+   * removal_effect (1 − p_removed/p), attribution_share (removal effects
+   * normalized to 1), p_conv (the chain's base conversion probability,
+   * repeated for readability). Channels with zero journey presence do not
+   * appear; with no conversions at all, shares are NULL.
+   */
+  def markovAttribution(
+      events: DataFrame, userCol: String, tsNanosCol: String,
+      channelCol: String, convChannel: String, tieCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wU = Window.partitionBy(col("__u")).orderBy(col("__t"), col("__tie"))
+    val mapSt = (c: Column) =>
+      when(c === convChannel, "CONV").otherwise(concat(lit("c:"), c))
+    val prefix = events
+      .select(col(userCol).as("__u"), col(tsNanosCol).as("__t"),
+        col(tieCol).as("__tie"), mapSt(col(channelCol)).as("__s"))
+      .withColumn("__convbefore",
+        coalesce(sum(when(col("__s") === "CONV", 1L).otherwise(0L))
+          .over(wU.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__convbefore") === 0L) // journey ends at first conversion
+      .withColumn("__nx", lead(col("__s"), 1).over(wU))
+      .withColumn("__rn", row_number().over(wU))
+    val transitions = prefix.filter(col("__rn") === 1)
+      .select(lit("START").as("src"), col("__s").as("dst"))
+      .unionByName(prefix.filter(col("__s") =!= "CONV")
+        .select(col("__s").as("src"), coalesce(col("__nx"), lit("DROP")).as("dst")))
+    val counts = transitions.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    if (counts.isEmpty)
+      return Seq.empty[(String, Long, Option[Double], Option[Double], Double)]
+        .toDF("channel", "n_out", "removal_effect", "attribution_share", "p_conv")
+    val outTotals = counts.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val transientStates = counts.map(_._1).distinct.sorted // START + channels
+    val idx = transientStates.zipWithIndex.toMap
+    // x_s = sum_t∈transient p(s→t)·x_t + p(s→CONV); removal redirects
+    // edges INTO the removed channel to DROP (prob mass contributes 0)
+    def solve(removed: Option[String]): Double = {
+      val k = transientStates.length
+      val a = Array.tabulate(k, k + 1)((i, j) => if (i == j) 1.0 else 0.0)
+      for ((s, t, n) <- counts.sortBy(c => (c._1, c._2))
+           if !removed.contains(s) && !removed.contains(t)) {
+        val p = n.toDouble / outTotals(s).toDouble
+        if (t == "CONV") a(idx(s))(k) += p
+        else if (t != "DROP") a(idx(s))(idx(t)) -= p
+      }
+      for (col0 <- 0 until k) { // partial-pivot elimination, fixed order
+        val piv = (col0 until k).maxBy(r => math.abs(a(r)(col0)))
+        val tmp = a(col0); a(col0) = a(piv); a(piv) = tmp
+        for (r <- col0 + 1 until k if a(r)(col0) != 0.0) {
+          val f = a(r)(col0) / a(col0)(col0)
+          for (c <- col0 to k) a(r)(c) -= f * a(col0)(c)
+        }
+      }
+      val x = new Array[Double](k)
+      for (r <- k - 1 to 0 by -1) {
+        var s = a(r)(k)
+        for (c <- r + 1 until k) s -= a(r)(c) * x(c)
+        x(r) = s / a(r)(r)
+      }
+      x(idx("START"))
+    }
+    val p0 = solve(None)
+    val channels = transientStates.filter(_.startsWith("c:"))
+    val removals = channels.map(c => c -> (if (p0 > 0.0) 1.0 - solve(Some(c)) / p0 else 0.0))
+    val totalRemoval = removals.map(_._2).sum
+    val rows = removals.map { case (c, re) =>
+      (c.stripPrefix("c:"), outTotals(c),
+        if (p0 > 0.0) Some(re) else None,
+        if (p0 > 0.0 && totalRemoval > 0.0) Some(re / totalRemoval) else None,
+        p0)
+    }
+    rows.toSeq.toDF("channel", "n_out", "removal_effect", "attribution_share", "p_conv")
+  }
+
+  /**
    * Peak concurrent sessions per day — the capacity-planning number ("how
    * many users were on at once?") computed with the classic interval sweep:
    * sessionize each user's events with `gapNanos` inactivity splits, emit

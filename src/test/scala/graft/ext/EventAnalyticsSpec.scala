@@ -304,6 +304,44 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(("b", 0L)) === ((2.0, 8.0, 2.0, 8.0, 2L)))
   }
 
+  test("markovAttribution: closed-form chains — assist channels get credit, dead ends none") {
+    // u1: A -> CONV. u2: B -> drop. Chain: START -> {A: 1/2, B: 1/2};
+    // A -> CONV always, B -> DROP always. p = 0.5. Removing A kills every
+    // conversion (effect 1); removing B changes nothing (effect 0).
+    val ev1 = Seq((1L, 0L, "A", 1L), (1L, 10L, "buy", 2L),
+      (2L, 0L, "B", 3L)).toDF("u", "ts", "ch", "eid")
+    val g1 = EventAnalytics.markovAttribution(ev1, "u", "ts", "ch", "buy", "eid")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(g1("A") === ((1.0, 1.0, 0.5)))
+    assert(g1("B") === ((0.0, 0.0, 0.5)))
+
+    // pure chain A -> B -> CONV for every user: last-touch would give B
+    // all credit; removal gives both channels effect 1, share 1/2 each
+    val ev2 = (1L to 4L).flatMap(u => Seq((u, 0L, "A", u * 10),
+      (u, 1L, "B", u * 10 + 1), (u, 2L, "buy", u * 10 + 2)))
+      .toDF("u", "ts", "ch", "eid")
+    val g2 = EventAnalytics.markovAttribution(ev2, "u", "ts", "ch", "buy", "eid")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(g2("A") === ((1.0, 0.5, 1.0)))
+    assert(g2("B") === ((1.0, 0.5, 1.0)))
+  }
+
+  test("markovAttribution: journeys truncate at the FIRST conversion; no conversions -> NULL shares") {
+    // u1 buys twice: the post-conversion touch C must contribute nothing
+    val ev = Seq((1L, 0L, "A", 1L), (1L, 1L, "buy", 2L),
+      (1L, 2L, "C", 3L), (1L, 3L, "buy", 4L)).toDF("u", "ts", "ch", "eid")
+    val got = EventAnalytics.markovAttribution(ev, "u", "ts", "ch", "buy", "eid")
+      .collect().map(r => r.getString(0)).toSet
+    assert(got === Set("A")) // C never enters the chain
+    val none = EventAnalytics.markovAttribution(
+      Seq((1L, 0L, "A", 1L)).toDF("u", "ts", "ch", "eid"),
+      "u", "ts", "ch", "buy", "eid").collect()
+    assert(none.length === 1 && none(0).getDouble(4) === 0.0 &&
+      none(0).isNullAt(3)) // p_conv 0, share NULL
+  }
+
   test("peakConcurrency: sessionization, touch ties, multi-day carry, gap days") {
     // A: one session [0, 1000] (two events 1000ns apart), another at 3h
     // B: one session [500, 1000] — overlaps A's first -> day-0 peak 2
