@@ -760,6 +760,66 @@ object ScaleProbe {
         operators.Profiler.functionalDependency(
           read("orders", k), Seq("o_custkey"), "o_orderpriority").count()
       }
+      // r5i: the q249-q256 family. Geo keeps the probe side FIXED (base
+      // supplier) so candidate volume tracks the replicated left side
+      // linearly; events ops see 10x users over the same day range.
+      timed("geo_radius_join", k) {
+        // 2^20 pre-mod: replicated keys reach ~9e9 and raw key*multiplier
+        // would overflow ANSI longs (the gate fixture pre-mods identically)
+        def pts(df: DataFrame, key: String, m1: Long, m2: Long) =
+          df.select(col(key),
+            (pmod(col(key), lit(1048576L)) * m1 % 4294967296L % 1000000L).as("lat"),
+            (pmod(col(key), lit(1048576L)) * m2 % 4294967296L % 1000000L).as("lon"))
+        operators.GeoJoin.radiusJoin(
+          pts(read("customer", k), "c_custkey", 2654435761L, 1540483477L),
+          "c_custkey",
+          pts(readBase("supplier"), "s_suppkey", 2246822519L, 3266489917L),
+          "s_suppkey", "lat", "lon", 30000L).count()
+      }
+      timed("peak_concurrency", k) {
+        ext.EventAnalytics.peakConcurrency(
+          graft.io.ParquetIO.tsToNanos(read("events", k)), "user_id", "ts").count()
+      }
+      timed("km_survival", k) {
+        ext.SurvivalOps.kmTable(
+          graft.io.ParquetIO.tsToNanos(read("events", k)), "user_id", "ts").count()
+      }
+      timed("markov_attribution", k) {
+        ext.EventAnalytics.markovAttribution(
+          graft.io.ParquetIO.tsToNanos(read("events", k)),
+          "user_id", "ts", "event_type", "purchase", "event_id").count()
+      }
+      timed("cuped", k) {
+        val day = expr("ts div 86400000000000")
+        val units = graft.io.ParquetIO.tsToNanos(read("events", k))
+          .groupBy(col("user_id"))
+          .agg(sum(when(day < 19738L, 1L).otherwise(0L)).as("pre_events"),
+            sum(when(day >= 19738L, floor(col("value"))).otherwise(0L)).as("post_value"))
+          .withColumn("variant", col("user_id") % 2)
+        ext.RegressionOps.cupedAdjust(units, "variant", "pre_events", "post_value").count()
+      }
+      timed("phrase_search", k) {
+        val idx = ext.SearchOps.buildPositionalIndex(
+          read("documents", k), "doc_id", "text")
+        ext.SearchOps.searchPhrase(idx, Seq("table", "scan")).count()
+      }
+      timed("incremental_agg", k) {
+        val orders = read("orders", k)
+          .withColumn("__od", col("o_orderdate").cast("date"))
+        def aggOf(df: DataFrame) = df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        operators.Ingest.mergeAggState(
+          aggOf(orders.filter(col("__od") < lit("1998-01-01").cast("date"))),
+          aggOf(orders.filter(col("__od") >= lit("1998-01-01").cast("date"))),
+          Seq("o_orderpriority")).count()
+      }
+      timed("cohort_ltv", k) {
+        ext.EventAnalytics.cohortLtv(
+          graft.io.ParquetIO.tsToNanos(read("events", k))
+            .filter(col("event_type") === "purchase"),
+          "user_id", "ts", floor(col("value"))).count()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")

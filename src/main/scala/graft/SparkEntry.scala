@@ -2424,6 +2424,27 @@ object SparkEntry {
       graft.ext.EventAnalytics.markovAttribution(
         t(s, dir, "events"), "user_id", "ts", "event_type",
         convChannel = "purchase", tieCol = "event_id")),
+    // materialized-view maintenance: additive agg state over pre-1998
+    // orders merged with the later delta's state — must equal the
+    // from-scratch aggregation over everything (the oracle); touches
+    // |groups| rows, never re-reads history
+    "q257_incremental_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .withColumn("__od", col("o_orderdate").cast("date"))
+      def aggOf(df: DataFrame) = df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      graft.operators.Ingest.mergeAggState(
+        aggOf(orders.filter(col("__od") < lit("1998-01-01").cast("date"))),
+        aggOf(orders.filter(col("__od") >= lit("1998-01-01").cast("date"))),
+        Seq("o_orderpriority"))
+    }),
+    // cohort LTV payback curve over purchase events: integer revenue,
+    // per-cohort cumulative window (horizon-bounded frames)
+    "q258_cohort_ltv" -> ((s, dir) =>
+      graft.ext.EventAnalytics.cohortLtv(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", "ts", floor(col("value")))),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -2522,12 +2543,12 @@ object SparkEntry {
     """SELECT c.c_custkey, s.s_suppkey,
       |  (c.lat-s.lat)*(c.lat-s.lat) + (c.lon-s.lon)*(c.lon-s.lon) AS dist2
       |FROM (SELECT c_custkey,
-      |        c_custkey*2654435761 % 4294967296 % 1000000 AS lat,
-      |        c_custkey*1540483477 % 4294967296 % 1000000 AS lon
+      |        (c_custkey % 1048576)*2654435761 % 4294967296 % 1000000 AS lat,
+      |        (c_custkey % 1048576)*1540483477 % 4294967296 % 1000000 AS lon
       |      FROM customer) c,
       |     (SELECT s_suppkey,
-      |        s_suppkey*2246822519 % 4294967296 % 1000000 AS lat,
-      |        s_suppkey*3266489917 % 4294967296 % 1000000 AS lon
+      |        (s_suppkey % 1048576)*2246822519 % 4294967296 % 1000000 AS lat,
+      |        (s_suppkey % 1048576)*3266489917 % 4294967296 % 1000000 AS lon
       |      FROM supplier) s
       |WHERE (c.lat-s.lat)*(c.lat-s.lat) + (c.lon-s.lon)*(c.lon-s.lon)
       |  <= 900000000""".stripMargin
@@ -2705,11 +2726,15 @@ object SparkEntry {
     * oracle. Edits stay clear of the first 2 chars (the block key). */
   /** Deterministic planar point fixture: integer coordinates in a
     * 1e6 x 1e6 box via Knuth-style multiplicative hashing of the key —
-    * pure 64-bit arithmetic, replayed verbatim by the DuckDB oracle. */
-  private def geoPoints(df: DataFrame, key: String, mLat: Long, mLon: Long): DataFrame =
+    * pure 64-bit arithmetic, replayed verbatim by the DuckDB oracle. The
+    * 2^20 pre-mod keeps key*multiplier < 2^52 (no ANSI long overflow at
+    * any key scale) and is a no-op at gate scales (keys < 2^20). */
+  private def geoPoints(df: DataFrame, key: String, mLat: Long, mLon: Long): DataFrame = {
+    val k = pmod(col(key), lit(1048576L))
     df.select(col(key),
-      (col(key) * lit(mLat) % lit(4294967296L) % lit(1000000L)).as("lat"),
-      (col(key) * lit(mLon) % lit(4294967296L) % lit(1000000L)).as("lon"))
+      (k * lit(mLat) % lit(4294967296L) % lit(1000000L)).as("lat"),
+      (k * lit(mLon) % lit(4294967296L) % lit(1000000L)).as("lon"))
+  }
 
   private val entityNameFixtureSql: String =
     """CASE CAST(doc_id % 4 AS INT)
@@ -5374,6 +5399,32 @@ object SparkEntry {
         |SELECT t AS duration_days, n_risk, n_events, n_censored,
         |  CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard
         |FROM r""".stripMargin,
+
+    // incremental agg maintenance: the oracle IS the from-scratch
+    // aggregation — merge-equals-rebuild for additive state
+    "q257_incremental_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // cohort LTV: min-day cohorts, integer revenue, per-cohort running sum
+    "q258_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(floor(value) AS BIGINT) AS rev
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT u, min(day) AS cohort_day FROM e GROUP BY 1),
+        |cell AS (
+        |  SELECT c.cohort_day, e.day - c.cohort_day AS age_days,
+        |    CAST(count(DISTINCT e.u) AS BIGINT) AS n_active,
+        |    CAST(SUM(e.rev) AS BIGINT) AS revenue
+        |  FROM e JOIN c ON e.u = c.u GROUP BY 1, 2)
+        |SELECT cohort_day, age_days, n_active, revenue,
+        |  CAST(SUM(revenue) OVER (PARTITION BY cohort_day ORDER BY age_days
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue
+        |FROM cell""".stripMargin,
 
     // geo radius join: DuckDB brute-forces the cross join with the same
     // integer distance predicate (fine at sf scale); the engine's grid

@@ -457,6 +457,36 @@ object EventAnalytics {
   }
 
   /**
+   * Cohort lifetime-value curve: users bucketed by first-activity day over
+   * the given revenue events, then per (cohort_day, age_days) the active
+   * distinct users, period revenue, and RUNNING cumulative revenue — the
+   * payback-curve table under every LTV dashboard, the revenue companion
+   * to [[retentionCohorts]]. `revenueCol` must be integer-valued (cents,
+   * floor-ed units) so every figure is exact and oracle-replayable.
+   *
+   * Plan: collapse to the (user, day, revenue) relation, one min-day agg,
+   * equi-join back on the user key, cell aggregation, then a cumulative
+   * window PARTITIONED by cohort (per-cohort frames bounded by the
+   * observation horizon in days — never a global sort). Ages with zero
+   * activity emit no row; the running sum is unaffected (they contribute
+   * nothing).
+   */
+  def cohortLtv(
+      events: DataFrame, userCol: String, tsNanosCol: String,
+      revenueCol: Column): DataFrame = {
+    val base = events.select(col(userCol).as("__u"),
+      expr(s"$tsNanosCol div $DayNanos").as("__day"),
+      revenueCol.cast("long").as("__rev"))
+    val cohorts = base.groupBy(col("__u")).agg(min(col("__day")).as("cohort_day"))
+    val cells = base.join(cohorts, "__u")
+      .groupBy(col("cohort_day"), (col("__day") - col("cohort_day")).as("age_days"))
+      .agg(countDistinct(col("__u")).as("n_active"), sum(col("__rev")).as("revenue"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("age_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_revenue", sum(col("revenue")).over(w))
+  }
+
+  /**
    * Data-driven multi-touch attribution via the Markov removal effect
    * (Anderl, Becker, von Wangenheim, Schumann — "Mapping the customer
    * journey", IJRM 2016; the model behind R's ChannelAttribution): build

@@ -52,6 +52,38 @@ object Ingest {
   }
 
   /**
+   * Mergeable aggregate-state maintenance — the materialized-view refresh
+   * primitive. `state` holds a keyed table of ADDITIVE statistics (counts,
+   * sums, integer cents; anything where merge = +); `deltaState` is the
+   * same shape aggregated over only the new rows. The maintained state is
+   * `union → groupBy keys → sum every value column` — identical to a
+   * from-scratch re-aggregation over base ∪ delta (the q257 oracle pins
+   * that identity), at the cost of touching |state| + |delta groups| rows
+   * instead of every base byte.
+   *
+   * This is the table-level face of the engine's map-side-combine
+   * discipline: an aggregation whose per-group state is additive can be
+   * maintained forever without revisiting history — the daily-rollup /
+   * petabyte-fact pattern. Non-additive statistics (min/max survive union
+   * + re-min; averages must ride as (sum, n) pairs; distinct counts as
+   * mergeable sketches, see BloomFilterSketch/ApproxSketch) are the
+   * caller's modeling job; every value column here must be numeric.
+   */
+  def mergeAggState(
+      state: DataFrame, deltaState: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must not be empty")
+    require(state.columns.sorted.sameElements(deltaState.columns.sorted),
+      s"state and delta schemas differ: [${state.columns.mkString(", ")}] vs " +
+        s"[${deltaState.columns.mkString(", ")}]")
+    val valueCols = state.columns.filterNot(keyCols.contains)
+    require(valueCols.nonEmpty, "state must have at least one value column")
+    state.unionByName(deltaState)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(valueCols.head)).as(valueCols.head),
+        valueCols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /**
    * Snapshot diff: per-key change classification between two corpus
    * versions — `added` (key only in new), `removed` (key only in old),
    * `changed` (key in both, fingerprint differs), `unchanged`. The
