@@ -304,6 +304,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(("b", 0L)) === ((2.0, 8.0, 2.0, 8.0, 2L)))
   }
 
+  test("cohortLtv: min-day cohorts, exact cell revenue, per-cohort running sum") {
+    // cohort 0: u1 (days 0,1,3), u2 (day 0). cohort 2: u3 (days 2,3).
+    val ev = Seq(
+      (1L, 0L * Day, 10L), (1L, 1L * Day, 5L), (1L, 3L * Day, 2L),
+      (2L, 0L * Day + 7, 1L),
+      (3L, 2L * Day, 100L), (3L, 3L * Day + 9, 50L)
+    ).toDF("u", "ts", "rev")
+    val got = EventAnalytics.cohortLtv(ev, "u", "ts", col("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      (0L, 0L) -> ((2L, 11L, 11L)),   // u1 + u2 on day 0
+      (0L, 1L) -> ((1L, 5L, 16L)),
+      (0L, 3L) -> ((1L, 2L, 18L)),    // age 2 absent, cum skips it
+      (2L, 0L) -> ((1L, 100L, 100L)),
+      (2L, 1L) -> ((1L, 50L, 150L))))
+  }
+
   test("markovAttribution: closed-form chains — assist channels get credit, dead ends none") {
     // u1: A -> CONV. u2: B -> drop. Chain: START -> {A: 1/2, B: 1/2};
     // A -> CONV always, B -> DROP always. p = 0.5. Removing A kills every

@@ -90,6 +90,31 @@ class IngestSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(rows === Set((Some(1L), "unchanged"), (None, "changed")))
   }
 
+  // ---- mergeAggState ------------------------------------------------------
+
+  test("mergeAggState: merged state equals a from-scratch re-aggregation") {
+    val base = Seq(("a", 1L, 10L), ("a", 1L, 20L), ("b", 1L, 5L)).toDF("g", "n", "s")
+    val delta = Seq(("a", 1L, 7L), ("c", 1L, 1L)).toDF("g", "n", "s")
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"g").agg(sum($"n").as("n"), sum($"s").as("s"))
+    val merged = Ingest.mergeAggState(aggOf(base), aggOf(delta), Seq("g"))
+      .as[(String, Long, Long)].collect().toSet
+    val scratch = aggOf(base.unionByName(delta))
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged === scratch)
+    assert(merged === Set(("a", 3L, 37L), ("b", 1L, 5L), ("c", 1L, 1L)))
+  }
+
+  test("mergeAggState: schema mismatch and value-free state fail fast") {
+    val st = Seq(("a", 1L)).toDF("g", "n")
+    intercept[IllegalArgumentException] {
+      Ingest.mergeAggState(st, Seq(("a", 1L)).toDF("g", "m"), Seq("g"))
+    }
+    intercept[IllegalArgumentException] {
+      Ingest.mergeAggState(st.select("g"), st.select("g"), Seq("g"))
+    }
+  }
+
   // ---- cdcApply -----------------------------------------------------------
 
   // (key, version, op, payload)
