@@ -2445,6 +2445,14 @@ object SparkEntry {
       graft.ext.EventAnalytics.cohortLtv(
         t(s, dir, "events").filter(col("event_type") === "purchase"),
         "user_id", "ts", floor(col("value")))),
+    // mojibake / encoding-corruption scan: replacement chars, cp1252
+    // double-encoding artifacts, stray C0 controls — scan-fused counts;
+    // the clean corpus pins schema + zero contract (the q65 discipline),
+    // crafted-input semantics live in TextStatsSpec
+    "q259_mojibake_scan" -> ((s, dir) =>
+      graft.ext.TextStats.mojibakeScan(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_replacement"), col("n_mojibake_seq"),
+          col("n_c0_control"), col("mojibake_total"))),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -5425,6 +5433,23 @@ object SparkEntry {
         |  CAST(SUM(revenue) OVER (PARTITION BY cohort_day ORDER BY age_days
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue
         |FROM cell""".stripMargin,
+
+    // mojibake scan: identical RE2 patterns; the corpus is clean so every
+    // count is 0 — the oracle still pins schema, row set, and zeros
+    "q259_mojibake_scan" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement,
+        |  CAST(len(regexp_extract_all(text,
+        |    'Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã«|Ã±|Ã§|Ã¡|Ã³|Ãº|â€™|â€œ|â€¦|â€“|â€”|Â°|Â·|Â ')) AS BIGINT)
+        |    AS n_mojibake_seq,
+        |  CAST(len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT)
+        |    AS n_c0_control,
+        |  CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+        |    + CAST(len(regexp_extract_all(text,
+        |      'Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã«|Ã±|Ã§|Ã¡|Ã³|Ãº|â€™|â€œ|â€¦|â€“|â€”|Â°|Â·|Â ')) AS BIGINT)
+        |    + CAST(len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT)
+        |    AS mojibake_total
+        |FROM documents""".stripMargin,
 
     // geo radius join: DuckDB brute-forces the cross join with the same
     // integer distance predicate (fine at sf scale); the engine's grid

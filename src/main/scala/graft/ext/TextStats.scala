@@ -127,6 +127,36 @@ object TextStats {
       .withColumn(outCol + "_tokens", size(tokens(col(outCol))).cast("long"))
   }
 
+  /** The classic cp1252/Latin-1-misdecode artifact sequences: UTF-8 bytes
+    * of common accented letters re-read as single-byte text ("é" → "Ã©")
+    * and of smart punctuation ("'" → "â€™"). A fixed literal alternation,
+    * RE2-safe, identical in every engine. */
+  private val mojibakeSeqPattern =
+    "Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã«|Ã±|Ã§|Ã¡|Ã³|Ãº|â€™|â€œ|â€¦|â€“|â€”|Â°|Â·|Â "
+
+  /**
+   * Encoding-corruption (mojibake) scan — the corpus-hygiene check next to
+   * [[graft.ext.CorpusFilters.piiScan]]: per-document counts of
+   * (1) U+FFFD replacement characters (a decoder already gave up),
+   * (2) classic double-encoding artifact sequences (UTF-8 read as
+   * cp1252/Latin-1 — "Ã©", "â€™", NBSP "Â "), and (3) stray C0 control
+   * characters other than tab/newline/CR (binary junk in text columns).
+   * `mojibake_total` sums them; filter on it to quarantine corrupt docs.
+   *
+   * Pure scan-fused codegen regexp projection, no shuffle. The synthetic
+   * gate corpus is clean, so q259 pins the schema + zero contract (the PII
+   * discipline); crafted-input semantics live in TextStatsSpec.
+   */
+  def mojibakeScan(df: DataFrame, textCol: String): DataFrame = {
+    def cnt(p: String) =
+      size(regexp_extract_all(col(textCol), lit(p), lit(0))).cast("long")
+    df.withColumn("n_replacement", cnt("�"))
+      .withColumn("n_mojibake_seq", cnt(mojibakeSeqPattern))
+      .withColumn("n_c0_control", cnt("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"))
+      .withColumn("mojibake_total",
+        col("n_replacement") + col("n_mojibake_seq") + col("n_c0_control"))
+  }
+
   /** GPT-2-style pre-tokenizer regex (contractions | letter runs | digit
     * runs | symbol runs), giving a BPE-ish token count without a vocab. */
   private val bpeIshPattern =

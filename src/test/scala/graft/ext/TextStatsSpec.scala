@@ -200,4 +200,24 @@ class TextStatsSpec extends SparkSpec {
     // zero syllables is fine (the score just goes high): 1 sentence, 2 words
     assert(got(3L) === ((1L, 2L, 0L, Some(206.835 - 1.015 * 2.0))))
   }
+
+  test("mojibakeScan: artifact classes count; clean unicode does not trip it") {
+    val docs = Seq(
+      (1L, "clean café naïve text"),          // proper accents: clean
+      (2L, "broken cafÃ© and more cafÃ©"), // cafÃ© twice
+      (3L, "smart quote gone wrong: it\u00e2\u20ac\u2122s"),   // â€™
+      (4L, "dec�oder ga�ve up"),              // two U+FFFD
+      (5L, "null byte and bell, tab\tok\nnewline ok"),
+      (6L, "nbsp artifact:Â end")                  // "Â "
+    ).toDF("doc_id", "text")
+    val got = TextStats.mojibakeScan(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) === ((0L, 0L, 0L, 0L)))
+    assert(got(2L) === ((0L, 2L, 0L, 2L)))
+    assert(got(3L) === ((0L, 1L, 0L, 1L)))
+    assert(got(4L) === ((2L, 0L, 0L, 2L)))
+    assert(got(5L) === ((0L, 0L, 2L, 2L))) // \t and \n are NOT junk
+    assert(got(6L) === ((0L, 1L, 0L, 1L)))
+  }
 }
