@@ -2453,6 +2453,22 @@ object SparkEntry {
       graft.ext.TextStats.mojibakeScan(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("n_replacement"), col("n_mojibake_seq"),
           col("n_c0_control"), col("mojibake_total"))),
+    // persistable MinHash index: build over the corpus, save, load, then
+    // band-join an ingest batch (every 7th doc re-submitted under a new
+    // id, text unchanged -> each batch doc must rematch its source at
+    // jaccard 1.0, plus whatever true near-dups LSH surfaces). LSH pair
+    // sets are rows-only per the q41 precedent; batch-vs-rebuild identity
+    // and round-trip specs carry the semantics
+    "q260_minhash_index_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val path = s"/tmp/graft_q260_idx_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      graft.ext.Dedup.buildMinhashIndex(corpus, "doc_id", "text").save(path)
+      graft.ext.Dedup.ingestNearDupPairs(batch, "doc_id", "text",
+        graft.ext.Dedup.loadMinhashIndex(s, path), threshold = 0.8)
+    }),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join

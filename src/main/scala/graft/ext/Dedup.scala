@@ -321,6 +321,86 @@ object Dedup {
       "jaccard")
   }
 
+  /**
+   * Persistable MinHash near-dup index — the between-ingests artifact that
+   * makes NEAR-dup admission control incremental, the LSH sibling of the
+   * exact-fingerprint set behind [[incrementalIngest]] and of
+   * [[graft.ext.Similarity.IvfIndex]]'s build-once/search-many discipline.
+   * `bands` holds the corpus' exploded LSH band hashes (id, band, bh) —
+   * the join side of every future ingest; `base` holds (id, shh, sz)
+   * hashed shingle sets for exact-Jaccard verification. Build once over
+   * the corpus, save, then each ingest batch computes ONLY its own
+   * signatures and equi-joins the loaded band table: the corpus text is
+   * never re-read, never re-hashed.
+   */
+  final case class MinhashIndex(bands: DataFrame, base: DataFrame) {
+    /** Persist as two parquet tables under `dir`. Rehydrate with
+      * [[loadMinhashIndex]]; the ingest-side [[MinHashConfig]] must match
+      * the build-side one (band hashes are seed/shape-dependent). */
+    def save(dir: String): Unit = {
+      bands.write.mode("overwrite").parquet(s"$dir/bands.parquet")
+      base.write.mode("overwrite").parquet(s"$dir/base.parquet")
+    }
+  }
+
+  /** Exploded per-doc band table + verification base for [[MinhashIndex]].
+    * No representative collapse: an index must answer for EVERY corpus id,
+    * exact duplicates included. */
+  private def bandTable(
+      df: DataFrame, idCol: String, textCol: String, cfg: MinHashConfig): (DataFrame, DataFrame) = {
+    require(cfg.numHashes % cfg.bands == 0, "numHashes must divide evenly into bands")
+    val base = hashedShingleBase(df, idCol, textCol, cfg.shingleSize, ShingleSeed)
+    val bands = base.select(col("id"),
+        TextExpressionFunctions.minhash_band_keys(col("shh"), cfg.numHashes, cfg.bands, cfg.seed)
+          .as("bands"))
+      .select(col("id"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    (bands, base)
+  }
+
+  def buildMinhashIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): MinhashIndex = {
+    val (bands, base) = bandTable(df, idCol, textCol, cfg)
+    MinhashIndex(bands, base)
+  }
+
+  /** Rehydrate a [[MinhashIndex]] written by [[MinhashIndex.save]]. */
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession, dir: String): MinhashIndex =
+    MinhashIndex(
+      bands = spark.read.parquet(s"$dir/bands.parquet"),
+      base = spark.read.parquet(s"$dir/base.parquet"))
+
+  /**
+   * Near-dup pairs between an ingest batch and an indexed corpus:
+   * (batch_id, corpus_id, jaccard >= threshold). The batch signatures
+   * band-join the index (an equi-join on (band, bh) — candidates only
+   * where a band collides), then exact Jaccard verifies against the
+   * index's persisted shingle sets. Anti-join the batch against the
+   * result's batch_id side to ADMIT only genuinely novel documents.
+   * Recall is the LSH band recall (same curve as [[minhashPairs]]);
+   * verified pairs are exact.
+   */
+  def ingestNearDupPairs(
+      batch: DataFrame, idCol: String, textCol: String,
+      index: MinhashIndex, threshold: Double,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val (bBands, bBase) = bandTable(batch, idCol, textCol, cfg)
+    val cand = bBands.select(col("id").as("id_a"), col("band"), col("bh"))
+      .join(index.bands.select(col("id").as("id_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(bBase.select(col("id").as("id_a"), col("shh").as("shh_a"), col("sz").as("sz_a")), "id_a")
+      .join(index.base.select(col("id").as("id_b"), col("shh").as("shh_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("shared", TextExpressionFunctions.sorted_intersect_count(col("shh_a"), col("shh_b")))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"), col("jaccard"))
+  }
+
   /** (id, shh sorted-hashed shingle set, sz) base table for set-similarity
     * operators; whole-doc shingle for docs shorter than n words. */
   private def hashedShingleBase(

@@ -60,6 +60,43 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet.forall(p => Set((0L, 1L), (2L, 3L)).contains(p)))
   }
 
+  test("minhash index: ingest pairs equal the batch-vs-corpus slice of a full-corpus run") {
+    // batch: a resubmission of doc 2 (new id) and a fresh unrelated doc
+    val batch = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"),
+      (101L, "brand new text about gardening tulips in the early spring sunshine")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildMinhashIndex(docs, "doc_id", "text")
+    val got = Dedup.ingestNearDupPairs(batch, "doc_id", "text", idx, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // resubmitted doc matches its source exactly and its planted near-dup
+    assert(got((100L, 2L)) === 1.0)
+    assert(got.contains((100L, 3L)))
+    assert(math.abs(got((100L, 3L)) - bruteJaccard(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu xi")) < 1e-12)
+    // the novel doc matches nothing; no corpus-corpus pair leaks in
+    assert(got.keySet.forall(_._1 == 100L))
+    // identity vs a from-scratch run over corpus + batch, cross slice only
+    val full = Dedup.minhashPairs(docs.unionByName(batch), "doc_id", "text", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      .filter { case ((a, b), _) => b >= 100L ^ a >= 100L }
+      .map { case ((a, b), j) => ((math.max(a, b), math.min(a, b)), j) }
+    assert(got === full)
+  }
+
+  test("minhash index: save/load round trip answers identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    val batch = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    Dedup.buildMinhashIndex(docs, "doc_id", "text").save(dir)
+    val loaded = Dedup.loadMinhashIndex(spark, dir)
+    val got = Dedup.ingestNearDupPairs(batch, "doc_id", "text", loaded, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    assert(got === Set(((200L, 0L), 1.0), ((200L, 1L), 1.0)))
+  }
+
   test("simhashPairs: identical docs at hamming 0; near-dups within radius; dissimilar out") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12, chunks = 16)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
