@@ -2469,6 +2469,41 @@ object SparkEntry {
       graft.ext.Dedup.ingestNearDupPairs(batch, "doc_id", "text",
         graft.ext.Dedup.loadMinhashIndex(s, path), threshold = 0.8)
     }),
+    // ingest-admission capstone: hygiene gate -> exact-dup fp anti ->
+    // EXACT near-dup (PPJoin jaccard, so the whole pipeline stays on the
+    // hash oracle; at 100 TB swap in the q260 MinHash index for candidate
+    // generation). Batch = deterministic resubmits / perturbed copies /
+    // novel docs derived from the corpus in both engines
+    "q261_ingest_pipeline" -> ((s, dir) => {
+      import graft.ext.{Dedup, TextStats}
+      val docs = t(s, dir, "documents")
+      val batch =
+        docs.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 2)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" appended tail marker tokens")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            md5(col("doc_id").cast("string").cast("binary")).as("text")))
+      val corpusFps = docs
+        .select(Dedup.contentFingerprint(col("text")).as("__fp")).distinct()
+      val scored = TextStats.mojibakeScan(batch, "text")
+        .withColumn("__fp", Dedup.contentFingerprint(col("text")))
+        .join(corpusFps.withColumn("__isdup", lit(1L)), Seq("__fp"), "left")
+      val crossNear = Dedup.ngramJaccardPairs(
+          docs.select(col("doc_id"), col("text")).unionByName(batch),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .filter(col("id_a") < 2000000L && col("id_b") >= 2000000L)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("__isnear", lit(1L))
+      scored.join(crossNear, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("mojibake_total") > 0, "rejected_corrupt")
+            .when(col("__isdup").isNotNull, "dup_exact")
+            .when(col("__isnear").isNotNull, "dup_near")
+            .otherwise("admitted").as("status"))
+    }),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -5466,6 +5501,53 @@ object SparkEntry {
         |    + CAST(len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT)
         |    AS mojibake_total
         |FROM documents""".stripMargin,
+
+    // ingest capstone: same batch construction, normalized-string exact
+    // match, brute pairwise 3-gram jaccard for the near tier, identical
+    // hygiene regexes; same CASE precedence
+    "q261_ingest_pipeline" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 2000000 AS bid, text FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' appended tail marker tokens'
+        |  FROM documents WHERE doc_id % 10 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, md5(CAST(doc_id AS VARCHAR))
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |cn AS (SELECT DISTINCT
+        |    array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ') AS nt
+        |  FROM documents),
+        |bn AS (SELECT bid, text,
+        |    array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ') AS nt
+        |  FROM batch),
+        |ctoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |csh AS (SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t)-2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM ctoks),
+        |btoks AS (SELECT bid, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM batch WHERE length(trim(text)) > 0),
+        |bsh AS (SELECT bid,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(t)-2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+        |  FROM btoks),
+        |near AS (
+        |  SELECT DISTINCT b.bid FROM bsh b JOIN csh a
+        |  ON CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
+        |SELECT bid AS doc_id,
+        |  CASE WHEN len(regexp_extract_all(bn.text, '�'))
+        |        + len(regexp_extract_all(bn.text,
+        |          'Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã«|Ã±|Ã§|Ã¡|Ã³|Ãº|â€™|â€œ|â€¦|â€“|â€”|Â°|Â·|Â '))
+        |        + len(regexp_extract_all(bn.text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) > 0
+        |    THEN 'rejected_corrupt'
+        |    WHEN EXISTS (SELECT 1 FROM cn WHERE cn.nt = bn.nt) THEN 'dup_exact'
+        |    WHEN EXISTS (SELECT 1 FROM near WHERE near.bid = bn.bid) THEN 'dup_near'
+        |    ELSE 'admitted' END AS status
+        |FROM bn""".stripMargin,
 
     // geo radius join: DuckDB brute-forces the cross join with the same
     // integer distance predicate (fine at sf scale); the engine's grid
