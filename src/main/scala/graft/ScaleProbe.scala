@@ -820,6 +820,18 @@ object ScaleProbe {
             .filter(col("event_type") === "purchase"),
           "user_id", "ts", floor(col("value"))).count()
       }
+      timed("mojibake_scan", k) {
+        ext.TextStats.mojibakeScan(read("documents", k), "text")
+          .filter(col("mojibake_total") >= 0).count()
+      }
+      // index over the kx corpus, FIXED base-corpus batch resubmitted
+      // under offset ids: index build scales with k, probe side constant
+      timed("minhash_index_ingest", k) {
+        val idx = ext.Dedup.buildMinhashIndex(read("documents", k), "doc_id", "text")
+        val batch = readBase("documents")
+          .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        ext.Dedup.ingestNearDupPairs(batch, "doc_id", "text", idx, 0.8).count()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")
