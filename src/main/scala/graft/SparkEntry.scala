@@ -2504,6 +2504,12 @@ object SparkEntry {
             .when(col("__isnear").isNotNull, "dup_near")
             .otherwise("admitted").as("status"))
     }),
+    // streaming near-dup admission gate over the static MinHash index:
+    // resubmits rejected, md5-novel docs admitted; per-doc decisions
+    // against the STATIC index only, so stream == batch under any
+    // batching (spec-pinned); LSH keeps it rows-only (q41/q260 precedent)
+    "q262_stream_neardup_gate" -> ((s, dir) =>
+      graft.streaming.StreamGate.nearDupGate(s, dir)),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join

@@ -280,6 +280,53 @@ object StreamGate {
     runToTable(admitted, "stream_ingest", "append")
   }
 
+  /**
+   * Streaming NEAR-dup admission gate — the LSH sibling of [[ingestFilter]]
+   * (exact fingerprints) over the persistable [[graft.ext.Dedup.MinhashIndex]]:
+   * the corpus' band table is built ONCE (statically; in production, loaded
+   * via `loadMinhashIndex` from the last ingest's artifact) and each
+   * micro-batch hashes only itself, band-joins the index, verifies exact
+   * Jaccard, and admits docs with no verified match. Runs in `foreachBatch`
+   * (the per-batch logic is a multi-step batch plan — candidate join +
+   * verify + anti join — not a single streaming-supported operator tree).
+   * Admission is per-doc against the STATIC index only, so the admitted
+   * set equals the batch [[graft.ext.Dedup.ingestNearDupPairs]] anti join
+   * exactly under any batching (spec-pinned); LSH pair sets keep it off
+   * the SQL oracle (the q41/q260 precedent).
+   */
+  def nearDupGate(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
+    import graft.ext.Dedup
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val dir = stageTableDir(sfDir, "documents")
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = Dedup.buildMinhashIndex(corpus, "doc_id", "text")
+    // admission mix: every 7th doc resubmitted under a new id (must be
+    // rejected as an exact/near dup) alongside genuinely novel docs
+    // (md5-derived text the corpus cannot match -> must be admitted)
+    val batch = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .filter(col("doc_id") % 7 <= 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 7 === 1,
+          md5(col("doc_id").cast("string").cast("binary")))
+          .otherwise(col("text")).as("text"))
+    val out = graft.io.TempDirs.create("graft_stream_neardup").toString
+    val q = batch.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val matched = Dedup.ingestNearDupPairs(b, "doc_id", "text", idx, threshold)
+          .select(col("batch_id").as("doc_id")).distinct()
+        b.join(matched, Seq("doc_id"), "left_anti").select(col("doc_id"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("near-dup gate drain did not finish within 300s")
+    }
+    spark.read.parquet(out)
+  }
+
   /** Stream-stream interval join (see [[StreamOps.clickBeforePurchaseJoin]]);
     * inner join -> the emitted pair set is exact under any batching. */
   def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {

@@ -154,6 +154,30 @@ class StreamGateSpec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  test("streaming near-dup gate: resubmits rejected, novel docs admitted, equals batch") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = StreamGate.nearDupGate(spark, sfDir)
+      .as[Long].collect().toSet
+    // batch replay of the same mix against the same static index
+    val batch = docs.filter($"doc_id" % 7 <= 1)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        when($"doc_id" % 7 === 1, md5($"doc_id".cast("string").cast("binary")))
+          .otherwise($"text").as("text"))
+    val idx = graft.ext.Dedup.buildMinhashIndex(docs, "doc_id", "text")
+    val matched = graft.ext.Dedup
+      .ingestNearDupPairs(batch, "doc_id", "text", idx, 0.8)
+      .select($"batch_id".as("doc_id")).distinct()
+    val expect = batch.join(matched, Seq("doc_id"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got === expect)
+    // every resubmission (%7==0 source) was rejected; novel docs admitted
+    val resubmits = docs.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 1000000L).as("d")).as[Long].collect().toSet
+    assert(got.intersect(resubmits).isEmpty)
+    assert(got.nonEmpty)
+  }
+
   test("streaming k-anonymity gate equals batch Privacy.suppress row-exactly") {
     val sfDir = "/root/testdata/sf0.001"
     val gate = StreamGate.privacyGate(spark, sfDir, k = 3)
