@@ -172,6 +172,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("NestedLoopJoin"), plan)
   }
 
+  test("geo radius join: candidates come from an equi-join on cell keys, never a cross join") {
+    val plan = formatted(SparkEntry.queries("q250_geo_radius_join")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      "grid blocking must equi-join on cells\n" + plan)
+  }
+
+  test("KM survival: the log shuffles once into the per-user agg; no window at all") {
+    val plan = formatted(SparkEntry.queries("q255_km_survival")(spark, sf0001))
+    // the risk accumulation is a broadcast theta self-join of the tiny
+    // duration relation — a Window here would be the global-sort trap
+    assert(!plan.contains("Window"), "risk table must not use a window\n" + plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "expected the broadcast theta join over the duration relation\n" + plan)
+  }
+
   test("no query plans a global (unpartitioned) window over an unbounded input") {
     // A Window with an empty partition spec forces Exchange(SinglePartition):
     // every input row funnels through ONE task — the textbook 100 TB
