@@ -2510,6 +2510,34 @@ object SparkEntry {
     // batching (spec-pinned); LSH keeps it rows-only (q41/q260 precedent)
     "q262_stream_neardup_gate" -> ((s, dir) =>
       graft.streaming.StreamGate.nearDupGate(s, dir)),
+    // grid hotspot report: per occupied cell, own count + 3x3 neighborhood
+    // total — two hash aggs, points shuffle once
+    "q263_geo_hotspots" -> ((s, dir) =>
+      graft.operators.GeoJoin.cellHotspots(
+        geoPoints(t(s, dir, "customer"), "c_custkey", 2654435761L, 1540483477L),
+        "lat", "lon", cellSize = 50000L)),
+    // spatial density clustering (DBSCAN-lite, minPts=2): radius pairs as
+    // edges -> the q46 connected-components machinery; singletons keep
+    // their own id as cluster — pure composition of shipped operators.
+    // Radius 5000 keeps the random point graph SUBCRITICAL (expected
+    // degree ~1 at sf0.1) so component diameters stay far below the CC
+    // iteration cap; at the percolation radius a giant component's
+    // diameter is O(box/r) and min-label propagation — O(diameter)
+    // rounds — is the wrong algorithm (pointer jumping would be the
+    // 100 TB escalation)
+    "q264_geo_clusters" -> ((s, dir) => {
+      val pts = geoPoints(t(s, dir, "customer"), "c_custkey",
+        2654435761L, 1540483477L)
+      val edges = graft.operators.GeoJoin.radiusJoin(
+          pts, "c_custkey",
+          pts.select(col("c_custkey").as("other_key"), col("lat"), col("lon")),
+          "other_key", "lat", "lon", 5000L)
+        .filter(col("c_custkey") < col("other_key"))
+        .select(col("c_custkey").as("id_a"), col("other_key").as("id_b"))
+      graft.ext.Dedup.duplicateClusters(pts, "c_custkey", edges,
+        maxIterations = 50)
+        .select(col("id").as("c_custkey"), col("cluster_id"))
+    }),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -5554,6 +5582,46 @@ object SparkEntry {
         |    WHEN EXISTS (SELECT 1 FROM near WHERE near.bid = bn.bid) THEN 'dup_near'
         |    ELSE 'admitted' END AS status
         |FROM bn""".stripMargin,
+
+    // grid hotspots: same floor-div cells (non-negative coords), neighbor
+    // sum via |cell-cell| <= 1 self-join of the tiny cell relation
+    "q263_geo_hotspots" ->
+      """WITH c AS (SELECT
+        |    (c_custkey % 1048576)*2654435761 % 4294967296 % 1000000 AS lat,
+        |    (c_custkey % 1048576)*1540483477 % 4294967296 % 1000000 AS lon
+        |  FROM customer),
+        |g AS (SELECT lat // 50000 AS cell_lat, lon // 50000 AS cell_lon,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM c GROUP BY 1, 2),
+        |nb AS (SELECT a.cell_lat, a.cell_lon,
+        |    CAST(SUM(b.n) AS BIGINT) AS n_neighborhood
+        |  FROM g a JOIN g b ON abs(a.cell_lat - b.cell_lat) <= 1
+        |    AND abs(a.cell_lon - b.cell_lon) <= 1
+        |  GROUP BY 1, 2)
+        |SELECT g.cell_lat, g.cell_lon, g.n, nb.n_neighborhood
+        |FROM g JOIN nb USING (cell_lat, cell_lon)""".stripMargin,
+
+    // spatial clusters: distance edges + the q46 min-label recursion
+    "q264_geo_clusters" ->
+      """WITH RECURSIVE pts AS (SELECT c_custkey,
+        |    (c_custkey % 1048576)*2654435761 % 4294967296 % 1000000 AS lat,
+        |    (c_custkey % 1048576)*1540483477 % 4294967296 % 1000000 AS lon
+        |  FROM customer),
+        |pairs AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+        |    AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
+        |        <= 25000000),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |comp(id, label) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION
+        |  SELECT e.dst, c.label FROM comp c JOIN edges e ON c.id = e.src
+        |)
+        |SELECT id AS c_custkey, min(label) AS cluster_id
+        |FROM comp GROUP BY id""".stripMargin,
 
     // geo radius join: DuckDB brute-forces the cross join with the same
     // integer distance predicate (fine at sf scale); the engine's grid

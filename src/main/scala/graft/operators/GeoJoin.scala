@@ -76,6 +76,34 @@ object GeoJoin {
   }
 
   /**
+   * Grid hotspot report: per occupied cell, the cell's own point count
+   * and its 3x3 neighborhood total — the Getis-Ord-style local density
+   * signal behind "where are the points concentrating?" dashboards (the
+   * full statistic is a fixed arithmetic tree over these two integers and
+   * global moments; the counts are the distributed part). One hash
+   * aggregate to the |occupied cells| relation, then a 9x contribution
+   * fan-out and a second aggregate — the points themselves shuffle once.
+   */
+  def cellHotspots(
+      points: DataFrame, latCol: String, lonCol: String,
+      cellSize: Long): DataFrame = {
+    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    val counts = points.groupBy(
+        cellIdx(col(latCol), cellSize).as("cell_lat"),
+        cellIdx(col(lonCol), cellSize).as("cell_lon"))
+      .agg(count(lit(1)).as("n"))
+    val neighborhood = counts
+      .withColumn("__dy", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("__dx", explode(sequence(lit(-1L), lit(1L))))
+      .select((col("cell_lat") + col("__dy")).as("cell_lat"),
+        (col("cell_lon") + col("__dx")).as("cell_lon"), col("n"))
+      .groupBy(col("cell_lat"), col("cell_lon"))
+      .agg(sum(col("n")).as("n_neighborhood"))
+    counts.join(neighborhood, Seq("cell_lat", "cell_lon"))
+      .select(col("cell_lat"), col("cell_lon"), col("n"), col("n_neighborhood"))
+  }
+
+  /**
    * Nearest right-side neighbor within `radius` for each left point that
    * has one — argmin over the radius-join candidates via a single
    * map-side-combinable `min(struct(dist2, rightId))` (no per-left window

@@ -56,6 +56,21 @@ class GeoJoinSpec extends SparkSpec {
     assert(brute.nonEmpty && got === brute)
   }
 
+  test("cellHotspots: own counts plus 3x3 neighborhood totals over occupied cells") {
+    // cell size 10. cells (0,0): 2 pts, (0,1): 1 pt, (2,2): 1 pt (isolated),
+    // (-1,-1): 1 pt adjacent to (0,0)
+    val pts = Seq((5L, 5L), (9L, 1L), (5L, 15L), (25L, 25L), (-3L, -7L))
+      .toDF("lat", "lon")
+    val got = GeoJoin.cellHotspots(pts, "lat", "lon", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      (0L, 0L) -> ((2L, 4L)),   // itself 2 + (0,1) 1 + (-1,-1) 1
+      (0L, 1L) -> ((1L, 3L)),   // (2,2) is not adjacent to (0,1)
+      (2L, 2L) -> ((1L, 1L)),   // isolated
+      (-1L, -1L) -> ((1L, 3L))))
+  }
+
   test("nearestWithin: argmin per left point, distance ties break on smaller rid") {
     val left = Seq((1L, 0L, 0L), (2L, 5000L, 5000L)).toDF("lid", "lat", "lon")
     val right = Seq(
