@@ -824,6 +824,13 @@ object ScaleProbe {
         ext.TextStats.mojibakeScan(read("documents", k), "text")
           .filter(col("mojibake_total") >= 0).count()
       }
+      timed("geo_hotspots", k) {
+        operators.GeoJoin.cellHotspots(
+          read("customer", k).select(
+            (pmod(col("c_custkey"), lit(1048576L)) * 2654435761L % 4294967296L % 1000000L).as("lat"),
+            (pmod(col("c_custkey"), lit(1048576L)) * 1540483477L % 4294967296L % 1000000L).as("lon")),
+          "lat", "lon", 50000L).count()
+      }
       // index over the kx corpus, FIXED base-corpus batch resubmitted
       // under offset ids: index build scales with k, probe side constant
       timed("minhash_index_ingest", k) {
