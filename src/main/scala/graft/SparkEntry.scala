@@ -2538,6 +2538,30 @@ object SparkEntry {
         maxIterations = 50)
         .select(col("id").as("c_custkey"), col("cluster_id"))
     }),
+    // retrieval evaluation harness: recall@10 / MRR of an un-normalized
+    // dot-product ranking against the exact-cosine truth — both rankings
+    // SQL-expressible, so the metric itself rides the hash oracle
+    // (LSH/IVF/PQ evaluation uses the same operator in specs)
+    "q265_ranking_eval" -> ((s, dir) => {
+      import graft.ext.Similarity
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10)
+      val scored = e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("__dv"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+          col("embedding").as("__qv"))))
+        .withColumn("dot", graft.functions.vec_dot(col("__dv"), col("__qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("dot").desc, col("neighbor_id"))
+      val cand = scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+      Similarity.rankingMetrics(truth, cand,
+        "query_id", "neighbor_id", "rank", k = 10)
+    }),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -5582,6 +5606,48 @@ object SparkEntry {
         |    WHEN EXISTS (SELECT 1 FROM near WHERE near.bid = bn.bid) THEN 'dup_near'
         |    ELSE 'admitted' END AS status
         |FROM bn""".stripMargin,
+
+    // ranking eval: cosine truth (q50's oracle shape) vs dot-product
+    // candidate, joined per query; rationals of small integers
+    "q265_ranking_eval" ->
+      """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+        |truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        CASE WHEN list_dot_product(d.embedding::DOUBLE[], d.embedding::DOUBLE[]) = 0
+        |               OR list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) = 0 THEN 0.0
+        |             ELSE list_dot_product(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+        |                  (sqrt(list_dot_product(d.embedding::DOUBLE[], d.embedding::DOUBLE[])) *
+        |                   sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) END
+        |        DESC, d.vec_id) AS rank
+        |    FROM embeddings d CROSS JOIN q)
+        |  WHERE rank <= 10),
+        |cand AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(d.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        |        DESC, d.vec_id) AS rank
+        |    FROM embeddings d CROSS JOIN q)
+        |  WHERE rank <= 10),
+        |ts AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+        |  FROM truth GROUP BY 1),
+        |h AS (
+        |  SELECT c.query_id, CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |    CAST(MIN(CASE WHEN t.neighbor_id IS NOT NULL THEN c.rank END) AS BIGINT) AS fh
+        |  FROM cand c LEFT JOIN truth t
+        |    ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+        |  GROUP BY 1)
+        |SELECT ts.query_id, ts.n_truth,
+        |  COALESCE(h.n_candidates, 0) AS n_candidates,
+        |  COALESCE(h.n_hits, 0) AS n_hits,
+        |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(ts.n_truth AS DOUBLE)
+        |    AS recall_at_k,
+        |  COALESCE(CAST('1' AS DOUBLE) / CAST(h.fh AS DOUBLE),
+        |    CAST('0' AS DOUBLE)) AS mrr
+        |FROM ts LEFT JOIN h ON ts.query_id = h.query_id""".stripMargin,
 
     // grid hotspots: same floor-div cells (non-negative coords), neighbor
     // sum via |cell-cell| <= 1 self-join of the tiny cell relation

@@ -662,4 +662,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("r_lex"), col("r_vec"),
         col("rrf"), col("rank"))
   }
+
+  /**
+   * Retrieval evaluation: per-query recall@k and MRR of a candidate
+   * ranking against a ground-truth ranking — the harness that turns the
+   * ANN tiers' "subset-of-brute" spot checks into a continuously
+   * computable quality metric (run LSH/IVF/PQ against [[bruteTopK]] on a
+   * sampled query set and track recall as the index ages). Both inputs
+   * are (queryCol, neighborCol, rankCol) relations, e.g. any of this
+   * module's search outputs; rows with rank > k are ignored.
+   *
+   * Every number is a rational of small integers (one division), so a SQL
+   * oracle replays it bit-for-bit whenever the candidate ranking itself
+   * is SQL-expressible (the gate evaluates an un-normalized dot-product
+   * ranking against the cosine truth; LSH/IVF evaluation rides the
+   * specs). MRR counts the first candidate that appears anywhere in the
+   * truth top-k (0.0 when none do).
+   *
+   * One equi-join on (query, neighbor) + one agg — both relations are
+   * |queries| x k, never corpus-sized.
+   */
+  def rankingMetrics(
+      truth: DataFrame, candidate: DataFrame,
+      queryCol: String, neighborCol: String, rankCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val t = truth.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("query_id"), col(neighborCol).as("__tn"))
+    val p = candidate.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("query_id"), col(neighborCol).as("__pn"),
+        col(rankCol).cast("long").as("__pr"))
+    val truthSizes = t.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+    val hits = p.join(t,
+        p("query_id") === t("query_id") && p("__pn") === t("__tn"), "left")
+      .select(p("query_id"), col("__pr"), t("__tn").isNotNull.as("__hit"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"),
+        min(when(col("__hit"), col("__pr"))).as("__first_hit"))
+    truthSizes.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_truth").cast("double")).as("recall_at_k"),
+        coalesce(lit(1.0) / col("__first_hit").cast("double"), lit(0.0))
+          .as("mrr"))
+  }
 }

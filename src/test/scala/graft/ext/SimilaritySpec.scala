@@ -259,4 +259,39 @@ class SimilaritySpec extends SparkSpec {
     // balanced ranks fuse strictly lower: 1/62+1/62 < 1/61+1/63
     assert(got(10L)._4 === 1L && got(20L)._4 === 2L && got(30L)._4 === 3L)
   }
+
+  test("rankingMetrics: hand-computed recall/MRR, first-hit position, empty candidate") {
+    import spark.implicits._
+    val truth = Seq( // q1 truth = {10,20,30}; q2 truth = {40}
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 40L, 1L),
+      (1L, 99L, 4L) // rank 4 > k=3: ignored
+    ).toDF("q", "n", "r")
+    val cand = Seq( // q1: miss, hit@2, miss -> recall 1/3, mrr 1/2
+      (1L, 77L, 1L), (1L, 30L, 2L), (1L, 88L, 3L)
+      // q2 has NO candidates at all -> recall 0, mrr 0
+    ).toDF("q", "n", "r")
+    val got = Similarity.rankingMetrics(truth, cand, "q", "n", "r", k = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4), x.getDouble(5))))
+      .toMap
+    assert(got(1L) === ((3L, 3L, 1L, 1.0 / 3.0, 0.5)))
+    assert(got(2L) === ((1L, 0L, 0L, 0.0, 0.0)))
+  }
+
+  test("rankingMetrics: LSH evaluated against the brute truth on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    val truth = Similarity.bruteTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5)
+    val lsh = Similarity.lshTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, dim = 64)
+    val m = Similarity.rankingMetrics(truth, lsh,
+      "query_id", "neighbor_id", "rank", k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(m.nonEmpty)
+    // recall is a valid fraction and hits never exceed truth size
+    assert(m.forall { case (nt, nh, rec) =>
+      nh <= nt && rec >= 0.0 && rec <= 1.0 })
+  }
 }
