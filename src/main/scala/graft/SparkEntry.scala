@@ -2562,6 +2562,38 @@ object SparkEntry {
       Similarity.rankingMetrics(truth, cand,
         "query_id", "neighbor_id", "rank", k = 10)
     }),
+    // theta-sketch segment overlap: per-event-type user sketches (one
+    // map-side-combined agg, k longs per segment cross the wire) +
+    // driver-side pairwise intersection estimates against the exact
+    // distinct-join overlap. Below sketch capacity KMV is EXACT, so the
+    // estimate column itself rides the hash oracle at gate scale and the
+    // capacity contract is the pinned boolean (the q19 discipline);
+    // estimation-regime accuracy (k << n) is spec-pinned
+    "q266_segment_overlap" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.{ThetaBuffer, ThetaFunctions}
+      val seg = t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+      val sketches = seg.groupBy(col("event_type"))
+        .agg(ThetaFunctions.theta_sketch_agg(col("user_id"), 4096).as("sk"))
+        .collect().map(r => r.getString(0) ->
+          ThetaBuffer.deserialize(r.getAs[Array[Byte]](1))).toMap
+      val a = seg.select(col("event_type").as("type_a"), col("user_id"))
+      val b = seg.select(col("event_type").as("type_b"), col("user_id"))
+      val exact = a.join(b, "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(countDistinct(col("user_id")).as("exact_overlap"))
+      val pairs = sketches.keys.toSeq.sorted.combinations(2).map { case Seq(x, y) =>
+        (x, y, ThetaBuffer.intersectionEstimate(sketches(x), sketches(y)),
+          sketches(x).theta == 1.0 && sketches(y).theta == 1.0)
+      }.toSeq
+      import s.implicits._
+      exact.join(
+        pairs.toDF("type_a", "type_b", "est_overlap", "below_capacity"),
+        Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("exact_overlap"),
+          col("est_overlap"), col("below_capacity"))
+    }),
     // bucketed-table join on the gate: both sides written bucketed on the
     // join key (8 buckets, sorted) -> the join is Exchange-free
     // (ParquetIOSpec pins the zero-exchange plan); oracle = the plain join
@@ -5606,6 +5638,19 @@ object SparkEntry {
         |    WHEN EXISTS (SELECT 1 FROM near WHERE near.bid = bn.bid) THEN 'dup_near'
         |    ELSE 'admitted' END AS status
         |FROM bn""".stripMargin,
+
+    // theta segment overlap: exact pairwise distinct-user intersections;
+    // below capacity the KMV estimate IS exact, so est_overlap replays as
+    // the exact count and the capacity contract pins TRUE
+    "q266_segment_overlap" ->
+      """WITH seg AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS exact_overlap,
+        |  CAST(count(DISTINCT a.user_id) AS DOUBLE) AS est_overlap,
+        |  TRUE AS below_capacity
+        |FROM seg a JOIN seg b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
 
     // ranking eval: cosine truth (q50's oracle shape) vs dot-product
     // candidate, joined per query; rationals of small integers
