@@ -133,6 +133,13 @@ object GraftExtensions {
       arity(3, "count_min_agg")(e =>
         CountMinAgg(e(0), litLong(e(1), "depth").toInt, litLong(e(2), "width").toInt)
           .toAggregateExpression())),
+    (FunctionIdentifier("theta_sketch_agg"),
+      info("theta_sketch_agg",
+        "theta_sketch_agg(key, k) - mergeable KMV/theta distinct sketch over " +
+          "long keys (aggregate, returns binary); exact below k, supports " +
+          "intersection/union estimates between sketches"),
+      arity(2, "theta_sketch_agg")(e =>
+        ThetaSketchAgg(e(0), litLong(e(1), "k").toInt).toAggregateExpression())),
     (FunctionIdentifier("ddsketch_agg"),
       info("ddsketch_agg",
         "ddsketch_agg(value, alpha, maxBins) - mergeable relative-error " +

@@ -63,6 +63,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(java.util.Arrays.equals(viaSql, viaCol))
   }
 
+  test("theta_sketch_agg resolves via pure SQL and matches the column API bit-for-bit") {
+    registered
+    import spark.implicits._
+    val df = (1L to 500L).map(i => i % 123L).toDF("k")
+    df.createOrReplaceTempView("theta_in")
+    val viaSql = spark.sql("SELECT theta_sketch_agg(k, 64) AS s FROM theta_in")
+      .head.getAs[Array[Byte]](0)
+    val viaCol = df.agg(org.apache.spark.sql.graft.ThetaFunctions
+      .theta_sketch_agg(org.apache.spark.sql.functions.col("k"), 64))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(viaSql, viaCol))
+    assert(org.apache.spark.sql.graft.ThetaBuffer.deserialize(viaSql)
+      .estimateDistinct === 123.0)
+  }
+
   test("out-of-range integer fpp fails with a message naming the parameter") {
     registered
     spark.read.parquet(s"$sf0001/orders.parquet").createOrReplaceTempView("ord_ext2")
