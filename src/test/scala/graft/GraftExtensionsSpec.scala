@@ -68,10 +68,10 @@ class GraftExtensionsSpec extends SparkSpec {
     import spark.implicits._
     val df = (1L to 500L).map(i => i % 123L).toDF("k")
     df.createOrReplaceTempView("theta_in")
-    val viaSql = spark.sql("SELECT theta_sketch_agg(k, 64) AS s FROM theta_in")
+    val viaSql = spark.sql("SELECT theta_sketch_agg(k, 256) AS s FROM theta_in")
       .head.getAs[Array[Byte]](0)
     val viaCol = df.agg(org.apache.spark.sql.graft.ThetaFunctions
-      .theta_sketch_agg(org.apache.spark.sql.functions.col("k"), 64))
+      .theta_sketch_agg(org.apache.spark.sql.functions.col("k"), 256))
       .head.getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(viaSql, viaCol))
     assert(org.apache.spark.sql.graft.ThetaBuffer.deserialize(viaSql)
