@@ -824,6 +824,18 @@ object ScaleProbe {
         ext.TextStats.mojibakeScan(read("documents", k), "text")
           .filter(col("mojibake_total") >= 0).count()
       }
+      timed("segment_overlap", k) {
+        import org.apache.spark.sql.graft.{ThetaBuffer, ThetaFunctions}
+        val seg = graft.io.ParquetIO.tsToNanos(read("events", k))
+          .select(col("event_type"), col("user_id")).distinct()
+        val sk = seg.groupBy(col("event_type"))
+          .agg(ThetaFunctions.theta_sketch_agg(col("user_id"), 4096).as("sk"))
+          .collect().map(r => r.getString(0) ->
+            ThetaBuffer.deserialize(r.getAs[Array[Byte]](1))).toMap
+        sk.keys.toSeq.sorted.combinations(2).map { case Seq(x, y) =>
+          ThetaBuffer.intersectionEstimate(sk(x), sk(y))
+        }.size.toLong
+      }
       timed("geo_hotspots", k) {
         operators.GeoJoin.cellHotspots(
           read("customer", k).select(
