@@ -4875,9 +4875,9 @@ object SparkEntry {
         |    CAST(SUM(observed) OVER () AS BIGINT) AS n_total
         |  FROM cells)
         |SELECT o_orderpriority, o_orderstatus, observed, row_total, col_total, n_total,
-        |  CAST(CAST(CAST(observed * n_total - row_total * col_total AS HUGEINT)
-        |            * CAST(observed * n_total - row_total * col_total AS HUGEINT) AS VARCHAR) AS DOUBLE)
-        |    / CAST(n_total * row_total * col_total AS DOUBLE) AS contribution
+        |  CAST(CAST((CAST(observed AS HUGEINT) * n_total - CAST(row_total AS HUGEINT) * col_total)
+        |            * (CAST(observed AS HUGEINT) * n_total - CAST(row_total AS HUGEINT) * col_total) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(n_total AS HUGEINT) * row_total * col_total AS VARCHAR) AS DOUBLE) AS contribution
         |FROM m""".stripMargin,
 
     // Welch t: identical integer-cents sufficient statistics and the
@@ -4891,16 +4891,16 @@ object SparkEntry {
         |  SELECT event_type,
         |    CAST(SUM(CASE WHEN cohort = '0' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         |    CAST(SUM(CASE WHEN cohort = '0' THEN c ELSE 0 END) AS BIGINT) AS s_a,
-        |    CAST(SUM(CASE WHEN cohort = '0' THEN c * c ELSE 0 END) AS BIGINT) AS ss_a,
+        |    SUM(CASE WHEN cohort = '0' THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS ss_a,
         |    CAST(SUM(CASE WHEN cohort = '1' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
         |    CAST(SUM(CASE WHEN cohort = '1' THEN c ELSE 0 END) AS BIGINT) AS s_b,
-        |    CAST(SUM(CASE WHEN cohort = '1' THEN c * c ELSE 0 END) AS BIGINT) AS ss_b
+        |    SUM(CASE WHEN cohort = '1' THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS ss_b
         |  FROM e GROUP BY 1),
         |x AS (
         |  SELECT event_type, n_a, n_b,
-        |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |    (CAST(CAST(ss_a AS VARCHAR) AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
         |      / (CAST(n_a AS DOUBLE) - 1.0) AS va,
-        |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    (CAST(CAST(ss_b AS VARCHAR) AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
         |      / (CAST(n_b AS DOUBLE) - 1.0) AS vb,
         |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
         |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb
@@ -4994,12 +4994,13 @@ object SparkEntry {
         |  FROM v),
         |r AS (
         |  SELECT g, MIN(na) AS na, MIN(nb) AS nb,
-        |    CAST(SUM(ca * ((cumab - ca - cb) * 2 + ca + cb + 1)) AS BIGINT) AS r2a
+        |    SUM(CAST(ca AS HUGEINT) * ((cumab - ca - cb) * 2 + ca + cb + 1)) AS r2a
         |  FROM c GROUP BY g)
         |SELECT g AS l_returnflag, CAST(na AS BIGINT) AS n_a,
-        |  CAST(nb AS BIGINT) AS n_b, r2a AS r2_a,
+        |  CAST(nb AS BIGINT) AS n_b, CAST(r2a AS DECIMAL(38,0)) AS r2_a,
         |  CASE WHEN na > 0 AND nb > 0 THEN
-        |    CAST(r2a - na * (na + 1) AS DOUBLE) / CAST(na * nb * 2 AS DOUBLE)
+        |    CAST(CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(CAST(na AS HUGEINT) * nb * 2 AS VARCHAR) AS DOUBLE)
         |  END AS auc
         |FROM r""".stripMargin,
 

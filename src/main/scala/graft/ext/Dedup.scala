@@ -843,12 +843,39 @@ object Dedup {
   /**
    * Duplicate clusters: connected components over a near-dup pair list —
    * the step that turns pairwise similarity into "keep one per group".
-   * Iterative min-label propagation: each round every vertex adopts the
-   * smallest label in its neighborhood; converges in O(component diameter)
-   * rounds (near-dup clusters are shallow). Each round is one equi-join +
-   * one aggregation; `localCheckpoint` truncates the growing lineage so
-   * round N doesn't replan rounds 1..N-1 (the standard large-graph
-   * treatment; GraphX does the same under the hood).
+   *
+   * Alternating large-star/small-star (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond", SoCC'14, Algorithm 2 — public).
+   * The edge set itself is rewritten each round until every component is
+   * a star centered at its minimum id:
+   *
+   *  - LARGE-STAR, run at each edge's SMALLER endpoint `u`: every
+   *    strictly larger neighbor `v` re-attaches to
+   *    `m(u) = min(Γ(u) ∪ {u})` — edge (u,v) becomes (m(u), v).
+   *  - SMALL-STAR, run at each edge's LARGER endpoint `u`: `u` and all
+   *    of its smaller neighbors re-attach to `m(u) = min of the smaller
+   *    neighbors` — each (v,u) becomes (m(u), v), plus (m(u), u).
+   *
+   * Both steps preserve connectivity and never lose a vertex (the
+   * component minimum re-emits all of its edges in large-star; a larger
+   * endpoint always re-emits itself via (m, u) in small-star), and the
+   * alternation contracts components in O(log² n) rounds worst-case —
+   * O(log n) in practice — INDEPENDENT of component diameter. Plain
+   * min-label propagation is O(diameter) rounds: a web-scale near-dup
+   * graph with a boilerplate mega-chain turns 10 rounds into 500, each a
+   * full join over the edge set (the planted-path spec pins the
+   * difference: a 400-vertex path converges here in ≤ 15 rounds where
+   * min-label needs 399).
+   *
+   * Each round is two (groupBy-min + equi-join + distinct) passes over
+   * the current edge set; `localCheckpoint` truncates lineage so round N
+   * doesn't replan rounds 1..N-1 (the standard large-graph treatment;
+   * GraphX does the same under the hood). Per-round checkpoint blocks
+   * are reclaimed by the ContextCleaner once the previous round's
+   * DataFrame goes out of reference. Convergence = the canonical
+   * (lo, hi) edge set reaches a fixed point, checked with one count and
+   * one except over the final (star-sized) relation; the loud
+   * non-convergence throw guards the cap — never silent splits.
    *
    * @param vertices one row per entity (covers singletons)
    * @param pairs    undirected near-dup pairs (id_a, id_b)
@@ -858,46 +885,66 @@ object Dedup {
       vertices: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
       maxIterations: Int = 25): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-
+    // canonical undirected form: (lo, hi), self-loops dropped, deduped —
     // iterate ONLY over edge-touched vertices: a vertex with no near-dup
-    // pair can never change its label, and in a deduplication workload the
-    // paired subgraph is a small fraction of the corpus — iterating the
-    // full vertex table would re-shuffle the whole corpus once per round.
-    // Untouched vertices rejoin as their own singleton cluster at the end.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
-    var converged = false
+    // pair can never move, and in a deduplication workload the paired
+    // subgraph is a small fraction of the corpus. Untouched vertices
+    // rejoin as their own singleton cluster at the end.
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+    var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val neighborMin = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nl"))
-      // carry the previous label through the checkpoint so convergence is a
-      // filter over the SAME materialized result, not a second full join.
-      // Per-round checkpoint blocks are reclaimed by the ContextCleaner once
-      // the previous round's DataFrame goes out of reference.
-      val next = labels.join(neighborMin, col("id") === col("dst"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // LARGE-STAR: larger neighbors of u re-attach to min(Γ(u) ∪ {u}).
+      // m(u) ≤ u < v, so the emitted edge is already (lo=m, hi=v) and
+      // never a self-loop.
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("__m").as("lo"), col("v").as("hi"))
+        .distinct()
         .localCheckpoint()
-      converged = next.filter(col("label") =!= col("prev")).isEmpty
-      labels = next.select(col("id"), col("label"))
+      // SMALL-STAR: u and its smaller neighbors re-attach to the least of
+      // them. m(u) = min of u's smaller neighbors, so m ≤ x throughout;
+      // only x = m itself would self-loop and is filtered.
+      val sMins = large.groupBy(col("hi")).agg(min(col("lo")).as("__m"))
+      val small = large.join(sMins, "hi")
+        .select(col("lo").as("__x"), col("__m"))
+        .unionByName(sMins.select(col("hi").as("__x"), col("__m")))
+        .filter(col("__x") =!= col("__m"))
+        .select(col("__m").as("lo"), col("__x").as("hi"))
+        .distinct()
+        .localCheckpoint()
+      converged = small.count() == edges.count() && small.except(edges).isEmpty
+      edges = small
       iter += 1
     }
     if (!converged) {
       throw new IllegalStateException(
-        s"duplicateClusters did not converge within $maxIterations iterations " +
-          "(component diameter exceeds the cap); raise maxIterations — a silent " +
-          "non-converged result would split components into multiple clusters")
+        s"duplicateClusters did not converge within $maxIterations " +
+          "large-star/small-star rounds — structurally implausible for a " +
+          "similarity graph (rounds grow with log(n), not diameter); raise " +
+          "maxIterations — a silent non-converged result would split " +
+          "components into multiple clusters")
     }
+    // fixed point = stars centered at each component min: every non-center
+    // vertex appears exactly once as hi, every center as lo
+    val labels = edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
+      .unionByName(
+        edges.select(col("lo").as("id"), col("lo").as("cluster_id")).distinct())
     // singletons (never paired) are their own cluster; anti-join keeps the
     // corpus-sized side to ONE pass at the very end
     val singletons = vertices.select(col(idCol).as("id"))
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
-    labels.select(col("id"), col("label").as("cluster_id")).unionByName(singletons)
+    labels.unionByName(singletons)
   }
 
   /**

@@ -115,12 +115,18 @@ object RegressionOps {
       .withColumn("col_total",
         sum(col("observed")).over(org.apache.spark.sql.expressions.Window.partitionBy(col(bCol))))
       .crossJoin(broadcast(cells.agg(sum(col("observed")).as("n_total"))))
-    val dev = (col("observed") * col("n_total") - col("row_total") * col("col_total"))
-      .cast("decimal(38,0)")
+    // every factor is cast to DECIMAL(38,0) BEFORE multiplying: O·N and
+    // R·C top out near 10^12 each at warehouse scale but N·R·C reaches
+    // 10^36 — a LONG product wraps silently past 2^63 (~9.2e18), i.e. on
+    // a ~5M-row table with two dominant marginals
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val dev = dec(col("observed")) * dec(col("n_total")) -
+      dec(col("row_total")) * dec(col("col_total"))
     withMarginals.select(col(aCol), col(bCol), col("observed"),
       col("row_total"), col("col_total"), col("n_total"),
       ((dev * dev).cast("string").cast("double") /
-        (col("n_total") * col("row_total") * col("col_total")).cast("double"))
+        (dec(col("n_total")) * dec(col("row_total")) * dec(col("col_total")))
+          .cast("string").cast("double"))
         .as("contribution"))
   }
 
@@ -228,12 +234,19 @@ object RegressionOps {
         (col("__cumab") - col("__s0") - col("__ca") - col("__cb")) * 2 +
           col("__ca") + col("__cb") + 1)
       .groupBy(col(groupCol))
+      // rank sums ride DECIMAL(38,0): __mr2 grows with 2·n_group, so a
+      // LONG Σ(ca·mr2) wraps past 2^63 around ~2e9 rows per group; the
+      // AUC combines through the string-canonicalized decimal→double
+      // discipline (numerator and denominator both exact integers)
       .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
-        sum(col("__ca") * col("__mr2")).as("r2_a"))
+        sum(col("__ca").cast("decimal(38,0)") * col("__mr2").cast("decimal(38,0)"))
+          .as("r2_a"))
       .withColumn("auc",
         when(col("n_a") > 0 && col("n_b") > 0,
-          (col("r2_a") - col("n_a") * (col("n_a") + 1)).cast("double") /
-            (col("n_a") * col("n_b") * 2).cast("double")))
+          (col("r2_a") - col("n_a").cast("decimal(38,0)") *
+            (col("n_a") + 1).cast("decimal(38,0)")).cast("string").cast("double") /
+            (col("n_a").cast("decimal(38,0)") * col("n_b").cast("decimal(38,0)") * 2)
+              .cast("string").cast("double")))
   }
 
   /**
@@ -345,17 +358,22 @@ object RegressionOps {
       levelA: String,
       levelB: String): DataFrame = {
     val cents = round(col(valueCol) * 100).cast("long")
+    // second moments ride DECIMAL(38,0): a ~1e7-cent value squares to
+    // 1e14 per row, so a LONG Σx² wraps silently around 1e5 such rows —
+    // the first moment (Σx) stays LONG (needs ~1e12 rows to wrap)
+    val centsDec = cents.cast("decimal(38,0)")
     def side(level: String, tag: String) = Seq(
       sum(when(col(condCol) === level, 1L).otherwise(0L)).as(s"n_$tag"),
       sum(when(col(condCol) === level, cents).otherwise(0L)).as(s"__s_$tag"),
-      sum(when(col(condCol) === level, cents * cents).otherwise(0L)).as(s"__ss_$tag"))
+      sum(when(col(condCol) === level, centsDec * centsDec)
+        .otherwise(lit(0).cast("decimal(38,0)"))).as(s"__ss_$tag"))
     val agged = df.groupBy(col(groupCol))
       .agg(side(levelA, "a").head, (side(levelA, "a").tail ++ side(levelB, "b")): _*)
     def mean(tag: String) =
       col(s"__s_$tag").cast("double") / col(s"n_$tag").cast("double")
     def variance(tag: String) = {
       val n = col(s"n_$tag").cast("double")
-      (col(s"__ss_$tag").cast("double") -
+      (col(s"__ss_$tag").cast("string").cast("double") -
         col(s"__s_$tag").cast("double") * col(s"__s_$tag").cast("double") / n) /
         (n - 1.0)
     }

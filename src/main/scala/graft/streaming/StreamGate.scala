@@ -457,9 +457,12 @@ object StreamGate {
       .select(col("c_nationkey").as("__vn"), col("c_mktsegment").as("__vs"))
     val stream = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    // null-safe <=> to match Privacy.suppress exactly: a NULL quasi
+    // column is a quasi-identifier class of its own and must suppress
+    // when sub-k — a plain === would never match the NULL class
     val kept = stream.join(broadcast(violating),
-      stream("c_nationkey") === col("__vn") &&
-        stream("c_mktsegment") === col("__vs"), "left_anti")
+      stream("c_nationkey") <=> col("__vn") &&
+        stream("c_mktsegment") <=> col("__vs"), "left_anti")
     runToTable(kept.select(col("c_custkey"), col("c_nationkey"),
       col("c_mktsegment")), "stream_privacy_gate", "append")
   }

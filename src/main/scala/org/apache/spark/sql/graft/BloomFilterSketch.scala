@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -118,8 +118,12 @@ case class BloomFilterAgg(
     numHashes: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[BloomBuffer] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[BloomBuffer]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
 
+  // widen INT/SMALLINT keys to LONG at analysis time (same rationale as
+  // ThetaSketchAgg: update() casts to Long and would otherwise CCE)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = "bloom_filter_agg"

@@ -3,10 +3,10 @@ package org.apache.spark.sql.graft
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, LongType}
 
 /**
  * KMV / theta sketch (Bar-Yossef et al. 2002 "Counting distinct elements
@@ -128,8 +128,14 @@ case class ThetaSketchAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ThetaBuffer] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[ThetaBuffer]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
 
+  // the SQL registration (theta_sketch_agg) otherwise applies no
+  // coercion: an INT/SMALLINT key would ClassCastException at runtime in
+  // update(); ImplicitCast widens integral inputs to LONG at analysis
+  // time and rejects non-castable types with an analysis error
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = "theta_sketch_agg"

@@ -181,6 +181,38 @@ class DedupSpec extends SparkSpec {
     (0L until n).foreach(i => assert(got(i) === 0L, s"vertex $i"))
   }
 
+  test("duplicateClusters: planted path graph converges in O(log n) rounds, not O(diameter)") {
+    // a 400-vertex path is the pointer-jumping acceptance case: pure
+    // min-label propagation moves the min ONE hop per round and needs 399
+    // rounds — far past the 15-round cap below — while hook+jump chains
+    // double per round (~log2(400) ≈ 9 rounds). Ids are bit-reversed so
+    // the path order carries no accidental monotone shortcut for the min.
+    val n = 400
+    def rev(i: Int): Long = java.lang.Integer.reverse(i).toLong & 0xffffffffL
+    val ids = (0 until n).map(rev)
+    val verts = ids.toDF("id")
+    val pairs = (0 until n - 1).map(i => (ids(i), ids(i + 1))).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(verts, "id", pairs, maxIterations = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minId = ids.min
+    ids.foreach(i => assert(got(i) === minId, s"vertex $i"))
+  }
+
+  test("duplicateClusters: two interleaved paths stay separate components") {
+    // interleaved ids make the label LUT dense across both components —
+    // guards the jump step against cross-component label bleed
+    val n = 60
+    val evens = (0 until n).map(i => 2L * i)
+    val odds = (0 until n).map(i => 2L * i + 1)
+    val verts = (evens ++ odds).toDF("id")
+    val pairs = ((0 until n - 1).map(i => (evens(i), evens(i + 1))) ++
+      (0 until n - 1).map(i => (odds(i), odds(i + 1)))).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(verts, "id", pairs, maxIterations = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    evens.foreach(i => assert(got(i) === 0L, s"even vertex $i"))
+    odds.foreach(i => assert(got(i) === 1L, s"odd vertex $i"))
+  }
+
   test("embeddingNearDupPairs: exact-duplicate vectors expand to all member pairs") {
     val rng = new scala.util.Random(5)
     val shared = Array.fill(16)(rng.nextGaussian().toFloat).toSeq

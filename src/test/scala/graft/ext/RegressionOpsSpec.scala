@@ -161,7 +161,9 @@ class RegressionOpsSpec extends SparkSpec {
       RegressionOps.mannWhitneyAuc(rows.toDF("g", "c", "v"), "g", "c", "v", "A", "B")
         .collect().map(r => r.getString(0) ->
           ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
-            r.getAs[Long]("r2_a"), r.getAs[Double]("auc")))).toMap
+            // r2_a rides DECIMAL(38,0) (rank sums overflow long at scale)
+            r.getAs[java.math.BigDecimal]("r2_a").longValueExact(),
+            r.getAs[Double]("auc")))).toMap
     // A entirely below B -> AUC 0; entirely above -> 1
     val lo = run(Seq(("g", "A", 1.0), ("g", "A", 2.0), ("g", "B", 3.0), ("g", "B", 4.0)))
     assert(lo("g")._4 === 0.0)
