@@ -2459,6 +2459,12 @@ object SparkEntry {
     // jaccard 1.0, plus whatever true near-dups LSH surfaces). LSH pair
     // sets are rows-only per the q41 precedent; batch-vs-rebuild identity
     // and round-trip specs carry the semantics
+    // build-inclusive MinHash ingest (q268 is the load-only serve
+    // sibling): index the corpus, save, reload, probe the resubmit batch.
+    // Output is the pinned source contract (hash oracle) — the full LSH
+    // pair SET stays spec-level (band recall on 0.8–0.9 near-dups is
+    // probabilistic, q41 precedent; the ingest-pairs ≡ rebuild-pairs
+    // identity is spec-pinned in DedupSpec)
     "q260_minhash_index_ingest" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val corpus = docs
@@ -2466,8 +2472,9 @@ object SparkEntry {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val path = s"/tmp/graft_q260_idx_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
       graft.ext.Dedup.buildMinhashIndex(corpus, "doc_id", "text").save(path)
-      graft.ext.Dedup.ingestNearDupPairs(batch, "doc_id", "text",
-        graft.ext.Dedup.loadMinhashIndex(s, path), threshold = 0.8)
+      sourcePairContract(batch,
+        graft.ext.Dedup.ingestNearDupPairs(batch, "doc_id", "text",
+          graft.ext.Dedup.loadMinhashIndex(s, path), threshold = 0.8))
     }),
     // ingest-admission capstone: hygiene gate -> exact-dup fp anti ->
     // EXACT near-dup (PPJoin jaccard, so the whole pipeline stays on the
@@ -2611,6 +2618,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(dec("l_extendedprice") * (lit(1).cast("decimal(15,2)") - dec("l_discount")))
             .cast("double").as("revenue"))
+    }),
+
+    // serve-path sibling of q135: the IVF-PQ artifacts are staged ONCE
+    // per (sf, data fingerprint) and the benched query only LOADS and
+    // probes — min-of-3 bench passes measure the probe/ADC/rerank cost
+    // the build-once/probe-many artifacts exist for. Recall contract vs
+    // brute is q135's, verbatim.
+    "q267_ivfpq_serve" -> ((s, dir) => {
+      import graft.ext.Similarity
+      val e = t(s, dir, "embeddings")
+        .withColumn("embedding", Similarity.l2normalized(col("embedding")))
+      val q = e.filter(col("vec_id") < 5)
+      val base = ensureServeArtifact("ivfpq", dir, "embeddings") { p =>
+        val (bIvf, bPq) = Similarity.buildIvfPq(e, "vec_id", "embedding",
+          Similarity.IvfConfig(nlist = 32, nprobe = 16),
+          Similarity.PqConfig(m = 8, ksub = 32))
+        bIvf.save(s"$p/ivf"); bPq.save(s"$p/pq")
+      }
+      val ivf = Similarity.loadIvfIndex(s, s"$base/ivf")
+      val pq = Similarity.loadPqIndex(s, s"$base/pq")
+      val approx = Similarity.searchIvfPq(ivf, pq, e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10, nprobe = 16, rerank = 300)
+      val brute = Similarity.bruteTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10)
+      val hits = approx.join(brute.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"))
+    }),
+
+    // serve-path sibling of q260: the MinHash band/base tables are staged
+    // ONCE and the benched query only loads them and probes the resubmit
+    // batch — same pinned source contract (hash oracle)
+    "q268_minhash_serve" -> ((s, dir) => {
+      import graft.ext.Dedup
+      val docs = t(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val base = ensureServeArtifact("minhash", dir, "documents") { p =>
+        Dedup.buildMinhashIndex(docs, "doc_id", "text").save(s"$p/idx")
+      }
+      sourcePairContract(batch,
+        Dedup.ingestNearDupPairs(batch, "doc_id", "text",
+          Dedup.loadMinhashIndex(s, s"$base/idx"), threshold = 0.8))
     }),
   )
 
@@ -2884,6 +2938,44 @@ object SparkEntry {
       (k * lit(mLat) % lit(4294967296L) % lit(1000000L)).as("lat"),
       (k * lit(mLon) % lit(4294967296L) % lit(1000000L)).as("lon"))
   }
+
+  /** Serve-path artifact staging: build ONCE per (kind, sf dir, source
+    * data fingerprint) into a /tmp cache, so gate/bench invocations after
+    * the first LOAD and only probe — the build-once/probe-many cost split
+    * the persistable index artifacts exist for (q267/q268 vs their
+    * build-inclusive siblings q135/q260). The version tag invalidates the
+    * cache across code changes, the size⊕mtime fingerprint across driver
+    * data regenerations, and the marker file commits a build atomically
+    * (a crashed half-build is rebuilt, never trusted). */
+  private val ServeArtifactVersion = "v1"
+  private def ensureServeArtifact(kind: String, dir: String, table: String)(
+      build: String => Unit): String = synchronized {
+    val src = new java.io.File(s"$dir/$table.parquet")
+    val fp = java.lang.Long.toHexString(src.length() * 1000003L ^ src.lastModified())
+    val base = s"/tmp/graft_serve_${kind}_${ServeArtifactVersion}_${fp}_" +
+      dir.replaceAll("[^0-9a-zA-Z]", "_")
+    val marker = new java.io.File(base, "_GRAFT_READY")
+    if (!marker.exists()) {
+      build(base)
+      marker.createNewFile()
+    }
+    base
+  }
+
+  /** Pinned ingest contract shared by q260/q268: every batch doc is an
+    * exact resubmit of its source (doc_id − 1000000), so it MUST pair
+    * with that source at jaccard exactly 1.0 — identical text gives an
+    * identical MinHash signature, so EVERY band collides (LSH-certain,
+    * not probabilistic) and the exact shingle-set verify scores 1.0. A
+    * missing source pair surfaces as the loud −1 sentinel and fails the
+    * hash compare. */
+  private def sourcePairContract(batch: DataFrame, pairs: DataFrame): DataFrame =
+    batch.select(col("doc_id"))
+      .join(pairs.filter(col("corpus_id") === col("batch_id") - 1000000L)
+          .select(col("batch_id").as("doc_id"), col("jaccard").as("source_jaccard")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("source_jaccard"), lit(-1d)).as("source_jaccard"))
 
   private val entityNameFixtureSql: String =
     """CASE CAST(doc_id % 4 AS INT)
@@ -4032,6 +4124,33 @@ object SparkEntry {
     "q135_knn_ivfpq" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // same contract again through the serve path (prebuilt artifacts,
+    // load + probe only)
+    "q267_ivfpq_serve" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // q260/q268 pinned ingest contract: an exact resubmit pairs with its
+    // source at jaccard EXACTLY 1.0 — identical text -> identical MinHash
+    // signature -> every band collides (certain, not probabilistic) ->
+    // exact shingle verify = 1.0. The full LSH pair SET stays spec-level
+    // (band recall on 0.8-0.9 near-dups is probabilistic, q41 precedent).
+    "q260_minhash_index_ingest" ->
+      """SELECT doc_id + 1000000 AS doc_id, CAST('1' AS DOUBLE) AS source_jaccard
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+    "q268_minhash_serve" ->
+      """SELECT doc_id + 1000000 AS doc_id, CAST('1' AS DOUBLE) AS source_jaccard
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+
+    // q262 admit-set contract: exact resubmits (doc_id % 7 = 0) are
+    // ALWAYS rejected (identical signature -> certain band collision at
+    // jaccard 1.0); md5-novel docs (% 7 = 1) are always admitted (their
+    // single whole-doc shingle verifies ~0 against any corpus doc) — so
+    // the admitted set is exactly the md5 rows, deterministically
+    "q262_stream_neardup_gate" ->
+      """SELECT doc_id + 1000000 AS doc_id
+        |FROM documents WHERE doc_id % 7 = 1""".stripMargin,
 
     // BPE apply contract: every doc must reconstruct exactly and never
     // grow past its non-space character count

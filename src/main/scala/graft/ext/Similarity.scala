@@ -476,6 +476,32 @@ object Similarity {
     PqIndex(codes, codebook)
   }
 
+  /** Upper bound on query rows PQ/IVF-PQ serving funnels to the driver.
+    * The ADC design broadcasts the query set (each query builds an
+    * m × ksub LUT executor-side), which is right for top-k SERVING with a
+    * bounded query batch and wrong for corpus-sized query sides — those
+    * belong on the join-based [[bruteTopK]]/[[lshTopK]] paths. 65536
+    * queries × 768 float dims ≈ 200 MB of driver/broadcast footprint. */
+  val MaxPqQueryRows: Int = 65536
+
+  /** `limit(max+1)` bounds the collect itself (CollectLimitExec), so the
+    * overflow CHECK cannot OOM the driver on a corpus-sized query side —
+    * it fetches at most one row past the cap, then fails loudly. */
+  private def collectBoundedQueries(
+      q: DataFrame, maxQueryRows: Int, op: String): Array[(Long, Seq[Float])] = {
+    require(maxQueryRows > 0, s"maxQueryRows must be positive, got $maxQueryRows")
+    val spark = q.sparkSession
+    import spark.implicits._
+    val rows = q.limit(maxQueryRows + 1).as[(Long, Seq[Float])].collect()
+    require(rows.length <= maxQueryRows,
+      s"$op funnels the query set to the driver for the ADC LUT broadcast; " +
+        s"got more than maxQueryRows=$maxQueryRows query rows. Batch the " +
+        "query side, raise maxQueryRows only with matching driver memory, " +
+        "or use the join-based bruteTopK/lshTopK paths for corpus-sized " +
+        "query sides")
+    rows
+  }
+
   /**
    * Search a [[PqIndex]] with asymmetric distance (ADC): each query builds
    * an m x ksub lookup table of exact subvector-to-centroid distances, and
@@ -493,15 +519,16 @@ object Similarity {
       index: PqIndex,
       data: DataFrame, dataId: String, dataVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, rerank: Int = 100): DataFrame = {
+      k: Int, rerank: Int = 100,
+      maxQueryRows: Int = Similarity.MaxPqQueryRows): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val spark = index.codes.sparkSession
     import spark.implicits._
 
     val bcCb = spark.sparkContext.broadcast(index.codebook)
-    val qRows = queries.select(col(queryId).cast("long").as("query_id"),
-        l2normalize(col(queryVec)).as("__qv"))
-      .as[(Long, Seq[Float])].collect()
+    val qRows = collectBoundedQueries(
+      queries.select(col(queryId).cast("long").as("query_id"),
+        l2normalize(col(queryVec)).as("__qv")), maxQueryRows, "searchPq")
     require(qRows.nonEmpty, "empty query set")
     val bcQ = spark.sparkContext.broadcast(qRows)
 
@@ -566,7 +593,8 @@ object Similarity {
       ivf: IvfIndex, pq: PqIndex,
       data: DataFrame, dataId: String, dataVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nprobe: Int, rerank: Int = 100): DataFrame = {
+      k: Int, nprobe: Int, rerank: Int = 100,
+      maxQueryRows: Int = Similarity.MaxPqQueryRows): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val spark = pq.codes.sparkSession
     import spark.implicits._
@@ -581,9 +609,9 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("pq_code"))
 
     val bcCb = spark.sparkContext.broadcast(pq.codebook)
-    val qRows = queries.select(col(queryId).cast("long").as("query_id"),
-        l2normalize(col(queryVec)).as("__qv"))
-      .as[(Long, Seq[Float])].collect()
+    val qRows = collectBoundedQueries(
+      queries.select(col(queryId).cast("long").as("query_id"),
+        l2normalize(col(queryVec)).as("__qv")), maxQueryRows, "searchIvfPq")
     require(qRows.nonEmpty, "empty query set")
     val bcQ = spark.sparkContext.broadcast(qRows.toMap)
 

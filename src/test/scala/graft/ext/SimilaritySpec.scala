@@ -219,6 +219,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("searchPq/searchIvfPq refuse a query side past maxQueryRows loudly") {
+    // the ADC design funnels the query set to the driver (LUT broadcast);
+    // the cap check is a bounded limit-collect, so refusing a corpus-sized
+    // query side can never itself OOM the driver
+    val df = (0L until 40L).map(i =>
+        (i, Seq.tabulate(8)(j => (((i + 1) * (j + 3) * 2654435761L) % 1000).toFloat / 1000f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val idx = Similarity.buildPqIndex(df, "vec_id", "embedding",
+      Similarity.PqConfig(m = 2, ksub = 4))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.searchPq(idx, df, "vec_id", "embedding", df, "vec_id", "embedding",
+        k = 3, rerank = 5, maxQueryRows = 16)
+    }
+    assert(e.getMessage.contains("maxQueryRows=16"))
+    assert(e.getMessage.contains("bruteTopK")) // points at the join-based path
+    // under the cap the same call serves normally (shared helper also
+    // drives searchIvfPq)
+    val ok = Similarity.searchPq(idx, df, "vec_id", "embedding",
+      df.limit(16), "vec_id", "embedding", k = 3, rerank = 5, maxQueryRows = 16)
+    assert(ok.select("query_id").distinct().count() === 16L)
+  }
+
   test("semDedup: planted intra-cluster duplicates dropped, min-id representative kept") {
     val rng = new scala.util.Random(11)
     val base = (0L until 120L).map(i => (i, Seq.fill(8)(rng.nextGaussian().toFloat)))
