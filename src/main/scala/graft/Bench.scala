@@ -60,11 +60,14 @@ object Bench {
       cur
     }
 
+    val errored = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (sw0, sp0) = settle()
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a throwing query still records its wall time but is NAMED in the
+        // detail's errors list — a fake timing must never read as evidence
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => errored += name; -1L }
         (System.nanoTime() - t0) / 1e9
       }
       val (sw1, sp1) = settle()
@@ -97,12 +100,14 @@ object Bench {
     val detail = results.map { case (k, (v, s, p)) =>
       s"""    "$k": {"sec": ${math.round(v * 1e4) / 1e4}, "shuffle_mb": ${math.round(s * 10) / 10.0}, "spill_mb": ${math.round(p * 10) / 10.0}}"""
     }.mkString(",\n")
+    val errJson = errored.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{
          |  "metric": "total", "value": $total, "unit": "sec",
          |  "passes": $passes, "n_queries": ${results.size},
          |  "shuffle_mb": ${math.round(totalShuffleMb)}, "spill_mb": ${math.round(totalSpillMb)},
          |  "sf": "$sfDir",
+         |  "errors": $errJson,
          |  "queries": {
          |$detail
          |  }

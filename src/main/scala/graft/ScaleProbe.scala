@@ -851,6 +851,26 @@ object ScaleProbe {
           .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
         ext.Dedup.ingestNearDupPairs(batch, "doc_id", "text", idx, 0.8).count()
       }
+      // r6: SUPERCRITICAL density clustering — radius 12000 sits far past
+      // the random-geometric percolation threshold (expected degree ~7 at
+      // 1x, ~68 at 10x vs ~1 for the gate's subcritical q264), so a giant
+      // component forms whose diameter grows with the box. O(diameter)
+      // min-label CC would blow the 25-round cap here; the
+      // large-star/small-star alternation contracts it in O(log n) rounds
+      // regardless of the regime — this probe is the recovery evidence.
+      timed("geo_clusters_supercritical", k) {
+        def pts(df: DataFrame, key: String, m1: Long, m2: Long) =
+          df.select(col(key),
+            (pmod(col(key), lit(1048576L)) * m1 % 4294967296L % 1000000L).as("lat"),
+            (pmod(col(key), lit(1048576L)) * m2 % 4294967296L % 1000000L).as("lon"))
+        val p = pts(read("customer", k), "c_custkey", 2654435761L, 1540483477L)
+        val edges = operators.GeoJoin.radiusJoin(p, "c_custkey",
+            p.select(col("c_custkey").as("other_key"), col("lat"), col("lon")),
+            "other_key", "lat", "lon", 12000L)
+          .filter(col("c_custkey") < col("other_key"))
+          .select(col("c_custkey").as("id_a"), col("other_key").as("id_b"))
+        Dedup.duplicateClusters(p, "c_custkey", edges, maxIterations = 25).count()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")
@@ -860,6 +880,31 @@ object ScaleProbe {
       val (t10, r10) = m(10)
       println(f"| $name | $t1%.2f | $r1 | $t10%.2f | $r10 | ${t10 / t1}%.1fx |")
     }
+    // machine-readable twin of the table so ratios diff across rounds the
+    // way BENCH_DETAIL does; targeted re-runs merge into the existing file
+    // instead of clobbering the full sweep
+    val jsonPath = sys.env.getOrElse("SPARK_GRAFT_SCALEPROBE_JSON", "SCALEPROBE.json")
+    val prior: Map[String, String] = {
+      val f = new java.io.File(jsonPath)
+      if (!f.exists()) Map.empty
+      else {
+        // entries are one-per-line objects keyed by "op" (written below)
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        """\{[^}]*\}""".r.findAllIn(txt).map { obj =>
+          val op = """"op":"([^"]+)"""".r.findFirstMatchIn(obj).map(_.group(1)).getOrElse("")
+          op -> obj
+        }.filter(_._1.nonEmpty).toMap
+      }
+    }
+    val fresh = results.map { case (name, m) =>
+      val (t1, r1) = m(1)
+      val (t10, r10) = m(10)
+      name -> f"""{"op":"$name","sec_1x":$t1%.3f,"rows_1x":$r1,"sec_10x":$t10%.3f,"rows_10x":$r10,"ratio":${t10 / t1}%.2f}"""
+    }.toMap
+    val merged = (prior ++ fresh).toSeq.sortBy(_._1).map(_._2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(jsonPath),
+      merged.mkString("[\n", ",\n", "\n]\n").getBytes("UTF-8"))
+    println(s"[scale] wrote $jsonPath (${merged.size} ops)")
     spark.stop()
   }
 }

@@ -2527,11 +2527,11 @@ object SparkEntry {
     // edges -> the q46 connected-components machinery; singletons keep
     // their own id as cluster — pure composition of shipped operators.
     // Radius 5000 keeps the random point graph SUBCRITICAL (expected
-    // degree ~1 at sf0.1) so component diameters stay far below the CC
-    // iteration cap; at the percolation radius a giant component's
-    // diameter is O(box/r) and min-label propagation — O(diameter)
-    // rounds — is the wrong algorithm (pointer jumping would be the
-    // 100 TB escalation)
+    // degree ~1 at sf0.1); past the percolation radius a giant component
+    // forms whose diameter is O(box/r) — since round 6 the CC is
+    // large-star/small-star (O(log n) rounds regardless of diameter), and
+    // the geo_clusters_supercritical scale probe pins recovery at radius
+    // 12000 (expected degree ~7–68), where min-label would blow its cap
     "q264_geo_clusters" -> ((s, dir) => {
       val pts = geoPoints(t(s, dir, "customer"), "c_custkey",
         2654435761L, 1540483477L)

@@ -420,10 +420,21 @@ object CorpusFilters {
    * `maybe_contaminated = false` is definitive. Output mirrors
    * [[decontaminate]]: one row per train doc with `n_flagged_grams` (>= the
    * exact shared count) and `maybe_contaminated`.
+   *
+   * Past the single-filter ceiling (~1.8e9 keys at fpp=0.01 — a 100 TB
+   * blocklist) the build transparently SHARDS: keys hash-route across n
+   * independently-sized filters built in one grouped aggregation, and each
+   * train gram probes only its own shard
+   * ([[org.apache.spark.sql.graft.BloomFunctions.buildShardedFilters]]).
+   * Below the ceiling the build and plan are byte-identical to the plain
+   * single-filter path. `maxBitsPerShard` exists for tests and memory
+   * tuning; the default is the JVM array ceiling.
    */
   def bloomDecontaminate(
       train: DataFrame, eval: DataFrame,
-      idCol: String, textCol: String, n: Int = 5, fpp: Double = 0.01): DataFrame = {
+      idCol: String, textCol: String, n: Int = 5, fpp: Double = 0.01,
+      maxBitsPerShard: Long =
+        org.apache.spark.sql.graft.BloomBuffer.MaxBits): DataFrame = {
     require(n > 0, s"n-gram size must be positive, got $n")
     import org.apache.spark.sql.graft.BloomFunctions
     val gramExpr =
@@ -433,10 +444,10 @@ object CorpusFilters {
     // are shuffle-free scans of the (small-side) eval set; duplicates only
     // waste a few bits, so no distinct anywhere.
     val expected = math.max(1L, evalGrams.count())
-    val filterBytes = evalGrams
-      .agg(BloomFunctions.bloom_filter_agg(col("__gram"), expected, fpp))
-      .head.getAs[Array[Byte]](0)
-    val flagged = filter(gramExpr, g => BloomFunctions.bloom_might_contain(filterBytes, g))
+    val filters = BloomFunctions.buildShardedFilters(
+      evalGrams, col("__gram"), expected, fpp, maxBitsPerShard)
+    val flagged = filter(gramExpr,
+      g => BloomFunctions.bloom_might_contain_sharded(filters, g))
     train.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol),
         size(flagged).cast("long").as("n_flagged_grams"))

@@ -44,13 +44,24 @@ object GeoJoin {
    * Output: (leftId, rightId, dist2) with the caller's id column names.
    * `radius` must keep dist2 in a long: coordinate deltas up to ~2.1e9
    * are safe (dlat² + dlon² < 2^63).
+   *
+   * `hotCellThreshold` is the city-block-hot-cell escalation: when any
+   * single grid cell holds more LEFT points than the threshold, that
+   * cell's left rows spread across `ceil(n/threshold)` salted sub-keys
+   * (deterministic id-hash) and the right fan-out rows that touch the
+   * cell replicate across the same salt range — the one-task hot
+   * partition becomes `s` even tasks at the cost of `s`× replication of
+   * ONLY the hot cells' right rows. The default (no threshold) keeps the
+   * plain plan; results are identical either way (the salt spec pins it).
    */
   def radiusJoin(
       left: DataFrame, leftId: String,
       right: DataFrame, rightId: String,
       latCol: String, lonCol: String,
-      radius: Long): DataFrame = {
+      radius: Long,
+      hotCellThreshold: Long = Long.MaxValue): DataFrame = {
     require(radius > 0, s"radius must be positive, got $radius")
+    require(hotCellThreshold > 0, s"hotCellThreshold must be positive, got $hotCellThreshold")
     val l = left.select(col(leftId).as("__gl_id"),
       col(latCol).as("__gl_lat"), col(lonCol).as("__gl_lon"),
       cellIdx(col(latCol), radius).as("__gc_lat"),
@@ -68,7 +79,31 @@ object GeoJoin {
         (col("__grc_lon") + col("__dx")).as("__gc_lon"))
     val dlat = col("__gl_lat") - col("__gr_lat")
     val dlon = col("__gl_lon") - col("__gr_lon")
-    l.join(r, Seq("__gc_lat", "__gc_lon"))
+    val joined =
+      if (hotCellThreshold == Long.MaxValue) {
+        l.join(r, Seq("__gc_lat", "__gc_lon"))
+      } else {
+        // hot relation is |hot cells| rows — broadcast to both sides
+        val hot = l.groupBy(col("__gc_lat"), col("__gc_lon"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > hotCellThreshold)
+          .select(col("__gc_lat"), col("__gc_lon"),
+            ((col("__n") + lit(hotCellThreshold - 1)) / lit(hotCellThreshold))
+              .cast("long").as("__s"))
+        val lSalted = l.join(broadcast(hot), Seq("__gc_lat", "__gc_lon"), "left")
+          .withColumn("__salt", when(col("__s").isNull, lit(0L))
+            .otherwise(pmod(xxhash64(col("__gl_id")), col("__s"))))
+          .drop("__s")
+        // a left row carries ONE salt; the right fan-out row covers every
+        // salt of a hot cell (explode 0..s-1), so each candidate pair
+        // still arises exactly once
+        val rSalted = r.join(broadcast(hot), Seq("__gc_lat", "__gc_lon"), "left")
+          .withColumn("__salt",
+            explode(sequence(lit(0L), coalesce(col("__s"), lit(1L)) - 1)))
+          .drop("__s")
+        lSalted.join(rSalted, Seq("__gc_lat", "__gc_lon", "__salt"))
+      }
+    joined
       .withColumn("dist2", dlat * dlat + dlon * dlon)
       .filter(col("dist2") <= lit(radius * radius))
       .select(col("__gl_id").as(leftId), col("__gr_id").as(rightId),

@@ -85,6 +85,23 @@ object BloomBuffer {
     * ~1.8e9 keys at fpp=0.01. Larger blocklists shard across filters. */
   val MaxBits: Long = ((Int.MaxValue.toLong - 16) / 8) * 64
 
+  /** Number of filter shards needed so each shard's bit array stays under
+    * `maxBitsPerShard`: ceil(total ideal bits / cap). 1 = a single plain
+    * filter; the sharded build hash-routes keys across shards (see
+    * [[BloomFunctions.buildShardedFilters]]), so a 100 TB blocklist past
+    * the ~1.8e9-key single-filter ceiling still builds in ONE pass. */
+  def shardsFor(expectedItems: Long, fpp: Double,
+      maxBitsPerShard: Long = MaxBits): Int = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    require(maxBitsPerShard >= 64 && maxBitsPerShard <= MaxBits,
+      s"maxBitsPerShard must be in [64, $MaxBits], got $maxBitsPerShard")
+    val ln2 = math.log(2.0)
+    val m0 = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong
+    val m = ((m0 + 63) / 64) * 64
+    math.max(1L, (m + maxBitsPerShard - 1) / maxBitsPerShard).toInt
+  }
+
   /** Standard sizing: m = -n·ln(p)/ln(2)^2 bits (rounded up to a word),
     * k = max(1, round((m/n)·ln 2)) probes. */
   def shapeFor(expectedItems: Long, fpp: Double): (Long, Int) = {
@@ -195,8 +212,61 @@ case class BloomMightContain(filterBytes: Array[Byte], child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/**
+ * Sharded probe: routes each key to `filters[xxhash64(key, seed=42) mod n]`
+ * — the SAME routing the sharded build groups by (Spark's `xxhash64`
+ * function on a LONG is `XXH64.hashLong(v, 42)`), so a key always probes
+ * the one filter that could contain it. Keeps the per-filter no-false-
+ * negative guarantee across an arbitrarily large key set: n shards of
+ * ≤ MaxBits each instead of one impossible > 2 GB array.
+ */
+case class BloomMightContainSharded(filters: Array[Array[Byte]], child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(filters.nonEmpty, "need at least one filter shard")
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain_sharded"
+
+  @transient private lazy val parsed: Array[BloomBuffer] =
+    filters.map(BloomBuffer.deserialize)
+
+  // content-based equality/hashCode for semanticEquals plan reuse — the
+  // BloomMightContain rationale, across the shard array
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContainSharded =>
+      filters.length == b.filters.length &&
+        filters.indices.forall(i => java.util.Arrays.equals(filters(i), b.filters(i))) &&
+        child == b.child
+    case _ => false
+  }
+  @transient private lazy val filtersHash =
+    filters.foldLeft(17)((h, f) => 31 * h + java.util.Arrays.hashCode(f))
+  override def hashCode(): Int = 31 * filtersHash + child.hashCode()
+
+  def route(v: Long): Int = {
+    val m = XXH64.hashLong(v, 42L) % parsed.length
+    (if (m < 0) m + parsed.length else m).toInt
+  }
+
+  /** Unboxed probe shared by eval and generated code. */
+  def probe(v: Long): Boolean = parsed(route(v)).mightContain(v)
+
+  override def nullSafeEval(v: Any): Any = probe(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shardedBloom", this,
+      classOf[BloomMightContainSharded].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.probe($v)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object BloomFunctions {
-  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
   /** Aggregate a long column into a serialized Bloom filter sized for
     * `expectedItems` keys at false-positive rate `fpp`. */
@@ -210,4 +280,43 @@ object BloomFunctions {
     * negatives; false positives at the built fpp. */
   def bloom_might_contain(filter: Array[Byte], e: Column): Column =
     ColumnBridge.column(BloomMightContain(filter, ColumnBridge.expression(e)))
+
+  /** Probe sharded filters from [[buildShardedFilters]]: the key's
+    * xxhash64 picks the shard, then the plain membership probe runs
+    * against that shard only. */
+  def bloom_might_contain_sharded(filters: Array[Array[Byte]], e: Column): Column =
+    if (filters.length == 1) bloom_might_contain(filters(0), e)
+    else ColumnBridge.column(
+      BloomMightContainSharded(filters, ColumnBridge.expression(e)))
+
+  /**
+   * Build a blocklist filter that transparently SHARDS past the
+   * single-array ceiling: when the ideal sizing for (`expected`, `fpp`)
+   * exceeds `maxBitsPerShard`, keys hash-route (xxhash64 mod n) into n
+   * independently-sized filters built in ONE grouped aggregation — still
+   * one pass, still map-side combinable within each shard, n ≤ 32-ish
+   * rows collected. Below the ceiling this is byte-identical to the
+   * single-filter build. A shard that received no keys materializes as
+   * an empty filter (probes are definitively false).
+   */
+  def buildShardedFilters(keys: DataFrame, key: Column, expected: Long,
+      fpp: Double, maxBitsPerShard: Long = BloomBuffer.MaxBits): Array[Array[Byte]] = {
+    val n = BloomBuffer.shardsFor(expected, fpp, maxBitsPerShard)
+    if (n == 1) {
+      Array(keys.select(bloom_filter_agg(key, expected, fpp).as("__f"))
+        .head.getAs[Array[Byte]]("__f"))
+    } else {
+      // uniform hash routing => expected/n keys per shard; per-shard fpp
+      // is the global fpp because each key probes exactly one shard
+      val perShard = math.max(1L, (expected + n - 1) / n)
+      val rows = keys.select(key.as("__k"))
+        .groupBy(pmod(xxhash64(col("__k")), lit(n.toLong)).as("__shard"))
+        .agg(bloom_filter_agg(col("__k"), perShard, fpp).as("__f"))
+        .collect()
+      val (mBits, kHashes) = BloomBuffer.shapeFor(perShard, fpp)
+      val out = Array.fill[Array[Byte]](n)(new BloomBuffer(mBits, kHashes).serialized)
+      rows.foreach(r => out(r.getLong(0).toInt) = r.getAs[Array[Byte]]("__f"))
+      out
+    }
+  }
 }

@@ -101,4 +101,65 @@ class BloomFilterSpec extends SparkSpec {
     }
     assert(exact.exists(_._2 > 0)) // the fixture really plants contamination
   }
+
+  test("shardsFor: 1 under the cap; ceil(ideal bits / cap) over it; validates inputs") {
+    assert(BloomBuffer.shardsFor(1000, 0.01) === 1)
+    // 1000 keys at fpp 0.01 need ~9586 bits -> 9600 word-rounded; a 1024-bit
+    // cap forces ceil(9600/1024) = 10 shards
+    assert(BloomBuffer.shardsFor(1000, 0.01, maxBitsPerShard = 1024) === 10)
+    intercept[IllegalArgumentException] { BloomBuffer.shardsFor(0, 0.01) }
+    intercept[IllegalArgumentException] { BloomBuffer.shardsFor(10, 1.5) }
+    intercept[IllegalArgumentException] { BloomBuffer.shardsFor(10, 0.01, 32) }
+  }
+
+  test("sharded build: no false negatives, fp rate near fpp, partition-independent") {
+    val keys = (1L to 4000L).map(i => i * 104729L)
+    val df = keys.toDF("k").repartition(7)
+    // force many shards with a tiny per-shard cap (the synthetic stand-in
+    // for a >MaxBits blocklist, which would need ~2 GB per filter to test
+    // directly); sizing for 4000 keys at 0.03 is ~29k bits -> 8 shards
+    val filters = BloomFunctions.buildShardedFilters(
+      df, col("k"), expected = 4000L, fpp = 0.03, maxBitsPerShard = 4096)
+    assert(filters.length >= 2, s"cap must force sharding, got ${filters.length}")
+    // NO false negatives across shard routing
+    val hits = keys.toDF("k")
+      .withColumn("hit", BloomFunctions.bloom_might_contain_sharded(filters, col("k")))
+    assert(hits.filter(!col("hit")).count() === 0)
+    // fp rate on disjoint keys stays near the built fpp (generous 3x bound)
+    val fresh = (1L to 4000L).map(i => i * 999331L + 7L).filterNot(keys.toSet)
+    val fp = fresh.toDF("k")
+      .withColumn("hit", BloomFunctions.bloom_might_contain_sharded(filters, col("k")))
+      .filter(col("hit")).count()
+    assert(fp.toDouble / fresh.size <= 0.09, s"fp rate ${fp.toDouble / fresh.size}")
+    // partitioning-independence: per-shard OR-merge is commutative, so a
+    // different layout yields byte-identical shard arrays
+    val filters2 = BloomFunctions.buildShardedFilters(
+      keys.toDF("k").repartition(3), col("k"),
+      expected = 4000L, fpp = 0.03, maxBitsPerShard = 4096)
+    assert(filters.length === filters2.length)
+    filters.indices.foreach(i =>
+      assert(java.util.Arrays.equals(filters(i), filters2(i)), s"shard $i"))
+  }
+
+  test("bloomDecontaminate sharded == unsharded flags on the same corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 50 =!= 0).limit(200)
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+    def run(cap: Long) = graft.ext.CorpusFilters.bloomDecontaminate(
+        train, evalSet, "doc_id", "text", n = 5, fpp = 0.01, maxBitsPerShard = cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val single = run(org.apache.spark.sql.graft.BloomBuffer.MaxBits)
+    val sharded = run(8192) // forces multi-shard on the eval gram set
+    assert(single.keySet === sharded.keySet)
+    // shard routing preserves the no-false-negative guarantee: wherever the
+    // single filter flags (superset of exact), sharded flags too for every
+    // genuinely shared gram — counts may differ only through independent
+    // false positives, so compare against the exact lower bound
+    val exact = graft.ext.CorpusFilters.decontaminate(
+        train, evalSet, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (id, nExact) =>
+      assert(sharded(id) >= nExact, s"doc $id: sharded ${sharded(id)} < exact $nExact")
+    }
+  }
 }

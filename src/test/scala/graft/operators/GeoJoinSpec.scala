@@ -86,4 +86,46 @@ class GeoJoinSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(tie === Map(1L -> ((20L, 25L))))
   }
+
+  test("hot-cell salting: planted hot cell yields identical pairs to the plain plan") {
+    // 200 left points crammed into ONE cell (coords within [0, 90)) plus a
+    // scatter; threshold 16 forces ceil(200/16)+ salted sub-keys on the
+    // hot cell while the scatter cells stay salt-0
+    val hotL = (1L to 200L).map(i => (i, i % 90L, (i * 7) % 90L))
+    val coldL = (301L to 340L).map(i => (i, i * 1000L, i * 991L))
+    val leftPts = (hotL ++ coldL).toDF("lid", "lat", "lon")
+    val rightPts = ((501L to 560L).map(i => (i, (i * 13) % 120L, (i * 17) % 120L)) ++
+      (601L to 620L).map(i => (i, i * 1000L - 299700L, i * 991L - 296900L)))
+      .toDF("rid", "lat", "lon")
+    def pairs(threshold: Long) = GeoJoin.radiusJoin(
+        leftPts, "lid", rightPts, "rid", "lat", "lon", 100L, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = pairs(Long.MaxValue)
+    val salted = pairs(16L)
+    assert(plain.nonEmpty, "fixture must produce pairs")
+    assert(salted === plain)
+    intercept[IllegalArgumentException] {
+      GeoJoin.radiusJoin(leftPts, "lid", rightPts, "rid", "lat", "lon", 100L, 0L)
+    }
+  }
+
+  test("supercritical DBSCAN: a giant chain component recovers as ONE cluster") {
+    // the percolation worst case: a radius just past the point spacing
+    // strings every point into one giant component whose DIAMETER equals
+    // the point count — O(diameter) min-label CC would need ~n rounds and
+    // abort at its cap; large-star/small-star contracts it in O(log n).
+    // Points on a line, spacing 100, radius 150 -> exactly the chain.
+    val n = 300
+    val pts = (0 until n).map(i => (i.toLong + 1L, i * 100L, 0L))
+      .toDF("pid", "lat", "lon")
+    val edges = GeoJoin.radiusJoin(pts, "pid",
+        pts.select(col("pid").as("other"), col("lat"), col("lon")),
+        "other", "lat", "lon", 150L)
+      .filter(col("pid") < col("other"))
+      .select(col("pid").as("id_a"), col("other").as("id_b"))
+    val clusters = graft.ext.Dedup.duplicateClusters(pts, "pid", edges,
+        maxIterations = 15) // far below n: proves rounds don't track diameter
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to n.toLong).foreach(i => assert(clusters(i) === 1L, s"point $i"))
+  }
 }

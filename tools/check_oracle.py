@@ -14,6 +14,15 @@ for p in glob.glob(os.path.join(sf, "*.parquet")):
 
 oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
 fails = 0
+# evidence completeness: every query the manifest declares must have an
+# output dir — a query that threw during Verify is a FAILURE, not a skip
+mpath = os.path.join(out, "manifest.json")
+if os.path.exists(mpath):
+    declared = set(json.load(open(mpath)))
+    present = {d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d))}
+    for missing in sorted(declared - present):
+        fails += 1
+        print(f"{missing:28s} MISSING (declared in manifest, no output)")
 for qname in sorted(os.listdir(out)):
     qdir = os.path.join(out, qname)
     if not os.path.isdir(qdir):
