@@ -844,38 +844,48 @@ object Dedup {
    * Duplicate clusters: connected components over a near-dup pair list —
    * the step that turns pairwise similarity into "keep one per group".
    *
-   * Alternating large-star/small-star (Kiveris et al., "Connected
-   * Components in MapReduce and Beyond", SoCC'14, Algorithm 2 — public).
-   * The edge set itself is rewritten each round until every component is
-   * a star centered at its minimum id:
+   * Two-phase hybrid, cheap where components are shallow and
+   * diameter-proof where they are not:
    *
-   *  - LARGE-STAR, run at each edge's SMALLER endpoint `u`: every
-   *    strictly larger neighbor `v` re-attaches to
-   *    `m(u) = min(Γ(u) ∪ {u})` — edge (u,v) becomes (m(u), v).
-   *  - SMALL-STAR, run at each edge's LARGER endpoint `u`: `u` and all
-   *    of its smaller neighbors re-attach to `m(u) = min of the smaller
-   *    neighbors` — each (v,u) becomes (m(u), v), plus (m(u), u).
+   * PHASE 1 — up to [[HookRounds]] rounds of min-label propagation (one
+   * edge equi-join + one min aggregation per round, the cheapest possible
+   * round). Near-dup clusters are overwhelmingly shallow (exact-dup
+   * cliques, 2–3-hop chains), so the common case converges HERE at the
+   * same cost as a plain min-label implementation.
+   *
+   * PHASE 2 — if phase 1 did not converge, the graph CONTRACTS by the
+   * current labels (same-label vertices collapse; quotient components
+   * equal original components because labels only ever propagate within a
+   * component) and the remaining budget runs alternating
+   * large-star/small-star (Kiveris et al., "Connected Components in
+   * MapReduce and Beyond", SoCC'14, Algorithm 2) on the contracted edge
+   * set:
+   *
+   *  - LARGE-STAR, at each edge's SMALLER endpoint `u`: every strictly
+   *    larger neighbor re-attaches to `m(u) = min(Γ(u) ∪ {u})`.
+   *  - SMALL-STAR, at each edge's LARGER endpoint `u`: `u` and its
+   *    smaller neighbors re-attach to the least of them.
    *
    * Both steps preserve connectivity and never lose a vertex (the
    * component minimum re-emits all of its edges in large-star; a larger
    * endpoint always re-emits itself via (m, u) in small-star), and the
    * alternation contracts components in O(log² n) rounds worst-case —
    * O(log n) in practice — INDEPENDENT of component diameter. Plain
-   * min-label propagation is O(diameter) rounds: a web-scale near-dup
-   * graph with a boilerplate mega-chain turns 10 rounds into 500, each a
-   * full join over the edge set (the planted-path spec pins the
-   * difference: a 400-vertex path converges here in ≤ 15 rounds where
-   * min-label needs 399).
+   * min-label propagation alone is O(diameter) rounds: a web-scale
+   * near-dup graph with a boilerplate mega-chain turns 10 rounds into
+   * 500, each a full join over the edge set. The planted-path spec pins
+   * the difference (a 400-vertex path converges in ≤ 15 total rounds
+   * where min-label needs 399) and the geo_clusters_supercritical scale
+   * probe pins recovery on a percolated giant component.
    *
-   * Each round is two (groupBy-min + equi-join + distinct) passes over
-   * the current edge set; `localCheckpoint` truncates lineage so round N
-   * doesn't replan rounds 1..N-1 (the standard large-graph treatment;
-   * GraphX does the same under the hood). Per-round checkpoint blocks
-   * are reclaimed by the ContextCleaner once the previous round's
-   * DataFrame goes out of reference. Convergence = the canonical
-   * (lo, hi) edge set reaches a fixed point, checked with one count and
-   * one except over the final (star-sized) relation; the loud
-   * non-convergence throw guards the cap — never silent splits.
+   * Every round materializes via `localCheckpoint` so round N doesn't
+   * replan rounds 1..N-1 (the standard large-graph treatment; GraphX does
+   * the same under the hood); per-round checkpoint blocks are reclaimed
+   * by the ContextCleaner once the previous round's DataFrame goes out of
+   * reference. Phase-2 convergence = the canonical (lo, hi) edge set
+   * reaches a fixed point (one count + one except over the star-sized
+   * relation); the loud non-convergence throw guards the cap — never
+   * silent splits.
    *
    * @param vertices one row per entity (covers singletons)
    * @param pairs    undirected near-dup pairs (id_a, id_b)
@@ -885,67 +895,109 @@ object Dedup {
       vertices: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
       maxIterations: Int = 25): DataFrame = {
-    // canonical undirected form: (lo, hi), self-loops dropped, deduped —
     // iterate ONLY over edge-touched vertices: a vertex with no near-dup
     // pair can never move, and in a deduplication workload the paired
     // subgraph is a small fraction of the corpus. Untouched vertices
     // rejoin as their own singleton cluster at the end.
-    var edges = pairs
-      .select(least(col(aCol), col(bCol)).as("lo"),
-        greatest(col(aCol), col(bCol)).as("hi"))
-      .filter(col("lo") =!= col("hi"))
-      .distinct()
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val sym = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
       .localCheckpoint()
-    var converged = edges.isEmpty
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var converged = sym.isEmpty
     var iter = 0
-    while (!converged && iter < maxIterations) {
-      // LARGE-STAR: larger neighbors of u re-attach to min(Γ(u) ∪ {u}).
-      // m(u) ≤ u < v, so the emitted edge is already (lo=m, hi=v) and
-      // never a self-loop.
-      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
-        .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
-      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("__mn"))
-        .select(col("u"), least(col("u"), col("__mn")).as("__m"))
-      val large = sym.filter(col("v") > col("u"))
-        .join(mins, "u")
-        .select(col("__m").as("lo"), col("v").as("hi"))
-        .distinct()
+
+    // PHASE 1: min-label hooks — the cheap rounds that finish shallow
+    // similarity graphs outright
+    val hookRounds = math.min(HookRounds, maxIterations)
+    while (!converged && iter < hookRounds) {
+      val neighborMin = sym.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+      val next = labels.join(neighborMin, col("id") === col("dst"), "left")
+        .select(col("id"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
-      // SMALL-STAR: u and its smaller neighbors re-attach to the least of
-      // them. m(u) = min of u's smaller neighbors, so m ≤ x throughout;
-      // only x = m itself would self-loop and is filtered.
-      val sMins = large.groupBy(col("hi")).agg(min(col("lo")).as("__m"))
-      val small = large.join(sMins, "hi")
-        .select(col("lo").as("__x"), col("__m"))
-        .unionByName(sMins.select(col("hi").as("__x"), col("__m")))
-        .filter(col("__x") =!= col("__m"))
-        .select(col("__m").as("lo"), col("__x").as("hi"))
-        .distinct()
-        .localCheckpoint()
-      converged = small.count() == edges.count() && small.except(edges).isEmpty
-      edges = small
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
+
     if (!converged) {
-      throw new IllegalStateException(
-        s"duplicateClusters did not converge within $maxIterations " +
-          "large-star/small-star rounds — structurally implausible for a " +
-          "similarity graph (rounds grow with log(n), not diameter); raise " +
-          "maxIterations — a silent non-converged result would split " +
-          "components into multiple clusters")
+      // PHASE 2: contract by current labels (one-time two joins over the
+      // edge set), then large-star/small-star on the contracted graph.
+      // Label values include each component's min (l(m) = m always), so
+      // the star phase's component minima ARE the original minima.
+      var edges = sym
+        .join(labels.select(col("id").as("src"), col("label").as("__ls")), "src")
+        .join(labels.select(col("id").as("dst"), col("label").as("__ld")), "dst")
+        .select(least(col("__ls"), col("__ld")).as("lo"),
+          greatest(col("__ls"), col("__ld")).as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+        .localCheckpoint()
+      converged = edges.isEmpty
+      while (!converged && iter < maxIterations) {
+        // LARGE-STAR: larger neighbors of u re-attach to min(Γ(u) ∪ {u}).
+        // m(u) ≤ u < v, so the emitted edge is already (lo=m, hi=v) and
+        // never a self-loop.
+        val s = edges.select(col("lo").as("u"), col("hi").as("v"))
+          .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
+        val mins = s.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+          .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+        val large = s.filter(col("v") > col("u"))
+          .join(mins, "u")
+          .select(col("__m").as("lo"), col("v").as("hi"))
+          .distinct()
+          .localCheckpoint()
+        // SMALL-STAR: u and its smaller neighbors re-attach to the least
+        // of them. m(u) = min of u's smaller neighbors, so m ≤ x; only
+        // x = m itself would self-loop and is filtered.
+        val sMins = large.groupBy(col("hi")).agg(min(col("lo")).as("__m"))
+        val small = large.join(sMins, "hi")
+          .select(col("lo").as("__x"), col("__m"))
+          .unionByName(sMins.select(col("hi").as("__x"), col("__m")))
+          .filter(col("__x") =!= col("__m"))
+          .select(col("__m").as("lo"), col("__x").as("hi"))
+          .distinct()
+          .localCheckpoint()
+        converged = small.count() == edges.count() && small.except(edges).isEmpty
+        edges = small
+        iter += 1
+      }
+      if (!converged) {
+        throw new IllegalStateException(
+          s"duplicateClusters did not converge within $maxIterations rounds " +
+            s"($hookRounds min-label hooks + large-star/small-star) — " +
+            "structurally implausible for a similarity graph (star rounds " +
+            "grow with log(n), not diameter); raise maxIterations — a silent " +
+            "non-converged result would split components into multiple clusters")
+      }
+      // fixed point = stars centered at each contracted component min:
+      // every non-center vertex appears exactly once as hi, every center
+      // as lo. Compose back over the phase-1 labels.
+      val starLabels = edges.select(col("hi").as("label"), col("lo").as("__cl"))
+        .unionByName(
+          edges.select(col("lo").as("label"), col("lo").as("__cl")).distinct())
+      labels = labels.join(starLabels, Seq("label"), "left")
+        .select(col("id"), coalesce(col("__cl"), col("label")).as("label"))
     }
-    // fixed point = stars centered at each component min: every non-center
-    // vertex appears exactly once as hi, every center as lo
-    val labels = edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
-      .unionByName(
-        edges.select(col("lo").as("id"), col("lo").as("cluster_id")).distinct())
+
     // singletons (never paired) are their own cluster; anti-join keeps the
     // corpus-sized side to ONE pass at the very end
     val singletons = vertices.select(col(idCol).as("id"))
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
-    labels.unionByName(singletons)
+    labels.select(col("id"), col("label").as("cluster_id")).unionByName(singletons)
   }
+
+  /** Phase-1 budget for [[duplicateClusters]]: min-label rounds tried
+    * before escalating to large-star/small-star. 4 covers the shallow
+    * components every real dedup workload is dominated by; deeper graphs
+    * pay 4 cheap rounds (which also contract the graph ~5×) before the
+    * diameter-proof phase takes over. */
+  private val HookRounds = 4
 
   /**
    * Duplicated-span detection — the exact-substring dedup signal (Lee et
