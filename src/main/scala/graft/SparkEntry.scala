@@ -2666,6 +2666,13 @@ object SparkEntry {
         Dedup.ingestNearDupPairs(batch, "doc_id", "text",
           Dedup.loadMinhashIndex(s, s"$base/idx"), threshold = 0.8))
     }),
+
+    // RAG-style word-window chunking with overlap: the retrieval/embedding
+    // prep step (chunk 64 words, stride 48); the chunk STRINGS themselves
+    // ride the hash oracle — pure integer windows + space joins
+    "q269_doc_chunks" -> ((s, dir) =>
+      graft.ext.TextStats.chunkWords(t(s, dir, "documents"),
+        "doc_id", "text", width = 64, overlap = 16)),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4151,6 +4158,24 @@ object SparkEntry {
     "q262_stream_neardup_gate" ->
       """SELECT doc_id + 1000000 AS doc_id
         |FROM documents WHERE doc_id % 7 = 1""".stripMargin,
+
+    // word-window chunking replayed verbatim: same integer chunk count,
+    // same 1-based 64-wide slices at stride 48, same space join
+    "q269_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |n AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) <= 64 THEN 1
+        |         ELSE (len(w) - 64 + 47) // 48 + 1 END AS nc
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS ci FROM n)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+        |  array_to_string(w[ci*48 + 1 : ci*48 + 64], ' ') AS chunk_text,
+        |  CAST(len(w[ci*48 + 1 : ci*48 + 64]) AS BIGINT) AS n_words
+        |FROM c""".stripMargin,
 
     // BPE apply contract: every doc must reconstruct exactly and never
     // grow past its non-space character count

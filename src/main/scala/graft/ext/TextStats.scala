@@ -295,6 +295,42 @@ object TextStats {
             lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double"))))
   }
 
+  /**
+   * Sliding WORD-window chunking with overlap — the retrieval/embedding
+   * prep step ([[chunkText]] is its cheaper char-offset sibling that only
+   * fingerprints): chunk `i` carries the words
+   * `[i·stride, i·stride + width)` joined by single spaces, where
+   * `stride = width − overlap`, and the chunk count is exactly
+   * `((n − width + stride − 1) div stride) + 1` for n > width (1
+   * otherwise) — the last chunk always reaches the final word and no
+   * degenerate tail chunk is emitted. Pure integer arithmetic + string
+   * ops, so the chunk TEXT itself replays bit-exactly in any engine.
+   *
+   * Scale shape: one `explode(sequence)` per doc — each doc expands to
+   * its own chunk rows only (width/stride-bounded fan-out), and text
+   * never rides a shuffle beyond those rows.
+   */
+  def chunkWords(df: DataFrame, idCol: String, textCol: String,
+      width: Int, overlap: Int): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    require(overlap >= 0 && overlap < width,
+      s"overlap must be in [0, width), got $overlap for width $width")
+    val stride = width - overlap
+    val w = split(trim(col(textCol)), "\\s+")
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), w.as("__w"))
+      .withColumn("__n", size(col("__w")).cast("long"))
+      .withColumn("__nc", when(col("__n") <= width, lit(1L))
+        .otherwise(expr(s"((__n - $width + ${stride - 1}) div $stride) + 1")))
+      .select(col(idCol), col("__w"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__w"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(width)), " ").as("chunk_text"),
+        size(slice(col("__w"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(width))).cast("long").as("n_words"))
+  }
+
   def chunkText(df: DataFrame, idCol: String, textCol: String,
       chunkChars: Int, strideChars: Int): DataFrame = {
     require(chunkChars > 0, s"chunkChars must be positive, got $chunkChars")

@@ -207,7 +207,7 @@ class TextStatsSpec extends SparkSpec {
       (2L, "broken cafÃ© and more cafÃ©"), // cafÃ© twice
       (3L, "smart quote gone wrong: it\u00e2\u20ac\u2122s"),   // â€™
       (4L, "dec�oder ga�ve up"),              // two U+FFFD
-      (5L, "null byte and bell, tab\tok\nnewline ok"),
+      (5L, "null\u0000byte and bell\u0007, tab\tok\nnewline ok"),
       (6L, "nbsp artifact:Â end")                  // "Â "
     ).toDF("doc_id", "text")
     val got = TextStats.mojibakeScan(docs, "text")
@@ -219,5 +219,30 @@ class TextStatsSpec extends SparkSpec {
     assert(got(4L) === ((2L, 0L, 0L, 2L)))
     assert(got(5L) === ((0L, 0L, 2L, 2L))) // \t and \n are NOT junk
     assert(got(6L) === ((0L, 1L, 0L, 1L)))
+  }
+
+  test("chunkWords: hand case, overlap coverage, tail clamp, validation") {
+    import graft.ext.TextStats
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "x y"), (3L, "  "))
+      .toDF("doc_id", "text")
+    val got = TextStats.chunkWords(df, "doc_id", "text", width = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(got.size === 4)
+    assert(got((1L, 0L)) === (("a b c d", 4L)))
+    assert(got((1L, 1L)) === (("d e f g", 4L))) // stride 3: overlaps on "d"
+    assert(got((1L, 2L)) === (("g h i j", 4L))) // reaches the final word
+    assert(got((2L, 0L)) === (("x y", 2L)))     // short doc = single chunk
+    // whitespace-only doc 3 emits nothing; exact-boundary case n = 7
+    val exact = TextStats.chunkWords(
+        Seq((9L, "a b c d e f g")).toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(exact === Map(0L -> "a b c d", 1L -> "d e f g"))
+    intercept[IllegalArgumentException] {
+      TextStats.chunkWords(df, "doc_id", "text", 4, 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.chunkWords(df, "doc_id", "text", 0, 0)
+    }
   }
 }
