@@ -2673,6 +2673,45 @@ object SparkEntry {
     "q269_doc_chunks" -> ((s, dir) =>
       graft.ext.TextStats.chunkWords(t(s, dir, "documents"),
         "doc_id", "text", width = 64, overlap = 16)),
+
+    // ---- REAL compressed-audio decode: ITU-T G.711 companding ----------
+    // even ids mu-law / odd ids A-law (format mix like q70); the payloads
+    // are genuine 8-bit G.711 WAVs the decoder must expand to int16 —
+    // DuckDB re-expands the same closed-form code bytes with the public
+    // segment formulas, so a companding bug breaks the hash-compare
+    "q270_g711_decode_stats" -> ((s, dir) =>
+      Multimodal.wavStats(
+        Multimodal.attachSyntheticG711Wav(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          sampleRate = 8000, nSamples = 800),
+        "wav")
+        .select(col("doc_id"), col("codec"), col("sample_rate"), col("n_samples"),
+          col("duration_s"), col("mean_amp"), col("rms_amp"))),
+
+    // ---- REAL compressed-audio decode #2: IMA ADPCM (4 bits/sample) ----
+    // a genuinely STATEFUL codec (adaptive step-size prediction); the
+    // oracle replays the (predictor, stepIndex) state machine as a
+    // recursive CTE — aggregates AND the final decoded sample must match
+    "q271_adpcm_decode" -> ((s, dir) =>
+      Multimodal.adpcmStats(
+        Multimodal.attachSyntheticAdpcm(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", nSamples = 240),
+        "adpcm", nSamples = 240)
+        .select(col("doc_id"), col("n_samples"), col("sum_amp"),
+          col("energy"), col("last_sample"))),
+
+    // ---- REAL compressed-video decode: MJPEG-in-AVI --------------------
+    // RIFF 'AVI ' container walk + per-frame JDK ImageIO JPEG decode;
+    // scene structure (bright/cut counts over a planted 160-level gap) is
+    // lossy-robust, so the decisions replay as exact integers in SQL
+    "q272_mjpeg_scene_stats" -> ((s, dir) =>
+      Multimodal.aviSceneStats(
+        Multimodal.attachSyntheticMjpegAvi(
+          t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") % 7 === 3),
+          "doc_id", nScenes = 4, framesPerScene = 3, w = 16, h = 12),
+        "avi")
+        .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
+          col("n_bright"), col("n_cuts"), col("first_cut"))),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4176,6 +4215,109 @@ object SparkEntry {
         |  array_to_string(w[ci*48 + 1 : ci*48 + 64], ' ') AS chunk_text,
         |  CAST(len(w[ci*48 + 1 : ci*48 + 64]) AS BIGINT) AS n_words
         |FROM c""".stripMargin,
+
+    // G.711 expansion replayed from the public segment formulas: mu-law
+    // u = ~code, magnitude ((mant*8)+132)<<exp re-biased; A-law a =
+    // code^0x55, segment 0 linear then doubling segments; sign conventions
+    // differ between the two laws (mu-law complements, A-law sets the bit)
+    "q270_g711_decode_stats" ->
+      """WITH smp AS (
+        |  SELECT d.doc_id, ii.i, (d.doc_id*7 + ii.i*3) % 256 AS cd
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 799)) AS i) ii
+        |), mu AS (
+        |  SELECT doc_id, i, 255 - cd AS u, CAST(xor(cd, 85) AS BIGINT) AS a FROM smp
+        |), mg AS (
+        |  SELECT doc_id, i, u, a,
+        |    ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS mt,
+        |    CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+        |         ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1)) END AS am
+        |  FROM mu
+        |), v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN CASE WHEN u >= 128 THEN 132 - mt ELSE mt - 132 END
+        |         ELSE CASE WHEN a >= 128 THEN am ELSE -am END END AS v
+        |  FROM mg
+        |), s AS (
+        |  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS s1, CAST(SUM(v*v) AS BIGINT) AS s2
+        |  FROM v GROUP BY 1)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS codec,
+        |  8000 AS sample_rate, CAST(800 AS BIGINT) AS n_samples,
+        |  800.0 / 8000.0 AS duration_s,
+        |  CAST(s1 AS DOUBLE) / 800.0 AS mean_amp,
+        |  sqrt(CAST(s2 AS DOUBLE) / 800.0) AS rms_amp
+        |FROM s""".stripMargin,
+
+    // IMA ADPCM state machine replayed as a recursive CTE carrying
+    // (predictor, stepIndex); the step table is the public 89-entry IMA
+    // table, index adjusts by {-1,-1,-1,-1,2,4,6,8} on the low 3 bits
+    "q271_adpcm_decode" ->
+      """WITH RECURSIVE lst AS (
+        |  SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,
+        |          34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,
+        |          157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,
+        |          724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,
+        |          3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,
+        |          15289,16818,18500,20350,22385,24623,27086,29794,32767] AS l
+        |), steps AS (
+        |  SELECT gs.g AS si, lst.l[gs.g + 1] AS sv
+        |  FROM generate_series(0, 88) gs(g), lst
+        |), dec AS (
+        |  SELECT doc_id, -1 AS j, 0 AS pred, 0 AS idx, 0 AS smp FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, j,
+        |    GREATEST(-32768, LEAST(32767, np)) AS pred,
+        |    GREATEST(0, LEAST(88, idx +
+        |      CASE WHEN nib % 8 < 4 THEN -1 WHEN nib % 8 = 4 THEN 2
+        |           WHEN nib % 8 = 5 THEN 4 WHEN nib % 8 = 6 THEN 6 ELSE 8 END)) AS idx,
+        |    GREATEST(-32768, LEAST(32767, np)) AS smp
+        |  FROM (
+        |    SELECT doc_id, j, idx, nib,
+        |      pred + CASE WHEN nib >= 8 THEN -df ELSE df END AS np
+        |    FROM (
+        |      SELECT doc_id, j, pred, idx, nib,
+        |        sv // 8 + CASE WHEN (nib // 4) % 2 = 1 THEN sv ELSE 0 END
+        |          + CASE WHEN (nib // 2) % 2 = 1 THEN sv // 2 ELSE 0 END
+        |          + CASE WHEN nib % 2 = 1 THEN sv // 4 ELSE 0 END AS df
+        |      FROM (
+        |        SELECT dec.doc_id, dec.j + 1 AS j, dec.pred, dec.idx, s.sv,
+        |          (dec.doc_id * 5 + (dec.j + 1) * 11
+        |             + (dec.j + 1) * (dec.j + 1) * 3) % 16 AS nib
+        |        FROM dec JOIN steps s ON s.si = dec.idx
+        |        WHERE dec.j < 239) q1) q2) q3
+        |), agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(smp) AS BIGINT) AS sum_amp,
+        |    CAST(SUM(smp * smp) AS BIGINT) AS energy,
+        |    CAST(MAX(CASE WHEN j = 239 THEN smp END) AS INT) AS last_sample
+        |  FROM dec WHERE j >= 0 GROUP BY 1)
+        |SELECT doc_id, CAST(240 AS BIGINT) AS n_samples, sum_amp, energy, last_sample
+        |FROM agg""".stripMargin,
+
+    // MJPEG scene structure from the closed-form gray plan: scene s of
+    // clip id is dark iff (id*13 + s*7) % 3 == 0; cuts land on scene
+    // boundaries where brightness flips (frame index = s * framesPerScene)
+    "q272_mjpeg_scene_stats" ->
+      """WITH sel AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 3),
+        |sc AS (
+        |  SELECT sel.doc_id, ss.s,
+        |    CASE WHEN (sel.doc_id*13 + ss.s*7) % 3 = 0 THEN 0 ELSE 1 END AS br
+        |  FROM sel CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) ss
+        |), cuts AS (
+        |  SELECT doc_id, s, br,
+        |    lag(br) OVER (PARTITION BY doc_id ORDER BY s) AS pbr
+        |  FROM sc
+        |), agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(br) * 3 AS BIGINT) AS n_bright,
+        |    CAST(SUM(CASE WHEN pbr IS NOT NULL AND br != pbr THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |    CAST(COALESCE(MIN(CASE WHEN pbr IS NOT NULL AND br != pbr THEN s * 3 END), -1) AS INT) AS first_cut
+        |  FROM cuts GROUP BY 1)
+        |SELECT doc_id, CAST(12 AS BIGINT) AS n_frames, 16 AS width, 12 AS height,
+        |  n_bright, n_cuts, first_cut
+        |FROM agg""".stripMargin,
 
     // BPE apply contract: every doc must reconstruct exactly and never
     // grow past its non-space character count

@@ -255,6 +255,31 @@ object Multimodal {
       out
     }
 
+    /** Encode a VALID mono G.711 WAV: format code 7 (mu-law) or 6 (A-law),
+      * 8-bit code bytes in the data chunk — a genuinely COMPRESSED audio
+      * payload (2:1 vs 16-bit PCM) the decoder must expand. */
+    def encodeG711(sampleRate: Int, codes: Array[Byte], formatCode: Int): Array[Byte] = {
+      require(formatCode == 6 || formatCode == 7, s"G.711 format must be 6 or 7, got $formatCode")
+      val dataLen = codes.length
+      val pad = dataLen & 1 // RIFF chunks are word-aligned
+      val out = new Array[Byte](44 + dataLen + pad)
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      writeIntLE(out, 4, 36 + dataLen + pad)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      writeIntLE(out, 16, 16)
+      writeShortLE(out, 20, formatCode)
+      writeShortLE(out, 22, 1) // mono
+      writeIntLE(out, 24, sampleRate)
+      writeIntLE(out, 28, sampleRate) // byte rate: one code byte per sample
+      writeShortLE(out, 32, 1) // block align
+      writeShortLE(out, 34, 8) // bits per sample
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      writeIntLE(out, 40, dataLen)
+      System.arraycopy(codes, 0, out, 44, dataLen)
+      out
+    }
+
     def decode(bytes: Array[Byte]): Audio = {
       require(bytes.length >= 44 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
         "not a RIFF/WAVE payload")
@@ -262,6 +287,7 @@ object Multimodal {
       // extra chunks between them
       var pos = 12
       var sampleRate = -1
+      var formatCode = -1
       var audio: Array[Short] = null
       while (pos + 8 <= bytes.length) {
         val id = tag(bytes, pos)
@@ -272,18 +298,30 @@ object Multimodal {
           s"corrupt RIFF chunk '$id': declared length $len at offset $pos")
         if (id == "fmt ") {
           require(len >= 16, s"corrupt RIFF chunk 'fmt ': declared length $len < 16")
-          require(readShortLE(bytes, pos + 8) == 1, "only PCM supported")
+          val fc = readShortLE(bytes, pos + 8)
+          require(fc == 1 || fc == 6 || fc == 7,
+            s"unsupported WAVE format code $fc (PCM=1, A-law=6, mu-law=7)")
           require(readShortLE(bytes, pos + 10) == 1, "only mono supported")
-          require(readShortLE(bytes, pos + 22) == 16, "only 16-bit supported")
+          val bits = readShortLE(bytes, pos + 22)
+          require(if (fc == 1) bits == 16 else bits == 8,
+            s"format $fc requires ${if (fc == 1) 16 else 8}-bit samples, got $bits")
+          formatCode = fc
           sampleRate = readIntLE(bytes, pos + 12)
         } else if (id == "data") {
           require(sampleRate > 0, "data chunk before fmt chunk")
           require(pos + 8 + len <= bytes.length, "truncated data chunk")
-          val n = len / 2
-          val s = new Array[Short](n)
-          var i = 0
-          while (i < n) { s(i) = readShortLE(bytes, pos + 8 + i * 2).toShort; i += 1 }
-          audio = s
+          audio = formatCode match {
+            case 1 =>
+              val n = len / 2
+              val s = new Array[Short](n)
+              var i = 0
+              while (i < n) { s(i) = readShortLE(bytes, pos + 8 + i * 2).toShort; i += 1 }
+              s
+            case 7 =>
+              Array.tabulate(len)(i => G711Codec.mulawExpand(bytes(pos + 8 + i) & 0xFF).toShort)
+            case 6 =>
+              Array.tabulate(len)(i => G711Codec.alawExpand(bytes(pos + 8 + i) & 0xFF).toShort)
+          }
         }
         pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
       }
@@ -974,6 +1012,399 @@ object Multimodal {
     df.withColumn("frame_idx", explode(frames))
       .withColumn("frame_bytes",
         substring(col(mediaCol), (col("frame_idx") * 8 + 1).cast("int"), lit(8)).cast("binary"))
+  }
+
+  /**
+   * REAL compressed-audio codec: ITU-T G.711 mu-law / A-law companding
+   * (the telephony standard — 8-bit logarithmic codes expanding to 13/14-bit
+   * linear range, 2:1 compression vs int16 PCM). Both directions are pure
+   * integer table-free bit arithmetic straight from the public G.711
+   * segment layout, so the expansion is SQL-expressible and the gate query
+   * rides a full hash oracle — this moves "compressed audio" off the stub
+   * tier. Reference behavior analog: decode feeds the same Audio type as
+   * PCM (/root/reference has no audio path; this is blueprint §2.2 surface).
+   */
+  object G711Codec {
+    /** mu-law byte -> linear sample. Segment layout: biased magnitude
+      * ((mant<<3)+0x84)<<exp re-centered by the 0x84 bias; code bytes are
+      * stored complemented (0xFF encodes 0). Max output ±32124. */
+    def mulawExpand(code: Int): Int = {
+      val u = (~code) & 0xFF
+      val exp = (u >> 4) & 0x07
+      val mant = u & 0x0F
+      val t = ((mant << 3) + 0x84) << exp
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+
+    /** Linear sample -> mu-law byte (for round-trip specs and the encoder
+      * path): clip to 32635, add the 0x84 bias, locate the segment by the
+      * leading bit, keep a 4-bit mantissa, complement. */
+    def mulawCompress(sample: Int): Int = {
+      var s = sample
+      val sign = if (s < 0) { s = -s; 0x80 } else 0
+      if (s > 32635) s = 32635
+      s += 0x84
+      var exp = 7
+      var mask = 0x4000
+      while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+      val mant = (s >> (exp + 3)) & 0x0F
+      (~(sign | (exp << 4) | mant)) & 0xFF
+    }
+
+    /** A-law byte -> linear sample. Codes are XOR-masked with 0x55; sign
+      * bit SET means positive (opposite of mu-law's complement scheme).
+      * Segment 0 is linear (16*mant+8); segments 1-7 double. Max ±32256. */
+    def alawExpand(code: Int): Int = {
+      val a = (code ^ 0x55) & 0xFF
+      val exp = (a >> 4) & 0x07
+      val mant = a & 0x0F
+      val mag = if (exp == 0) (mant << 4) + 8 else ((mant << 4) + 0x108) << (exp - 1)
+      if ((a & 0x80) != 0) mag else -mag
+    }
+
+    /** Linear sample -> A-law byte: segment 0 is linear in [0, 256) with a
+      * 4-bit mantissa at step 16; segments 1-7 locate by leading bit. */
+    def alawCompress(sample: Int): Int = {
+      var s = sample
+      val sign = if (s >= 0) 0x80 else { s = -s; 0 }
+      if (s > 32767) s = 32767
+      val (exp, mant) =
+        if (s < 256) (0, s >> 4)
+        else {
+          var e = 7
+          var mask = 0x4000
+          while (e > 1 && (s & mask) == 0) { e -= 1; mask >>= 1 }
+          (e, (s >> (e + 3)) & 0x0F)
+        }
+      ((sign | (exp << 4) | mant) ^ 0x55) & 0xFF
+    }
+  }
+
+  /** Closed-form G.711 code byte for the gate fixture: code(id, i) =
+    * (id*7 + i*3) mod 256 — SQL-expressible, so DuckDB can expand the same
+    * codes with the G.711 segment formula and recompute decoded stats. */
+  def syntheticG711Code(id: Long, i: Int): Int = ((id * 7 + i * 3) % 256).toInt
+
+  /** Attach a VALID G.711 WAV payload per row: even ids mu-law (format 7),
+    * odd ids A-law (format 6) — both laws ride the gate, like q70's
+    * PNG/BMP format mix. */
+  def attachSyntheticG711Wav(
+      df: DataFrame, idCol: String, sampleRate: Int, nSamples: Int): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("wav", BinaryType), StructField("codec", StringType)))
+    val idIdx = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val codes = Array.tabulate(nSamples)(i => syntheticG711Code(id, i).toByte)
+        val fc = if (id % 2 == 0) 7 else 6
+        val law = if (fc == 7) "mulaw" else "alaw"
+        Row.fromSeq(r.toSeq ++ Seq[Any](WavCodec.encodeG711(sampleRate, codes, fc), law))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * REAL compressed-audio codec #2: IMA ADPCM (DVI4) — 4 bits per sample
+   * (4:1 vs int16), adaptive step-size prediction from the public IMA
+   * spec (step table of 89 entries, index-adjust table, clamp discipline).
+   * Decode is a sequential integer state machine per clip — embarrassingly
+   * parallel ACROSS clips (mapPartitions), sequential WITHIN one, which is
+   * the correct distribution grain for audio. The oracle replays the state
+   * machine as a recursive CTE carrying (predictor, stepIndex), so the
+   * gate is a full hash check of a genuinely stateful codec.
+   */
+  object AdpcmCodec {
+    val StepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+      157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024,
+      3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+      15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    val IndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** Decode one nibble against (predictor, stepIndex) state; returns the
+      * new (predictor, stepIndex). The predictor IS the output sample. */
+    def step(nibble: Int, pred: Int, index: Int): (Int, Int) = {
+      val st = StepTable(index)
+      var diff = st >> 3
+      if ((nibble & 4) != 0) diff += st
+      if ((nibble & 2) != 0) diff += st >> 1
+      if ((nibble & 1) != 0) diff += st >> 2
+      val p0 = if ((nibble & 8) != 0) pred - diff else pred + diff
+      val p = math.max(-32768, math.min(32767, p0))
+      val i = math.max(0, math.min(88, index + IndexTable(nibble & 7)))
+      (p, i)
+    }
+
+    /** Decode a packed nibble stream (low nibble first — the IMA packing
+      * order) from a zero predictor / zero step-index start. */
+    def decode(bytes: Array[Byte], nSamples: Int): Array[Short] = {
+      require(nSamples <= bytes.length * 2,
+        s"$nSamples samples need ${(nSamples + 1) / 2} bytes, got ${bytes.length}")
+      val out = new Array[Short](nSamples)
+      var pred = 0
+      var index = 0
+      var j = 0
+      while (j < nSamples) {
+        val b = bytes(j >> 1) & 0xFF
+        val nib = if ((j & 1) == 0) b & 0x0F else b >> 4
+        val (p, i) = step(nib, pred, index)
+        pred = p; index = i
+        out(j) = p.toShort
+        j += 1
+      }
+      out
+    }
+
+    /** Encode int16 samples to the nibble stream (for round-trip specs):
+      * pick the nibble whose decoded delta best tracks the residual —
+      * the standard successive-approximation IMA encoder. */
+    def encode(samples: Array[Short]): Array[Byte] = {
+      val out = new Array[Byte]((samples.length + 1) / 2)
+      var pred = 0
+      var index = 0
+      var j = 0
+      while (j < samples.length) {
+        val st = StepTable(index)
+        var diff = samples(j) - pred
+        var nib = 0
+        if (diff < 0) { nib = 8; diff = -diff }
+        var s = st
+        if (diff >= s) { nib |= 4; diff -= s }
+        s >>= 1
+        if (diff >= s) { nib |= 2; diff -= s }
+        s >>= 1
+        if (diff >= s) { nib |= 1 }
+        val (p, i) = step(nib, pred, index)
+        pred = p; index = i
+        if ((j & 1) == 0) out(j >> 1) = nib.toByte
+        else out(j >> 1) = (out(j >> 1) | (nib << 4)).toByte
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Closed-form ADPCM nibble for the gate fixture: nibble(id, j) =
+    * (id*5 + j*11 + j*j*3) mod 16 — SQL-expressible so the oracle's
+    * recursive CTE feeds the identical nibble sequence. */
+  def syntheticAdpcmNibble(id: Long, j: Int): Int =
+    ((id * 5 + j.toLong * 11 + j.toLong * j * 3) % 16).toInt
+
+  /** Attach a packed IMA ADPCM payload per row (low nibble first). */
+  def attachSyntheticAdpcm(df: DataFrame, idCol: String, nSamples: Int): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("adpcm", BinaryType))
+    val idIdx = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = new Array[Byte]((nSamples + 1) / 2)
+        var j = 0
+        while (j < nSamples) {
+          val nib = syntheticAdpcmNibble(id, j)
+          if ((j & 1) == 0) bytes(j >> 1) = nib.toByte
+          else bytes(j >> 1) = (bytes(j >> 1) | (nib << 4)).toByte
+          j += 1
+        }
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode the ADPCM payload and project integer-exact audio statistics:
+    * sample count, amplitude sum, energy, and the final decoded sample
+    * (pins the END of the state trajectory, not just aggregates). */
+  def adpcmStats(df: DataFrame, mediaCol: String, nSamples: Int): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("n_samples", LongType), StructField("sum_amp", LongType),
+      StructField("energy", LongType), StructField("last_sample", IntegerType)))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val s = AdpcmCodec.decode(r.getAs[Array[Byte]](mediaIdx), nSamples)
+        var sum = 0L
+        var sumSq = 0L
+        var i = 0
+        while (i < s.length) { val v = s(i).toLong; sum += v; sumSq += v * v; i += 1 }
+        Row.fromSeq(r.toSeq ++ Seq[Any](
+          s.length.toLong, sum, sumSq, if (s.isEmpty) 0 else s(s.length - 1).toInt))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * REAL compressed-VIDEO path: MJPEG-in-AVI — a RIFF 'AVI ' container
+   * whose 'movi' list carries one JPEG per frame ('00dc' chunks), each
+   * decoded by the JDK's own ImageIO JPEG codec. Pure JVM: the container
+   * walk is the same RIFF discipline as [[WavCodec]], the frame decode is
+   * [[ImageIoCodec]]. MJPEG is a genuine compressed video format (the
+   * standard in capture devices precisely because frames are independent),
+   * and frame-independence is also what makes it the DISTRIBUTABLE video
+   * format: no inter-frame state, so clips parallelize per-partition and
+   * frames could explode to per-frame rows. H.264/AAC remain honestly
+   * out of reach without a codec dependency ([[StubDecoder]]).
+   */
+  object AviCodec {
+    import java.io.ByteArrayOutputStream
+
+    private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    private def intLE(v: Int): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    private def shortLE(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+
+    private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      bos.write(fourcc(id)); bos.write(intLE(body.length)); bos.write(body)
+      if ((body.length & 1) == 1) bos.write(0) // RIFF word alignment
+      bos.toByteArray
+    }
+    private def list(listType: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      bos.write(fourcc(listType)); bos.write(body)
+      chunk("LIST", bos.toByteArray)
+    }
+
+    /** Write a minimal valid MJPEG AVI: hdrl (avih + strl[strh 'vids'/'MJPG'
+      * + strf BITMAPINFOHEADER]) then movi with one '00dc' JPEG per frame. */
+    def encodeMjpeg(jpegFrames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+      require(jpegFrames.nonEmpty && fps > 0, "need frames and a positive fps")
+      val avih = new ByteArrayOutputStream()
+      avih.write(intLE(1000000 / fps)) // microseconds per frame
+      avih.write(intLE(0)); avih.write(intLE(0)); avih.write(intLE(0))
+      avih.write(intLE(jpegFrames.length)) // total frames
+      avih.write(intLE(0)); avih.write(intLE(1)) // one stream
+      avih.write(intLE(0)); avih.write(intLE(w)); avih.write(intLE(h))
+      (0 until 4).foreach(_ => avih.write(intLE(0)))
+
+      val strh = new ByteArrayOutputStream()
+      strh.write(fourcc("vids")); strh.write(fourcc("MJPG"))
+      strh.write(intLE(0)); strh.write(shortLE(0)); strh.write(shortLE(0))
+      strh.write(intLE(0)); strh.write(intLE(1)); strh.write(intLE(fps)) // scale=1, rate=fps
+      strh.write(intLE(0)); strh.write(intLE(jpegFrames.length))
+      strh.write(intLE(0)); strh.write(intLE(-1)); strh.write(intLE(0))
+      strh.write(shortLE(0)); strh.write(shortLE(0)); strh.write(shortLE(w)); strh.write(shortLE(h))
+
+      val strf = new ByteArrayOutputStream() // BITMAPINFOHEADER
+      strf.write(intLE(40)); strf.write(intLE(w)); strf.write(intLE(h))
+      strf.write(shortLE(1)); strf.write(shortLE(24)); strf.write(fourcc("MJPG"))
+      strf.write(intLE(w * h * 3)); strf.write(intLE(0)); strf.write(intLE(0))
+      strf.write(intLE(0)); strf.write(intLE(0))
+
+      val hdrl = list("hdrl",
+        chunk("avih", avih.toByteArray) ++
+          list("strl", chunk("strh", strh.toByteArray) ++ chunk("strf", strf.toByteArray)))
+      val movi = list("movi",
+        jpegFrames.iterator.map(f => chunk("00dc", f)).reduce(_ ++ _))
+      val riffBody = new ByteArrayOutputStream()
+      riffBody.write(fourcc("AVI ")); riffBody.write(hdrl); riffBody.write(movi)
+      chunk("RIFF", riffBody.toByteArray)
+    }
+
+    /** Walk the RIFF tree and return the '00dc'/'00db' frame payloads in
+      * stream order. Same corrupt-length guards as the WAV walker: a bad
+      * declared size must FAIL, never scan past the buffer or loop. */
+    def decodeFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      def intAt(off: Int): Int =
+        (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+          ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+      require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+        "not a RIFF/AVI payload")
+      val frames = Seq.newBuilder[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val id = tag(pos)
+          val len = intAt(pos + 4)
+          require(len >= 0 && len <= end - pos - 8,
+            s"corrupt RIFF chunk '$id': declared length $len at offset $pos")
+          if (id == "LIST") {
+            require(len >= 4, s"corrupt LIST chunk: length $len < 4")
+            walk(pos + 12, pos + 8 + len) // skip the 4-byte list type
+          } else if (id == "00dc" || id == "00db") {
+            frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
+          }
+          pos += 8 + len + (len & 1)
+        }
+      }
+      walk(12, bytes.length)
+      frames.result()
+    }
+  }
+
+  /** Closed-form frame gray level for the MJPEG fixture: scene s of clip
+    * `id` is uniformly dark (48) when (id*13 + s*7) mod 3 == 0, else
+    * bright (208) — a 160-level gap that survives JPEG's lossy decode with
+    * huge margin, so cut/bright decisions are deterministic integers. */
+  def mjpegSceneGray(id: Long, scene: Int): Int =
+    if ((id * 13 + scene * 7) % 3 == 0) 48 else 208
+
+  /** Attach a genuine MJPEG AVI payload per row: nScenes scenes of
+    * framesPerScene constant-gray JPEG frames each. */
+  def attachSyntheticMjpegAvi(
+      df: DataFrame, idCol: String, nScenes: Int, framesPerScene: Int,
+      w: Int, h: Int): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("avi", BinaryType))
+    val idIdx = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val frames = for {
+          s <- 0 until nScenes
+          g = mjpegSceneGray(id, s)
+          _ <- 0 until framesPerScene
+        } yield ImageIoCodec.encode("jpg", w, h, (_, _, _) => g)
+        Row.fromSeq(r.toSeq :+ AviCodec.encodeMjpeg(frames, w, h, fps = framesPerScene))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Parse the AVI container, JPEG-decode every frame, and project
+    * lossy-robust integer video statistics: frame count, dimensions,
+    * bright-frame count (mean gray > 128), scene-cut count and first cut
+    * index (|mean delta| > 80 across a 160-level planted gap — JPEG error
+    * is a few levels, so the decisions are deterministic). */
+  def aviSceneStats(df: DataFrame, mediaCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("n_frames", LongType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("n_bright", LongType),
+      StructField("n_cuts", LongType), StructField("first_cut", IntegerType)))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val frames = AviCodec.decodeFrames(r.getAs[Array[Byte]](mediaIdx))
+        var w = 0
+        var h = 0
+        var nBright = 0L
+        var nCuts = 0L
+        var firstCut = -1
+        var prevMean = Double.NaN
+        var f = 0
+        while (f < frames.length) {
+          val img = ImageIoCodec.decode(frames(f))
+          w = img.width; h = img.height
+          var sum = 0L
+          var i = 0
+          while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }
+          val mean = sum.toDouble / img.pixels.length
+          if (mean > 128) nBright += 1
+          if (f > 0 && math.abs(mean - prevMean) > 80) {
+            nCuts += 1
+            if (firstCut < 0) firstCut = f
+          }
+          prevMean = mean
+          f += 1
+        }
+        Row.fromSeq(r.toSeq ++ Seq[Any](frames.length.toLong, w, h, nBright, nCuts, firstCut))
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Thumbnail "resize" over the payload via the stub decoder. */
