@@ -2712,6 +2712,68 @@ object SparkEntry {
         "avi")
         .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
           col("n_bright"), col("n_cuts"), col("first_cut"))),
+
+    // graded nDCG@10 of the un-normalized dot ranking vs the cosine truth
+    // (q265's sibling): relevance grades derive from the truth rank, the
+    // log2 rank discount rides the pinned integer weight table, so scaled
+    // DCG is an exact integer dot product the oracle replays verbatim
+    "q273_ndcg_eval" -> ((s, dir) => {
+      import graft.ext.Similarity
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10)
+        .withColumn("rel", expr("(11 - rank) div 3"))
+      val scored = e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("__dv"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+          col("embedding").as("__qv"))))
+        .withColumn("dot", graft.functions.vec_dot(col("__dv"), col("__qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("dot").desc, col("neighbor_id"))
+      val cand = scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+      Similarity.ndcgAtK(truth, cand,
+        "query_id", "neighbor_id", "rank", "rel", k = 10)
+    }),
+
+    // keyed pseudonymization: direct identifiers -> salted SHA-256 tokens
+    // (deterministic, referential-integrity-preserving); DuckDB recomputes
+    // the exact same hex digests, so the whole token relation hash-checks
+    "q274_pseudonymize" -> ((s, dir) =>
+      graft.ext.Privacy.pseudonymize(
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]+", ".")),
+              lit("@example.com")).as("c_email"),
+            col("c_nationkey")),
+        Seq("c_name", "c_email"), salt = "graft-release-1")),
+
+    // Holt linear-trend smoothing of daily event volumes: the recurrence
+    // runs strictly in series order per key, so every double is a
+    // deterministic IEEE evaluation the oracle's recursive CTE replays
+    // bit-for-bit (no libm, no reordered float sums)
+    "q275_holt_forecast" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ext.EventAnalytics.holtForecast(
+        daily, "event_type", "day", "n", alpha = 0.5, gamma = 0.5, horizon = 7)
+    }),
+
+    // CCNet-style cross-corpus perplexity: bigram LM trained on even docs,
+    // odd docs scored against it (rows-only: libm ln is not bit-portable;
+    // separation and hand-computed values are spec-pinned)
+    "q276_perplexity_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.CorpusFilters.perplexityScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+    }),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4318,6 +4380,85 @@ object SparkEntry {
         |SELECT doc_id, CAST(12 AS BIGINT) AS n_frames, 16 AS width, 12 AS height,
         |  n_bright, n_cuts, first_cut
         |FROM agg""".stripMargin,
+
+    // nDCG@10: q265's truth/candidate rankings + the pinned integer
+    // discount table round(1e9/log2(r+1)); rel = (11 - truth_rank) // 3
+    "q273_ndcg_eval" ->
+      """WITH q AS (SELECT * FROM embeddings WHERE vec_id < 5),
+        |truth AS (
+        |  SELECT query_id, neighbor_id, rank, (11 - rank) // 3 AS rel FROM (
+        |    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        CASE WHEN list_dot_product(d.embedding::DOUBLE[], d.embedding::DOUBLE[]) = 0
+        |               OR list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) = 0 THEN 0.0
+        |             ELSE list_dot_product(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+        |                  (sqrt(list_dot_product(d.embedding::DOUBLE[], d.embedding::DOUBLE[])) *
+        |                   sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) END
+        |        DESC, d.vec_id) AS rank
+        |    FROM embeddings d CROSS JOIN q)
+        |  WHERE rank <= 10),
+        |cand AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(d.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        |        DESC, d.vec_id) AS rank
+        |    FROM embeddings d CROSS JOIN q)
+        |  WHERE rank <= 10),
+        |wt AS (SELECT * FROM (VALUES
+        |  (1, 1000000000), (2, 630929754), (3, 500000000), (4, 430676558),
+        |  (5, 386852807), (6, 356207187), (7, 333333333), (8, 315464877),
+        |  (9, 301029996), (10, 289064826)) w(r, wv)),
+        |idcg AS (
+        |  SELECT query_id, CAST(SUM(t.rel * wt.wv) AS BIGINT) AS idcg_scaled
+        |  FROM truth t JOIN wt ON wt.r = t.rank GROUP BY 1),
+        |dcg AS (
+        |  SELECT c.query_id, CAST(SUM(t.rel * wt.wv) AS BIGINT) AS dcg_scaled
+        |  FROM cand c
+        |  JOIN truth t ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+        |  JOIN wt ON wt.r = c.rank
+        |  GROUP BY 1)
+        |SELECT i.query_id, COALESCE(d.dcg_scaled, 0) AS dcg_scaled, i.idcg_scaled,
+        |  CASE WHEN i.idcg_scaled = 0 THEN CAST('0' AS DOUBLE)
+        |       ELSE CAST(COALESCE(d.dcg_scaled, 0) AS DOUBLE) /
+        |            CAST(i.idcg_scaled AS DOUBLE) END AS ndcg
+        |FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id""".stripMargin,
+
+    // salted SHA-256 pseudonyms: DuckDB recomputes the identical digests
+    "q274_pseudonymize" ->
+      """SELECT c_custkey,
+        |  sha256('graft-release-1' || '|' || c_name) AS c_name,
+        |  sha256('graft-release-1' || '|' ||
+        |    lower(regexp_replace(c_name, '[^A-Za-z0-9]+', '.', 'g')) || '@example.com')
+        |    AS c_email,
+        |  c_nationkey
+        |FROM customer""".stripMargin,
+
+    // Holt recurrence replayed as a recursive CTE: seed (l=y0, b=y1-y0),
+    // then l' = 0.5*y + 0.5*(l+b); b' = 0.5*(l'-l) + 0.5*b, strictly in
+    // series order — identical IEEE evaluation to the engine's loop
+    "q275_holt_forecast" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |i AS (
+        |  SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+        |  FROM d),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM i GROUP BY 1),
+        |rec AS (
+        |  SELECT i0.event_type, 0 AS t, i0.y AS l, i1.y - i0.y AS b
+        |  FROM (SELECT * FROM i WHERE t = 0) i0
+        |  JOIN (SELECT * FROM i WHERE t = 1) i1 USING (event_type)
+        |  UNION ALL
+        |  SELECT r.event_type, r.t + 1,
+        |    0.5 * i.y + 0.5 * (r.l + r.b),
+        |    0.5 * ((0.5 * i.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+        |  FROM rec r JOIN i ON i.event_type = r.event_type AND i.t = r.t + 1)
+        |SELECT r.event_type, n.n AS n_obs, r.l AS level, r.b AS trend,
+        |  r.l + 7 * r.b AS forecast
+        |FROM rec r JOIN n ON n.event_type = r.event_type AND r.t = n.n - 1""".stripMargin,
 
     // BPE apply contract: every doc must reconstruct exactly and never
     // grow past its non-space character count

@@ -737,6 +737,50 @@ object CorpusFilters {
   }
 
   /**
+   * CCNet-style cross-corpus perplexity scoring (Wenzek et al., "CCNet:
+   * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+   * LREC 2020): train an add-one-smoothed bigram LM on a REFERENCE corpus
+   * (the trusted/high-quality side), score a TARGET corpus against it —
+   * the standard "does this crawl document read like the reference
+   * domain?" quality filter, where [[bigramLogLik]] self-scores one
+   * corpus. Unseen target bigrams/unigrams fall back to the smoothing
+   * floor (count 0), so out-of-domain text scores high perplexity instead
+   * of erroring. Output per target doc: n_bigrams, avg_nll, perplexity
+   * (= exp(avg_nll); rank by it ascending and keep the head, or threshold
+   * per the CCNet head/middle/tail split).
+   *
+   * Scale: LM counts are vocabulary-keyed aggs (map-side combined); the
+   * scoring pass is two gram-keyed equi-joins — the reference corpus
+   * never self-joins and document text never rides a shuffle (grams do).
+   * Inherently non-oracle (libm `ln` is not bit-portable); the spec pins
+   * separation on planted natural-vs-gibberish docs and a hand-computed
+   * tiny corpus.
+   */
+  def perplexityScore(
+      reference: DataFrame, target: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val refG = explodedGrams(reference, idCol, textCol)
+    val refBig = refG.filter(col("gram2").isNotNull)
+      .groupBy(col("gram2")).agg(count(lit(1)).as("__cb"))
+    val refUni = refG.groupBy(col("word")).agg(count(lit(1)).as("__cu"))
+    val vocab = refUni.agg(count(lit(1)).as("__v"))
+    val tgtBig = explodedGrams(target, idCol, textCol)
+      .filter(col("gram2").isNotNull)
+    tgtBig
+      .join(refBig, Seq("gram2"), "left")
+      .join(refUni, Seq("word"), "left")
+      .join(broadcast(vocab))
+      .withColumn("__nll",
+        -log((coalesce(col("__cb"), lit(0L)).cast("double") + 1.0) /
+          (coalesce(col("__cu"), lit(0L)).cast("double") + col("__v").cast("double"))))
+      .groupBy(col("__cf_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll")).as("__s"))
+      .select(col("__cf_id").as(idCol), col("n_bigrams"),
+        (col("__s") / col("n_bigrams").cast("double")).as("avg_nll"),
+        exp(col("__s") / col("n_bigrams").cast("double")).as("perplexity"))
+  }
+
+  /**
    * Cross-source contamination matrix: for every unordered pair of sources,
    * the number of distinct word `n`-gram shingles they share and the
    * Jaccard overlap of their shingle vocabularies — the corpus-level

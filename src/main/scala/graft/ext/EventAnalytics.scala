@@ -747,4 +747,55 @@ object EventAnalytics {
         (asD(col("__dsum")) /
           asD((lit(2L * period) * col("n_obs")).cast(dec))).as("seasonal"))
   }
+
+  /**
+   * Holt linear-trend exponential smoothing (Holt 1957 — the standard
+   * level+trend forecaster for short operational horizons): per key, over
+   * the series ordered by `idxCol`,
+   * `l_t = a*y_t + (1-a)*(l + b)`; `b_t = g*(l_t - l) + (1-g)*b`,
+   * initialized `l_0 = y_0`, `b_0 = y_1 - y_0`; the h-step forecast is
+   * `l_n + h*b_n`. Output per key: n_obs, level, trend, forecast.
+   *
+   * Reproducibility: the recurrence is evaluated STRICTLY in series order
+   * (sequential per key), so every double is a deterministic IEEE
+   * evaluation any engine replays bit-for-bit (a recursive CTE in the
+   * oracle) — no reordered float sums. Default a = g = 0.5 keeps every
+   * intermediate a dyadic rational on integer inputs.
+   *
+   * Scale: one shuffle on the key; each key's series must fit one task
+   * (operational series are date-grained — thousands of points, not
+   * billions; the per-key sort is the same discipline as the window ops).
+   * The smoothing itself is O(n) per key, embarrassingly parallel across
+   * keys.
+   */
+  def holtForecast(
+      df: DataFrame, keyCol: String, idxCol: String, valCol: String,
+      alpha: Double = 0.5, gamma: Double = 0.5, horizon: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(gamma > 0 && gamma < 1, s"gamma must be in (0,1), got $gamma")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(idxCol).cast("long"),
+        col(valCol).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val series = it.toArray.sortBy(_._2).map(_._3)
+        require(series.length >= 2,
+          s"holtForecast: key '$key' has ${series.length} point(s); need >= 2")
+        var l = series(0)
+        var b = series(1) - series(0)
+        var i = 1
+        while (i < series.length) {
+          val y = series(i)
+          val l1 = alpha * y + (1 - alpha) * (l + b)
+          b = gamma * (l1 - l) + (1 - gamma) * b
+          l = l1
+          i += 1
+        }
+        (key, series.length.toLong, l, b, l + horizon * b)
+      }
+      .toDF(keyCol, "n_obs", "level", "trend", "forecast")
+  }
 }

@@ -22,7 +22,13 @@ import org.apache.spark.sql.types._
  *    toolchain applies to compressed images. PNG/BMP are lossless and
  *    oracle-checked end-to-end; JPEG is lossy and spec-tested with
  *    tolerance.
- *  - COMPRESSED AUDIO/VIDEO codecs (mp3/aac/mp4/h264...) are STUBBED —
+ *  - [[G711Codec]] and [[AdpcmCodec]] are REAL compressed-AUDIO codecs
+ *    (ITU-T G.711 mu/A-law companding at 2:1; IMA ADPCM at 4:1) — pure
+ *    integer bit arithmetic from the public specs, full hash oracles
+ *    (the ADPCM oracle replays the adaptive-predictor state machine as a
+ *    recursive CTE). [[AviCodec]] is a REAL compressed-VIDEO path:
+ *    MJPEG-in-AVI container walk + per-frame ImageIO JPEG decode.
+ *  - Inter-frame/perceptual codecs (mp3/aac/h264...) remain STUBBED —
  *    the JDK has no decoder and this container ships no codec libraries:
  *    [[StubDecoder]] derives deterministic pseudo-features from the
  *    bytes, clearly marked below. Everything around the stub — schema,

@@ -62,4 +62,27 @@ object Privacy {
     val cond = quasiCols.map(c => df(c) <=> violating(s"__v_$c")).reduce(_ && _)
     df.join(broadcast(violating), cond, "left_anti")
   }
+
+  /**
+   * Keyed pseudonymization: replace each direct-identifier column with a
+   * salted SHA-256 token (`sha256(salt || '|' || value)` hex). Tokens are
+   * DETERMINISTIC per (salt, value) — referential integrity survives
+   * (joins on the pseudonym still work across tables sharing the salt) —
+   * while reversal requires the salt, which lives in the release config,
+   * not the data. NULL identifiers stay NULL (no phantom token class).
+   *
+   * This is the GDPR-article-4(5) pseudonymization shape every training-
+   * corpus release pipeline needs next to [[suppress]]: suppression
+   * handles quasi-identifiers, pseudonymization handles direct ones.
+   * Scan-fused codegen (one sha2 per cell, no shuffle, no UDF).
+   */
+  def pseudonymize(df: DataFrame, idCols: Seq[String], salt: String): DataFrame = {
+    require(idCols.nonEmpty, "at least one identifier column required")
+    require(salt.nonEmpty, "empty salt defeats the purpose — pass a release key")
+    idCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNull, lit(null: String))
+          .otherwise(sha2(concat_ws("|", lit(salt), col(c).cast("string")), 256)))
+    }
+  }
 }

@@ -737,4 +737,58 @@ object Similarity {
         coalesce(lit(1.0) / col("__first_hit").cast("double"), lit(0.0))
           .as("mrr"))
   }
+
+  /** Pinned integer rank-discount table for [[ndcgAtK]]:
+    * `round(1e9 / log2(rank+1))` for ranks 1..10. Pinning the quantized
+    * weights (instead of calling log at runtime) makes scaled DCG an EXACT
+    * integer dot product — no libm in the engine OR the oracle, so the
+    * metric is bit-reproducible across engines. A spec re-derives the
+    * table from StrictMath against these constants. */
+  val NdcgWeights: Array[Long] = Array(
+    1000000000L, 630929754L, 500000000L, 430676558L, 386852807L,
+    356207187L, 333333333L, 315464877L, 301029996L, 289064826L)
+
+  /**
+   * Graded-relevance nDCG@k of a candidate ranking against a relevance-
+   * labelled truth set (Järvelin & Kekäläinen, TOIS'02). DCG uses the
+   * standard `gain / log2(rank+1)` discount with the discount quantized
+   * to the pinned integer table [[NdcgWeights]] (relative quantization
+   * error < 1e-9 — invisible for ranking-quality tracking, decisive for
+   * oracle exactness): `dcg_scaled = sum(rel * W(rank))` over candidate
+   * hits, `idcg_scaled` the same sum over the truth's own ranking, and
+   * `ndcg` their one IEEE division (0.0 when idcg is 0).
+   *
+   * Same scale shape as [[rankingMetrics]]: one equi-join on
+   * (query, neighbor) + per-query aggs over |queries| x k relations.
+   */
+  def ndcgAtK(
+      truth: DataFrame, candidate: DataFrame,
+      queryCol: String, neighborCol: String, rankCol: String, relCol: String,
+      k: Int): DataFrame = {
+    require(k > 0 && k <= NdcgWeights.length,
+      s"k must be in [1, ${NdcgWeights.length}], got $k")
+    val w = typedLit(NdcgWeights.toSeq)
+    val t = truth.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("query_id"), col(neighborCol).as("__tn"),
+        col(relCol).cast("long").as("__rel"),
+        element_at(w, col(rankCol).cast("int")).as("__tw"))
+    val p = candidate.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("query_id"), col(neighborCol).as("__pn"),
+        element_at(w, col(rankCol).cast("int")).as("__pw"))
+    val idcg = t.groupBy(col("query_id"))
+      .agg(sum(col("__rel") * col("__tw")).as("idcg_scaled"))
+    val tp = t.select(col("query_id").as("__tq"), col("__tn"), col("__rel"))
+    val dcg = p.join(tp,
+        p("query_id") === col("__tq") && p("__pn") === col("__tn"), "inner")
+      .select(p("query_id"), (col("__rel") * col("__pw")).as("__g"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("__g")).as("dcg_scaled"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg_scaled"), lit(0L)).as("dcg_scaled"),
+        col("idcg_scaled"),
+        when(col("idcg_scaled") === 0L, lit(0.0))
+          .otherwise(coalesce(col("dcg_scaled"), lit(0L)).cast("double") /
+            col("idcg_scaled").cast("double")).as("ndcg"))
+  }
 }

@@ -555,4 +555,37 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(got.getLong(1) === 0L)
     assert(got.isNullAt(6))
   }
+
+  test("perplexityScore: cross-corpus closed form, incl. fully-OOV fallback") {
+    val ref = Seq((1L, "a b b")).toDF("doc_id", "text")
+    // target doc reuses the reference bigrams -> same NLL closed form as
+    // bigramLogLik's tiny corpus; the OOV doc hits the smoothing floor
+    val tgt = Seq((10L, "a b b"), (11L, "x y")).toDF("doc_id", "text")
+    val r = CorpusFilters.perplexityScore(ref, tgt, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    // unigrams a=1, b=2; V=2: p(a b)=(1+1)/(1+2), p(b b)=(1+1)/(2+2)
+    val expectIn = -(math.log(2.0 / 3.0) + math.log(0.5)) / 2.0
+    assert(r(10L)._1 === 2L)
+    assert(math.abs(r(10L)._2 - expectIn) < 1e-12)
+    assert(math.abs(r(10L)._3 - math.exp(expectIn)) < 1e-12)
+    // OOV bigram (x y): c(x y)=0, c(x)=0 -> p = 1/(0+2) = 0.5
+    val expectOov = -math.log(0.5)
+    assert(r(11L)._1 === 1L)
+    assert(math.abs(r(11L)._2 - expectOov) < 1e-12)
+    // out-of-domain scores strictly worse than in-domain here
+    assert(r(11L)._3 > r(10L)._3)
+  }
+
+  test("perplexityScore: natural text beats scrambled gibberish from the same letters") {
+    val natural = (0L until 30L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog and the quick cat"))
+    val ref = natural.toDF("doc_id", "text")
+    val tgt = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "dog the over quick lazy the brown jumps fox")).toDF("doc_id", "text")
+    val r = CorpusFilters.perplexityScore(ref, tgt, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(100L) < r(101L),
+      s"natural ${r(100L)} should score below scrambled ${r(101L)}")
+  }
 }

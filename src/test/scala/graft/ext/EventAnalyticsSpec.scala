@@ -462,4 +462,47 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.acfHourly(events, "ts", maxLag = 0)
     }
   }
+
+  test("holtForecast: exact on a linear trend, flat on a constant series") {
+    import spark.implicits._
+    // y = 10 + 3t: Holt with l0=y0, b0=y1-y0 tracks a line EXACTLY
+    // (l_t = y_t, b_t = 3 by induction), so the forecast is the
+    // continuation 10 + 3*(n-1) + 3h with zero error
+    val lin = (0L until 20L).map(t => ("a", t, 10L + 3 * t))
+      .toDF("k", "t", "y")
+    val r = EventAnalytics.holtForecast(lin, "k", "t", "y", horizon = 7).head()
+    assert(r.getLong(1) === 20L)
+    assert(r.getDouble(2) === 10.0 + 3 * 19) // level = last y
+    assert(r.getDouble(3) === 3.0) // trend
+    assert(r.getDouble(4) === 10.0 + 3 * 19 + 3 * 7) // forecast
+    val const = (0L until 10L).map(t => ("c", t, 42L)).toDF("k", "t", "y")
+    val rc = EventAnalytics.holtForecast(const, "k", "t", "y", horizon = 3).head()
+    assert(rc.getDouble(2) === 42.0 && rc.getDouble(3) === 0.0 && rc.getDouble(4) === 42.0)
+  }
+
+  test("holtForecast: hand-computed recurrence on a short irregular series") {
+    import spark.implicits._
+    val ys = Seq(4.0, 7.0, 5.0, 9.0)
+    val df = ys.zipWithIndex.map { case (y, t) => ("k", t.toLong, y) }.toDF("k", "t", "y")
+    var l = ys(0)
+    var b = ys(1) - ys(0)
+    for (i <- 1 until ys.length) {
+      val l1 = 0.5 * ys(i) + 0.5 * (l + b)
+      b = 0.5 * (l1 - l) + 0.5 * b
+      l = l1
+    }
+    val r = EventAnalytics.holtForecast(df, "k", "t", "y", horizon = 2).head()
+    assert(r.getDouble(2) === l)
+    assert(r.getDouble(3) === b)
+    assert(r.getDouble(4) === l + 2 * b)
+    // rows arriving out of order sort by the index column first
+    val shuffled = Seq(("k", 2L, 5.0), ("k", 0L, 4.0), ("k", 3L, 9.0), ("k", 1L, 7.0))
+      .toDF("k", "t", "y")
+    val rs = EventAnalytics.holtForecast(shuffled, "k", "t", "y", horizon = 2).head()
+    assert(rs.getDouble(2) === l && rs.getDouble(3) === b)
+    intercept[Exception] {
+      EventAnalytics.holtForecast(Seq(("k", 0L, 1.0)).toDF("k", "t", "y"),
+        "k", "t", "y").collect()
+    }
+  }
 }

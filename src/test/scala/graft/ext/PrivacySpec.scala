@@ -52,4 +52,24 @@ class PrivacySpec extends SparkSpec {
       Privacy.kAnonymityProfile(records, Seq("city"), "diagnosis", k = 0, l = 1)
     }
   }
+
+  test("pseudonymize: deterministic salted SHA-256 tokens, NULLs stay NULL") {
+    val df = Seq((1L, "alice"), (2L, "bob"), (3L, null.asInstanceOf[String]), (4L, "alice"))
+      .toDF("id", "name")
+    val out = Privacy.pseudonymize(df, Seq("name"), salt = "s1")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // matches a locally computed MessageDigest over the same byte layout
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = md.digest("s1|alice".getBytes("UTF-8"))
+      .map(b => f"${b & 0xFF}%02x").mkString
+    assert(out(1L).get === expect)
+    assert(out(1L) === out(4L)) // referential integrity: same value, same token
+    assert(out(1L) !== out(2L))
+    assert(out(3L).isEmpty) // NULL identifier -> NULL, no phantom token
+    // a different salt yields disjoint tokens
+    val other = Privacy.pseudonymize(df, Seq("name"), salt = "s2")
+      .collect().map(r => Option(r.getString(1))).flatten.toSet
+    assert(other.intersect(out.values.flatten.toSet).isEmpty)
+    intercept[IllegalArgumentException] { Privacy.pseudonymize(df, Seq("name"), "") }
+  }
 }

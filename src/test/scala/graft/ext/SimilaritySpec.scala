@@ -317,4 +317,35 @@ class SimilaritySpec extends SparkSpec {
     assert(m.forall { case (nt, nh, rec) =>
       nh <= nt && rec >= 0.0 && rec <= 1.0 })
   }
+
+  test("NdcgWeights is exactly round(1e9 / log2(r+1)) — the oracle pins the same table") {
+    Similarity.NdcgWeights.zipWithIndex.foreach { case (w, i) =>
+      val r = i + 1
+      val expect = math.round(1e9 / (StrictMath.log(r + 1.0) / StrictMath.log(2.0)))
+      assert(w === expect, s"rank $r")
+    }
+  }
+
+  test("ndcgAtK: perfect ranking scores 1.0, reversed scores less, no-hit scores 0") {
+    import spark.implicits._
+    // truth for one query: neighbors 1..5 with rel 5-rank (4,3,2,1,0)
+    val truth = (1 to 5).map(r => (0L, r.toLong, r.toLong, 5L - r))
+      .toDF("query_id", "neighbor_id", "rank", "rel")
+    def eval(cand: Seq[(Long, Long, Long)]): (Long, Long, Double) = {
+      val c = cand.toDF("query_id", "neighbor_id", "rank")
+      val r = Similarity.ndcgAtK(truth, c, "query_id", "neighbor_id", "rank", "rel", k = 5)
+        .select($"dcg_scaled", $"idcg_scaled", $"ndcg").head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    val perfect = eval((1 to 5).map(r => (0L, r.toLong, r.toLong)))
+    assert(perfect._1 === perfect._2)
+    assert(perfect._3 === 1.0)
+    val reversed = eval((1 to 5).map(r => (0L, (6 - r).toLong, r.toLong)))
+    assert(reversed._3 < 1.0 && reversed._3 > 0.0)
+    val miss = eval(Seq((0L, 99L, 1L), (0L, 98L, 2L)))
+    assert(miss._1 === 0L && miss._3 === 0.0)
+    // hand-check the perfect DCG: sum of rel(r) * W(r) for rel 4,3,2,1,0
+    val w = Similarity.NdcgWeights
+    assert(perfect._1 === 4 * w(0) + 3 * w(1) + 2 * w(2) + 1 * w(3))
+  }
 }
