@@ -2774,6 +2774,27 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text")
     }),
+
+    // GPT-style context packing: concat-and-chunk placement of every doc
+    // into fixed 512-token training contexts via the distributed prefix
+    // scan (GlobalRank — no global window); the oracle replays the same
+    // integer arithmetic over a window prefix sum at gate scale
+    "q277_context_pack" -> ((s, dir) =>
+      graft.ext.CorpusFilters.contextPack(
+        TextStats.withTokenCounts(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("ws_tokens")),
+        "doc_id", "ws_tokens", contextLen = 512)),
+
+    // DSIR importance weights: raw docs scored by hashed-ngram likelihood
+    // ratio against a target domain (even docs with high digit share act
+    // as the planted "domain"); rows-only (libm ln) + separation specs
+    "q278_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.CorpusFilters.dsirWeights(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", buckets = 4096)
+    }),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4459,6 +4480,24 @@ object SparkEntry {
         |SELECT r.event_type, n.n AS n_obs, r.l AS level, r.b AS trend,
         |  r.l + 7 * r.b AS forecast
         |FROM rec r JOIN n ON n.event_type = r.event_type AND r.t = n.n - 1""".stripMargin,
+
+    // context packing: same exclusive-prefix-sum arithmetic over the q63
+    // whitespace token counts, via a plain window at oracle scale
+    "q277_context_pack" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |nz AS (SELECT doc_id, n FROM tk WHERE n > 0),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM nz)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST((cum - n) // 512 AS BIGINT) AS start_pack,
+        |  CAST((cum - n) % 512 AS BIGINT) AS start_offset,
+        |  CAST((cum - 1) // 512 AS BIGINT) AS end_pack
+        |FROM c""".stripMargin,
 
     // BPE apply contract: every doc must reconstruct exactly and never
     // grow past its non-space character count

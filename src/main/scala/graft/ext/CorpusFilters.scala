@@ -781,6 +781,86 @@ object CorpusFilters {
   }
 
   /**
+   * GPT-pretraining context packing (concat-and-chunk): documents are laid
+   * end-to-end in the total order of `idCol` and the token stream is cut
+   * every `contextLen` tokens — the standard way pretraining corpora
+   * become fixed-length training examples with zero padding (documents
+   * span context boundaries). Each document maps to its placement:
+   * `start_pack`/`start_offset` (where its first token lands) and
+   * `end_pack` (where its last token lands), all pure integer functions
+   * of the EXCLUSIVE prefix sum of token counts. Zero-token documents
+   * carry no tokens and are dropped (same contract as the shingle ops).
+   *
+   * Scale: the prefix sum is [[graft.operators.GlobalRank.withPrefixSum]]
+   * — range sort + per-partition local scans + a driver-side exclusive
+   * scan of the numPartitions totals, broadcast back. Never a global
+   * single-partition window; the oracle may use one at gate scale.
+   */
+  def contextPack(
+      df: DataFrame, idCol: String, tokensCol: String, contextLen: Int): DataFrame = {
+    require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
+    val nz = df.filter(col(tokensCol) > 0)
+      .select(col(idCol), col(tokensCol).cast("long").as("n_tokens"))
+    graft.operators.GlobalRank.withPrefixSum(
+        nz, Seq(col(idCol)), col("n_tokens"),
+        rankName = "__cp_rank", sumName = "__cp_cum")
+      .select(col(idCol), col("n_tokens"),
+        expr(s"(__cp_cum - n_tokens) div $contextLen").as("start_pack"),
+        expr(s"(__cp_cum - n_tokens) % $contextLen").as("start_offset"),
+        expr(s"(__cp_cum - 1) div $contextLen").as("end_pack"))
+  }
+
+  /**
+   * DSIR importance weights (Xie et al., "Data Selection for Language
+   * Models via Importance Resampling", NeurIPS 2023): score every raw
+   * document by how much more likely its hashed n-gram bag is under a
+   * TARGET-domain distribution than under the raw distribution —
+   * `log w(d) = sum_b c_b(d) * (log p_target(b) - log p_raw(b))` over
+   * `buckets` hashed unigram+bigram features with add-one smoothing.
+   * Resample the raw corpus proportionally to `exp(log_weight)` (or just
+   * keep the top fraction) to tilt it toward the target domain without a
+   * trained classifier.
+   *
+   * Scale: both distributions are bucket-keyed aggs (map-side combined,
+   * `buckets` rows each) that BROADCAST to the scoring join; features
+   * ride as xxhash64 buckets, text never shuffles. Raw never self-joins.
+   * Inherently non-oracle (libm `ln`); specs pin domain separation and a
+   * hand-computed tiny corpus.
+   */
+  def dsirWeights(
+      target: DataFrame, raw: DataFrame,
+      idCol: String, textCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    def bucketed(df: DataFrame): DataFrame = {
+      val g = explodedGrams(df, idCol, textCol)
+      g.select(col("__cf_id"), col("word").as("__f"))
+        .unionAll(g.filter(col("gram2").isNotNull)
+          .select(col("__cf_id"), col("gram2").as("__f")))
+        .withColumn("__b", pmod(xxhash64(col("__f")), lit(buckets.toLong)))
+        .drop("__f")
+    }
+    def dist(df: DataFrame, cName: String): DataFrame =
+      bucketed(df).groupBy(col("__b")).agg(count(lit(1)).as(cName))
+    val tgt = dist(target, "__ct")
+    val rawD = dist(raw, "__cr")
+    val totals = tgt.agg(sum(col("__ct")).as("__nt")).crossJoin(
+      rawD.agg(sum(col("__cr")).as("__nr")))
+    // log p_t(b) - log p_r(b) with add-one smoothing over the bucket space
+    val ratio = tgt.join(rawD, Seq("__b"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)).cast("double") + 1.0) /
+            (col("__nt").cast("double") + buckets)) -
+          log((coalesce(col("__cr"), lit(0L)).cast("double") + 1.0) /
+            (col("__nr").cast("double") + buckets))).as("__lr"))
+    bucketed(raw)
+      .join(broadcast(ratio), Seq("__b"))
+      .groupBy(col("__cf_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__lr")).as("log_weight"))
+      .select(col("__cf_id").as(idCol), col("n_feats"), col("log_weight"))
+  }
+
+  /**
    * Cross-source contamination matrix: for every unordered pair of sources,
    * the number of distinct word `n`-gram shingles they share and the
    * Jaccard overlap of their shingle vocabularies — the corpus-level

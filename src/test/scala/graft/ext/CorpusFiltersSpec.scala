@@ -576,6 +576,59 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(r(11L)._3 > r(10L)._3)
   }
 
+  test("contextPack: concat-and-chunk placement, boundary spans, zero-token drop") {
+    val df = Seq(
+      (1L, 3L), (2L, 5L), (3L, 0L), (4L, 4L), (5L, 10L)
+    ).toDF("doc_id", "n")
+    // token stream (C=4): doc1 [0,3), doc2 [3,8), doc4 [8,12), doc5 [12,22)
+    val r = CorpusFilters.contextPack(df, "doc_id", "n", contextLen = 4)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(!r.contains(3L)) // zero-token doc dropped
+    assert(r(1L) === ((3L, 0L, 0L, 0L)))
+    assert(r(2L) === ((5L, 0L, 3L, 1L))) // spans packs 0 -> 1
+    assert(r(4L) === ((4L, 2L, 0L, 2L)))
+    assert(r(5L) === ((10L, 3L, 0L, 5L))) // spans packs 3..5
+    // partitioning-immune: the placement is a function of the total order
+    val shuffled = CorpusFilters.contextPack(df.repartition(7), "doc_id", "n", 4)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(shuffled === r)
+    intercept[IllegalArgumentException] { CorpusFilters.contextPack(df, "doc_id", "n", 0) }
+  }
+
+  test("dsirWeights: target-domain docs outweigh off-domain docs") {
+    val target = (0L until 20L).map(i => (i, "stellar fusion plasma core stellar plasma"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (100L, "stellar fusion plasma core"), // in-domain
+      (101L, "cheap shoes discount sale buy now"), // off-domain
+      (102L, "stellar plasma core fusion stellar")) // in-domain
+      .toDF("doc_id", "text")
+    val r = CorpusFilters.dsirWeights(target, raw, "doc_id", "text", buckets = 256)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(100L) > r(101L))
+    assert(r(102L) > r(101L))
+    intercept[IllegalArgumentException] {
+      CorpusFilters.dsirWeights(target, raw, "doc_id", "text", buckets = 1)
+    }
+  }
+
+  test("dsirWeights: hand-computed log-ratio on a collision-free tiny corpus") {
+    val target = Seq((1L, "aa bb")).toDF("doc_id", "text")
+    val raw = Seq((10L, "aa cc")).toDF("doc_id", "text")
+    val B = 4096
+    // target feats: aa, bb, "aa bb" (3 total); raw feats: aa, cc, "aa cc"
+    val r = CorpusFilters.dsirWeights(target, raw, "doc_id", "text", buckets = B)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    def lr(ct: Long, cr: Long) =
+      math.log((ct + 1.0) / (3.0 + B)) - math.log((cr + 1.0) / (3.0 + B))
+    // aa: ct=1, cr=1; cc: ct=0, cr=1; "aa cc": ct=0, cr=1
+    val expect = lr(1, 1) + lr(0, 1) + lr(0, 1)
+    assert(r(10L)._1 === 3L)
+    assert(math.abs(r(10L)._2 - expect) < 1e-12)
+  }
+
   test("perplexityScore: natural text beats scrambled gibberish from the same letters") {
     val natural = (0L until 30L).map(i =>
       (i, "the quick brown fox jumps over the lazy dog and the quick cat"))
