@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.Dedup
+import graft.ext.{CorpusFilters, Dedup, EventAnalytics, Multimodal, Similarity}
 import graft.operators.{AsOfJoin, Sampler, SemiJoinReducer}
 
 /**
@@ -870,6 +870,77 @@ object ScaleProbe {
           .filter(col("c_custkey") < col("other_key"))
           .select(col("c_custkey").as("id_a"), col("other_key").as("id_b"))
         Dedup.duplicateClusters(p, "c_custkey", edges, maxIterations = 25).count()
+      }
+
+      // ---- compressed-media codecs: decode cost must be linear in rows
+      // (mapPartitions, no shuffle of payload bytes)
+      timed("g711_decode", k) {
+        Multimodal.wavStats(
+          Multimodal.attachSyntheticG711Wav(
+            read("documents", k).select(col("doc_id")), "doc_id", 8000, 800),
+          "wav").select(col("doc_id"), col("rms_amp")).count()
+      }
+      timed("adpcm_decode", k) {
+        Multimodal.adpcmStats(
+          Multimodal.attachSyntheticAdpcm(
+            read("documents", k).select(col("doc_id")), "doc_id", 240),
+          "adpcm", 240).select(col("doc_id"), col("energy")).count()
+      }
+      timed("mjpeg_scene_stats", k) {
+        Multimodal.aviSceneStats(
+          Multimodal.attachSyntheticMjpegAvi(
+            read("documents", k).select(col("doc_id"))
+              .filter(col("doc_id") % 7 === 3),
+            "doc_id", 4, 3, 16, 12),
+          "avi").select(col("doc_id"), col("n_cuts")).count()
+      }
+
+      // ---- curation scoring: LM/bucket tables are vocabulary-bounded,
+      // scoring joins are gram-keyed — cost must track the corpus scan
+      timed("perplexity_score", k) {
+        val docs = read("documents", k)
+        CorpusFilters.perplexityScore(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text").count()
+      }
+      timed("dsir_weights", k) {
+        val docs = read("documents", k)
+        CorpusFilters.dsirWeights(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text").count()
+      }
+
+      // ---- placement/forecast/eval/privacy surfaces
+      timed("context_pack", k) {
+        CorpusFilters.contextPack(
+          graft.ext.TextStats.withTokenCounts(read("documents", k), "text")
+            .select(col("doc_id"), col("ws_tokens")),
+          "doc_id", "ws_tokens", 512).count()
+      }
+      timed("holt_forecast", k) {
+        val daily = read("events", k)
+          .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+        EventAnalytics.holtForecast(daily, "event_type", "day", "n").count()
+      }
+      timed("ndcg_eval", k) {
+        val e = read("embeddings", k)
+        val q = e.filter(col("vec_id") < 5)
+        val truth = Similarity.bruteTopK(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 10)
+          .withColumn("rel", expr("(11 - rank) div 3"))
+        Similarity.ndcgAtK(truth, truth, "query_id", "neighbor_id", "rank", "rel", 10).count()
+      }
+      timed("pseudonymize", k) {
+        graft.ext.Privacy.pseudonymize(
+          read("customer", k).select(col("c_custkey"), col("c_name")),
+          Seq("c_name"), "probe-salt").count()
+      }
+      timed("audio_periodicity", k) {
+        Multimodal.audioPeriodicity(
+          Multimodal.attachSyntheticPeriodicWav(
+            read("documents", k).select(col("doc_id")), "doc_id", 8000, 400),
+          "wav", 10, 35).select(col("doc_id"), col("best_lag")).count()
       }
     }
 

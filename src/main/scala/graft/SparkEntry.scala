@@ -2795,6 +2795,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 =!= 0),
         "doc_id", "text", buckets = 4096)
     }),
+
+    // pitch/periodicity detection: integer autocorrelation over decoded
+    // PCM (exact sums, no FFT) — the oracle recomputes every lag's
+    // correlation from the planted-period formula and must agree on the
+    // argmax, the correlations, AND the final score
+    "q279_audio_periodicity" -> ((s, dir) =>
+      Multimodal.audioPeriodicity(
+        Multimodal.attachSyntheticPeriodicWav(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          sampleRate = 8000, nSamples = 400),
+        "wav", minLag = 10, maxLag = 35)
+        .select(col("doc_id"), col("best_lag"), col("r_best"),
+          col("r_zero"), col("periodicity"))),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4480,6 +4493,31 @@ object SparkEntry {
         |SELECT r.event_type, n.n AS n_obs, r.l AS level, r.b AS trend,
         |  r.l + 7 * r.b AS forecast
         |FROM rec r JOIN n ON n.event_type = r.event_type AND r.t = n.n - 1""".stripMargin,
+
+    // autocorrelation pitch: every lag's integer correlation recomputed
+    // from the planted-period formula; argmax ties break to smallest lag
+    "q279_audio_periodicity" ->
+      """WITH smp AS (
+        |  SELECT d.doc_id, ii.i,
+        |    ((d.doc_id*3 + (ii.i % (20 + d.doc_id % 11))) * 997) % 4001 - 2000 AS v
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 399)) AS i) ii),
+        |lags AS (SELECT unnest(generate_series(10, 35)) AS l),
+        |r AS (
+        |  SELECT a.doc_id, lags.l, CAST(SUM(a.v * b.v) AS BIGINT) AS r
+        |  FROM smp a
+        |  JOIN lags ON true
+        |  JOIN smp b ON b.doc_id = a.doc_id AND b.i = a.i + lags.l
+        |  GROUP BY 1, 2),
+        |r0 AS (SELECT doc_id, CAST(SUM(v*v) AS BIGINT) AS r0 FROM smp GROUP BY 1),
+        |best AS (
+        |  SELECT doc_id, l, r,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY r DESC, l) AS rn
+        |  FROM r)
+        |SELECT b.doc_id, CAST(b.l AS INT) AS best_lag, b.r AS r_best,
+        |  r0.r0 AS r_zero,
+        |  CAST(b.r AS DOUBLE) / CAST(r0.r0 AS DOUBLE) AS periodicity
+        |FROM best b JOIN r0 USING (doc_id) WHERE rn = 1""".stripMargin,
 
     // context packing: same exclusive-prefix-sum arithmetic over the q63
     // whitespace token counts, via a plain window at oracle scale

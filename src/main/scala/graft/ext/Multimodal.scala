@@ -1413,6 +1413,76 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Closed-form PERIODIC sample for the pitch fixture: clip `id` has
+    * period p = 20 + id mod 11; sample i depends on i only through
+    * (i mod p), so lag p maximizes the autocorrelation. SQL-expressible. */
+  def syntheticPeriodicSample(id: Long, i: Int): Int = {
+    val p = (20 + id % 11).toInt
+    ((((id * 3 + (i % p)) * 997) % 4001) - 2000).toInt
+  }
+
+  /** Attach a valid PCM WAV with the planted-period signal. */
+  def attachSyntheticPeriodicWav(
+      df: DataFrame, idCol: String, sampleRate: Int, nSamples: Int): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("wav", BinaryType))
+    val idIdx = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val samples = Array.tabulate(nSamples)(i => syntheticPeriodicSample(id, i).toShort)
+        Row.fromSeq(r.toSeq :+ WavCodec.encode(sampleRate, samples))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * Pitch/periodicity detection via integer autocorrelation — the
+   * time-domain sibling of [[audioSilence]]'s energy VAD: for each lag L
+   * in [minLag, maxLag], `r(L) = sum_i x_i * x_{i+L}` (EXACT integer
+   * sums — no FFT, no floats until the final score), best_lag is the
+   * argmax (ties -> smallest lag), and `periodicity = r(best)/r(0)` is
+   * the voiced-ness score (near 1 for strongly periodic frames). Unlike
+   * spectral pitch trackers this is bit-reproducible in SQL, so the gate
+   * rides a full hash oracle.
+   *
+   * Scale: per-clip O(n * nLags) integer work inside mapPartitions; no
+   * shuffle, no payload movement — the same distribution grain as every
+   * codec op here.
+   */
+  def audioPeriodicity(
+      df: DataFrame, mediaCol: String, minLag: Int, maxLag: Int): DataFrame = {
+    require(minLag >= 1 && maxLag >= minLag,
+      s"need 1 <= minLag <= maxLag, got [$minLag, $maxLag]")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("best_lag", IntegerType), StructField("r_best", LongType),
+      StructField("r_zero", LongType), StructField("periodicity", DoubleType)))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val a = WavCodec.decode(r.getAs[Array[Byte]](mediaIdx))
+        val x = a.samples
+        require(x.length > maxLag, s"clip of ${x.length} samples shorter than maxLag $maxLag")
+        var r0 = 0L
+        var i = 0
+        while (i < x.length) { r0 += x(i).toLong * x(i); i += 1 }
+        var bestLag = -1
+        var bestR = Long.MinValue
+        var lag = minLag
+        while (lag <= maxLag) {
+          var s = 0L
+          var j = 0
+          while (j < x.length - lag) { s += x(j).toLong * x(j + lag); j += 1 }
+          if (s > bestR) { bestR = s; bestLag = lag }
+          lag += 1
+        }
+        Row.fromSeq(r.toSeq ++ Seq[Any](bestLag, bestR, r0,
+          bestR.toDouble / r0.toDouble))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Thumbnail "resize" over the payload via the stub decoder. */
   def resizeMedia(df: DataFrame, mediaCol: String, w: Int, h: Int): DataFrame = {
     val inSchema = df.schema

@@ -137,6 +137,24 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("audioPeriodicity recovers the planted period exactly") {
+    val df = Multimodal.attachSyntheticPeriodicWav(
+      Seq(0L, 3L, 7L, 10L).toDF("doc_id"), "doc_id", sampleRate = 8000, nSamples = 400)
+    val got = Multimodal.audioPeriodicity(df, "wav", minLag = 10, maxLag = 35)
+      .select($"doc_id", $"best_lag", $"periodicity")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    for (id <- Seq(0L, 3L, 7L, 10L)) {
+      val p = (20 + id % 11).toInt
+      assert(got(id)._1 === p, s"clip $id: expected period $p")
+      // the signal repeats exactly at lag p, so r(p) only loses the p
+      // truncated edge terms vs r(0): score stays near 1
+      assert(got(id)._2 > 0.8 && got(id)._2 <= 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.audioPeriodicity(df, "wav", minLag = 0, maxLag = 5)
+    }
+  }
+
   test("G.711 gate fixture: wavStats over mixed-law payloads is exact per law") {
     val df = Multimodal.attachSyntheticG711Wav(
       Seq(2L, 5L).toDF("doc_id"), "doc_id", sampleRate = 8000, nSamples = 100)
