@@ -492,14 +492,18 @@ object SparkEntry {
           aggregate(zip_with(col("gray_counts"),
               sequence(lit(0L), lit(15L)), (c, b) => c * b),
             lit(0L), (acc, x) => acc + x).as("hist_moment"))),
-    // frame sampling over opaque payload bytes (pure-expression plumbing:
-    // stride slicing, NULL-safe explode) — the byte slices stand in for
-    // compressed frame extraction, which has no JDK codec
+    // REAL frame sampling over compressed video: AVI container parse ->
+    // every 3rd '00dc' frame -> JPEG decode -> per-frame rows. Formerly a
+    // byte-slice stub; now the container walk, frame selection, and decode
+    // are genuine, and the lossy-robust outputs ride a full hash oracle
     "q71_multimodal_frames" -> ((s, dir) =>
-      Multimodal.frameSample(
-        Multimodal.attachSyntheticMedia(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
-        "media", "media_meta", stride = 5)
-        .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))),
+      Multimodal.aviFrameSample(
+        Multimodal.attachSyntheticMjpegAvi(
+          t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") % 5 === 1),
+          "doc_id", nScenes = 3, framesPerScene = 4, w = 16, h = 12),
+        "avi", stride = 3)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("is_bright"))),
     // REAL thumbnail pipeline over compressed inputs: ImageIO decode ->
     // shared P6 toolchain (box-filter resize, truncating block averages) ->
     // per-channel means of the 8x8 thumbnail, oracle-recomputed in SQL
@@ -4414,6 +4418,16 @@ object SparkEntry {
         |SELECT doc_id, CAST(12 AS BIGINT) AS n_frames, 16 AS width, 12 AS height,
         |  n_bright, n_cuts, first_cut
         |FROM agg""".stripMargin,
+
+    // real AVI frame sampling: stride-3 frames of the 3x4-frame plan;
+    // scene of frame f is f // 4, brightness from the planted gray plan
+    "q71_multimodal_frames" ->
+      """WITH sel AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 1),
+        |fr AS (SELECT unnest([0, 3, 6, 9]) AS f)
+        |SELECT sel.doc_id, CAST(fr.f AS INT) AS frame_idx,
+        |  16 AS width, 12 AS height,
+        |  ((sel.doc_id*13 + (fr.f // 4)*7) % 3 != 0) AS is_bright
+        |FROM sel CROSS JOIN fr""".stripMargin,
 
     // nDCG@10: q265's truth/candidate rankings + the pinned integer
     // discount table round(1e9/log2(r+1)); rel = (11 - truth_rank) // 3

@@ -1413,6 +1413,37 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /**
+   * REAL frame sampling over compressed video: parse the AVI container,
+   * keep every `stride`-th '00dc' frame, JPEG-decode it, and explode to
+   * one row per sampled frame with lossy-robust frame features (dims +
+   * the bright/dark decision over the planted 160-level gap). This is the
+   * per-frame-row shape [[frameSample]] stubs for unparseable codecs —
+   * here the container walk, the frame selection, AND the decode are the
+   * real thing, so the gate rides a full hash oracle.
+   */
+  def aviFrameSample(df: DataFrame, mediaCol: String, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("frame_idx", IntegerType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("is_bright", BooleanType)))
+    val mediaIdx = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames = AviCodec.decodeFrames(r.getAs[Array[Byte]](mediaIdx))
+        Iterator.range(0, frames.length, stride).map { f =>
+          val img = ImageIoCodec.decode(frames(f))
+          var sum = 0L
+          var i = 0
+          while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }
+          val mean = sum.toDouble / img.pixels.length
+          Row.fromSeq(r.toSeq ++ Seq[Any](f, img.width, img.height, mean > 128))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Closed-form PERIODIC sample for the pitch fixture: clip `id` has
     * period p = 20 + id mod 11; sample i depends on i only through
     * (i mod p), so lag p maximizes the autocorrelation. SQL-expressible. */
