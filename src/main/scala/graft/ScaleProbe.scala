@@ -942,6 +942,18 @@ object ScaleProbe {
             read("documents", k).select(col("doc_id")), "doc_id", 8000, 400),
           "wav", 10, 35).select(col("doc_id"), col("best_lag")).count()
       }
+      timed("holt_backtest", k) {
+        val daily = read("events", k)
+          .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+        EventAnalytics.holtBacktest(daily, "event_type", "day", "n", horizon = 5).count()
+      }
+      timed("dp_release", k) {
+        graft.ext.Privacy.withLaplaceNoise(
+          read("orders", k).groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_orders")),
+          "n_orders", Seq("o_orderpriority"), 0.5, 1.0, "probe").count()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")

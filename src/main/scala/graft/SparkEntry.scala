@@ -2812,6 +2812,29 @@ object SparkEntry {
         "wav", minLag = 10, maxLag = 35)
         .select(col("doc_id"), col("best_lag"), col("r_best"),
           col("r_zero"), col("periodicity"))),
+
+    // rolling-origin Holt backtest: fit on all but the last 5 days, emit
+    // per-held-out-step forecast/actual/sMAPE rows — every value a fixed
+    // IEEE expression of the recurrence, replayed by the oracle's
+    // recursive CTE over the TRAIN prefix (no unordered float means)
+    "q280_holt_backtest" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ext.EventAnalytics.holtBacktest(
+        daily, "event_type", "day", "n", alpha = 0.5, gamma = 0.5, horizon = 5)
+    }),
+
+    // epsilon-DP Laplace release: deterministic md5-seeded draws (the q13
+    // portable-hash discipline) on a grouped count release; rows-only
+    // (libm ln) with determinism/scale/epsilon-scaling specs
+    "q281_dp_release" -> ((s, dir) =>
+      graft.ext.Privacy.withLaplaceNoise(
+        t(s, dir, "orders").groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders")),
+        "n_orders", Seq("o_orderpriority"),
+        epsilon = 0.5, sensitivity = 1.0, seed = "release-2026-08")),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4507,6 +4530,47 @@ object SparkEntry {
         |SELECT r.event_type, n.n AS n_obs, r.l AS level, r.b AS trend,
         |  r.l + 7 * r.b AS forecast
         |FROM rec r JOIN n ON n.event_type = r.event_type AND r.t = n.n - 1""".stripMargin,
+
+    // Holt backtest: the q275 recursion over the train prefix (all but
+    // the last 5 points), then one row per held-out step with the exact
+    // forecast/actual/sMAPE expressions
+    "q280_holt_backtest" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |i AS (
+        |  SELECT event_type, day, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+        |  FROM d),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) - 5 AS ntrain
+        |  FROM i GROUP BY 1),
+        |rec AS (
+        |  SELECT i0.event_type, 0 AS t, i0.y AS l, i1.y - i0.y AS b
+        |  FROM (SELECT * FROM i WHERE t = 0) i0
+        |  JOIN (SELECT * FROM i WHERE t = 1) i1 USING (event_type)
+        |  UNION ALL
+        |  SELECT r.event_type, r.t + 1,
+        |    0.5 * i.y + 0.5 * (r.l + r.b),
+        |    0.5 * ((0.5 * i.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+        |  FROM rec r
+        |  JOIN n ON n.event_type = r.event_type
+        |  JOIN i ON i.event_type = r.event_type AND i.t = r.t + 1
+        |  WHERE r.t + 1 < n.ntrain),
+        |fin AS (
+        |  SELECT r.event_type, r.l, r.b, n.ntrain
+        |  FROM rec r JOIN n ON n.event_type = r.event_type
+        |  WHERE r.t = n.ntrain - 1),
+        |steps AS (SELECT unnest(generate_series(1, 5)) AS h)
+        |SELECT f.event_type, CAST(h.h AS INT) AS step, i.day AS idx,
+        |  i.y AS actual, f.l + h.h * f.b AS forecast,
+        |  abs(f.l + h.h * f.b - i.y) AS abs_err,
+        |  CASE WHEN abs(f.l + h.h * f.b) + abs(i.y) = 0 THEN CAST('0' AS DOUBLE)
+        |       ELSE 2.0 * abs(f.l + h.h * f.b - i.y) /
+        |            (abs(f.l + h.h * f.b) + abs(i.y)) END AS smape_term
+        |FROM fin f
+        |CROSS JOIN steps h
+        |JOIN i ON i.event_type = f.event_type AND i.t = f.ntrain - 1 + h.h""".stripMargin,
 
     // autocorrelation pitch: every lag's integer correlation recomputed
     // from the planted-period formula; argmax ties break to smallest lag

@@ -798,4 +798,58 @@ object EventAnalytics {
       }
       .toDF(keyCol, "n_obs", "level", "trend", "forecast")
   }
+
+  /**
+   * Rolling-origin backtest of [[holtForecast]]: fit on all but the last
+   * `horizon` points (in `idxCol` order), forecast each held-out step,
+   * and emit ONE ROW PER (key, step) with the actual, the forecast, the
+   * absolute error, and the symmetric-APE term `2|f-a| / (|f|+|a|)` —
+   * the standard forecast-accuracy protocol (Hyndman & Koehler 2006).
+   * Per-point rows instead of a pre-averaged sMAPE keep every number a
+   * fixed IEEE expression of the deterministic recurrence (an unordered
+   * float mean would not replay bit-for-bit); averaging is one
+   * `avg(smape_term)` away for consumers who want the scalar.
+   *
+   * Scale: identical grain to [[holtForecast]] — one shuffle on the key,
+   * O(n) sequential per key, horizon rows out per key.
+   */
+  def holtBacktest(
+      df: DataFrame, keyCol: String, idxCol: String, valCol: String,
+      alpha: Double = 0.5, gamma: Double = 0.5, horizon: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(gamma > 0 && gamma < 1, s"gamma must be in (0,1), got $gamma")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(idxCol).cast("long"),
+        col(valCol).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val pts = it.toArray.sortBy(_._2)
+        val n = pts.length - horizon
+        require(n >= 2,
+          s"holtBacktest: key '$key' has ${pts.length} point(s); need >= ${horizon + 2}")
+        val series = pts.map(_._3)
+        var l = series(0)
+        var b = series(1) - series(0)
+        var i = 1
+        while (i < n) {
+          val y = series(i)
+          val l1 = alpha * y + (1 - alpha) * (l + b)
+          b = gamma * (l1 - l) + (1 - gamma) * b
+          l = l1
+          i += 1
+        }
+        (1 to horizon).iterator.map { h =>
+          val f = l + h * b
+          val a = series(n - 1 + h)
+          val absErr = math.abs(f - a)
+          val denom = math.abs(f) + math.abs(a)
+          val smape = if (denom == 0.0) 0.0 else 2.0 * absErr / denom
+          (key, h, pts(n - 1 + h)._2, a, f, absErr, smape)
+        }
+      }
+      .toDF(keyCol, "step", "idx", "actual", "forecast", "abs_err", "smape_term")
+  }
 }

@@ -85,4 +85,38 @@ object Privacy {
           .otherwise(sha2(concat_ws("|", lit(salt), col(c).cast("string")), 256)))
     }
   }
+
+  /**
+   * Differential-privacy noise for released aggregates: adds
+   * `<valCol>_dp = valCol + Laplace(sensitivity / epsilon)` (Dwork et al.,
+   * "Calibrating Noise to Sensitivity in Private Data Analysis", TCC 2006
+   * — the epsilon-DP mechanism for counting/sum queries). The draw is
+   * DETERMINISTIC per (seed, key tuple): an md5-derived 52-bit uniform
+   * through the inverse Laplace CDF `-scale * sign(u) * ln(1 - 2|u|)` —
+   * so a re-released aggregate carries the SAME noise (re-release with
+   * fresh noise would average it away; the portable-hash discipline is
+   * the q13 md5-rank sampler's). Engine-side `ln` makes this rows-only
+   * (libm), like every RNG op here; the spec pins determinism,
+   * partitioning-immunity, the empirical scale, and exact 1/epsilon
+   * scaling.
+   *
+   * Scale: scan-fused expression — no shuffle, no UDF, no state.
+   */
+  def withLaplaceNoise(
+      df: DataFrame, valCol: String, keyCols: Seq[String],
+      epsilon: Double, sensitivity: Double, seed: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(sensitivity > 0, s"sensitivity must be positive, got $sensitivity")
+    require(keyCols.nonEmpty, "need key columns to derive the per-row draw")
+    val scale = sensitivity / epsilon
+    // 52 hex-prefix bits -> uniform on (0,1) (the +0.5 keeps it off 0)
+    val u01 = (conv(substring(md5(concat_ws("|",
+        (lit(seed) +: keyCols.map(c => col(c).cast("string"))): _*)), 1, 13),
+      16, 10).cast("double") + 0.5) / lit(4503599627370496.0)
+    val u = u01 - 0.5
+    // clamp the ln argument away from 0: |noise| caps at ~36*scale
+    val mag = -lit(scale) * log(greatest(lit(1.0) - abs(u) * 2.0, lit(1e-16)))
+    df.withColumn(s"${valCol}_dp",
+      col(valCol).cast("double") + signum(u) * mag)
+  }
 }

@@ -480,6 +480,41 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rc.getDouble(2) === 42.0 && rc.getDouble(3) === 0.0 && rc.getDouble(4) === 42.0)
   }
 
+  test("holtBacktest: per-step rows match the prefix-fit recurrence exactly") {
+    import spark.implicits._
+    // y = 10 + 3t is tracked exactly, so every held-out forecast is the
+    // true continuation and every error term is exactly 0
+    val lin = (0L until 15L).map(t => ("a", t, 10.0 + 3 * t)).toDF("k", "t", "y")
+    val r = EventAnalytics.holtBacktest(lin, "k", "t", "y", horizon = 4)
+      .orderBy($"step").collect()
+    assert(r.length === 4)
+    r.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getInt(1) === i + 1)
+      assert(row.getLong(2) === 11L + i) // held-out idx
+      assert(row.getDouble(4) === row.getDouble(3)) // forecast == actual
+      assert(row.getDouble(5) === 0.0 && row.getDouble(6) === 0.0)
+    }
+    // irregular series: replay the recurrence by hand on the train prefix
+    val ys = Seq(4.0, 7.0, 5.0, 9.0, 6.0, 8.0)
+    val df = ys.zipWithIndex.map { case (y, t) => ("k", t.toLong, y) }.toDF("k", "t", "y")
+    var l = ys(0)
+    var b = ys(1) - ys(0)
+    for (i <- 1 until 4) { // horizon=2 -> train on first 4
+      val l1 = 0.5 * ys(i) + 0.5 * (l + b)
+      b = 0.5 * (l1 - l) + 0.5 * b
+      l = l1
+    }
+    val rr = EventAnalytics.holtBacktest(df, "k", "t", "y", horizon = 2)
+      .orderBy($"step").collect()
+    assert(rr(0).getDouble(4) === l + 1 * b)
+    assert(rr(1).getDouble(4) === l + 2 * b)
+    assert(rr(0).getDouble(6) ===
+      2.0 * math.abs(l + b - ys(4)) / (math.abs(l + b) + math.abs(ys(4))))
+    intercept[Exception] {
+      EventAnalytics.holtBacktest(df, "k", "t", "y", horizon = 5).collect()
+    }
+  }
+
   test("holtForecast: hand-computed recurrence on a short irregular series") {
     import spark.implicits._
     val ys = Seq(4.0, 7.0, 5.0, 9.0)

@@ -72,4 +72,27 @@ class PrivacySpec extends SparkSpec {
     assert(other.intersect(out.values.flatten.toSet).isEmpty)
     intercept[IllegalArgumentException] { Privacy.pseudonymize(df, Seq("name"), "") }
   }
+
+  test("withLaplaceNoise: deterministic, partitioning-immune, correct scale, exact 1/eps scaling") {
+    // base 0.0 so v_dp IS the draw (no float cancellation in the readback)
+    val df = (0L until 20000L).map(i => (i, 0.0)).toDF("id", "v")
+    def noise(d: org.apache.spark.sql.DataFrame, eps: Double) =
+      Privacy.withLaplaceNoise(d, "v", Seq("id"), eps, sensitivity = 1.0, seed = "s")
+        .select($"id", $"v_dp").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = noise(df, 1.0)
+    val b = noise(df.repartition(13), 1.0)
+    assert(a === b) // same (seed, key) -> same draw, any partitioning
+    // empirical |Laplace(1)| mean is the scale (=1): 20k draws within 5%
+    val meanAbs = a.values.map(math.abs).sum / a.size
+    assert(meanAbs > 0.95 && meanAbs < 1.05, s"mean |noise| $meanAbs")
+    // both signs occur and roughly balance
+    val pos = a.values.count(_ > 0)
+    assert(pos > a.size * 0.45 && pos < a.size * 0.55)
+    // doubling epsilon halves every draw EXACTLY (scale is linear)
+    val half = noise(df, 2.0)
+    assert(a.forall { case (k, v) => half(k) === v / 2.0 })
+    intercept[IllegalArgumentException] {
+      Privacy.withLaplaceNoise(df, "v", Seq("id"), 0.0, 1.0, "s")
+    }
+  }
 }
