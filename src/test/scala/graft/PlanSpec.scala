@@ -211,6 +211,31 @@ class PlanSpec extends SparkSpec {
       s"single-partition global window over unbounded input in: ${offenders.mkString(", ")}")
   }
 
+  test("codec decode + pseudonymization are scan-fused: zero Exchange in the plan") {
+    // payload decode and token hashing must never move bytes across the
+    // wire — a shuffle here would ship raw media/identifiers cluster-wide
+    for (q <- Seq("q270_g711_decode_stats", "q271_adpcm_decode", "q274_pseudonymize",
+        "q279_audio_periodicity")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001).queryExecution.sparkPlan.toString
+      assert(!plan.contains("Exchange"), s"$q must not shuffle\n$plan")
+    }
+  }
+
+  test("context packing ranks via GlobalRank's range sort, never a window") {
+    val plan = SparkEntry.queries("q277_context_pack")(spark, sf0001)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"), "packing must not use a window\n" + plan)
+    assert(plan.contains("ExistingRDD"), "packing must rank via GlobalRank's RDD path\n" + plan)
+  }
+
+  test("DSIR scoring joins the bucket log-ratio table by broadcast") {
+    // the ratio relation is bounded by `buckets`; shipping it beats
+    // shuffling the corpus-sized feature stream
+    val plan = formatted(SparkEntry.queries("q278_dsir_weights")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      "expected the bucket ratio table on the broadcast side\n" + plan)
+  }
+
   test("curriculum ordering + equi-depth histogram rank via distributed range sort (no global window)") {
     for (q <- Seq("q123_curriculum_order", "q124_equidepth_histogram")) {
       val plan = SparkEntry.queries(q)(spark, sf0001).queryExecution.sparkPlan.toString
