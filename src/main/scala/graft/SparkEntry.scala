@@ -2835,6 +2835,42 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_orders")),
         "n_orders", Seq("o_orderpriority"),
         epsilon = 0.5, sensitivity = 1.0, seed = "release-2026-08")),
+
+    // the G.711 CODEGEN-EXPRESSION path (vs q270's container decode):
+    // code bytes sliced straight out of the RIFF data chunk with binary
+    // substring, expanded by the g711_expand Catalyst expression, reduced
+    // by array HOFs — whole-stage-codegen end to end, same closed-form
+    // oracle discipline as q270
+    "q283_g711_sql_expand" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.G711Functions.g711_expand
+      val wavs = Multimodal.attachSyntheticG711Wav(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        sampleRate = 8000, nSamples = 800)
+      val codes = wavs.withColumn("__codes", expr("substring(wav, 45, 800)"))
+      codes.withColumn("samples",
+          when(col("doc_id") % 2 === 0, g711_expand(col("__codes"), "mulaw"))
+            .otherwise(g711_expand(col("__codes"), "alaw")))
+        .select(col("doc_id"),
+          size(col("samples")).cast("long").as("n_samples"),
+          aggregate(col("samples"), lit(0L), (a, x) => a + x.cast("long")).as("sum_amp"),
+          aggregate(col("samples"), lit(0L),
+            (a, x) => a + x.cast("long") * x.cast("long")).as("energy"))
+    }),
+
+    // privacy release capstone: k-anonymity suppression -> keyed
+    // pseudonymization -> class-level release, end to end; the released
+    // relation (incl. an actual token per class) hash-checks against
+    // DuckDB's replay of the whole chain
+    "q282_privacy_release" -> ((s, dir) => {
+      import graft.ext.Privacy
+      val safe = Privacy.suppress(
+        t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 3)
+      Privacy.pseudonymize(safe, Seq("c_name"), salt = "graft-release-1")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("c_name")).as("n_tokens"),
+          min(col("c_name")).as("sample_token"))
+    }),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4494,6 +4530,53 @@ object SparkEntry {
         |       ELSE CAST(COALESCE(d.dcg_scaled, 0) AS DOUBLE) /
         |            CAST(i.idcg_scaled AS DOUBLE) END AS ndcg
         |FROM idcg i LEFT JOIN dcg d ON i.query_id = d.query_id""".stripMargin,
+
+    // expression-path G.711: the q270 expansion formulas, integer sums only
+    "q283_g711_sql_expand" ->
+      """WITH smp AS (
+        |  SELECT d.doc_id, ii.i, (d.doc_id*7 + ii.i*3) % 256 AS cd
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 799)) AS i) ii
+        |), mu AS (
+        |  SELECT doc_id, i, 255 - cd AS u, CAST(xor(cd, 85) AS BIGINT) AS a FROM smp
+        |), mg AS (
+        |  SELECT doc_id, i, u, a,
+        |    ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS mt,
+        |    CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+        |         ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1)) END AS am
+        |  FROM mu
+        |), v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN CASE WHEN u >= 128 THEN 132 - mt ELSE mt - 132 END
+        |         ELSE CASE WHEN a >= 128 THEN am ELSE -am END END AS v
+        |  FROM mg)
+        |SELECT doc_id, CAST(800 AS BIGINT) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS sum_amp,
+        |  CAST(SUM(v*v) AS BIGINT) AS energy
+        |FROM v GROUP BY doc_id""".stripMargin,
+
+    // privacy release chain: suppression classes with n>=3 survive, then
+    // the same salted digests, rolled up per class
+    "q282_privacy_release" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS cn
+        |  FROM customer GROUP BY 1, 2),
+        |keep AS (
+        |  SELECT c.c_nationkey, c.c_mktsegment, c.c_name
+        |  FROM customer c
+        |  JOIN cls ON cls.c_nationkey = c.c_nationkey
+        |    AND cls.c_mktsegment = c.c_mktsegment
+        |  WHERE cls.cn >= 3),
+        |ps AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    sha256('graft-release-1' || '|' || c_name) AS tok
+        |  FROM keep)
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens,
+        |  min(tok) AS sample_token
+        |FROM ps GROUP BY 1, 2""".stripMargin,
 
     // salted SHA-256 pseudonyms: DuckDB recomputes the identical digests
     "q274_pseudonymize" ->

@@ -46,6 +46,12 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def litStr(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   /** fpp accepts a decimal literal directly (0.005) or, for backwards
     * compatibility, an integer literal read as a percent (1 = 0.01) —
     * validated here so misuse fails with a message naming the parameter. */
@@ -86,6 +92,15 @@ object GraftExtensions {
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float vectors"),
       arity(2, "vec_dot")(e => DotProduct(e(0), e(1)))),
+    (FunctionIdentifier("g711_expand"),
+      info("g711_expand",
+        "g711_expand(codes, law) - expand G.711 'mulaw'/'alaw' code bytes to linear int samples"),
+      arity(2, "g711_expand")(e => G711Expand(e(0), litStr(e(1), "law") match {
+        case "mulaw" => true
+        case "alaw" => false
+        case other => throw new IllegalArgumentException(
+          s"law must be 'mulaw' or 'alaw', got '$other'")
+      }))),
     (FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity in [-1, 1]"),
       arity(2, "vec_cosine")(e => CosineSimilarity(e(0), e(1)))),

@@ -109,4 +109,29 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integer literal") || e.getMessage.contains("k must"))
   }
+
+  test("g711_expand resolves in SQL and matches the codec LUT for every byte") {
+    registered
+    import spark.implicits._
+    // one row carrying all 256 code bytes
+    Seq(Tuple1(Array.tabulate(256)(_.toByte)))
+      .toDF("codes").createOrReplaceTempView("g711_codes")
+    for (law <- Seq("mulaw", "alaw")) {
+      val got = spark.sql(s"SELECT g711_expand(codes, '$law') FROM g711_codes")
+        .collect().head.getSeq[Int](0)
+      val expand: Int => Int =
+        if (law == "mulaw") graft.ext.Multimodal.G711Codec.mulawExpand
+        else graft.ext.Multimodal.G711Codec.alawExpand
+      assert(got === (0 until 256).map(expand))
+    }
+    // composes with array HOFs for SQL-side audio math
+    val rms = spark.sql(
+      """SELECT aggregate(g711_expand(codes, 'mulaw'), 0L, (a, x) -> a + x * x)
+        |FROM g711_codes""".stripMargin).collect().head.getLong(0)
+    assert(rms > 0L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT g711_expand(codes, 'pcm') FROM g711_codes").collect()
+    }
+    assert(e.getMessage.contains("mulaw"))
+  }
 }
