@@ -2871,6 +2871,75 @@ object SparkEntry {
           countDistinct(col("c_name")).as("n_tokens"),
           min(col("c_name")).as("sample_token"))
     }),
+
+    // EXACT audience-overlap matrix via the Roaring-style membership
+    // bitmap (the exact tier under q266's theta sketch): one shuffle to
+    // the |segments|-row bitmap relation, then a BROADCAST self-pair over
+    // that tiny relation — the fact table is scanned once and never
+    // self-joins (q266's exact arm joins the deduped fact table against
+    // itself; here every cardinality comes out of the bitmaps)
+    "q284_bitmap_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.BitmapFunctions._
+      val seg = t(s, dir, "events")
+        .groupBy(col("event_type")).agg(bitmap_agg(col("user_id")).as("bm"))
+      val a = seg.select(col("event_type").as("seg_a"), col("bm").as("bm_a"))
+      val b = seg.select(col("event_type").as("seg_b"), col("bm").as("bm_b"))
+      a.join(broadcast(b), col("seg_a") < col("seg_b"))
+        .select(col("seg_a"), col("seg_b"),
+          bitmap_count(col("bm_a")).as("card_a"),
+          bitmap_count(col("bm_b")).as("card_b"),
+          bitmap_and_count(col("bm_a"), col("bm_b")).as("and_count"),
+          bitmap_or_count(col("bm_a"), col("bm_b")).as("or_count"),
+          bitmap_andnot_count(col("bm_a"), col("bm_b")).as("andnot_count"))
+    }),
+
+    // Pareto frontier (skyline, Börzsönyi ICDE'01): lineitems no other
+    // lineitem beats on BOTH price and discount. Two-phase local-skyline
+    // + broadcast-candidate refine — no self-join of the fact table; the
+    // oracle replays dominance by the O(n log n) 2-d window formulation
+    // (cummax of the per-price discount maxima), NOT a quadratic NOT
+    // EXISTS, so it stays cheap at every SF
+    "q285_skyline_frontier" -> ((s, dir) =>
+      graft.operators.Skyline.skyline(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_discount")),
+        Seq("l_extendedprice", "l_discount"))),
+
+    // per-group frontier — the curation shape ("per language: the
+    // quality/length frontier"): within each return flag, the
+    // quantity/price Pareto set; groups co-locate on one shuffle and
+    // never interact
+    "q287_skyline_pergroup" -> ((s, dir) =>
+      graft.operators.Skyline.skylinePerGroup(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice")),
+        Seq("l_returnflag"), Seq("l_quantity", "l_extendedprice"))),
+
+    // golden-record survivorship capstone: q213's Jaro-Winkler entity
+    // clusters collapse to ONE merged record each — majority lang/source,
+    // longest text, max n_chars, min doc_id as the representative id —
+    // every rule deterministic (ties break on the value), so the whole
+    // chain (blocking -> JW pairs -> connected components -> survivorship)
+    // hash-checks against DuckDB end to end
+    "q286_golden_records" -> ((s, dir) => {
+      import graft.ext.Survivorship._
+      val named = t(s, dir, "documents")
+        .select(col("doc_id"), expr(entityNameFixtureSql).as("acct_name"),
+          col("lang"), col("source"), col("text"), col("n_chars"))
+      val clusters = graft.ext.Dedup.jaroWinklerClusters(
+        named.select(col("doc_id"), col("acct_name")),
+        "doc_id", "acct_name", substring(col("acct_name"), 1, 2), threshold = 0.9)
+      val recs = named.join(
+        clusters.select(col("id").as("doc_id"), col("cluster_id")), "doc_id")
+      goldenRecords(recs, "cluster_id", Seq(
+        MinOf("doc_id", "rep_id"),
+        MostFrequent("lang"),
+        MostFrequent("source"),
+        Longest("text"),
+        MaxOf("n_chars", "max_chars")))
+    }),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4577,6 +4646,116 @@ object SparkEntry {
         |  CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens,
         |  min(tok) AS sample_token
         |FROM ps GROUP BY 1, 2""".stripMargin,
+
+    // exact overlap matrix: every bitmap cardinality is a COUNT DISTINCT;
+    // or/andnot derive by inclusion-exclusion over exact counts
+    "q284_bitmap_segments" ->
+      """WITH seg AS (SELECT DISTINCT event_type, user_id FROM events),
+        |card AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM seg GROUP BY 1),
+        |inter AS (
+        |  SELECT x.event_type AS sa, y.event_type AS sb, CAST(count(*) AS BIGINT) AS i
+        |  FROM seg x JOIN seg y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ca.event_type AS seg_a, cb.event_type AS seg_b,
+        |  ca.c AS card_a, cb.c AS card_b,
+        |  COALESCE(i.i, 0) AS and_count,
+        |  ca.c + cb.c - COALESCE(i.i, 0) AS or_count,
+        |  ca.c - COALESCE(i.i, 0) AS andnot_count
+        |FROM card ca
+        |JOIN card cb ON ca.event_type < cb.event_type
+        |LEFT JOIN inter i ON i.sa = ca.event_type AND i.sb = cb.event_type""".stripMargin,
+
+    // 2-d dominance replayed in O(n log n): a row is dominated iff the
+    // running max discount over STRICTLY higher prices reaches it, or a
+    // same-price row has a strictly higher discount — never a quadratic
+    // NOT EXISTS
+    "q285_skyline_frontier" ->
+      """WITH g AS (
+        |  SELECT l_extendedprice AS p, max(l_discount) AS md
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT p, md, max(md) OVER (ORDER BY p DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+        |  FROM g)
+        |SELECT t.l_orderkey, t.l_linenumber, t.l_extendedprice, t.l_discount
+        |FROM lineitem t JOIN c ON t.l_extendedprice = c.p
+        |WHERE (c.cm IS NULL OR c.cm < t.l_discount)
+        |  AND NOT (c.md > t.l_discount)""".stripMargin,
+
+    "q287_skyline_pergroup" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS f, l_quantity AS q, max(l_extendedprice) AS mp
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT f, q, mp, max(mp) OVER (PARTITION BY f ORDER BY q DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+        |  FROM g)
+        |SELECT t.l_returnflag, t.l_orderkey, t.l_linenumber,
+        |  t.l_quantity, t.l_extendedprice
+        |FROM lineitem t JOIN c ON t.l_returnflag = c.f AND t.l_quantity = c.q
+        |WHERE (c.cm IS NULL OR c.cm < t.l_extendedprice)
+        |  AND NOT (c.mp > t.l_extendedprice)""".stripMargin,
+
+    // q213's cluster chain (same fixture, same recursive-CTE components)
+    // + deterministic survivorship: every arg-max breaks ties on the
+    // value itself (DESC), matching max_by(v, struct(ord, v)) exactly
+    "q286_golden_records" ->
+      """WITH RECURSIVE k AS (
+        |  SELECT doc_id AS id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 10)
+        |      WHEN 1 THEN substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 10) || 'x'
+        |      WHEN 2 THEN substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 9) || 'zz'
+        |      ELSE substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 8)
+        |        || substr(md5(CAST(doc_id // 4 AS VARCHAR)), 10, 1)
+        |        || substr(md5(CAST(doc_id // 4 AS VARCHAR)), 9, 1)
+        |    END AS nm
+        |  FROM documents),
+        |kb AS (SELECT id, nm, substr(nm, 1, 2) AS blk FROM k),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM kb a JOIN kb b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |comp(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, c.label FROM comp c JOIN edges e ON c.id = e.src),
+        |lab AS (SELECT id AS doc_id, min(label) AS cluster_id FROM comp GROUP BY id),
+        |recs AS (
+        |  SELECT l.cluster_id, d.doc_id, d.lang, d.source, d.text, d.n_chars
+        |  FROM lab l JOIN documents d ON l.doc_id = d.doc_id),
+        |flang AS (
+        |  SELECT cluster_id, lang FROM (
+        |    SELECT cluster_id, lang, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY count(*) DESC, lang DESC) AS rn
+        |    FROM recs WHERE lang IS NOT NULL GROUP BY cluster_id, lang)
+        |  WHERE rn = 1),
+        |fsource AS (
+        |  SELECT cluster_id, source FROM (
+        |    SELECT cluster_id, source, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY count(*) DESC, source DESC) AS rn
+        |    FROM recs WHERE source IS NOT NULL GROUP BY cluster_id, source)
+        |  WHERE rn = 1),
+        |ftext AS (
+        |  SELECT cluster_id, text FROM (
+        |    SELECT cluster_id, text, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY len(text) DESC, text DESC) AS rn
+        |    FROM recs WHERE text IS NOT NULL)
+        |  WHERE rn = 1),
+        |agg AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |    min(doc_id) AS rep_id, max(n_chars) AS max_chars
+        |  FROM recs GROUP BY 1)
+        |SELECT a.cluster_id, a.n_members, a.rep_id, fl.lang, fs.source,
+        |  ft.text, a.max_chars
+        |FROM agg a
+        |LEFT JOIN flang fl ON a.cluster_id = fl.cluster_id
+        |LEFT JOIN fsource fs ON a.cluster_id = fs.cluster_id
+        |LEFT JOIN ftext ft ON a.cluster_id = ft.cluster_id""".stripMargin,
 
     // salted SHA-256 pseudonyms: DuckDB recomputes the identical digests
     "q274_pseudonymize" ->

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skyline (Pareto-frontier) selection: the rows not dominated by any other
+ * row, where y dominates x iff y is >= x on every dimension and > on at
+ * least one (Börzsönyi, Kossmann, Stocker, "The Skyline Operator", ICDE
+ * 2001). The curation use: "keep the quality/length frontier per language"
+ * — documents for which no other document is at least as good on every axis
+ * and strictly better on one.
+ *
+ * Distributed shape is the two-phase local-skyline algorithm:
+ *
+ *   1. LOCAL: each partition reduces to its own skyline via a sorted
+ *      block-nested loop — rows sorted by dimension sum descending, so a
+ *      row can only be dominated by a row already in the local skyline
+ *      (the sum is a monotone preference function: a dominator's sum is
+ *      strictly larger). One `mapPartitions` pass, no shuffle.
+ *   2. GLOBAL: the union of local skylines C is a SUPERSET of the global
+ *      skyline (every global skyline row survives its own partition), and
+ *      every dominated candidate is dominated by some global-skyline row
+ *      (follow dominators to a maximal one — dominance is a strict partial
+ *      order — and maximal rows are in C). So filtering C against
+ *      BROADCAST C is exact: one collect of the candidate relation, one
+ *      broadcast, one scan of C.
+ *
+ * The candidate set is the scale knob: low-dimensional skylines are small
+ * (d=2..4 over continuous-ish data gives |skyline| ~ O(log^(d-1) n)), but
+ * anti-correlated dimensions can blow it up, so the collect is guarded by
+ * `maxCandidates` with a loud failure (the searchPq query-cap discipline)
+ * — the caller's escalation is more partitions (smaller local skylines
+ * don't help |C|; fewer dims or pre-filtering do).
+ *
+ * Ties/duplicates: rows equal on EVERY dimension do not dominate each
+ * other; all of them survive together — matching the NOT EXISTS oracle
+ * semantics exactly.
+ *
+ * NULL dimensions are rejected up front (dominance is undefined on NULL);
+ * filter or impute first ([[RobustStats]] has the imputers).
+ */
+object Skyline {
+
+  /**
+   * Skyline of `df` over numeric `dims`, all maximized (negate a column to
+   * minimize it). Output schema = input schema, rows = the Pareto frontier.
+   */
+  def skyline(df: DataFrame, dims: Seq[String], maxCandidates: Int = 2000000): DataFrame = {
+    require(dims.nonEmpty, "skyline needs at least one dimension")
+    dims.foreach { d =>
+      require(df.columns.contains(d), s"no such column '$d' among ${df.columns.mkString(", ")}")
+    }
+    val spark = df.sparkSession
+    val schema = df.schema
+    val idx = dims.map(schema.fieldIndex)
+    val dimNames = dims.mkString(", ")
+
+    def dimsOf(r: Row): Array[Double] = {
+      val a = new Array[Double](idx.length)
+      var i = 0
+      while (i < idx.length) {
+        a(i) = r.get(idx(i)) match {
+          case n: java.lang.Number => n.doubleValue()
+          case null => throw new IllegalArgumentException(
+            s"NULL in skyline dimension(s) $dimNames: dominance is undefined on NULL — filter or impute first")
+          case other => throw new IllegalArgumentException(
+            s"skyline dimension must be numeric, got $other")
+        }
+        i += 1
+      }
+      a
+    }
+
+    // y dominates x: >= everywhere, > somewhere
+    def dominates(y: Array[Double], x: Array[Double]): Boolean = {
+      var strict = false
+      var i = 0
+      while (i < y.length) {
+        if (y(i) < x(i)) return false
+        if (y(i) > x(i)) strict = true
+        i += 1
+      }
+      strict
+    }
+
+    def localSkyline(rows: Iterator[Row]): Iterator[Row] = {
+      // sum-descending order makes the running skyline a sufficient
+      // dominator set: any dominator of x sums strictly higher than x
+      val sorted = rows.map(r => (r, dimsOf(r))).toArray
+      java.util.Arrays.sort(sorted, Ordering.by[(Row, Array[Double]), Double](-_._2.sum))
+      val sky = new scala.collection.mutable.ArrayBuffer[(Row, Array[Double])]()
+      var i = 0
+      while (i < sorted.length) {
+        val (r, d) = sorted(i)
+        if (!sky.exists(s => dominates(s._2, d))) sky += ((r, d))
+        i += 1
+      }
+      sky.iterator.map(_._1)
+    }
+
+    val candidates = spark.createDataFrame(
+      df.rdd.mapPartitions(localSkyline), schema)
+
+    // counted cap BEFORE the collect, so an anti-correlated blow-up fails
+    // loudly instead of OOMing the driver
+    val nCand = candidates.count()
+    require(nCand <= maxCandidates,
+      s"skyline candidate set has $nCand rows > maxCandidates=$maxCandidates: " +
+        "anti-correlated dimensions produced a frontier too large to broadcast; " +
+        "reduce dimensions, pre-filter, or raise maxCandidates explicitly")
+
+    val bc: Broadcast[Array[Array[Double]]] =
+      spark.sparkContext.broadcast(candidates.collect().map(dimsOf))
+    val finalSky = candidates.rdd.mapPartitions { rows =>
+      val cand = bc.value
+      rows.filter { r =>
+        val d = dimsOf(r)
+        !cand.exists(c => dominates(c, d))
+      }
+    }
+    spark.createDataFrame(finalSky, schema)
+  }
+
+  /**
+   * Per-group skyline: the frontier within each `groupCols` key — the
+   * curation shape ("per language"). One shuffle to co-locate each group,
+   * then the same sorted block-nested loop per group; per-group cardinality
+   * is assumed executor-RAM-shaped (the flatMapGroups discipline of the
+   * robust-stats family). No driver collect, no broadcast: groups never
+   * interact.
+   */
+  def skylinePerGroup(df: DataFrame, groupCols: Seq[String], dims: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "skylinePerGroup needs at least one group column")
+    val spark = df.sparkSession
+    val schema = df.schema
+    val dimIdx = dims.map(schema.fieldIndex)
+    val grpIdx = groupCols.map(schema.fieldIndex)
+    val dimNames = dims.mkString(", ")
+
+    def dimsOf(r: Row): Array[Double] = {
+      val a = new Array[Double](dimIdx.length)
+      var i = 0
+      while (i < dimIdx.length) {
+        a(i) = r.get(dimIdx(i)) match {
+          case n: java.lang.Number => n.doubleValue()
+          case null => throw new IllegalArgumentException(
+            s"NULL in skyline dimension(s) $dimNames: dominance is undefined on NULL — filter or impute first")
+          case other => throw new IllegalArgumentException(
+            s"skyline dimension must be numeric, got $other")
+        }
+        i += 1
+      }
+      a
+    }
+    def dominates(y: Array[Double], x: Array[Double]): Boolean = {
+      var strict = false
+      var i = 0
+      while (i < y.length) {
+        if (y(i) < x(i)) return false
+        if (y(i) > x(i)) strict = true
+        i += 1
+      }
+      strict
+    }
+
+    val grouped = df.rdd
+      .groupBy(r => grpIdx.map(r.get))
+      .flatMap { case (_, rows) =>
+        val sorted = rows.iterator.map(r => (r, dimsOf(r))).toArray
+        java.util.Arrays.sort(sorted, Ordering.by[(Row, Array[Double]), Double](-_._2.sum))
+        val sky = new scala.collection.mutable.ArrayBuffer[(Row, Array[Double])]()
+        var i = 0
+        while (i < sorted.length) {
+          val (r, d) = sorted(i)
+          if (!sky.exists(s => dominates(s._2, d))) sky += ((r, d))
+          i += 1
+        }
+        sky.iterator.map(_._1)
+      }
+    spark.createDataFrame(grouped, schema)
+  }
+}

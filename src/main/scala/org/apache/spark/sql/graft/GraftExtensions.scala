@@ -148,6 +148,24 @@ object GraftExtensions {
       arity(3, "count_min_agg")(e =>
         CountMinAgg(e(0), litLong(e(1), "depth").toInt, litLong(e(2), "width").toInt)
           .toAggregateExpression())),
+    (FunctionIdentifier("bitmap_agg"),
+      info("bitmap_agg",
+        "bitmap_agg(key) - EXACT membership bitmap over long keys (Roaring-" +
+          "style chunked containers; aggregate, returns binary); query with " +
+          "bitmap_count / bitmap_and_count / bitmap_or_count / bitmap_andnot_count"),
+      arity(1, "bitmap_agg")(e => BitmapAgg(e(0)).toAggregateExpression())),
+    (FunctionIdentifier("bitmap_count"),
+      info("bitmap_count", "bitmap_count(bitmap) - exact cardinality of a bitmap_agg result"),
+      arity(1, "bitmap_count")(e => BitmapCount(e(0)))),
+    (FunctionIdentifier("bitmap_and_count"),
+      info("bitmap_and_count", "bitmap_and_count(a, b) - exact |A INTERSECT B| of two bitmaps"),
+      arity(2, "bitmap_and_count")(e => BitmapAndCount(e(0), e(1)))),
+    (FunctionIdentifier("bitmap_or_count"),
+      info("bitmap_or_count", "bitmap_or_count(a, b) - exact |A UNION B| of two bitmaps"),
+      arity(2, "bitmap_or_count")(e => BitmapOrCount(e(0), e(1)))),
+    (FunctionIdentifier("bitmap_andnot_count"),
+      info("bitmap_andnot_count", "bitmap_andnot_count(a, b) - exact |A EXCEPT B| of two bitmaps"),
+      arity(2, "bitmap_andnot_count")(e => BitmapAndNotCount(e(0), e(1)))),
     (FunctionIdentifier("theta_sketch_agg"),
       info("theta_sketch_agg",
         "theta_sketch_agg(key, k) - mergeable KMV/theta distinct sketch over " +
