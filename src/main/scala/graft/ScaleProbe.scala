@@ -954,6 +954,39 @@ object ScaleProbe {
             .agg(count(lit(1)).as("n_orders")),
           "n_orders", Seq("o_orderpriority"), 0.5, 1.0, "probe").count()
       }
+      // r6: exact bitmap overlap — one shuffle to the segment relation,
+      // pair walk over broadcast bitmaps; cost tracks the fact scan
+      timed("bitmap_segments", k) {
+        import org.apache.spark.sql.graft.BitmapFunctions._
+        val seg = read("events", k).groupBy(col("event_type"))
+          .agg(bitmap_agg(col("user_id")).as("bm"))
+        val a = seg.select(col("event_type").as("sa"), col("bm").as("ba"))
+        val b = seg.select(col("event_type").as("sb"), col("bm").as("bb"))
+        a.join(broadcast(b), col("sa") < col("sb"))
+          .select(bitmap_and_count(col("ba"), col("bb"))).count()
+      }
+      // r6: skyline — local frontiers shrink partitions before the one
+      // candidate broadcast; 2-d frontier size is ~log-bounded so the
+      // refine side stays trivial at any replication
+      timed("skyline", k) {
+        graft.operators.Skyline.skyline(
+          read("lineitem", k).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          Seq("l_extendedprice", "l_discount")).count()
+      }
+      timed("skyline_pergroup", k) {
+        graft.operators.Skyline.skylinePerGroup(
+          read("lineitem", k).select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")),
+          Seq("l_returnflag"), Seq("l_quantity", "l_extendedprice")).count()
+      }
+      // r6: survivorship — per-rule hash aggs + cluster-keyed joins; the
+      // cluster key here is synthetic (id-banded) so the probe times the
+      // rule machinery, not the upstream JW clustering
+      timed("golden_records", k) {
+        import graft.ext.Survivorship._
+        goldenRecords(
+          read("documents", k).withColumn("cl", expr("doc_id div 4")),
+          "cl", Seq(MostFrequent("lang"), Longest("text"), MaxOf("n_chars"))).count()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")

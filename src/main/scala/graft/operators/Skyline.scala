@@ -100,20 +100,24 @@ object Skyline {
       sky.iterator.map(_._1)
     }
 
-    val candidates = spark.createDataFrame(
-      df.rdd.mapPartitions(localSkyline), schema)
+    // localCheckpoint: the candidate set is consumed three times (counted
+    // cap, dims collect, final refine) — without it each action would
+    // re-scan the input and re-run the local phase
+    val candRdd = df.rdd.mapPartitions(localSkyline).localCheckpoint()
 
     // counted cap BEFORE the collect, so an anti-correlated blow-up fails
     // loudly instead of OOMing the driver
-    val nCand = candidates.count()
+    val nCand = candRdd.count()
     require(nCand <= maxCandidates,
       s"skyline candidate set has $nCand rows > maxCandidates=$maxCandidates: " +
         "anti-correlated dimensions produced a frontier too large to broadcast; " +
         "reduce dimensions, pre-filter, or raise maxCandidates explicitly")
 
+    // only the dimension vectors ship — the broadcast is |C| doubles-per-
+    // dim, not full rows
     val bc: Broadcast[Array[Array[Double]]] =
-      spark.sparkContext.broadcast(candidates.collect().map(dimsOf))
-    val finalSky = candidates.rdd.mapPartitions { rows =>
+      spark.sparkContext.broadcast(candRdd.map(dimsOf).collect())
+    val finalSky = candRdd.mapPartitions { rows =>
       val cand = bc.value
       rows.filter { r =>
         val d = dimsOf(r)
@@ -125,10 +129,16 @@ object Skyline {
 
   /**
    * Per-group skyline: the frontier within each `groupCols` key — the
-   * curation shape ("per language"). One shuffle to co-locate each group,
-   * then the same sorted block-nested loop per group; per-group cardinality
-   * is assumed executor-RAM-shaped (the flatMapGroups discipline of the
-   * robust-stats family). No driver collect, no broadcast: groups never
+   * curation shape ("per language"). Low-cardinality group keys are the
+   * scale hazard (3 languages would light up 3 tasks and idle the rest of
+   * the cluster), so the exchange is SALTED: phase 1 spreads each group
+   * across `spark.sql.shuffle.partitions` salt buckets (salt = hash of the
+   * dimension values, deterministic) and reduces every bucket to its local
+   * frontier; phase 2 re-shuffles only the surviving candidates on the
+   * bare group key and runs the same dominance filter once per group —
+   * exact by the two-phase argument (each group's frontier survives its
+   * bucket; every dominated candidate has a maximal dominator among the
+   * group's candidates). No driver collect, no broadcast: groups never
    * interact.
    */
   def skylinePerGroup(df: DataFrame, groupCols: Seq[String], dims: Seq[String]): DataFrame = {
@@ -165,20 +175,34 @@ object Skyline {
       strict
     }
 
-    val grouped = df.rdd
-      .groupBy(r => grpIdx.map(r.get))
-      .flatMap { case (_, rows) =>
-        val sorted = rows.iterator.map(r => (r, dimsOf(r))).toArray
-        java.util.Arrays.sort(sorted, Ordering.by[(Row, Array[Double]), Double](-_._2.sum))
-        val sky = new scala.collection.mutable.ArrayBuffer[(Row, Array[Double])]()
-        var i = 0
-        while (i < sorted.length) {
-          val (r, d) = sorted(i)
-          if (!sky.exists(s => dominates(s._2, d))) sky += ((r, d))
-          i += 1
-        }
-        sky.iterator.map(_._1)
+    // Tungsten hash exchanges (NOT RDD groupBy, whose Java-serialized
+    // shuffle of Row objects is the slow path); partition-local dominance
+    // filter per group key
+    def perGroupFrontier(parted: DataFrame) =
+      parted.rdd.mapPartitions { rows =>
+        rows.toArray.groupBy(r => grpIdx.map(r.get))
+          .iterator.flatMap { case (_, rs) =>
+            val sorted = rs.map(r => (r, dimsOf(r)))
+            java.util.Arrays.sort(sorted, Ordering.by[(Row, Array[Double]), Double](-_._2.sum))
+            val sky = new scala.collection.mutable.ArrayBuffer[(Row, Array[Double])]()
+            var i = 0
+            while (i < sorted.length) {
+              val (r, d) = sorted(i)
+              if (!sky.exists(s => dominates(s._2, d))) sky += ((r, d))
+              i += 1
+            }
+            sky.iterator.map(_._1)
+          }
       }
-    spark.createDataFrame(grouped, schema)
+
+    // phase 1: salted spread, local frontiers shrink each bucket
+    val salt = pmod(hash(dims.map(col): _*), lit(spark.sessionState.conf.numShufflePartitions))
+    val salted = df.withColumn("__sky_salt", salt)
+      .repartition((groupCols :+ "__sky_salt").map(col): _*)
+      .drop("__sky_salt")
+    val candidates = spark.createDataFrame(perGroupFrontier(salted), schema)
+    // phase 2: only candidates re-shuffle, on the bare group key
+    spark.createDataFrame(
+      perGroupFrontier(candidates.repartition(groupCols.map(col): _*)), schema)
   }
 }
