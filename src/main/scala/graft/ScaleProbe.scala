@@ -987,6 +987,23 @@ object ScaleProbe {
           read("documents", k).withColumn("cl", expr("doc_id div 4")),
           "cl", Seq(MostFrequent("lang"), Longest("text"), MaxOf("n_chars"))).count()
       }
+      // r6: materialized-rollup rewrite — the rollup build (untimed here;
+      // it is a one-shuffle agg) amortizes over every later query, and the
+      // timed query must stay FLAT across scales: it scans the |dims|-row
+      // rollup, never the fact. Registration is scoped so the other
+      // lineitem probes keep their direct scans.
+      if (only.isEmpty || only.contains("rollup_rewrite")) {
+        val factP = paths(("lineitem", k))
+        org.apache.spark.sql.graft.MaterializedRollup.create(spark, factP,
+          s"$work/rollup_x$k",
+          Seq("l_returnflag", "l_linestatus"),
+          Seq("qty" -> col("l_quantity").cast("decimal(15,2)")))
+        timed("rollup_rewrite", k) {
+          spark.read.parquet(factP).groupBy(col("l_returnflag"))
+            .agg(sum(col("l_quantity").cast("decimal(15,2)")).as("s")).count()
+        }
+        org.apache.spark.sql.graft.MaterializedRollup.unregister(factP)
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")

@@ -2940,6 +2940,34 @@ object SparkEntry {
         Longest("text"),
         MaxOf("n_chars", "max_chars")))
     }),
+
+    // materialized-rollup rewrite on the optimizer hook: the query below
+    // is written against the FACT table, but the registered rollup
+    // re-roots the (optimized) Aggregate onto the |dims|-row summary —
+    // PlanSpec pins that the executed scan reads the rollup path, and the
+    // oracle replays the query against the raw fact, so a wrong rewrite
+    // hash-fails. The fact is a q288-PRIVATE staged copy: registering on
+    // the shared lineitem path would silently re-root other gate queries'
+    // aggregates (correct but plan-contaminating)
+    "q288_rollup_rewrite" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.MaterializedRollup
+      val base = ensureServeArtifact("rollupfact", dir, "lineitem") { p =>
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"))
+          .write.parquet(s"$p/fact")
+      }
+      MaterializedRollup.create(s, s"$base/fact", s"$base/rollup",
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("qty" -> dec("l_quantity"), "price" -> dec("l_extendedprice")))
+      s.read.parquet(s"$base/fact")
+        .filter(col("l_linestatus") === lit("F"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          min(dec("l_extendedprice")).cast("double").as("min_price"),
+          max(dec("l_extendedprice")).cast("double").as("max_price"))
+    }),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4756,6 +4784,14 @@ object SparkEntry {
         |LEFT JOIN flang fl ON a.cluster_id = fl.cluster_id
         |LEFT JOIN fsource fs ON a.cluster_id = fs.cluster_id
         |LEFT JOIN ftext ft ON a.cluster_id = ft.cluster_id""".stripMargin,
+
+    // replay against the RAW fact — a wrong rollup rewrite hash-fails here
+    "q288_rollup_rewrite" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(min(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS min_price,
+        |  CAST(max(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS max_price
+        |FROM lineitem WHERE l_linestatus = 'F' GROUP BY 1""".stripMargin,
 
     // salted SHA-256 pseudonyms: DuckDB recomputes the identical digests
     "q274_pseudonymize" ->

@@ -432,4 +432,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("g204_li") && plan.contains("g204_o"),
       "expected bucketed table scans\n" + plan)
   }
+
+  test("rollup rewrite: q288's executed scan reads the rollup table, not the fact") {
+    val plan = formatted(SparkEntry.queries("q288_rollup_rewrite")(spark, sf0001))
+    assert(plan.contains("rollup"), "expected the rollup path in the scan\n" + plan)
+    assert(!plan.replaceAll("graft_serve_rollupfact", "").contains("fact"),
+      "the fact scan must be rewritten away\n" + plan)
+  }
+
+  test("bitmap overlap: one exchange to the segment relation, pair side broadcasts") {
+    val plan = formatted(SparkEntry.queries("q284_bitmap_segments")(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    // the fact table is scanned once: exactly one events scan pair feeds
+    // the two bitmap agg sides via ReusedExchange or a shared scan
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
+  }
+
 }
