@@ -1004,6 +1004,16 @@ object ScaleProbe {
         }
         org.apache.spark.sql.graft.MaterializedRollup.unregister(factP)
       }
+      // r6: Poisson bootstrap — n·B md5 draws dominate (the documented
+      // knob); shuffle is |groups|·B partials, so the ratio tracks the
+      // scan, not the resampling distribution
+      timed("bootstrap_ci", k) {
+        graft.ext.Bootstrap.bootstrapMeanCi(
+          read("customer", k)
+            .withColumn("cents", round(col("c_acctbal") * 100).cast("long")),
+          Seq("c_mktsegment"), "c_custkey", "cents",
+          resamples = 100, seed = "probe").count()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")

@@ -2968,6 +2968,17 @@ object SparkEntry {
           min(dec("l_extendedprice")).cast("double").as("min_price"),
           max(dec("l_extendedprice")).cast("double").as("max_price"))
     }),
+
+    // deterministic Poisson-bootstrap CI of the per-segment mean balance:
+    // every resample weight comes from a pinned hex-threshold compare on
+    // md5(seed:id:b), so DuckDB replays the FULL resampling distribution
+    // and the percentile bounds bit-for-bit — a bootstrap you can audit
+    "q289_bootstrap_ci" -> ((s, dir) =>
+      graft.ext.Bootstrap.bootstrapMeanCi(
+        t(s, dir, "customer")
+          .withColumn("cents", round(col("c_acctbal") * 100).cast("long")),
+        Seq("c_mktsegment"), "c_custkey", "cents",
+        resamples = 200, seed = "graft-bs-1")),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4784,6 +4795,57 @@ object SparkEntry {
         |LEFT JOIN flang fl ON a.cluster_id = fl.cluster_id
         |LEFT JOIN fsource fs ON a.cluster_id = fs.cluster_id
         |LEFT JOIN ftext ft ON a.cluster_id = ft.cluster_id""".stripMargin,
+
+    // full resampling-distribution replay: same md5 draws, same pinned
+    // Poisson CDF hex thresholds, same order-statistic index rule
+    "q289_bootstrap_ci" ->
+      """WITH src AS (
+        |  SELECT c_mktsegment AS g, c_custkey AS id,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |bs AS (SELECT unnest(generate_series(0, 199)) AS b),
+        |drawn AS (
+        |  SELECT g, b, cents,
+        |    CASE
+        |      WHEN h < '5e2d58d8b3bce' THEN 0
+        |      WHEN h < 'bc5ab1b16779c' THEN 1
+        |      WHEN h < 'eb715e1dc1583' THEN 2
+        |      WHEN h < 'fb23979734a25' THEN 3
+        |      WHEN h < 'ff1025f59174e' THEN 4
+        |      WHEN h < 'ffd90f3ba4056' THEN 5
+        |      WHEN h < 'fffa8b71fc72c' THEN 6
+        |      WHEN h < 'ffff540c0914b' THEN 7
+        |      WHEN h < 'ffffed1f4aa8f' THEN 8
+        |      ELSE 9 END AS w
+        |  FROM (
+        |    SELECT g, b, cents,
+        |      substr(md5('graft-bs-1:' || CAST(id AS VARCHAR) || ':' ||
+        |        CAST(b AS VARCHAR)), 1, 13) AS h
+        |    FROM src CROSS JOIN bs)),
+        |part AS (
+        |  SELECT g, b, sum(w * cents) AS swc, sum(w) AS sw
+        |  FROM drawn GROUP BY 1, 2 HAVING sum(w) > 0),
+        |means AS (
+        |  SELECT g, b, CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) AS m FROM part),
+        |ranked AS (
+        |  SELECT g, b, m,
+        |    row_number() OVER (PARTITION BY g ORDER BY m, b) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS beff
+        |  FROM means),
+        |ci AS (
+        |  SELECT g, CAST(max(beff) AS BIGINT) AS b_eff,
+        |    max(CASE WHEN rn = CAST(floor((beff - 1) * CAST('0.025' AS DOUBLE)) AS BIGINT) + 1
+        |             THEN m END) AS ci_lo,
+        |    max(CASE WHEN rn = CAST(floor((beff - 1) * CAST('0.975' AS DOUBLE)) AS BIGINT) + 1
+        |             THEN m END) AS ci_hi
+        |  FROM ranked GROUP BY 1),
+        |stat AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_cents
+        |  FROM src GROUP BY 1)
+        |SELECT s.g AS c_mktsegment, s.n_rows, s.mean_cents,
+        |  ci.ci_lo, ci.ci_hi, ci.b_eff
+        |FROM stat s JOIN ci ON s.g = ci.g""".stripMargin,
 
     // replay against the RAW fact — a wrong rollup rewrite hash-fails here
     "q288_rollup_rewrite" ->
