@@ -910,16 +910,30 @@ object Dedup {
     var iter = 0
 
     // PHASE 1: min-label hooks — the cheap rounds that finish shallow
-    // similarity graphs outright
-    val hookRounds = math.min(HookRounds, maxIterations)
-    while (!converged && iter < hookRounds) {
+    // similarity graphs outright. The per-round CHANGE COUNT doubles as
+    // the escalation signal: on a shallow graph it collapses geometrically
+    // (each round halves-or-better the moving frontier), while on a long
+    // chain/giant component it plateaus (the frontier walks the diameter).
+    // A plateau after MinHookRounds escalates to the star phase instead of
+    // burning the full hook budget on O(diameter) behavior.
+    val hookRounds = math.min(MaxHookRounds, maxIterations)
+    var prevChanged = Long.MaxValue
+    var plateau = false
+    while (!converged && !plateau && iter < hookRounds) {
       val neighborMin = sym.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nl"))
       val next = labels.join(neighborMin, col("id") === col("dst"), "left")
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      val changed = next.filter(col("label") =!= col("prev")).count()
+      converged = changed == 0L
+      // ratio > 0.9: a walking frontier (chain/giant component); geometric
+      // tails of shallow graphs sit well below it
+      plateau = iter + 1 >= MinHookRounds && changed * 10 > prevChanged * 9
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] hook round ${iter + 1}: changed=$changed prev=$prevChanged plateau=$plateau")
+      prevChanged = changed
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
@@ -963,6 +977,8 @@ object Dedup {
           .distinct()
           .localCheckpoint()
         converged = small.count() == edges.count() && small.except(edges).isEmpty
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(s"[cc] star round ${iter + 1}: edges=${small.count()} converged=$converged")
         edges = small
         iter += 1
       }
@@ -992,12 +1008,16 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id")).unionByName(singletons)
   }
 
-  /** Phase-1 budget for [[duplicateClusters]]: min-label rounds tried
-    * before escalating to large-star/small-star. 4 covers the shallow
-    * components every real dedup workload is dominated by; deeper graphs
-    * pay 4 cheap rounds (which also contract the graph ~5×) before the
-    * diameter-proof phase takes over. */
-  private val HookRounds = 4
+  /** Phase-1 budget for [[duplicateClusters]]: min-label rounds run until
+    * convergence, a change-count plateau (checked from round
+    * [[MinHookRounds]] — a halving-or-better frontier is a shallow graph
+    * worth finishing in place), or [[MaxHookRounds]], whichever first.
+    * Shallow graphs — every real dedup workload's common case — converge
+    * inside the budget and never pay the star phase's heavier rounds;
+    * chains/giant components plateau within 3–4 rounds and escalate to the
+    * diameter-proof phase having already contracted the graph. */
+  private val MinHookRounds = 3
+  private val MaxHookRounds = 10
 
   /**
    * Duplicated-span detection — the exact-substring dedup signal (Lee et
