@@ -198,6 +198,24 @@ class DedupSpec extends SparkSpec {
     ids.foreach(i => assert(got(i) === minId, s"vertex $i"))
   }
 
+  test("duplicateClusters: change-count plateau escalates early, not after the full hook budget") {
+    // a 200-vertex path plateaus immediately (the frontier walks the
+    // diameter, changed stays ~flat), so escalation must fire at round 3
+    // — the MinHookRounds floor — leaving ~log2(200) ≈ 8 star rounds.
+    // maxIterations = 13 only fits if the plateau detector works: burning
+    // the full 10-round hook budget first would need 10 + 8 > 13 and trip
+    // the loud non-convergence throw.
+    val n = 200
+    def rev(i: Int): Long = java.lang.Integer.reverse(i).toLong & 0xffffffffL
+    val ids = (0 until n).map(rev)
+    val verts = ids.toDF("id")
+    val pairs = (0 until n - 1).map(i => (ids(i), ids(i + 1))).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(verts, "id", pairs, maxIterations = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minId = ids.min
+    ids.foreach(i => assert(got(i) === minId, s"vertex $i"))
+  }
+
   test("duplicateClusters: two interleaved paths stay separate components") {
     // interleaved ids make the label LUT dense across both components —
     // guards the jump step against cross-component label bleed
