@@ -176,8 +176,11 @@ case class RollupRewrite(session: classic.SparkSession) extends Rule[LogicalPlan
     }
     if (!groupAttrs.forall(a => spec.dims.contains(a.name))) return None
     // every filter must be answerable on the rollup: dim references only
-    // (a measure predicate needs fact rows and blocks the rewrite)
-    if (!filters.forall(_.references.forall(a => spec.dims.contains(a.name)))) return None
+    // (a measure predicate needs fact rows and blocks the rewrite), and
+    // deterministic — a rand() predicate samples fact ROWS; re-evaluating
+    // it over rollup GROUPS would change the distribution entirely
+    if (!filters.forall(f => f.deterministic &&
+      f.references.forall(a => spec.dims.contains(a.name)))) return None
     val dimFilter: Option[Expression] = filters.reduceOption(
       org.apache.spark.sql.catalyst.expressions.And(_, _))
 

@@ -103,7 +103,12 @@ class MaterializedRollupSpec extends SparkSpec {
       // non-dim grouping blocks it
       fact.groupBy(col("l_shipdate")).agg(count(lit(1)).as("n")),
       // sum of a DIFFERENTLY-TYPED cast is not the registered shape
-      fact.groupBy(col("l_returnflag")).agg(sum(col("l_quantity").cast("decimal(20,4)")).as("s")))
+      fact.groupBy(col("l_returnflag")).agg(sum(col("l_quantity").cast("decimal(20,4)")).as("s")),
+      // a NON-DETERMINISTIC filter samples fact ROWS; re-evaluating it over
+      // rollup groups would change the distribution — must block the rewrite
+      // even though its column references are dim-only
+      fact.filter(rand(7) < 0.5 && col("l_returnflag") === "A")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")))
     shapes.foreach { q =>
       assert(!scanPaths(q).contains(rollupPath), q.queryExecution.optimizedPlan.toString)
       assert(scanPaths(q).contains("lineitem.parquet"))
