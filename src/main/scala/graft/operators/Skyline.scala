@@ -143,6 +143,7 @@ object Skyline {
    */
   def skylinePerGroup(df: DataFrame, groupCols: Seq[String], dims: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "skylinePerGroup needs at least one group column")
+    require(dims.nonEmpty, "skyline needs at least one dimension")
     val spark = df.sparkSession
     val schema = df.schema
     val dimIdx = dims.map(schema.fieldIndex)
