@@ -2003,11 +2003,16 @@ object SparkEntry {
         "l_returnflag", "cohort", "l_extendedprice", "0", "1")),
     // Mann-Whitney U / exact ROC AUC per return flag (even vs odd
     // orders): doubled midranks from ONE multi-column prefix scan keep
-    // everything integer; AUC is one division of exact longs
+    // everything integer; AUC is one division of exact longs. The
+    // operator keeps r2_a as an exact DECIMAL(38,0); the gate contract
+    // emits it string-canonicalized to DOUBLE (exact below 2^53 — every
+    // gate SF qualifies) so parquet decimal canonicalization can never
+    // diverge between engine and oracle hashers.
     "q205_mann_whitney" -> ((s, dir) =>
       graft.ext.RegressionOps.mannWhitneyAuc(
         t(s, dir, "lineitem").withColumn("cohort", (col("l_orderkey") % 2).cast("string")),
-        "l_returnflag", "cohort", "l_extendedprice", "0", "1")),
+        "l_returnflag", "cohort", "l_extendedprice", "0", "1")
+        .withColumn("r2_a", col("r2_a").cast("string").cast("double"))),
     // CUSUM change-point over per-type hourly volumes: scaled integer
     // cumulative sums peak at the most likely level shift; windows run
     // over the |types| x |hours| matrix, never the log
@@ -2421,11 +2426,13 @@ object SparkEntry {
       graft.ext.SurvivalOps.kmTable(
         t(s, dir, "events"), "user_id", "ts", churnGapDays = 7L)),
     // Markov removal-effect attribution: transition counts distributed,
-    // absorbing-chain solves on the channel-bounded matrix. Deterministic
-    // but the elimination is no single expression tree -> rows-only;
-    // closed-form chain ground truth lives in EventAnalyticsSpec
+    // absorbing-chain conversion probabilities via 40 rounds of integer
+    // fixed-point iteration on the channel-bounded matrix — pure integer
+    // floor arithmetic, so the DuckDB oracle replays every round as
+    // chained CTEs bit-for-bit (the q152 PageRank discipline). The exact
+    // double solver (markovAttribution) keeps its closed-form chain specs
     "q256_markov_attribution" -> ((s, dir) =>
-      graft.ext.EventAnalytics.markovAttribution(
+      graft.ext.EventAnalytics.markovAttributionFixedPoint(
         t(s, dir, "events"), "user_id", "ts", "event_type",
         convChannel = "purchase", tieCol = "event_id")),
     // materialized-view maintenance: additive agg state over pre-1998
@@ -3165,6 +3172,77 @@ object SparkEntry {
       s"\nSELECT node AS doc_id, CAST(rank_fp AS BIGINT) AS rank_fp FROM r$iters"
   }
 
+  // Markov-attribution fixed-point replay (q256): journey transitions in
+  // SQL windows, then the 40 integer fixed-point rounds unroll as chained
+  // CTEs over the (removal × transient-state) grid — all arithmetic is
+  // HUGEINT floor division, matching the engine's BigInt math bit-for-bit
+  // (the pageRankOracle discipline, with the removal dimension riding as
+  // a key instead of separate systems).
+  private lazy val markovOracle: String = {
+    val iters = 40 // must equal markovAttributionFixedPoint's default
+    val head =
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_ns(ts) AS t, event_id AS tie,
+        |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+        |         ELSE 'c:' || event_type END AS s
+        |  FROM events),
+        |o1 AS (
+        |  SELECT u, t, tie, s,
+        |    COALESCE(SUM(CASE WHEN s = 'CONV' THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY u ORDER BY t, tie
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS convbefore
+        |  FROM e),
+        |p AS (
+        |  SELECT u, s,
+        |    LEAD(s) OVER (PARTITION BY u ORDER BY t, tie) AS nx,
+        |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY t, tie) AS rn
+        |  FROM o1 WHERE convbefore = 0),
+        |tr AS (
+        |  SELECT 'START' AS src, s AS dst FROM p WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s AS src, COALESCE(nx, 'DROP') AS dst FROM p WHERE s <> 'CONV'),
+        |cnt AS MATERIALIZED (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
+        |outs AS MATERIALIZED (
+        |  SELECT src, CAST(SUM(n) AS BIGINT) AS outn FROM cnt GROUP BY 1),
+        |conv AS MATERIALIZED (SELECT src, n AS cn FROM cnt WHERE dst = 'CONV'),
+        |sts AS (SELECT DISTINCT src AS s FROM cnt),
+        |rem AS (SELECT s AS removal FROM sts WHERE s LIKE 'c:%'
+        |        UNION ALL SELECT '__NONE__'),
+        |x0 AS MATERIALIZED (
+        |  SELECT removal, s, CAST(0 AS HUGEINT) AS x FROM rem, sts)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""x$k AS MATERIALIZED (
+         |  SELECT g.removal, g.s,
+         |    (COALESCE(f.v, 0) + COALESCE(CAST(cv.cn AS HUGEINT), 0) * 1000000000000)
+         |      // o.outn AS x
+         |  FROM (SELECT removal, s FROM x0) g
+         |  JOIN outs o ON o.src = g.s
+         |  LEFT JOIN conv cv ON cv.src = g.s
+         |  LEFT JOIN (
+         |    SELECT xp.removal, c.src AS s, SUM(CAST(c.n AS HUGEINT) * xp.x) AS v
+         |    FROM x${k - 1} xp JOIN cnt c ON c.dst = xp.s
+         |    WHERE xp.s <> xp.removal
+         |    GROUP BY 1, 2) f ON f.removal = g.removal AND f.s = g.s)""".stripMargin
+    }
+    val tail =
+      s"""fin AS (SELECT removal, x FROM x$iters WHERE s = 'START'),
+         |b AS (SELECT x AS p0 FROM fin WHERE removal = '__NONE__'),
+         |re AS (
+         |  SELECT substr(f.removal, 3) AS channel, o.outn AS n_out, b.p0 AS p0,
+         |    CASE WHEN b.p0 > 0 THEN (b.p0 - f.x) * 1000000000000 // b.p0 END AS re_fp
+         |  FROM fin f, b, outs o
+         |  WHERE f.removal <> '__NONE__' AND o.src = f.removal),
+         |tt AS (SELECT SUM(re_fp) AS tot FROM re)
+         |SELECT channel, CAST(n_out AS BIGINT) AS n_out,
+         |  CAST(p0 AS BIGINT) AS p_conv_fp,
+         |  CAST(re_fp AS BIGINT) AS removal_effect_fp,
+         |  CAST(CASE WHEN tot > 0 THEN re_fp * 1000000000000 // tot END AS BIGINT)
+         |    AS attribution_share_fp
+         |FROM re, tt""".stripMargin
+    (Seq(head) ++ steps).mkString(",\n") + ",\n" + tail
+  }
+
   /** Shared head for the generated graph oracles: the q152 edge fixture. */
   private val graphFixtureHead: String =
     """WITH nodes AS (SELECT doc_id AS node FROM documents),
@@ -3257,20 +3335,32 @@ object SparkEntry {
     * the first LOAD and only probe — the build-once/probe-many cost split
     * the persistable index artifacts exist for (q267/q268 vs their
     * build-inclusive siblings q135/q260). The version tag invalidates the
-    * cache across code changes, the size⊕mtime fingerprint across driver
-    * data regenerations, and the marker file commits a build atomically
-    * (a crashed half-build is rebuilt, never trusted). */
+    * cache across code changes, the fingerprint across driver data
+    * regenerations, and the marker file commits a build atomically (a
+    * crashed half-build is rebuilt, never trusted). The fingerprint folds
+    * every CHILD part-file's (length, mtime) — a directory's own length
+    * is a filesystem constant (4096) and its mtime alone would let a
+    * regenerated-but-mtime-preserving fixture (e.g. restored from an
+    * archive) silently reuse stale artifacts. The marker commits via
+    * atomic rename so a concurrent process never observes a half-build. */
   private val ServeArtifactVersion = "v1"
   private def ensureServeArtifact(kind: String, dir: String, table: String)(
       build: String => Unit): String = synchronized {
     val src = new java.io.File(s"$dir/$table.parquet")
-    val fp = java.lang.Long.toHexString(src.length() * 1000003L ^ src.lastModified())
+    val children: Array[java.io.File] =
+      if (src.isDirectory) Option(src.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+      else Array(src)
+    val fp = java.lang.Long.toHexString(
+      children.foldLeft(17L)((h, f) =>
+        (h * 1000003L + f.length()) * 1000003L + f.lastModified()))
     val base = s"/tmp/graft_serve_${kind}_${ServeArtifactVersion}_${fp}_" +
       dir.replaceAll("[^0-9a-zA-Z]", "_")
     val marker = new java.io.File(base, "_GRAFT_READY")
     if (!marker.exists()) {
       build(base)
-      marker.createNewFile()
+      val tmp = new java.io.File(base, s"_GRAFT_READY.tmp.${ProcessHandle.current().pid()}")
+      tmp.createNewFile()
+      if (!tmp.renameTo(marker)) tmp.delete() // lost the race: a peer committed
     }
     base
   }
@@ -5939,7 +6029,8 @@ object SparkEntry {
         |    SUM(CAST(ca AS HUGEINT) * ((cumab - ca - cb) * 2 + ca + cb + 1)) AS r2a
         |  FROM c GROUP BY g)
         |SELECT g AS l_returnflag, CAST(na AS BIGINT) AS n_a,
-        |  CAST(nb AS BIGINT) AS n_b, CAST(r2a AS DECIMAL(38,0)) AS r2_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  CAST(CAST(r2a AS VARCHAR) AS DOUBLE) AS r2_a,
         |  CASE WHEN na > 0 AND nb > 0 THEN
         |    CAST(CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS VARCHAR) AS DOUBLE)
         |      / CAST(CAST(CAST(na AS HUGEINT) * nb * 2 AS VARCHAR) AS DOUBLE)
@@ -6491,6 +6582,10 @@ object SparkEntry {
         |SELECT t AS duration_days, n_risk, n_events, n_censored,
         |  CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard
         |FROM r""".stripMargin,
+
+    // Markov removal-effect attribution: generated 40-round integer
+    // fixed-point replay over the (removal x state) grid
+    "q256_markov_attribution" -> markovOracle,
 
     // incremental agg maintenance: the oracle IS the from-scratch
     // aggregation — merge-equals-rebuild for additive state

@@ -503,9 +503,10 @@ object EventAnalytics {
    * (one per removal) solve on the driver with deterministic Gaussian
    * elimination (states in sorted order, partial pivot). That driver step
    * is O(|channels|⁴) on a ~dozens-sized vocabulary: legitimate at any
-   * corpus scale. Deterministic but not SQL-replayable (the elimination
-   * is not one fixed expression tree), so the gate is rows-only and the
-   * ground truth lives in closed-form chain specs.
+   * corpus scale. Deterministic but not SQL-replayable (the elimination's
+   * pivot order is value-dependent, not one fixed expression tree) — the
+   * gate rides the bit-replayable [[markovAttributionFixedPoint]] sibling
+   * instead; this exact form keeps its closed-form chain specs.
    *
    * Self-transitions (repeated touches of one channel) are kept — they are
    * real journey mass; collapsing them is a caller-side projection.
@@ -521,25 +522,8 @@ object EventAnalytics {
       channelCol: String, convChannel: String, tieCol: String): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val wU = Window.partitionBy(col("__u")).orderBy(col("__t"), col("__tie"))
-    val mapSt = (c: Column) =>
-      when(c === convChannel, "CONV").otherwise(concat(lit("c:"), c))
-    val prefix = events
-      .select(col(userCol).as("__u"), col(tsNanosCol).as("__t"),
-        col(tieCol).as("__tie"), mapSt(col(channelCol)).as("__s"))
-      .withColumn("__convbefore",
-        coalesce(sum(when(col("__s") === "CONV", 1L).otherwise(0L))
-          .over(wU.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .filter(col("__convbefore") === 0L) // journey ends at first conversion
-      .withColumn("__nx", lead(col("__s"), 1).over(wU))
-      .withColumn("__rn", row_number().over(wU))
-    val transitions = prefix.filter(col("__rn") === 1)
-      .select(lit("START").as("src"), col("__s").as("dst"))
-      .unionByName(prefix.filter(col("__s") =!= "CONV")
-        .select(col("__s").as("src"), coalesce(col("__nx"), lit("DROP")).as("dst")))
-    val counts = transitions.groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val counts = journeyTransitionCounts(
+      events, userCol, tsNanosCol, channelCol, convChannel, tieCol)
     if (counts.isEmpty)
       return Seq.empty[(String, Long, Option[Double], Option[Double], Double)]
         .toDF("channel", "n_out", "removal_effect", "attribution_share", "p_conv")
@@ -584,6 +568,104 @@ object EventAnalytics {
         p0)
     }
     rows.toSeq.toDF("channel", "n_out", "removal_effect", "attribution_share", "p_conv")
+  }
+
+  /** The distributed half of the Markov attribution shared by both
+    * solvers: one per-user window pass emits journey transitions
+    * (START → touches → CONV/DROP, truncated at the first conversion),
+    * one map-side-combined agg counts them. The collected relation is
+    * bounded by (|channel vocabulary| + 3)² — independent of log size. */
+  private def journeyTransitionCounts(
+      events: DataFrame, userCol: String, tsNanosCol: String,
+      channelCol: String, convChannel: String,
+      tieCol: String): Array[(String, String, Long)] = {
+    val wU = Window.partitionBy(col("__u")).orderBy(col("__t"), col("__tie"))
+    val mapSt = (c: Column) =>
+      when(c === convChannel, "CONV").otherwise(concat(lit("c:"), c))
+    val prefix = events
+      .select(col(userCol).as("__u"), col(tsNanosCol).as("__t"),
+        col(tieCol).as("__tie"), mapSt(col(channelCol)).as("__s"))
+      .withColumn("__convbefore",
+        coalesce(sum(when(col("__s") === "CONV", 1L).otherwise(0L))
+          .over(wU.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__convbefore") === 0L) // journey ends at first conversion
+      .withColumn("__nx", lead(col("__s"), 1).over(wU))
+      .withColumn("__rn", row_number().over(wU))
+    val transitions = prefix.filter(col("__rn") === 1)
+      .select(lit("START").as("src"), col("__s").as("dst"))
+      .unionByName(prefix.filter(col("__s") =!= "CONV")
+        .select(col("__s").as("src"), coalesce(col("__nx"), lit("DROP")).as("dst")))
+    transitions.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+  }
+
+  /**
+   * Fixed-point integer variant of [[markovAttribution]] — the SQL-
+   * replayable gate form (the q152 PageRank discipline). Instead of
+   * Gaussian elimination (whose partial-pivot order is data-dependent and
+   * so not one fixed expression tree), the absorbing-chain conversion
+   * probabilities iterate `iters` rounds of
+   *
+   *   x'_s = (Σ_{t transient, t ≠ removed} n_{s→t}·x_t + n_{s→CONV}·SCALE) // out_s
+   *
+   * from x = 0 — monotone non-decreasing (all coefficients ≥ 0), bounded
+   * by SCALE, and PURE INTEGER floor arithmetic, so a DuckDB chained-CTE
+   * replay of the same K rounds matches bit for bit (BigInt products here,
+   * HUGEINT there; both exact). After k rounds x_START is exactly the
+   * fixed-point-truncated probability mass of converting paths of length
+   * ≤ k; with substochastic transition rows the iterates converge
+   * geometrically and 40 rounds is far past the 1e-12 grid.
+   *
+   * Output (all BIGINT, ×1e12 fixed-point): channel, n_out, p_conv_fp
+   * (the unremoved chain's conversion probability), removal_effect_fp
+   * (= (p0−p_removed)·SCALE // p0), attribution_share_fp (removal effects
+   * normalized to SCALE). Channels with zero journey presence do not
+   * appear; with no conversions, effects/shares are NULL.
+   */
+  def markovAttributionFixedPoint(
+      events: DataFrame, userCol: String, tsNanosCol: String,
+      channelCol: String, convChannel: String, tieCol: String,
+      iters: Int = 40): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val Scale = 1000000000000L
+    val counts = journeyTransitionCounts(
+      events, userCol, tsNanosCol, channelCol, convChannel, tieCol)
+    if (counts.isEmpty)
+      return Seq.empty[(String, Long, Long, Option[Long], Option[Long])]
+        .toDF("channel", "n_out", "p_conv_fp", "removal_effect_fp", "attribution_share_fp")
+    val outTotals = counts.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val transientStates = counts.map(_._1).distinct.sorted // START + channels
+    // x_START after `iters` rounds under `removed` (None = full chain)
+    def solve(removed: Option[String]): Long = {
+      var x = transientStates.map(_ => BigInt(0))
+      val byDst = counts.filter(c => c._2 != "CONV" && c._2 != "DROP" &&
+        !removed.contains(c._2))
+      val convIn = counts.filter(_._2 == "CONV").map(c => c._1 -> BigInt(c._3)).toMap
+      for (_ <- 1 to iters) {
+        val xm = transientStates.zip(x).toMap
+        x = transientStates.map { s =>
+          val flow = byDst.filter(_._1 == s)
+            .map(c => BigInt(c._3) * xm(c._2)).foldLeft(BigInt(0))(_ + _)
+          (flow + convIn.getOrElse(s, BigInt(0)) * Scale) / BigInt(outTotals(s))
+        }
+      }
+      transientStates.zip(x).toMap.apply("START").toLong
+    }
+    val p0 = solve(None)
+    val channels = transientStates.filter(_.startsWith("c:"))
+    val removals = channels.map { c =>
+      c -> (if (p0 > 0L) Some((BigInt(p0 - solve(Some(c))) * Scale / BigInt(p0)).toLong)
+            else None)
+    }
+    val total = removals.flatMap(_._2).sum
+    val rows = removals.map { case (c, re) =>
+      (c.stripPrefix("c:"), outTotals(c), p0, re,
+        re.flatMap(r => if (total > 0L) Some((BigInt(r) * Scale / BigInt(total)).toLong)
+                        else None))
+    }
+    rows.toSeq.toDF("channel", "n_out", "p_conv_fp", "removal_effect_fp", "attribution_share_fp")
   }
 
   /**

@@ -62,7 +62,15 @@ object Skyline {
       var i = 0
       while (i < idx.length) {
         a(i) = r.get(idx(i)) match {
-          case n: java.lang.Number => n.doubleValue()
+          case n: java.lang.Number =>
+            val d = n.doubleValue()
+            // NaN comparisons are all false: a NaN row could never be
+            // dominated (it would silently survive every frontier) and it
+            // breaks the sum-descending sufficiency argument — reject as
+            // loudly as NULL
+            if (d.isNaN) throw new IllegalArgumentException(
+              s"NaN in skyline dimension(s) $dimNames: dominance is undefined on NaN — filter or impute first")
+            d
           case null => throw new IllegalArgumentException(
             s"NULL in skyline dimension(s) $dimNames: dominance is undefined on NULL — filter or impute first")
           case other => throw new IllegalArgumentException(
@@ -103,15 +111,32 @@ object Skyline {
     // localCheckpoint: the candidate set is consumed three times (counted
     // cap, dims collect, final refine) — without it each action would
     // re-scan the input and re-run the local phase
-    val candRdd = df.rdd.mapPartitions(localSkyline).localCheckpoint()
+    var candRdd = df.rdd.mapPartitions(localSkyline).localCheckpoint()
 
-    // counted cap BEFORE the collect, so an anti-correlated blow-up fails
-    // loudly instead of OOMing the driver
-    val nCand = candRdd.count()
-    require(nCand <= maxCandidates,
-      s"skyline candidate set has $nCand rows > maxCandidates=$maxCandidates: " +
-        "anti-correlated dimensions produced a frontier too large to broadcast; " +
-        "reduce dimensions, pre-filter, or raise maxCandidates explicitly")
+    // counted cap BEFORE the collect, so an anti-correlated blow-up can
+    // never OOM the driver. Instead of failing loudly (the pre-r7
+    // behavior), escalate through TOURNAMENT rounds: coalesce candidates
+    // into ~8x fewer partitions and local-refine again — merging local
+    // skylines prunes cross-partition dominated rows, and the local
+    // skyline of a union of candidate sets is still a superset of the
+    // global skyline (same two-phase argument, applied recursively). If
+    // the rounds bottom out at ONE partition, that pass has seen every
+    // candidate, so its output IS the exact global skyline — no broadcast
+    // needed (this is the genuinely-huge-frontier path; it trades the
+    // broadcast for one executor holding the frontier, which is the best
+    // any exact algorithm can do).
+    var nCand = candRdd.count()
+    var parts = candRdd.getNumPartitions
+    while (nCand > maxCandidates && parts > 1) {
+      parts = math.max(1, parts / 8)
+      candRdd = candRdd.coalesce(parts).mapPartitions(localSkyline).localCheckpoint()
+      nCand = candRdd.count()
+    }
+    if (nCand > maxCandidates) {
+      // parts == 1: the last round was a single-partition pass over all
+      // surviving candidates — already the exact frontier
+      return spark.createDataFrame(candRdd, schema)
+    }
 
     // only the dimension vectors ship — the broadcast is |C| doubles-per-
     // dim, not full rows
@@ -155,7 +180,15 @@ object Skyline {
       var i = 0
       while (i < dimIdx.length) {
         a(i) = r.get(dimIdx(i)) match {
-          case n: java.lang.Number => n.doubleValue()
+          case n: java.lang.Number =>
+            val d = n.doubleValue()
+            // NaN comparisons are all false: a NaN row could never be
+            // dominated (it would silently survive every frontier) and it
+            // breaks the sum-descending sufficiency argument — reject as
+            // loudly as NULL
+            if (d.isNaN) throw new IllegalArgumentException(
+              s"NaN in skyline dimension(s) $dimNames: dominance is undefined on NaN — filter or impute first")
+            d
           case null => throw new IllegalArgumentException(
             s"NULL in skyline dimension(s) $dimNames: dominance is undefined on NULL — filter or impute first")
           case other => throw new IllegalArgumentException(

@@ -307,9 +307,13 @@ object BloomFunctions {
         .head.getAs[Array[Byte]]("__f"))
     } else {
       // uniform hash routing => expected/n keys per shard; per-shard fpp
-      // is the global fpp because each key probes exactly one shard
+      // is the global fpp because each key probes exactly one shard.
+      // Key is cast to LONG *before* the routing hash: probe-time routing
+      // is XXH64.hashLong, and Spark's xxhash64 over a narrower type (INT)
+      // hashes 4 bytes — build/probe shard assignment would silently
+      // disagree and violate the no-false-negative guarantee.
       val perShard = math.max(1L, (expected + n - 1) / n)
-      val rows = keys.select(key.as("__k"))
+      val rows = keys.select(key.cast("long").as("__k"))
         .groupBy(pmod(xxhash64(col("__k")), lit(n.toLong)).as("__shard"))
         .agg(bloom_filter_agg(col("__k"), perShard, fpp).as("__f"))
         .collect()

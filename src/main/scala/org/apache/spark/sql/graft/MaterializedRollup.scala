@@ -200,7 +200,9 @@ case class RollupRewrite(session: classic.SparkSession) extends Rule[LogicalPlan
     def mergedAgg(fnArg: Expression): Option[Expression] = fnArg match {
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
         val merged: Option[Expression] = ae.aggregateFunction match {
-          case Count(Seq(Literal(_, _))) =>
+          // non-null literal only: count(NULL) must return 0 per group,
+          // not the group row count — leave it to the base-table plan
+          case Count(Seq(Literal(v, _))) if v != null =>
             // count over groups is >= 1 and count over empty input is 0:
             // coalesce keeps the rewrite's nullability identical to Count's
             Some(Coalesce(Seq(

@@ -141,6 +141,22 @@ class BloomFilterSpec extends SparkSpec {
       assert(java.util.Arrays.equals(filters(i), filters2(i)), s"shard $i"))
   }
 
+  test("sharded build with a non-LONG key column routes like the probe (no false negatives)") {
+    // regression: build-time routing hashed the raw INT column (xxhash64
+    // over 4 bytes) while probe-time routing is XXH64.hashLong — keys
+    // landed in one shard and probed another, a silent false negative.
+    val keys = (1 to 4000).map(i => i * 7919)
+    val df = keys.toDF("k") // IntegerType column
+    val filters = BloomFunctions.buildShardedFilters(
+      df, col("k"), expected = 4000L, fpp = 0.03, maxBitsPerShard = 4096)
+    assert(filters.length >= 2, s"cap must force sharding, got ${filters.length}")
+    val misses = keys.toDF("k")
+      .withColumn("hit",
+        BloomFunctions.bloom_might_contain_sharded(filters, col("k").cast("long")))
+      .filter(!col("hit")).count()
+    assert(misses === 0, s"$misses false negatives from int-key shard routing")
+  }
+
   test("bloomDecontaminate sharded == unsharded flags on the same corpus") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val train = docs.filter(col("doc_id") % 50 =!= 0).limit(200)

@@ -108,11 +108,18 @@ class MaterializedRollupSpec extends SparkSpec {
       // rollup groups would change the distribution — must block the rewrite
       // even though its column references are dim-only
       fact.filter(rand(7) < 0.5 && col("l_returnflag") === "A")
-        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")),
+      // count(NULL) is 0 per group; the Σ__cnt rewrite would return the
+      // group ROW count — the literal pattern must be non-null-only
+      fact.groupBy(col("l_returnflag")).agg(count(lit(null)).as("n")))
     shapes.foreach { q =>
       assert(!scanPaths(q).contains(rollupPath), q.queryExecution.optimizedPlan.toString)
       assert(scanPaths(q).contains("lineitem.parquet"))
     }
+    // and the count(NULL) VALUE contract holds with the rollup registered
+    val zeros = fact.groupBy(col("l_returnflag")).agg(count(lit(null)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(zeros.nonEmpty && zeros.forall(_ == 0L))
   }
 
   test("unregister restores the direct scan") {

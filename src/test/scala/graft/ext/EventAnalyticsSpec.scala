@@ -360,6 +360,35 @@ class EventAnalyticsSpec extends SparkSpec {
       none(0).isNullAt(3)) // p_conv 0, share NULL
   }
 
+  test("markovAttributionFixedPoint: matches the exact solver within one fixed-point ulp") {
+    val Scale = 1000000000000L
+    // the closed-form assist chain: both channels effect 1, share 1/2
+    val ev = (1L to 4L).flatMap(u => Seq((u, 0L, "A", u * 10),
+      (u, 1L, "B", u * 10 + 1), (u, 2L, "buy", u * 10 + 2))) ++
+      Seq((9L, 0L, "C", 900L)) // a dead-end channel: effect 0
+    val df = ev.toDF("u", "ts", "ch", "eid")
+    val exact = EventAnalytics.markovAttribution(df, "u", "ts", "ch", "buy", "eid")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val fp = EventAnalytics.markovAttributionFixedPoint(df, "u", "ts", "ch", "buy", "eid")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(fp.keySet === exact.keySet)
+    fp.foreach { case (ch, (p0, re, share)) =>
+      val (exRe, exShare, exP0) = exact(ch)
+      // floor-division truncation compounds over 40 rounds but stays tiny
+      assert(math.abs(p0 / Scale.toDouble - exP0) < 1e-9, s"$ch p0")
+      assert(math.abs(re / Scale.toDouble - exRe) < 1e-9, s"$ch effect")
+      assert(math.abs(share / Scale.toDouble - exShare) < 1e-9, s"$ch share")
+    }
+    // no conversions: effects and shares NULL, p_conv_fp 0
+    val none = EventAnalytics.markovAttributionFixedPoint(
+      Seq((1L, 0L, "A", 1L)).toDF("u", "ts", "ch", "eid"),
+      "u", "ts", "ch", "buy", "eid").collect()
+    assert(none.length === 1 && none(0).getLong(2) === 0L &&
+      none(0).isNullAt(3) && none(0).isNullAt(4))
+  }
+
   test("peakConcurrency: sessionization, touch ties, multi-day carry, gap days") {
     // A: one session [0, 1000] (two events 1000ns apart), another at 3h
     // B: one session [500, 1000] — overlaps A's first -> day-0 peak 2

@@ -63,19 +63,46 @@ class SkylineSpec extends SparkSpec {
     }
   }
 
-  test("candidate cap fails loudly; NULL dimension fails loudly") {
-    // anti-correlated diagonal: every point is on the frontier
-    val diag = (1 to 100).map(i => (i.toDouble, (101 - i).toDouble)).toDF("a", "b")
-    val e = intercept[IllegalArgumentException] {
-      Skyline.skyline(diag, Seq("a", "b"), maxCandidates = 10)
-    }
-    assert(e.getMessage.contains("maxCandidates"))
+  test("anti-correlated blow-up past the cap completes via tournament rounds, exactly") {
+    // anti-correlated diagonal: every point is on the TRUE frontier, so no
+    // tournament round can shrink below 100 candidates and the pre-r7 code
+    // failed loudly here. The escalation path must coalesce to one
+    // partition and return the exact frontier instead.
+    val diagPts = (1 to 100).map(i => (i.toDouble, (101 - i).toDouble))
+    val diag = diagPts.toDF("a", "b").repartition(8)
+    val got = Skyline.skyline(diag, Seq("a", "b"), maxCandidates = 10)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(got === diagPts.toSet)
+    // mixed fixture: a large anti-correlated band PLUS dominated points —
+    // the tournament must still prune every dominated row
+    val mixed = (diagPts.map { case (a, b) => (a, b) } ++
+      (1 to 400).map(i => ((i % 50).toDouble, (i % 37).toDouble))).toDF("a", "b")
+      .repartition(16)
+    val got2 = Skyline.skyline(mixed, Seq("a", "b"), maxCandidates = 10)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(got2 === diagPts.toSet) // every (i, 101-i) dominates the %50/%37 box
+  }
+
+  test("NULL and NaN dimensions fail loudly") {
     val withNull = Seq((Some(1.0), 2.0), (None, 3.0)).toDF("a", "b")
     val e2 = intercept[Exception] {
       Skyline.skyline(withNull, Seq("a", "b")).collect()
     }
     assert(e2.getMessage.contains("NULL in skyline dimension") ||
       e2.getCause != null && e2.getCause.getMessage.contains("NULL in skyline dimension"))
+    // NaN is never dominated (all comparisons false): it would silently
+    // pollute the frontier, so it must be rejected like NULL
+    val withNaN = Seq((1.0, 2.0), (Double.NaN, 3.0)).toDF("a", "b")
+    val e3 = intercept[Exception] {
+      Skyline.skyline(withNaN, Seq("a", "b")).collect()
+    }
+    assert(e3.getMessage.contains("NaN in skyline dimension") ||
+      e3.getCause != null && e3.getCause.getMessage.contains("NaN in skyline dimension"))
+    val e4 = intercept[Exception] {
+      Skyline.skylinePerGroup(withNaN.withColumn("g", lit("x")), Seq("g"), Seq("a", "b")).collect()
+    }
+    assert(e4.getMessage.contains("NaN in skyline dimension") ||
+      e4.getCause != null && e4.getCause.getMessage.contains("NaN in skyline dimension"))
   }
 
   test("integer-typed dimensions work (numeric widening)") {
