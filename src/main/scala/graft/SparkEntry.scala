@@ -2986,6 +2986,18 @@ object SparkEntry {
           .withColumn("cents", round(col("c_acctbal") * 100).cast("long")),
         Seq("c_mktsegment"), "c_custkey", "cents",
         resamples = 200, seed = "graft-bs-1")),
+
+    // frame-parallel scene stats (the LONG-clip 100 TB shape): container
+    // walk explodes to per-frame rows, compressed frames hash-spread and
+    // decode in independent tasks, scene logic reassembles via a per-clip
+    // window — values identical to q272's whole-clip-per-task sibling,
+    // proven here on a longer-clip fixture (5 scenes x 2 frames)
+    "q290_mjpeg_frame_split" -> ((s, dir) =>
+      Multimodal.aviSceneStatsFrameSplit(
+        Multimodal.attachSyntheticMjpegAvi(
+          t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") % 7 === 5),
+          "doc_id", nScenes = 5, framesPerScene = 2, w = 16, h = 12),
+        "doc_id", "avi")),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4673,6 +4685,28 @@ object SparkEntry {
         |    CAST(COALESCE(MIN(CASE WHEN pbr IS NOT NULL AND br != pbr THEN s * 3 END), -1) AS INT) AS first_cut
         |  FROM cuts GROUP BY 1)
         |SELECT doc_id, CAST(12 AS BIGINT) AS n_frames, 16 AS width, 12 AS height,
+        |  n_bright, n_cuts, first_cut
+        |FROM agg""".stripMargin,
+
+    // frame-split scene stats: q272's closed-form gray plan on the
+    // longer-clip fixture (5 scenes x 2 frames, doc_id % 7 = 5)
+    "q290_mjpeg_frame_split" ->
+      """WITH sel AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 5),
+        |sc AS (
+        |  SELECT sel.doc_id, ss.s,
+        |    CASE WHEN (sel.doc_id*13 + ss.s*7) % 3 = 0 THEN 0 ELSE 1 END AS br
+        |  FROM sel CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS s) ss
+        |), cuts AS (
+        |  SELECT doc_id, s, br,
+        |    lag(br) OVER (PARTITION BY doc_id ORDER BY s) AS pbr
+        |  FROM sc
+        |), agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(br) * 2 AS BIGINT) AS n_bright,
+        |    CAST(SUM(CASE WHEN pbr IS NOT NULL AND br != pbr THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |    CAST(COALESCE(MIN(CASE WHEN pbr IS NOT NULL AND br != pbr THEN s * 2 END), -1) AS INT) AS first_cut
+        |  FROM cuts GROUP BY 1)
+        |SELECT doc_id, CAST(10 AS BIGINT) AS n_frames, 16 AS width, 12 AS height,
         |  n_bright, n_cuts, first_cut
         |FROM agg""".stripMargin,
 

@@ -1414,6 +1414,70 @@ object Multimodal {
   }
 
   /**
+   * Frame-parallel sibling of [[aviSceneStats]] for LONG clips — the 100 TB
+   * shape. [[aviSceneStats]] decodes a whole clip inside one task, which is
+   * right when clips are short and plentiful (decode cost ∝ rows, no
+   * shuffle); but one multi-hour clip would serialize its thousands of JPEG
+   * decodes behind a single core. Here the cheap container walk (byte
+   * scanning, no decode) explodes to one row per frame FIRST, the rows
+   * hash-spread over the cluster, each task decodes independent frames
+   * (MJPEG frames share no state — this is why MJPEG is the distributable
+   * codec), and the scene logic reassembles with a per-clip window over
+   * per-frame means + one grouped agg. The shuffle moves COMPRESSED frame
+   * bytes (the one justified payload shuffle in this file: it buys decode
+   * parallelism independent of clip length); decoded pixels never cross
+   * the wire. Output: (idCol, n_frames, width, height, n_bright, n_cuts,
+   * first_cut) — identical values to [[aviSceneStats]] (equality spec'd).
+   */
+  def aviSceneStatsFrameSplit(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val frameSchema = StructType(Seq(idField,
+      StructField("__fidx", IntegerType), StructField("__jpeg", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    // 1. container walk only — no decode, just chunk offsets + copies
+    val frames = df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        AviCodec.decodeFrames(r.getAs[Array[Byte]](mediaIdx))
+          .iterator.zipWithIndex.map { case (f, i) =>
+            Row(r.get(idIdx), i, f)
+          }
+      }
+    }(Encoders.row(frameSchema))
+    // 2. spread frames, decode each independently (integer gray sums)
+    val statSchema = StructType(Seq(idField,
+      StructField("__fidx", IntegerType), StructField("__w", IntegerType),
+      StructField("__h", IntegerType), StructField("__mean", DoubleType)))
+    val perFrame = frames.repartition(col(idCol), col("__fidx"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = ImageIoCodec.decode(r.getAs[Array[Byte]](2))
+          var sum = 0L
+          var i = 0
+          while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }
+          Row(r.get(0), r.getInt(1), img.width, img.height,
+            sum.toDouble / img.pixels.length)
+        }
+      }(Encoders.row(statSchema))
+    // 3. per-clip window (partitioned by clip id — bounded, never global)
+    // replays aviSceneStats' sequential cut logic exactly
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__fidx"))
+    perFrame
+      .withColumn("__prev", lag(col("__mean"), 1).over(w))
+      .withColumn("__cut",
+        when(col("__prev").isNotNull && abs(col("__mean") - col("__prev")) > 80d, 1L)
+          .otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames"),
+        max(col("__w")).as("width"), max(col("__h")).as("height"),
+        sum(when(col("__mean") > 128d, 1L).otherwise(0L)).as("n_bright"),
+        sum(col("__cut")).as("n_cuts"),
+        coalesce(min(when(col("__cut") === 1L, col("__fidx"))), lit(-1))
+          .as("first_cut"))
+  }
+
+  /**
    * REAL frame sampling over compressed video: parse the AVI container,
    * keep every `stride`-th '00dc' frame, JPEG-decode it, and explode to
    * one row per sampled frame with lossy-robust frame features (dims +

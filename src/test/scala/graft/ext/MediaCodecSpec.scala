@@ -137,6 +137,24 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("aviSceneStatsFrameSplit equals the whole-clip-per-task sibling, incl. long clips") {
+    // short clips (the q272 fixture) AND a long clip (40 scenes): the
+    // frame-split plan must reproduce aviSceneStats' values exactly while
+    // decoding frames in independent tasks
+    for (nScenes <- Seq(4, 40)) {
+      val df = Multimodal.attachSyntheticMjpegAvi(
+        Seq(3L, 10L, 17L).toDF("doc_id").repartition(3), "doc_id",
+        nScenes = nScenes, framesPerScene = 3, w = 16, h = 12)
+      val whole = Multimodal.aviSceneStats(df, "avi")
+        .select($"doc_id", $"n_frames", $"width", $"height", $"n_bright", $"n_cuts", $"first_cut")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      val split = Multimodal.aviSceneStatsFrameSplit(df, "doc_id", "avi")
+        .select($"doc_id", $"n_frames", $"width", $"height", $"n_bright", $"n_cuts", $"first_cut")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      assert(split === whole, s"nScenes=$nScenes")
+    }
+  }
+
   test("audioPeriodicity recovers the planted period exactly") {
     val df = Multimodal.attachSyntheticPeriodicWav(
       Seq(0L, 3L, 7L, 10L).toDF("doc_id"), "doc_id", sampleRate = 8000, nSamples = 400)
