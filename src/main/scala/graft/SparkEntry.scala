@@ -2998,6 +2998,30 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") % 7 === 5),
           "doc_id", nScenes = 5, framesPerScene = 2, w = 16, h = 12),
         "doc_id", "avi")),
+
+    // transactional-lite lifecycle: the upsert/CDC/compaction family
+    // composed as VERSIONED COMMITS on one TxLog table (create -> append
+    // -> upsert(+1 cents, incl. inserts) -> delete -> compact), then one
+    // aggregate over the final snapshot — the oracle replays the composed
+    // logical state in plain SQL, and n_versions pins the commit count
+    "q291_txlog_lifecycle" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q291_").resolve("t").toString
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") % 4 === 0))
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") % 4 === 1))
+      TxLog.upsert(s, tbl,
+        src.filter(col("o_orderkey") % 20 === 0 || col("o_orderkey") % 20 === 6)
+          .withColumn("cents", col("cents") + 1),
+        Seq("o_orderkey"))
+      TxLog.delete(s, tbl, col("o_orderkey") % 100 === 8)
+      TxLog.compact(s, tbl, targetPartitions = 4)
+      TxLog.read(s, tbl)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
+        .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
+    }),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4687,6 +4711,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(12 AS BIGINT) AS n_frames, 16 AS width, 12 AS height,
         |  n_bright, n_cuts, first_cut
         |FROM agg""".stripMargin,
+
+    // TxLog lifecycle: the composed commits reduce to one live-set
+    // predicate — keys %4<2 (create+append) plus %20=6 inserts, +1 cents
+    // where the upsert touched (%20 in {0,6}), minus %100=8 deletes;
+    // n_versions is the pinned commit count (v0..v4)
+    "q291_txlog_lifecycle" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |live AS (
+        |  SELECT k, pr,
+        |    cents + CASE WHEN k % 20 = 0 OR k % 20 = 6 THEN 1 ELSE 0 END AS cents
+        |  FROM src WHERE (k % 4 < 2 OR k % 20 = 6) AND k % 100 != 8)
+        |SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  CAST(5 AS BIGINT) AS n_versions
+        |FROM live GROUP BY 1""".stripMargin,
 
     // frame-split scene stats: q272's closed-form gray plan on the
     // longer-clip fixture (5 scenes x 2 frames, doc_id % 7 = 5)
