@@ -156,6 +156,17 @@ object ScaleProbe {
         Dedup.embeddingNearDupPairs(read("embeddings", k), "vec_id", "embedding",
           dim = 64, threshold = 0.4, numPlanes = 16, bands = 8).count()
       }
+      // sharded HNSW: build (one routing exchange + per-shard in-task
+      // graphs) and a 20-query fan-out; per-query work is beam-bounded,
+      // so the ratio must track the BUILD's linear scan, not n²
+      timed("hnsw_build_query", k) {
+        val e = read("embeddings", k)
+        val cfg = graft.ext.GraphAnn.HnswConfig(
+          m = 8, efConstruction = 48, efSearch = 48, shards = 32)
+        graft.ext.GraphAnn.hnswQuery(
+          graft.ext.GraphAnn.hnswBuild(e, "vec_id", "embedding", cfg),
+          e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10, cfg).count()
+      }
       timed("corpus_pipeline", k) {
         val scored = ext.TextStats.qualityScore(
           ext.TextStats.langId(read("documents", k), "text"), "text")

@@ -3022,6 +3022,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
         .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
     }),
+
+    // graph-tier ANN: sharded HNSW (per-shard navigable small-world
+    // graphs, deterministic hash levels, beam search) — the q133/q135
+    // recall contract: recall@10 vs brute must clear 0.5 per query
+    // (observed ~1.0; the pinned bound is the non-flaky floor)
+    "q292_knn_hnsw" -> ((s, dir) => {
+      import graft.ext.{GraphAnn, Similarity}
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val approx = GraphAnn.hnswTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10,
+        GraphAnn.HnswConfig(m = 8, efConstruction = 64, efSearch = 64, shards = 4))
+      val brute = Similarity.bruteTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      val hits = approx.join(brute.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"))
+    }),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4711,6 +4732,11 @@ object SparkEntry {
         |SELECT doc_id, CAST(12 AS BIGINT) AS n_frames, 16 AS width, 12 AS height,
         |  n_bright, n_cuts, first_cut
         |FROM agg""".stripMargin,
+
+    // the q133 recall contract through the sharded-HNSW graph path
+    "q292_knn_hnsw" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
 
     // TxLog lifecycle: the composed commits reduce to one live-set
     // predicate — keys %4<2 (create+append) plus %20=6 inserts, +1 cents

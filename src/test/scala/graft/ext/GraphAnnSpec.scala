@@ -1,0 +1,93 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sharded HNSW: recall against brute-force ground truth, build
+  * determinism (the artifact contract), genuinely sublinear distance
+  * evaluations, persisted-index round-trip, and the loud query cap. */
+class GraphAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("recall@10 vs brute force clears 0.9 on the embeddings fixture") {
+    val q = emb.filter(col("vec_id") < 10)
+    val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 64, efSearch = 64, shards = 4)
+    val approx = GraphAnn.hnswTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10, cfg)
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10)
+    val hit = approx.join(brute.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { qid =>
+      assert(hit.getOrElse(qid, 0L) >= 9L, s"query $qid recall ${hit.getOrElse(qid, 0L)}/10")
+    }
+  }
+
+  test("build is deterministic: two builds emit byte-identical index rows") {
+    val cfg = GraphAnn.HnswConfig(shards = 3)
+    def rows() = GraphAnn.hnswBuild(emb.repartition(7), "vec_id", "embedding", cfg)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows() === rows())
+  }
+
+  test("beam search is sublinear: distance evals well below the scan count") {
+    // a beam of ef·Mmax0 nodes only looks sublinear once n is well past it
+    // — 4000 synthetic 16-d points (deterministic hash coordinates)
+    val big = spark.range(1, 4001).select(col("id").as("vec_id"),
+      array((0 until 16).map(j =>
+        (pmod(xxhash64(col("id"), lit(j)), lit(1000L)) / 500d - 1d).cast("float")): _*)
+        .as("embedding"))
+    val q = big.filter(col("vec_id") <= 10)
+    val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 48, efSearch = 32, shards = 1)
+    val index = GraphAnn.hnswBuild(big, "vec_id", "embedding", cfg).cache()
+    val n = index.count() // one shard holds the whole corpus
+    val visited = spark.sparkContext.longAccumulator("hnsw_visited")
+    GraphAnn.hnswQuery(index, q, "vec_id", "embedding", k = 10, cfg, visited).count()
+    val fullScan = n * 10 // 10 queries x n evals each
+    assert(visited.value > 0L && visited.value < fullScan / 4,
+      s"visited ${visited.value} of $fullScan brute evals — not sublinear")
+    index.unpersist()
+    ()
+  }
+
+  test("persisted index round-trips: query(parquet(build)) == query(build)") {
+    val cfg = GraphAnn.HnswConfig(shards = 2)
+    val q = emb.filter(col("vec_id") < 3)
+    val built = GraphAnn.hnswBuild(emb, "vec_id", "embedding", cfg)
+    val path = graft.io.TempDirs.create("hnsw_spec_").resolve("idx").toString
+    built.write.parquet(path)
+    def res(ix: org.apache.spark.sql.DataFrame) =
+      GraphAnn.hnswQuery(ix, q, "vec_id", "embedding", k = 5, cfg)
+        .collect().map(_.toString).sorted.toSeq
+    assert(res(spark.read.parquet(path)) === res(built))
+  }
+
+  test("query fan-out past maxQueryRows refuses loudly") {
+    val cfg = GraphAnn.HnswConfig(shards = 2, maxQueryRows = 3)
+    val index = GraphAnn.hnswBuild(emb.limit(50), "vec_id", "embedding", cfg)
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.hnswQuery(index, emb.limit(10), "vec_id", "embedding", k = 5, cfg)
+    }
+    assert(e.getMessage.contains("maxQueryRows"))
+  }
+
+  test("tiny and degenerate corpora: single node, zero vectors") {
+    val one = Seq((1L, Seq.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    val got = GraphAnn.hnswTopK(one, "vec_id", "embedding",
+      one, "vec_id", "embedding", k = 3, GraphAnn.HnswConfig(shards = 2))
+      .collect()
+    assert(got.length === 1 && got(0).getLong(1) === 1L)
+    // zero-norm vectors: cosine 0 to everything, still indexed and returned
+    val withZero = Seq((1L, Seq(1.0f, 0f)), (2L, Seq(0f, 0f)), (3L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val r = GraphAnn.hnswTopK(withZero, "vec_id", "embedding",
+      withZero.filter(col("vec_id") === 1L), "vec_id", "embedding", k = 3,
+      GraphAnn.HnswConfig(shards = 1))
+      .collect().map(x => x.getLong(1) -> x.getDouble(2)).toMap
+    assert(r.size === 3 && r(2L) === 0.0 && r(1L) > 0.99)
+  }
+}
