@@ -3043,6 +3043,29 @@ object SparkEntry {
         .select(col("query_id"),
           (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"))
     }),
+
+    // serve-path sibling of q292 (the q267 discipline): the HNSW index
+    // rows stage ONCE as parquet, the benched query only loads and
+    // beam-searches — build-once/probe-many measured, same recall contract
+    "q293_knn_hnsw_serve" -> ((s, dir) => {
+      import graft.ext.{GraphAnn, Similarity}
+      val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 64, efSearch = 64, shards = 4)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val base = ensureServeArtifact("hnsw", dir, "embeddings") { p =>
+        GraphAnn.hnswBuild(e, "vec_id", "embedding", cfg).write.parquet(s"$p/graph")
+      }
+      val approx = GraphAnn.hnswQuery(s.read.parquet(s"$base/graph"),
+        q, "vec_id", "embedding", k = 10, cfg)
+      val brute = Similarity.bruteTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      val hits = approx.join(brute.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"))
+    }),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4735,6 +4758,11 @@ object SparkEntry {
 
     // the q133 recall contract through the sharded-HNSW graph path
     "q292_knn_hnsw" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // same contract through the staged-artifact serve path
+    "q293_knn_hnsw_serve" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
 
