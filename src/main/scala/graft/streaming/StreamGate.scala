@@ -423,12 +423,21 @@ object StreamGate {
   /** Stage a fixture split across `parts` files so the file source replays
     * it as `parts` micro-batches (maxFilesPerTrigger=1) — proving state
     * genuinely merges ACROSS batches, not within one. */
-  private def stageTableDirSplit(sfDir: String, table: String, parts: Int): Path = {
-    val dir = graft.io.TempDirs.create(s"graft_stream_$table")
-    SparkSession.active.read.parquet(s"$sfDir/$table.parquet")
-      .repartition(parts).write.mode("overwrite").parquet(dir.toString)
-    dir
-  }
+  // memoized per (sfDir, table, parts): unlike the sentinel-appending
+  // event stages, the split fixtures are READ-ONLY stream sources, and the
+  // full read+repartition+write (lineitem = the largest staged table) was
+  // dominating q234/q189/q222's measured time — bench passes were timing
+  // fixture staging, not the streaming query (the normalizedEventsFile /
+  // ShingleIndex precedent)
+  private val splitDirCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Path]()
+  private def stageTableDirSplit(sfDir: String, table: String, parts: Int): Path =
+    splitDirCache.computeIfAbsent((sfDir, table, parts), { _ =>
+      val dir = graft.io.TempDirs.create(s"graft_stream_$table")
+      SparkSession.active.read.parquet(s"$sfDir/$table.parquet")
+        .repartition(parts).write.mode("overwrite").parquet(dir.toString)
+      dir
+    })
 
   /**
    * Streaming CDC snapshot (complete mode): the orders change feed arrives
