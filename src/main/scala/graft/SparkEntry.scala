@@ -3066,6 +3066,12 @@ object SparkEntry {
         .select(col("query_id"),
           (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"))
     }),
+
+    // streaming ingest through the TxLog commit log: idempotent
+    // foreachBatch (one atomic commit per micro-batch, keyed by batchId),
+    // a deliberate batch-0 REPLAY pinned as skipped, commit count pinned,
+    // final snapshot == the batch table — exactly-once end to end
+    "q294_txlog_stream_sink" -> ((s, dir) => StreamGate.txlogStreamSink(s, dir)),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4765,6 +4771,13 @@ object SparkEntry {
     "q293_knn_hnsw_serve" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // TxLog stream sink: snapshot == batch table; create + 3 micro-batch
+    // commits; the replayed batch must have been skipped
+    "q294_txlog_stream_sink" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(4 AS BIGINT) AS n_commits, true AS replay_skipped
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // TxLog lifecycle: the composed commits reduce to one live-set
     // predicate — keys %4<2 (create+append) plus %20=6 inserts, +1 cents

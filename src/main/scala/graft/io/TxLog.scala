@@ -126,6 +126,13 @@ object TxLog {
     snap
   }
 
+  private def dropSegment(table: String, seg: String): Unit = {
+    val p = Paths.get(s"$table/$seg")
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(x => { Files.deleteIfExists(x); () })
+  }
+
   /** Optimistic-retry commit of a snapshot TRANSFORM: `plan` receives the
     * current snapshot's DataFrame and returns (op, next snapshot content,
     * reusable segments of the current snapshot). The new content is
@@ -143,18 +150,50 @@ object TxLog {
       val snap = Snapshot(base.version + 1, op, keptSegments ++ newSegments)
       if (tryClaim(table, snap)) return snap
       // lost the race: drop the orphan segment, recompute on the winner
-      newSegments.foreach { s =>
-        val p = Paths.get(s"$table/$s")
-        if (Files.exists(p))
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(x => { Files.deleteIfExists(x); () })
-      }
+      newSegments.foreach(dropSegment(table, _))
       attempt += 1
     }
     throw new IllegalStateException(
       s"TxLog commit on $table lost $maxRetries consecutive races — " +
         "pathological contention; serialize writers or raise maxRetries")
   }
+
+  /**
+   * Idempotent micro-batch append — the exactly-once `foreachBatch`
+   * discipline: the (streamId, batchId) pair rides the manifest's op, so
+   * a batch REPLAYED after a failure/restart (Structured Streaming
+   * re-delivers the last uncommitted batch from its checkpoint) is
+   * detected in the log and skipped instead of double-applied. Returns
+   * true if committed, false if this batch was already in the log.
+   */
+  def appendStreamBatch(spark: SparkSession, table: String, batch: DataFrame,
+      streamId: String, batchId: Long, maxRetries: Int = 20): Boolean = {
+    require(!streamId.contains("\n"), "streamId must be single-line")
+    val tag = s"stream_append:$streamId:$batchId"
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val h = history(table)
+      require(h.nonEmpty, s"not a TxLog table: $table")
+      if (h.exists(_.op == tag)) return false // replay: already committed
+      val seg = writeSegment(table, batch)
+      if (tryClaim(table, Snapshot(h.last.version + 1, tag, h.last.segments :+ seg)))
+        return true
+      dropSegment(table, seg)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TxLog stream append on $table lost $maxRetries consecutive races")
+  }
+
+  /** `foreachBatch` adapter: `df.writeStream.foreachBatch(TxLog.streamSink(tbl, id))`.
+    * Empty micro-batches (AvailableNow sometimes schedules one at the
+    * tail) commit nothing — the log records only batches that carried rows. */
+  def streamSink(table: String, streamId: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      if (!batch.isEmpty)
+        appendStreamBatch(batch.sparkSession, table, batch, streamId, batchId)
+      ()
+    }
 
   /** Append-only commit: no base rows move, the new segment just joins the
     * manifest — concurrent appends always both survive (retry re-lists). */

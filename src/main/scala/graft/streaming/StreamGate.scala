@@ -580,6 +580,43 @@ object StreamGate {
       "stream_ols", "complete")
   }
 
+  /**
+   * Streaming ingest into the transactional table ([[graft.io.TxLog]]):
+   * the documents stream drains through an idempotent `foreachBatch` sink
+   * — one atomic TxLog commit per non-empty micro-batch, keyed by
+   * (streamId, batchId) so a checkpoint-replayed batch is SKIPPED, never
+   * double-applied. The gate then deliberately REPLAYS batch 0 (the
+   * restart scenario) and pins that it was skipped, that the commit count
+   * is exactly create + 3 micro-batches, and that the final snapshot's
+   * per-source counts equal the batch table — streaming ingest composed
+   * with the commit log, exactly-once end to end.
+   */
+  def txlogStreamSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.io.TxLog
+    val dir = stageTableDirSplit(sfDir, "documents", parts = 3)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val tbl = graft.io.TempDirs.create("graft_txlog_sink_").resolve("t").toString
+    TxLog.create(spark, tbl, spark.read.parquet(s"$sfDir/documents.parquet").limit(0))
+    val q = docs.writeStream
+      .foreachBatch(TxLog.streamSink(tbl, "docs"))
+      .option("checkpointLocation",
+        graft.io.TempDirs.create("graft_txlog_sink_ckpt_").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("txlog stream sink did not drain within 300s")
+    }
+    // restart scenario: batch 0 re-delivered — must be skipped, not re-applied
+    val replaySkipped = !TxLog.appendStreamBatch(spark, tbl,
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(5), "docs", batchId = 0L)
+    TxLog.read(spark, tbl)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_commits", lit(TxLog.history(tbl).length.toLong))
+      .withColumn("replay_skipped", lit(replaySkipped))
+  }
+
   def quantileMonitor(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.graft.DDSketchFunctions._
     val alpha = 0.01

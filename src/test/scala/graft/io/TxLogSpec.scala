@@ -110,6 +110,21 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.history(tbl).map(_.version) === Seq(0L, 1L, 2L))
   }
 
+  test("appendStreamBatch: a replayed (streamId, batchId) is skipped, never double-applied") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((0L, 0L)).toDF("k", "v"))
+    assert(TxLog.appendStreamBatch(spark, tbl, Seq((1L, 1L)).toDF("k", "v"), "s", 0L))
+    // the restart scenario: same batch re-delivered
+    assert(!TxLog.appendStreamBatch(spark, tbl, Seq((1L, 1L)).toDF("k", "v"), "s", 0L))
+    assert(TxLog.read(spark, tbl).count() === 2) // not 3
+    // a NEW batch id commits; a different streamId has its own id space
+    assert(TxLog.appendStreamBatch(spark, tbl, Seq((2L, 2L)).toDF("k", "v"), "s", 1L))
+    assert(TxLog.appendStreamBatch(spark, tbl, Seq((3L, 3L)).toDF("k", "v"), "s2", 0L))
+    assert(TxLog.read(spark, tbl).count() === 4)
+    assert(TxLog.history(tbl).map(_.op) === Seq("create",
+      "stream_append:s:0", "stream_append:s:1", "stream_append:s2:0"))
+  }
+
   test("create on an existing table fails; reads of unknown versions fail loudly") {
     val tbl = freshTable()
     TxLog.create(spark, tbl, Seq((1L, "a")).toDF("k", "t"))
