@@ -3072,6 +3072,28 @@ object SparkEntry {
     // a deliberate batch-0 REPLAY pinned as skipped, commit count pinned,
     // final snapshot == the batch table — exactly-once end to end
     "q294_txlog_stream_sink" -> ((s, dir) => StreamGate.txlogStreamSink(s, dir)),
+
+    // incremental aggregate maintenance over TxLog APPEND DELTAS: state
+    // seeds from v0 and folds each append's NEW SEGMENTS only (manifest
+    // diff — history is never re-read), ending equal to the from-scratch
+    // aggregation over the final snapshot (q257's merge-equals-rebuild
+    // identity, now with the commit log providing the delta feed)
+    "q295_txlog_incremental_agg" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q295_").resolve("t").toString
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") % 3 === 0))
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") % 3 === 1))
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") % 3 === 2))
+      def aggOf(df: DataFrame) = df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      var state = aggOf(TxLog.read(s, tbl, 0))
+      for (v <- 1L to 2L)
+        state = graft.operators.Ingest.mergeAggState(
+          state, aggOf(TxLog.appendedIn(s, tbl, v)), Seq("o_orderpriority"))
+      state
+    }),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4778,6 +4800,14 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(4 AS BIGINT) AS n_commits, true AS replay_skipped
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // incremental state over append deltas == from-scratch over the union
+    "q295_txlog_incremental_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // TxLog lifecycle: the composed commits reduce to one live-set
     // predicate — keys %4<2 (create+append) plus %20=6 inserts, +1 cents

@@ -252,4 +252,30 @@ object TxLog {
       keyCols: Seq[String], fingerprint: Column): DataFrame =
     graft.operators.Ingest.snapshotDiff(
       read(spark, table, oldV), read(spark, table, newV), keyCols, fingerprint)
+
+  /**
+   * The rows ADDED by `version` relative to its parent — read straight
+   * from the manifest diff, touching ONLY the new segments (never the
+   * accumulated table). This is what makes incremental maintenance real
+   * at 100 TB: an aggregate state table updates from each append's delta
+   * ([[graft.operators.Ingest.mergeAggState]]) without re-reading
+   * history. Exact for append-type commits (append/stream_append), whose
+   * manifests strictly extend the parent's segment list; a rewrite
+   * commit (upsert/delete/compact) has no additive delta and fails
+   * loudly rather than returning something wrong.
+   */
+  def appendedIn(spark: SparkSession, table: String, version: Long): DataFrame = {
+    require(version > 0, s"version 0 is the full create snapshot — read() it")
+    val h = history(table)
+    val cur = h.find(_.version == version)
+      .getOrElse(sys.error(s"no version $version in $table"))
+    val prev = h.find(_.version == version - 1)
+      .getOrElse(sys.error(s"no parent version ${version - 1} in $table"))
+    require(prev.segments.forall(cur.segments.contains),
+      s"version $version (op=${cur.op}) rewrote the snapshot — append-delta " +
+        "reading is only exact for append commits; rebuild state from read()")
+    val added = cur.segments.filterNot(prev.segments.contains)
+    if (added.isEmpty) read(spark, table, version).limit(0)
+    else spark.read.parquet(added.map(s => s"$table/$s"): _*)
+  }
 }

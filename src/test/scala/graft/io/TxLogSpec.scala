@@ -125,6 +125,18 @@ class TxLogSpec extends SparkSpec {
       "stream_append:s:0", "stream_append:s:1", "stream_append:s2:0"))
   }
 
+  test("appendedIn reads only the new segments; rewrite commits refuse the delta") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, 10L)).toDF("k", "v"))
+    TxLog.append(spark, tbl, Seq((2L, 20L), (3L, 30L)).toDF("k", "v"))
+    val d1 = TxLog.appendedIn(spark, tbl, 1L).collect().map(_.getLong(0)).sorted
+    assert(d1.toSeq === Seq(2L, 3L)) // only the appended rows, not v0's
+    TxLog.upsert(spark, tbl, Seq((1L, 11L)).toDF("k", "v"), Seq("k"))
+    val e = intercept[IllegalArgumentException] { TxLog.appendedIn(spark, tbl, 2L) }
+    assert(e.getMessage.contains("rewrote"))
+    intercept[IllegalArgumentException] { TxLog.appendedIn(spark, tbl, 0L) }
+  }
+
   test("create on an existing table fails; reads of unknown versions fail loudly") {
     val tbl = freshTable()
     TxLog.create(spark, tbl, Seq((1L, "a")).toDF("k", "t"))
