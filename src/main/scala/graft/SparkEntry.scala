@@ -3094,6 +3094,57 @@ object SparkEntry {
           state, aggOf(TxLog.appendedIn(s, tbl, v)), Seq("o_orderpriority"))
       state
     }),
+
+    // PCA correctness CONTRACT pinned on the oracle (the q133 discipline
+    // for q181's rows-only eigenvector output): per component — unit norm,
+    // mutual orthogonality, eigenvalue-descending order, and the
+    // data-tying check Var(projection_j) == eigenvalue_j (exact by
+    // c_j'*Sigma*c_j = lambda_j under the shared n-1 normalizer, checked
+    // at 1e-6 relative tolerance)
+    "q296_pca_contract" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val k = 8
+      val model = graft.ext.PcaOps.fit(e, "embedding", dim = 64, k = k)
+      def dot(a: Array[Double], b: Array[Double]): Double =
+        a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      val proj = graft.ext.PcaOps.project(e, "vec_id", "embedding", model, whiten = false)
+      val aggCols = Seq(count(lit(1)).as("__n")) ++ (0 until k).flatMap(j => Seq(
+        sum(col(s"pc_$j")).as(s"__s$j"),
+        sum(col(s"pc_$j") * col(s"pc_$j")).as(s"__q$j")))
+      val r = proj.agg(aggCols.head, aggCols.tail: _*).head()
+      val n = r.getAs[Long]("__n").toDouble
+      val rows = (0 until k).map { j =>
+        val c = model.components(j)
+        val variance =
+          (r.getAs[Double](s"__q$j") - math.pow(r.getAs[Double](s"__s$j"), 2) / n) / (n - 1)
+        val lam = model.eigenvalues(j)
+        (j.toLong,
+          math.abs(math.sqrt(dot(c, c)) - 1.0) < 1e-9,
+          (0 until j).forall(i => math.abs(dot(c, model.components(i))) < 1e-9),
+          j == 0 || lam <= model.eigenvalues(j - 1),
+          math.abs(variance - lam) <= 1e-6 * math.max(lam, 1e-9))
+      }
+      rows.toDF("component", "norm_ok", "orth_ok", "order_ok", "variance_match_ok")
+    }),
+
+    // Bloom decontamination NO-FALSE-NEGATIVE contract pinned on the
+    // oracle (q117's rows-only FP-set sibling): per TRAIN doc, the Bloom
+    // tier's flagged-gram count must dominate the exact tier's shared-gram
+    // count — the one direction a blocklist filter must never miss
+    "q297_bloom_contract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      val exact = graft.ext.CorpusFilters.decontaminate(
+          train, evalSet, "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_shared_grams").as("__ex"))
+      val bloom = graft.ext.CorpusFilters.bloomDecontaminate(
+          train, evalSet, "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_flagged_grams").as("__bl"))
+      exact.join(bloom, "doc_id")
+        .select(col("doc_id"), (col("__bl") >= col("__ex")).as("superset_ok"))
+    }),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4800,6 +4851,17 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(4 AS BIGINT) AS n_commits, true AS replay_skipped
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // PCA contract: all four per-component invariants pinned TRUE
+    "q296_pca_contract" ->
+      """SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS component,
+        |  true AS norm_ok, true AS orth_ok, true AS order_ok,
+        |  true AS variance_match_ok""".stripMargin,
+
+    // Bloom no-false-negative contract: flagged >= exact for every train doc
+    "q297_bloom_contract" ->
+      """SELECT doc_id, true AS superset_ok FROM documents
+        |WHERE doc_id % 50 != 0 AND length(trim(text)) > 0""".stripMargin,
 
     // incremental state over append deltas == from-scratch over the union
     "q295_txlog_incremental_agg" ->
