@@ -3145,6 +3145,29 @@ object SparkEntry {
       exact.join(bloom, "doc_id")
         .select(col("doc_id"), (col("__bl") >= col("__ex")).as("superset_ok"))
     }),
+
+    // FILTERED sharded-HNSW: the allow-set (vec_id % 3 = 0) gates result
+    // collection while disallowed nodes keep routing the beam — recall
+    // contract vs brute force over the FILTERED corpus (the q133 bar)
+    "q298_knn_hnsw_filtered" -> ((s, dir) => {
+      import graft.ext.{GraphAnn, Similarity}
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val allow = e.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+      val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 64, efSearch = 96, shards = 4)
+      val approx = GraphAnn.hnswQuery(
+        GraphAnn.hnswBuild(e, "vec_id", "embedding", cfg),
+        q, "vec_id", "embedding", k = 10, cfg, allowed = Some(allow))
+      val brute = Similarity.bruteTopK(e.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      val hits = approx.join(brute.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"))
+    }),
   )
 
   /** The q171 messy-HTML fixture (shared, modulo dialect casts, with the
@@ -4842,6 +4865,11 @@ object SparkEntry {
 
     // same contract through the staged-artifact serve path
     "q293_knn_hnsw_serve" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // same contract with an allow-set gating result collection
+    "q298_knn_hnsw_filtered" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
 

@@ -116,21 +116,28 @@ object GraphAnn {
       cur
     }
 
-    /** Beam search at `level`: the ef closest visited nodes. Returns
-      * (dist, idx) sorted ascending (id tie-break). `visited` counts
-      * distance evaluations for the sublinearity evidence. */
+    /** Beam search at `level`: the ef closest visited ALLOWED nodes.
+      * `allow == null` admits everything. Filtered semantics follow the
+      * standard filtered-HNSW discipline: traversal expands through ANY
+      * node (disallowed nodes keep the graph connected) but only allowed
+      * nodes enter the result beam — no post-filter recall loss beyond
+      * the beam width. Returns (dist, idx) ascending (id tie-break).
+      * `visited` counts distance evaluations (sublinearity evidence). */
     private def beam(q: Array[Float], nq: Double, start: Int, level: Int,
-        ef: Int, visited: LongAccumulator): Seq[(Double, Int)] = {
+        ef: Int, visited: LongAccumulator,
+        allow: java.util.function.LongPredicate = null): Seq[(Double, Int)] = {
       val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
       val seen = new java.util.HashSet[Integer]()
       val cand = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(ord.reverse)
       val best = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(ord)
+      def admissible(i: Int): Boolean = allow == null || allow.test(ids(i))
       val d0 = dist(start, q, nq)
       if (visited != null) visited.add(1L)
-      seen.add(start); cand.enqueue((d0, start)); best.enqueue((d0, start))
+      seen.add(start); cand.enqueue((d0, start))
+      if (admissible(start)) best.enqueue((d0, start))
       while (cand.nonEmpty) {
         val (d, u) = cand.dequeue()
-        if (d > best.head._1 && best.size >= ef) { cand.clear() }
+        if (best.size >= ef && d > best.head._1) { cand.clear() }
         else {
           val nb = neighbors(u)(level)
           var j = 0
@@ -141,8 +148,11 @@ object GraphAnn {
               if (visited != null) visited.add(1L)
               if (best.size < ef || dv < best.head._1 ||
                   (dv == best.head._1 && v < best.head._2)) {
-                cand.enqueue((dv, v)); best.enqueue((dv, v))
-                if (best.size > ef) best.dequeue()
+                cand.enqueue((dv, v))
+                if (admissible(v)) {
+                  best.enqueue((dv, v))
+                  if (best.size > ef) best.dequeue()
+                }
               }
             }
             j += 1
@@ -185,12 +195,13 @@ object GraphAnn {
     }
 
     def search(q: Array[Float], nq: Double, k: Int, ef: Int,
-        visited: LongAccumulator): Seq[(Double, Int)] = {
+        visited: LongAccumulator,
+        allow: java.util.function.LongPredicate = null): Seq[(Double, Int)] = {
       if (entry < 0) return Seq.empty
       var cur = entry
       var lev = nodeLevel(entry)
       while (lev > 0) { cur = greedy(q, nq, cur, lev); lev -= 1 }
-      beam(q, nq, cur, 0, math.max(ef, k), visited).take(k)
+      beam(q, nq, cur, 0, math.max(ef, k), visited, allow).take(k)
     }
   }
 
@@ -238,7 +249,9 @@ object GraphAnn {
    */
   def hnswQuery(index: DataFrame, queries: DataFrame, queryId: String,
       queryVec: String, k: Int, cfg: HnswConfig = HnswConfig(),
-      visited: LongAccumulator = null): DataFrame = {
+      visited: LongAccumulator = null,
+      allowed: Option[DataFrame] = None,
+      maxAllowRows: Int = 2000000): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val qRows = queries.select(col(queryId).cast("long"), col(queryVec))
@@ -248,6 +261,19 @@ object GraphAnn {
         "queries or raise the cap explicitly — an unbounded collect would OOM the driver")
     val qb = spark.sparkContext.broadcast(
       qRows.map { case (id, v) => (id, v.toArray) })
+    // FILTERED search: the allow-set broadcasts as a hash set consulted at
+    // result-collection time — disallowed nodes still route the beam (the
+    // standard filtered-HNSW discipline; index-level, no post-filter
+    // recall cliff). Loudly capped: a bigger predicate belongs in the
+    // IVF/SQ filtered tiers, which semi-join instead of broadcasting.
+    val allowSet = allowed.map { a =>
+      val ids = a.select(col(a.columns.head).cast("long"))
+        .limit(maxAllowRows + 1).as[Long].collect()
+      require(ids.length <= maxAllowRows,
+        s"hnswQuery allow-set exceeds maxAllowRows=$maxAllowRows — use the " +
+          "semi-joining filtered tiers (searchSq/searchIvfPq) for broad predicates")
+      spark.sparkContext.broadcast(ids.toSet)
+    }
     val outSchema = StructType(Seq(
       StructField("query_id", LongType), StructField("neighbor_id", LongType),
       StructField("cosine", DoubleType)))
@@ -276,9 +302,13 @@ object GraphAnn {
           if (g.entry < 0 || g.nodeLevel(i) > g.nodeLevel(g.entry)) g.entry = i
           i += 1
         }
+        val allow: java.util.function.LongPredicate = allowSet match {
+          case None => null
+          case Some(b) => val s = b.value; (id: Long) => s.contains(id)
+        }
         qb.value.iterator.flatMap { case (qid, qv) =>
           val nq = norm(qv)
-          g.search(qv, nq, k, cfg.efSearch, visited).map { case (d, ni) =>
+          g.search(qv, nq, k, cfg.efSearch, visited, allow).map { case (d, ni) =>
             Row(qid, g.ids(ni), 1.0 - d)
           }
         }

@@ -66,6 +66,33 @@ class GraphAnnSpec extends SparkSpec {
     assert(res(spark.read.parquet(path)) === res(built))
   }
 
+  test("filtered search: results all allowed, recall vs filtered brute, cap refusal") {
+    val q = emb.filter(col("vec_id") < 10)
+    val allow = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 64, efSearch = 96, shards = 4)
+    val got = GraphAnn.hnswQuery(
+      GraphAnn.hnswBuild(emb, "vec_id", "embedding", cfg),
+      q, "vec_id", "embedding", k = 10, cfg, allowed = Some(allow))
+    // every returned neighbor satisfies the predicate
+    assert(got.filter(col("neighbor_id") % 3 =!= 0).count() === 0)
+    val brute = Similarity.bruteTopK(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+    val hit = got.join(brute.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { qid =>
+      assert(hit.getOrElse(qid, 0L) >= 8L, s"query $qid filtered recall ${hit.getOrElse(qid, 0L)}/10")
+    }
+    // allow-set past the cap refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.hnswQuery(GraphAnn.hnswBuild(emb.limit(50), "vec_id", "embedding", cfg),
+        q, "vec_id", "embedding", k = 5, cfg,
+        allowed = Some(allow), maxAllowRows = 3)
+    }
+    assert(e.getMessage.contains("maxAllowRows"))
+  }
+
   test("query fan-out past maxQueryRows refuses loudly") {
     val cfg = GraphAnn.HnswConfig(shards = 2, maxQueryRows = 3)
     val index = GraphAnn.hnswBuild(emb.limit(50), "vec_id", "embedding", cfg)
