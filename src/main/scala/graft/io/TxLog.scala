@@ -2,10 +2,121 @@ package graft.io
 
 import java.io.File
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** One committed version: the segment dirs (relative to the table root)
+  * whose union IS the snapshot, plus the operation that produced it. */
+case class TxSnapshot(version: Long, op: String, segments: Seq[String])
+
+/**
+ * The storage primitive the commit log needs — Delta's LogStore shape.
+ * Everything concurrency-critical funnels through [[putIfAbsent]]: an
+ * atomic create-if-not-exists of a fully-written log file. The POSIX
+ * implementation uses link(2); an S3-class object store implements the
+ * SAME contract with a conditional PUT (`If-None-Match: *`) — the protocol
+ * above never changes, only this trait's binding.
+ *
+ * Log files are tiny (a manifest is a few hundred bytes) and always
+ * written whole — no appends, no partial reads. Data segments do NOT go
+ * through the store: they are parquet directories written by ordinary
+ * distributed Spark jobs.
+ */
+trait LogStore {
+  /** Names of all log files for `table` (unordered). */
+  def list(table: String): Seq[String]
+  /** Full contents of a log file; throws if absent. */
+  def read(table: String, name: String): String
+  /** Atomic create-if-absent — the CLAIM primitive. True iff this call
+    * created the file; false iff it already existed (lost the race). The
+    * content must be fully visible to any reader that sees the name. */
+  def putIfAbsent(table: String, name: String, content: String): Boolean
+  /** Overwrite-allowed pointer write (for `_last_checkpoint`), atomic
+    * against readers (a reader sees the old or the new content, never a
+    * torn mix). Last writer wins — pointer content is monotone-safe. */
+  def putPointer(table: String, name: String, content: String): Unit
+  /** Read a pointer if present. */
+  def readPointer(table: String, name: String): Option[String]
+}
+
+/** POSIX/HDFS binding: log files live in `<table>/_graft_log/`; the claim
+  * is a full temp-file write followed by link(2), which is atomic and
+  * fails with EEXIST if a concurrent writer got there first (the same
+  * discipline as Delta's HDFS LogStore rename-no-overwrite). */
+object PosixLogStore extends LogStore {
+  private def dir(table: String) = new File(table, "_graft_log")
+
+  def list(table: String): Seq[String] = {
+    val d = dir(table)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().map(_.getName).toSeq
+  }
+
+  def read(table: String, name: String): String =
+    new String(Files.readAllBytes(new File(dir(table), name).toPath), UTF_8)
+
+  def putIfAbsent(table: String, name: String, content: String): Boolean = {
+    val d = dir(table)
+    d.mkdirs()
+    val tmp = File.createTempFile(s"claim_", ".tmp", d)
+    Files.write(tmp.toPath, content.getBytes(UTF_8))
+    try {
+      Files.createLink(new File(d, name).toPath, tmp.toPath)
+      tmp.delete()
+      true
+    } catch {
+      case _: FileAlreadyExistsException => tmp.delete(); false
+    }
+  }
+
+  def putPointer(table: String, name: String, content: String): Unit = {
+    val d = dir(table)
+    d.mkdirs()
+    val tmp = File.createTempFile(s"ptr_", ".tmp", d)
+    Files.write(tmp.toPath, content.getBytes(UTF_8))
+    Files.move(tmp.toPath, new File(d, name).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  def readPointer(table: String, name: String): Option[String] = {
+    val f = new File(dir(table), name)
+    if (f.exists()) Some(new String(Files.readAllBytes(f.toPath), UTF_8)) else None
+  }
+}
+
+/** In-memory binding with EXACTLY the conditional-PUT semantics an
+  * S3-class object store provides (`putIfAbsent` = `If-None-Match: *`).
+  * Exists so the concurrency suite proves the PROTOCOL is correct against
+  * the object-store contract, not against an accident of link(2) — the
+  * production S3 binding differs from this only in where the bytes go. */
+final class InMemoryLogStore extends LogStore {
+  private val files =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  def list(table: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    files.keySet().asScala.collect { case (t, n) if t == table => n }.toSeq
+  }
+
+  def read(table: String, name: String): String = {
+    val c = files.get((table, name))
+    require(c != null, s"no such log file: $table/$name")
+    c
+  }
+
+  def putIfAbsent(table: String, name: String, content: String): Boolean =
+    files.putIfAbsent((table, name), content) == null
+
+  def putPointer(table: String, name: String, content: String): Unit = {
+    files.put((table, name), content); ()
+  }
+
+  def readPointer(table: String, name: String): Option[String] =
+    Option(files.get((table, name)))
+}
 
 /**
  * Transactional-lite table format: a versioned commit log over plain
@@ -14,81 +125,197 @@ import org.apache.spark.sql.functions._
  * concurrent-writer-safe table identity. The Delta/Iceberg protocol shape
  * at its minimum viable core:
  *
- *   <table>/_graft_log/00000000.commit   one manifest per version
- *   <table>/data/<uuid>/                 immutable parquet segments
+ *   <table>/_graft_log/00000000.commit       one manifest per version
+ *   <table>/_graft_log/000000N0.checkpoint   cumulative state every
+ *                                            `checkpointInterval` commits
+ *   <table>/_graft_log/_last_checkpoint      pointer to the newest one
+ *   <table>/data/<uuid>/                     immutable parquet segments
  *
  * A manifest lists the data segments that make up its snapshot, so a read
  * is SNAPSHOT-ISOLATED for free (the listed segments are immutable; a
  * concurrent commit only adds a new manifest) and time travel is "read an
- * older manifest". Commits are OPTIMISTIC: the manifest is fully written
- * to a temp file, then CLAIMED as version v+1 with an atomic hard-link
- * (link(2) fails with EEXIST if a concurrent writer got there first — the
- * same loser-retries discipline as Delta's HDFS LogStore rename). A loser
- * RECOMPUTES its plan against the winner's snapshot and retries, so
- * lost updates are impossible: every committed version is derived from
- * the version immediately below it.
+ * older manifest". Commits are OPTIMISTIC: the manifest is fully written,
+ * then CLAIMED as version v+1 through [[LogStore.putIfAbsent]] (exactly
+ * one concurrent writer wins). A loser RECOMPUTES its plan against the
+ * winner's snapshot and retries, so lost updates are impossible: every
+ * committed version is derived from the version immediately below it.
  *
- * Scope honesty for 100 TB: atomic link + listing assumes a POSIX
- * filesystem (HDFS rename-no-overwrite is the same primitive); an S3-class
- * object store needs a conditional-PUT / external log for the CLAIM step —
- * the protocol shape (immutable segments + single claimed manifest per
- * version + loser-recomputes) carries over unchanged. Data segments are
- * parquet dirs written by ordinary distributed jobs; only the tiny
- * manifest goes through driver-side filesystem calls.
+ * CHECKPOINTS keep per-operation log work FLAT as the table ages (the
+ * Delta `_last_checkpoint` discipline): every `checkpointInterval`-th
+ * commit also writes a checkpoint carrying the cumulative log state — the
+ * vacuum retention floor and each stream's committed high-water batch id —
+ * so the hot paths ([[appendStreamBatch]]'s replay check, [[read]]'s floor
+ * check) parse one checkpoint plus at most an interval's worth of tail
+ * manifests, never the whole history. A long-running stream's per-batch
+ * commit cost is O(interval), independent of how many thousands of
+ * versions the log holds.
+ *
+ * VACUUM ([[vacuum]]) bounds storage: rewrite commits (upsert / delete /
+ * compact) supersede whole snapshots, and without reclamation every
+ * superseded segment would live forever. Vacuum commits a retention floor
+ * (itself a versioned, claim-serialized commit — concurrent writers
+ * compose) and then deletes the segments only sub-floor manifests
+ * reference. Time travel at or above the floor is untouched; below it,
+ * reads fail loudly with the floor in the message. Retention >= 1 means
+ * the latest snapshot's segments are always kept, so concurrent readers
+ * of the live table never race the delete.
+ *
+ * Reads merge schemas across segment generations (an appended batch may
+ * carry added columns — older rows surface NULL there); incompatible type
+ * changes fail loudly at read time, and [[ParquetIO.schemaReport]] is the
+ * drift detector to run before appending anything questionable.
+ *
+ * Data segments are parquet dirs written by ordinary distributed jobs;
+ * only the tiny manifests go through the [[LogStore]].
  */
-object TxLog {
+class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
+  require(checkpointInterval >= 2, s"checkpointInterval must be >= 2")
 
-  /** One committed version: the segment dirs (relative to the table root)
-    * whose union IS the snapshot, plus the operation that produced it. */
-  case class Snapshot(version: Long, op: String, segments: Seq[String])
+  type Snapshot = TxSnapshot
 
-  private def logDir(table: String) = new File(table, "_graft_log")
-  private def commitFile(table: String, v: Long) =
-    new File(logDir(table), f"$v%08d.commit")
+  private def commitName(v: Long) = f"$v%08d.commit"
+  private def checkpointName(v: Long) = f"$v%08d.checkpoint"
+  private val LastCheckpoint = "_last_checkpoint"
+  private val StreamTag = "stream_append:"
+  private val VacuumTag = "vacuum:retainFrom="
 
   private def render(s: Snapshot): String =
     (Seq(s"version=${s.version}", s"op=${s.op}") ++
       s.segments.map(f => s"segment=$f")).mkString("", "\n", "\n")
 
-  private def parse(f: File): Snapshot = {
-    val lines = new String(Files.readAllBytes(f.toPath), UTF_8)
-      .split("\n").filter(_.nonEmpty)
+  private def parse(name: String, content: String): Snapshot = {
+    val lines = content.split("\n").filter(_.nonEmpty)
     def one(k: String) = lines.collectFirst {
       case l if l.startsWith(s"$k=") => l.substring(k.length + 1)
-    }.getOrElse(sys.error(s"corrupt commit ${f.getPath}: missing $k"))
-    Snapshot(one("version").toLong, one("op"),
+    }.getOrElse(sys.error(s"corrupt commit $name: missing $k"))
+    TxSnapshot(one("version").toLong, one("op"),
       lines.collect { case l if l.startsWith("segment=") => l.substring(8) }.toSeq)
   }
 
-  /** All committed versions, ascending. Ignores temp files mid-claim. */
-  def history(table: String): Seq[Snapshot] = {
-    val d = logDir(table)
-    if (!d.exists()) Seq.empty
-    else d.listFiles((_, n) => n.endsWith(".commit")).sortBy(_.getName)
-      .map(parse).toSeq
-  }
+  /** Committed version numbers, ascending — a name listing, no parses. */
+  private def listVersions(table: String): Seq[Long] =
+    store.list(table).filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit").toLong).sorted
+
+  /** Parse exactly one manifest; loud with the available range if absent. */
+  private def snapshotOf(table: String, v: Long): Snapshot =
+    try parse(commitName(v), store.read(table, commitName(v)))
+    catch {
+      case _: java.io.IOException | _: IllegalArgumentException =>
+        val have = listVersions(table)
+        sys.error(s"no version $v in $table (have ${have.mkString(", ")})")
+    }
+
+  /** All committed versions, ascending. O(versions) parses — fine for
+    * inspection and tests; the hot paths go through [[logState]]. */
+  def history(table: String): Seq[Snapshot] =
+    listVersions(table).map(snapshotOf(table, _))
 
   def latest(table: String): Snapshot = {
-    val h = history(table)
-    require(h.nonEmpty, s"not a TxLog table (no _graft_log commits): $table")
-    h.last
+    val vs = listVersions(table)
+    require(vs.nonEmpty, s"not a TxLog table (no _graft_log commits): $table")
+    snapshotOf(table, vs.last)
   }
 
-  /** Snapshot read; `version` for time travel (defaults to latest). */
+  // ---- checkpointed log state --------------------------------------------
+
+  /** Cumulative state at a checkpoint: the vacuum retention floor and each
+    * stream's committed high-water batch id (the Delta `txn` discipline —
+    * per-stream max, bounded by #streams, not #batches). */
+  private case class CpState(version: Long, floor: Long, txns: Map[String, Long])
+
+  private def renderCp(s: CpState): String =
+    (Seq(s"version=${s.version}", s"floor=${s.floor}") ++
+      s.txns.toSeq.sortBy(_._1).map { case (k, v) => s"txn=$k:$v" })
+      .mkString("", "\n", "\n")
+
+  private def parseCp(content: String): CpState = {
+    val lines = content.split("\n").filter(_.nonEmpty)
+    def one(k: String) = lines.collectFirst {
+      case l if l.startsWith(s"$k=") => l.substring(k.length + 1)
+    }.getOrElse(sys.error(s"corrupt checkpoint: missing $k"))
+    val txns = lines.collect { case l if l.startsWith("txn=") =>
+      val body = l.substring(4)
+      val i = body.lastIndexOf(':')
+      body.substring(0, i) -> body.substring(i + 1).toLong
+    }.toMap
+    CpState(one("version").toLong, one("floor").toLong, txns)
+  }
+
+  private def lastCheckpoint(table: String): Option[CpState] =
+    store.readPointer(table, LastCheckpoint).map { v =>
+      parseCp(store.read(table, checkpointName(v.trim.toLong)))
+    }
+
+  private def foldOp(floor: Long, txns: Map[String, Long], op: String): (Long, Map[String, Long]) =
+    if (op.startsWith(StreamTag)) {
+      val body = op.substring(StreamTag.length)
+      val i = body.lastIndexOf(':')
+      val sid = body.substring(0, i)
+      val bid = body.substring(i + 1).toLong
+      (floor, txns.updated(sid, math.max(bid, txns.getOrElse(sid, -1L))))
+    } else if (op.startsWith(VacuumTag)) {
+      (math.max(floor, op.substring(VacuumTag.length).toLong), txns)
+    } else (floor, txns)
+
+  /** Log state up to `upTo` (or the newest commit): latest version, floor,
+    * per-stream high-water marks. FLAT cost: one checkpoint read plus the
+    * tail manifests after it — never the whole history. */
+  private def logState(table: String, upTo: Long = Long.MaxValue): (Long, Long, Map[String, Long]) = {
+    val versions = listVersions(table).filter(_ <= upTo)
+    if (versions.isEmpty) return (-1L, 0L, Map.empty)
+    val cp = lastCheckpoint(table).filter(_.version <= versions.last)
+    var floor = cp.map(_.floor).getOrElse(0L)
+    var txns = cp.map(_.txns).getOrElse(Map.empty[String, Long])
+    val from = cp.map(_.version + 1).getOrElse(0L)
+    versions.filter(_ >= from).foreach { v =>
+      val r = foldOp(floor, txns, snapshotOf(table, v).op)
+      floor = r._1; txns = r._2
+    }
+    (versions.last, floor, txns)
+  }
+
+  /** The vacuum retention floor: versions below it are unreadable. */
+  def retentionFloor(table: String): Long = logState(table)._2
+
+  /** After winning the claim of `v`: every `checkpointInterval`-th version
+    * also persists the cumulative state and bumps the pointer. Only the
+    * winner of `v` gets here for `v`, so the write is single-writer;
+    * putIfAbsent keeps a crash-retry idempotent. */
+  private def maybeCheckpoint(table: String, v: Long): Unit =
+    if (v > 0 && v % checkpointInterval == 0) {
+      val (_, floor, txns) = logState(table, upTo = v)
+      store.putIfAbsent(table, checkpointName(v), renderCp(CpState(v, floor, txns)))
+      val cur = store.readPointer(table, LastCheckpoint).map(_.trim.toLong).getOrElse(-1L)
+      if (cur < v) store.putPointer(table, LastCheckpoint, v.toString)
+    }
+
+  // ---- reads ---------------------------------------------------------------
+
+  /** Snapshot read; `version` for time travel (defaults to latest).
+    * Schemas MERGE across segment generations (added columns surface, old
+    * rows read NULL there); a vacuumed version fails loudly with the
+    * retention floor in the message. */
   def read(spark: SparkSession, table: String, version: Long = -1L): DataFrame = {
-    val snap =
-      if (version < 0) latest(table)
-      else history(table).find(_.version == version)
-        .getOrElse(sys.error(s"no version $version in $table " +
-          s"(have ${history(table).map(_.version).mkString(", ")})"))
+    val (lv, floor, _) = logState(table)
+    require(lv >= 0, s"not a TxLog table (no _graft_log commits): $table")
+    val v = if (version < 0) lv else version
+    if (v > lv) sys.error(s"no version $v in $table (latest is $lv)")
+    require(v >= floor,
+      s"version $v of $table was vacuumed (retention floor $floor) — " +
+        "time travel below the floor is gone; raise retainVersions before vacuuming")
+    val snap = snapshotOf(table, v)
     if (snap.segments.isEmpty) {
       // empty snapshot: replay schema from the newest non-empty ancestor
-      val donor = history(table).takeWhile(_.version <= snap.version)
-        .reverse.find(_.segments.nonEmpty)
+      val donor = (snap.version - 1 to floor by -1).iterator
+        .map(snapshotOf(table, _)).find(_.segments.nonEmpty)
         .getOrElse(sys.error(s"$table has no non-empty version <= ${snap.version}"))
-      spark.read.parquet(donor.segments.map(s => s"$table/$s"): _*).limit(0)
-    } else spark.read.parquet(snap.segments.map(s => s"$table/$s"): _*)
+      readSegments(spark, table, donor.segments).limit(0)
+    } else readSegments(spark, table, snap.segments)
   }
+
+  private def readSegments(spark: SparkSession, table: String, segs: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(segs.map(s => s"$table/$s"): _*)
 
   /** Write `df` as a fresh immutable segment; returns the relative path.
     * Distributed parquet write — the only driver-side work is naming. */
@@ -98,30 +325,16 @@ object TxLog {
     rel
   }
 
-  /** Atomically claim version `v`: full temp write, then hard-link to the
-    * final name — link(2) is atomic and FAILS if the name exists, so
-    * exactly one concurrent writer wins and readers never observe a
-    * half-written manifest. */
   private def tryClaim(table: String, snap: Snapshot): Boolean = {
-    val dir = logDir(table)
-    dir.mkdirs()
-    val tmp = File.createTempFile(s"claim_${snap.version}_", ".tmp", dir)
-    Files.write(tmp.toPath, render(snap).getBytes(UTF_8))
-    val dst = commitFile(table, snap.version).toPath
-    try {
-      Files.createLink(dst, tmp.toPath)
-      tmp.delete()
-      true
-    } catch {
-      case _: FileAlreadyExistsException => tmp.delete(); false
-    }
+    val won = store.putIfAbsent(table, commitName(snap.version), render(snap))
+    if (won) maybeCheckpoint(table, snap.version)
+    won
   }
 
   /** Create the table at version 0 from `df`. Fails if it already exists. */
   def create(spark: SparkSession, table: String, df: DataFrame): Snapshot = {
-    require(!logDir(table).exists() || history(table).isEmpty,
-      s"TxLog table already exists: $table")
-    val snap = Snapshot(0L, "create", Seq(writeSegment(table, df)))
+    require(listVersions(table).isEmpty, s"TxLog table already exists: $table")
+    val snap = TxSnapshot(0L, "create", Seq(writeSegment(table, df)))
     require(tryClaim(table, snap), s"concurrent create of $table")
     snap
   }
@@ -147,7 +360,7 @@ object TxLog {
       val base = latest(table)
       val (op, newData, keptSegments) = plan(base, read(spark, table, base.version))
       val newSegments = newData.map(writeSegment(table, _)).toSeq
-      val snap = Snapshot(base.version + 1, op, keptSegments ++ newSegments)
+      val snap = TxSnapshot(base.version + 1, op, keptSegments ++ newSegments)
       if (tryClaim(table, snap)) return snap
       // lost the race: drop the orphan segment, recompute on the winner
       newSegments.foreach(dropSegment(table, _))
@@ -160,23 +373,26 @@ object TxLog {
 
   /**
    * Idempotent micro-batch append — the exactly-once `foreachBatch`
-   * discipline: the (streamId, batchId) pair rides the manifest's op, so
-   * a batch REPLAYED after a failure/restart (Structured Streaming
-   * re-delivers the last uncommitted batch from its checkpoint) is
-   * detected in the log and skipped instead of double-applied. Returns
-   * true if committed, false if this batch was already in the log.
+   * discipline: each stream's committed HIGH-WATER batch id rides the log
+   * (manifest ops fold into the checkpoint state, the Delta `txn`
+   * discipline), so a batch REPLAYED after a failure/restart (Structured
+   * Streaming re-delivers the last uncommitted batch from its checkpoint,
+   * and batch ids are monotone per stream) is detected and skipped instead
+   * of double-applied. Returns true if committed, false if this batch id
+   * was already at or below the stream's committed mark. Per-batch log
+   * cost is FLAT (checkpoint + tail), independent of the log's length.
    */
   def appendStreamBatch(spark: SparkSession, table: String, batch: DataFrame,
       streamId: String, batchId: Long, maxRetries: Int = 20): Boolean = {
     require(!streamId.contains("\n"), "streamId must be single-line")
-    val tag = s"stream_append:$streamId:$batchId"
+    val tag = s"$StreamTag$streamId:$batchId"
     var attempt = 0
     while (attempt < maxRetries) {
-      val h = history(table)
-      require(h.nonEmpty, s"not a TxLog table: $table")
-      if (h.exists(_.op == tag)) return false // replay: already committed
+      val (lv, _, txns) = logState(table)
+      require(lv >= 0, s"not a TxLog table: $table")
+      if (txns.getOrElse(streamId, -1L) >= batchId) return false // replay
       val seg = writeSegment(table, batch)
-      if (tryClaim(table, Snapshot(h.last.version + 1, tag, h.last.segments :+ seg)))
+      if (tryClaim(table, TxSnapshot(lv + 1, tag, snapshotOf(table, lv).segments :+ seg)))
         return true
       dropSegment(table, seg)
       attempt += 1
@@ -246,6 +462,42 @@ object TxLog {
       ("compact", Some(cur.repartition(targetPartitions)), Seq.empty)
     }
 
+  /**
+   * Reclaim the storage rewrite commits strand: keep the newest
+   * `retainVersions` versions readable (time travel within retention is
+   * bit-identical — their manifests and segments are untouched), commit
+   * the new retention floor as a versioned, claim-serialized commit (so
+   * vacuum composes with concurrent writers like any other commit), then
+   * physically delete every segment referenced ONLY by sub-floor
+   * manifests. A read below the floor fails loudly with the floor in the
+   * message. `retainVersions >= 1` keeps the pre-vacuum latest snapshot's
+   * segments alive by construction (the vacuum manifest carries them
+   * forward), so concurrent live readers never race the delete; only a
+   * time traveler below the floor can observe it, and the floor check
+   * turns that into a loud error.
+   *
+   * Segments never referenced by ANY manifest (a concurrent writer's
+   * in-flight, not-yet-claimed segment) are deliberately NOT touched —
+   * orphan cleanup on lost claims already handles those.
+   */
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int): Snapshot = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    val snap = commitTransform(spark, table) { (base, _) =>
+      val prevFloor = logState(table, upTo = base.version)._2
+      // the vacuum commit itself is version base+1; retain the newest
+      // retainVersions versions counting from it
+      val floor = math.max(prevFloor, math.max(0L, base.version + 2 - retainVersions))
+      (s"$VacuumTag$floor", None, base.segments)
+    }
+    val floor = snap.op.substring(VacuumTag.length).toLong
+    val kept = (floor to snap.version)
+      .flatMap(v => snapshotOf(table, v).segments).toSet
+    val dropped = (0L until floor)
+      .flatMap(v => snapshotOf(table, v).segments).toSet -- kept
+    dropped.foreach(dropSegment(table, _))
+    snap
+  }
+
   /** Per-key change classification between two committed versions —
     * [[graft.operators.Ingest.snapshotDiff]] over time travel. */
   def diffVersions(spark: SparkSession, table: String, oldV: Long, newV: Long,
@@ -266,16 +518,24 @@ object TxLog {
    */
   def appendedIn(spark: SparkSession, table: String, version: Long): DataFrame = {
     require(version > 0, s"version 0 is the full create snapshot — read() it")
-    val h = history(table)
-    val cur = h.find(_.version == version)
-      .getOrElse(sys.error(s"no version $version in $table"))
-    val prev = h.find(_.version == version - 1)
-      .getOrElse(sys.error(s"no parent version ${version - 1} in $table"))
+    val floor = retentionFloor(table)
+    require(version >= floor,
+      s"version $version of $table was vacuumed (retention floor $floor)")
+    val cur = snapshotOf(table, version)
+    val prev = snapshotOf(table, version - 1)
     require(prev.segments.forall(cur.segments.contains),
       s"version $version (op=${cur.op}) rewrote the snapshot — append-delta " +
         "reading is only exact for append commits; rebuild state from read()")
     val added = cur.segments.filterNot(prev.segments.contains)
     if (added.isEmpty) read(spark, table, version).limit(0)
-    else spark.read.parquet(added.map(s => s"$table/$s"): _*)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(added.map(s => s"$table/$s"): _*)
   }
+}
+
+/** The production binding: POSIX/HDFS claims, default checkpoint cadence.
+  * `TxLog.xxx(...)` is the library surface; tests exercising the
+  * object-store protocol instantiate [[TxLogOps]] over [[InMemoryLogStore]]. */
+object TxLog extends TxLogOps(PosixLogStore) {
+  val Snapshot: TxSnapshot.type = TxSnapshot
 }

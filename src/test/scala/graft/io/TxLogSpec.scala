@@ -71,43 +71,52 @@ class TxLogSpec extends SparkSpec {
     assert(empty.count() === 0 && empty.columns.toSeq === Seq("k", "t"))
   }
 
-  test("concurrent appends all survive with distinct contiguous versions") {
-    val tbl = freshTable()
-    TxLog.create(spark, tbl, Seq((0L, 0L)).toDF("k", "v"))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-    try {
-      val futures = (1 to 8).map { i =>
-        pool.submit(new java.util.concurrent.Callable[Long] {
-          def call(): Long =
-            TxLog.append(spark, tbl, Seq((i.toLong, i.toLong)).toDF("k", "v")).version
-        })
-      }
-      val versions = futures.map(_.get()).sorted
-      assert(versions === (1L to 8L), s"got $versions") // every claim distinct
-    } finally pool.shutdown()
-    assert(TxLog.read(spark, tbl).count() === 9) // no append lost
-    assert(TxLog.history(tbl).map(_.version) === (0L to 8L))
-  }
+  // the concurrency suite runs against BOTH LogStore bindings: the POSIX
+  // link(2) claim (production) and the in-memory conditional-PUT claim (the
+  // S3-class contract) — the protocol, not the filesystem accident, is what
+  // must be correct
+  for ((label, ops) <- Seq(
+      "posix link(2)" -> TxLog,
+      "conditional-PUT" -> new TxLogOps(new InMemoryLogStore))) {
 
-  test("concurrent conflicting rewrites both apply (loser recomputes, no lost update)") {
-    val tbl = freshTable()
-    TxLog.create(spark, tbl, Seq((1L, 0L), (2L, 0L)).toDF("k", "v"))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    try {
-      val f1 = pool.submit(new Runnable {
-        def run(): Unit =
-          { TxLog.upsert(spark, tbl, Seq((1L, 100L)).toDF("k", "v"), Seq("k")); () }
-      })
-      val f2 = pool.submit(new Runnable {
-        def run(): Unit =
-          { TxLog.upsert(spark, tbl, Seq((2L, 200L)).toDF("k", "v"), Seq("k")); () }
-      })
-      f1.get(); f2.get()
-    } finally pool.shutdown()
-    // a lost update would leave one key at 0
-    val live = TxLog.read(spark, tbl).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(live === Map(1L -> 100L, 2L -> 200L))
-    assert(TxLog.history(tbl).map(_.version) === Seq(0L, 1L, 2L))
+    test(s"[$label] concurrent appends all survive with distinct contiguous versions") {
+      val tbl = freshTable()
+      ops.create(spark, tbl, Seq((0L, 0L)).toDF("k", "v"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futures = (1 to 8).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long =
+              ops.append(spark, tbl, Seq((i.toLong, i.toLong)).toDF("k", "v")).version
+          })
+        }
+        val versions = futures.map(_.get()).sorted
+        assert(versions === (1L to 8L), s"got $versions") // every claim distinct
+      } finally pool.shutdown()
+      assert(ops.read(spark, tbl).count() === 9) // no append lost
+      assert(ops.history(tbl).map(_.version) === (0L to 8L))
+    }
+
+    test(s"[$label] concurrent conflicting rewrites both apply (loser recomputes, no lost update)") {
+      val tbl = freshTable()
+      ops.create(spark, tbl, Seq((1L, 0L), (2L, 0L)).toDF("k", "v"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val f1 = pool.submit(new Runnable {
+          def run(): Unit =
+            { ops.upsert(spark, tbl, Seq((1L, 100L)).toDF("k", "v"), Seq("k")); () }
+        })
+        val f2 = pool.submit(new Runnable {
+          def run(): Unit =
+            { ops.upsert(spark, tbl, Seq((2L, 200L)).toDF("k", "v"), Seq("k")); () }
+        })
+        f1.get(); f2.get()
+      } finally pool.shutdown()
+      // a lost update would leave one key at 0
+      val live = ops.read(spark, tbl).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(live === Map(1L -> 100L, 2L -> 200L))
+      assert(ops.history(tbl).map(_.version) === Seq(0L, 1L, 2L))
+    }
   }
 
   test("appendStreamBatch: a replayed (streamId, batchId) is skipped, never double-applied") {
@@ -135,6 +144,103 @@ class TxLogSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { TxLog.appendedIn(spark, tbl, 2L) }
     assert(e.getMessage.contains("rewrote"))
     intercept[IllegalArgumentException] { TxLog.appendedIn(spark, tbl, 0L) }
+  }
+
+  private def dataSegmentDirs(tbl: String): Set[String] = {
+    val d = new java.io.File(tbl, "data")
+    if (!d.exists()) Set.empty
+    else d.listFiles().filter(_.isDirectory).map(f => s"data/${f.getName}").toSet
+  }
+
+  test("vacuum: retained time travel bit-identical, sub-floor reads fail loudly, segments reclaimed") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))             // v0
+    TxLog.upsert(spark, tbl, Seq((1L, 11L)).toDF("k", "v"), Seq("k"))              // v1 rewrite
+    TxLog.upsert(spark, tbl, Seq((2L, 22L)).toDF("k", "v"), Seq("k"))              // v2 rewrite
+    TxLog.append(spark, tbl, Seq((3L, 30L)).toDF("k", "v"))                        // v3
+    val v3Rows = TxLog.read(spark, tbl, 3L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = dataSegmentDirs(tbl)
+    assert(before.size === 4) // one fresh segment per commit so far
+
+    // retain the newest 2 versions: vacuum commits v4, floor = 3
+    val snap = TxLog.vacuum(spark, tbl, retainVersions = 2)
+    assert(snap.version === 4L && TxLog.retentionFloor(tbl) === 3L)
+
+    // (a) time travel within retention still reads bit-identically
+    assert(TxLog.read(spark, tbl, 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === v3Rows)
+    assert(TxLog.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === v3Rows) // v4 == v3 content
+    // (b) a vacuumed version fails loudly with the retention bound
+    val e = intercept[IllegalArgumentException] { TxLog.read(spark, tbl, 1L) }
+    assert(e.getMessage.contains("vacuumed") && e.getMessage.contains("floor 3"))
+    intercept[IllegalArgumentException] { TxLog.appendedIn(spark, tbl, 1L) }
+    // (c) sub-floor-only segments are gone; retained manifests' segments stay
+    val keep = (3L to 4L).flatMap(v => TxLog.history(tbl).find(_.version == v).get.segments).toSet
+    assert(dataSegmentDirs(tbl) === keep)
+    assert(keep.size === 2) // v2's rewrite segment + v3's append segment
+    // (d) an unreferenced (in-flight-shaped) segment dir is NOT touched
+    val orphan = new java.io.File(tbl, "data/orphan_inflight")
+    orphan.mkdirs()
+    TxLog.append(spark, tbl, Seq((4L, 40L)).toDF("k", "v"))
+    TxLog.vacuum(spark, tbl, retainVersions = 1)
+    assert(orphan.exists())
+    // repeated vacuum is idempotent and monotone
+    assert(TxLog.retentionFloor(tbl) === 6L)
+    assert(TxLog.read(spark, tbl).count() === 4)
+    intercept[IllegalArgumentException] { TxLog.vacuum(spark, tbl, retainVersions = 0) }
+  }
+
+  test("checkpoint boundary: reads, stream replay checks, and floor survive the cutover") {
+    // interval 3 over the POSIX store so a short history crosses several
+    // checkpoint boundaries
+    val ops = new TxLogOps(PosixLogStore, checkpointInterval = 3)
+    val tbl = freshTable()
+    ops.create(spark, tbl, Seq((0L, 0L)).toDF("k", "v"))                     // v0
+    (1L to 7L).foreach { b =>
+      assert(ops.appendStreamBatch(spark, tbl, Seq((b, b)).toDF("k", "v"), "s", b))
+    }                                                                        // v1..v7
+    // checkpoints exist at v3 and v6 and the pointer tracks the newest
+    assert(ops.store.readPointer(tbl, "_last_checkpoint").map(_.trim) === Some("6"))
+    assert(ops.store.list(tbl).count(_.endsWith(".checkpoint")) === 2)
+    // replay checks resolve THROUGH the checkpoint: batch 2 committed before
+    // the v6 checkpoint, batch 7 after it — both must be skipped
+    assert(!ops.appendStreamBatch(spark, tbl, Seq((99L, 99L)).toDF("k", "v"), "s", 2L))
+    assert(!ops.appendStreamBatch(spark, tbl, Seq((99L, 99L)).toDF("k", "v"), "s", 7L))
+    // a fresh batch id still commits; a different stream has its own marks
+    assert(ops.appendStreamBatch(spark, tbl, Seq((8L, 8L)).toDF("k", "v"), "s", 8L))
+    assert(ops.appendStreamBatch(spark, tbl, Seq((100L, 1L)).toDF("k", "v"), "s2", 0L))
+    assert(ops.read(spark, tbl).count() === 10)
+    // the floor committed before a checkpoint still binds after it
+    ops.vacuum(spark, tbl, retainVersions = 2)                               // v10 floor=9
+    ops.append(spark, tbl, Seq((101L, 1L)).toDF("k", "v"))                   // v11
+    ops.append(spark, tbl, Seq((102L, 1L)).toDF("k", "v"))                   // v12 -> checkpoint
+    assert(ops.store.readPointer(tbl, "_last_checkpoint").map(_.trim) === Some("12"))
+    assert(ops.retentionFloor(tbl) === 9L)
+    intercept[IllegalArgumentException] { ops.read(spark, tbl, 8L) }
+    assert(ops.read(spark, tbl).count() === 12)
+  }
+
+  test("schema evolution: appended columns merge across generations; incompatible types fail loudly") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a"), (2L, "b")).toDF("k", "t"))
+    // generation 2 carries an ADDED column: merged read surfaces it, the
+    // older generation reads NULL there
+    TxLog.append(spark, tbl, Seq((3L, "c", 7L)).toDF("k", "t", "extra"))
+    val merged = TxLog.read(spark, tbl)
+    assert(merged.columns.toSeq === Seq("k", "t", "extra"))
+    val rows = merged.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows === Set((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 7L)))
+    // time travel below the schema change sees the OLD schema only
+    assert(TxLog.read(spark, tbl, 0L).columns.toSeq === Seq("k", "t"))
+    // the append-delta read of the new generation carries the new column
+    assert(TxLog.appendedIn(spark, tbl, 1L).columns.toSeq === Seq("k", "t", "extra"))
+    // an incompatible type change (t: string -> long) fails loudly at read
+    TxLog.append(spark, tbl, Seq((4L, 9L)).toDF("k", "t"))
+    val e = intercept[Exception] { TxLog.read(spark, tbl).collect() }
+    assert(e.getMessage.toLowerCase.contains("merge") ||
+      e.getMessage.toLowerCase.contains("schema"))
   }
 
   test("create on an existing table fails; reads of unknown versions fail loudly") {
