@@ -3146,6 +3146,58 @@ object SparkEntry {
         .select(col("doc_id"), (col("__bl") >= col("__ex")).as("superset_ok"))
     }),
 
+    // TxLog VACUUM: rewrite commits strand superseded segments; vacuum
+    // commits a retention floor (claim-serialized like any commit) and
+    // reclaims the sub-floor-only segments. The gate composes a lifecycle
+    // that rewrites twice, vacuums with retainVersions=2, and pins FOUR
+    // contract booleans next to the hash-checked live aggregate: floor
+    // value, sub-floor reads fail loudly, in-retention time travel still
+    // reads, and the data dir holds EXACTLY the retained manifests' segments
+    "q299_txlog_vacuum" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q299_").resolve("t").toString
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") % 2 === 0))        // v0
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") % 2 === 1))        // v1
+      TxLog.upsert(s, tbl, src.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("cents", col("cents") + 1), Seq("o_orderkey"))         // v2 (rewrite)
+      TxLog.delete(s, tbl, col("o_orderkey") % 50 === 3)                   // v3 (rewrite)
+      TxLog.vacuum(s, tbl, retainVersions = 2)                             // v4, floor = 3
+      val floorOk = TxLog.retentionFloor(tbl) == 3L
+      val vacuumedGone = scala.util.Try(TxLog.read(s, tbl, 1L)).isFailure
+      val retainedReadable = scala.util.Try(TxLog.read(s, tbl, 3L).columns).isSuccess
+      val kept = TxLog.history(tbl).filter(_.version >= 3L).flatMap(_.segments).toSet
+      val dirs = Option(new java.io.File(tbl, "data").listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(f => s"data/${f.getName}").toSet
+      TxLog.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
+        .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
+        .withColumn("floor_ok", lit(floorOk))
+        .withColumn("vacuumed_gone", lit(vacuumedGone))
+        .withColumn("retained_readable", lit(retainedReadable))
+        .withColumn("segments_reclaimed", lit(dirs == kept))
+    }),
+
+    // TxLog SCHEMA EVOLUTION: an appended generation carries an ADDED
+    // column; the snapshot read merges schemas so old rows surface NULL
+    // there (the q127 mergeSchema case, now through the commit log) — the
+    // oracle replays the two-generation union in plain SQL
+    "q300_txlog_schema_evolution" -> ((s, dir) => {
+      import graft.io.TxLog
+      val docs = t(s, dir, "documents")
+      val tbl = graft.io.TempDirs.create("graft_txlog_q300_").resolve("t").toString
+      TxLog.create(s, tbl,
+        docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("source")))
+      TxLog.append(s, tbl, docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("text_len")))
+      TxLog.read(s, tbl).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("text_len")).as("n_with_len"),
+          sum(coalesce(col("text_len"), lit(0L))).as("sum_len"))
+    }),
+
     // FILTERED sharded-HNSW: the allow-set (vec_id % 3 = 0) gates result
     // collection while disallowed nodes keep routing the beam — recall
     // contract vs brute force over the FILTERED corpus (the q133 bar)
@@ -4916,6 +4968,39 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
         |  CAST(5 AS BIGINT) AS n_versions
         |FROM live GROUP BY 1""".stripMargin,
+
+    // vacuum lifecycle: keys %2 in {0,1} = everything, +1 cents where
+    // %10=0 (upsert), minus %50=3 (delete); v0..v4 = 5 versions; the four
+    // vacuum contract booleans pinned TRUE
+    "q299_txlog_vacuum" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |live AS (
+        |  SELECT k, pr,
+        |    cents + CASE WHEN k % 10 = 0 THEN 1 ELSE 0 END AS cents
+        |  FROM src WHERE k % 50 != 3)
+        |SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  CAST(5 AS BIGINT) AS n_versions,
+        |  true AS floor_ok, true AS vacuumed_gone,
+        |  true AS retained_readable, true AS segments_reclaimed
+        |FROM live GROUP BY 1""".stripMargin,
+
+    // two-generation union: even doc_ids carry no text_len (NULL), odd
+    // ones carry length(text)
+    "q300_txlog_schema_evolution" ->
+      """WITH merged AS (
+        |  SELECT doc_id, source, CAST(NULL AS BIGINT) AS text_len
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, source, CAST(length(text) AS BIGINT)
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(text_len) AS BIGINT) AS n_with_len,
+        |  CAST(COALESCE(SUM(text_len), 0) AS BIGINT) AS sum_len
+        |FROM merged GROUP BY 1""".stripMargin,
 
     // frame-split scene stats: q272's closed-form gray plan on the
     // longer-clip fixture (5 scenes x 2 frames, doc_id % 7 = 5)
