@@ -3052,7 +3052,7 @@ object SparkEntry {
       val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 64, efSearch = 64, shards = 4)
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
-      val base = ensureServeArtifact("hnsw", dir, "embeddings") { p =>
+      val base = ensureServeArtifact("hnsw_v2", dir, "embeddings") { p =>
         GraphAnn.hnswBuild(e, "vec_id", "embedding", cfg).write.parquet(s"$p/graph")
       }
       val approx = GraphAnn.hnswQuery(s.read.parquet(s"$base/graph"),
@@ -3196,6 +3196,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           count(col("text_len")).as("n_with_len"),
           sum(coalesce(col("text_len"), lit(0L))).as("sum_len"))
+    }),
+
+    // INCREMENTAL HNSW ingest: the daily-embedding-batch path — the new
+    // vectors route to shards and insert into the ADOPTED per-shard
+    // graphs; the accumulated corpus is never re-indexed. Pins TWO
+    // contracts: the inserted artifact is BYTE-IDENTICAL to a
+    // from-scratch rebuild (monotone batch ids — the q253 mergeIndex
+    // discipline), and recall@10 vs brute over the full post-ingest
+    // corpus clears the q292 bar
+    "q301_knn_hnsw_ingest" -> ((s, dir) => {
+      import graft.ext.{GraphAnn, Similarity}
+      val e = t(s, dir, "embeddings")
+      val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 64, efSearch = 64, shards = 4)
+      val inserted = GraphAnn.hnswInsert(
+        GraphAnn.hnswBuild(e.filter(col("vec_id") < 400), "vec_id", "embedding", cfg),
+        e.filter(col("vec_id") >= 400), "vec_id", "embedding", cfg)
+      val rebuilt = GraphAnn.hnswBuild(e, "vec_id", "embedding", cfg)
+      val mergeOk = inserted.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(inserted).isEmpty
+      val q = e.filter(col("vec_id") < 5)
+      val approx = GraphAnn.hnswQuery(inserted, q, "vec_id", "embedding", k = 10, cfg)
+      val brute = Similarity.bruteTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      val hits = approx.join(brute.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"),
+          lit(mergeOk).as("merge_equals_rebuild"))
     }),
 
     // FILTERED sharded-HNSW: the allow-set (vec_id % 3 = 0) gates result
@@ -4923,6 +4953,12 @@ object SparkEntry {
     // same contract with an allow-set gating result collection
     "q298_knn_hnsw_filtered" ->
       """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // incremental ingest: recall contract + merge-equals-rebuild pinned
+    "q301_knn_hnsw_ingest" ->
+      """SELECT vec_id AS query_id, true AS recall_ok,
+        |  true AS merge_equals_rebuild
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
 
     // TxLog stream sink: snapshot == batch table; create + 3 micro-batch

@@ -61,7 +61,20 @@ object GraphAnn {
   private val indexSchema = StructType(Seq(
     StructField("shard", IntegerType), StructField("id", LongType),
     StructField("vec", ArrayType(FloatType)),
-    StructField("levels", ArrayType(ArrayType(LongType)))))
+    StructField("levels", ArrayType(ArrayType(LongType))),
+    StructField("cfg", StringType)))
+
+  /** The structural knobs baked into a persisted index. Query/insert-time
+    * cfgs MUST match on these: a mismatched maxLevel/m would silently
+    * truncate persisted neighbor levels and degrade recall — the artifact
+    * records them so the mismatch fails loudly instead. */
+  private[ext] def cfgTag(cfg: HnswConfig): String =
+    s"m=${cfg.m};maxLevel=${cfg.maxLevel}"
+
+  private def requireCfgMatch(rowCfg: String, cfg: HnswConfig, where: String): Unit =
+    require(rowCfg == cfgTag(cfg),
+      s"$where: index was built with [$rowCfg] but cfg says [${cfgTag(cfg)}] — " +
+        "m/maxLevel are structural; query and insert with the build-time values")
 
   /** cosine DISTANCE (1 − cos); zero-norm vectors are infinitely far from
     * everything but themselves, matching vec_cosine's similarity-0 guard. */
@@ -131,6 +144,15 @@ object GraphAnn {
       val cand = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(ord.reverse)
       val best = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(ord)
       def admissible(i: Int): Boolean = allow == null || allow.test(ids(i))
+      // FILTERED searches carry an expansion budget: with a very sparse
+      // allow-set in this shard, `best` never fills to ef and the beam
+      // would otherwise walk the whole connected component — O(n) evals
+      // per query. The budget (generous vs the unfiltered beam's natural
+      // footprint) returns the best-so-far instead; predicates selective
+      // enough to hit it belong in the semi-joining filtered tiers
+      // (searchSq/searchIvfPq), which scan only allowed rows.
+      val budget: Long = if (allow == null) Long.MaxValue else math.max(4096L, 64L * ef * cfg.m)
+      var evals = 1L
       val d0 = dist(start, q, nq)
       if (visited != null) visited.add(1L)
       seen.add(start); cand.enqueue((d0, start))
@@ -145,6 +167,7 @@ object GraphAnn {
             val v = nb(j)
             if (seen.add(v)) {
               val dv = dist(v, q, nq)
+              evals += 1
               if (visited != null) visited.add(1L)
               if (best.size < ef || dv < best.head._1 ||
                   (dv == best.head._1 && v < best.head._2)) {
@@ -157,12 +180,29 @@ object GraphAnn {
             }
             j += 1
           }
+          if (evals >= budget) cand.clear()
         }
       }
       best.dequeueAll.reverse.toSeq // ascending distance
     }
 
     private def maxM(level: Int): Int = if (level == 0) 2 * cfg.m else cfg.m
+
+    /** Adjacency lists are kept CANONICALLY index-sorted at all times, so
+      * the in-build state after inserting nodes 0..k equals the state a
+      * reloaded (persisted, id-sorted) index adopts — the invariant that
+      * makes [[GraphAnn.hnswInsert]] replay a from-scratch build exactly
+      * (scan order over neighbors affects beam tie handling; a canonical
+      * order removes the degree of freedom). */
+    private def insertSorted(nb: scala.collection.mutable.ArrayBuffer[Int], v: Int): Unit = {
+      var lo = 0
+      var hi = nb.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (nb(mid) < v) lo = mid + 1 else hi = mid
+      }
+      nb.insert(lo, v)
+    }
 
     def insert(i: Int): Unit = {
       if (entry < 0) { entry = i; return }
@@ -176,15 +216,15 @@ object GraphAnn {
       while (level >= 0) {
         val found = beam(q, nq, cur, level, cfg.efConstruction, null)
         val selected = found.take(cfg.m).map(_._2)
+        neighbors(i)(level) ++= selected.sorted
         selected.foreach { v =>
-          neighbors(i)(level) += v
           val nb = neighbors(v)(level)
-          nb += i
+          insertSorted(nb, i)
           if (nb.length > maxM(level)) {
             // prune to the closest maxM (id tie-break) — simple selection,
             // deterministic; the diversity heuristic is a recall refinement
             val pruned = nb.map(x => (cosDist(vecs(x), norms(x), vecs(v), norms(v)), x))
-              .sorted.take(maxM(level)).map(_._2)
+              .sorted.take(maxM(level)).map(_._2).sorted
             nb.clear(); nb ++= pruned
           }
         }
@@ -222,6 +262,7 @@ object GraphAnn {
       cfg: HnswConfig = HnswConfig()): DataFrame = {
     require(cfg.shards >= 1 && cfg.m >= 2 && cfg.efConstruction >= cfg.m,
       s"bad HnswConfig: $cfg")
+    val tag = cfgTag(cfg)
     data.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .withColumn("shard", pmod(xxhash64(col("id")), lit(cfg.shards.toLong)).cast("int"))
       .repartition(cfg.shards, col("shard"))
@@ -230,11 +271,102 @@ object GraphAnn {
           val sorted = rs.map(r =>
             (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
           val g = buildLocal(sorted.map(_._1), sorted.map(_._2), cfg)
-          (0 until g.n).iterator.map { i =>
-            val lv: Seq[Seq[Long]] =
-              g.neighbors(i).toSeq.map(_.map(g.ids(_)).toSeq.sorted)
-            Row(shard, g.ids(i), g.vecs(i).toSeq, lv)
+          emitRows(shard, g, tag)
+        }
+      }(Encoders.row(indexSchema))
+  }
+
+  private def emitRows(shard: Int, g: LocalGraph, tag: String): Iterator[Row] =
+    (0 until g.n).iterator.map { i =>
+      val lv: Seq[Seq[Long]] =
+        g.neighbors(i).toSeq.map(_.map(g.ids(_)).toSeq.sorted)
+      Row(shard, g.ids(i), g.vecs(i).toSeq, lv, tag)
+    }
+
+  /** One persisted index row, positionally decoded. `levels == null`
+    * marks a not-yet-indexed row (the [[hnswInsert]] batch side). */
+  private def decodeRow(r: Row): (Long, Array[Float], Array[Array[Long]]) =
+    (r.getLong(1), r.getSeq[Float](2).toArray,
+      // inner lists deserialize as mutable.ArraySeq — type with the
+      // collection.Seq supertype or the element cast blows up
+      if (r.isNullAt(3)) null
+      else r.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](3)
+        .map(_.toArray).toArray)
+
+  /** Reconstruct one shard's graph from persisted rows: adopt the stored
+    * adjacency (id-sorted, the canonical order [[LocalGraph.insert]] also
+    * maintains) — no re-insertion — and recover the entry point exactly as
+    * a sorted-order build would have left it (the first max-level node in
+    * id order). `sorted` must be id-ascending. */
+  private def adoptGraph(sorted: Array[(Long, Array[Float], Array[Array[Long]])],
+      cfg: HnswConfig): LocalGraph = {
+    val ids = sorted.map(_._1)
+    val idx = ids.zipWithIndex.toMap
+    val g = new LocalGraph(ids, sorted.map(_._2), cfg)
+    var i = 0
+    while (i < g.n) {
+      val lv = sorted(i)._3
+      if (lv != null) { // null marks a not-yet-indexed hnswInsert batch row
+        var l = 0
+        while (l < lv.length && l < g.neighbors(i).length) {
+          g.neighbors(i)(l) ++= lv(l).flatMap(idx.get)
+          l += 1
+        }
+        // entry exactly as a sorted-order build left it: the first
+        // max-level INDEXED node in id order
+        if (g.entry < 0 || g.nodeLevel(i) > g.nodeLevel(g.entry)) g.entry = i
+      }
+      i += 1
+    }
+    g
+  }
+
+  /**
+   * INCREMENTAL ingest — the daily-embedding-batch path that every other
+   * index tier already has (MinhashIndex q260, positional mergeIndex
+   * q253): route the batch to shards, adopt each shard's persisted graph,
+   * insert the new nodes in id order, and emit the updated artifact — the
+   * accumulated corpus is NEVER re-indexed. Deterministic hash levels +
+   * canonical id-sorted adjacency make the result ORDER-STABLE: when the
+   * batch's ids all sort after the indexed ids (the append-ingest shape —
+   * new documents get new, larger ids), the inserted index is
+   * byte-identical to a from-scratch [[hnswBuild]] over the union (the
+   * merge-equals-rebuild contract); interleaved ids still yield a valid
+   * deterministic index, just not the literal rebuild.
+   *
+   * Ids already present in the index are refused loudly (an HNSW node
+   * cannot be re-pointed in place — route updates through a rebuild or a
+   * delete-list at serve time).
+   */
+  def hnswInsert(index: DataFrame, newData: DataFrame, idCol: String, vecCol: String,
+      cfg: HnswConfig = HnswConfig()): DataFrame = {
+    val tag = cfgTag(cfg)
+    val batch = newData
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("shard", pmod(xxhash64(col("id")), lit(cfg.shards.toLong)).cast("int"))
+      .select(col("shard"), col("id"), col("vec"),
+        lit(null).cast(indexSchema("levels").dataType).as("levels"),
+        lit(null).cast("string").as("cfg"))
+    index.select(col("shard"), col("id"), col("vec"), col("levels"), col("cfg"))
+      .unionAll(batch)
+      .repartition(cfg.shards, col("shard"))
+      .mapPartitions { rows =>
+        rows.toArray.groupBy(_.getInt(0)).iterator.flatMap { case (shard, rs) =>
+          rs.iterator.filter(!_.isNullAt(4))
+            .foreach(r => requireCfgMatch(r.getString(4), cfg, "hnswInsert"))
+          val sorted = rs.map(decodeRow).sortBy(_._1)
+          sorted.sliding(2).foreach { w =>
+            if (w.length == 2) require(w(0)._1 != w(1)._1,
+              s"hnswInsert: id ${w(0)._1} is already indexed in shard $shard — " +
+                "HNSW nodes are insert-only; rebuild or handle updates at serve time")
           }
+          val g = adoptGraph(sorted, cfg)
+          var i = 0
+          while (i < g.n) {
+            if (sorted(i)._3 == null) g.insert(i)
+            i += 1
+          }
+          emitRows(shard, g, tag)
         }
       }(Encoders.row(indexSchema))
   }
@@ -277,31 +409,15 @@ object GraphAnn {
     val outSchema = StructType(Seq(
       StructField("query_id", LongType), StructField("neighbor_id", LongType),
       StructField("cosine", DoubleType)))
-    val perShard = index.repartition(col("shard")).mapPartitions { rows =>
+    val perShard = index.select(col("shard"), col("id"), col("vec"), col("levels"), col("cfg"))
+      .repartition(col("shard")).mapPartitions { rows =>
       rows.toArray.groupBy(_.getInt(0)).iterator.flatMap { case (_, rs) =>
-        val sorted = rs.map { r =>
-          // inner lists deserialize as mutable.ArraySeq — type with the
-          // collection.Seq supertype or the element cast blows up
-          (r.getLong(1), r.getSeq[Float](2).toArray,
-            r.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](3)
-              .map(_.toArray).toArray)
-        }.sortBy(_._1)
-        val ids = sorted.map(_._1)
-        val idx = ids.zipWithIndex.toMap
-        val g = new LocalGraph(ids, sorted.map(_._2), cfg)
+        // the artifact records its structural build knobs; a mismatched
+        // query cfg would silently truncate persisted levels (ADVICE r7)
+        requireCfgMatch(rs.head.getString(4), cfg, "hnswQuery")
         // adopt the PERSISTED adjacency (no re-insert): levels were built
         // deterministically at hnswBuild time
-        var i = 0
-        while (i < g.n) {
-          val lv = sorted(i)._3
-          var l = 0
-          while (l < lv.length && l < g.neighbors(i).length) {
-            g.neighbors(i)(l) ++= lv(l).flatMap(idx.get)
-            l += 1
-          }
-          if (g.entry < 0 || g.nodeLevel(i) > g.nodeLevel(g.entry)) g.entry = i
-          i += 1
-        }
+        val g = adoptGraph(rs.map(decodeRow).sortBy(_._1), cfg)
         val allow: java.util.function.LongPredicate = allowSet match {
           case None => null
           case Some(b) => val s = b.value; (id: Long) => s.contains(id)

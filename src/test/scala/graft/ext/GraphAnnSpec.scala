@@ -93,6 +93,99 @@ class GraphAnnSpec extends SparkSpec {
     assert(e.getMessage.contains("maxAllowRows"))
   }
 
+  test("hnswInsert: monotone-id ingest is byte-identical to a from-scratch rebuild") {
+    // the append-ingest shape: the batch's ids all sort after the indexed
+    // ids, so replaying the insertions onto the adopted graph IS the
+    // from-scratch build's suffix (canonical id-sorted adjacency removes
+    // scan-order freedom) — the q253 mergeIndex discipline
+    val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 64, efSearch = 64, shards = 4)
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val inserted = GraphAnn.hnswInsert(
+      GraphAnn.hnswBuild(base, "vec_id", "embedding", cfg),
+      batch, "vec_id", "embedding", cfg)
+    val rebuilt = GraphAnn.hnswBuild(emb, "vec_id", "embedding", cfg)
+    assert(canon(inserted) === canon(rebuilt))
+  }
+
+  test("hnswInsert: interleaved ids still meet the recall contract; persisted round-trip") {
+    val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 64, efSearch = 64, shards = 4)
+    val base = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    val path = graft.io.TempDirs.create("hnsw_ins_").resolve("idx").toString
+    GraphAnn.hnswBuild(base, "vec_id", "embedding", cfg).write.parquet(path)
+    val idx = GraphAnn.hnswInsert(spark.read.parquet(path), batch, "vec_id", "embedding", cfg)
+    val q = emb.filter(col("vec_id") < 10)
+    val approx = GraphAnn.hnswQuery(idx, q, "vec_id", "embedding", k = 10, cfg)
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10)
+    val hit = approx.join(brute.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { qid =>
+      assert(hit.getOrElse(qid, 0L) >= 9L, s"query $qid recall ${hit.getOrElse(qid, 0L)}/10")
+    }
+  }
+
+  test("hnswInsert: an already-indexed id refuses loudly") {
+    val cfg = GraphAnn.HnswConfig(shards = 2)
+    val idx = GraphAnn.hnswBuild(emb.filter(col("vec_id") < 100), "vec_id", "embedding", cfg)
+    val e = intercept[org.apache.spark.SparkException] {
+      GraphAnn.hnswInsert(idx, emb.filter(col("vec_id") === 50), "vec_id", "embedding", cfg)
+        .count()
+    }
+    assert(e.getMessage.contains("already indexed") ||
+      Option(e.getCause).exists(_.getMessage.contains("already indexed")))
+  }
+
+  test("a cfg mismatch on m/maxLevel fails loudly at query and insert time") {
+    val buildCfg = GraphAnn.HnswConfig(m = 8, shards = 2)
+    val idx = GraphAnn.hnswBuild(emb.limit(80), "vec_id", "embedding", buildCfg).cache()
+    idx.count()
+    val otherCfg = buildCfg.copy(m = 4)
+    val eq = intercept[org.apache.spark.SparkException] {
+      GraphAnn.hnswQuery(idx, emb.limit(2), "vec_id", "embedding", k = 3, otherCfg).count()
+    }
+    assert(eq.getMessage.contains("m/maxLevel") ||
+      Option(eq.getCause).exists(_.getMessage.contains("m/maxLevel")))
+    val ei = intercept[org.apache.spark.SparkException] {
+      GraphAnn.hnswInsert(idx, emb.filter(col("vec_id") > 400), "vec_id", "embedding",
+        otherCfg).count()
+    }
+    assert(ei.getMessage.contains("m/maxLevel") ||
+      Option(ei.getCause).exists(_.getMessage.contains("m/maxLevel")))
+    idx.unpersist()
+    ()
+  }
+
+  test("filtered beam is expansion-bounded: a sparse allow-set cannot walk the whole shard") {
+    // 20k synthetic nodes in ONE shard; allow only 5 ids. Without the
+    // budget the beam would expand through the entire connected component
+    // hunting for ef admissible nodes (~20k evals/query); with it, evals
+    // stay within the documented bound.
+    val big = spark.range(1, 20001).select(col("id").as("vec_id"),
+      array((0 until 8).map(j =>
+        (pmod(xxhash64(col("id"), lit(j)), lit(1000L)) / 500d - 1d).cast("float")): _*)
+        .as("embedding"))
+    val cfg = GraphAnn.HnswConfig(m = 4, efConstruction = 16, efSearch = 8, shards = 1)
+    val index = GraphAnn.hnswBuild(big, "vec_id", "embedding", cfg).cache()
+    index.count()
+    val allow = big.filter(col("vec_id") % 4000 === 0).select(col("vec_id"))
+    val visited = spark.sparkContext.longAccumulator("hnsw_filtered_visited")
+    val got = GraphAnn.hnswQuery(index, big.filter(col("vec_id") === 7),
+      "vec_id", "embedding", k = 3, cfg, visited, allowed = Some(allow))
+    assert(got.count() > 0) // best-so-far results still come back
+    // budget = max(4096, 64*ef*m) = 4096; overshoot at most one neighbor scan
+    assert(visited.value <= 4096L + 2L * cfg.m + 1L,
+      s"filtered beam visited ${visited.value} — budget not enforced")
+    assert(visited.value < 20000L, "filtered beam walked the whole component")
+    index.unpersist()
+    ()
+  }
+
   test("query fan-out past maxQueryRows refuses loudly") {
     val cfg = GraphAnn.HnswConfig(shards = 2, maxQueryRows = 3)
     val index = GraphAnn.hnswBuild(emb.limit(50), "vec_id", "embedding", cfg)
