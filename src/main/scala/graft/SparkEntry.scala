@@ -3198,6 +3198,35 @@ object SparkEntry {
           sum(coalesce(col("text_len"), lit(0L))).as("sum_len"))
     }),
 
+    // FILTERED IVF-PQ — the 100 TB default tier gets allow-set parity
+    // with the SQ (q158) and HNSW (q298) filtered paths: the predicate
+    // semi-joins the cell assignment BEFORE ADC scoring (a distributed
+    // join, so unlike the HNSW broadcast the allow-set can be corpus-
+    // sized), and the recall contract runs vs brute force over the
+    // FILTERED corpus
+    "q302_knn_ivfpq_filtered" -> ((s, dir) => {
+      import graft.ext.Similarity
+      val e = t(s, dir, "embeddings")
+        .withColumn("embedding", Similarity.l2normalized(col("embedding")))
+      val q = e.filter(col("vec_id") < 5)
+      val allow = e.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+      val (ivf, pq) = Similarity.buildIvfPq(e, "vec_id", "embedding",
+        Similarity.IvfConfig(nlist = 32, nprobe = 16),
+        Similarity.PqConfig(m = 8, ksub = 32))
+      val approx = Similarity.searchIvfPq(ivf, pq, e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10, nprobe = 16, rerank = 300,
+        allowed = Some(allow))
+      val brute = Similarity.bruteTopK(e.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      val hits = approx.join(brute.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"))
+    }),
+
     // INCREMENTAL HNSW ingest: the daily-embedding-batch path — the new
     // vectors route to shards and insert into the ADOPTED per-shard
     // graphs; the accumulated corpus is never re-indexed. Pins TWO
@@ -4952,6 +4981,11 @@ object SparkEntry {
 
     // same contract with an allow-set gating result collection
     "q298_knn_hnsw_filtered" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // filtered IVF-PQ: the q158/q298 contract through the composed tier
+    "q302_knn_ivfpq_filtered" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
 

@@ -594,16 +594,29 @@ object Similarity {
       data: DataFrame, dataId: String, dataVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nprobe: Int, rerank: Int = 100,
-      maxQueryRows: Int = Similarity.MaxPqQueryRows): DataFrame = {
+      maxQueryRows: Int = Similarity.MaxPqQueryRows,
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val spark = pq.codes.sparkSession
     import spark.implicits._
 
     val probes = probeCells(ivf.centroids, queries, queryId, queryVec, nprobe)
       .select(col("query_id"), col("cell"))
+    // FILTERED search (the q158 searchSq recipe, on the 100 TB default
+    // tier): the allow-set SEMI-JOINS the cell assignment before any code
+    // is ADC-scored, so the shortlist draws entirely from rows passing the
+    // predicate — index-level filtering with no post-filter recall cliff,
+    // and unlike the HNSW broadcast allow-set this is a distributed join:
+    // the predicate relation can be arbitrarily large.
+    val assigned = allowed match {
+      case None => ivf.assigned.select(col("neighbor_id"), col("cell"))
+      case Some(a) => ivf.assigned.select(col("neighbor_id"), col("cell"))
+        .join(a.select(col(a.columns.head).cast("long").as("neighbor_id")),
+          Seq("neighbor_id"), "left_semi")
+    }
     // slim assignment: (neighbor_id, cell) only — the whole point of PQ is
     // that full vectors are NOT carried into the scan
-    val cand = ivf.assigned.select(col("neighbor_id"), col("cell"))
+    val cand = assigned
       .join(probes, "cell")
       .join(pq.codes, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("pq_code"))

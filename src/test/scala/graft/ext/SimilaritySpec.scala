@@ -219,6 +219,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("searchIvfPq filtered: results all allowed; recall vs filtered brute") {
+    val rng = new scala.util.Random(48)
+    val data = (0L until 400L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val q = df.filter($"vec_id" < 5L)
+    val allow = df.filter($"vec_id" % 3 === 0).select($"vec_id")
+    val (ivf, pq) = Similarity.buildIvfPq(df, "vec_id", "embedding",
+      Similarity.IvfConfig(nlist = 8, nprobe = 6),
+      Similarity.PqConfig(m = 4, ksub = 32))
+    val got = Similarity.searchIvfPq(ivf, pq, df, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10, nprobe = 6, rerank = 200,
+      allowed = Some(allow)).collect()
+    // every returned neighbor satisfies the predicate
+    assert(got.nonEmpty && got.forall(_.getLong(1) % 3 == 0))
+    val truth = Similarity.bruteTopK(df.filter($"vec_id" % 3 === 0),
+        "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+    val byQ = got.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+    truth.foreach { case (qid, t) =>
+      val overlap = byQ.getOrElse(qid, Set.empty).intersect(t).size
+      assert(overlap >= 6, s"query $qid filtered recall $overlap/10")
+    }
+  }
+
   test("searchPq/searchIvfPq refuse a query side past maxQueryRows loudly") {
     // the ADC design funnels the query set to the driver (LUT broadcast);
     // the cap check is a bounded limit-collect, so refusing a corpus-sized
