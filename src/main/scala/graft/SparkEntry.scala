@@ -3198,6 +3198,13 @@ object SparkEntry {
           sum(coalesce(col("text_len"), lit(0L))).as("sum_len"))
     }),
 
+    // LAKEHOUSE CAPSTONE: the whole TxLog tier composed as ONE lifecycle
+    // (the q98/q261 discipline) — exactly-once stream ingest, incremental
+    // state maintained AS a TxLog table from manifest deltas, pinned
+    // merge-equals-rebuild, compaction, schema-evolving append, version
+    // diff, vacuum with the floor at the compaction — one DuckDB oracle
+    "q303_lakehouse_capstone" -> ((s, dir) => StreamGate.lakehouseCapstone(s, dir)),
+
     // FILTERED IVF-PQ — the 100 TB default tier gets allow-set parity
     // with the SQ (q158) and HNSW (q298) filtered paths: the predicate
     // semi-joins the cell assignment BEFORE ADC scoring (a distributed
@@ -4983,6 +4990,36 @@ object SparkEntry {
     "q298_knn_hnsw_filtered" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // lakehouse capstone: the composed lifecycle reduces to plain SQL —
+    // stream state = the whole corpus per source; final = corpus plus the
+    // %10=3 re-appended generation (tagged); v0..v6 = 7 commits; the four
+    // lifecycle contract booleans pinned TRUE
+    "q303_lakehouse_capstone" ->
+      """WITH src AS (
+        |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS text_len
+        |  FROM documents),
+        |stream_agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_stream,
+        |    CAST(SUM(text_len) AS BIGINT) AS sum_len_stream
+        |  FROM src GROUP BY 1),
+        |fin AS (
+        |  SELECT source, text_len, CAST(NULL AS VARCHAR) AS tag FROM src
+        |  UNION ALL
+        |  SELECT source, text_len, concat('t', CAST(doc_id % 4 AS VARCHAR))
+        |  FROM src WHERE doc_id % 10 = 3),
+        |fin_agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_final,
+        |    CAST(count(tag) AS BIGINT) AS n_tagged,
+        |    CAST(SUM(text_len) AS BIGINT) AS sum_len_final
+        |  FROM fin GROUP BY 1),
+        |added AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_added FROM src WHERE doc_id % 10 = 3)
+        |SELECT f.source, f.n_final, f.n_tagged, f.sum_len_final,
+        |  s.n_stream, s.sum_len_stream,
+        |  CAST(7 AS BIGINT) AS n_commits, added.n_added,
+        |  true AS replay_skipped, true AS incremental_ok, true AS floor_ok
+        |FROM fin_agg f JOIN stream_agg s USING (source) CROSS JOIN added""".stripMargin,
 
     // filtered IVF-PQ: the q158/q298 contract through the composed tier
     "q302_knn_ivfpq_filtered" ->

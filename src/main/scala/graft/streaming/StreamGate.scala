@@ -617,6 +617,84 @@ object StreamGate {
       .withColumn("replay_skipped", lit(replaySkipped))
   }
 
+  /**
+   * The LAKEHOUSE CAPSTONE (q303): every TxLog capability composed as ONE
+   * lifecycle the way q98/q261 composed curation/admission — create →
+   * exactly-once streaming ingest (3 micro-batches + a deliberate batch-0
+   * replay, pinned skipped) → incremental aggregate maintenance where the
+   * STATE IS ITSELF A TXLOG TABLE upserted from each stream version's
+   * manifest delta (history never re-read) → merge-equals-rebuild pinned →
+   * compaction → a schema-evolving append (added `tag` column) → version
+   * diff counting the appended keys → vacuum with the floor landing at the
+   * compaction (sub-floor time travel refuses loudly, in-retention reads
+   * fine). One output relation, one composed DuckDB oracle.
+   */
+  def lakehouseCapstone(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.io.TxLog
+    val dir = stageTableDirSplit(sfDir, "documents", parts = 3)
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    def slim(df: DataFrame) = df.select(col("doc_id"), col("source"),
+      length(col("text")).cast("long").as("text_len"))
+    val docsTbl = graft.io.TempDirs.create("graft_lakehouse_docs_").resolve("t").toString
+    val stateTbl = graft.io.TempDirs.create("graft_lakehouse_state_").resolve("t").toString
+    TxLog.create(spark, docsTbl, slim(raw).limit(0))                          // v0
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = slim(stream).writeStream
+      .foreachBatch(TxLog.streamSink(docsTbl, "docs"))
+      .option("checkpointLocation",
+        graft.io.TempDirs.create("graft_lakehouse_ckpt_").toString)
+      .trigger(Trigger.AvailableNow()).start()                               // v1..v3
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException("lakehouse stream did not drain within 300s")
+    }
+    // exactly-once: a checkpoint-replayed batch is found in the log, skipped
+    val replaySkipped = !TxLog.appendStreamBatch(spark, docsTbl,
+      slim(raw).limit(5), "docs", batchId = 0L)
+    // incremental maintenance: the agg state lives in its OWN TxLog table,
+    // upserted per stream version from appendedIn's manifest-diff delta
+    def aggOf(df: DataFrame) = df.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_stream"), sum(col("text_len")).as("sum_len_stream"))
+    TxLog.create(spark, stateTbl, aggOf(TxLog.read(spark, docsTbl, 0L)))
+    TxLog.history(docsTbl).filter(_.op.startsWith("stream_append:"))
+      .map(_.version).foreach { v =>
+        TxLog.upsert(spark, stateTbl,
+          graft.operators.Ingest.mergeAggState(
+            TxLog.read(spark, stateTbl),
+            aggOf(TxLog.appendedIn(spark, docsTbl, v)), Seq("source")),
+          Seq("source"))
+      }
+    val state = TxLog.read(spark, stateTbl)
+    // merge-equals-rebuild, proven while the stream versions are readable
+    val rebuilt = aggOf(TxLog.read(spark, docsTbl))
+    val incrementalOk = state.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(state).isEmpty
+    TxLog.compact(spark, docsTbl, targetPartitions = 4)                      // v4
+    // schema evolution: generation 2 carries an ADDED tag column
+    TxLog.append(spark, docsTbl, slim(raw).filter(col("doc_id") % 10 === 3)
+      .withColumn("tag", concat(lit("t"), (col("doc_id") % 4).cast("string")))
+      .withColumn("doc_id", col("doc_id") + 1000000L))                       // v5
+    val nAdded = TxLog.diffVersions(spark, docsTbl, 4L, 5L, Seq("doc_id"),
+        md5(concat_ws("|", col("source"), col("text_len").cast("string"))))
+      .filter(col("status") === "added").count()
+    // retention: the floor lands exactly at the compaction rewrite
+    TxLog.vacuum(spark, docsTbl, retainVersions = 3)                         // v6, floor 4
+    val floorOk = TxLog.retentionFloor(docsTbl) == 4L &&
+      scala.util.Try(TxLog.read(spark, docsTbl, 2L)).isFailure &&
+      scala.util.Try(TxLog.read(spark, docsTbl, 4L).columns).isSuccess
+    TxLog.read(spark, docsTbl)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_final"), count(col("tag")).as("n_tagged"),
+        sum(col("text_len")).as("sum_len_final"))
+      .join(state, "source")
+      .withColumn("n_commits", lit(TxLog.history(docsTbl).length.toLong))
+      .withColumn("n_added", lit(nAdded))
+      .withColumn("replay_skipped", lit(replaySkipped))
+      .withColumn("incremental_ok", lit(incrementalOk))
+      .withColumn("floor_ok", lit(floorOk))
+  }
+
   def quantileMonitor(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.graft.DDSketchFunctions._
     val alpha = 0.01
