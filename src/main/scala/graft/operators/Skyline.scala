@@ -47,7 +47,16 @@ object Skyline {
    * Skyline of `df` over numeric `dims`, all maximized (negate a column to
    * minimize it). Output schema = input schema, rows = the Pareto frontier.
    */
-  def skyline(df: DataFrame, dims: Seq[String], maxCandidates: Int = 2000000): DataFrame = {
+  /** @param maxSinglePassRows hard bound on the candidate rows any ONE
+    *   tournament task may materialize: the escalation path coalesces
+    *   survivors into ever-fewer tasks, and for genuinely anti-correlated
+    *   data (frontier ~ n) the bottom-out single-partition pass would
+    *   otherwise become a silent executor OOM / unbounded single-task
+    *   compute. Exceeding it fails LOUDLY with the bound in the message —
+    *   an exact skyline that big needs fewer dims or a pre-filter, not a
+    *   bigger heap. */
+  def skyline(df: DataFrame, dims: Seq[String], maxCandidates: Int = 2000000,
+      maxSinglePassRows: Long = 20000000L): DataFrame = {
     require(dims.nonEmpty, "skyline needs at least one dimension")
     dims.foreach { d =>
       require(df.columns.contains(d), s"no such column '$d' among ${df.columns.mkString(", ")}")
@@ -127,8 +136,24 @@ object Skyline {
     // any exact algorithm can do).
     var nCand = candRdd.count()
     var parts = candRdd.getNumPartitions
+    var escalations = 0
     while (nCand > maxCandidates && parts > 1) {
-      parts = math.max(1, parts / 8)
+      val nextParts = math.max(1, parts / 8)
+      // the memory guard the escalation must NOT remove: a coalesced pass
+      // materializes ~nCand/nextParts rows per task (rows.toArray in
+      // localSkyline) — refuse loudly before funneling an anti-correlated
+      // blow-up into one heap
+      val perTask = nCand / nextParts + 1
+      require(perTask <= maxSinglePassRows,
+        s"skyline tournament would funnel ~$perTask candidate rows into one task " +
+          s"(maxSinglePassRows=$maxSinglePassRows, candidates=$nCand): the frontier " +
+          "itself is too large to refine exactly — reduce dimensions, pre-filter, " +
+          "or raise maxSinglePassRows explicitly")
+      if (escalations == 0)
+        System.err.println(s"[skyline] candidate set $nCand exceeds maxCandidates=" +
+          s"$maxCandidates — escalating through tournament rounds ($parts -> $nextParts partitions)")
+      escalations += 1
+      parts = nextParts
       candRdd = candRdd.coalesce(parts).mapPartitions(localSkyline).localCheckpoint()
       nCand = candRdd.count()
     }

@@ -83,6 +83,24 @@ class SkylineSpec extends SparkSpec {
     assert(got2 === diagPts.toSet) // every (i, 101-i) dominates the %50/%37 box
   }
 
+  test("tournament escalation keeps a hard single-task memory bound that fails loudly") {
+    // the escalation path must NOT become a silent single-task OOM: when a
+    // coalesced round would funnel more than maxSinglePassRows candidates
+    // into one task, it refuses with the bound in the message
+    val diag = (1 to 100).map(i => (i.toDouble, (101 - i).toDouble)).toDF("a", "b")
+      .repartition(8)
+    val e = intercept[IllegalArgumentException] {
+      Skyline.skyline(diag, Seq("a", "b"), maxCandidates = 10, maxSinglePassRows = 20L)
+    }
+    assert(e.getMessage.contains("maxSinglePassRows=20"))
+    // with the bound above the candidate volume the same input still
+    // completes exactly through the tournament
+    val got = Skyline.skyline(diag, Seq("a", "b"), maxCandidates = 10,
+        maxSinglePassRows = 200L)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(got === (1 to 100).map(i => (i.toDouble, (101 - i).toDouble)).toSet)
+  }
+
   test("NULL and NaN dimensions fail loudly") {
     val withNull = Seq((Some(1.0), 2.0), (None, 3.0)).toDF("a", "b")
     val e2 = intercept[Exception] {

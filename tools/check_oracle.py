@@ -34,7 +34,9 @@ def canon(v, engine_side):
         return canon(float(v), engine_side)  # driver's pandas coercion
     if isinstance(v, float):
         if math.isnan(v):
-            return "∅"
+            # distinct from the NULL sentinel: an engine NaN vs an oracle
+            # NULL is a real divergence the driver's native hasher sees
+            return "NaN"
         return repr(v)
     if isinstance(v, int):
         return str(v)
@@ -180,7 +182,19 @@ def selftest():
     line, failed = compare_dir(con, "null_ok", d5,
                                "SELECT CAST(NULL AS BIGINT) AS n")
     assert not failed, f"NULL==NULL failed: {line}"
-    print("selftest OK (5 fixtures)")
+
+    # NaN is NOT the NULL sentinel: engine NaN vs oracle NULL must
+    # mismatch, and NaN vs NaN must match
+    nan = pa.table({"d": pa.array([float("nan")], pa.float64())})
+    d6 = write("nan_vs_null", nan)
+    line, failed = compare_dir(con, "nan_vs_null", d6,
+                               "SELECT CAST(NULL AS DOUBLE) AS d")
+    assert failed, f"NaN-vs-NULL not flagged: {line}"
+    d7 = write("nan_vs_nan", nan)
+    line, failed = compare_dir(con, "nan_vs_nan", d7,
+                               "SELECT CAST('NaN' AS DOUBLE) AS d")
+    assert not failed, f"NaN==NaN failed: {line}"
+    print("selftest OK (7 fixtures)")
     return 0
 
 
