@@ -1057,6 +1057,48 @@ object ScaleProbe {
           Seq("c_mktsegment"), "c_custkey", "cents",
           resamples = 100, seed = "probe").count()
       }
+      // TxLog per-commit cost must be FLAT in the log's length (checkpoint
+      // + tail, never a full-history replay): the timed block is the LAST
+      // 10 stream-append commits of a table that already holds 15x-10
+      // versions at 1x vs 150x-10 at 10x — a linear (pre-checkpoint) log
+      // scan would show up as a ~10x ratio, the checkpointed one as ~1x
+      if (only.isEmpty || only.contains("txlog_commit_tail10")) {
+        val tbl = s"$work/txlog_commits_x$k/t"
+        val root = new java.io.File(s"$work/txlog_commits_x$k")
+        if (root.exists()) { // fresh table per run: exact version counts
+          import java.nio.file.{Files, Paths}
+          Files.walk(Paths.get(root.getPath))
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+        val one = spark.range(1).select(col("id").as("k"), lit(1L).as("v"))
+        graft.io.TxLog.create(spark, tbl, one)
+        val warm = 15 * k - 10
+        (1 to warm).foreach(i =>
+          graft.io.TxLog.appendStreamBatch(spark, tbl, one, "probe", i.toLong))
+        timed("txlog_commit_tail10", k) {
+          ((warm + 1) to (warm + 10)).foreach(i =>
+            graft.io.TxLog.appendStreamBatch(spark, tbl, one, "probe", i.toLong))
+          10L
+        }
+      }
+      // incremental HNSW ingest: adopt the persisted shard graphs, insert
+      // only the ~4% batch — linear in corpus size (adoption dominates),
+      // never a rebuild of the accumulated index
+      {
+        val e = read("embeddings", k)
+        val cfg = graft.ext.GraphAnn.HnswConfig(
+          m = 8, efConstruction = 48, efSearch = 48, shards = 32)
+        val base = graft.ext.GraphAnn.hnswBuild(
+          e.filter(col("vec_id") % 23 =!= 0), "vec_id", "embedding", cfg).cache()
+        if (only.isEmpty || only.contains("hnsw_ingest")) base.count()
+        timed("hnsw_ingest", k) {
+          graft.ext.GraphAnn.hnswInsert(base,
+            e.filter(col("vec_id") % 23 === 0), "vec_id", "embedding", cfg).count()
+        }
+        base.unpersist()
+        ()
+      }
     }
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")
