@@ -3198,6 +3198,74 @@ object SparkEntry {
           sum(coalesce(col("text_len"), lit(0L))).as("sum_len"))
     }),
 
+    // OPTIMIZE ZORDER as a versioned commit: the compaction rewrite lays
+    // the snapshot along the (o_custkey, cents) Z-curve; the pinned
+    // skipping contract measures the layout (a ~5% custkey window must
+    // overlap a minority of the optimized segment's row groups — footer
+    // stats only, the machinery a pruning scan uses), while the hash
+    // oracle proves content identity
+    "q304_txlog_optimize" -> ((s, dir) => {
+      import graft.io.{TxLog, ZOrder}
+      val src = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q304_").resolve("t").toString
+      TxLog.create(s, tbl, src.repartition(8))                          // v0
+      val snap = TxLog.optimize(s, tbl, "o_custkey", "cents", targetPartitions = 16) // v1
+      val maxCust = src.agg(max(col("o_custkey"))).head().getLong(0).toDouble
+      val (overlap, total) = ZOrder.overlappingRowGroups(
+        s, s"$tbl/${snap.segments.head}", "o_custkey", maxCust * 0.10, maxCust * 0.15)
+      TxLog.read(s, tbl)
+        .groupBy((col("o_custkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
+        .withColumn("op_ok", lit(snap.op == "optimize_zorder:o_custkey,cents"))
+        .withColumn("skipping_ok", lit(total >= 8L && overlap.toDouble / total <= 0.5))
+    }),
+
+    // CHANGE FEED: incremental consumers resume from their last processed
+    // version and read ONLY the new segments, each row tagged with its
+    // commit version — replayed in SQL as the same %3 splits with literal
+    // version tags
+    "q305_txlog_changefeed" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q305_").resolve("t").toString
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") % 3 === 0))
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") % 3 === 1))
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") % 3 === 2))
+      TxLog.changeFeed(s, tbl, 0L)
+        .groupBy(col("_commit_version"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+    }),
+
+    // HNSW serve-time DELETE LIST: tombstoned ids keep ROUTING the beam
+    // (an insert-only graph cannot unlink nodes without degrading its
+    // neighbors' reachability) but never surface — recall contract vs
+    // brute over the corpus MINUS the tombstones, plus a pinned
+    // no-tombstone-served boolean
+    "q306_knn_hnsw_deletes" -> ((s, dir) => {
+      import graft.ext.{GraphAnn, Similarity}
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val dead = e.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 64, efSearch = 96, shards = 4)
+      val approx = GraphAnn.hnswQuery(
+        GraphAnn.hnswBuild(e, "vec_id", "embedding", cfg),
+        q, "vec_id", "embedding", k = 10, cfg, deleted = Some(dead))
+      val noTombstones = approx.filter(col("neighbor_id") % 7 === 0).count() == 0L
+      val brute = Similarity.bruteTopK(e.filter(col("vec_id") % 7 =!= 0),
+        "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      val hits = approx.join(brute.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"),
+          lit(noTombstones).as("no_tombstones_served"))
+    }),
+
     // LAKEHOUSE CAPSTONE: the whole TxLog tier composed as ONE lifecycle
     // (the q98/q261 discipline) — exactly-once stream ingest, incremental
     // state maintained AS a TxLog table from manifest deltas, pinned
@@ -5020,6 +5088,41 @@ object SparkEntry {
         |  CAST(7 AS BIGINT) AS n_commits, added.n_added,
         |  true AS replay_skipped, true AS incremental_ok, true AS floor_ok
         |FROM fin_agg f JOIN stream_agg s USING (source) CROSS JOIN added""".stripMargin,
+
+    // optimize: content identity per custkey bucket; v0..v1 = 2 versions;
+    // the Z-order op + row-group skipping contract pinned TRUE
+    "q304_txlog_optimize" ->
+      """WITH src AS (
+        |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  CAST(2 AS BIGINT) AS n_versions,
+        |  true AS op_ok, true AS skipping_ok
+        |FROM src GROUP BY 1""".stripMargin,
+
+    // change feed: the %3 splits replayed with literal commit versions
+    // (v0's create rows are NOT changes)
+    "q305_txlog_changefeed" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(v AS BIGINT) AS _commit_version, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM (
+        |  SELECT 1 AS v, o_orderpriority, cents FROM src WHERE k % 3 = 1
+        |  UNION ALL
+        |  SELECT 2 AS v, o_orderpriority, cents FROM src WHERE k % 3 = 2)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // delete-list serving: recall + no-tombstone contracts pinned
+    "q306_knn_hnsw_deletes" ->
+      """SELECT vec_id AS query_id, true AS recall_ok,
+        |  true AS no_tombstones_served
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
 
     // filtered IVF-PQ: the q158/q298 contract through the composed tier
     "q302_knn_ivfpq_filtered" ->

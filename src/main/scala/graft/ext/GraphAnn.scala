@@ -383,7 +383,8 @@ object GraphAnn {
       queryVec: String, k: Int, cfg: HnswConfig = HnswConfig(),
       visited: LongAccumulator = null,
       allowed: Option[DataFrame] = None,
-      maxAllowRows: Int = 2000000): DataFrame = {
+      maxAllowRows: Int = 2000000,
+      deleted: Option[DataFrame] = None): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val qRows = queries.select(col(queryId).cast("long"), col(queryVec))
@@ -406,6 +407,20 @@ object GraphAnn {
           "semi-joining filtered tiers (searchSq/searchIvfPq) for broad predicates")
       spark.sparkContext.broadcast(ids.toSet)
     }
+    // SERVE-TIME DELETE LIST — the standard soft-delete discipline for an
+    // insert-only graph index (an HNSW node cannot be unlinked in place
+    // without degrading its neighbors' reachability): deleted ids stay in
+    // the graph and keep ROUTING the beam, they just never enter results.
+    // The list is expected small relative to the corpus (it shrinks to
+    // zero at the next rebuild/compaction); the same loud cap applies.
+    val deletedSet = deleted.map { d =>
+      val ids = d.select(col(d.columns.head).cast("long"))
+        .limit(maxAllowRows + 1).as[Long].collect()
+      require(ids.length <= maxAllowRows,
+        s"hnswQuery delete-list exceeds maxAllowRows=$maxAllowRows — rebuild " +
+          "the index instead of serving with a corpus-sized tombstone set")
+      spark.sparkContext.broadcast(ids.toSet)
+    }
     val outSchema = StructType(Seq(
       StructField("query_id", LongType), StructField("neighbor_id", LongType),
       StructField("cosine", DoubleType)))
@@ -418,9 +433,12 @@ object GraphAnn {
         // adopt the PERSISTED adjacency (no re-insert): levels were built
         // deterministically at hnswBuild time
         val g = adoptGraph(rs.map(decodeRow).sortBy(_._1), cfg)
-        val allow: java.util.function.LongPredicate = allowSet match {
-          case None => null
-          case Some(b) => val s = b.value; (id: Long) => s.contains(id)
+        val allow: java.util.function.LongPredicate = (allowSet, deletedSet) match {
+          case (None, None) => null
+          case (a, d) =>
+            val as = a.map(_.value)
+            val ds = d.map(_.value)
+            (id: Long) => as.forall(_.contains(id)) && !ds.exists(_.contains(id))
         }
         qb.value.iterator.flatMap { case (qid, qv) =>
           val nq = norm(qv)

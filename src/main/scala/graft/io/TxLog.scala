@@ -462,6 +462,51 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
       ("compact", Some(cur.repartition(targetPartitions)), Seq.empty)
     }
 
+  /** OPTIMIZE ZORDER: a compaction rewrite whose fresh segment is
+    * clustered along the (colA, colB) Z-curve ([[ZOrder.mortonKey]]) —
+    * range-partitioned on the Morton key and sorted within partitions, so
+    * parquet row-group min/max envelopes stay tight on BOTH clustering
+    * columns and a statistics-pruning scan skips most of the segment for
+    * a selective predicate on either one. Same rows, one commit; the
+    * layout is physical, the log records `optimize_zorder` and time
+    * travel still reads the pre-optimize layout. */
+  def optimize(spark: SparkSession, table: String, colA: String, colB: String,
+      targetPartitions: Int = 8): Snapshot =
+    commitTransform(spark, table) { (_, cur) =>
+      val clustered = cur.withColumn("__zkey", ZOrder.mortonKey(cur, colA, colB))
+        .repartitionByRange(targetPartitions, col("__zkey"))
+        .sortWithinPartitions(col("__zkey"))
+        .drop("__zkey")
+      (s"optimize_zorder:$colA,$colB", Some(clustered), Seq.empty)
+    }
+
+  /**
+   * CDC-style CHANGE FEED over an append-only version range: every row
+   * committed in versions (fromVersion, toVersion], tagged with its
+   * `_commit_version` — the incremental-consumer shape (a downstream job
+   * resumes from the last version it processed and reads ONLY the new
+   * segments, the Delta CDF discipline for append tables). Schemas merge
+   * across the range (an appended column surfaces NULL for earlier
+   * versions); a rewrite commit inside the range refuses loudly via
+   * [[appendedIn]] — its delta is not additive, so the consumer must
+   * rebuild from [[read]] instead of silently missing changes.
+   */
+  def changeFeed(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long = -1L): DataFrame = {
+    val (lv, floor, _) = logState(table)
+    require(lv >= 0, s"not a TxLog table: $table")
+    val to = if (toVersion < 0) lv else toVersion
+    require(fromVersion >= 0 && to <= lv && fromVersion <= to,
+      s"bad change-feed range ($fromVersion, $to] on $table (latest $lv)")
+    require(fromVersion + 1 >= floor || fromVersion == to,
+      s"change-feed range ($fromVersion, $to] starts below the retention floor $floor")
+    if (fromVersion == to) return read(spark, table, to).limit(0)
+      .withColumn("_commit_version", lit(-1L)).filter(lit(false))
+    (fromVersion + 1 to to).map { v =>
+      appendedIn(spark, table, v).withColumn("_commit_version", lit(v))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /**
    * Reclaim the storage rewrite commits strand: keep the newest
    * `retainVersions` versions readable (time travel within retention is

@@ -186,6 +186,37 @@ class GraphAnnSpec extends SparkSpec {
     ()
   }
 
+  test("serve-time delete-list: tombstoned ids never surface but still route; composes with allow") {
+    val q = emb.filter(col("vec_id") < 10)
+    val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 64, efSearch = 96, shards = 4)
+    val idx = GraphAnn.hnswBuild(emb, "vec_id", "embedding", cfg).cache()
+    idx.count()
+    val dead = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val got = GraphAnn.hnswQuery(idx, q, "vec_id", "embedding", k = 10, cfg,
+      deleted = Some(dead))
+    assert(got.filter(col("neighbor_id") % 7 === 0).count() === 0)
+    // recall vs brute over the corpus MINUS the tombstones (deleted nodes
+    // keep routing the beam, so there is no post-delete recall cliff)
+    val brute = Similarity.bruteTopK(emb.filter(col("vec_id") % 7 =!= 0),
+      "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+    val hit = got.join(brute.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { qid =>
+      assert(hit.getOrElse(qid, 0L) >= 8L, s"query $qid post-delete recall ${hit.getOrElse(qid, 0L)}/10")
+    }
+    // composed with an allow-set: both predicates hold on every result
+    val allow = emb.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+    val both = GraphAnn.hnswQuery(idx, q, "vec_id", "embedding", k = 10, cfg,
+      allowed = Some(allow), deleted = Some(dead))
+    assert(both.filter(col("neighbor_id") % 2 =!= 0 || col("neighbor_id") % 7 === 0)
+      .count() === 0)
+    assert(both.count() > 0)
+    idx.unpersist()
+    ()
+  }
+
   test("query fan-out past maxQueryRows refuses loudly") {
     val cfg = GraphAnn.HnswConfig(shards = 2, maxQueryRows = 3)
     val index = GraphAnn.hnswBuild(emb.limit(50), "vec_id", "embedding", cfg)

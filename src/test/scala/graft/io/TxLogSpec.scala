@@ -243,6 +243,56 @@ class TxLogSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("schema"))
   }
 
+  test("optimize (Z-order rewrite): same rows, op recorded, clustering measurably tightens") {
+    val tbl = freshTable()
+    // 4000 rows whose (a, b) arrive in id order — a narrow a-window
+    // overlaps every row group before optimize
+    val df = spark.range(4000).selectExpr("id AS k",
+      "CAST((id * 2654435761) % 1000 AS DOUBLE) AS a",
+      "CAST((id * 40503) % 1000 AS DOUBLE) AS b")
+    TxLog.create(spark, tbl, df.repartition(8))
+    val before = TxLog.read(spark, tbl).collect().map(_.toString).sorted.toSeq
+    val snap = TxLog.optimize(spark, tbl, "a", "b", targetPartitions = 32)
+    assert(snap.op === "optimize_zorder:a,b")
+    val after = TxLog.read(spark, tbl).collect().map(_.toString).sorted.toSeq
+    assert(after === before) // layout is physical, content identical
+    // the optimized segment's row-group envelopes are tight on BOTH
+    // clustering dims: a 5% window on either overlaps a minority of groups
+    // (pre-optimize, id-ordered arrival makes every group overlap)
+    val seg = s"$tbl/${snap.segments.head}"
+    Seq("a", "b").foreach { c =>
+      val (overlap, total) = ZOrder.overlappingRowGroups(spark, seg, c, 100.0, 150.0)
+      assert(total >= 16 && overlap.toDouble / total <= 0.5,
+        s"z-order did not tighten '$c' envelopes: $overlap/$total groups overlap a 5% window")
+    }
+  }
+
+  test("changeFeed tags appended rows with their commit version; rewrites in range refuse") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, 10L)).toDF("k", "v"))            // v0
+    TxLog.append(spark, tbl, Seq((2L, 20L), (3L, 30L)).toDF("k", "v")) // v1
+    TxLog.append(spark, tbl, Seq((4L, 40L)).toDF("k", "v"))            // v2
+    val feed = TxLog.changeFeed(spark, tbl, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(feed === Set((2L, 1L), (3L, 1L), (4L, 2L))) // v0's rows are NOT changes
+    // an empty range is empty with the feed schema
+    assert(TxLog.changeFeed(spark, tbl, 2L).count() === 0)
+    // schema evolution inside the range: the added column surfaces, earlier
+    // versions read NULL there
+    TxLog.append(spark, tbl, Seq((5L, 50L, "x")).toDF("k", "v", "extra")) // v3
+    val evolved = TxLog.changeFeed(spark, tbl, 0L)
+    assert(evolved.columns.toSeq === Seq("k", "v", "_commit_version", "extra"))
+    assert(evolved.filter(col("extra").isNotNull).count() === 1)
+    // a rewrite inside the range refuses loudly (its delta is not additive);
+    // post-evolution updates carry the table's CURRENT (merged) schema
+    TxLog.upsert(spark, tbl, Seq((1L, 11L, "y")).toDF("k", "v", "extra"), Seq("k")) // v4
+    val e = intercept[Exception] { TxLog.changeFeed(spark, tbl, 0L).count() }
+    assert(e.getMessage.contains("rewrote"))
+    // but a post-rewrite range works again
+    TxLog.append(spark, tbl, Seq((6L, 60L)).toDF("k", "v"))            // v5
+    assert(TxLog.changeFeed(spark, tbl, 4L).collect().map(_.getLong(0)).toSeq === Seq(6L))
+  }
+
   test("create on an existing table fails; reads of unknown versions fail loudly") {
     val tbl = freshTable()
     TxLog.create(spark, tbl, Seq((1L, "a")).toDF("k", "t"))
