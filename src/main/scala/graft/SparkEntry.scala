@@ -3266,6 +3266,38 @@ object SparkEntry {
           lit(noTombstones).as("no_tombstones_served"))
     }),
 
+    // INCREMENTAL IVF-PQ ingest (FAISS `add`): the batch assigns to its
+    // nearest EXISTING centroid and encodes with the EXISTING codebook —
+    // two appended relations, never a corpus re-index. Pins the recall
+    // contract over the post-ingest corpus plus full-coverage booleans
+    // (every id present in both grown artifacts)
+    "q307_knn_ivfpq_ingest" -> ((s, dir) => {
+      import graft.ext.Similarity
+      val e = t(s, dir, "embeddings")
+        .withColumn("embedding", Similarity.l2normalized(col("embedding")))
+      val base = e.filter(col("vec_id") < 400)
+      val batch = e.filter(col("vec_id") >= 400)
+      val (ivf0, pq0) = Similarity.buildIvfPq(base, "vec_id", "embedding",
+        Similarity.IvfConfig(nlist = 32, nprobe = 16),
+        Similarity.PqConfig(m = 8, ksub = 32))
+      val (ivf, pq) = Similarity.ingestIvfPq(ivf0, pq0, batch, "vec_id", "embedding")
+      val n = e.count()
+      val sizesOk = ivf.assigned.count() == n && pq.codes.count() == n
+      val q = e.filter(col("vec_id") < 5)
+      val approx = Similarity.searchIvfPq(ivf, pq, e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10, nprobe = 16, rerank = 300)
+      val brute = Similarity.bruteTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10)
+      val hits = approx.join(brute.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"),
+          lit(sizesOk).as("coverage_ok"))
+    }),
+
     // LAKEHOUSE CAPSTONE: the whole TxLog tier composed as ONE lifecycle
     // (the q98/q261 discipline) — exactly-once stream ingest, incremental
     // state maintained AS a TxLog table from manifest deltas, pinned
@@ -5117,6 +5149,11 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 2 AS v, o_orderpriority, cents FROM src WHERE k % 3 = 2)
         |GROUP BY 1, 2""".stripMargin,
+
+    // IVF-PQ ingest: recall + coverage contracts pinned
+    "q307_knn_ivfpq_ingest" ->
+      """SELECT vec_id AS query_id, true AS recall_ok, true AS coverage_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
 
     // delete-list serving: recall + no-tombstone contracts pinned
     "q306_knn_hnsw_deletes" ->

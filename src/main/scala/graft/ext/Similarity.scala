@@ -443,9 +443,18 @@ object Similarity {
           scala.concurrent.duration.Duration.Inf).toArray
       } finally pool.shutdown()
     val codebook = PqCodebook(cfg.m, dsub, centroids)
-    val bc = spark.sparkContext.broadcast(codebook)
+    PqIndex(encodeCodes(codebook, data, dataId, dataVec), codebook)
+  }
 
-    val codes = data
+  /** Encode rows with an EXISTING codebook (one distributed pass, codebook
+    * broadcast, argmin in plain JVM loops) — shared by [[buildPqIndex]]
+    * and [[ingestIvfPq]]. */
+  private def encodeCodes(codebook: PqCodebook,
+      data: DataFrame, dataId: String, dataVec: String): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(codebook)
+    data
       .select(col(dataId).cast("long").as("neighbor_id"), l2normalize(col(dataVec)).as("__nv"))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
@@ -473,7 +482,33 @@ object Similarity {
           (id, code)
         }
       }.toDF("neighbor_id", "pq_code")
-    PqIndex(codes, codebook)
+  }
+
+  /**
+   * Incremental ingest for the composed IVF-PQ tier — the FAISS `add`
+   * discipline: new vectors assign to their nearest EXISTING coarse
+   * centroid (the same argmin the original assignment used) and encode
+   * with the EXISTING codebook; quantizers are trained artifacts and do
+   * not move. The returned pair shares the original quantizers, so a
+   * persisted index extends with two appended relations instead of a
+   * corpus re-index; a drifted corpus retrains via [[buildIvfPq]] (the
+   * documented rebuild path). Ids already indexed refuse loudly — they
+   * would silently duplicate rows through the rerank join.
+   */
+  def ingestIvfPq(ivf: IvfIndex, pq: PqIndex, newData: DataFrame,
+      dataId: String, dataVec: String): (IvfIndex, PqIndex) = {
+    val dup = pq.codes.select(col("neighbor_id"))
+      .join(newData.select(col(dataId).cast("long").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"ingestIvfPq: id ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} is " +
+        "already indexed — IVF-PQ ingest is append-only; rebuild to re-point ids")
+    val assignedNew = probeCells(ivf.centroids, newData, dataId, dataVec, nprobe = 1)
+      .select(col("query_id").as("neighbor_id"), col("__qv").as("__dv"), col("cell"))
+    (IvfIndex(ivf.assigned.unionByName(assignedNew), ivf.centroids),
+      PqIndex(pq.codes.unionByName(encodeCodes(pq.codebook, newData, dataId, dataVec)),
+        pq.codebook))
   }
 
   /** Upper bound on query rows PQ/IVF-PQ serving funnels to the driver.

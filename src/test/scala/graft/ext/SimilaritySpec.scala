@@ -246,6 +246,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ingestIvfPq: appended vectors are immediately searchable; duplicate ids refuse") {
+    val rng = new scala.util.Random(49)
+    val data = (0L until 400L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val base = df.filter($"vec_id" < 320)
+    val batch = df.filter($"vec_id" >= 320)
+    val (ivf0, pq0) = Similarity.buildIvfPq(base, "vec_id", "embedding",
+      Similarity.IvfConfig(nlist = 8, nprobe = 4),
+      Similarity.PqConfig(m = 4, ksub = 32))
+    val (ivf, pq) = Similarity.ingestIvfPq(ivf0, pq0, batch, "vec_id", "embedding")
+    assert(ivf.assigned.count() === 400 && pq.codes.count() === 400)
+    // a new vector queried against the grown index finds ITSELF at rank 1:
+    // ingest assigned it by the same argmin the probe ranks cells with, so
+    // its own cell is always probed, and the rerank is exact cosine
+    val q = df.filter($"vec_id" >= 395)
+    val got = Similarity.searchIvfPq(ivf, pq, df, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, nprobe = 4, rerank = 60).collect()
+    assert(got.filter(_.getLong(3) == 1L).forall(r => r.getLong(0) == r.getLong(1)))
+    assert(got.map(_.getLong(0)).distinct.length === 5)
+    // re-ingesting an already-indexed id refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ingestIvfPq(ivf, pq, df.filter($"vec_id" === 10), "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("already indexed"))
+  }
+
   test("searchPq/searchIvfPq refuse a query side past maxQueryRows loudly") {
     // the ADC design funnels the query set to the driver (LUT broadcast);
     // the cap check is a bounded limit-collect, so refusing a corpus-sized
