@@ -1082,6 +1082,26 @@ object ScaleProbe {
           10L
         }
       }
+      // OPTIMIZE ZORDER rewrite: two bounds aggs + range repartition +
+      // in-partition sort — n log n in the snapshot, no driver funnel
+      if (only.isEmpty || only.contains("txlog_optimize")) {
+        val root = new java.io.File(s"$work/txlog_opt_x$k")
+        if (root.exists()) {
+          import java.nio.file.{Files, Paths}
+          Files.walk(Paths.get(root.getPath))
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+        val tbl = s"$work/txlog_opt_x$k/t"
+        graft.io.TxLog.create(spark, tbl, read("orders", k)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")))
+        timed("txlog_optimize", k) {
+          graft.io.TxLog.optimize(spark, tbl, "o_custkey", "cents",
+            targetPartitions = 16 * k)
+          graft.io.TxLog.read(spark, tbl).count()
+        }
+      }
       // incremental HNSW ingest: adopt the persisted shard graphs, insert
       // only the ~4% batch — linear in corpus size (adoption dominates),
       // never a rebuild of the accumulated index
