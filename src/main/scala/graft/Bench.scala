@@ -73,7 +73,8 @@ object Bench {
     // default. Latency-bound drains (many tiny sequential micro-batch
     // commits), not a plan property.
     val noisyStream = Set("q88_stream_funnel", "q89_stream_ingest_filter",
-      "q134_stream_topk", "q164_stream_interval_outer", "q189_stream_cdc")
+      "q134_stream_topk", "q164_stream_interval_outer", "q189_stream_cdc",
+      "q157_stream_drift") // same pathology, identified by the r8 3-run evidence
     val errored = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
