@@ -448,4 +448,26 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
   }
 
+  test("filtered IVF-PQ: the allow-set is a SEMI-JOIN in the plan (index-level, never a post-filter)") {
+    val plan = formatted(SparkEntry.queries("q302_knn_ivfpq_filtered")(spark, sf0001))
+    // the predicate must gate the candidate relation as a semi join — a
+    // regression to .filter-after-topk would silently reintroduce the
+    // post-filter recall cliff and disappear from this plan
+    assert(plan.contains("LeftSemi"), "expected the allow-set semi-join\n" + plan)
+  }
+
+  test("TxLog change feed: union of delta scans, ONE shuffle, map-side partial agg") {
+    val plan = formatted(SparkEntry.queries("q305_txlog_changefeed")(spark, sf0001))
+    assert(plan.contains("Union"), plan)
+    // partial agg before the single exchange: history is never re-read and
+    // nothing shuffles except the grouped result
+    assert("(?m)^.*\\(\\d+\\) Exchange$".r.findAllIn(plan).size == 1, plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("TxLog schema-merged read: one shuffle into the grouped result") {
+    val plan = formatted(SparkEntry.queries("q300_txlog_schema_evolution")(spark, sf0001))
+    assert("(?m)^.*\\(\\d+\\) Exchange$".r.findAllIn(plan).size == 1, plan)
+  }
+
 }
