@@ -89,7 +89,8 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val (sw1, sp1) = settle()
-      name -> ((times.min, (sw1 - sw0).toDouble / nPasses / 1e6, (sp1 - sp0).toDouble / nPasses / 1e6))
+      name -> ((times.min, (sw1 - sw0).toDouble / nPasses / 1e6,
+        (sp1 - sp0).toDouble / nPasses / 1e6, nPasses))
     }
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalShuffleMb = results.values.map(_._2).sum
@@ -102,11 +103,11 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"n_queries":${results.size},"shuffle_mb":${math.round(totalShuffleMb)},"spill_mb":${math.round(totalSpillMb)},"sf":"$sfDir"}"""
     println(headline)
     // per-query detail, rounded to 0.1 ms / 0.1 MB so the line stays small
-    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + math.round(v * 1e4) / 1e4 }
+    val qs = results.map { case (k, (v, _, _, _)) => s"\"" + k + "\":" + math.round(v * 1e4) / 1e4 }
       .mkString("{", ",", "}")
-    val sm = results.map { case (k, (_, s, _)) => s"\"" + k + "\":" + math.round(s * 10) / 10.0 }
+    val sm = results.map { case (k, (_, s, _, _)) => s"\"" + k + "\":" + math.round(s * 10) / 10.0 }
       .mkString("{", ",", "}")
-    val spm = results.map { case (k, (_, _, p)) => s"\"" + k + "\":" + math.round(p * 10) / 10.0 }
+    val spm = results.map { case (k, (_, _, p, _)) => s"\"" + k + "\":" + math.round(p * 10) / 10.0 }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sm,"spill_mb":$spm,"passes":$passes,"sf":"$sfDir"}""")
     println(headline)
@@ -114,9 +115,12 @@ object Bench {
     // per-query line above doesn't survive it. Persist the full detail to a
     // committed file so cross-round per-query regression tracking works
     // from repo evidence alone.
+    // nPasses is recorded PER QUERY: the watermark-drain family runs
+    // min-of-5 while everything else runs min-of-`passes` — the asymmetry
+    // must be visible in the evidence, not just in a source comment
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
-    val detail = results.map { case (k, (v, s, p)) =>
-      s"""    "$k": {"sec": ${math.round(v * 1e4) / 1e4}, "shuffle_mb": ${math.round(s * 10) / 10.0}, "spill_mb": ${math.round(p * 10) / 10.0}}"""
+    val detail = results.map { case (k, (v, s, p, np)) =>
+      s"""    "$k": {"sec": ${math.round(v * 1e4) / 1e4}, "shuffle_mb": ${math.round(s * 10) / 10.0}, "spill_mb": ${math.round(p * 10) / 10.0}, "passes": $np}"""
     }.mkString(",\n")
     val errJson = errored.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =

@@ -138,7 +138,8 @@ object GraphAnn {
       * `visited` counts distance evaluations (sublinearity evidence). */
     private def beam(q: Array[Float], nq: Double, start: Int, level: Int,
         ef: Int, visited: LongAccumulator,
-        allow: java.util.function.LongPredicate = null): Seq[(Double, Int)] = {
+        allow: java.util.function.LongPredicate = null,
+        budgeted: Boolean = true): Seq[(Double, Int)] = {
       val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
       val seen = new java.util.HashSet[Integer]()
       val cand = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(ord.reverse)
@@ -150,8 +151,14 @@ object GraphAnn {
       // per query. The budget (generous vs the unfiltered beam's natural
       // footprint) returns the best-so-far instead; predicates selective
       // enough to hit it belong in the semi-joining filtered tiers
-      // (searchSq/searchIvfPq), which scan only allowed rows.
-      val budget: Long = if (allow == null) Long.MaxValue else math.max(4096L, 64L * ef * cfg.m)
+      // (searchSq/searchIvfPq), which scan only allowed rows. The budget
+      // keys on ALLOW-SET presence only (`budgeted`): a delete-list-only
+      // predicate never shrinks the admissible set enough to cause the
+      // sparse-allow O(n) walk, so budgeting it could silently truncate a
+      // semantically unfiltered query (ADVICE r8).
+      val budget: Long =
+        if (allow == null || !budgeted) Long.MaxValue
+        else math.max(4096L, 64L * ef * cfg.m)
       var evals = 1L
       val d0 = dist(start, q, nq)
       if (visited != null) visited.add(1L)
@@ -236,12 +243,13 @@ object GraphAnn {
 
     def search(q: Array[Float], nq: Double, k: Int, ef: Int,
         visited: LongAccumulator,
-        allow: java.util.function.LongPredicate = null): Seq[(Double, Int)] = {
+        allow: java.util.function.LongPredicate = null,
+        budgeted: Boolean = true): Seq[(Double, Int)] = {
       if (entry < 0) return Seq.empty
       var cur = entry
       var lev = nodeLevel(entry)
       while (lev > 0) { cur = greedy(q, nq, cur, lev); lev -= 1 }
-      beam(q, nq, cur, 0, math.max(ef, k), visited, allow).take(k)
+      beam(q, nq, cur, 0, math.max(ef, k), visited, allow, budgeted).take(k)
     }
   }
 
@@ -440,9 +448,13 @@ object GraphAnn {
             val ds = d.map(_.value)
             (id: Long) => as.forall(_.contains(id)) && !ds.exists(_.contains(id))
         }
+        // the expansion budget applies only when a real ALLOW-SET narrows
+        // the admissible set; a tombstone-only predicate stays unbudgeted
+        // (it routes everything and excludes a few ids — no sparse walk)
+        val budgeted = allowSet.nonEmpty
         qb.value.iterator.flatMap { case (qid, qv) =>
           val nq = norm(qv)
-          g.search(qv, nq, k, cfg.efSearch, visited, allow).map { case (d, ni) =>
+          g.search(qv, nq, k, cfg.efSearch, visited, allow, budgeted).map { case (d, ni) =>
             Row(qid, g.ids(ni), 1.0 - d)
           }
         }

@@ -66,15 +66,69 @@ object VectorOps {
     require(bounds.nonEmpty, "empty corpus or empty vectors")
     val lo = bounds.map(_.getDouble(1))
     val hi = bounds.map(r => if (r.getDouble(2) > r.getDouble(1)) r.getDouble(2) else r.getDouble(1) + 1.0)
+    SqIndex(encodeSq(lo, hi, data, idCol, vecCol), lo, hi)
+  }
+
+  /** Quantize vectors against FIXED per-dim bounds (clamping outside
+    * values to the byte range) — shared by build and ingest. */
+  private def encodeSq(lo: Array[Double], hi: Array[Double],
+      data: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val loLit = typedLit(lo.toSeq)
     val stepLit = typedLit(lo.indices.map(i => (hi(i) - lo(i)) / 255.0))
     // stored as a true signed byte (value - 128): the index really is one
     // byte per dimension on disk and in shuffle buffers
-    val codes = data.select(col(idCol).cast("long").as("neighbor_id"),
+    data.select(col(idCol).cast("long").as("neighbor_id"),
       transform(col(vecCol), (x, i) =>
         (round(least(greatest((x.cast("double") - element_at(loLit, i + 1)) /
           element_at(stepLit, i + 1), lit(0.0)), lit(255.0))) - 128).cast("byte")).as("code"))
-    SqIndex(codes, lo, hi)
+  }
+
+  /**
+   * Incremental SQ ingest — the FAISS `add` discipline the other index
+   * tiers already follow (HNSW `hnswInsert`, IVF-PQ `ingestIvfPq`,
+   * MinHash `ShingleIndex.ingest`): new vectors quantize against the
+   * EXISTING per-dim bounds (the bounds are the index's trained artifact;
+   * re-fitting them would silently re-point every stored code) and their
+   * codes union into the corpus. The one failure mode a fixed grid has is
+   * DISTRIBUTION DRIFT: a batch value outside [lo, hi] saturates to the
+   * edge code, and enough saturation quietly degrades every distance the
+   * dimension contributes. The ingest therefore measures the clamped
+   * fraction in the SAME pass that encodes (one aggregate over the batch,
+   * nothing collected but two counters) and REFUSES loudly past
+   * `maxClampFrac` — past that, rebuild the index; below it, the clamp
+   * count is still reported in the returned index's provenance via the
+   * (clampedElems, totalElems) pair.
+   *
+   * Duplicate ids refuse loudly (a `limit(1)` probe — the check cannot
+   * OOM the driver): SQ ingest is append-only, like every other tier.
+   */
+  def ingestSq(index: SqIndex, batch: DataFrame, idCol: String, vecCol: String,
+      maxClampFrac: Double = 0.05): (SqIndex, Long, Long) = {
+    val dup = index.codes.select(col("neighbor_id"))
+      .join(batch.select(col(idCol).cast("long").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"ingestSq: id ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} is " +
+        "already indexed — SQ ingest is append-only; rebuild to re-point ids")
+    val loLit = typedLit(index.lo.toSeq)
+    val hiLit = typedLit(index.hi.toSeq)
+    val oobPerRow = aggregate(
+      transform(col(vecCol), (x, i) =>
+        when(x.cast("double") < element_at(loLit, i + 1) ||
+          x.cast("double") > element_at(hiLit, i + 1), 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    val drift = batch.agg(
+      sum(oobPerRow).as("clamped"),
+      sum(size(col(vecCol)).cast("long")).as("total")).head()
+    val clamped = Option(drift.getAs[Long]("clamped")).getOrElse(0L)
+    val total = Option(drift.getAs[Long]("total")).getOrElse(0L)
+    require(total == 0L || clamped.toDouble / total <= maxClampFrac,
+      f"ingestSq: ${clamped.toDouble / math.max(total, 1L)}%.4f of batch elements fall " +
+        f"outside the trained per-dim bounds (maxClampFrac=$maxClampFrac%.4f) — the " +
+        "distribution drifted; rebuild the index instead of saturating codes")
+    (SqIndex(index.codes.unionByName(encodeSq(index.lo, index.hi, batch, idCol, vecCol)),
+      index.lo, index.hi), clamped, total)
   }
 
   /**

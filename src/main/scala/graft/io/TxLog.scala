@@ -6,10 +6,13 @@ import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOpti
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** One committed version: the segment dirs (relative to the table root)
-  * whose union IS the snapshot, plus the operation that produced it. */
-case class TxSnapshot(version: Long, op: String, segments: Seq[String])
+  * whose union IS the snapshot, plus the operation that produced it and
+  * the writer's commit timestamp (millis; -1 on legacy manifests). */
+case class TxSnapshot(version: Long, op: String, segments: Seq[String],
+    ts: Long = -1L)
 
 /**
  * The storage primitive the commit log needs — Delta's LogStore shape.
@@ -35,7 +38,13 @@ trait LogStore {
   def putIfAbsent(table: String, name: String, content: String): Boolean
   /** Overwrite-allowed pointer write (for `_last_checkpoint`), atomic
     * against readers (a reader sees the old or the new content, never a
-    * torn mix). Last writer wins — pointer content is monotone-safe. */
+    * torn mix). Last writer wins. The pointer is ADVISORY only: two
+    * delayed writers can interleave so it regresses to an older
+    * checkpoint, which is why the read path derives the newest checkpoint
+    * from [[list]] (checkpoint files are claim-created and never removed,
+    * so the listing maximum is monotone by construction) and never trusts
+    * the pointer. It is still written for external inspectability and
+    * parity with the Delta layout. */
   def putPointer(table: String, name: String, content: String): Unit
   /** Read a pointer if present. */
   def readPointer(table: String, name: String): Option[String]
@@ -128,17 +137,30 @@ final class InMemoryLogStore extends LogStore {
  *   <table>/_graft_log/00000000.commit       one manifest per version
  *   <table>/_graft_log/000000N0.checkpoint   cumulative state every
  *                                            `checkpointInterval` commits
- *   <table>/_graft_log/_last_checkpoint      pointer to the newest one
+ *   <table>/_graft_log/_last_checkpoint      advisory pointer (see LogStore)
  *   <table>/data/<uuid>/                     immutable parquet segments
  *
  * A manifest lists the data segments that make up its snapshot, so a read
  * is SNAPSHOT-ISOLATED for free (the listed segments are immutable; a
  * concurrent commit only adds a new manifest) and time travel is "read an
- * older manifest". Commits are OPTIMISTIC: the manifest is fully written,
+ * older manifest" — by version, or by timestamp via [[readAsOf]] (each
+ * manifest records its writer's commit time; resolution monotonizes
+ * cross-writer clock skew with a running max, the Delta in-commit-timestamp
+ * discipline). Commits are OPTIMISTIC: the manifest is fully written,
  * then CLAIMED as version v+1 through [[LogStore.putIfAbsent]] (exactly
  * one concurrent writer wins). A loser RECOMPUTES its plan against the
  * winner's snapshot and retries, so lost updates are impossible: every
  * committed version is derived from the version immediately below it.
+ *
+ * REWRITE COMMITS ARE COPY-ON-WRITE at segment granularity: [[upsert]],
+ * [[delete]] and [[applyChanges]] first discover which segments actually
+ * CONTAIN affected rows (one column-pruned scan of the key/predicate
+ * columns, with a min/max range prefilter pushed to the parquet footers so
+ * untouched segments cost footer reads, not data reads), rewrite ONLY
+ * those, and carry every untouched segment forward in the manifest
+ * verbatim. A daily 0.1%-of-keys upsert against a 100 TB table rewrites
+ * the handful of segments holding those keys, not 100 TB — rewrite cost
+ * tracks TOUCHED volume, not table size.
  *
  * CHECKPOINTS keep per-operation log work FLAT as the table ages (the
  * Delta `_last_checkpoint` discipline): every `checkpointInterval`-th
@@ -150,15 +172,30 @@ final class InMemoryLogStore extends LogStore {
  * commit cost is O(interval), independent of how many thousands of
  * versions the log holds.
  *
- * VACUUM ([[vacuum]]) bounds storage: rewrite commits (upsert / delete /
- * compact) supersede whole snapshots, and without reclamation every
- * superseded segment would live forever. Vacuum commits a retention floor
- * (itself a versioned, claim-serialized commit — concurrent writers
- * compose) and then deletes the segments only sub-floor manifests
- * reference. Time travel at or above the floor is untouched; below it,
- * reads fail loudly with the floor in the message. Retention >= 1 means
- * the latest snapshot's segments are always kept, so concurrent readers
- * of the live table never race the delete.
+ * VACUUM ([[vacuum]]) bounds storage: rewrite commits supersede the
+ * segments they rewrote, and without reclamation every superseded segment
+ * would live forever. Vacuum commits a retention floor (itself a
+ * versioned, claim-serialized commit — concurrent writers compose) and
+ * then deletes the segments only sub-floor manifests reference; the drop
+ * set is computed from the manifests in [previousFloor, newFloor) only —
+ * versions below the previous floor were reclaimed by the earlier vacuum —
+ * so vacuum work tracks the DELTA since the last vacuum plus the retention
+ * window, never the table's full version history. Time travel at or above
+ * the floor is untouched; below it, reads fail loudly with the floor in
+ * the message. Retention is VERSION-count based: `retainVersions >= 1`
+ * keeps the pre-vacuum latest snapshot's segments, so a reader that
+ * resolves a version inside the retention window never races the delete —
+ * but a long-running scan pinned to a version that a fast-committing
+ * writer pushes below the floor CAN observe the delete as a loud job
+ * failure (never silent corruption). On busy tables size `retainVersions`
+ * to cover the longest concurrent reader, the version-count analogue of
+ * Delta's time-based retention guidance. Vacuum can also reclaim ORPHANED
+ * segment dirs (a writer that crashed between writing its segment and
+ * claiming the commit leaks the dir forever otherwise): pass
+ * `orphanAgeMs >= 0` and any data dir referenced by NO manifest whose
+ * newest file is older than the threshold is deleted — a genuinely
+ * in-flight writer's segment is younger than any sane threshold and
+ * survives.
  *
  * Reads merge schemas across segment generations (an appended batch may
  * carry added columns — older rows surface NULL there); incompatible type
@@ -168,7 +205,8 @@ final class InMemoryLogStore extends LogStore {
  * Data segments are parquet dirs written by ordinary distributed jobs;
  * only the tiny manifests go through the [[LogStore]].
  */
-class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
+class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
+    val clock: () => Long = () => System.currentTimeMillis()) {
   require(checkpointInterval >= 2, s"checkpointInterval must be >= 2")
 
   type Snapshot = TxSnapshot
@@ -178,9 +216,10 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
   private val LastCheckpoint = "_last_checkpoint"
   private val StreamTag = "stream_append:"
   private val VacuumTag = "vacuum:retainFrom="
+  private val KeysMark = ":keys="
 
   private def render(s: Snapshot): String =
-    (Seq(s"version=${s.version}", s"op=${s.op}") ++
+    (Seq(s"version=${s.version}", s"op=${s.op}", s"ts=${s.ts}") ++
       s.segments.map(f => s"segment=$f")).mkString("", "\n", "\n")
 
   private def parse(name: String, content: String): Snapshot = {
@@ -188,8 +227,25 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
     def one(k: String) = lines.collectFirst {
       case l if l.startsWith(s"$k=") => l.substring(k.length + 1)
     }.getOrElse(sys.error(s"corrupt commit $name: missing $k"))
+    val ts = lines.collectFirst {
+      case l if l.startsWith("ts=") => l.substring(3).toLong
+    }.getOrElse(-1L) // legacy manifests carry no timestamp
     TxSnapshot(one("version").toLong, one("op"),
-      lines.collect { case l if l.startsWith("segment=") => l.substring(8) }.toSeq)
+      lines.collect { case l if l.startsWith("segment=") => l.substring(8) }.toSeq,
+      ts)
+  }
+
+  /** Keyed rewrite ops record their key columns in the manifest so the
+    * change feed can classify the rewrite without caller-side metadata. */
+  private def keyedOp(op: String, keyCols: Seq[String]): String = {
+    require(keyCols.forall(k => !k.contains(",") && !k.contains("\n") && !k.contains("=")),
+      s"key column names must not contain ',', '=', or newlines: $keyCols")
+    s"$op$KeysMark${keyCols.mkString(",")}"
+  }
+
+  private def keysOf(op: String): Option[Seq[String]] = {
+    val i = op.indexOf(KeysMark)
+    if (i < 0) None else Some(op.substring(i + KeysMark.length).split(",").toSeq)
   }
 
   /** Committed version numbers, ascending — a name listing, no parses. */
@@ -242,10 +298,16 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
     CpState(one("version").toLong, one("floor").toLong, txns)
   }
 
-  private def lastCheckpoint(table: String): Option[CpState] =
-    store.readPointer(table, LastCheckpoint).map { v =>
-      parseCp(store.read(table, checkpointName(v.trim.toLong)))
-    }
+  /** Newest checkpoint at or below `upTo`, derived from the LISTING (not
+    * the advisory pointer): checkpoint files are claim-created and never
+    * removed, so the listing maximum is monotone even when two delayed
+    * pointer writers interleave (ADVICE r8). */
+  private def lastCheckpoint(table: String, upTo: Long): Option[CpState] = {
+    val cps = store.list(table).filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong).filter(_ <= upTo)
+    if (cps.isEmpty) None
+    else Some(parseCp(store.read(table, checkpointName(cps.max))))
+  }
 
   private def foldOp(floor: Long, txns: Map[String, Long], op: String): (Long, Map[String, Long]) =
     if (op.startsWith(StreamTag)) {
@@ -264,7 +326,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
   private def logState(table: String, upTo: Long = Long.MaxValue): (Long, Long, Map[String, Long]) = {
     val versions = listVersions(table).filter(_ <= upTo)
     if (versions.isEmpty) return (-1L, 0L, Map.empty)
-    val cp = lastCheckpoint(table).filter(_.version <= versions.last)
+    val cp = lastCheckpoint(table, versions.last)
     var floor = cp.map(_.floor).getOrElse(0L)
     var txns = cp.map(_.txns).getOrElse(Map.empty[String, Long])
     val from = cp.map(_.version + 1).getOrElse(0L)
@@ -277,6 +339,11 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
 
   /** The vacuum retention floor: versions below it are unreadable. */
   def retentionFloor(table: String): Long = logState(table)._2
+
+  /** A stream's committed high-water batch id (-1 if none) — the progress
+    * mark [[commitKeyedTransform]]/[[appendStreamBatch]] key on. */
+  def streamHighWater(table: String, streamId: String): Long =
+    logState(table)._3.getOrElse(streamId, -1L)
 
   /** After winning the claim of `v`: every `checkpointInterval`-th version
     * also persists the cumulative state and bumps the pointer. Only the
@@ -314,6 +381,36 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
     } else readSegments(spark, table, snap.segments)
   }
 
+  /** Resolve "the table as of wall-clock time `tsMillis`" to a version:
+    * the newest retained version whose (monotonized) commit timestamp is
+    * <= tsMillis. Writer clocks can skew, so resolution applies a running
+    * max over the retained manifests' timestamps (the Delta
+    * in-commit-timestamp monotonization) — a version committed "before"
+    * its parent by a slow clock never reorders history. O(retained
+    * versions) manifest parses, bounded by the retention window. */
+  def versionAt(table: String, tsMillis: Long): Long = {
+    val (lv, floor, _) = logState(table)
+    require(lv >= 0, s"not a TxLog table (no _graft_log commits): $table")
+    var best = -1L
+    var running = Long.MinValue
+    (floor to lv).foreach { v =>
+      val ts = snapshotOf(table, v).ts
+      require(ts >= 0,
+        s"version $v of $table carries no commit timestamp (legacy manifest) — " +
+          "timestamp time travel needs timestamped commits")
+      running = math.max(running, ts)
+      if (running <= tsMillis) best = v
+    }
+    require(best >= 0,
+      s"no retained version of $table at or before ts=$tsMillis " +
+        s"(earliest retained commit is at ${snapshotOf(table, floor).ts})")
+    best
+  }
+
+  /** Timestamp time travel: [[read]] at [[versionAt]]'s resolution. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    read(spark, table, versionAt(table, tsMillis))
+
   private def readSegments(spark: SparkSession, table: String, segs: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(segs.map(s => s"$table/$s"): _*)
 
@@ -334,7 +431,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
   /** Create the table at version 0 from `df`. Fails if it already exists. */
   def create(spark: SparkSession, table: String, df: DataFrame): Snapshot = {
     require(listVersions(table).isEmpty, s"TxLog table already exists: $table")
-    val snap = TxSnapshot(0L, "create", Seq(writeSegment(table, df)))
+    val snap = TxSnapshot(0L, "create", Seq(writeSegment(table, df)), clock())
     require(tryClaim(table, snap), s"concurrent create of $table")
     snap
   }
@@ -360,7 +457,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
       val base = latest(table)
       val (op, newData, keptSegments) = plan(base, read(spark, table, base.version))
       val newSegments = newData.map(writeSegment(table, _)).toSeq
-      val snap = TxSnapshot(base.version + 1, op, keptSegments ++ newSegments)
+      val snap = TxSnapshot(base.version + 1, op, keptSegments ++ newSegments, clock())
       if (tryClaim(table, snap)) return snap
       // lost the race: drop the orphan segment, recompute on the winner
       newSegments.foreach(dropSegment(table, _))
@@ -369,6 +466,58 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
     throw new IllegalStateException(
       s"TxLog commit on $table lost $maxRetries consecutive races — " +
         "pathological contention; serialize writers or raise maxRetries")
+  }
+
+  // ---- copy-on-write discovery ---------------------------------------------
+
+  /** Relative segment dir of each scanned row, derived from the file path
+    * ([[writeSegment]] lays files exactly one level under `data/<uuid>`). */
+  private def segmentExpr: Column =
+    regexp_extract(input_file_name(), "/(data/[^/]+)/[^/]+$", 1)
+
+  /** Align `df` to `schema` by name: missing columns surface as typed
+    * NULLs (the mergeSchema discipline, applied to a partial-segment
+    * read so copy-on-write rewrites see the full snapshot schema). */
+  private def alignTo(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.map(f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+
+  /**
+   * Copy-on-write discovery: split `segments` into (touched, untouched)
+   * by whether a segment CONTAINS at least one row whose `keyCols` match
+   * a `touchKeys` row (null-safe). One scan, column-pruned to the key
+   * columns plus the file name; when the touch keys carry no NULL first
+   * component, a min/max range predicate on the first key column is
+   * pushed to the parquet scan, so the footers of segments entirely
+   * outside the touch range skip their row groups without reading data —
+   * the q197 file-skipping machinery doing the candidate pruning. The
+   * collect is one row per touched SEGMENT (manifest-sized), never rows.
+   */
+  private def touchedSegments(spark: SparkSession, table: String,
+      segments: Seq[String], keyCols: Seq[String],
+      touchKeys: DataFrame): (Seq[String], Seq[String]) = {
+    val tk = touchKeys.select(keyCols.map(col): _*).distinct()
+    val head = keyCols.head
+    val stats = tk.agg(count(lit(1)).as("n"),
+      sum(when(col(head).isNull, 1L).otherwise(0L)).as("nulls"),
+      min(col(head)).as("lo"), max(col(head)).as("hi")).head()
+    if (stats.getAs[Long]("n") == 0L) return (Seq.empty, segments)
+    val scan0 = readSegments(spark, table, segments)
+      .select(keyCols.map(col) :+ segmentExpr.as("__graft_seg"): _*)
+    // range prefilter: safe only when no touch key has a NULL first
+    // component (a NULL-keyed base row can then never match)
+    val scan = if (stats.getAs[Long]("nulls") == 0L)
+      scala.util.Try(scan0.filter(
+        col(head) >= lit(stats.get(2)) && col(head) <= lit(stats.get(3))))
+        .getOrElse(scan0) // non-literalizable key type: scan without pruning
+    else scan0
+    val renamed = keyCols.map(k => k -> s"__graft_tk_$k")
+    val cond = renamed.map { case (k, a) => col(k) <=> col(a) }.reduce(_ && _)
+    val touched = scan
+      .join(tk.select(renamed.map { case (k, a) => col(k).as(a) }: _*), cond, "left_semi")
+      .select(col("__graft_seg")).distinct().collect().map(_.getString(0)).toSet
+    (segments.filter(touched.contains), segments.filterNot(touched.contains))
   }
 
   /**
@@ -383,7 +532,27 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
    * cost is FLAT (checkpoint + tail), independent of the log's length.
    */
   def appendStreamBatch(spark: SparkSession, table: String, batch: DataFrame,
-      streamId: String, batchId: Long, maxRetries: Int = 20): Boolean = {
+      streamId: String, batchId: Long, maxRetries: Int = 20): Boolean =
+    commitKeyedTransform(spark, table, streamId, batchId, maxRetries) { (base, _) =>
+      (Some(batch), base.segments)
+    }
+
+  /**
+   * Idempotent KEYED commit of an arbitrary snapshot transform — the
+   * generalization of [[appendStreamBatch]] to rewrites: the commit rides
+   * the log tagged `stream_append:<streamId>:<batchId>`, so a replay of
+   * the same (streamId, batchId) after a crash/restart is detected through
+   * the checkpointed high-water mark and SKIPPED, whatever the transform
+   * was. `plan` receives the current snapshot and returns (new data,
+   * segments of the current snapshot to carry forward); a lost claim drops
+   * the orphan segment and recomputes against the winner. This is the
+   * primitive both ends of an exactly-once pipeline share: the stream SINK
+   * appends batches through it, and a downstream FOLLOWER ([[followAggregate]])
+   * commits its incremental state through it keyed by source version.
+   */
+  def commitKeyedTransform(spark: SparkSession, table: String,
+      streamId: String, batchId: Long, maxRetries: Int = 20)(
+      plan: (Snapshot, DataFrame) => (Option[DataFrame], Seq[String])): Boolean = {
     require(!streamId.contains("\n"), "streamId must be single-line")
     val tag = s"$StreamTag$streamId:$batchId"
     var attempt = 0
@@ -391,14 +560,16 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
       val (lv, _, txns) = logState(table)
       require(lv >= 0, s"not a TxLog table: $table")
       if (txns.getOrElse(streamId, -1L) >= batchId) return false // replay
-      val seg = writeSegment(table, batch)
-      if (tryClaim(table, TxSnapshot(lv + 1, tag, snapshotOf(table, lv).segments :+ seg)))
+      val base = snapshotOf(table, lv)
+      val (newData, kept) = plan(base, read(spark, table, lv))
+      val newSegments = newData.map(writeSegment(table, _)).toSeq
+      if (tryClaim(table, TxSnapshot(lv + 1, tag, kept ++ newSegments, clock())))
         return true
-      dropSegment(table, seg)
+      newSegments.foreach(dropSegment(table, _))
       attempt += 1
     }
     throw new IllegalStateException(
-      s"TxLog stream append on $table lost $maxRetries consecutive races")
+      s"TxLog keyed commit on $table lost $maxRetries consecutive races")
   }
 
   /** `foreachBatch` adapter: `df.writeStream.foreachBatch(TxLog.streamSink(tbl, id))`.
@@ -418,29 +589,58 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
       ("append", Some(df), base.segments)
     }
 
-  /** MERGE-INTO semantics as a versioned commit ([[graft.operators.Ingest.upsert]]
-    * does the plan work: base never shuffles, update keys broadcast). The
-    * whole snapshot rewrites into one fresh segment — the lite tradeoff
-    * (real Delta rewrites only touched files; the protocol is identical). */
+  /** MERGE-INTO semantics as a versioned COPY-ON-WRITE commit: discover
+    * the segments whose key ranges/membership intersect the update keys
+    * ([[touchedSegments]] — footer-stats pruned scan of the key columns),
+    * rewrite ONLY those through [[graft.operators.Ingest.upsert]] (base
+    * side never shuffles, update keys broadcast), and carry every
+    * untouched segment forward verbatim. A selective upsert's cost tracks
+    * the touched-segment volume, not the table size. The manifest op
+    * records the key columns so [[changeFeed]] can classify the rewrite. */
   def upsert(spark: SparkSession, table: String, updates: DataFrame,
       keyCols: Seq[String]): Snapshot =
-    commitTransform(spark, table) { (_, cur) =>
-      ("upsert", Some(graft.operators.Ingest.upsert(cur, updates, keyCols)), Seq.empty)
+    commitTransform(spark, table) { (base, cur) =>
+      val op = keyedOp("upsert", keyCols)
+      val (touched, kept) = touchedSegments(spark, table, base.segments, keyCols, updates)
+      if (touched.isEmpty) // pure insert: no base row moves
+        (op, Some(updates.select(cur.columns.map(col).toSeq: _*)), kept)
+      else {
+        val touchedDf = alignTo(readSegments(spark, table, touched), cur.schema)
+        (op, Some(graft.operators.Ingest.upsert(touchedDf, updates, keyCols)), kept)
+      }
     }
 
-  /** Delete rows matching `cond` (a rewrite commit). */
+  /** Delete rows matching `cond` — a COPY-ON-WRITE rewrite: one scan
+    * (pruned to the predicate's columns) finds the segments that actually
+    * CONTAIN matching rows; only those rewrite, the rest carry forward.
+    * The predicate pushes to the parquet scan, so footer stats skip
+    * untouched segments' row groups during discovery too. */
   def delete(spark: SparkSession, table: String, cond: Column): Snapshot =
-    commitTransform(spark, table) { (_, cur) =>
-      ("delete", Some(cur.filter(!coalesce(cond, lit(false)))), Seq.empty)
+    commitTransform(spark, table) { (base, cur) =>
+      val hit = coalesce(cond, lit(false))
+      val touched = readSegments(spark, table, base.segments)
+        .filter(hit).select(segmentExpr.as("__graft_seg"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val kept = base.segments.filterNot(touched.contains)
+      if (touched.isEmpty) ("delete", None, kept)
+      else {
+        val touchedDf = alignTo(
+          readSegments(spark, table, base.segments.filter(touched.contains)), cur.schema)
+        ("delete", Some(touchedDf.filter(!hit)), kept)
+      }
     }
 
   /** Apply a CDC change batch ([[graft.operators.Ingest.cdcApply]] picks
     * each key's winner; tombstone winners delete) onto the live snapshot:
-    * surviving change rows upsert, tombstoned keys drop — one commit. */
+    * surviving change rows upsert, tombstoned keys drop — one COPY-ON-WRITE
+    * commit touching only the segments that hold changed keys. */
   def applyChanges(spark: SparkSession, table: String, changes: DataFrame,
       keyCols: Seq[String], orderCols: Seq[Column], opCol: String,
       deleteOp: String = "D"): Snapshot =
-    commitTransform(spark, table) { (_, cur) =>
+    commitTransform(spark, table) { (base, cur) =>
+      val op = keyedOp("cdc_apply", keyCols)
+      val (touched, kept) =
+        touchedSegments(spark, table, base.segments, keyCols, changes)
       val winners = graft.operators.Ingest.cdcApply(
         changes, keyCols, orderCols, opCol, deleteOp)
       val dead = graft.operators.Ingest.cdcApply(
@@ -450,9 +650,12 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
       val renamed = keyCols.map(k => k -> s"__graft_dk_$k")
       val deadKeys = dead.select(renamed.map { case (k, a) => col(k).as(a) }: _*)
       val cond = renamed.map { case (k, a) => col(k) <=> col(a) }.reduce(_ && _)
+      val touchedDf =
+        if (touched.isEmpty) cur.limit(0)
+        else alignTo(readSegments(spark, table, touched), cur.schema)
       val upserted = graft.operators.Ingest.upsert(
-        cur, winners.select(cur.columns.map(col).toSeq: _*), keyCols)
-      ("cdc_apply", Some(upserted.join(deadKeys, cond, "left_anti")), Seq.empty)
+        touchedDf, winners.select(cur.columns.map(col).toSeq: _*), keyCols)
+      (op, Some(upserted.join(deadKeys, cond, "left_anti")), kept)
     }
 
   /** Compaction: same rows, `targetPartitions` output files, one commit —
@@ -480,16 +683,83 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
       (s"optimize_zorder:$colA,$colB", Some(clustered), Seq.empty)
     }
 
+  // ---- change feed (full CDF) ----------------------------------------------
+
+  private val ChangeType = "_change_type"
+  private val CommitVersion = "_commit_version"
+
+  /** The CDF rows of one REWRITE version, computed from the MANIFEST DIFF:
+    * copy-on-write means the segments shared between v-1 and v are
+    * byte-identical, so the logical diff lives entirely in (segments only
+    * in v-1) vs (segments only in v) — the diff cost tracks the rewrite's
+    * touched volume, not the table size. Keyed rewrites (upsert/cdc_apply,
+    * whose manifests record their key columns) classify per key into
+    * insert / update_preimage / update_postimage / delete via one
+    * null-safe full-outer join; keyless deletes emit per-row deletes via
+    * exceptAll (multiset-exact — duplicate rows keep their multiplicity). */
+  private def rewriteCdf(spark: SparkSession, table: String, v: Long): Option[DataFrame] = {
+    val cur = snapshotOf(table, v)
+    val prev = snapshotOf(table, v - 1)
+    val oldSegs = prev.segments.filterNot(cur.segments.contains)
+    val newSegs = cur.segments.filterNot(prev.segments.contains)
+    if (oldSegs.isEmpty && newSegs.isEmpty) return None
+    val donor = if (newSegs.nonEmpty) newSegs else oldSegs
+    def side(segs: Seq[String]) =
+      if (segs.nonEmpty) readSegments(spark, table, segs)
+      else readSegments(spark, table, donor).limit(0)
+    val o0 = side(oldSegs)
+    val n0 = side(newSegs)
+    val allCols = (n0.columns ++ o0.columns.filterNot(n0.columns.contains)).toSeq
+    val schema = StructType(allCols.map(c =>
+      n0.schema.find(_.name == c).getOrElse(o0.schema.find(_.name == c).get)))
+    val o = alignTo(o0, schema)
+    val n = alignTo(n0, schema)
+    keysOf(cur.op) match {
+      case Some(keyCols) =>
+        val valCols = allCols.filterNot(keyCols.contains)
+        val os = o.select(allCols.map(c => col(c).as(s"__o_$c")) :+
+          lit(true).as("__in_old"): _*)
+        val ns = n.select(allCols.map(c => col(c).as(s"__n_$c")) :+
+          lit(true).as("__in_new"): _*)
+        val cond = keyCols.map(k => col(s"__o_$k") <=> col(s"__n_$k")).reduce(_ && _)
+        val joined = os.join(ns, cond, "full_outer")
+        val rowsEqual =
+          if (valCols.isEmpty) lit(true)
+          else valCols.map(c => col(s"__o_$c") <=> col(s"__n_$c")).reduce(_ && _)
+        def rowOf(prefix: String, tpe: String) =
+          struct(allCols.map(c => col(s"$prefix$c").as(c)) :+
+            lit(tpe).as(ChangeType): _*)
+        Some(joined
+          .filter(!(col("__in_old").isNotNull && col("__in_new").isNotNull && rowsEqual))
+          .select(explode(
+            when(col("__in_old").isNull, array(rowOf("__n_", "insert")))
+              .when(col("__in_new").isNull, array(rowOf("__o_", "delete")))
+              .otherwise(array(rowOf("__o_", "update_preimage"),
+                rowOf("__n_", "update_postimage")))).as("__r"))
+          .select(col("__r.*")))
+      case None if cur.op == "delete" || cur.op.startsWith("delete:") =>
+        // row-preserving removal: multiset-exact per-row deletes/inserts
+        val del = o.exceptAll(n).withColumn(ChangeType, lit("delete"))
+        val ins = n.exceptAll(o).withColumn(ChangeType, lit("insert"))
+        Some(del.unionByName(ins))
+      case None =>
+        sys.error(s"version $v of $table (op=${cur.op}) rewrote the snapshot " +
+          "without recorded key columns — the change feed cannot classify it; " +
+          "rebuild downstream state from read() past this version")
+    }
+  }
+
   /**
-   * CDC-style CHANGE FEED over an append-only version range: every row
-   * committed in versions (fromVersion, toVersion], tagged with its
-   * `_commit_version` — the incremental-consumer shape (a downstream job
-   * resumes from the last version it processed and reads ONLY the new
-   * segments, the Delta CDF discipline for append tables). Schemas merge
-   * across the range (an appended column surfaces NULL for earlier
-   * versions); a rewrite commit inside the range refuses loudly via
-   * [[appendedIn]] — its delta is not additive, so the consumer must
-   * rebuild from [[read]] instead of silently missing changes.
+   * FULL CDF change feed over a version range: every logical change
+   * committed in versions (fromVersion, toVersion], each row tagged
+   * `_change_type` (insert / update_preimage / update_postimage / delete)
+   * and `_commit_version` — the Delta CDF shape. Append commits emit
+   * their new segments as inserts (segment read only — history is never
+   * re-read); REWRITE commits classify through the manifest diff
+   * ([[rewriteCdf]] — copy-on-write keeps that diff touched-volume-sized);
+   * row-preserving commits (compact / optimize / vacuum) emit nothing, as
+   * no logical change occurred. Schemas merge across the range (an
+   * appended column surfaces NULL for earlier versions).
    */
   def changeFeed(spark: SparkSession, table: String, fromVersion: Long,
       toVersion: Long = -1L): DataFrame = {
@@ -500,11 +770,71 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
       s"bad change-feed range ($fromVersion, $to] on $table (latest $lv)")
     require(fromVersion + 1 >= floor || fromVersion == to,
       s"change-feed range ($fromVersion, $to] starts below the retention floor $floor")
-    if (fromVersion == to) return read(spark, table, to).limit(0)
-      .withColumn("_commit_version", lit(-1L)).filter(lit(false))
-    (fromVersion + 1 to to).map { v =>
-      appendedIn(spark, table, v).withColumn("_commit_version", lit(v))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    def emptyFeed = read(spark, table, to).limit(0)
+      .withColumn(ChangeType, lit("insert"))
+      .withColumn(CommitVersion, lit(-1L)).filter(lit(false))
+    if (fromVersion == to) return emptyFeed
+    val parts = (fromVersion + 1 to to).flatMap { v =>
+      val op = snapshotOf(table, v).op
+      val changes: Option[DataFrame] =
+        if (op == "append" || op.startsWith(StreamTag))
+          Some(appendedIn(spark, table, v).withColumn(ChangeType, lit("insert")))
+        else if (op == "compact" || op.startsWith("optimize_zorder:") ||
+          op.startsWith(VacuumTag)) None // row-preserving: no logical change
+        else rewriteCdf(spark, table, v)
+      changes.map(_.withColumn(CommitVersion, lit(v)))
+    }
+    if (parts.isEmpty) emptyFeed
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /**
+   * Exactly-once INCREMENTAL FOLLOWER — the streaming-source end of the
+   * pipeline whose sink end is [[streamSink]]: maintain in `dst` a keyed
+   * additive aggregate of `src`, advancing one source version range per
+   * call. Progress rides DST's own log (a keyed commit whose batch id is
+   * the source version consumed — [[commitKeyedTransform]]), so the loop
+   * is exactly-once on BOTH ends: a crash between reading the feed and
+   * committing replays the same range, and the replay is skipped through
+   * the checkpointed high-water mark; no external offset store exists.
+   *
+   * The first call folds the source's full current snapshot (the Delta
+   * streaming-source initial-snapshot discipline); later calls read ONLY
+   * the insert rows of `src`'s change feed above the mark and merge them
+   * through [[graft.operators.Ingest.mergeAggState]] — O(|state| + |delta|)
+   * per call, never a history re-read. Source rewrite commits in the range
+   * fail loudly (an additive state cannot absorb preimage retractions;
+   * rebuild the state from read() past them). `aggOf` must produce ADDITIVE
+   * statistics keyed by `keyCols` (mergeAggState's contract). Returns true
+   * if a new range was committed, false if `dst` is already caught up.
+   */
+  def followAggregate(spark: SparkSession, src: String, dst: String,
+      consumerId: String, keyCols: Seq[String])(
+      aggOf: DataFrame => DataFrame): Boolean = {
+    val streamId = s"txfollow:$consumerId"
+    val srcLatest = latest(src).version
+    if (listVersions(dst).isEmpty) {
+      // v0 = empty state (idempotent bootstrap: a racing creator loses
+      // loudly inside create; the keyed commit below carries the data)
+      create(spark, dst, aggOf(read(spark, src).limit(0)))
+      ()
+    }
+    commitKeyedTransform(spark, dst, streamId, srcLatest) { (_, curState) =>
+      val lastV = streamHighWater(dst, streamId)
+      val delta =
+        if (lastV < 0) read(spark, src, srcLatest)
+        else {
+          val feed = changeFeed(spark, src, lastV, srcLatest)
+          val nonInsert = feed.filter(col(ChangeType) =!= "insert").limit(1).collect()
+          require(nonInsert.isEmpty,
+            s"followAggregate($consumerId): source $src has a rewrite commit in " +
+              s"($lastV, $srcLatest] — additive state cannot absorb retractions; " +
+              "rebuild dst from read()")
+          feed.drop(ChangeType, CommitVersion)
+        }
+      (Some(graft.operators.Ingest.mergeAggState(curState, aggOf(delta), keyCols)),
+        Seq.empty)
+    }
   }
 
   /**
@@ -514,21 +844,32 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
    * the new retention floor as a versioned, claim-serialized commit (so
    * vacuum composes with concurrent writers like any other commit), then
    * physically delete every segment referenced ONLY by sub-floor
-   * manifests. A read below the floor fails loudly with the floor in the
-   * message. `retainVersions >= 1` keeps the pre-vacuum latest snapshot's
-   * segments alive by construction (the vacuum manifest carries them
-   * forward), so concurrent live readers never race the delete; only a
-   * time traveler below the floor can observe it, and the floor check
-   * turns that into a loud error.
+   * manifests. The drop set parses manifests in [previousFloor, newFloor)
+   * only — versions below the previous floor were reclaimed by the
+   * earlier vacuum — so vacuum work tracks the commits SINCE the last
+   * vacuum plus the retention window, never the full history. A read
+   * below the floor fails loudly with the floor in the message.
+   * `retainVersions >= 1` keeps the pre-vacuum latest snapshot's segments
+   * alive by construction (the vacuum manifest carries them forward);
+   * note the retention window is VERSION-count based — a reader pinned to
+   * a version that fast-following commits push below the floor fails
+   * loudly (never silently); size retainVersions to cover the longest
+   * concurrent reader on busy tables.
    *
-   * Segments never referenced by ANY manifest (a concurrent writer's
-   * in-flight, not-yet-claimed segment) are deliberately NOT touched —
-   * orphan cleanup on lost claims already handles those.
+   * `orphanAgeMs >= 0` additionally sweeps ORPHANED segment dirs: a
+   * writer that crashed between [[writeSegment]] and its claim leaks a
+   * dir referenced by NO manifest. Any such dir whose newest file is
+   * older than the threshold is deleted; younger ones (a genuinely
+   * in-flight writer about to claim) survive. Referenced-ness is
+   * re-listed AFTER the age check against the full manifest set, so a
+   * segment claimed mid-sweep is never swept.
    */
-  def vacuum(spark: SparkSession, table: String, retainVersions: Int): Snapshot = {
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int,
+      orphanAgeMs: Long = -1L): Snapshot = {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    var prevFloor = 0L
     val snap = commitTransform(spark, table) { (base, _) =>
-      val prevFloor = logState(table, upTo = base.version)._2
+      prevFloor = logState(table, upTo = base.version)._2
       // the vacuum commit itself is version base+1; retain the newest
       // retainVersions versions counting from it
       val floor = math.max(prevFloor, math.max(0L, base.version + 2 - retainVersions))
@@ -537,10 +878,42 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
     val floor = snap.op.substring(VacuumTag.length).toLong
     val kept = (floor to snap.version)
       .flatMap(v => snapshotOf(table, v).segments).toSet
-    val dropped = (0L until floor)
+    // delta-bounded: only [prevFloor, floor) can reference segments that
+    // are still on disk but now sub-floor-only (earlier vacuums already
+    // reclaimed everything exclusive to versions below prevFloor)
+    val dropped = (prevFloor until floor)
       .flatMap(v => snapshotOf(table, v).segments).toSet -- kept
     dropped.foreach(dropSegment(table, _))
+    if (orphanAgeMs >= 0L) sweepOrphans(table, orphanAgeMs)
     snap
+  }
+
+  /** Age-thresholded orphan reclamation (see [[vacuum]]). A dir is an
+    * orphan iff NO manifest references it; the manifest set is re-listed
+    * after the age check so a claim that lands mid-sweep protects its
+    * segment. Newest-mtime-in-tree is the age, so a dir still being
+    * written always reads young. */
+  private def sweepOrphans(table: String, orphanAgeMs: Long): Unit = {
+    val dataDir = new File(table, "data")
+    val dirs = Option(dataDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    if (dirs.isEmpty) return
+    val now = clock()
+    def newestMtime(d: File): Long = {
+      val own = d.lastModified()
+      val children = Option(d.listFiles()).getOrElse(Array.empty)
+      (own +: children.map(c => if (c.isDirectory) newestMtime(c) else c.lastModified())).max
+    }
+    val oldEnough = dirs.filter(d => now - newestMtime(d) >= orphanAgeMs)
+    if (oldEnough.isEmpty) return
+    // referenced-ness AFTER the age check: any manifest present NOW (even
+    // one claimed mid-sweep) protects its segments
+    val referenced = listVersions(table)
+      .flatMap(v => snapshotOf(table, v).segments).toSet
+    oldEnough.foreach { d =>
+      val rel = s"data/${d.getName}"
+      if (!referenced.contains(rel)) dropSegment(table, rel)
+    }
   }
 
   /** Per-key change classification between two committed versions —
@@ -558,8 +931,9 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
    * ([[graft.operators.Ingest.mergeAggState]]) without re-reading
    * history. Exact for append-type commits (append/stream_append), whose
    * manifests strictly extend the parent's segment list; a rewrite
-   * commit (upsert/delete/compact) has no additive delta and fails
-   * loudly rather than returning something wrong.
+   * commit (upsert/delete/cdc_apply) has no additive delta and fails
+   * loudly rather than returning something wrong — its classified rows
+   * come from [[changeFeed]] instead.
    */
   def appendedIn(spark: SparkSession, table: String, version: Long): DataFrame = {
     require(version > 0, s"version 0 is the full create snapshot — read() it")
@@ -570,7 +944,8 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10) {
     val prev = snapshotOf(table, version - 1)
     require(prev.segments.forall(cur.segments.contains),
       s"version $version (op=${cur.op}) rewrote the snapshot — append-delta " +
-        "reading is only exact for append commits; rebuild state from read()")
+        "reading is only exact for append commits; use changeFeed() for " +
+        "classified rewrite rows, or rebuild state from read()")
     val added = cur.segments.filterNot(prev.segments.contains)
     if (added.isEmpty) read(spark, table, version).limit(0)
     else spark.read.option("mergeSchema", "true")

@@ -139,10 +139,15 @@ object Skyline {
     var escalations = 0
     while (nCand > maxCandidates && parts > 1) {
       val nextParts = math.max(1, parts / 8)
-      // the memory guard the escalation must NOT remove: a coalesced pass
+      // the memory guard the escalation must NOT remove: a merged pass
       // materializes ~nCand/nextParts rows per task (rows.toArray in
       // localSkyline) — refuse loudly before funneling an anti-correlated
-      // blow-up into one heap
+      // blow-up into one heap. The merge uses repartition (round-robin
+      // shuffle), NOT coalesce: coalesce glues whole parent partitions, so
+      // a skewed survivor distribution could put far more than the
+      // estimate into one task and bypass this guard (ADVICE r8) —
+      // repartition makes the per-task bound actually hold, at the cost of
+      // shuffling only the already-pruned candidate set.
       val perTask = nCand / nextParts + 1
       require(perTask <= maxSinglePassRows,
         s"skyline tournament would funnel ~$perTask candidate rows into one task " +
@@ -154,7 +159,7 @@ object Skyline {
           s"$maxCandidates — escalating through tournament rounds ($parts -> $nextParts partitions)")
       escalations += 1
       parts = nextParts
-      candRdd = candRdd.coalesce(parts).mapPartitions(localSkyline).localCheckpoint()
+      candRdd = candRdd.repartition(parts).mapPartitions(localSkyline).localCheckpoint()
       nCand = candRdd.count()
     }
     if (nCand > maxCandidates) {

@@ -81,6 +81,50 @@ class VectorOpsSpec extends SparkSpec {
     assert(mmr(1) === 3L, "second pick must be the diverse item, not the near-duplicate")
   }
 
+  test("ingestSq: build-on-subset + ingest-rest searches like build-on-all (full rerank)") {
+    val n = emb.count().toInt
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    val (merged, clamped, total) =
+      VectorOps.ingestSq(VectorOps.buildSqIndex(old, "vec_id", "embedding"),
+        fresh, "vec_id", "embedding")
+    assert(total > 0L && clamped <= total)
+    // with an exact full-corpus rerank the SQ tier only builds the
+    // shortlist, so the merged index must equal brute force over ALL rows
+    val got = VectorOps.searchSq(merged, emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, rerank = n)
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    assert(got.except(brute).count() === 0 && brute.except(got).count() === 0)
+    // codes are append-only: old ids keep their EXACT pre-ingest codes
+    val before = VectorOps.buildSqIndex(old, "vec_id", "embedding")
+      .codes.as[(Long, Seq[Byte])].collect().toMap
+    val after = merged.codes.as[(Long, Seq[Byte])].collect().toMap
+    assert(before.forall { case (id, c) => after(id) == c })
+  }
+
+  test("ingestSq refuses duplicate ids and drifted batches, loudly") {
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val idx = VectorOps.buildSqIndex(old, "vec_id", "embedding")
+    val dup = intercept[IllegalArgumentException] {
+      VectorOps.ingestSq(idx, old.limit(1), "vec_id", "embedding")
+    }
+    assert(dup.getMessage.contains("already indexed"))
+    // a batch far outside the trained bounds is DRIFT: refuse, don't saturate
+    val drifted = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x * lit(100.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.ingestSq(idx, drifted, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("drifted"))
+    // the same batch passes with an explicit permissive threshold
+    val (merged, clamped, total) =
+      VectorOps.ingestSq(idx, drifted, "vec_id", "embedding", maxClampFrac = 1.0)
+    assert(clamped > 0L && clamped <= total)
+    assert(merged.codes.count() === emb.count())
+  }
+
   test("SqIndex round-trips through save/load and searches identically") {
     val dir = java.nio.file.Files.createTempDirectory("sqidx").toString
     val built = VectorOps.buildSqIndex(emb, "vec_id", "embedding")

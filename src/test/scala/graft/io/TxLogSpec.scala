@@ -32,7 +32,10 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, tbl, 4).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet === live)
     assert(TxLog.history(tbl).map(s => (s.version, s.op)) ===
-      Seq((0L, "create"), (1L, "append"), (2L, "upsert"), (3L, "delete"), (4L, "compact")))
+      Seq((0L, "create"), (1L, "append"), (2L, "upsert:keys=k"), (3L, "delete"),
+        (4L, "compact")))
+    // every commit records its writer's timestamp
+    assert(TxLog.history(tbl).forall(_.ts > 0L))
     // compaction really compacted: one segment, one part file
     assert(TxLog.latest(tbl).segments.size === 1)
   }
@@ -267,30 +270,190 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
-  test("changeFeed tags appended rows with their commit version; rewrites in range refuse") {
+  test("changeFeed tags appended rows with their commit version and _change_type") {
     val tbl = freshTable()
     TxLog.create(spark, tbl, Seq((1L, 10L)).toDF("k", "v"))            // v0
     TxLog.append(spark, tbl, Seq((2L, 20L), (3L, 30L)).toDF("k", "v")) // v1
     TxLog.append(spark, tbl, Seq((4L, 40L)).toDF("k", "v"))            // v2
     val feed = TxLog.changeFeed(spark, tbl, 0L)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    assert(feed === Set((2L, 1L), (3L, 1L), (4L, 2L))) // v0's rows are NOT changes
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("_commit_version"),
+        r.getAs[String]("_change_type"))).toSet
+    // v0's rows are NOT changes; appends are inserts
+    assert(feed === Set((2L, 1L, "insert"), (3L, 1L, "insert"), (4L, 2L, "insert")))
     // an empty range is empty with the feed schema
     assert(TxLog.changeFeed(spark, tbl, 2L).count() === 0)
     // schema evolution inside the range: the added column surfaces, earlier
     // versions read NULL there
     TxLog.append(spark, tbl, Seq((5L, 50L, "x")).toDF("k", "v", "extra")) // v3
     val evolved = TxLog.changeFeed(spark, tbl, 0L)
-    assert(evolved.columns.toSeq === Seq("k", "v", "_commit_version", "extra"))
+    assert(evolved.columns.toSet ===
+      Set("k", "v", "extra", "_change_type", "_commit_version"))
     assert(evolved.filter(col("extra").isNotNull).count() === 1)
-    // a rewrite inside the range refuses loudly (its delta is not additive);
-    // post-evolution updates carry the table's CURRENT (merged) schema
-    TxLog.upsert(spark, tbl, Seq((1L, 11L, "y")).toDF("k", "v", "extra"), Seq("k")) // v4
-    val e = intercept[Exception] { TxLog.changeFeed(spark, tbl, 0L).count() }
-    assert(e.getMessage.contains("rewrote"))
-    // but a post-rewrite range works again
-    TxLog.append(spark, tbl, Seq((6L, 60L)).toDF("k", "v"))            // v5
-    assert(TxLog.changeFeed(spark, tbl, 4L).collect().map(_.getLong(0)).toSeq === Seq(6L))
+  }
+
+  test("changeFeed full CDF: rewrites classify as update pre/postimage, delete, insert") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a"), (2L, "b")).toDF("k", "t"))        // v0
+    TxLog.append(spark, tbl, Seq((3L, "c")).toDF("k", "t"))                   // v1
+    TxLog.upsert(spark, tbl, Seq((2L, "b2"), (4L, "d")).toDF("k", "t"), Seq("k")) // v2
+    TxLog.delete(spark, tbl, col("k") === 1L)                                  // v3
+    TxLog.compact(spark, tbl, targetPartitions = 1)                            // v4
+    val feed = TxLog.changeFeed(spark, tbl, 0L)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("t"),
+        r.getAs[Long]("_commit_version"), r.getAs[String]("_change_type"))).toSet
+    assert(feed === Set(
+      (3L, "c", 1L, "insert"),
+      (2L, "b", 2L, "update_preimage"), (2L, "b2", 2L, "update_postimage"),
+      (4L, "d", 2L, "insert"),
+      (1L, "a", 3L, "delete")))
+    // compact (v4) is row-preserving: no CDF rows — verified by the set above
+    // a key's unchanged rows never appear: upsert of the SAME value is silent
+    TxLog.upsert(spark, tbl, Seq((2L, "b2")).toDF("k", "t"), Seq("k"))         // v5
+    assert(TxLog.changeFeed(spark, tbl, 4L).count() === 0)
+    // a delete matching nothing emits nothing (and commits no new segment)
+    val segsBefore = TxLog.latest(tbl).segments
+    TxLog.delete(spark, tbl, col("k") === 999L)                                // v6
+    assert(TxLog.latest(tbl).segments === segsBefore)
+    assert(TxLog.changeFeed(spark, tbl, 5L).count() === 0)
+  }
+
+  test("copy-on-write: selective rewrites keep untouched segments verbatim") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a"), (2L, "b")).toDF("k", "t"))   // seg A
+    TxLog.append(spark, tbl, Seq((11L, "k"), (12L, "l")).toDF("k", "t")) // seg B
+    TxLog.append(spark, tbl, Seq((21L, "u"), (22L, "v")).toDF("k", "t")) // seg C
+    val v2 = TxLog.latest(tbl)
+    val Seq(segA, segB, segC) = v2.segments
+
+    // upsert touching only seg B: A and C carry forward VERBATIM
+    TxLog.upsert(spark, tbl, Seq((12L, "l2")).toDF("k", "t"), Seq("k"))
+    val v3 = TxLog.latest(tbl)
+    assert(v3.segments.contains(segA) && v3.segments.contains(segC))
+    assert(!v3.segments.contains(segB) && v3.segments.size === 3)
+    assert(TxLog.read(spark, tbl).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a"), (2L, "b"), (11L, "k"), (12L, "l2"), (21L, "u"), (22L, "v")))
+
+    // delete touching only seg C: A and the upsert's fresh segment survive
+    TxLog.delete(spark, tbl, col("k") === 22L)
+    val v4 = TxLog.latest(tbl)
+    assert(v4.segments.contains(segA) && !v4.segments.contains(segC))
+    assert(v4.segments.size === 3)
+    assert(TxLog.read(spark, tbl).count() === 5)
+
+    // pure insert (no key collision): EVERY segment carries forward
+    TxLog.upsert(spark, tbl, Seq((99L, "z")).toDF("k", "t"), Seq("k"))
+    val v5 = TxLog.latest(tbl)
+    assert(v4.segments.forall(v5.segments.contains) && v5.segments.size === 4)
+    assert(TxLog.read(spark, tbl).count() === 6)
+
+    // cdc_apply touching only seg A: B-successor/C-successor segments kept
+    val changes = Seq((1L, "a2", 2L, "U"), (2L, "x", 2L, "D"))
+      .toDF("k", "t", "ver", "op")
+    TxLog.applyChanges(spark, tbl, changes.select(col("k"), col("t"), col("ver"), col("op")),
+      Seq("k"), Seq(col("ver")), "op")
+    val v6 = TxLog.latest(tbl)
+    assert(!v6.segments.contains(segA))
+    assert(v5.segments.filterNot(_ == segA).forall(v6.segments.contains))
+    assert(TxLog.read(spark, tbl).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a2"), (11L, "k"), (12L, "l2"), (21L, "u"), (99L, "z")))
+    // the full-CDF feed over the whole lifecycle classifies every step
+    val ops = TxLog.changeFeed(spark, tbl, 2L).select(col("_change_type"))
+      .collect().map(_.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(ops === Map("update_preimage" -> 2, "update_postimage" -> 2,
+      "delete" -> 2, "insert" -> 1))
+  }
+
+  test("followAggregate: exactly-once incremental follower equals from-scratch under any batching") {
+    val src = freshTable()
+    val dstA = freshTable()
+    val dstB = freshTable()
+    def batch(rows: (String, Long)*) = rows.toDF("g", "x")
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+
+    TxLog.create(spark, src, batch("a" -> 1L, "b" -> 2L))                 // v0
+    TxLog.append(spark, src, batch("a" -> 10L))                           // v1
+    // follower A advances after every source commit; follower B once at the end
+    assert(TxLog.followAggregate(spark, src, dstA, "c1", Seq("g"))(aggOf))
+    TxLog.append(spark, src, batch("b" -> 20L, "c" -> 5L))                // v2
+    TxLog.append(spark, src, batch("a" -> 100L))                          // v3
+    assert(TxLog.followAggregate(spark, src, dstA, "c1", Seq("g"))(aggOf))
+    assert(TxLog.followAggregate(spark, src, dstB, "c9", Seq("g"))(aggOf))
+    // caught up: the replayed call is SKIPPED (exactly-once), state unchanged
+    val nVersionsA = TxLog.history(dstA).length
+    assert(!TxLog.followAggregate(spark, src, dstA, "c1", Seq("g"))(aggOf))
+    assert(TxLog.history(dstA).length === nVersionsA)
+
+    val expected = aggOf(TxLog.read(spark, src))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    for (dst <- Seq(dstA, dstB))
+      assert(TxLog.read(spark, dst)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet === expected,
+        s"follower state != from-scratch aggregate for $dst")
+
+    // a source REWRITE poisons additive following: loud, not wrong
+    TxLog.upsert(spark, src, batch("a" -> 7L), Seq("g"))                  // v4 rewrite
+    TxLog.append(spark, src, batch("d" -> 1L))                            // v5
+    val e = intercept[Exception] {
+      TxLog.followAggregate(spark, src, dstA, "c1", Seq("g"))(aggOf)
+    }
+    assert(e.getMessage.contains("rewrite commit"))
+  }
+
+  test("vacuum orphan sweep: aged unreferenced dirs reclaimed, fresh and referenced survive") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, 10L)).toDF("k", "v"))
+    TxLog.append(spark, tbl, Seq((2L, 20L)).toDF("k", "v"))
+    // an ORPHAN from a writer that died before claiming: old enough to sweep
+    val oldOrphan = new java.io.File(tbl, "data/orphan_old")
+    oldOrphan.mkdirs()
+    val f = new java.io.File(oldOrphan, "part-0.parquet")
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+    val past = System.currentTimeMillis() - 60000L
+    f.setLastModified(past); oldOrphan.setLastModified(past)
+    // a FRESH in-flight segment (just written, claim imminent): must survive
+    val freshOrphan = new java.io.File(tbl, "data/orphan_fresh")
+    freshOrphan.mkdirs()
+    // referenced segments are never orphans, whatever their age
+    TxLog.latest(tbl).segments.foreach { s =>
+      val d = new java.io.File(tbl, s)
+      d.setLastModified(past)
+      d.listFiles().foreach(_.setLastModified(past))
+    }
+    TxLog.vacuum(spark, tbl, retainVersions = 10, orphanAgeMs = 30000L)
+    assert(!oldOrphan.exists(), "aged orphan dir must be reclaimed")
+    assert(freshOrphan.exists(), "fresh in-flight dir must survive the sweep")
+    assert(TxLog.read(spark, tbl).count() === 2, "referenced segments untouched")
+    // default (orphanAgeMs < 0) never sweeps
+    val another = new java.io.File(tbl, "data/orphan_old2")
+    another.mkdirs(); another.setLastModified(past)
+    TxLog.append(spark, tbl, Seq((3L, 30L)).toDF("k", "v"))
+    TxLog.vacuum(spark, tbl, retainVersions = 10)
+    assert(another.exists())
+  }
+
+  test("timestamp time travel: versionAt monotonizes writer clock skew") {
+    val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
+    // writer clock: 1000, 2000, 3000, ... per commit
+    val ops = new TxLogOps(PosixLogStore, clock = () => ticks.addAndGet(1000L))
+    val tbl = freshTable()
+    ops.create(spark, tbl, Seq((1L, 10L)).toDF("k", "v"))   // v0 ts=1000
+    ops.append(spark, tbl, Seq((2L, 20L)).toDF("k", "v"))   // v1 ts=2000
+    ops.append(spark, tbl, Seq((3L, 30L)).toDF("k", "v"))   // v2 ts=3000
+    assert(ops.versionAt(tbl, 1000L) === 0L)
+    assert(ops.versionAt(tbl, 1999L) === 0L)
+    assert(ops.versionAt(tbl, 2000L) === 1L)
+    assert(ops.versionAt(tbl, 999999L) === 2L)
+    assert(ops.readAsOf(spark, tbl, 2500L).count() === 2L)
+    val e = intercept[IllegalArgumentException] { ops.versionAt(tbl, 999L) }
+    assert(e.getMessage.contains("no retained version"))
+    // SKEWED writer: v3's clock reads EARLIER than v2's — the running-max
+    // monotonization keeps history ordered (v3 resolves at v2's time)
+    val skewed = new TxLogOps(PosixLogStore, clock = () => 1500L)
+    skewed.append(spark, tbl, Seq((4L, 40L)).toDF("k", "v")) // v3 ts=1500 (skew)
+    assert(ops.versionAt(tbl, 2999L) === 1L) // v2 at 3000 still binds
+    assert(ops.versionAt(tbl, 3000L) === 3L) // v3 monotonized UP to 3000
+    assert(ops.readAsOf(spark, tbl, 3000L).count() === 4L)
   }
 
   test("create on an existing table fails; reads of unknown versions fail loudly") {
