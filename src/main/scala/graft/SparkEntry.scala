@@ -3266,6 +3266,185 @@ object SparkEntry {
           lit(noTombstones).as("no_tombstones_served"))
     }),
 
+    // COPY-ON-WRITE rewrite commits: a selective upsert discovers the
+    // segments that actually hold its keys (footer-stats-pruned key scan)
+    // and rewrites ONLY those — the manifest provably carries the
+    // untouched segments forward VERBATIM (pinned booleans for both the
+    // upsert and a selective delete), while the hash oracle proves the
+    // live content is exactly MERGE-INTO semantics. The 100 TB claim this
+    // pins: rewrite cost tracks touched volume, not table size
+    "q308_txlog_upsert_cow" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q308_").resolve("t").toString
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") % 3 === 0))   // seg A
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") % 3 === 1))   // seg B
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") % 3 === 2))   // seg C
+      val v2 = TxLog.latest(tbl)
+      // update keys are multiples of 30 — every one lives in seg A
+      TxLog.upsert(s, tbl, src.filter(col("o_orderkey") % 30 === 0)
+        .withColumn("cents", col("cents") + 1), Seq("o_orderkey"))    // v3
+      val v3 = TxLog.latest(tbl)
+      val upsertKept = v2.segments.count(v3.segments.contains)
+      // delete keys ≡ 10 (mod 15) — every one lives in seg B
+      TxLog.delete(s, tbl,
+        col("o_orderkey") % 3 === 1 && col("o_orderkey") % 5 === 0)   // v4
+      val v4 = TxLog.latest(tbl)
+      val deleteKept = v3.segments.count(v4.segments.contains)
+      TxLog.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
+        .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
+        .withColumn("upsert_kept_segments", lit(upsertKept >= 2))
+        .withColumn("delete_kept_segments", lit(deleteKept >= 2))
+    }),
+
+    // FULL CDF change feed: a range mixing appends, an upsert (with both
+    // matched updates and unmatched inserts) and a delete classifies every
+    // row as insert / update_preimage / update_postimage / delete — the
+    // Delta CDF shape, computed from the copy-on-write manifest diff so
+    // the feed's cost tracks each rewrite's touched volume
+    "q309_txlog_cdf" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q309_").resolve("t").toString
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") % 3 === 0))   // v0
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") % 3 === 1))   // v1
+      // %30==0 keys exist (update); %30==2 keys are ≡2 mod 3 — new (insert)
+      TxLog.upsert(s, tbl,
+        src.filter(col("o_orderkey") % 30 === 0 || col("o_orderkey") % 30 === 2)
+          .withColumn("cents", col("cents") + 1), Seq("o_orderkey"))  // v2
+      TxLog.delete(s, tbl, col("o_orderkey") % 15 === 1)              // v3
+      TxLog.changeFeed(s, tbl, 0L)
+        .groupBy(col("_commit_version"), col("_change_type"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+    }),
+
+    // TXLOG AS A STREAMING SOURCE: the exactly-once follower closes the
+    // pipeline-to-pipeline loop — a consumer resumes from its committed
+    // high-water SOURCE VERSION (the progress mark rides the DESTINATION's
+    // own log, no external offset store), folds only the feed's new insert
+    // rows into additive state, and a caught-up or replayed call is
+    // SKIPPED. Final state hash-oracled against the from-scratch aggregate
+    "q310_txlog_follow" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val root = graft.io.TempDirs.create("graft_txlog_q310_")
+      val srcTbl = root.resolve("src").toString
+      val dstTbl = root.resolve("dst").toString
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      TxLog.create(s, srcTbl, src.filter(col("o_orderkey") % 4 === 0))  // v0
+      TxLog.append(s, srcTbl, src.filter(col("o_orderkey") % 4 === 1))  // v1
+      val first = TxLog.followAggregate(s, srcTbl, dstTbl, "c1",
+        Seq("o_orderpriority"))(aggOf)
+      TxLog.append(s, srcTbl, src.filter(col("o_orderkey") % 4 === 2))  // v2
+      TxLog.append(s, srcTbl, src.filter(col("o_orderkey") % 4 === 3))  // v3
+      val second = TxLog.followAggregate(s, srcTbl, dstTbl, "c1",
+        Seq("o_orderpriority"))(aggOf)
+      val caughtUpSkipped = !TxLog.followAggregate(s, srcTbl, dstTbl, "c1",
+        Seq("o_orderpriority"))(aggOf)
+      TxLog.read(s, dstTbl)
+        .withColumn("advanced_ok", lit(first && second))
+        .withColumn("caught_up_skipped", lit(caughtUpSkipped))
+        .withColumn("n_src_versions", lit(TxLog.history(srcTbl).length.toLong))
+    }),
+
+    // TIMESTAMP TIME TRAVEL: manifests record their writer's commit time
+    // (clock injected here so the gate is deterministic); readAsOf
+    // resolves "the table as of t" to the newest version whose monotonized
+    // timestamp is <= t. The hash oracle reads the PRE-upsert state
+    // through a timestamp strictly between v1 and v2's commit times
+    "q312_txlog_time_travel" -> ((s, dir) => {
+      import graft.io.{PosixLogStore, TxLogOps}
+      val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ops = new TxLogOps(PosixLogStore, clock = () => ticks.addAndGet(1000L))
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q312_").resolve("t").toString
+      ops.create(s, tbl, src.filter(col("o_orderkey") % 2 === 0))     // v0 ts=1000
+      ops.append(s, tbl, src.filter(col("o_orderkey") % 2 === 1))     // v1 ts=2000
+      ops.upsert(s, tbl, src.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("cents", col("cents") + 1), Seq("o_orderkey"))    // v2 ts=3000
+      val resolveOk = ops.versionAt(tbl, 2500L) == 1L &&
+        ops.versionAt(tbl, 3000L) == 2L &&
+        scala.util.Try(ops.versionAt(tbl, 999L)).isFailure
+      ops.readAsOf(s, tbl, 2500L)                                     // pre-upsert state
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("resolve_ok", lit(resolveOk))
+    }),
+
+    // ORPHAN-SEGMENT GC: a writer that dies between writing its segment
+    // and claiming the commit leaks the dir; vacuum's age-thresholded
+    // sweep reclaims it while a FRESH in-flight dir and every referenced
+    // segment survive — pinned booleans beside the hash-checked live table
+    "q313_txlog_orphan_gc" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q313_").resolve("t").toString
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") % 2 === 0))
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") % 2 === 1))
+      val past = System.currentTimeMillis() - 600000L
+      val aged = new java.io.File(tbl, "data/orphan_crashed_writer")
+      aged.mkdirs()
+      java.nio.file.Files.write(new java.io.File(aged, "part-0.parquet").toPath,
+        Array[Byte](0, 1, 2))
+      aged.listFiles().foreach(_.setLastModified(past)); aged.setLastModified(past)
+      val inflight = new java.io.File(tbl, "data/orphan_inflight_writer")
+      inflight.mkdirs()
+      // referenced segments aged too: age alone must never reclaim them
+      TxLog.latest(tbl).segments.foreach { seg =>
+        val d = new java.io.File(tbl, seg)
+        d.listFiles().foreach(_.setLastModified(past)); d.setLastModified(past)
+      }
+      TxLog.vacuum(s, tbl, retainVersions = 10, orphanAgeMs = 60000L)
+      val agedGone = !aged.exists()
+      val inflightKept = inflight.exists()
+      TxLog.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
+        .withColumn("aged_orphan_reclaimed", lit(agedGone))
+        .withColumn("inflight_survives", lit(inflightKept))
+    }),
+
+    // INCREMENTAL SQ ingest (the last vector-index tier to get an `add`
+    // path): new vectors quantize against the TRAINED per-dim bounds with
+    // a measured clamp-fraction drift gate — recall contract over the
+    // post-ingest corpus, plus pinned booleans for coverage and for the
+    // loud refusal of a genuinely drifted batch
+    "q311_knn_sq_ingest" -> ((s, dir) => {
+      import graft.ext.{Similarity, VectorOps}
+      val e = t(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val fresh = e.filter(col("vec_id") % 5 === 0)
+      val (idx, clamped, total) = VectorOps.ingestSq(
+        VectorOps.buildSqIndex(base, "vec_id", "embedding"),
+        fresh, "vec_id", "embedding")
+      val coverageOk = idx.codes.count() == e.count() && clamped <= total
+      val drifted = fresh.select(col("vec_id") + lit(1000000L) as "vec_id",
+        transform(col("embedding"), x => x * lit(100.0f)).as("embedding"))
+      val driftRefused = scala.util.Try(
+        VectorOps.ingestSq(idx, drifted, "vec_id", "embedding")).isFailure
+      val q = e.filter(col("vec_id") < 5)
+      val approx = VectorOps.searchSq(idx, e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10, rerank = 100)
+      val brute = Similarity.bruteTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10)
+      val hits = approx.join(brute.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"),
+          lit(coverageOk).as("coverage_ok"),
+          lit(driftRefused).as("drift_refused"))
+    }),
+
     // INCREMENTAL IVF-PQ ingest (FAISS `add`): the batch assigns to its
     // nearest EXISTING centroid and encodes with the EXISTING codebook —
     // two appended relations, never a corpus re-index. Pins the recall
@@ -5120,6 +5299,84 @@ object SparkEntry {
         |  CAST(7 AS BIGINT) AS n_commits, added.n_added,
         |  true AS replay_skipped, true AS incremental_ok, true AS floor_ok
         |FROM fin_agg f JOIN stream_agg s USING (source) CROSS JOIN added""".stripMargin,
+
+    // copy-on-write upsert/delete: MERGE-INTO content identity (+1 cents
+    // where k%30=0, minus k≡10 mod 15), v0..v4 = 5 versions, and the two
+    // kept-segment-verbatim contracts pinned TRUE
+    "q308_txlog_upsert_cow" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |live AS (
+        |  SELECT k, pr,
+        |    cents + CASE WHEN k % 30 = 0 THEN 1 ELSE 0 END AS cents
+        |  FROM src WHERE NOT (k % 3 = 1 AND k % 5 = 0))
+        |SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  CAST(5 AS BIGINT) AS n_versions,
+        |  true AS upsert_kept_segments, true AS delete_kept_segments
+        |FROM live GROUP BY 1""".stripMargin,
+
+    // full CDF: v1 appends insert; the v2 upsert splits into pre/postimage
+    // (matched keys, %30=0) and insert (new keys, %30=2, carrying the
+    // updated cents); the v3 delete emits the removed rows
+    "q309_txlog_cdf" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |feed AS (
+        |  SELECT 1 AS v, 'insert' AS ct, pr, cents FROM src WHERE k % 3 = 1
+        |  UNION ALL
+        |  SELECT 2, 'update_preimage', pr, cents FROM src WHERE k % 30 = 0
+        |  UNION ALL
+        |  SELECT 2, 'update_postimage', pr, cents + 1 FROM src WHERE k % 30 = 0
+        |  UNION ALL
+        |  SELECT 2, 'insert', pr, cents + 1 FROM src WHERE k % 30 = 2
+        |  UNION ALL
+        |  SELECT 3, 'delete', pr, cents FROM src WHERE k % 15 = 1)
+        |SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type,
+        |  pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM feed GROUP BY 1, 2, 3""".stripMargin,
+
+    // follower state == from-scratch aggregate over the whole source; the
+    // exactly-once skip and both advances pinned TRUE; 4 source versions
+    "q310_txlog_follow" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  true AS advanced_ok, true AS caught_up_skipped,
+        |  CAST(4 AS BIGINT) AS n_src_versions
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // timestamp travel at t=2500 resolves to v1 (pre-upsert): ORIGINAL
+    // cents for every row; version resolution contract pinned TRUE
+    "q312_txlog_time_travel" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  true AS resolve_ok
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // orphan GC: live table untouched by the sweep; both sweep contracts
+    // pinned TRUE
+    "q313_txlog_orphan_gc" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  true AS aged_orphan_reclaimed, true AS inflight_survives
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // SQ ingest: recall + coverage + drift-refusal contracts pinned
+    "q311_knn_sq_ingest" ->
+      """SELECT vec_id AS query_id, true AS recall_ok, true AS coverage_ok,
+        |  true AS drift_refused
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
 
     // optimize: content identity per custkey bucket; v0..v1 = 2 versions;
     // the Z-order op + row-group skipping contract pinned TRUE
