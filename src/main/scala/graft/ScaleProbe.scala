@@ -1102,6 +1102,67 @@ object ScaleProbe {
           graft.io.TxLog.read(spark, tbl).count()
         }
       }
+      // COPY-ON-WRITE upsert: the table holds k base-sized segments; the
+      // timed upsert touches a FIXED batch of keys that all live in the
+      // FIRST segment's key range. Rewrite cost must track the touched
+      // segment (constant), not the table (k-fold): a full-snapshot
+      // rewrite would show ~10x here, file-granular COW ~1x (discovery
+      // scans the key column of all segments, but the footer-range
+      // prefilter skips the 9 out-of-range segments' row groups)
+      if (only.isEmpty || only.contains("txlog_upsert_cow")) {
+        val root = new java.io.File(s"$work/txlog_cow_x$k")
+        if (root.exists()) {
+          import java.nio.file.{Files, Paths}
+          Files.walk(Paths.get(root.getPath))
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+        val tbl = s"$work/txlog_cow_x$k/t"
+        def slice(i: Int) = copyOf(readBase("orders"), i, Seq("o_orderkey"), 1000000000L)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        graft.io.TxLog.create(spark, tbl, slice(0))
+        (1 until k).foreach(i => { graft.io.TxLog.append(spark, tbl, slice(i)); () })
+        val updates = slice(0).filter(col("o_orderkey") % 4096 === 0)
+          .withColumn("cents", col("cents") + 1)
+        timed("txlog_upsert_cow", k) {
+          val snap = graft.io.TxLog.upsert(spark, tbl, updates, Seq("o_orderkey"))
+          notes(("txlog_upsert_cow", k)) =
+            s"segments_after=${snap.segments.length} (k-1 kept verbatim + 1 fresh)"
+          snap.segments.length.toLong
+        }
+      }
+      // VACUUM delta-boundedness: the SECOND vacuum of a table with 40k
+      // versions must parse only [previousFloor, newFloor) + the retention
+      // window — ~25 manifests at EITHER scale — never the full history
+      // (the pre-r9 code parsed [0, floor): ~40k-version-proportional).
+      // Wall time is parse-dominated only at extreme version counts, so
+      // the probe pins the PARSE COUNT telemetry, not just seconds
+      if (only.isEmpty || only.contains("txlog_vacuum_delta")) {
+        val root = new java.io.File(s"$work/txlog_vac_x$k")
+        if (root.exists()) {
+          import java.nio.file.{Files, Paths}
+          Files.walk(Paths.get(root.getPath))
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+        val tbl = s"$work/txlog_vac_x$k/t"
+        val one = spark.range(1).select(col("id").as("k"), lit(1L).as("v"))
+        graft.io.TxLog.create(spark, tbl, one)
+        (1 to 40 * k - 15).foreach(i =>
+          graft.io.TxLog.appendStreamBatch(spark, tbl, one, "probe", i.toLong))
+        graft.io.TxLog.vacuum(spark, tbl, retainVersions = 5)
+        // 10 fresh rewrites strand segments for the timed vacuum to reclaim
+        (1 to 10).foreach(_ => { graft.io.TxLog.compact(spark, tbl, 1); () })
+        val p0 = graft.io.TxLog.manifestParseCount.get()
+        timed("txlog_vacuum_delta", k) {
+          graft.io.TxLog.vacuum(spark, tbl, retainVersions = 5)
+          val parses = graft.io.TxLog.manifestParseCount.get() - p0
+          notes(("txlog_vacuum_delta", k)) =
+            s"manifest_parses=$parses versions=${40 * k - 3}"
+          parses
+        }
+      }
       // incremental HNSW ingest: adopt the persisted shard graphs, insert
       // only the ~4% batch — linear in corpus size (adoption dominates),
       // never a rebuild of the accumulated index

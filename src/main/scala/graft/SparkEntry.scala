@@ -3411,6 +3411,46 @@ object SparkEntry {
         .withColumn("inflight_survives", lit(inflightKept))
     }),
 
+    // SIZE-TIERED COMPACTION (OPTIMIZE bin-packing): a stream-fed table
+    // strands tiny per-batch segments; compactSmall coalesces ONLY the
+    // small tier and carries every well-sized segment forward verbatim —
+    // pinned booleans for the kept big segment and the packed count, the
+    // live table hash-oracled, and the compaction version's change feed
+    // pinned EMPTY (row-preserving commits are not logical changes)
+    "q314_txlog_compact_small" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q314_").resolve("t").toString
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") % 2 === 0))  // BIG segment
+      // a micro-batch stream strands 5 tiny segments
+      (1L to 5L).foreach { i =>
+        TxLog.appendStreamBatch(s, tbl,
+          src.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 10 === (2 * i - 1)),
+          "q314", i); ()
+      }
+      val before = TxLog.latest(tbl)
+      val big = before.segments.head
+      // SF-independent threshold: the big segment's own size — the tiny
+      // per-batch segments hold ~1/10 of its rows, the big one is never
+      // strictly smaller than itself
+      def segBytes(seg: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        walk(new java.io.File(tbl, seg))
+      }
+      val snap = TxLog.compactSmall(s, tbl, smallBytes = segBytes(big))
+      val packedOk = snap.op == "compact_small:5" && snap.segments.size == 2
+      val bigKept = snap.segments.contains(big)
+      val feedEmpty = TxLog.changeFeed(s, tbl, snap.version - 1).isEmpty
+      TxLog.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
+        .withColumn("packed_ok", lit(packedOk))
+        .withColumn("big_kept_verbatim", lit(bigKept))
+        .withColumn("compaction_feed_empty", lit(feedEmpty))
+    }),
+
     // INCREMENTAL SQ ingest (the last vector-index tier to get an `add`
     // path): new vectors quantize against the TRAINED per-dim bounds with
     // a measured clamp-fraction drift gate — recall contract over the
@@ -5370,6 +5410,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents,
         |  true AS aged_orphan_reclaimed, true AS inflight_survives
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // size-tiered compaction: the 5 odd slices cover every odd key, so the
+    // live table is ALL of orders; the three bin-packing contracts pinned
+    "q314_txlog_compact_small" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  true AS packed_ok, true AS big_kept_verbatim,
+        |  true AS compaction_feed_empty
         |FROM orders GROUP BY 1""".stripMargin,
 
     // SQ ingest: recall + coverage + drift-refusal contracts pinned

@@ -253,9 +253,14 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     store.list(table).filter(_.endsWith(".commit"))
       .map(_.stripSuffix(".commit").toLong).sorted
 
+  /** Manifest parses since JVM start — probe telemetry only (ScaleProbe
+    * pins that vacuum's parse count tracks the delta since the last
+    * vacuum, not the table's version count). Never read by the engine. */
+  val manifestParseCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Parse exactly one manifest; loud with the available range if absent. */
   private def snapshotOf(table: String, v: Long): Snapshot =
-    try parse(commitName(v), store.read(table, commitName(v)))
+    try { manifestParseCount.incrementAndGet(); parse(commitName(v), store.read(table, commitName(v))) }
     catch {
       case _: java.io.IOException | _: IllegalArgumentException =>
         val have = listVersions(table)
@@ -444,18 +449,22 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   }
 
   /** Optimistic-retry commit of a snapshot TRANSFORM: `plan` receives the
-    * current snapshot's DataFrame and returns (op, next snapshot content,
-    * reusable segments of the current snapshot). The new content is
-    * written as a fresh segment FIRST; if the claim loses to a concurrent
-    * writer the orphan segment is dropped and the plan RECOMPUTES against
-    * the winner's snapshot — serializable by construction. */
+    * current snapshot and a LAZY handle on its DataFrame (constructing the
+    * snapshot frame lists every segment's footers — append-shaped plans
+    * that never look at the data must not pay that per commit) and returns
+    * (op, next snapshot content, reusable segments of the current
+    * snapshot). The new content is written as a fresh segment FIRST; if
+    * the claim loses to a concurrent writer the orphan segment is dropped
+    * and the plan RECOMPUTES against the winner's snapshot — serializable
+    * by construction. */
   private def commitTransform(spark: SparkSession, table: String,
       maxRetries: Int = 20)(
-      plan: (Snapshot, DataFrame) => (String, Option[DataFrame], Seq[String])): Snapshot = {
+      plan: (Snapshot, () => DataFrame) => (String, Option[DataFrame], Seq[String])): Snapshot = {
     var attempt = 0
     while (attempt < maxRetries) {
       val base = latest(table)
-      val (op, newData, keptSegments) = plan(base, read(spark, table, base.version))
+      lazy val baseDf = read(spark, table, base.version)
+      val (op, newData, keptSegments) = plan(base, () => baseDf)
       val newSegments = newData.map(writeSegment(table, _)).toSeq
       val snap = TxSnapshot(base.version + 1, op, keptSegments ++ newSegments, clock())
       if (tryClaim(table, snap)) return snap
@@ -552,7 +561,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
    */
   def commitKeyedTransform(spark: SparkSession, table: String,
       streamId: String, batchId: Long, maxRetries: Int = 20)(
-      plan: (Snapshot, DataFrame) => (Option[DataFrame], Seq[String])): Boolean = {
+      plan: (Snapshot, () => DataFrame) => (Option[DataFrame], Seq[String])): Boolean = {
     require(!streamId.contains("\n"), "streamId must be single-line")
     val tag = s"$StreamTag$streamId:$batchId"
     var attempt = 0
@@ -561,7 +570,8 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       require(lv >= 0, s"not a TxLog table: $table")
       if (txns.getOrElse(streamId, -1L) >= batchId) return false // replay
       val base = snapshotOf(table, lv)
-      val (newData, kept) = plan(base, read(spark, table, lv))
+      lazy val baseDf = read(spark, table, lv)
+      val (newData, kept) = plan(base, () => baseDf)
       val newSegments = newData.map(writeSegment(table, _)).toSeq
       if (tryClaim(table, TxSnapshot(lv + 1, tag, kept ++ newSegments, clock())))
         return true
@@ -603,9 +613,9 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       val op = keyedOp("upsert", keyCols)
       val (touched, kept) = touchedSegments(spark, table, base.segments, keyCols, updates)
       if (touched.isEmpty) // pure insert: no base row moves
-        (op, Some(updates.select(cur.columns.map(col).toSeq: _*)), kept)
+        (op, Some(updates.select(cur().columns.map(col).toSeq: _*)), kept)
       else {
-        val touchedDf = alignTo(readSegments(spark, table, touched), cur.schema)
+        val touchedDf = alignTo(readSegments(spark, table, touched), cur().schema)
         (op, Some(graft.operators.Ingest.upsert(touchedDf, updates, keyCols)), kept)
       }
     }
@@ -625,7 +635,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       if (touched.isEmpty) ("delete", None, kept)
       else {
         val touchedDf = alignTo(
-          readSegments(spark, table, base.segments.filter(touched.contains)), cur.schema)
+          readSegments(spark, table, base.segments.filter(touched.contains)), cur().schema)
         ("delete", Some(touchedDf.filter(!hit)), kept)
       }
     }
@@ -651,10 +661,10 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       val deadKeys = dead.select(renamed.map { case (k, a) => col(k).as(a) }: _*)
       val cond = renamed.map { case (k, a) => col(k) <=> col(a) }.reduce(_ && _)
       val touchedDf =
-        if (touched.isEmpty) cur.limit(0)
-        else alignTo(readSegments(spark, table, touched), cur.schema)
+        if (touched.isEmpty) cur().limit(0)
+        else alignTo(readSegments(spark, table, touched), cur().schema)
       val upserted = graft.operators.Ingest.upsert(
-        touchedDf, winners.select(cur.columns.map(col).toSeq: _*), keyCols)
+        touchedDf, winners.select(cur().columns.map(col).toSeq: _*), keyCols)
       (op, Some(upserted.join(deadKeys, cond, "left_anti")), kept)
     }
 
@@ -662,7 +672,35 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     * readers on older versions still see the pre-compaction segments. */
   def compact(spark: SparkSession, table: String, targetPartitions: Int): Snapshot =
     commitTransform(spark, table) { (_, cur) =>
-      ("compact", Some(cur.repartition(targetPartitions)), Seq.empty)
+      ("compact", Some(cur().repartition(targetPartitions)), Seq.empty)
+    }
+
+  /** SIZE-TIERED compaction — the OPTIMIZE bin-packing discipline: only
+    * segments smaller than `smallBytes` coalesce into one fresh segment;
+    * every already-well-sized segment carries forward VERBATIM in the
+    * manifest. This is what a stream-fed 100 TB table needs daily: the
+    * micro-batch sink strands thousands of tiny segments, and full
+    * [[compact]] would rewrite the whole table to fix them — here the
+    * rewrite cost tracks the SMALL tier's volume only. Needs >= 2 small
+    * segments to commit anything (compacting one file into one file is a
+    * no-op); returns the latest snapshot unchanged otherwise. Sizing reads
+    * filesystem metadata only (no data scan). */
+  def compactSmall(spark: SparkSession, table: String, smallBytes: Long,
+      targetPartitions: Int = 1): Snapshot =
+    commitTransform(spark, table) { (base, cur) =>
+      def bytesOf(seg: String): Long = {
+        def walk(f: File): Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        walk(new File(table, seg))
+      }
+      val (small, big) = base.segments.partition(bytesOf(_) < smallBytes)
+      if (small.size < 2) ("compact_small:noop", None, base.segments)
+      else {
+        val packed = alignTo(readSegments(spark, table, small), cur().schema)
+          .repartition(targetPartitions)
+        (s"compact_small:${small.size}", Some(packed), big)
+      }
     }
 
   /** OPTIMIZE ZORDER: a compaction rewrite whose fresh segment is
@@ -676,7 +714,8 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   def optimize(spark: SparkSession, table: String, colA: String, colB: String,
       targetPartitions: Int = 8): Snapshot =
     commitTransform(spark, table) { (_, cur) =>
-      val clustered = cur.withColumn("__zkey", ZOrder.mortonKey(cur, colA, colB))
+      val snapDf = cur()
+      val clustered = snapDf.withColumn("__zkey", ZOrder.mortonKey(snapDf, colA, colB))
         .repartitionByRange(targetPartitions, col("__zkey"))
         .sortWithinPartitions(col("__zkey"))
         .drop("__zkey")
@@ -779,7 +818,8 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       val changes: Option[DataFrame] =
         if (op == "append" || op.startsWith(StreamTag))
           Some(appendedIn(spark, table, v).withColumn(ChangeType, lit("insert")))
-        else if (op == "compact" || op.startsWith("optimize_zorder:") ||
+        else if (op == "compact" || op.startsWith("compact_small:") ||
+          op.startsWith("optimize_zorder:") ||
           op.startsWith(VacuumTag)) None // row-preserving: no logical change
         else rewriteCdf(spark, table, v)
       changes.map(_.withColumn(CommitVersion, lit(v)))
@@ -832,7 +872,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
               "rebuild dst from read()")
           feed.drop(ChangeType, CommitVersion)
         }
-      (Some(graft.operators.Ingest.mergeAggState(curState, aggOf(delta), keyCols)),
+      (Some(graft.operators.Ingest.mergeAggState(curState(), aggOf(delta), keyCols)),
         Seq.empty)
     }
   }

@@ -470,4 +470,23 @@ class PlanSpec extends SparkSpec {
     assert("(?m)^.*\\(\\d+\\) Exchange$".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("TxLog full-CDF feed scans ONLY the rewrite's manifest-diff segments, never kept ones") {
+    import spark.implicits._
+    import graft.io.TxLog
+    val tbl = graft.io.TempDirs.create("plan_cdf_").resolve("t").toString
+    TxLog.create(spark, tbl, Seq((1L, "a"), (2L, "b")).toDF("k", "t"))   // seg A
+    TxLog.append(spark, tbl, Seq((11L, "x"), (12L, "y")).toDF("k", "t")) // seg B
+    val segA = TxLog.history(tbl).head.segments.head
+    val segB = TxLog.latest(tbl).segments.filterNot(_ == segA).head
+    TxLog.upsert(spark, tbl, Seq((12L, "y2")).toDF("k", "t"), Seq("k"))  // touches B only
+    assert(TxLog.latest(tbl).segments.contains(segA), "COW must keep seg A verbatim")
+    val plan = formatted(TxLog.changeFeed(spark, tbl, 1L))
+    // the copy-on-write manifest diff makes the feed's cost track the
+    // rewrite's TOUCHED volume: the kept segment must not be scanned
+    assert(!plan.contains(segA.stripPrefix("data/")),
+      s"CDF feed must not scan the kept segment $segA\n" + plan)
+    assert(plan.contains(segB.stripPrefix("data/")),
+      s"CDF feed must scan the rewritten segment $segB\n" + plan)
+  }
+
 }

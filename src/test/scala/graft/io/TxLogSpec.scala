@@ -400,6 +400,27 @@ class TxLogSpec extends SparkSpec {
     assert(e.getMessage.contains("rewrite commit"))
   }
 
+  test("compactSmall bin-packs only the small tier; big segments carry forward verbatim") {
+    val tbl = freshTable()
+    // one BIG segment (many rows), then a stream of tiny ones
+    TxLog.create(spark, tbl, spark.range(20000).selectExpr("id AS k", "id * 2 AS v"))
+    (1L to 4L).foreach { i =>
+      TxLog.append(spark, tbl, Seq((1000000L + i, i)).toDF("k", "v")); ()
+    }
+    val before = TxLog.latest(tbl)
+    val big = before.segments.head
+    val snap = TxLog.compactSmall(spark, tbl, smallBytes = 100000L)
+    assert(snap.op === "compact_small:4")
+    assert(snap.segments.contains(big), "the big segment must carry forward verbatim")
+    assert(snap.segments.size === 2, s"4 tiny segments must pack into 1: ${snap.segments}")
+    assert(TxLog.read(spark, tbl).count() === 20004L)
+    // row-preserving: the feed emits nothing for the compaction version
+    assert(TxLog.changeFeed(spark, tbl, snap.version - 1).count() === 0)
+    // idempotent: one small segment left (the packed one) is a no-op
+    val again = TxLog.compactSmall(spark, tbl, smallBytes = 100000L)
+    assert(again.op === "compact_small:noop" && again.segments === snap.segments)
+  }
+
   test("vacuum orphan sweep: aged unreferenced dirs reclaimed, fresh and referenced survive") {
     val tbl = freshTable()
     TxLog.create(spark, tbl, Seq((1L, 10L)).toDF("k", "v"))
