@@ -3451,6 +3451,85 @@ object SparkEntry {
         .withColumn("compaction_feed_empty", lit(feedEmpty))
     }),
 
+    // ROUND-9 LAKEHOUSE CAPSTONE: every new TxLog capability composed as
+    // ONE lifecycle (the q303 discipline) — exactly-once stream ingest
+    // with a pinned replay skip, a COPY-ON-WRITE upsert that provably
+    // keeps all three stream segments verbatim, the FULL-CDF feed whose
+    // classified counts must reconcile with the source, deterministic
+    // timestamp time travel to the pre-upsert version, a COW delete,
+    // size-tiered compaction keeping the big segment, and an orphan-
+    // sweeping vacuum — one output relation, one composed DuckDB oracle
+    "q315_lakehouse_cow_capstone" -> ((s, dir) => {
+      import graft.io.{PosixLogStore, TxLog, TxLogOps}
+      val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ops = new TxLogOps(PosixLogStore, clock = () => ticks.addAndGet(1000L))
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q315_").resolve("t").toString
+      ops.create(s, tbl, src.filter(col("o_orderkey") % 2 === 0))          // v0 ts=1000
+      // exactly-once micro-batch ingest of the odd keys, three slices
+      Seq(1L, 3L, 5L).zipWithIndex.foreach { case (m, i) =>
+        ops.appendStreamBatch(s, tbl,
+          src.filter(col("o_orderkey") % 6 === m), "cap", i.toLong); ()    // v1..v3
+      }
+      val replaySkipped = !ops.appendStreamBatch(s, tbl,
+        src.filter(col("o_orderkey") % 6 === 1), "cap", 0L)
+      val v3 = ops.latest(tbl)
+      // COW upsert: every update key is EVEN — only the create segment moves
+      ops.upsert(s, tbl, src.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("cents", col("cents") + 1), Seq("o_orderkey"))         // v4 ts=5000
+      val v4 = ops.latest(tbl)
+      val cowKept = v3.segments.count(v4.segments.contains) == 3
+      // full CDF over (0, 4]: inserts = the three odd slices, the upsert
+      // classifies as balanced pre/postimage pairs over the matched keys
+      val nOdd = src.filter(col("o_orderkey") % 2 === 1).count()
+      val nUpd = src.filter(col("o_orderkey") % 20 === 0).count()
+      val cdfCounts = ops.changeFeed(s, tbl, 0L, 4L)
+        .groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cdfOk = cdfCounts.get("insert").contains(nOdd) &&
+        cdfCounts.get("update_preimage").contains(nUpd) &&
+        cdfCounts.get("update_postimage").contains(nUpd) &&
+        !cdfCounts.contains("delete")
+      // deterministic timestamp travel: 4500 lands strictly between v3
+      // (ts=4000) and the upsert (ts=5000) — the pre-upsert table
+      val tsOk = ops.versionAt(tbl, 4500L) == 3L &&
+        ops.readAsOf(s, tbl, 4500L).count() == src.count()
+      ops.delete(s, tbl, col("o_orderkey") % 30 === 1)                     // v5 (COW)
+      // size-tiered compaction: the three small odd segments pack, the
+      // big even segment carries forward verbatim
+      val evenSeg = ops.latest(tbl).segments
+        .find(seg => v4.segments.contains(seg) && !v3.segments.contains(seg)).get
+      def segBytes(seg: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        walk(new java.io.File(tbl, seg))
+      }
+      val packed = ops.compactSmall(s, tbl, smallBytes = segBytes(evenSeg)) // v6
+      val packedOk = packed.op == "compact_small:3" &&
+        packed.segments.size == 2 && packed.segments.contains(evenSeg)
+      // orphan-sweeping vacuum (real clock: the aged orphan predates it)
+      val aged = new java.io.File(tbl, "data/orphan_crashed")
+      aged.mkdirs()
+      val past = System.currentTimeMillis() - 600000L
+      aged.setLastModified(past)
+      TxLog.vacuum(s, tbl, retainVersions = 2, orphanAgeMs = 60000L)       // v7
+      val orphanSwept = !aged.exists()
+      val floorOk = TxLog.retentionFloor(tbl) == 6L &&
+        scala.util.Try(TxLog.read(s, tbl, 4L)).isFailure
+      TxLog.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
+        .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
+        .withColumn("replay_skipped", lit(replaySkipped))
+        .withColumn("cow_kept_streams", lit(cowKept))
+        .withColumn("cdf_ok", lit(cdfOk))
+        .withColumn("ts_travel_ok", lit(tsOk))
+        .withColumn("packed_ok", lit(packedOk))
+        .withColumn("orphan_swept", lit(orphanSwept))
+        .withColumn("floor_ok", lit(floorOk))
+    }),
+
     // INCREMENTAL SQ ingest (the last vector-index tier to get an `add`
     // path): new vectors quantize against the TRAINED per-dim bounds with
     // a measured clamp-fraction drift gate — recall contract over the
@@ -5422,6 +5501,26 @@ object SparkEntry {
         |  true AS packed_ok, true AS big_kept_verbatim,
         |  true AS compaction_feed_empty
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // round-9 capstone: evens (+1 cents where k%20=0, the upsert) plus all
+    // odds (the stream slices), minus the k≡1 (mod 30) delete; v0..v7 = 8
+    // versions; the seven lifecycle contracts pinned TRUE
+    "q315_lakehouse_cow_capstone" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |live AS (
+        |  SELECT k, pr,
+        |    cents + CASE WHEN k % 20 = 0 THEN 1 ELSE 0 END AS cents
+        |  FROM src WHERE k % 30 != 1)
+        |SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  CAST(8 AS BIGINT) AS n_versions,
+        |  true AS replay_skipped, true AS cow_kept_streams, true AS cdf_ok,
+        |  true AS ts_travel_ok, true AS packed_ok, true AS orphan_swept,
+        |  true AS floor_ok
+        |FROM live GROUP BY 1""".stripMargin,
 
     // SQ ingest: recall + coverage + drift-refusal contracts pinned
     "q311_knn_sq_ingest" ->

@@ -315,6 +315,19 @@ class TxLogSpec extends SparkSpec {
     TxLog.delete(spark, tbl, col("k") === 999L)                                // v6
     assert(TxLog.latest(tbl).segments === segsBefore)
     assert(TxLog.changeFeed(spark, tbl, 5L).count() === 0)
+    // CDF across a SCHEMA-EVOLVING rewrite: the evolved column rides the
+    // classified rows; earlier generations surface NULL there
+    TxLog.append(spark, tbl, Seq((7L, "g", 10L)).toDF("k", "t", "extra"))      // v7
+    TxLog.upsert(spark, tbl, Seq((7L, "g2", 20L), (3L, "c", 99L))
+      .toDF("k", "t", "extra"), Seq("k"))                                      // v8
+    val evolved = TxLog.changeFeed(spark, tbl, 6L)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("t"),
+        if (r.isNullAt(r.fieldIndex("extra"))) -1L else r.getAs[Long]("extra"),
+        r.getAs[Long]("_commit_version"), r.getAs[String]("_change_type"))).toSet
+    assert(evolved === Set(
+      (7L, "g", 10L, 7L, "insert"),
+      (7L, "g", 10L, 8L, "update_preimage"), (7L, "g2", 20L, 8L, "update_postimage"),
+      (3L, "c", -1L, 8L, "update_preimage"), (3L, "c", 99L, 8L, "update_postimage")))
   }
 
   test("copy-on-write: selective rewrites keep untouched segments verbatim") {
