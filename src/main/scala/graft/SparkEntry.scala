@@ -3451,6 +3451,36 @@ object SparkEntry {
         .withColumn("compaction_feed_empty", lit(feedEmpty))
     }),
 
+    // MANIFEST-LEVEL DATA SKIPPING: every commit records per-segment
+    // numeric [min, max] envelopes in the manifest (the Delta/Iceberg
+    // min-max file-pruning discipline, at segment granularity, read from
+    // the fresh segment's parquet footers — no data scan); a range read
+    // prunes whole segments driver-side before any file is listed, then
+    // the pushed predicate prunes row groups inside the survivors. The
+    // gate lays four disjoint key-range slices and pins that a range
+    // covering exactly one slice scans 1 segment and skips 3, with the
+    // filtered aggregate hash-oracled
+    "q316_txlog_data_skipping" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q316_").resolve("t").toString
+      val mx = src.agg(max(col("o_orderkey"))).head().getLong(0)
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") <= mx / 4))
+      TxLog.append(s, tbl,
+        src.filter(col("o_orderkey") > mx / 4 && col("o_orderkey") <= mx / 2))
+      TxLog.append(s, tbl,
+        src.filter(col("o_orderkey") > mx / 2 && col("o_orderkey") <= mx / 4 * 3))
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") > mx / 4 * 3))
+      val lo = (mx / 4 + 1).toDouble
+      val hi = (mx / 2).toDouble
+      val (scanned, skipped) = TxLog.prunedSegments(tbl, "o_orderkey", lo, hi)
+      TxLog.readWhere(s, tbl, "o_orderkey", lo, hi)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("pruned_ok", lit(scanned.size == 1 && skipped.size == 3))
+    }),
+
     // ROUND-9 LAKEHOUSE CAPSTONE: every new TxLog capability composed as
     // ONE lifecycle (the q303 discipline) — exactly-once stream ingest
     // with a pinned replay skip, a COPY-ON-WRITE upsert that provably
@@ -5501,6 +5531,19 @@ object SparkEntry {
         |  true AS packed_ok, true AS big_kept_verbatim,
         |  true AS compaction_feed_empty
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // manifest data skipping: the filtered aggregate over exactly the
+    // second key-range slice; the 1-scanned / 3-skipped contract pinned
+    "q316_txlog_data_skipping" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |mx AS (SELECT max(k) AS m FROM src)
+        |SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents, true AS pruned_ok
+        |FROM src, mx WHERE k >= m // 4 + 1 AND k <= m // 2
+        |GROUP BY 1""".stripMargin,
 
     // round-9 capstone: evens (+1 cents where k%20=0, the upsert) plus all
     // odds (the stream slices), minus the k≡1 (mod 30) delete; v0..v7 = 8

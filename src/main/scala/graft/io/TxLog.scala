@@ -9,10 +9,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** One committed version: the segment dirs (relative to the table root)
-  * whose union IS the snapshot, plus the operation that produced it and
-  * the writer's commit timestamp (millis; -1 on legacy manifests). */
+  * whose union IS the snapshot, plus the operation that produced it, the
+  * writer's commit timestamp (millis; -1 on legacy manifests), and
+  * per-segment numeric column [min, max] envelopes (the manifest-level
+  * data-skipping index — empty map on legacy manifests / stat-less
+  * segments; always CONSERVATIVE: a missing entry means "may contain
+  * anything"). */
 case class TxSnapshot(version: Long, op: String, segments: Seq[String],
-    ts: Long = -1L)
+    ts: Long = -1L,
+    stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
 
 /**
  * The storage primitive the commit log needs — Delta's LogStore shape.
@@ -220,7 +225,14 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
 
   private def render(s: Snapshot): String =
     (Seq(s"version=${s.version}", s"op=${s.op}", s"ts=${s.ts}") ++
-      s.segments.map(f => s"segment=$f")).mkString("", "\n", "\n")
+      s.segments.map(f => s"segment=$f") ++
+      s.segments.flatMap { f =>
+        s.stats.get(f).filter(_.nonEmpty).map { m =>
+          val body = m.toSeq.sortBy(_._1)
+            .map { case (c, (lo, hi)) => s"$c=$lo,$hi" }.mkString(";")
+          s"segstat=$f|$body"
+        }
+      }).mkString("", "\n", "\n")
 
   private def parse(name: String, content: String): Snapshot = {
     val lines = content.split("\n").filter(_.nonEmpty)
@@ -230,9 +242,19 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val ts = lines.collectFirst {
       case l if l.startsWith("ts=") => l.substring(3).toLong
     }.getOrElse(-1L) // legacy manifests carry no timestamp
+    val stats = lines.collect { case l if l.startsWith("segstat=") =>
+      val body = l.substring(8)
+      val bar = body.indexOf('|')
+      val cols = body.substring(bar + 1).split(";").map { kv =>
+        val eq = kv.indexOf('=')
+        val lohi = kv.substring(eq + 1).split(",")
+        kv.substring(0, eq) -> (lohi(0).toDouble, lohi(1).toDouble)
+      }.toMap
+      body.substring(0, bar) -> cols
+    }.toMap
     TxSnapshot(one("version").toLong, one("op"),
       lines.collect { case l if l.startsWith("segment=") => l.substring(8) }.toSeq,
-      ts)
+      ts, stats)
   }
 
   /** Keyed rewrite ops record their key columns in the manifest so the
@@ -416,8 +438,134 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
     read(spark, table, versionAt(table, tsMillis))
 
+  /** MANIFEST-level data skipping for a range scan: split the snapshot's
+    * segments into (scanned, skipped) — a segment is skipped iff its
+    * recorded [min, max] envelope for `column` provably excludes
+    * [lo, hi]. Stat-less segments are always scanned (conservative).
+    * Driver-side set arithmetic only; nothing is read. */
+  def prunedSegments(table: String, column: String, lo: Double, hi: Double,
+      version: Long = -1L): (Seq[String], Seq[String]) = {
+    val (lv, floor, _) = logState(table)
+    require(lv >= 0, s"not a TxLog table: $table")
+    val v = if (version < 0) lv else version
+    require(v >= floor && v <= lv, s"version $v outside [$floor, $lv] on $table")
+    val snap = snapshotOf(table, v)
+    snap.segments.partition { seg =>
+      snap.stats.get(seg).flatMap(_.get(column)) match {
+        case Some((slo, shi)) => shi >= lo && slo <= hi
+        case None => true
+      }
+    }
+  }
+
+  /**
+   * Range read with MANIFEST-level data skipping — the Delta/Iceberg
+   * min-max file-pruning discipline, at segment granularity: rows of the
+   * snapshot where `column` ∈ [lo, hi], scanning ONLY the segments whose
+   * recorded envelope intersects the range (every other segment is
+   * skipped by driver-side manifest arithmetic — its files are never even
+   * listed). Inside the surviving segments the same predicate pushes to
+   * the parquet scan, so row-group footer stats prune a second time (the
+   * q304 ZORDER contract) — two skipping tiers from one recorded
+   * envelope. For integral columns with whole-number bounds the pushed
+   * predicate uses typed literals (pushdown-friendly); otherwise the
+   * comparison is on the double-cast value, matching the envelope's
+   * convention. Stat-less (legacy) segments always scan — never wrong,
+   * only slower.
+   */
+  def readWhere(spark: SparkSession, table: String, column: String,
+      lo: Double, hi: Double, version: Long = -1L): DataFrame = {
+    val (scanned, _) = prunedSegments(table, column, lo, hi, version)
+    val snap = if (version < 0) latest(table) else snapshotOf(table, version)
+    if (scanned.isEmpty)
+      return read(spark, table, snap.version).limit(0)
+    val df = readSegments(spark, table, scanned)
+    val dt = df.schema.find(_.name == column).map(_.dataType)
+      .getOrElse(sys.error(s"no column $column in $table (has ${df.columns.mkString(", ")})"))
+    val integral = dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType ||
+      dt == org.apache.spark.sql.types.ShortType ||
+      dt == org.apache.spark.sql.types.ByteType
+    val cond =
+      if (integral && lo == math.rint(lo) && hi == math.rint(hi))
+        col(column) >= lit(lo.toLong) && col(column) <= lit(hi.toLong)
+      else col(column).cast("double") >= lit(lo) && col(column).cast("double") <= lit(hi)
+    df.filter(cond)
+  }
+
   private def readSegments(spark: SparkSession, table: String, segs: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(segs.map(s => s"$table/$s"): _*)
+
+  /** Max numeric columns indexed per segment (the Delta
+    * dataSkippingNumIndexedCols discipline) and max files a driver-side
+    * footer pass will touch before conservatively skipping stats. */
+  private val MaxStatCols = 8
+  private val MaxStatFiles = 1024
+
+  /** Per-column [min, max] of one fresh segment, read from the parquet
+    * FOOTERS only (no data scan; the files were just written by this
+    * writer, so a driver loop over their footers is commit-sized work).
+    * Numeric physical types only; a column missing valid stats in ANY
+    * file (e.g. all-NULL chunks) records nothing — absence is always
+    * conservative. Oversized segments skip stats rather than stall the
+    * commit. */
+  private def statsOfSegment(spark: SparkSession, table: String,
+      seg: String): Map[String, (Double, Double)] = {
+    import scala.jdk.CollectionConverters._
+    val dir = new File(table, seg)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (files.isEmpty || files.length > MaxStatFiles) return Map.empty
+    val conf = spark.sessionState.newHadoopConf()
+    val perFile = files.toSeq.map { f =>
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf,
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      val acc = scala.collection.mutable.Map[String, (Double, Double)]()
+      val dead = scala.collection.mutable.Set[String]()
+      footer.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          if (!name.contains(".") && !name.contains("|") && !name.contains(";") &&
+            !name.contains("=") && !name.contains(",")) {
+            val s = c.getStatistics
+            val lohi: Option[(Double, Double)] =
+              if (s == null || !s.hasNonNullValue) None
+              else (s.genericGetMin, s.genericGetMax) match {
+                case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                  Some((mn.toDouble, mx.toDouble))
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  Some((mn.toDouble, mx.toDouble))
+                case (mn: java.lang.Float, mx: java.lang.Float) =>
+                  Some((mn.toDouble, mx.toDouble))
+                case (mn: java.lang.Double, mx: java.lang.Double) =>
+                  Some((mn, mx))
+                case _ => None
+              }
+            lohi match {
+              case Some((lo, hi)) if !dead.contains(name) =>
+                val cur = acc.get(name)
+                acc(name) = (cur.fold(lo)(c0 => math.min(c0._1, lo)),
+                  cur.fold(hi)(c0 => math.max(c0._2, hi)))
+              case _ =>
+                // a chunk without usable stats poisons the whole column
+                dead += name; acc.remove(name); ()
+            }
+          }
+        }
+      }
+      (acc.toMap, dead.toSet)
+    }
+    // merge across files: a column must have stats in EVERY file
+    val allDead = perFile.flatMap(_._2).toSet
+    val names = perFile.map(_._1.keySet).reduceOption(_ intersect _)
+      .getOrElse(Set.empty) -- allDead
+    names.toSeq.sorted.take(MaxStatCols).map { n =>
+      val vs = perFile.map(_._1(n))
+      n -> (vs.map(_._1).min, vs.map(_._2).max)
+    }.toMap
+  }
 
   /** Write `df` as a fresh immutable segment; returns the relative path.
     * Distributed parquet write — the only driver-side work is naming. */
@@ -426,6 +574,14 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     df.write.parquet(s"$table/$rel")
     rel
   }
+
+  /** Stats map for `kept` (copied from the base snapshot — envelopes are
+    * immutable like the segments) plus freshly-footer-read entries for
+    * `fresh`. */
+  private def carryStats(spark: SparkSession, table: String, base: Snapshot,
+      kept: Seq[String], fresh: Seq[String]): Map[String, Map[String, (Double, Double)]] =
+    kept.flatMap(s => base.stats.get(s).map(s -> _)).toMap ++
+      fresh.map(s => s -> statsOfSegment(spark, table, s)).filter(_._2.nonEmpty)
 
   private def tryClaim(table: String, snap: Snapshot): Boolean = {
     val won = store.putIfAbsent(table, commitName(snap.version), render(snap))
@@ -436,7 +592,9 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   /** Create the table at version 0 from `df`. Fails if it already exists. */
   def create(spark: SparkSession, table: String, df: DataFrame): Snapshot = {
     require(listVersions(table).isEmpty, s"TxLog table already exists: $table")
-    val snap = TxSnapshot(0L, "create", Seq(writeSegment(table, df)), clock())
+    val seg = writeSegment(table, df)
+    val snap = TxSnapshot(0L, "create", Seq(seg), clock(),
+      Map(seg -> statsOfSegment(spark, table, seg)).filter(_._2.nonEmpty))
     require(tryClaim(table, snap), s"concurrent create of $table")
     snap
   }
@@ -466,7 +624,8 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       lazy val baseDf = read(spark, table, base.version)
       val (op, newData, keptSegments) = plan(base, () => baseDf)
       val newSegments = newData.map(writeSegment(table, _)).toSeq
-      val snap = TxSnapshot(base.version + 1, op, keptSegments ++ newSegments, clock())
+      val snap = TxSnapshot(base.version + 1, op, keptSegments ++ newSegments,
+        clock(), carryStats(spark, table, base, keptSegments, newSegments))
       if (tryClaim(table, snap)) return snap
       // lost the race: drop the orphan segment, recompute on the winner
       newSegments.foreach(dropSegment(table, _))
@@ -504,19 +663,43 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
    * collect is one row per touched SEGMENT (manifest-sized), never rows.
    */
   private def touchedSegments(spark: SparkSession, table: String,
-      segments: Seq[String], keyCols: Seq[String],
+      base: Snapshot, keyCols: Seq[String],
       touchKeys: DataFrame): (Seq[String], Seq[String]) = {
+    val segments = base.segments
     val tk = touchKeys.select(keyCols.map(col): _*).distinct()
     val head = keyCols.head
     val stats = tk.agg(count(lit(1)).as("n"),
       sum(when(col(head).isNull, 1L).otherwise(0L)).as("nulls"),
       min(col(head)).as("lo"), max(col(head)).as("hi")).head()
     if (stats.getAs[Long]("n") == 0L) return (Seq.empty, segments)
-    val scan0 = readSegments(spark, table, segments)
+    val noNulls = stats.getAs[Long]("nulls") == 0L
+    // MANIFEST-level pre-prune: a segment whose recorded [min, max]
+    // envelope for the first key column excludes the whole touch range
+    // provably holds no matching key — it is untouched WITHOUT any scan
+    // (driver-side set arithmetic on the manifest). Only safe when the
+    // touch keys carry no NULL first component; segments without a
+    // recorded envelope stay candidates (conservative).
+    val touchRange: Option[(Double, Double)] =
+      if (!noNulls) None
+      else (stats.get(2), stats.get(3)) match {
+        case (lo: Number, hi: Number) => Some((lo.doubleValue(), hi.doubleValue()))
+        case _ => None
+      }
+    val (candidates, manifestPruned) = touchRange match {
+      case Some((lo, hi)) => segments.partition { seg =>
+        base.stats.get(seg).flatMap(_.get(head)) match {
+          case Some((slo, shi)) => shi >= lo && slo <= hi
+          case None => true // no envelope: must scan
+        }
+      }
+      case None => (segments, Seq.empty)
+    }
+    if (candidates.isEmpty) return (Seq.empty, segments)
+    val scan0 = readSegments(spark, table, candidates)
       .select(keyCols.map(col) :+ segmentExpr.as("__graft_seg"): _*)
     // range prefilter: safe only when no touch key has a NULL first
     // component (a NULL-keyed base row can then never match)
-    val scan = if (stats.getAs[Long]("nulls") == 0L)
+    val scan = if (noNulls)
       scala.util.Try(scan0.filter(
         col(head) >= lit(stats.get(2)) && col(head) <= lit(stats.get(3))))
         .getOrElse(scan0) // non-literalizable key type: scan without pruning
@@ -573,7 +756,8 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       lazy val baseDf = read(spark, table, lv)
       val (newData, kept) = plan(base, () => baseDf)
       val newSegments = newData.map(writeSegment(table, _)).toSeq
-      if (tryClaim(table, TxSnapshot(lv + 1, tag, kept ++ newSegments, clock())))
+      if (tryClaim(table, TxSnapshot(lv + 1, tag, kept ++ newSegments, clock(),
+          carryStats(spark, table, base, kept, newSegments))))
         return true
       newSegments.foreach(dropSegment(table, _))
       attempt += 1
@@ -611,7 +795,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       keyCols: Seq[String]): Snapshot =
     commitTransform(spark, table) { (base, cur) =>
       val op = keyedOp("upsert", keyCols)
-      val (touched, kept) = touchedSegments(spark, table, base.segments, keyCols, updates)
+      val (touched, kept) = touchedSegments(spark, table, base, keyCols, updates)
       if (touched.isEmpty) // pure insert: no base row moves
         (op, Some(updates.select(cur().columns.map(col).toSeq: _*)), kept)
       else {
@@ -650,7 +834,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     commitTransform(spark, table) { (base, cur) =>
       val op = keyedOp("cdc_apply", keyCols)
       val (touched, kept) =
-        touchedSegments(spark, table, base.segments, keyCols, changes)
+        touchedSegments(spark, table, base, keyCols, changes)
       val winners = graft.operators.Ingest.cdcApply(
         changes, keyCols, orderCols, opCol, deleteOp)
       val dead = graft.operators.Ingest.cdcApply(

@@ -434,6 +434,48 @@ class TxLogSpec extends SparkSpec {
     assert(again.op === "compact_small:noop" && again.segments === snap.segments)
   }
 
+  test("manifest stats: recorded at commit, carried through COW, drive readWhere pruning") {
+    val tbl = freshTable()
+    // three segments with DISJOINT key ranges
+    TxLog.create(spark, tbl, spark.range(0, 100).selectExpr("id AS k", "id * 10 AS v"))
+    TxLog.append(spark, tbl, spark.range(100, 200).selectExpr("id AS k", "id * 10 AS v"))
+    TxLog.append(spark, tbl, spark.range(200, 300).selectExpr("id AS k", "id * 10 AS v"))
+    val snap = TxLog.latest(tbl)
+    assert(snap.segments.forall(s => snap.stats.get(s).exists(_.contains("k"))),
+      s"every segment must carry a k envelope: ${snap.stats}")
+    assert(snap.stats(snap.segments.head)("k") === ((0.0, 99.0)))
+    // pruning: a range inside the middle segment scans exactly one
+    val (scanned, skipped) = TxLog.prunedSegments(tbl, "k", 120.0, 150.0)
+    assert(scanned === Seq(snap.segments(1)) && skipped.size === 2)
+    // content equals the unpruned filter, both integral and fractional bounds
+    val expect = TxLog.read(spark, tbl).filter(col("k") >= 120 && col("k") <= 150)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(TxLog.readWhere(spark, tbl, "k", 120.0, 150.0)
+      .collect().map(_.getLong(0)).sorted.toSeq === expect)
+    assert(TxLog.readWhere(spark, tbl, "k", 119.5, 150.5)
+      .collect().map(_.getLong(0)).sorted.toSeq === expect)
+    // a range outside every envelope returns empty with the schema intact
+    assert(TxLog.readWhere(spark, tbl, "k", 5000.0, 6000.0).count() === 0)
+    assert(TxLog.readWhere(spark, tbl, "k", 5000.0, 6000.0).columns.toSeq === Seq("k", "v"))
+    // COW upsert: envelopes RIDE the kept segments and the fresh one gets its own
+    TxLog.upsert(spark, tbl, Seq((150L, 9999L)).toDF("k", "v"), Seq("k"))
+    val v3 = TxLog.latest(tbl)
+    assert(v3.segments.contains(snap.segments.head) &&
+      v3.stats(snap.segments.head)("k") === ((0.0, 99.0)))
+    val fresh = v3.segments.filterNot(snap.segments.contains).head
+    assert(v3.stats(fresh)("k") === ((100.0, 199.0)))
+    // post-upsert pruning still exact
+    assert(TxLog.readWhere(spark, tbl, "v", 9999.0, 9999.0)
+      .collect().map(_.getLong(0)).toSeq === Seq(150L))
+    // an all-NULL column records no envelope and is never pruned on
+    val tbl2 = freshTable()
+    TxLog.create(spark, tbl2,
+      Seq((1L, Option.empty[Long]), (2L, Option.empty[Long])).toDF("k", "n"))
+    val s2 = TxLog.latest(tbl2)
+    assert(s2.stats.values.forall(!_.contains("n")))
+    assert(TxLog.readWhere(spark, tbl2, "k", 1.0, 1.0).count() === 1)
+  }
+
   test("vacuum orphan sweep: aged unreferenced dirs reclaimed, fresh and referenced survive") {
     val tbl = freshTable()
     TxLog.create(spark, tbl, Seq((1L, 10L)).toDF("k", "v"))
