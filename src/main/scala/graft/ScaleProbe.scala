@@ -1123,6 +1123,21 @@ object ScaleProbe {
             round(col("o_totalprice") * 100).cast("long").as("cents"))
         graft.io.TxLog.create(spark, tbl, slice(0))
         (1 until k).foreach(i => { graft.io.TxLog.append(spark, tbl, slice(i)); () })
+        // manifest data skipping: a FIXED key range (inside copy 0's
+        // envelope) must cost the same whatever the table size — the
+        // other k-1 segments are pruned by driver-side manifest
+        // arithmetic before any file is listed
+        if (only.isEmpty || only.contains("txlog_read_where")) {
+          timed("txlog_read_where", k) {
+            graft.io.TxLog.readWhere(spark, tbl, "o_orderkey", 1.0, 500000.0)
+              .agg(count(lit(1)), sum(col("cents"))).head()
+            val (scanned, skipped) =
+              graft.io.TxLog.prunedSegments(tbl, "o_orderkey", 1.0, 500000.0)
+            notes(("txlog_read_where", k)) =
+              s"scanned=${scanned.size} skipped=${skipped.size}"
+            scanned.size.toLong
+          }
+        }
         val updates = slice(0).filter(col("o_orderkey") % 4096 === 0)
           .withColumn("cents", col("cents") + 1)
         timed("txlog_upsert_cow", k) {
