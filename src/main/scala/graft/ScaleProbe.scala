@@ -1109,7 +1109,8 @@ object ScaleProbe {
       // rewrite would show ~10x here, file-granular COW ~1x (discovery
       // scans the key column of all segments, but the footer-range
       // prefilter skips the 9 out-of-range segments' row groups)
-      if (only.isEmpty || only.contains("txlog_upsert_cow")) {
+      if (only.isEmpty || only.contains("txlog_upsert_cow") ||
+        only.contains("txlog_read_where") || only.contains("txlog_delete_where")) {
         val root = new java.io.File(s"$work/txlog_cow_x$k")
         if (root.exists()) {
           import java.nio.file.{Files, Paths}
@@ -1145,6 +1146,19 @@ object ScaleProbe {
           notes(("txlog_upsert_cow", k)) =
             s"segments_after=${snap.segments.length} (k-1 kept verbatim + 1 fresh)"
           snap.segments.length.toLong
+        }
+        // RANGE DELETE: a FIXED key range inside one segment's envelope
+        // must cost the same whatever the table size — the other k-1
+        // segments are disjoint by driver-side manifest arithmetic and
+        // never even listed; only the one intersecting segment rewrites
+        if (only.isEmpty || only.contains("txlog_delete_where")) {
+          timed("txlog_delete_where", k) {
+            val snap = graft.io.TxLog.deleteWhere(
+              spark, tbl, "o_orderkey", 1.0, 200000.0)
+            notes(("txlog_delete_where", k)) =
+              s"op=${snap.op} segments_after=${snap.segments.length}"
+            snap.segments.length.toLong
+          }
         }
       }
       // VACUUM delta-boundedness: the SECOND vacuum of a table with 40k

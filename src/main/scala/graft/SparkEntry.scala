@@ -3481,6 +3481,78 @@ object SparkEntry {
         .withColumn("pruned_ok", lit(scanned.size == 1 && skipped.size == 3))
     }),
 
+    // RANGE-TYPED DELETE resolved against the manifest envelopes — the
+    // retention workload of a time-ordered 100 TB table: of four disjoint
+    // key-range slices, the fully-covered one DROPS as a pure manifest
+    // edit (no scan, no rewrite — legal because the footers proved no
+    // NULLs), the two disjoint ones carry forward verbatim without even a
+    // file listing, and only the half-covered one rewrites. The per-tier
+    // split is recorded in the manifest op (pinned), the removed rows are
+    // re-counted through the change feed (hash-checked against the
+    // oracle), and the live table is hash-oracled
+    "q318_txlog_delete_where" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q318_").resolve("t").toString
+      val mx = src.agg(max(col("o_orderkey"))).head().getLong(0)
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") <= mx / 4))
+      TxLog.append(s, tbl,
+        src.filter(col("o_orderkey") > mx / 4 && col("o_orderkey") <= mx / 2))
+      TxLog.append(s, tbl,
+        src.filter(col("o_orderkey") > mx / 2 && col("o_orderkey") <= mx / 4 * 3))
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") > mx / 4 * 3))
+      // covers slice 2 entirely and the first half of slice 3
+      val lo = (mx / 4 + 1).toDouble
+      val hi = (mx / 2 + mx / 8).toDouble
+      val snap = TxLog.deleteWhere(s, tbl, "o_orderkey", lo, hi)
+      val tiersOk = snap.op.endsWith(";kept=2;dropped=1;rewritten=1")
+      val nDeleted = TxLog.changeFeed(s, tbl, snap.version - 1)
+        .filter(col("_change_type") === "delete").count()
+      TxLog.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
+        .withColumn("tiers_ok", lit(tiersOk))
+        .withColumn("n_cdf_deletes", lit(nDeleted))
+        .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
+    }),
+
+    // RETRACTION-CAPABLE FOLLOWER: the exactly-once incremental consumer
+    // absorbs source REWRITE commits instead of refusing them — the CDF's
+    // insert/update_postimage rows merge positively, delete/update_preimage
+    // rows merge negated (linear aggregates), and a bucket whose count
+    // reaches zero LEAVES the state, so the follower tracks the
+    // from-scratch aggregate through an upsert AND a bucket-emptying
+    // delete, still touched-volume-sized per call. Final state hash-oracled
+    "q317_txlog_follow_retract" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src0 = t(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_orderkey") % 100).as("bucket"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val root = graft.io.TempDirs.create("graft_txlog_q317_")
+      val srcTbl = root.resolve("src").toString
+      val dstTbl = root.resolve("dst").toString
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      def follow() = TxLog.followAggregate(s, srcTbl, dstTbl, "c",
+        Seq("bucket"), retractWith = Some("n_orders"))(aggOf)
+      TxLog.create(s, srcTbl, src0.filter(col("o_orderkey") % 2 === 0))   // v0
+      TxLog.append(s, srcTbl, src0.filter(col("o_orderkey") % 4 === 1))   // v1
+      val f1 = follow()
+      TxLog.upsert(s, srcTbl, src0.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("cents", col("cents") + 1), Seq("o_orderkey"))        // v2
+      // bucket 5 is wholly k%4==1 rows (100 ≡ 0 mod 4): this empties it
+      TxLog.delete(s, srcTbl, col("o_orderkey") % 100 === 5)              // v3
+      val f2 = follow()
+      TxLog.append(s, srcTbl, src0.filter(col("o_orderkey") % 4 === 3))   // v4
+      val f3 = follow()
+      val skipped = !follow()
+      TxLog.read(s, dstTbl)
+        .withColumn("advanced_ok", lit(f1 && f2 && f3))
+        .withColumn("caught_up_skipped", lit(skipped))
+        .withColumn("n_src_versions", lit(TxLog.history(srcTbl).length.toLong))
+    }),
+
     // ROUND-9 LAKEHOUSE CAPSTONE: every new TxLog capability composed as
     // ONE lifecycle (the q303 discipline) — exactly-once stream ingest
     // with a pinned replay skip, a COPY-ON-WRITE upsert that provably
@@ -5544,6 +5616,45 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents, true AS pruned_ok
         |FROM src, mx WHERE k >= m // 4 + 1 AND k <= m // 2
         |GROUP BY 1""".stripMargin,
+
+    // range delete: live = everything outside [m//4+1, m//2+m//8]; the
+    // change-feed delete count re-derives inside the range; v0..v4 = 5
+    // versions; the three-tier manifest split pinned TRUE
+    "q318_txlog_delete_where" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |mx AS (SELECT max(k) AS m FROM src),
+        |del AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_del
+        |  FROM src, mx WHERE k >= m // 4 + 1 AND k <= m // 2 + m // 8),
+        |live AS (
+        |  SELECT pr, cents FROM src, mx
+        |  WHERE NOT (k >= m // 4 + 1 AND k <= m // 2 + m // 8))
+        |SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents, true AS tiers_ok,
+        |  (SELECT n_del FROM del) AS n_cdf_deletes,
+        |  CAST(5 AS BIGINT) AS n_versions
+        |FROM live GROUP BY 1""".stripMargin,
+
+    // retraction follower: final state = all orders (+1 cents where
+    // k%20=0, the upsert) minus the emptied bucket 5; both advances and
+    // the exactly-once skip pinned TRUE; v0..v4 = 5 source versions
+    "q317_txlog_follow_retract" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |live AS (
+        |  SELECT k, cents + CASE WHEN k % 20 = 0 THEN 1 ELSE 0 END AS cents
+        |  FROM src WHERE k % 100 != 5)
+        |SELECT CAST(k % 100 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  true AS advanced_ok, true AS caught_up_skipped,
+        |  CAST(5 AS BIGINT) AS n_src_versions
+        |FROM live GROUP BY 1""".stripMargin,
 
     // round-9 capstone: evens (+1 cents where k%20=0, the upsert) plus all
     // odds (the stream slices), minus the k≡1 (mod 30) delete; v0..v7 = 8

@@ -8,6 +8,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
+/** A column's manifest envelope for one segment: [lo, hi] over the
+  * column's NON-NULL values, plus whether the parquet footers PROVED the
+  * segment holds no NULL in the column (`noNulls` — required before a
+  * whole segment may be dropped by a range delete: NULL never matches a
+  * range predicate, so a segment with NULLs always keeps those rows).
+  * Legacy two-field envelopes parse with `noNulls = false` — range
+  * pruning still works, whole-segment drops just stay conservative. */
+case class ColEnv(lo: Double, hi: Double, noNulls: Boolean)
+
 /** One committed version: the segment dirs (relative to the table root)
   * whose union IS the snapshot, plus the operation that produced it, the
   * writer's commit timestamp (millis; -1 on legacy manifests), and
@@ -17,7 +26,7 @@ import org.apache.spark.sql.types.StructType
   * anything"). */
 case class TxSnapshot(version: Long, op: String, segments: Seq[String],
     ts: Long = -1L,
-    stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+    stats: Map[String, Map[String, ColEnv]] = Map.empty)
 
 /**
  * The storage primitive the commit log needs — Delta's LogStore shape.
@@ -223,13 +232,23 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   private val VacuumTag = "vacuum:retainFrom="
   private val KeysMark = ":keys="
 
+  /** Highest manifest protocol this reader understands. A manifest
+    * claiming a HIGHER protocol carries semantics this code predates
+    * (e.g. a future deletion-vector field): reading it as if it were
+    * understood could silently return wrong rows, so the parse refuses
+    * loudly instead — the Delta minReaderVersion discipline. Manifests
+    * without a protocol line (all pre-protocol writers) are protocol 1. */
+  val SupportedProtocol = 1
+
   private def render(s: Snapshot): String =
-    (Seq(s"version=${s.version}", s"op=${s.op}", s"ts=${s.ts}") ++
+    (Seq(s"version=${s.version}", s"op=${s.op}", s"ts=${s.ts}",
+      s"protocol=$SupportedProtocol") ++
       s.segments.map(f => s"segment=$f") ++
       s.segments.flatMap { f =>
         s.stats.get(f).filter(_.nonEmpty).map { m =>
           val body = m.toSeq.sortBy(_._1)
-            .map { case (c, (lo, hi)) => s"$c=$lo,$hi" }.mkString(";")
+            .map { case (c, e) =>
+              s"$c=${e.lo},${e.hi},${if (e.noNulls) 1 else 0}" }.mkString(";")
           s"segstat=$f|$body"
         }
       }).mkString("", "\n", "\n")
@@ -239,6 +258,14 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     def one(k: String) = lines.collectFirst {
       case l if l.startsWith(s"$k=") => l.substring(k.length + 1)
     }.getOrElse(sys.error(s"corrupt commit $name: missing $k"))
+    val proto = lines.collectFirst {
+      case l if l.startsWith("protocol=") => l.substring(9).toInt
+    }.getOrElse(1)
+    if (proto > SupportedProtocol)
+      // sys.error, NOT require: snapshotOf folds IllegalArgumentException
+      // into "no such version", which would mask the refusal's cause
+      sys.error(s"commit $name uses manifest protocol $proto but this reader " +
+        s"supports <= $SupportedProtocol — upgrade the library before reading this table")
     val ts = lines.collectFirst {
       case l if l.startsWith("ts=") => l.substring(3).toLong
     }.getOrElse(-1L) // legacy manifests carry no timestamp
@@ -247,8 +274,10 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       val bar = body.indexOf('|')
       val cols = body.substring(bar + 1).split(";").map { kv =>
         val eq = kv.indexOf('=')
-        val lohi = kv.substring(eq + 1).split(",")
-        kv.substring(0, eq) -> (lohi(0).toDouble, lohi(1).toDouble)
+        val f = kv.substring(eq + 1).split(",")
+        // legacy 2-field envelopes: noNulls unknown -> conservative false
+        kv.substring(0, eq) -> ColEnv(f(0).toDouble, f(1).toDouble,
+          f.length >= 3 && f(2) == "1")
       }.toMap
       body.substring(0, bar) -> cols
     }.toMap
@@ -452,8 +481,30 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val snap = snapshotOf(table, v)
     snap.segments.partition { seg =>
       snap.stats.get(seg).flatMap(_.get(column)) match {
-        case Some((slo, shi)) => shi >= lo && slo <= hi
+        case Some(e) => e.hi >= lo && e.lo <= hi
         case None => true
+      }
+    }
+  }
+
+  /** Multi-column manifest pruning: a segment is skipped iff ANY range's
+    * recorded envelope provably excludes it (conjunctive predicate —
+    * one provably-false conjunct falsifies the row). Stat-less columns
+    * never prune (conservative). */
+  def prunedSegmentsAll(table: String, ranges: Seq[(String, Double, Double)],
+      version: Long = -1L): (Seq[String], Seq[String]) = {
+    require(ranges.nonEmpty, "need at least one (column, lo, hi) range")
+    val (lv, floor, _) = logState(table)
+    require(lv >= 0, s"not a TxLog table: $table")
+    val v = if (version < 0) lv else version
+    require(v >= floor && v <= lv, s"version $v outside [$floor, $lv] on $table")
+    val snap = snapshotOf(table, v)
+    snap.segments.partition { seg =>
+      ranges.forall { case (column, lo, hi) =>
+        snap.stats.get(seg).flatMap(_.get(column)) match {
+          case Some(e) => e.hi >= lo && e.lo <= hi
+          case None => true
+        }
       }
     }
   }
@@ -474,23 +525,37 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
    * only slower.
    */
   def readWhere(spark: SparkSession, table: String, column: String,
-      lo: Double, hi: Double, version: Long = -1L): DataFrame = {
-    val (scanned, _) = prunedSegments(table, column, lo, hi, version)
+      lo: Double, hi: Double, version: Long = -1L): DataFrame =
+    readWhereAll(spark, table, Seq((column, lo, hi)), version)
+
+  /** [[readWhere]] over a CONJUNCTION of column ranges: manifest pruning
+    * skips a segment if any one range provably excludes it, then the whole
+    * conjunction pushes to the parquet scan of the survivors. */
+  def readWhereAll(spark: SparkSession, table: String,
+      ranges: Seq[(String, Double, Double)], version: Long = -1L): DataFrame = {
+    val (scanned, _) = prunedSegmentsAll(table, ranges, version)
     val snap = if (version < 0) latest(table) else snapshotOf(table, version)
     if (scanned.isEmpty)
       return read(spark, table, snap.version).limit(0)
     val df = readSegments(spark, table, scanned)
+    df.filter(ranges.map { case (c, lo, hi) => rangeCond(df, table, c, lo, hi) }
+      .reduce(_ && _))
+  }
+
+  /** Pushdown-friendly [lo, hi] predicate on `column`: typed literals for
+    * integral columns with whole-number bounds, double-cast comparison
+    * (the envelope's convention) otherwise. */
+  private def rangeCond(df: DataFrame, table: String, column: String,
+      lo: Double, hi: Double): Column = {
     val dt = df.schema.find(_.name == column).map(_.dataType)
       .getOrElse(sys.error(s"no column $column in $table (has ${df.columns.mkString(", ")})"))
     val integral = dt == org.apache.spark.sql.types.LongType ||
       dt == org.apache.spark.sql.types.IntegerType ||
       dt == org.apache.spark.sql.types.ShortType ||
       dt == org.apache.spark.sql.types.ByteType
-    val cond =
-      if (integral && lo == math.rint(lo) && hi == math.rint(hi))
-        col(column) >= lit(lo.toLong) && col(column) <= lit(hi.toLong)
-      else col(column).cast("double") >= lit(lo) && col(column).cast("double") <= lit(hi)
-    df.filter(cond)
+    if (integral && lo == math.rint(lo) && hi == math.rint(hi))
+      col(column) >= lit(lo.toLong) && col(column) <= lit(hi.toLong)
+    else col(column).cast("double") >= lit(lo) && col(column).cast("double") <= lit(hi)
   }
 
   private def readSegments(spark: SparkSession, table: String, segs: Seq[String]): DataFrame =
@@ -504,13 +569,15 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
 
   /** Per-column [min, max] of one fresh segment, read from the parquet
     * FOOTERS only (no data scan; the files were just written by this
-    * writer, so a driver loop over their footers is commit-sized work).
-    * Numeric physical types only; a column missing valid stats in ANY
-    * file (e.g. all-NULL chunks) records nothing — absence is always
-    * conservative. Oversized segments skip stats rather than stall the
-    * commit. */
+    * writer, so a driver loop over their footers is commit-sized work),
+    * plus a NO-NULLS proof when every chunk carries a null count of zero
+    * (what lets a range [[deleteWhere]] drop a fully-covered segment as a
+    * pure manifest op). Numeric physical types only; a column missing
+    * valid stats in ANY file (e.g. all-NULL chunks) records nothing —
+    * absence is always conservative, as is an unset null count.
+    * Oversized segments skip stats rather than stall the commit. */
   private def statsOfSegment(spark: SparkSession, table: String,
-      seg: String): Map[String, (Double, Double)] = {
+      seg: String): Map[String, ColEnv] = {
     import scala.jdk.CollectionConverters._
     val dir = new File(table, seg)
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
@@ -522,7 +589,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
         conf,
         new org.apache.hadoop.fs.Path(f.getAbsolutePath),
         org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-      val acc = scala.collection.mutable.Map[String, (Double, Double)]()
+      val acc = scala.collection.mutable.Map[String, ColEnv]()
       val dead = scala.collection.mutable.Set[String]()
       footer.getBlocks.asScala.foreach { b =>
         b.getColumns.asScala.foreach { c =>
@@ -545,9 +612,13 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
               }
             lohi match {
               case Some((lo, hi)) if !dead.contains(name) =>
+                // noNulls only when the chunk PROVES it (set AND zero)
+                val chunkNoNulls = s.isNumNullsSet && s.getNumNulls == 0L
                 val cur = acc.get(name)
-                acc(name) = (cur.fold(lo)(c0 => math.min(c0._1, lo)),
-                  cur.fold(hi)(c0 => math.max(c0._2, hi)))
+                acc(name) = ColEnv(
+                  cur.fold(lo)(c0 => math.min(c0.lo, lo)),
+                  cur.fold(hi)(c0 => math.max(c0.hi, hi)),
+                  cur.fold(chunkNoNulls)(_.noNulls && chunkNoNulls))
               case _ =>
                 // a chunk without usable stats poisons the whole column
                 dead += name; acc.remove(name); ()
@@ -563,7 +634,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       .getOrElse(Set.empty) -- allDead
     names.toSeq.sorted.take(MaxStatCols).map { n =>
       val vs = perFile.map(_._1(n))
-      n -> (vs.map(_._1).min, vs.map(_._2).max)
+      n -> ColEnv(vs.map(_.lo).min, vs.map(_.hi).max, vs.forall(_.noNulls))
     }.toMap
   }
 
@@ -579,7 +650,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     * immutable like the segments) plus freshly-footer-read entries for
     * `fresh`. */
   private def carryStats(spark: SparkSession, table: String, base: Snapshot,
-      kept: Seq[String], fresh: Seq[String]): Map[String, Map[String, (Double, Double)]] =
+      kept: Seq[String], fresh: Seq[String]): Map[String, Map[String, ColEnv]] =
     kept.flatMap(s => base.stats.get(s).map(s -> _)).toMap ++
       fresh.map(s => s -> statsOfSegment(spark, table, s)).filter(_._2.nonEmpty)
 
@@ -688,7 +759,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val (candidates, manifestPruned) = touchRange match {
       case Some((lo, hi)) => segments.partition { seg =>
         base.stats.get(seg).flatMap(_.get(head)) match {
-          case Some((slo, shi)) => shi >= lo && slo <= hi
+          case Some(e) => e.hi >= lo && e.lo <= hi
           case None => true // no envelope: must scan
         }
       }
@@ -821,6 +892,61 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
         val touchedDf = alignTo(
           readSegments(spark, table, base.segments.filter(touched.contains)), cur().schema)
         ("delete", Some(touchedDf.filter(!hit)), kept)
+      }
+    }
+
+  /**
+   * Range-typed delete — rows where `column` ∈ [lo, hi] — resolved
+   * against the MANIFEST ENVELOPES first, so most segments never cost
+   * anything (the Delta partition-delete / metadata-delete discipline,
+   * generalized to min-max envelopes):
+   *
+   *   - envelope DISJOINT from the range → kept verbatim. Zero cost: the
+   *     segment's files are never even listed (NULL values never match a
+   *     range predicate, so this is safe whatever the null count).
+   *   - envelope CONTAINED in the range AND the footers proved no NULLs
+   *     → the whole segment is DROPPED as a pure manifest edit — no scan,
+   *     no rewrite (with NULLs it can't be: NULL rows don't match the
+   *     predicate and must survive, so the segment falls to the scan tier).
+   *   - otherwise → one pushed scan over just these candidates finds which
+   *     actually hold a matching row; only those rewrite, the rest are
+   *     kept verbatim.
+   *
+   * The manifest op records the per-tier split
+   * (`delete:where=<col>,<lo>,<hi>;kept=K;dropped=D;rewritten=R`) so the
+   * decision is inspectable after the fact, and [[changeFeed]] classifies
+   * the version through the keyless-delete path (multiset-exact per-row
+   * deletes). A delete of an aged-out range on a time-ordered 100 TB
+   * table — THE retention workload — costs driver-side manifest
+   * arithmetic plus nothing.
+   */
+  def deleteWhere(spark: SparkSession, table: String, column: String,
+      lo: Double, hi: Double): Snapshot =
+    commitTransform(spark, table) { (base, _) =>
+      def env(seg: String) = base.stats.get(seg).flatMap(_.get(column))
+      val disjoint = base.segments.filter(
+        env(_).exists(e => e.hi < lo || e.lo > hi)).toSet
+      val covered = base.segments.filterNot(disjoint.contains).filter(
+        env(_).exists(e => e.lo >= lo && e.hi <= hi && e.noNulls)).toSet
+      val partial = base.segments.filterNot(s => disjoint(s) || covered(s))
+      // one pushed scan over the ambiguous tier only: which candidates
+      // actually CONTAIN a matching row (footer stats prune row groups)
+      val touched: Set[String] =
+        if (partial.isEmpty) Set.empty
+        else {
+          val pdf = readSegments(spark, table, partial)
+          pdf.filter(rangeCond(pdf, table, column, lo, hi))
+            .select(segmentExpr.as("__graft_seg"))
+            .distinct().collect().map(_.getString(0)).toSet
+        }
+      val kept = base.segments.filter(s => disjoint(s) || (partial.contains(s) && !touched(s)))
+      val op = s"delete:where=$column,$lo,$hi;kept=${kept.size};" +
+        s"dropped=${covered.size};rewritten=${touched.size}"
+      if (touched.isEmpty) (op, None, kept)
+      else {
+        val tdf = readSegments(spark, table, partial.filter(touched.contains))
+        (op, Some(tdf.filter(
+          !coalesce(rangeCond(tdf, table, column, lo, hi), lit(false)))), kept)
       }
     }
 
@@ -1028,12 +1154,22 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
    * through [[graft.operators.Ingest.mergeAggState]] — O(|state| + |delta|)
    * per call, never a history re-read. Source rewrite commits in the range
    * fail loudly (an additive state cannot absorb preimage retractions;
-   * rebuild the state from read() past them). `aggOf` must produce ADDITIVE
-   * statistics keyed by `keyCols` (mergeAggState's contract). Returns true
-   * if a new range was committed, false if `dst` is already caught up.
+   * rebuild the state from read() past them) — UNLESS `retractWith` names
+   * a row-count column, which switches the follower to RETRACTION mode:
+   * insert/update_postimage rows merge positively, delete/update_preimage
+   * rows merge with every value column NEGATED (valid exactly when
+   * `aggOf`'s statistics are LINEAR in the rows — counts and sums; never
+   * min/max/avg-of-avgs), and keys whose count reaches zero LEAVE the
+   * state, so the follower tracks the from-scratch aggregate through
+   * upserts and deletes, still touched-volume-sized per call (the CDF of
+   * a copy-on-write rewrite reads only the rewritten segments). `aggOf`
+   * must produce ADDITIVE statistics keyed by `keyCols` (mergeAggState's
+   * contract). Returns true if a new range was committed, false if `dst`
+   * is already caught up.
    */
   def followAggregate(spark: SparkSession, src: String, dst: String,
-      consumerId: String, keyCols: Seq[String])(
+      consumerId: String, keyCols: Seq[String],
+      retractWith: Option[String] = None)(
       aggOf: DataFrame => DataFrame): Boolean = {
     val streamId = s"txfollow:$consumerId"
     val srcLatest = latest(src).version
@@ -1045,19 +1181,37 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     }
     commitKeyedTransform(spark, dst, streamId, srcLatest) { (_, curState) =>
       val lastV = streamHighWater(dst, streamId)
-      val delta =
-        if (lastV < 0) read(spark, src, srcLatest)
+      val deltaState =
+        if (lastV < 0) aggOf(read(spark, src, srcLatest))
         else {
           val feed = changeFeed(spark, src, lastV, srcLatest)
-          val nonInsert = feed.filter(col(ChangeType) =!= "insert").limit(1).collect()
-          require(nonInsert.isEmpty,
-            s"followAggregate($consumerId): source $src has a rewrite commit in " +
-              s"($lastV, $srcLatest] — additive state cannot absorb retractions; " +
-              "rebuild dst from read()")
-          feed.drop(ChangeType, CommitVersion)
+          retractWith match {
+            case None =>
+              val nonInsert = feed.filter(col(ChangeType) =!= "insert").limit(1).collect()
+              require(nonInsert.isEmpty,
+                s"followAggregate($consumerId): source $src has a rewrite commit in " +
+                  s"($lastV, $srcLatest] — additive state cannot absorb retractions; " +
+                  "rebuild dst from read(), or pass retractWith for linear aggregates")
+              aggOf(feed.drop(ChangeType, CommitVersion))
+            case Some(countCol) =>
+              val pos = aggOf(feed
+                .filter(col(ChangeType).isin("insert", "update_postimage"))
+                .drop(ChangeType, CommitVersion))
+              require(pos.columns.contains(countCol) && !keyCols.contains(countCol),
+                s"retractWith column $countCol must be a VALUE column of aggOf's " +
+                  s"output (has ${pos.columns.mkString(", ")})")
+              val valueCols = pos.columns.filterNot(keyCols.contains).toSeq
+              val neg = aggOf(feed
+                .filter(col(ChangeType).isin("delete", "update_preimage"))
+                .drop(ChangeType, CommitVersion))
+                .select(keyCols.map(col) ++ valueCols.map(c => (-col(c)).as(c)): _*)
+              pos.unionByName(neg)
+          }
         }
-      (Some(graft.operators.Ingest.mergeAggState(curState(), aggOf(delta), keyCols)),
-        Seq.empty)
+      val merged = graft.operators.Ingest.mergeAggState(curState(), deltaState, keyCols)
+      // retraction mode: a key whose row count hits zero no longer exists
+      // in the source — it leaves the state, matching the from-scratch agg
+      (Some(retractWith.fold(merged)(cc => merged.filter(col(cc) =!= 0))), Seq.empty)
     }
   }
 

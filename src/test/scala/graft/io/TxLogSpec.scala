@@ -443,7 +443,7 @@ class TxLogSpec extends SparkSpec {
     val snap = TxLog.latest(tbl)
     assert(snap.segments.forall(s => snap.stats.get(s).exists(_.contains("k"))),
       s"every segment must carry a k envelope: ${snap.stats}")
-    assert(snap.stats(snap.segments.head)("k") === ((0.0, 99.0)))
+    assert(snap.stats(snap.segments.head)("k") === ColEnv(0.0, 99.0, noNulls = true))
     // pruning: a range inside the middle segment scans exactly one
     val (scanned, skipped) = TxLog.prunedSegments(tbl, "k", 120.0, 150.0)
     assert(scanned === Seq(snap.segments(1)) && skipped.size === 2)
@@ -461,9 +461,9 @@ class TxLogSpec extends SparkSpec {
     TxLog.upsert(spark, tbl, Seq((150L, 9999L)).toDF("k", "v"), Seq("k"))
     val v3 = TxLog.latest(tbl)
     assert(v3.segments.contains(snap.segments.head) &&
-      v3.stats(snap.segments.head)("k") === ((0.0, 99.0)))
+      v3.stats(snap.segments.head)("k") === ColEnv(0.0, 99.0, noNulls = true))
     val fresh = v3.segments.filterNot(snap.segments.contains).head
-    assert(v3.stats(fresh)("k") === ((100.0, 199.0)))
+    assert(v3.stats(fresh)("k") === ColEnv(100.0, 199.0, noNulls = true))
     // post-upsert pruning still exact
     assert(TxLog.readWhere(spark, tbl, "v", 9999.0, 9999.0)
       .collect().map(_.getLong(0)).toSeq === Seq(150L))
@@ -539,5 +539,120 @@ class TxLogSpec extends SparkSpec {
       TxLog.create(spark, tbl, Seq((2L, "b")).toDF("k", "t"))
     }
     intercept[RuntimeException] { TxLog.read(spark, tbl, 99L) }
+  }
+
+  test("deleteWhere: disjoint kept verbatim, covered dropped metadata-only, partial rewritten") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, spark.range(0, 100).selectExpr("id AS k", "id * 10 AS v"))
+    TxLog.append(spark, tbl, spark.range(100, 200).selectExpr("id AS k", "id * 10 AS v"))
+    TxLog.append(spark, tbl, spark.range(200, 300).selectExpr("id AS k", "id * 10 AS v"))
+    val before = TxLog.latest(tbl)
+    // the range covers segment 2 ENTIRELY and segment 3's first half
+    val snap = TxLog.deleteWhere(spark, tbl, "k", 100.0, 249.0)
+    assert(snap.op === "delete:where=k,100.0,249.0;kept=1;dropped=1;rewritten=1")
+    assert(snap.segments.contains(before.segments.head),
+      "disjoint segment must carry forward verbatim")
+    assert(!snap.segments.contains(before.segments(1)) &&
+      !snap.segments.contains(before.segments(2)))
+    assert(snap.segments.size === 2)
+    assert(TxLog.read(spark, tbl).collect().map(_.getLong(0)).sorted.toSeq ===
+      ((0L until 100L) ++ (250L until 300L)))
+    // change feed classifies the version: exactly the 150 removed rows
+    val feed = TxLog.changeFeed(spark, tbl, snap.version - 1)
+    assert(feed.count() === 150 &&
+      feed.filter(col("_change_type") === "delete").count() === 150)
+    // time travel still reads the pre-delete snapshot
+    assert(TxLog.read(spark, tbl, before.version).count() === 300)
+    // a range hitting nothing commits a pure no-op manifest
+    val noop = TxLog.deleteWhere(spark, tbl, "k", 5000.0, 6000.0)
+    assert(noop.segments === snap.segments)
+    assert(noop.op.endsWith(";kept=2;dropped=0;rewritten=0"))
+  }
+
+  test("deleteWhere: NULLs block the metadata-only drop — null rows survive a covering range") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl,
+      Seq((Option(1L), 10L), (Option(2L), 20L), (Option.empty[Long], 30L))
+        .toDF("k", "v").coalesce(1))
+    val env = TxLog.latest(tbl).stats.values.head.get("k")
+    assert(env.exists(!_.noNulls), s"envelope must record nulls-present: $env")
+    val snap = TxLog.deleteWhere(spark, tbl, "k", 0.0, 100.0)
+    // the range covers the whole envelope, but NULL rows never match a
+    // range predicate: the segment must REWRITE, never drop
+    assert(snap.op.contains("dropped=0") && snap.op.contains("rewritten=1"))
+    val rows = TxLog.read(spark, tbl).collect()
+    assert(rows.length === 1 && rows.head.isNullAt(0) && rows.head.getLong(1) === 30L)
+  }
+
+  test("manifest protocol guard: a future-protocol commit refuses loudly") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, spark.range(0, 10).selectExpr("id AS k"))
+    // a hypothetical newer writer claims v1 with a protocol this reader predates
+    PosixLogStore.putIfAbsent(tbl, "00000001.commit",
+      "version=1\nop=append\nts=0\nprotocol=99\nsegment=data/xyz\n")
+    val e = intercept[Exception] { TxLog.read(spark, tbl) }
+    assert(e.getMessage.contains("protocol 99"))
+  }
+
+  test("readWhereAll: any provably-disjoint column prunes; content equals the unpruned filter") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, spark.range(0, 100).selectExpr("id AS k", "id % 7 AS m"))
+    TxLog.append(spark, tbl, spark.range(100, 200).selectExpr("id AS k", "id % 7 + 100 AS m"))
+    TxLog.append(spark, tbl, spark.range(200, 300).selectExpr("id AS k", "id % 7 AS m"))
+    // k-range admits segments 2 and 3; the m-range THEN excludes segment 2
+    val (scanned, skipped) = TxLog.prunedSegmentsAll(tbl,
+      Seq(("k", 100.0, 300.0), ("m", 0.0, 6.0)))
+    assert(scanned.size === 1 && skipped.size === 2)
+    val got = TxLog.readWhereAll(spark, tbl, Seq(("k", 100.0, 250.0), ("m", 0.0, 3.0)))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val expect = TxLog.read(spark, tbl)
+      .filter(col("k").between(100, 250) && col("m").between(0, 3))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === expect)
+  }
+
+  test("followAggregate retractions: tracks from-scratch through upserts/deletes; vanished keys leave") {
+    val root = TempDirs.create("txfollow_retract_")
+    val src = root.resolve("src").toString
+    val dstOnce = root.resolve("dstOnce").toString
+    val dstEach = root.resolve("dstEach").toString
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    def follow(dst: String, cid: String) =
+      TxLog.followAggregate(spark, src, dst, cid, Seq("g"),
+        retractWith = Some("n"))(aggOf)
+    def stateOf(tbl: String) = TxLog.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+
+    TxLog.create(spark, src,
+      spark.range(0, 40).selectExpr("id AS k", "id % 4 AS g", "id AS v"))     // v0
+    assert(follow(dstEach, "each"))
+    // upsert: bump v of keys 0..9 by 1000 and insert fresh keys 40..44
+    TxLog.upsert(spark, src,
+      spark.range(0, 10).selectExpr("id AS k", "id % 4 AS g", "id + 1000 AS v")
+        .unionAll(spark.range(40, 45).selectExpr("id AS k", "id % 4 AS g", "id AS v")),
+      Seq("k"))                                                               // v1
+    assert(follow(dstEach, "each"))
+    // delete EVERY row of group 3: the key must LEAVE the follower state
+    TxLog.delete(spark, src, col("g") === 3)                                  // v2
+    assert(follow(dstEach, "each"))
+    TxLog.append(spark, src,
+      spark.range(100, 110).selectExpr("id AS k", "id % 2 AS g", "id AS v"))  // v3
+    assert(follow(dstEach, "each"))
+    // a second follower absorbs the whole lifecycle in ONE call
+    assert(follow(dstOnce, "once"))
+    val expected = aggOf(TxLog.read(spark, src)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(stateOf(dstEach) === expected)
+    assert(stateOf(dstOnce) === expected)
+    assert(!stateOf(dstEach).exists(_._1 == 3L), "group 3 must vanish from the state")
+    // caught up: skipped on both
+    assert(!follow(dstEach, "each") && !follow(dstOnce, "once"))
+    // retractWith must name a VALUE column of the aggregate
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, src, Seq((999L, 0L, 1L)).toDF("k", "g", "v"))
+      TxLog.followAggregate(spark, src, dstEach, "each", Seq("g"),
+        retractWith = Some("g"))(aggOf)
+    }
   }
 }
