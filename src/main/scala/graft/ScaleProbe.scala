@@ -1161,6 +1161,35 @@ object ScaleProbe {
           }
         }
       }
+      // STRING-keyed copy-on-write: same contract as txlog_upsert_cow but
+      // the key is a doc-id-shaped string, so the manifest pre-prune runs
+      // through the utf8-ordered STRING envelopes — a fixed update batch
+      // against a 10x table must still cost ~1x
+      if (only.isEmpty || only.contains("txlog_upsert_cow_str")) {
+        val root = new java.io.File(s"$work/txlog_cowstr_x$k")
+        if (root.exists()) {
+          import java.nio.file.{Files, Paths}
+          Files.walk(Paths.get(root.getPath))
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+        val tbl = s"$work/txlog_cowstr_x$k/t"
+        def toKeyed(df: DataFrame) = df.select(
+          concat(lit("k-"), lpad(col("o_orderkey").cast("string"), 12, "0")).as("k"),
+          col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        def sliceDf(i: Int) = copyOf(readBase("orders"), i, Seq("o_orderkey"), 1000000000L)
+        graft.io.TxLog.create(spark, tbl, toKeyed(sliceDf(0)))
+        (1 until k).foreach(i => { graft.io.TxLog.append(spark, tbl, toKeyed(sliceDf(i))); () })
+        val updates = toKeyed(sliceDf(0).filter(col("o_orderkey") % 4096 === 0))
+          .withColumn("cents", col("cents") + 1)
+        timed("txlog_upsert_cow_str", k) {
+          val snap = graft.io.TxLog.upsert(spark, tbl, updates, Seq("k"))
+          notes(("txlog_upsert_cow_str", k)) =
+            s"segments_after=${snap.segments.length} (k-1 kept verbatim + 1 fresh)"
+          snap.segments.length.toLong
+        }
+      }
       // VACUUM delta-boundedness: the SECOND vacuum of a table with 40k
       // versions must parse only [previousFloor, newFloor) + the retention
       // window — ~25 manifests at EITHER scale — never the full history

@@ -3516,6 +3516,52 @@ object SparkEntry {
         .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
     }),
 
+    // STRING-COLUMN DATA SKIPPING: manifests record utf8-ordered [min,max]
+    // envelopes for string columns too, so a doc-id-keyed table (THE
+    // corpus-pipeline shape) gets the same manifest arithmetic as numeric
+    // keys: a string-keyed COW upsert keeps out-of-range segments verbatim
+    // (pinned), a fully-covered string range delete drops its segment as a
+    // pure manifest edit (pinned via the op's tier split), and a string
+    // range read scans only the intersecting segment (pinned + the slice
+    // count hash-checked). Live table hash-oracled end to end
+    "q319_txlog_string_skipping" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "documents").select(
+        concat(lit("doc-"), lpad(col("doc_id").cast("string"), 8, "0")).as("k"),
+        col("doc_id"), col("source"), col("n_chars"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q319_").resolve("t").toString
+      val mx = src.agg(max(col("doc_id"))).head().getLong(0)
+      val third = mx / 3
+      def key(n: Long) = f"doc-$n%08d"
+      TxLog.create(s, tbl, src.filter(col("doc_id") <= third))          // v0
+      TxLog.append(s, tbl,
+        src.filter(col("doc_id") > third && col("doc_id") <= 2 * third)) // v1
+      TxLog.append(s, tbl, src.filter(col("doc_id") > 2 * third))        // v2
+      val v2segs = TxLog.latest(tbl).segments
+      // STRING-keyed COW upsert of ten slice-2 keys: slices 1 and 3 are
+      // out of the touch range by manifest arithmetic — kept verbatim
+      TxLog.upsert(s, tbl,
+        src.filter(col("doc_id") > third && col("doc_id") <= third + 10)
+          .withColumn("n_chars", col("n_chars") + 1), Seq("k"))          // v3
+      val v3 = TxLog.latest(tbl)
+      val cowKept = v3.segments.contains(v2segs.head) &&
+        v3.segments.contains(v2segs(2))
+      // string range delete covering slice 1 exactly: metadata-only drop
+      val d = TxLog.deleteWhereStr(s, tbl, "k", key(0), key(third))      // v4
+      val tiersOk = d.op.contains(";dropped=1;rewritten=0")
+      // string range read of slice 3: one segment scanned, one skipped
+      val (scanned, skipped) =
+        TxLog.prunedSegmentsStr(tbl, "k", key(2 * third + 1), key(mx))
+      val nSlice3 = TxLog.readWhereStr(s, tbl, "k", key(2 * third + 1), key(mx)).count()
+      TxLog.read(s, tbl).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("n_slice3", lit(nSlice3))
+        .withColumn("cow_kept", lit(cowKept))
+        .withColumn("tiers_ok", lit(tiersOk))
+        .withColumn("pruned_ok", lit(scanned.size == 1 && skipped.size == 1))
+        .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
+    }),
+
     // RETRACTION-CAPABLE FOLLOWER: the exactly-once incremental consumer
     // absorbs source REWRITE commits instead of refusing them — the CDF's
     // insert/update_postimage rows merge positively, delete/update_preimage
@@ -5635,6 +5681,28 @@ object SparkEntry {
         |SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_live,
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents, true AS tiers_ok,
         |  (SELECT n_del FROM del) AS n_cdf_deletes,
+        |  CAST(5 AS BIGINT) AS n_versions
+        |FROM live GROUP BY 1""".stripMargin,
+
+    // string skipping: live = docs above the deleted first third, +1
+    // n_chars on the ten upserted slice-2 ids; slice-3 count re-derived;
+    // the four skipping contracts pinned TRUE; v0..v4 = 5 versions
+    "q319_txlog_string_skipping" ->
+      """WITH src AS (
+        |  SELECT doc_id AS i, source, n_chars FROM documents),
+        |mx AS (SELECT max(i) AS m FROM src),
+        |live AS (
+        |  SELECT source,
+        |    n_chars + CASE WHEN i > m // 3 AND i <= m // 3 + 10
+        |      THEN 1 ELSE 0 END AS n_chars
+        |  FROM src, mx WHERE i > m // 3),
+        |s3 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM src, mx
+        |  WHERE i > m // 3 * 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  (SELECT n FROM s3) AS n_slice3,
+        |  true AS cow_kept, true AS tiers_ok, true AS pruned_ok,
         |  CAST(5 AS BIGINT) AS n_versions
         |FROM live GROUP BY 1""".stripMargin,
 

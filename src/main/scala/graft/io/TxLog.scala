@@ -17,16 +17,27 @@ import org.apache.spark.sql.types.StructType
   * pruning still works, whole-segment drops just stay conservative. */
 case class ColEnv(lo: Double, hi: Double, noNulls: Boolean)
 
+/** A STRING column's envelope: [lo, hi] in UNSIGNED UTF-8 BYTE order —
+  * the order parquet binary statistics and Spark's UTF8String comparisons
+  * share (Java String.compareTo does NOT for non-BMP code points, so
+  * every driver-side comparison against one of these goes through
+  * [[TxLogOps.utf8Cmp]], never compareTo). Bounds longer than
+  * [[TxLogOps.MaxStatStringLen]] bytes are not recorded (manifests stay
+  * tiny; absence is conservative). Rendered base64 in the manifest so any
+  * content round-trips. */
+case class StrEnv(lo: String, hi: String, noNulls: Boolean)
+
 /** One committed version: the segment dirs (relative to the table root)
   * whose union IS the snapshot, plus the operation that produced it, the
   * writer's commit timestamp (millis; -1 on legacy manifests), and
-  * per-segment numeric column [min, max] envelopes (the manifest-level
-  * data-skipping index — empty map on legacy manifests / stat-less
-  * segments; always CONSERVATIVE: a missing entry means "may contain
-  * anything"). */
+  * per-segment column [min, max] envelopes — numeric in `stats`, string
+  * in `strStats` (the manifest-level data-skipping index — empty map on
+  * legacy manifests / stat-less segments; always CONSERVATIVE: a missing
+  * entry means "may contain anything"). */
 case class TxSnapshot(version: Long, op: String, segments: Seq[String],
     ts: Long = -1L,
-    stats: Map[String, Map[String, ColEnv]] = Map.empty)
+    stats: Map[String, Map[String, ColEnv]] = Map.empty,
+    strStats: Map[String, Map[String, StrEnv]] = Map.empty)
 
 /**
  * The storage primitive the commit log needs — Delta's LogStore shape.
@@ -240,6 +251,26 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     * without a protocol line (all pre-protocol writers) are protocol 1. */
   val SupportedProtocol = 1
 
+  /** Unsigned lexicographic comparison of the UTF-8 encodings — the ONLY
+    * legal comparison against a [[StrEnv]] (parquet binary stats order;
+    * also UTF8String's order, so Spark-computed string min/max agree). */
+  def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def b64e(s: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(s.getBytes(UTF_8))
+  private def b64d(s: String): String =
+    new String(java.util.Base64.getUrlDecoder.decode(s), UTF_8)
+
   private def render(s: Snapshot): String =
     (Seq(s"version=${s.version}", s"op=${s.op}", s"ts=${s.ts}",
       s"protocol=$SupportedProtocol") ++
@@ -250,6 +281,15 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
             .map { case (c, e) =>
               s"$c=${e.lo},${e.hi},${if (e.noNulls) 1 else 0}" }.mkString(";")
           s"segstat=$f|$body"
+        }
+      } ++
+      s.segments.flatMap { f =>
+        s.strStats.get(f).filter(_.nonEmpty).map { m =>
+          val body = m.toSeq.sortBy(_._1)
+            .map { case (c, e) =>
+              s"$c=${b64e(e.lo)},${b64e(e.hi)},${if (e.noNulls) 1 else 0}" }
+            .mkString(";")
+          s"segstrstat=$f|$body"
         }
       }).mkString("", "\n", "\n")
 
@@ -281,9 +321,19 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       }.toMap
       body.substring(0, bar) -> cols
     }.toMap
+    val strStats = lines.collect { case l if l.startsWith("segstrstat=") =>
+      val body = l.substring(11)
+      val bar = body.indexOf('|')
+      val cols = body.substring(bar + 1).split(";").map { kv =>
+        val eq = kv.indexOf('=')
+        val f = kv.substring(eq + 1).split(",", -1)
+        kv.substring(0, eq) -> StrEnv(b64d(f(0)), b64d(f(1)), f(2) == "1")
+      }.toMap
+      body.substring(0, bar) -> cols
+    }.toMap
     TxSnapshot(one("version").toLong, one("op"),
       lines.collect { case l if l.startsWith("segment=") => l.substring(8) }.toSeq,
-      ts, stats)
+      ts, stats, strStats)
   }
 
   /** Keyed rewrite ops record their key columns in the manifest so the
@@ -542,6 +592,36 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       .reduce(_ && _))
   }
 
+  /** [[prunedSegments]] for a STRING column (utf8 byte order both sides). */
+  def prunedSegmentsStr(table: String, column: String, lo: String, hi: String,
+      version: Long = -1L): (Seq[String], Seq[String]) = {
+    val (lv, floor, _) = logState(table)
+    require(lv >= 0, s"not a TxLog table: $table")
+    val v = if (version < 0) lv else version
+    require(v >= floor && v <= lv, s"version $v outside [$floor, $lv] on $table")
+    val snap = snapshotOf(table, v)
+    snap.segments.partition { seg =>
+      snap.strStats.get(seg).flatMap(_.get(column)) match {
+        case Some(e) => utf8Cmp(e.hi, lo) >= 0 && utf8Cmp(e.lo, hi) <= 0
+        case None => true
+      }
+    }
+  }
+
+  /** [[readWhere]] for a STRING column: manifest-envelope segment pruning
+    * (utf8 byte order) plus the pushed string-range predicate — Spark
+    * compares strings in the same binary order the envelopes use, so the
+    * two tiers agree. */
+  def readWhereStr(spark: SparkSession, table: String, column: String,
+      lo: String, hi: String, version: Long = -1L): DataFrame = {
+    val (scanned, _) = prunedSegmentsStr(table, column, lo, hi, version)
+    val snap = if (version < 0) latest(table) else snapshotOf(table, version)
+    if (scanned.isEmpty)
+      return read(spark, table, snap.version).limit(0)
+    readSegments(spark, table, scanned)
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
   /** Pushdown-friendly [lo, hi] predicate on `column`: typed literals for
     * integral columns with whole-number bounds, double-cast comparison
     * (the envelope's convention) otherwise. */
@@ -561,11 +641,13 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   private def readSegments(spark: SparkSession, table: String, segs: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(segs.map(s => s"$table/$s"): _*)
 
-  /** Max numeric columns indexed per segment (the Delta
-    * dataSkippingNumIndexedCols discipline) and max files a driver-side
-    * footer pass will touch before conservatively skipping stats. */
+  /** Max columns indexed per segment PER KIND (numeric / string — the
+    * Delta dataSkippingNumIndexedCols discipline), max files a driver-side
+    * footer pass will touch before conservatively skipping stats, and the
+    * longest string bound (in UTF-16 units) a manifest will record. */
   private val MaxStatCols = 8
   private val MaxStatFiles = 1024
+  private val MaxStatStringLen = 96
 
   /** Per-column [min, max] of one fresh segment, read from the parquet
     * FOOTERS only (no data scan; the files were just written by this
@@ -577,12 +659,12 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     * absence is always conservative, as is an unset null count.
     * Oversized segments skip stats rather than stall the commit. */
   private def statsOfSegment(spark: SparkSession, table: String,
-      seg: String): Map[String, ColEnv] = {
+      seg: String): (Map[String, ColEnv], Map[String, StrEnv]) = {
     import scala.jdk.CollectionConverters._
     val dir = new File(table, seg)
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    if (files.isEmpty || files.length > MaxStatFiles) return Map.empty
+    if (files.isEmpty || files.length > MaxStatFiles) return (Map.empty, Map.empty)
     val conf = spark.sessionState.newHadoopConf()
     val perFile = files.toSeq.map { f =>
       val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
@@ -590,6 +672,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
         new org.apache.hadoop.fs.Path(f.getAbsolutePath),
         org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
       val acc = scala.collection.mutable.Map[String, ColEnv]()
+      val accS = scala.collection.mutable.Map[String, StrEnv]()
       val dead = scala.collection.mutable.Set[String]()
       footer.getBlocks.asScala.foreach { b =>
         b.getColumns.asScala.foreach { c =>
@@ -597,6 +680,8 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
           if (!name.contains(".") && !name.contains("|") && !name.contains(";") &&
             !name.contains("=") && !name.contains(",")) {
             val s = c.getStatistics
+            val isString = c.getPrimitiveType.getLogicalTypeAnnotation
+              .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
             val lohi: Option[(Double, Double)] =
               if (s == null || !s.hasNonNullValue) None
               else (s.genericGetMin, s.genericGetMax) match {
@@ -610,32 +695,61 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
                   Some((mn, mx))
                 case _ => None
               }
-            lohi match {
-              case Some((lo, hi)) if !dead.contains(name) =>
-                // noNulls only when the chunk PROVES it (set AND zero)
-                val chunkNoNulls = s.isNumNullsSet && s.getNumNulls == 0L
+            // string bounds: even a TRUNCATED parquet stat is a valid
+            // bound (truncated min is a prefix <= min; truncated max is
+            // byte-incremented >= max), so recording them is always safe
+            val lohiS: Option[(String, String)] =
+              if (s == null || !s.hasNonNullValue || !isString) None
+              else (s.genericGetMin, s.genericGetMax) match {
+                case (mn: org.apache.parquet.io.api.Binary,
+                      mx: org.apache.parquet.io.api.Binary) =>
+                  val (a, z) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+                  if (a.length <= MaxStatStringLen && z.length <= MaxStatStringLen)
+                    Some((a, z))
+                  else None
+                case _ => None
+              }
+            // noNulls only when the chunk PROVES it (set AND zero)
+            def chunkNoNulls = s.isNumNullsSet && s.getNumNulls == 0L
+            (lohi, lohiS) match {
+              case (Some((lo, hi)), _) if !dead.contains(name) =>
                 val cur = acc.get(name)
                 acc(name) = ColEnv(
                   cur.fold(lo)(c0 => math.min(c0.lo, lo)),
                   cur.fold(hi)(c0 => math.max(c0.hi, hi)),
                   cur.fold(chunkNoNulls)(_.noNulls && chunkNoNulls))
+              case (_, Some((lo, hi))) if !dead.contains(name) =>
+                val cur = accS.get(name)
+                accS(name) = StrEnv(
+                  cur.fold(lo)(c0 => if (utf8Cmp(c0.lo, lo) <= 0) c0.lo else lo),
+                  cur.fold(hi)(c0 => if (utf8Cmp(c0.hi, hi) >= 0) c0.hi else hi),
+                  cur.fold(chunkNoNulls)(_.noNulls && chunkNoNulls))
               case _ =>
                 // a chunk without usable stats poisons the whole column
-                dead += name; acc.remove(name); ()
+                dead += name; acc.remove(name); accS.remove(name); ()
             }
           }
         }
       }
-      (acc.toMap, dead.toSet)
+      (acc.toMap, accS.toMap, dead.toSet)
     }
     // merge across files: a column must have stats in EVERY file
-    val allDead = perFile.flatMap(_._2).toSet
+    val allDead = perFile.flatMap(_._3).toSet
     val names = perFile.map(_._1.keySet).reduceOption(_ intersect _)
       .getOrElse(Set.empty) -- allDead
-    names.toSeq.sorted.take(MaxStatCols).map { n =>
+    val namesS = perFile.map(_._2.keySet).reduceOption(_ intersect _)
+      .getOrElse(Set.empty) -- allDead
+    (names.toSeq.sorted.take(MaxStatCols).map { n =>
       val vs = perFile.map(_._1(n))
       n -> ColEnv(vs.map(_.lo).min, vs.map(_.hi).max, vs.forall(_.noNulls))
-    }.toMap
+    }.toMap,
+      namesS.toSeq.sorted.take(MaxStatCols).map { n =>
+        val vs = perFile.map(_._2(n))
+        n -> StrEnv(
+          vs.map(_.lo).reduce((a, b) => if (utf8Cmp(a, b) <= 0) a else b),
+          vs.map(_.hi).reduce((a, b) => if (utf8Cmp(a, b) >= 0) a else b),
+          vs.forall(_.noNulls))
+      }.toMap)
   }
 
   /** Write `df` as a fresh immutable segment; returns the relative path.
@@ -646,13 +760,18 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     rel
   }
 
-  /** Stats map for `kept` (copied from the base snapshot — envelopes are
-    * immutable like the segments) plus freshly-footer-read entries for
-    * `fresh`. */
+  /** Envelope maps (numeric, string) for `kept` (copied from the base
+    * snapshot — envelopes are immutable like the segments) plus
+    * freshly-footer-read entries for `fresh`. */
   private def carryStats(spark: SparkSession, table: String, base: Snapshot,
-      kept: Seq[String], fresh: Seq[String]): Map[String, Map[String, ColEnv]] =
-    kept.flatMap(s => base.stats.get(s).map(s -> _)).toMap ++
-      fresh.map(s => s -> statsOfSegment(spark, table, s)).filter(_._2.nonEmpty)
+      kept: Seq[String], fresh: Seq[String])
+      : (Map[String, Map[String, ColEnv]], Map[String, Map[String, StrEnv]]) = {
+    val freshEnv = fresh.map(s => s -> statsOfSegment(spark, table, s))
+    (kept.flatMap(s => base.stats.get(s).map(s -> _)).toMap ++
+      freshEnv.map { case (s, (num, _)) => s -> num }.filter(_._2.nonEmpty),
+      kept.flatMap(s => base.strStats.get(s).map(s -> _)).toMap ++
+        freshEnv.map { case (s, (_, str)) => s -> str }.filter(_._2.nonEmpty))
+  }
 
   private def tryClaim(table: String, snap: Snapshot): Boolean = {
     val won = store.putIfAbsent(table, commitName(snap.version), render(snap))
@@ -664,8 +783,9 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   def create(spark: SparkSession, table: String, df: DataFrame): Snapshot = {
     require(listVersions(table).isEmpty, s"TxLog table already exists: $table")
     val seg = writeSegment(table, df)
+    val (num, str) = statsOfSegment(spark, table, seg)
     val snap = TxSnapshot(0L, "create", Seq(seg), clock(),
-      Map(seg -> statsOfSegment(spark, table, seg)).filter(_._2.nonEmpty))
+      Map(seg -> num).filter(_._2.nonEmpty), Map(seg -> str).filter(_._2.nonEmpty))
     require(tryClaim(table, snap), s"concurrent create of $table")
     snap
   }
@@ -695,8 +815,9 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       lazy val baseDf = read(spark, table, base.version)
       val (op, newData, keptSegments) = plan(base, () => baseDf)
       val newSegments = newData.map(writeSegment(table, _)).toSeq
+      val (num, str) = carryStats(spark, table, base, keptSegments, newSegments)
       val snap = TxSnapshot(base.version + 1, op, keptSegments ++ newSegments,
-        clock(), carryStats(spark, table, base, keptSegments, newSegments))
+        clock(), num, str)
       if (tryClaim(table, snap)) return snap
       // lost the race: drop the orphan segment, recompute on the winner
       newSegments.foreach(dropSegment(table, _))
@@ -747,23 +868,39 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     // MANIFEST-level pre-prune: a segment whose recorded [min, max]
     // envelope for the first key column excludes the whole touch range
     // provably holds no matching key — it is untouched WITHOUT any scan
-    // (driver-side set arithmetic on the manifest). Only safe when the
-    // touch keys carry no NULL first component; segments without a
-    // recorded envelope stay candidates (conservative).
+    // (driver-side set arithmetic on the manifest). Works for NUMERIC
+    // first keys through `stats` and STRING first keys through
+    // `strStats` (utf8 byte order on both sides — Spark's min/max on a
+    // string column returns its UTF8String binary-order extremes, the
+    // same order the parquet footers recorded). Only safe when the touch
+    // keys carry no NULL first component; segments without a recorded
+    // envelope stay candidates (conservative).
     val touchRange: Option[(Double, Double)] =
       if (!noNulls) None
       else (stats.get(2), stats.get(3)) match {
         case (lo: Number, hi: Number) => Some((lo.doubleValue(), hi.doubleValue()))
         case _ => None
       }
-    val (candidates, manifestPruned) = touchRange match {
-      case Some((lo, hi)) => segments.partition { seg =>
+    val touchRangeStr: Option[(String, String)] =
+      if (!noNulls || touchRange.isDefined) None
+      else (stats.get(2), stats.get(3)) match {
+        case (lo: String, hi: String) => Some((lo, hi))
+        case _ => None
+      }
+    val (candidates, manifestPruned) = (touchRange, touchRangeStr) match {
+      case (Some((lo, hi)), _) => segments.partition { seg =>
         base.stats.get(seg).flatMap(_.get(head)) match {
           case Some(e) => e.hi >= lo && e.lo <= hi
           case None => true // no envelope: must scan
         }
       }
-      case None => (segments, Seq.empty)
+      case (_, Some((lo, hi))) => segments.partition { seg =>
+        base.strStats.get(seg).flatMap(_.get(head)) match {
+          case Some(e) => utf8Cmp(e.hi, lo) >= 0 && utf8Cmp(e.lo, hi) <= 0
+          case None => true // no envelope: must scan
+        }
+      }
+      case _ => (segments, Seq.empty)
     }
     if (candidates.isEmpty) return (Seq.empty, segments)
     val scan0 = readSegments(spark, table, candidates)
@@ -827,8 +964,9 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       lazy val baseDf = read(spark, table, lv)
       val (newData, kept) = plan(base, () => baseDf)
       val newSegments = newData.map(writeSegment(table, _)).toSeq
+      val (num, str) = carryStats(spark, table, base, kept, newSegments)
       if (tryClaim(table, TxSnapshot(lv + 1, tag, kept ++ newSegments, clock(),
-          carryStats(spark, table, base, kept, newSegments))))
+          num, str)))
         return true
       newSegments.foreach(dropSegment(table, _))
       attempt += 1
@@ -928,27 +1066,57 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
         env(_).exists(e => e.hi < lo || e.lo > hi)).toSet
       val covered = base.segments.filterNot(disjoint.contains).filter(
         env(_).exists(e => e.lo >= lo && e.hi <= hi && e.noNulls)).toSet
-      val partial = base.segments.filterNot(s => disjoint(s) || covered(s))
-      // one pushed scan over the ambiguous tier only: which candidates
-      // actually CONTAIN a matching row (footer stats prune row groups)
-      val touched: Set[String] =
-        if (partial.isEmpty) Set.empty
-        else {
-          val pdf = readSegments(spark, table, partial)
-          pdf.filter(rangeCond(pdf, table, column, lo, hi))
-            .select(segmentExpr.as("__graft_seg"))
-            .distinct().collect().map(_.getString(0)).toSet
-        }
-      val kept = base.segments.filter(s => disjoint(s) || (partial.contains(s) && !touched(s)))
-      val op = s"delete:where=$column,$lo,$hi;kept=${kept.size};" +
-        s"dropped=${covered.size};rewritten=${touched.size}"
-      if (touched.isEmpty) (op, None, kept)
-      else {
-        val tdf = readSegments(spark, table, partial.filter(touched.contains))
-        (op, Some(tdf.filter(
-          !coalesce(rangeCond(tdf, table, column, lo, hi), lit(false)))), kept)
-      }
+      deleteResolvedTiers(spark, table, base, disjoint, covered,
+        df => rangeCond(df, table, column, lo, hi),
+        s"delete:where=$column,$lo,$hi")
     }
+
+  /** [[deleteWhere]] for a STRING column: the same three-tier manifest
+    * resolution against the string envelopes, compared in utf8 byte order
+    * on both sides (Spark's own string comparisons use the same order, so
+    * the pushed predicate and the driver-side pruning agree). The op
+    * records the bounds base64'd (single-line whatever the content). */
+  def deleteWhereStr(spark: SparkSession, table: String, column: String,
+      lo: String, hi: String): Snapshot =
+    commitTransform(spark, table) { (base, _) =>
+      def env(seg: String) = base.strStats.get(seg).flatMap(_.get(column))
+      val disjoint = base.segments.filter(
+        env(_).exists(e => utf8Cmp(e.hi, lo) < 0 || utf8Cmp(e.lo, hi) > 0)).toSet
+      val covered = base.segments.filterNot(disjoint.contains).filter(
+        env(_).exists(e =>
+          utf8Cmp(e.lo, lo) >= 0 && utf8Cmp(e.hi, hi) <= 0 && e.noNulls)).toSet
+      deleteResolvedTiers(spark, table, base, disjoint, covered,
+        df => col(column) >= lit(lo) && col(column) <= lit(hi),
+        s"delete:where_str=$column,${b64e(lo)},${b64e(hi)}")
+    }
+
+  /** Shared tail of the range deletes: scan ONLY the ambiguous tier to
+    * find segments actually containing a match, rewrite those, carry
+    * everything else forward, and record the per-tier split in the op. */
+  private def deleteResolvedTiers(spark: SparkSession, table: String,
+      base: Snapshot, disjoint: Set[String], covered: Set[String],
+      cond: DataFrame => Column, opHead: String)
+      : (String, Option[DataFrame], Seq[String]) = {
+    val partial = base.segments.filterNot(s => disjoint(s) || covered(s))
+    // one pushed scan over the ambiguous tier only: which candidates
+    // actually CONTAIN a matching row (footer stats prune row groups)
+    val touched: Set[String] =
+      if (partial.isEmpty) Set.empty
+      else {
+        val pdf = readSegments(spark, table, partial)
+        pdf.filter(cond(pdf)).select(segmentExpr.as("__graft_seg"))
+          .distinct().collect().map(_.getString(0)).toSet
+      }
+    val kept = base.segments.filter(s =>
+      disjoint(s) || (partial.contains(s) && !touched(s)))
+    val op = s"$opHead;kept=${kept.size};" +
+      s"dropped=${covered.size};rewritten=${touched.size}"
+    if (touched.isEmpty) (op, None, kept)
+    else {
+      val tdf = readSegments(spark, table, partial.filter(touched.contains))
+      (op, Some(tdf.filter(!coalesce(cond(tdf), lit(false)))), kept)
+    }
+  }
 
   /** Apply a CDC change batch ([[graft.operators.Ingest.cdcApply]] picks
     * each key's winner; tombstone winners delete) onto the live snapshot:

@@ -611,6 +611,42 @@ class TxLogSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("string envelopes: footer-recorded, round-trip the manifest, drive string-keyed COW, readWhereStr, deleteWhereStr") {
+    val tbl = freshTable()
+    def ids(a: Int, b: Int) = spark.range(a, b)
+      .selectExpr("concat('doc-', lpad(cast(id AS string), 6, '0')) AS k", "id AS v")
+    TxLog.create(spark, tbl, ids(0, 100))
+    TxLog.append(spark, tbl, ids(100, 200))
+    TxLog.append(spark, tbl, ids(200, 300))
+    val snap = TxLog.latest(tbl)
+    assert(snap.strStats(snap.segments.head)("k") ===
+      StrEnv("doc-000000", "doc-000099", noNulls = true))
+    // the envelopes survive the manifest round trip (base64 rendering)
+    assert(TxLog.history(tbl).last.strStats === snap.strStats)
+    // segment pruning + content equivalence
+    val (scanned, skipped) = TxLog.prunedSegmentsStr(tbl, "k", "doc-000120", "doc-000150")
+    assert(scanned === Seq(snap.segments(1)) && skipped.size === 2)
+    assert(TxLog.readWhereStr(spark, tbl, "k", "doc-000120", "doc-000150")
+      .collect().map(_.getLong(1)).sorted.toSeq === (120L to 150L))
+    assert(TxLog.readWhereStr(spark, tbl, "k", "zzz", "zzzz").count() === 0)
+    // string-keyed COW upsert: the two out-of-range segments carry verbatim
+    TxLog.upsert(spark, tbl, Seq(("doc-000150", 9999L)).toDF("k", "v"), Seq("k"))
+    val v3 = TxLog.latest(tbl)
+    assert(v3.segments.contains(snap.segments.head) &&
+      v3.segments.contains(snap.segments(2)),
+      "string pre-prune must keep the out-of-range segments verbatim")
+    assert(!v3.segments.contains(snap.segments(1)))
+    assert(TxLog.read(spark, tbl).filter(col("k") === "doc-000150")
+      .head().getLong(1) === 9999L)
+    // deleteWhereStr: the rewritten middle segment is now fully covered
+    // (drops metadata-only), the first half of segment 3 rewrites, and
+    // segment 1 never even lists
+    val d = TxLog.deleteWhereStr(spark, tbl, "k", "doc-000100", "doc-000249")
+    assert(d.op.endsWith(";kept=1;dropped=1;rewritten=1"), d.op)
+    assert(TxLog.read(spark, tbl).collect().map(_.getLong(1)).sorted.toSeq ===
+      ((0L until 100L) ++ (250L until 300L)))
+  }
+
   test("followAggregate retractions: tracks from-scratch through upserts/deletes; vanished keys leave") {
     val root = TempDirs.create("txfollow_retract_")
     val src = root.resolve("src").toString
