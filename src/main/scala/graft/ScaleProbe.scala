@@ -1110,7 +1110,8 @@ object ScaleProbe {
       // scans the key column of all segments, but the footer-range
       // prefilter skips the 9 out-of-range segments' row groups)
       if (only.isEmpty || only.contains("txlog_upsert_cow") ||
-        only.contains("txlog_read_where") || only.contains("txlog_delete_where")) {
+        only.contains("txlog_read_where") || only.contains("txlog_delete_where") ||
+        only.contains("txlog_delete_dv") || only.contains("txlog_delete_cow_scatter")) {
         val root = new java.io.File(s"$work/txlog_cow_x$k")
         if (root.exists()) {
           import java.nio.file.{Files, Paths}
@@ -1157,6 +1158,42 @@ object ScaleProbe {
               spark, tbl, "o_orderkey", 1.0, 200000.0)
             notes(("txlog_delete_where", k)) =
               s"op=${snap.op} segments_after=${snap.segments.length}"
+            snap.segments.length.toLong
+          }
+        }
+        // SCATTERED delete two ways (rows in EVERY segment — the GDPR
+        // erasure shape): DELETION VECTORS pay one discovery scan and a
+        // deleted-rows-sized positions write, ZERO rewrite; copy-on-write
+        // must rewrite every touched segment — the whole table here. The
+        // absolute dv-vs-cow gap at 10x is the 100 TB story; both scale
+        // with the scan, only cow also scales with the REWRITE
+        def segTreeBytes(seg: String): Long = {
+          def walk(f: java.io.File): Long =
+            if (f.isFile) f.length()
+            else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+          walk(new java.io.File(tbl, seg))
+        }
+        if (only.isEmpty || only.contains("txlog_delete_dv")) {
+          timed("txlog_delete_dv", k) {
+            val before = graft.io.TxLog.latest(tbl).dvs.keySet
+            val snap = graft.io.TxLog.deleteRows(
+              spark, tbl, col("cents") % 9973 === 5)
+            val newDv = (snap.dvs.keySet -- before).toSeq
+            notes(("txlog_delete_dv", k)) =
+              s"op=${snap.op} rewritten_bytes=0 " +
+                s"dv_bytes=${newDv.map(segTreeBytes).sum}"
+            snap.dvs.size.toLong
+          }
+        }
+        if (only.isEmpty || only.contains("txlog_delete_cow_scatter")) {
+          timed("txlog_delete_cow_scatter", k) {
+            val before = graft.io.TxLog.latest(tbl).segments.toSet
+            val snap = graft.io.TxLog.delete(
+              spark, tbl, col("cents") % 9973 === 4)
+            val fresh = snap.segments.filterNot(before)
+            notes(("txlog_delete_cow_scatter", k)) =
+              s"segments_touched=${(before -- snap.segments.toSet).size} " +
+                s"rewritten_bytes=${fresh.map(segTreeBytes).sum}"
             snap.segments.length.toLong
           }
         }

@@ -3516,6 +3516,55 @@ object SparkEntry {
         .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
     }),
 
+    // DELETION VECTORS (merge-on-read): a scattered delete — one that
+    // touches rows in EVERY segment, the GDPR-erasure shape copy-on-write
+    // cannot do cheaply — records (file, row) tombstone positions instead
+    // of rewriting anything: segments provably unchanged (pinned), the
+    // manifest claims protocol 2 while vectors are present (pinned from
+    // the raw commit text), reads and the change feed apply/emit exactly
+    // the dead rows (delete count hash-checked), a slice-local COW upsert
+    // materializes ONLY its own segment's tombstones (the others' vectors
+    // survive, pinned), and a full compaction materializes the rest —
+    // vectors empty, protocol back to 1 (pinned). Live table hash-oracled
+    "q320_txlog_deletion_vectors" -> ((s, dir) => {
+      import graft.io.{PosixLogStore, TxLog}
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q320_").resolve("t").toString
+      val mx = src.agg(max(col("o_orderkey"))).head().getLong(0)
+      val third = mx / 3
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") <= third))           // v0
+      TxLog.append(s, tbl,
+        src.filter(col("o_orderkey") > third && col("o_orderkey") <= 2 * third)) // v1
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") > 2 * third))        // v2
+      val v2 = TxLog.latest(tbl)
+      val dv = TxLog.deleteRows(s, tbl, col("o_orderkey") % 17 === 3)        // v3
+      val dvOk = dv.segments == v2.segments && dv.dvs.nonEmpty &&
+        PosixLogStore.read(tbl, f"${dv.version}%08d.commit").contains("protocol=2")
+      val nDeleted = TxLog.changeFeed(s, tbl, dv.version - 1, dv.version)
+        .filter(col("_change_type") === "delete").count()
+      // slice-local COW upsert: slices 2 and 3 keep their segments AND
+      // their tombstone vectors; slice 1's vector entry materializes away
+      TxLog.upsert(s, tbl,
+        src.filter(col("o_orderkey") <= third && col("o_orderkey") % 20 === 0 &&
+          col("o_orderkey") % 17 =!= 3)
+          .withColumn("cents", col("cents") + 1), Seq("o_orderkey"))         // v4
+      val v4 = TxLog.latest(tbl)
+      val cowKeptDvs = v4.segments.contains(v2.segments(1)) &&
+        v4.segments.contains(v2.segments(2)) &&
+        v4.dvs.values.flatten.toSet == Set(v2.segments(1), v2.segments(2))
+      val comp = TxLog.compact(s, tbl, 4)                                    // v5
+      val materialized = comp.dvs.isEmpty &&
+        PosixLogStore.read(tbl, f"${comp.version}%08d.commit").contains("protocol=1")
+      TxLog.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
+        .withColumn("n_cdf_deletes", lit(nDeleted))
+        .withColumn("dv_ok", lit(dvOk))
+        .withColumn("cow_kept_dvs", lit(cowKeptDvs))
+        .withColumn("materialized_ok", lit(materialized))
+        .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
+    }),
+
     // STRING-COLUMN DATA SKIPPING: manifests record utf8-ordered [min,max]
     // envelopes for string columns too, so a doc-id-keyed table (THE
     // corpus-pipeline shape) gets the same manifest arithmetic as numeric
@@ -5682,6 +5731,29 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents, true AS tiers_ok,
         |  (SELECT n_del FROM del) AS n_cdf_deletes,
         |  CAST(5 AS BIGINT) AS n_versions
+        |FROM live GROUP BY 1""".stripMargin,
+
+    // deletion vectors: live = orders minus k%17=3, +1 cents on the
+    // slice-1 k%20=0 survivors; the CDF delete count re-derived; the
+    // three dv contracts pinned TRUE; v0..v5 = 6 versions
+    "q320_txlog_deletion_vectors" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |mx AS (SELECT max(k) AS m FROM src),
+        |del AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_del FROM src WHERE k % 17 = 3),
+        |live AS (
+        |  SELECT pr,
+        |    cents + CASE WHEN k <= m // 3 AND k % 20 = 0 THEN 1 ELSE 0 END
+        |      AS cents
+        |  FROM src, mx WHERE k % 17 != 3)
+        |SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  (SELECT n_del FROM del) AS n_cdf_deletes,
+        |  true AS dv_ok, true AS cow_kept_dvs, true AS materialized_ok,
+        |  CAST(6 AS BIGINT) AS n_versions
         |FROM live GROUP BY 1""".stripMargin,
 
     // string skipping: live = docs above the deleted first third, +1

@@ -29,15 +29,22 @@ case class StrEnv(lo: String, hi: String, noNulls: Boolean)
 
 /** One committed version: the segment dirs (relative to the table root)
   * whose union IS the snapshot, plus the operation that produced it, the
-  * writer's commit timestamp (millis; -1 on legacy manifests), and
+  * writer's commit timestamp (millis; -1 on legacy manifests),
   * per-segment column [min, max] envelopes — numeric in `stats`, string
   * in `strStats` (the manifest-level data-skipping index — empty map on
   * legacy manifests / stat-less segments; always CONSERVATIVE: a missing
-  * entry means "may contain anything"). */
+  * entry means "may contain anything") — and the snapshot's DELETION
+  * VECTORS in `dvs`: dv dir (a tiny parquet relation of (file, row)
+  * positions, relative to the table root like the segments) → the
+  * segments it affects. A row listed by any dv is DEAD: every snapshot
+  * read anti-joins the relevant dv positions (merge-on-read). A manifest
+  * carrying dvs claims protocol 2 — pre-dv readers refuse it loudly
+  * instead of resurrecting deleted rows. */
 case class TxSnapshot(version: Long, op: String, segments: Seq[String],
     ts: Long = -1L,
     stats: Map[String, Map[String, ColEnv]] = Map.empty,
-    strStats: Map[String, Map[String, StrEnv]] = Map.empty)
+    strStats: Map[String, Map[String, StrEnv]] = Map.empty,
+    dvs: Map[String, Seq[String]] = Map.empty)
 
 /**
  * The storage primitive the commit log needs — Delta's LogStore shape.
@@ -244,12 +251,18 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   private val KeysMark = ":keys="
 
   /** Highest manifest protocol this reader understands. A manifest
-    * claiming a HIGHER protocol carries semantics this code predates
-    * (e.g. a future deletion-vector field): reading it as if it were
-    * understood could silently return wrong rows, so the parse refuses
+    * claiming a HIGHER protocol carries semantics this code predates:
+    * reading it as if it were understood could silently return wrong rows
+    * (a pre-dv reader would RESURRECT deleted rows), so the parse refuses
     * loudly instead — the Delta minReaderVersion discipline. Manifests
-    * without a protocol line (all pre-protocol writers) are protocol 1. */
-  val SupportedProtocol = 1
+    * without a protocol line (all pre-protocol writers) are protocol 1;
+    * writers claim the LOWEST protocol their manifest needs (2 only while
+    * deletion vectors are present), so tables that never use dvs — and dv
+    * tables after a materializing compaction — stay readable by protocol-1
+    * readers. */
+  val SupportedProtocol = 2
+
+  private def protocolOf(s: Snapshot): Int = if (s.dvs.nonEmpty) 2 else 1
 
   /** Unsigned lexicographic comparison of the UTF-8 encodings — the ONLY
     * legal comparison against a [[StrEnv]] (parquet binary stats order;
@@ -273,8 +286,10 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
 
   private def render(s: Snapshot): String =
     (Seq(s"version=${s.version}", s"op=${s.op}", s"ts=${s.ts}",
-      s"protocol=$SupportedProtocol") ++
+      s"protocol=${protocolOf(s)}") ++
       s.segments.map(f => s"segment=$f") ++
+      s.dvs.toSeq.sortBy(_._1).map { case (d, segs) =>
+        s"dv=$d|${segs.sorted.mkString(",")}" } ++
       s.segments.flatMap { f =>
         s.stats.get(f).filter(_.nonEmpty).map { m =>
           val body = m.toSeq.sortBy(_._1)
@@ -331,9 +346,14 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       }.toMap
       body.substring(0, bar) -> cols
     }.toMap
+    val dvs = lines.collect { case l if l.startsWith("dv=") =>
+      val body = l.substring(3)
+      val bar = body.indexOf('|')
+      body.substring(0, bar) -> body.substring(bar + 1).split(",").toSeq
+    }.toMap
     TxSnapshot(one("version").toLong, one("op"),
       lines.collect { case l if l.startsWith("segment=") => l.substring(8) }.toSeq,
-      ts, stats, strStats)
+      ts, stats, strStats, dvs)
   }
 
   /** Keyed rewrite ops record their key columns in the manifest so the
@@ -484,7 +504,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
         .map(snapshotOf(table, _)).find(_.segments.nonEmpty)
         .getOrElse(sys.error(s"$table has no non-empty version <= ${snap.version}"))
       readSegments(spark, table, donor.segments).limit(0)
-    } else readSegments(spark, table, snap.segments)
+    } else readSegments(spark, table, snap.segments, snap.dvs)
   }
 
   /** Resolve "the table as of wall-clock time `tsMillis`" to a version:
@@ -587,7 +607,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val snap = if (version < 0) latest(table) else snapshotOf(table, version)
     if (scanned.isEmpty)
       return read(spark, table, snap.version).limit(0)
-    val df = readSegments(spark, table, scanned)
+    val df = readSegments(spark, table, scanned, snap.dvs)
     df.filter(ranges.map { case (c, lo, hi) => rangeCond(df, table, c, lo, hi) }
       .reduce(_ && _))
   }
@@ -618,7 +638,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val snap = if (version < 0) latest(table) else snapshotOf(table, version)
     if (scanned.isEmpty)
       return read(spark, table, snap.version).limit(0)
-    readSegments(spark, table, scanned)
+    readSegments(spark, table, scanned, snap.dvs)
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
@@ -638,8 +658,38 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     else col(column).cast("double") >= lit(lo) && col(column).cast("double") <= lit(hi)
   }
 
-  private def readSegments(spark: SparkSession, table: String, segs: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(segs.map(s => s"$table/$s"): _*)
+  /** Relative (table-root) path of each scanned row's parquet FILE plus
+    * its physical position in that file — the coordinate system deletion
+    * vectors address rows by. `_metadata.row_index` is the stable physical
+    * row ordinal the scan exposes; files are immutable, so (file, row)
+    * names a row forever. */
+  private def filePosCols: (Column, Column) =
+    (regexp_extract(col("_metadata.file_path"), "/(data/[^/]+/[^/]+)$", 1),
+      col("_metadata.row_index"))
+
+  /** Read segments, applying the snapshot's DELETION VECTORS (merge-on-
+    * read): rows whose (file, row) position appears in any dv affecting
+    * one of `segs` are anti-joined away. Dv-less reads are exactly the
+    * plain scan — no metadata columns, no join. Only dvs that affect a
+    * requested segment are read (a partial read pays for its own
+    * tombstones, not the table's). */
+  private def readSegments(spark: SparkSession, table: String, segs: Seq[String],
+      dvs: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(segs.map(s => s"$table/$s"): _*)
+    val relevant = dvs.filter(_._2.exists(segs.contains)).keys.toSeq.sorted
+    if (relevant.isEmpty) base
+    else {
+      val (f, r) = filePosCols
+      val withPos = base.withColumn("__graft_dvf", f).withColumn("__graft_dvr", r)
+      val dv = spark.read.parquet(relevant.map(d => s"$table/$d"): _*)
+        .select(col("file").as("__dv_f"), col("row").as("__dv_r"))
+      withPos.join(dv,
+          col("__graft_dvf") === col("__dv_f") && col("__graft_dvr") === col("__dv_r"),
+          "left_anti")
+        .drop("__graft_dvf", "__graft_dvr")
+    }
+  }
 
   /** Max columns indexed per segment PER KIND (numeric / string — the
     * Delta dataSkippingNumIndexedCols discipline), max files a driver-side
@@ -773,6 +823,18 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
         freshEnv.map { case (s, (_, str)) => s -> str }.filter(_._2.nonEmpty))
   }
 
+  /** Deletion vectors surviving a commit that keeps `kept` segments: a dv
+    * follows the segments it affects — a rewritten or dropped segment's
+    * tombstones are MATERIALIZED by its rewrite (the rewrite read was
+    * dv-applied), so the dv entry drops with it; a dv affecting no kept
+    * segment disappears from the manifest (its file becomes reclaimable
+    * by vacuum's history sweep). */
+  private def carryDvs(base: Snapshot, kept: Seq[String]): Map[String, Seq[String]] = {
+    val keptSet = kept.toSet
+    base.dvs.map { case (d, segs) => d -> segs.filter(keptSet.contains) }
+      .filter(_._2.nonEmpty)
+  }
+
   private def tryClaim(table: String, snap: Snapshot): Boolean = {
     val won = store.putIfAbsent(table, commitName(snap.version), render(snap))
     if (won) maybeCheckpoint(table, snap.version)
@@ -817,7 +879,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       val newSegments = newData.map(writeSegment(table, _)).toSeq
       val (num, str) = carryStats(spark, table, base, keptSegments, newSegments)
       val snap = TxSnapshot(base.version + 1, op, keptSegments ++ newSegments,
-        clock(), num, str)
+        clock(), num, str, carryDvs(base, keptSegments))
       if (tryClaim(table, snap)) return snap
       // lost the race: drop the orphan segment, recompute on the winner
       newSegments.foreach(dropSegment(table, _))
@@ -966,7 +1028,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       val newSegments = newData.map(writeSegment(table, _)).toSeq
       val (num, str) = carryStats(spark, table, base, kept, newSegments)
       if (tryClaim(table, TxSnapshot(lv + 1, tag, kept ++ newSegments, clock(),
-          num, str)))
+          num, str, carryDvs(base, kept))))
         return true
       newSegments.foreach(dropSegment(table, _))
       attempt += 1
@@ -1008,7 +1070,8 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       if (touched.isEmpty) // pure insert: no base row moves
         (op, Some(updates.select(cur().columns.map(col).toSeq: _*)), kept)
       else {
-        val touchedDf = alignTo(readSegments(spark, table, touched), cur().schema)
+        val touchedDf =
+          alignTo(readSegments(spark, table, touched, base.dvs), cur().schema)
         (op, Some(graft.operators.Ingest.upsert(touchedDf, updates, keyCols)), kept)
       }
     }
@@ -1028,7 +1091,8 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       if (touched.isEmpty) ("delete", None, kept)
       else {
         val touchedDf = alignTo(
-          readSegments(spark, table, base.segments.filter(touched.contains)), cur().schema)
+          readSegments(spark, table, base.segments.filter(touched.contains),
+            base.dvs), cur().schema)
         ("delete", Some(touchedDf.filter(!hit)), kept)
       }
     }
@@ -1113,8 +1177,91 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       s"dropped=${covered.size};rewritten=${touched.size}"
     if (touched.isEmpty) (op, None, kept)
     else {
-      val tdf = readSegments(spark, table, partial.filter(touched.contains))
+      val tdf = readSegments(spark, table, partial.filter(touched.contains),
+        base.dvs)
       (op, Some(tdf.filter(!coalesce(cond(tdf), lit(false)))), kept)
+    }
+  }
+
+  /**
+   * MERGE-ON-READ delete (deletion vectors — Delta's DV / Iceberg's
+   * positional-delete discipline): instead of rewriting every touched
+   * segment, record the (file, row) POSITIONS of the matching live rows
+   * as a tiny parquet relation and reference it from the manifest; every
+   * snapshot read anti-joins the positions away. This is what a SCATTERED
+   * delete needs at 100 TB — a GDPR erasure touching one row in each of
+   * 10k segments costs ONE discovery scan plus a positions write measured
+   * in deleted rows, where copy-on-write would rewrite 10k segments. The
+   * trade is a per-read anti-join until a compaction/optimize/rewrite
+   * MATERIALIZES the tombstones (any rewrite reads dv-applied rows, so
+   * its output segment is clean and [[carryDvs]] drops the entry).
+   *
+   * Already-dead rows are excluded from the new vector (positions are
+   * live-at-parent by construction), so [[changeFeed]] emits each row's
+   * delete exactly once. A delete matching nothing commits nothing and
+   * returns the current snapshot. Manifests carrying dvs claim protocol 2
+   * — pre-dv readers refuse loudly rather than resurrect rows.
+   */
+  def deleteRows(spark: SparkSession, table: String, cond: Column,
+      maxRetries: Int = 20): Snapshot = {
+    val hit = coalesce(cond, lit(false))
+    commitDv(spark, table, maxRetries) { base =>
+      val (f, r) = filePosCols
+      // positions of LIVE matching rows (dv-applied read: rows a prior dv
+      // already killed never re-enter a vector)
+      readSegments(spark, table, base.segments, base.dvs)
+        .filter(hit).select(f.as("file"), r.as("row"))
+    }
+  }
+
+  /** Shared deletion-vector commit loop: write the positions relation as
+    * a fresh dv dir, derive the affected segments from it (dv-sized
+    * driver work), claim a manifest with the SAME segments plus the new
+    * vector. A no-match delete commits nothing; a lost claim drops the
+    * orphan dir and recomputes against the winner. */
+  private def commitDv(spark: SparkSession, table: String, maxRetries: Int)(
+      positionsOf: Snapshot => DataFrame): Snapshot = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val base = latest(table)
+      val fresh = positionsOf(base)
+      val dvDir = s"data/dv-${java.util.UUID.randomUUID().toString.take(13)}"
+      fresh.write.parquet(s"$table/$dvDir")
+      val affected = spark.read.parquet(s"$table/$dvDir")
+        .select(regexp_extract(col("file"), "^(data/[^/]+)/", 1).as("s"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      if (affected.isEmpty) { dropSegment(table, dvDir); return base }
+      val snap = TxSnapshot(base.version + 1, s"delete_dv:segs=${affected.size}",
+        base.segments, clock(), base.stats, base.strStats,
+        base.dvs + (dvDir -> affected))
+      if (tryClaim(table, snap)) return snap
+      dropSegment(table, dvDir)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TxLog deletion-vector commit on $table lost $maxRetries consecutive races")
+  }
+
+  /** [[deleteRows]] against a KEY RELATION — the GDPR-erasure surface: the
+    * keys to erase arrive as a DataFrame (possibly large: a distributed
+    * semi-join picks the victims, so the key set never funnels through
+    * the driver), matched null-safely on `keyCols`. Positions are
+    * discovered in one dv-applied scan semi-joined to the keys; the
+    * commit is the same tombstone-positions manifest edit as
+    * [[deleteRows]] — zero segments rewritten however scattered the keys.
+    */
+  def deleteRowsKeyed(spark: SparkSession, table: String, keys: DataFrame,
+      keyCols: Seq[String], maxRetries: Int = 20): Snapshot = {
+    require(keyCols.nonEmpty, "keyCols must not be empty")
+    val renamed = keyCols.map(k => k -> s"__graft_ek_$k")
+    val keySide = keys.select(renamed.map { case (k, a) => col(k).as(a) }: _*).distinct()
+    val cond = renamed.map { case (k, a) => col(k) <=> col(a) }.reduce(_ && _)
+    commitDv(spark, table, maxRetries) { base =>
+      val (f, r) = filePosCols
+      readSegments(spark, table, base.segments, base.dvs)
+        .withColumn("__graft_dvf2", f).withColumn("__graft_dvr2", r)
+        .join(keySide, cond, "left_semi")
+        .select(col("__graft_dvf2").as("file"), col("__graft_dvr2").as("row"))
     }
   }
 
@@ -1140,7 +1287,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       val cond = renamed.map { case (k, a) => col(k) <=> col(a) }.reduce(_ && _)
       val touchedDf =
         if (touched.isEmpty) cur().limit(0)
-        else alignTo(readSegments(spark, table, touched), cur().schema)
+        else alignTo(readSegments(spark, table, touched, base.dvs), cur().schema)
       val upserted = graft.operators.Ingest.upsert(
         touchedDf, winners.select(cur().columns.map(col).toSeq: _*), keyCols)
       (op, Some(upserted.join(deadKeys, cond, "left_anti")), kept)
@@ -1175,7 +1322,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       val (small, big) = base.segments.partition(bytesOf(_) < smallBytes)
       if (small.size < 2) ("compact_small:noop", None, base.segments)
       else {
-        val packed = alignTo(readSegments(spark, table, small), cur().schema)
+        val packed = alignTo(readSegments(spark, table, small, base.dvs), cur().schema)
           .repartition(targetPartitions)
         (s"compact_small:${small.size}", Some(packed), big)
       }
@@ -1205,6 +1352,29 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   private val ChangeType = "_change_type"
   private val CommitVersion = "_commit_version"
 
+  /** The rows a DELETION-VECTOR commit killed: the version's NEW dv dirs
+    * hold exactly the positions that were live at the parent (deleteRows
+    * builds them from a dv-applied read), so a positional SEMI-join of
+    * the affected segments against those positions returns each deleted
+    * row's content exactly once — touched-volume-sized (only affected
+    * segments are scanned, only the new vectors are read). */
+  private def dvDeletedRows(spark: SparkSession, table: String, v: Long): Option[DataFrame] = {
+    val cur = snapshotOf(table, v)
+    val prev = snapshotOf(table, v - 1)
+    val newDvs = (cur.dvs.keySet -- prev.dvs.keySet).toSeq.sorted
+    if (newDvs.isEmpty) return None
+    val affected = newDvs.flatMap(cur.dvs(_)).distinct.sorted
+    val (f, r) = filePosCols
+    val rows = readSegments(spark, table, affected, prev.dvs)
+      .withColumn("__graft_dvf", f).withColumn("__graft_dvr", r)
+    val dv = spark.read.parquet(newDvs.map(d => s"$table/$d"): _*)
+      .select(col("file").as("__dv_f"), col("row").as("__dv_r"))
+    Some(rows.join(dv,
+        col("__graft_dvf") === col("__dv_f") && col("__graft_dvr") === col("__dv_r"),
+        "left_semi")
+      .drop("__graft_dvf", "__graft_dvr"))
+  }
+
   /** The CDF rows of one REWRITE version, computed from the MANIFEST DIFF:
     * copy-on-write means the segments shared between v-1 and v are
     * byte-identical, so the logical diff lives entirely in (segments only
@@ -1221,11 +1391,11 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val newSegs = cur.segments.filterNot(prev.segments.contains)
     if (oldSegs.isEmpty && newSegs.isEmpty) return None
     val donor = if (newSegs.nonEmpty) newSegs else oldSegs
-    def side(segs: Seq[String]) =
-      if (segs.nonEmpty) readSegments(spark, table, segs)
+    def side(segs: Seq[String], dvs: Map[String, Seq[String]]) =
+      if (segs.nonEmpty) readSegments(spark, table, segs, dvs)
       else readSegments(spark, table, donor).limit(0)
-    val o0 = side(oldSegs)
-    val n0 = side(newSegs)
+    val o0 = side(oldSegs, prev.dvs)
+    val n0 = side(newSegs, cur.dvs)
     val allCols = (n0.columns ++ o0.columns.filterNot(n0.columns.contains)).toSeq
     val schema = StructType(allCols.map(c =>
       n0.schema.find(_.name == c).getOrElse(o0.schema.find(_.name == c).get)))
@@ -1296,6 +1466,8 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       val changes: Option[DataFrame] =
         if (op == "append" || op.startsWith(StreamTag))
           Some(appendedIn(spark, table, v).withColumn(ChangeType, lit("insert")))
+        else if (op.startsWith("delete_dv:"))
+          dvDeletedRows(spark, table, v).map(_.withColumn(ChangeType, lit("delete")))
         else if (op == "compact" || op.startsWith("compact_small:") ||
           op.startsWith("optimize_zorder:") ||
           op.startsWith(VacuumTag)) None // row-preserving: no logical change
@@ -1422,13 +1594,15 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       (s"$VacuumTag$floor", None, base.segments)
     }
     val floor = snap.op.substring(VacuumTag.length).toLong
-    val kept = (floor to snap.version)
-      .flatMap(v => snapshotOf(table, v).segments).toSet
+    def artifacts(v: Long): Seq[String] = {
+      val sn = snapshotOf(table, v)
+      sn.segments ++ sn.dvs.keys // deletion vectors reclaim like segments
+    }
+    val kept = (floor to snap.version).flatMap(artifacts).toSet
     // delta-bounded: only [prevFloor, floor) can reference segments that
     // are still on disk but now sub-floor-only (earlier vacuums already
     // reclaimed everything exclusive to versions below prevFloor)
-    val dropped = (prevFloor until floor)
-      .flatMap(v => snapshotOf(table, v).segments).toSet -- kept
+    val dropped = (prevFloor until floor).flatMap(artifacts).toSet -- kept
     dropped.foreach(dropSegment(table, _))
     if (orphanAgeMs >= 0L) sweepOrphans(table, orphanAgeMs)
     snap
@@ -1453,9 +1627,12 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val oldEnough = dirs.filter(d => now - newestMtime(d) >= orphanAgeMs)
     if (oldEnough.isEmpty) return
     // referenced-ness AFTER the age check: any manifest present NOW (even
-    // one claimed mid-sweep) protects its segments
+    // one claimed mid-sweep) protects its segments and deletion vectors
     val referenced = listVersions(table)
-      .flatMap(v => snapshotOf(table, v).segments).toSet
+      .flatMap { v =>
+        val sn = snapshotOf(table, v)
+        sn.segments ++ sn.dvs.keys
+      }.toSet
     oldEnough.foreach { d =>
       val rel = s"data/${d.getName}"
       if (!referenced.contains(rel)) dropSegment(table, rel)
@@ -1492,6 +1669,10 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       s"version $version (op=${cur.op}) rewrote the snapshot — append-delta " +
         "reading is only exact for append commits; use changeFeed() for " +
         "classified rewrite rows, or rebuild state from read()")
+    require(!cur.op.startsWith("delete_dv:"),
+      s"version $version is a deletion-vector commit (segments unchanged, " +
+        "rows removed) — it has no additive delta; use changeFeed() for its " +
+        "classified delete rows")
     val added = cur.segments.filterNot(prev.segments.contains)
     if (added.isEmpty) read(spark, table, version).limit(0)
     else spark.read.option("mergeSchema", "true")

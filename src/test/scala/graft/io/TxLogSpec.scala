@@ -647,6 +647,69 @@ class TxLogSpec extends SparkSpec {
       ((0L until 100L) ++ (250L until 300L)))
   }
 
+  test("deletion vectors: merge-on-read delete, exact CDF, rewrite materialization, vacuum reclaim, protocol 2") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, spark.range(0, 100).selectExpr("id AS k", "id * 10 AS v"))
+    TxLog.append(spark, tbl, spark.range(100, 200).selectExpr("id AS k", "id * 10 AS v"))
+    val before = TxLog.latest(tbl)
+    // scattered delete hits BOTH segments but rewrites NOTHING
+    val d1 = TxLog.deleteRows(spark, tbl, col("k") % 50 === 7) // 7,57,107,157
+    assert(d1.segments === before.segments, "dv delete must not touch segments")
+    assert(d1.dvs.size === 1 && d1.dvs.head._2.size === 2 && d1.op === "delete_dv:segs=2")
+    // manifests carrying dvs claim protocol 2 (pre-dv readers refuse
+    // instead of resurrecting rows)
+    assert(PosixLogStore.read(tbl, f"${d1.version}%08d.commit").contains("protocol=2"))
+    assert(TxLog.read(spark, tbl).count() === 196)
+    assert(TxLog.read(spark, tbl).filter(col("k") === 57).count() === 0)
+    // time travel below the vector still sees the rows
+    assert(TxLog.read(spark, tbl, before.version).count() === 200)
+    // a second vector composes; already-dead rows never re-enter one
+    val d2 = TxLog.deleteRows(spark, tbl, col("k") % 25 === 7) // new: 32,82,132,182
+    assert(TxLog.read(spark, tbl).count() === 192)
+    // CDF: each dv version emits exactly its NEWLY-dead rows, once
+    val feed = TxLog.changeFeed(spark, tbl, before.version)
+    assert(feed.filter(col("_change_type") =!= "delete").count() === 0)
+    assert(feed.filter(col("_commit_version") === d1.version)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(7L, 57L, 107L, 157L))
+    assert(feed.filter(col("_commit_version") === d2.version)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(32L, 82L, 132L, 182L))
+    // range reads apply the vectors too
+    assert(TxLog.readWhere(spark, tbl, "k", 0.0, 40.0).count() === 39) // minus 7, 32
+    // a COW upsert reads dv-applied rows: dead key 7 RE-INSERTS (never
+    // resurrects at its old value), and the rewritten segment's
+    // tombstones MATERIALIZE — its dv entries drop from the manifest
+    TxLog.upsert(spark, tbl, Seq((7L, 777L)).toDF("k", "v"), Seq("k"))
+    assert(TxLog.read(spark, tbl).filter(col("k") === 7).head().getLong(1) === 777L)
+    assert(TxLog.read(spark, tbl).count() === 193)
+    assert(TxLog.latest(tbl).dvs.values.toSeq === Seq(Seq(before.segments(1)),
+      Seq(before.segments(1))) || TxLog.latest(tbl).dvs.values.forall(_ === Seq(before.segments(1))))
+    // compaction materializes every tombstone: dvs cleared, protocol
+    // back to 1, zero CDF rows (live rows preserved)
+    val c = TxLog.compact(spark, tbl, 2)
+    assert(c.dvs.isEmpty)
+    assert(PosixLogStore.read(tbl, f"${c.version}%08d.commit").contains("protocol=1"))
+    assert(TxLog.read(spark, tbl).count() === 193)
+    assert(TxLog.changeFeed(spark, tbl, c.version - 1).count() === 0)
+    // vacuum reclaims dv files once only sub-floor manifests reference them
+    val dvDirs = d2.dvs.keys.toSeq
+    assert(dvDirs.forall(d => new java.io.File(tbl, d).exists()))
+    TxLog.vacuum(spark, tbl, retainVersions = 1)
+    assert(dvDirs.forall(d => !new java.io.File(tbl, d).exists()),
+      "sub-floor dv files must reclaim with their manifests")
+    // a delete matching nothing commits nothing
+    val n0 = TxLog.history(tbl).length
+    TxLog.deleteRows(spark, tbl, col("k") === -999L)
+    assert(TxLog.history(tbl).length === n0)
+    // keyed erasure (the GDPR surface): victims arrive as a RELATION,
+    // matched by a distributed semi-join — zero segments rewritten
+    val victims = Seq(11L, 13L, 150L, -5L).toDF("k")
+    val beforeKeyed = TxLog.latest(tbl)
+    val dk = TxLog.deleteRowsKeyed(spark, tbl, victims, Seq("k"))
+    assert(dk.segments === beforeKeyed.segments && dk.dvs.nonEmpty)
+    assert(TxLog.read(spark, tbl).count() === 190) // 193 minus 11, 13, 150
+    assert(TxLog.read(spark, tbl).filter(col("k").isin(11L, 13L, 150L)).count() === 0)
+  }
+
   test("followAggregate retractions: tracks from-scratch through upserts/deletes; vanished keys leave") {
     val root = TempDirs.create("txfollow_retract_")
     val src = root.resolve("src").toString
@@ -674,6 +737,9 @@ class TxLogSpec extends SparkSpec {
     assert(follow(dstEach, "each"))
     TxLog.append(spark, src,
       spark.range(100, 110).selectExpr("id AS k", "id % 2 AS g", "id AS v"))  // v3
+    assert(follow(dstEach, "each"))
+    // a DELETION-VECTOR delete is just delete rows on the feed: absorbed
+    TxLog.deleteRows(spark, src, col("k") % 10 === 2)                         // v4
     assert(follow(dstEach, "each"))
     // a second follower absorbs the whole lifecycle in ONE call
     assert(follow(dstOnce, "once"))
