@@ -380,6 +380,31 @@ object GraphAnn {
   }
 
   /**
+   * TOMBSTONE COMPACTION — the rebuild that RETIRES a serve-time delete
+   * list ([[hnswQuery]]'s `deleted` tombstones keep routing the beam
+   * because an insert-only graph cannot unlink nodes; this is the "list
+   * shrinks to zero at the next rebuild" end of that discipline): the
+   * surviving corpus is reconstructed from the index ARTIFACT itself
+   * (id, vec ride every row — the original table is not needed), the
+   * dead ids drop by a distributed anti-join, and the result rebuilds.
+   * Deterministic hash levels + canonical id-sorted adjacency make the
+   * output BYTE-IDENTICAL to a from-scratch [[hnswBuild]] over the
+   * survivors (spec-pinned), so a compacted index is indistinguishable
+   * from one that never contained the dead ids — serve with an empty
+   * delete list afterwards. A cfg mismatch against the stored tag
+   * refuses loudly rather than silently rebuilding with different knobs.
+   */
+  def hnswCompact(index: DataFrame, deleted: DataFrame, deletedId: String,
+      cfg: HnswConfig = HnswConfig()): DataFrame = {
+    index.select(col("cfg")).distinct().limit(2).collect()
+      .foreach(r => requireCfgMatch(r.getString(0), cfg, "hnswCompact"))
+    val dead = deleted.select(col(deletedId).cast("long").as("__dead_id")).distinct()
+    val survivors = index.select(col("id"), col("vec"))
+      .join(dead, col("id") === col("__dead_id"), "left_anti")
+    hnswBuild(survivors, "id", "vec", cfg)
+  }
+
+  /**
    * Query the index: queries collect through the bounded funnel, every
    * shard reconstructs its graph once per task and beam-searches all
    * queries, the per-shard top-k merge in one query-partitioned window.

@@ -217,6 +217,32 @@ class GraphAnnSpec extends SparkSpec {
     ()
   }
 
+  test("hnswCompact: rebuild minus tombstones is byte-identical to a fresh build over survivors") {
+    val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 64, efSearch = 64, shards = 4)
+    val idx = GraphAnn.hnswBuild(emb, "vec_id", "embedding", cfg)
+    val dead = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val compacted = GraphAnn.hnswCompact(idx, dead, "vec_id", cfg)
+      .collect().map(_.toString).sorted.toSeq
+    val fresh = GraphAnn.hnswBuild(emb.filter(col("vec_id") % 7 =!= 0),
+        "vec_id", "embedding", cfg)
+      .collect().map(_.toString).sorted.toSeq
+    assert(compacted === fresh,
+      "compaction must be indistinguishable from never indexing the dead ids")
+    // the compacted index serves with an EMPTY delete list and can never
+    // surface a dead id (they are simply not in the graph any more)
+    val q = emb.filter(col("vec_id") < 5)
+    val viaCompacted = GraphAnn.hnswQuery(
+      GraphAnn.hnswCompact(idx, dead, "vec_id", cfg),
+      q, "vec_id", "embedding", k = 10, cfg)
+    assert(viaCompacted.filter(col("neighbor_id") % 7 === 0).count() === 0)
+    assert(viaCompacted.count() === 50) // 5 queries x full top-10
+    // cfg mismatch refuses
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.hnswCompact(idx, dead, "vec_id", cfg.copy(m = 16))
+    }
+    assert(e.getMessage.contains("hnswCompact"))
+  }
+
   test("query fan-out past maxQueryRows refuses loudly") {
     val cfg = GraphAnn.HnswConfig(shards = 2, maxQueryRows = 3)
     val index = GraphAnn.hnswBuild(emb.limit(50), "vec_id", "embedding", cfg)

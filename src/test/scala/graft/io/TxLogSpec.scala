@@ -100,6 +100,35 @@ class TxLogSpec extends SparkSpec {
       assert(ops.history(tbl).map(_.version) === (0L to 8L))
     }
 
+    test(s"[$label] concurrent deletion-vector deletes both apply; loser recomputes against winner's vectors") {
+      val tbl = freshTable()
+      ops.create(spark, tbl,
+        spark.range(0, 100).selectExpr("id AS k", "id AS v").coalesce(1))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        // overlapping predicates: k%10==3 and k%5==3 share keys 3,13,...
+        // — the loser must recompute against the winner's vectors, so the
+        // shared rows land in exactly ONE vector (CDF stays exactly-once)
+        val f1 = pool.submit(new Runnable {
+          def run(): Unit = { ops.deleteRows(spark, tbl, col("k") % 10 === 3); () }
+        })
+        val f2 = pool.submit(new Runnable {
+          def run(): Unit = { ops.deleteRows(spark, tbl, col("k") % 5 === 3); () }
+        })
+        f1.get(); f2.get()
+      } finally pool.shutdown()
+      // union of both predicates dead (k%5==3 ⊇ k%10==3: 20 rows)
+      assert(ops.read(spark, tbl).count() === 80)
+      // if the BROADER delete won the race, the narrower one finds all its
+      // rows already dead and correctly commits NOTHING
+      val h = ops.history(tbl).map(_.version)
+      assert(h === Seq(0L, 1L) || h === Seq(0L, 1L, 2L), s"got $h")
+      // exactly-once CDF: 20 deletes total, no row emitted twice
+      val feed = ops.changeFeed(spark, tbl, 0L)
+      assert(feed.count() === 20)
+      assert(feed.select(col("k")).distinct().count() === 20)
+    }
+
     test(s"[$label] concurrent conflicting rewrites both apply (loser recomputes, no lost update)") {
       val tbl = freshTable()
       ops.create(spark, tbl, Seq((1L, 0L), (2L, 0L)).toDF("k", "v"))
