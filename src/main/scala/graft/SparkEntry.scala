@@ -3516,6 +3516,32 @@ object SparkEntry {
         .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
     }),
 
+    // METADATA-ONLY COUNT(*): manifests record each segment's footer row
+    // count and each deletion vector's per-segment dead-row counts, so
+    // the live count is driver-side arithmetic — exact through a dv
+    // delete AND a COW rewrite (which materializes its own segment's
+    // tombstones). fast_count is hash-checked against the oracle's count
+    // and pinned equal to the actual scan
+    "q321_txlog_fast_count" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q321_").resolve("t").toString
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") % 2 === 0))   // v0
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") % 2 === 1))   // v1
+      TxLog.deleteRows(s, tbl, col("o_orderkey") % 13 === 2)          // v2 (dv)
+      TxLog.upsert(s, tbl,
+        src.filter(col("o_orderkey") % 40 === 0 && col("o_orderkey") % 13 =!= 2)
+          .withColumn("cents", col("cents") + 1), Seq("o_orderkey"))  // v3 (COW)
+      val fc = TxLog.fastCount(tbl)
+      val scanCount = TxLog.read(s, tbl).count()
+      TxLog.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
+        .withColumn("fast_count", lit(fc.getOrElse(-1L)))
+        .withColumn("fast_equals_scan", lit(fc.contains(scanCount)))
+        .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
+    }),
+
     // DELETION VECTORS (merge-on-read): a scattered delete — one that
     // touches rows in EVERY segment, the GDPR-erasure shape copy-on-write
     // cannot do cheaply — records (file, row) tombstone positions instead
@@ -3552,7 +3578,7 @@ object SparkEntry {
       val v4 = TxLog.latest(tbl)
       val cowKeptDvs = v4.segments.contains(v2.segments(1)) &&
         v4.segments.contains(v2.segments(2)) &&
-        v4.dvs.values.flatten.toSet == Set(v2.segments(1), v2.segments(2))
+        v4.dvs.values.flatMap(_.keys).toSet == Set(v2.segments(1), v2.segments(2))
       val comp = TxLog.compact(s, tbl, 4)                                    // v5
       val materialized = comp.dvs.isEmpty &&
         PosixLogStore.read(tbl, f"${comp.version}%08d.commit").contains("protocol=1")
@@ -5731,6 +5757,26 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents, true AS tiers_ok,
         |  (SELECT n_del FROM del) AS n_cdf_deletes,
         |  CAST(5 AS BIGINT) AS n_versions
+        |FROM live GROUP BY 1""".stripMargin,
+
+    // fast count: live = orders minus k%13=2, +1 cents on the k%40=0
+    // survivors; the metadata count re-derived as a scalar and pinned
+    // equal to the scan; v0..v3 = 4 versions
+    "q321_txlog_fast_count" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |live AS (
+        |  SELECT pr,
+        |    cents + CASE WHEN k % 40 = 0 AND k % 13 != 2 THEN 1 ELSE 0 END
+        |      AS cents
+        |  FROM src WHERE k % 13 != 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM live)
+        |SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  (SELECT n FROM tot) AS fast_count,
+        |  true AS fast_equals_scan, CAST(4 AS BIGINT) AS n_versions
         |FROM live GROUP BY 1""".stripMargin,
 
     // deletion vectors: live = orders minus k%17=3, +1 cents on the

@@ -44,7 +44,11 @@ case class TxSnapshot(version: Long, op: String, segments: Seq[String],
     ts: Long = -1L,
     stats: Map[String, Map[String, ColEnv]] = Map.empty,
     strStats: Map[String, Map[String, StrEnv]] = Map.empty,
-    dvs: Map[String, Seq[String]] = Map.empty)
+    dvs: Map[String, Map[String, Long]] = Map.empty,
+    rowCounts: Map[String, Long] = Map.empty) {
+  /** Segments a dv dir affects (the keys of its per-segment dead-row map). */
+  def dvSegments(dvDir: String): Seq[String] = dvs(dvDir).keys.toSeq.sorted
+}
 
 /**
  * The storage primitive the commit log needs — Delta's LogStore shape.
@@ -288,8 +292,10 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     (Seq(s"version=${s.version}", s"op=${s.op}", s"ts=${s.ts}",
       s"protocol=${protocolOf(s)}") ++
       s.segments.map(f => s"segment=$f") ++
-      s.dvs.toSeq.sortBy(_._1).map { case (d, segs) =>
-        s"dv=$d|${segs.sorted.mkString(",")}" } ++
+      s.dvs.toSeq.sortBy(_._1).map { case (d, perSeg) =>
+        s"dv=$d|${perSeg.toSeq.sorted.map { case (sg, n) => s"$sg:$n" }.mkString(",")}" } ++
+      s.segments.flatMap { f =>
+        s.rowCounts.get(f).map(n => s"segrows=$f|$n") } ++
       s.segments.flatMap { f =>
         s.stats.get(f).filter(_.nonEmpty).map { m =>
           val body = m.toSeq.sortBy(_._1)
@@ -349,11 +355,19 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val dvs = lines.collect { case l if l.startsWith("dv=") =>
       val body = l.substring(3)
       val bar = body.indexOf('|')
-      body.substring(0, bar) -> body.substring(bar + 1).split(",").toSeq
+      body.substring(0, bar) -> body.substring(bar + 1).split(",").map { e =>
+        val c = e.lastIndexOf(':')
+        e.substring(0, c) -> e.substring(c + 1).toLong
+      }.toMap
+    }.toMap
+    val rowCounts = lines.collect { case l if l.startsWith("segrows=") =>
+      val body = l.substring(8)
+      val bar = body.indexOf('|')
+      body.substring(0, bar) -> body.substring(bar + 1).toLong
     }.toMap
     TxSnapshot(one("version").toLong, one("op"),
       lines.collect { case l if l.startsWith("segment=") => l.substring(8) }.toSeq,
-      ts, stats, strStats, dvs)
+      ts, stats, strStats, dvs, rowCounts)
   }
 
   /** Keyed rewrite ops record their key columns in the manifest so the
@@ -537,6 +551,29 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
     read(spark, table, versionAt(table, tsMillis))
 
+  /**
+   * Metadata-only COUNT(*) — the Delta numRecords discipline: every
+   * commit records each fresh segment's row count from the footers it
+   * already reads for the envelopes, and every deletion vector records
+   * its per-segment dead-row counts, so the snapshot's live row count is
+   * pure manifest arithmetic (vectors are position-disjoint by
+   * construction — [[deleteRows]] never re-tombstones a dead row — so
+   * the subtraction is exact). Returns None when any segment predates
+   * row-count recording or skipped stats (oversized): fall back to
+   * `read().count()` — never guess. At 100 TB this is the difference
+   * between an instant answer and a full scan.
+   */
+  def fastCount(table: String, version: Long = -1L): Option[Long] = {
+    val (lv, floor, _) = logState(table)
+    require(lv >= 0, s"not a TxLog table: $table")
+    val v = if (version < 0) lv else version
+    require(v >= floor && v <= lv, s"version $v outside [$floor, $lv] on $table")
+    val snap = snapshotOf(table, v)
+    val perSeg = snap.segments.map(snap.rowCounts.get)
+    if (perSeg.exists(_.isEmpty)) None
+    else Some(perSeg.flatten.sum - snap.dvs.values.flatMap(_.values).sum)
+  }
+
   /** MANIFEST-level data skipping for a range scan: split the snapshot's
     * segments into (scanned, skipped) — a segment is skipped iff its
     * recorded [min, max] envelope for `column` provably excludes
@@ -674,10 +711,10 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     * requested segment are read (a partial read pays for its own
     * tombstones, not the table's). */
   private def readSegments(spark: SparkSession, table: String, segs: Seq[String],
-      dvs: Map[String, Seq[String]] = Map.empty): DataFrame = {
+      dvs: Map[String, Map[String, Long]] = Map.empty): DataFrame = {
     val base = spark.read.option("mergeSchema", "true")
       .parquet(segs.map(s => s"$table/$s"): _*)
-    val relevant = dvs.filter(_._2.exists(segs.contains)).keys.toSeq.sorted
+    val relevant = dvs.filter(_._2.keys.exists(segs.contains)).keys.toSeq.sorted
     if (relevant.isEmpty) base
     else {
       val (f, r) = filePosCols
@@ -709,18 +746,21 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     * absence is always conservative, as is an unset null count.
     * Oversized segments skip stats rather than stall the commit. */
   private def statsOfSegment(spark: SparkSession, table: String,
-      seg: String): (Map[String, ColEnv], Map[String, StrEnv]) = {
+      seg: String): (Map[String, ColEnv], Map[String, StrEnv], Option[Long]) = {
     import scala.jdk.CollectionConverters._
     val dir = new File(table, seg)
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    if (files.isEmpty || files.length > MaxStatFiles) return (Map.empty, Map.empty)
+    if (files.isEmpty || files.length > MaxStatFiles)
+      return (Map.empty, Map.empty, if (files.isEmpty) Some(0L) else None)
     val conf = spark.sessionState.newHadoopConf()
+    var totalRows = 0L
     val perFile = files.toSeq.map { f =>
       val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
         conf,
         new org.apache.hadoop.fs.Path(f.getAbsolutePath),
         org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      totalRows += footer.getBlocks.asScala.map(_.getRowCount).sum
       val acc = scala.collection.mutable.Map[String, ColEnv]()
       val accS = scala.collection.mutable.Map[String, StrEnv]()
       val dead = scala.collection.mutable.Set[String]()
@@ -799,7 +839,8 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
           vs.map(_.lo).reduce((a, b) => if (utf8Cmp(a, b) <= 0) a else b),
           vs.map(_.hi).reduce((a, b) => if (utf8Cmp(a, b) >= 0) a else b),
           vs.forall(_.noNulls))
-      }.toMap)
+      }.toMap,
+      Some(totalRows))
   }
 
   /** Write `df` as a fresh immutable segment; returns the relative path.
@@ -815,12 +856,15 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     * freshly-footer-read entries for `fresh`. */
   private def carryStats(spark: SparkSession, table: String, base: Snapshot,
       kept: Seq[String], fresh: Seq[String])
-      : (Map[String, Map[String, ColEnv]], Map[String, Map[String, StrEnv]]) = {
+      : (Map[String, Map[String, ColEnv]], Map[String, Map[String, StrEnv]],
+        Map[String, Long]) = {
     val freshEnv = fresh.map(s => s -> statsOfSegment(spark, table, s))
     (kept.flatMap(s => base.stats.get(s).map(s -> _)).toMap ++
-      freshEnv.map { case (s, (num, _)) => s -> num }.filter(_._2.nonEmpty),
+      freshEnv.map { case (s, (num, _, _)) => s -> num }.filter(_._2.nonEmpty),
       kept.flatMap(s => base.strStats.get(s).map(s -> _)).toMap ++
-        freshEnv.map { case (s, (_, str)) => s -> str }.filter(_._2.nonEmpty))
+        freshEnv.map { case (s, (_, str, _)) => s -> str }.filter(_._2.nonEmpty),
+      kept.flatMap(s => base.rowCounts.get(s).map(s -> _)).toMap ++
+        freshEnv.flatMap { case (s, (_, _, rc)) => rc.map(s -> _) })
   }
 
   /** Deletion vectors surviving a commit that keeps `kept` segments: a dv
@@ -829,9 +873,10 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     * dv-applied), so the dv entry drops with it; a dv affecting no kept
     * segment disappears from the manifest (its file becomes reclaimable
     * by vacuum's history sweep). */
-  private def carryDvs(base: Snapshot, kept: Seq[String]): Map[String, Seq[String]] = {
+  private def carryDvs(base: Snapshot, kept: Seq[String]): Map[String, Map[String, Long]] = {
     val keptSet = kept.toSet
-    base.dvs.map { case (d, segs) => d -> segs.filter(keptSet.contains) }
+    base.dvs.map { case (d, perSeg) =>
+      d -> perSeg.filter { case (sg, _) => keptSet.contains(sg) } }
       .filter(_._2.nonEmpty)
   }
 
@@ -845,9 +890,10 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   def create(spark: SparkSession, table: String, df: DataFrame): Snapshot = {
     require(listVersions(table).isEmpty, s"TxLog table already exists: $table")
     val seg = writeSegment(table, df)
-    val (num, str) = statsOfSegment(spark, table, seg)
+    val (num, str, rc) = statsOfSegment(spark, table, seg)
     val snap = TxSnapshot(0L, "create", Seq(seg), clock(),
-      Map(seg -> num).filter(_._2.nonEmpty), Map(seg -> str).filter(_._2.nonEmpty))
+      Map(seg -> num).filter(_._2.nonEmpty), Map(seg -> str).filter(_._2.nonEmpty),
+      Map.empty, rc.map(seg -> _).toMap)
     require(tryClaim(table, snap), s"concurrent create of $table")
     snap
   }
@@ -877,9 +923,9 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       lazy val baseDf = read(spark, table, base.version)
       val (op, newData, keptSegments) = plan(base, () => baseDf)
       val newSegments = newData.map(writeSegment(table, _)).toSeq
-      val (num, str) = carryStats(spark, table, base, keptSegments, newSegments)
+      val (num, str, rc) = carryStats(spark, table, base, keptSegments, newSegments)
       val snap = TxSnapshot(base.version + 1, op, keptSegments ++ newSegments,
-        clock(), num, str, carryDvs(base, keptSegments))
+        clock(), num, str, carryDvs(base, keptSegments), rc)
       if (tryClaim(table, snap)) return snap
       // lost the race: drop the orphan segment, recompute on the winner
       newSegments.foreach(dropSegment(table, _))
@@ -1026,9 +1072,9 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       lazy val baseDf = read(spark, table, lv)
       val (newData, kept) = plan(base, () => baseDf)
       val newSegments = newData.map(writeSegment(table, _)).toSeq
-      val (num, str) = carryStats(spark, table, base, kept, newSegments)
+      val (num, str, rc) = carryStats(spark, table, base, kept, newSegments)
       if (tryClaim(table, TxSnapshot(lv + 1, tag, kept ++ newSegments, clock(),
-          num, str, carryDvs(base, kept))))
+          num, str, carryDvs(base, kept), rc)))
         return true
       newSegments.foreach(dropSegment(table, _))
       attempt += 1
@@ -1227,13 +1273,16 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       val fresh = positionsOf(base)
       val dvDir = s"data/dv-${java.util.UUID.randomUUID().toString.take(13)}"
       fresh.write.parquet(s"$table/$dvDir")
-      val affected = spark.read.parquet(s"$table/$dvDir")
-        .select(regexp_extract(col("file"), "^(data/[^/]+)/", 1).as("s"))
-        .distinct().collect().map(_.getString(0)).toSeq.sorted
-      if (affected.isEmpty) { dropSegment(table, dvDir); return base }
-      val snap = TxSnapshot(base.version + 1, s"delete_dv:segs=${affected.size}",
+      // per-segment dead-row counts ride the manifest (what lets
+      // [[fastCount]] stay exact under merge-on-read deletes)
+      val perSeg = spark.read.parquet(s"$table/$dvDir")
+        .groupBy(regexp_extract(col("file"), "^(data/[^/]+)/", 1).as("s"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perSeg.isEmpty) { dropSegment(table, dvDir); return base }
+      val snap = TxSnapshot(base.version + 1, s"delete_dv:segs=${perSeg.size}",
         base.segments, clock(), base.stats, base.strStats,
-        base.dvs + (dvDir -> affected))
+        base.dvs + (dvDir -> perSeg), base.rowCounts)
       if (tryClaim(table, snap)) return snap
       dropSegment(table, dvDir)
       attempt += 1
@@ -1363,7 +1412,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val prev = snapshotOf(table, v - 1)
     val newDvs = (cur.dvs.keySet -- prev.dvs.keySet).toSeq.sorted
     if (newDvs.isEmpty) return None
-    val affected = newDvs.flatMap(cur.dvs(_)).distinct.sorted
+    val affected = newDvs.flatMap(d => cur.dvs(d).keys).distinct.sorted
     val (f, r) = filePosCols
     val rows = readSegments(spark, table, affected, prev.dvs)
       .withColumn("__graft_dvf", f).withColumn("__graft_dvr", r)
@@ -1391,7 +1440,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val newSegs = cur.segments.filterNot(prev.segments.contains)
     if (oldSegs.isEmpty && newSegs.isEmpty) return None
     val donor = if (newSegs.nonEmpty) newSegs else oldSegs
-    def side(segs: Seq[String], dvs: Map[String, Seq[String]]) =
+    def side(segs: Seq[String], dvs: Map[String, Map[String, Long]]) =
       if (segs.nonEmpty) readSegments(spark, table, segs, dvs)
       else readSegments(spark, table, donor).limit(0)
     val o0 = side(oldSegs, prev.dvs)

@@ -613,6 +613,18 @@ class TxLogSpec extends SparkSpec {
     assert(rows.length === 1 && rows.head.isNullAt(0) && rows.head.getLong(1) === 30L)
   }
 
+  test("fastCount: legacy manifests without row counts return None, never a guess") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, spark.range(0, 10).selectExpr("id AS k"))
+    assert(TxLog.fastCount(tbl) === Some(10L))
+    // a legacy writer's manifest: references the segment, records no counts
+    val seg = TxLog.latest(tbl).segments.head
+    PosixLogStore.putIfAbsent(tbl, "00000001.commit",
+      s"version=1\nop=append\nts=0\nsegment=$seg\n")
+    assert(TxLog.fastCount(tbl) === None)
+    assert(TxLog.read(spark, tbl).count() === 10) // the scan still works
+  }
+
   test("manifest protocol guard: a future-protocol commit refuses loudly") {
     val tbl = freshTable()
     TxLog.create(spark, tbl, spark.range(0, 10).selectExpr("id AS k"))
@@ -692,9 +704,13 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, tbl).filter(col("k") === 57).count() === 0)
     // time travel below the vector still sees the rows
     assert(TxLog.read(spark, tbl, before.version).count() === 200)
+    // metadata-only COUNT(*): exact under vectors, and per version
+    assert(TxLog.fastCount(tbl) === Some(196L))
+    assert(TxLog.fastCount(tbl, before.version) === Some(200L))
     // a second vector composes; already-dead rows never re-enter one
     val d2 = TxLog.deleteRows(spark, tbl, col("k") % 25 === 7) // new: 32,82,132,182
     assert(TxLog.read(spark, tbl).count() === 192)
+    assert(TxLog.fastCount(tbl) === Some(192L))
     // CDF: each dv version emits exactly its NEWLY-dead rows, once
     val feed = TxLog.changeFeed(spark, tbl, before.version)
     assert(feed.filter(col("_change_type") =!= "delete").count() === 0)
@@ -710,8 +726,10 @@ class TxLogSpec extends SparkSpec {
     TxLog.upsert(spark, tbl, Seq((7L, 777L)).toDF("k", "v"), Seq("k"))
     assert(TxLog.read(spark, tbl).filter(col("k") === 7).head().getLong(1) === 777L)
     assert(TxLog.read(spark, tbl).count() === 193)
-    assert(TxLog.latest(tbl).dvs.values.toSeq === Seq(Seq(before.segments(1)),
-      Seq(before.segments(1))) || TxLog.latest(tbl).dvs.values.forall(_ === Seq(before.segments(1))))
+    // the rewrite materialized segment 1's tombstones: the fresh segment's
+    // recorded count and the surviving dv counts still reconcile exactly
+    assert(TxLog.fastCount(tbl) === Some(193L))
+    assert(TxLog.latest(tbl).dvs.values.forall(_.keys.toSeq === Seq(before.segments(1))))
     // compaction materializes every tombstone: dvs cleared, protocol
     // back to 1, zero CDF rows (live rows preserved)
     val c = TxLog.compact(spark, tbl, 2)
