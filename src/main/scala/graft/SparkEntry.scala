@@ -3516,6 +3516,82 @@ object SparkEntry {
         .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
     }),
 
+    // MERGE INTO as one COW commit: matched rows update (cents += bump)
+    // or delete (the kill predicate), unmatched source rows insert — all
+    // source keys live in the first key-range half, so the second half's
+    // segment carries forward verbatim (pinned). The keyed change feed
+    // classifies the whole merge; its three counts are hash-checked
+    "q322_txlog_merge" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q322_").resolve("t").toString
+      val mx = src.agg(max(col("o_orderkey"))).head().getLong(0)
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") <= mx / 2))   // v0
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") > mx / 2))    // v1
+      val before = TxLog.latest(tbl)
+      val matchedSrc = src
+        .filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") <= mx / 2)
+        .withColumn("bump", lit(1L))
+        .withColumn("kill", col("o_orderkey") % 40 === 0)
+      val insertSrc = src
+        .filter(col("o_orderkey") % 10 === 3 && col("o_orderkey") <= mx / 2)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10L) * mx)
+        .withColumn("bump", lit(0L))
+        .withColumn("kill", lit(false))
+      val snap = TxLog.merge(s, tbl, matchedSrc.unionByName(insertSrc),
+        Seq("o_orderkey"),
+        whenMatchedSet = Map("cents" -> (col("cents") + col("src_bump"))),
+        whenMatchedDelete = Some(col("src_kill")))
+      val keptOk = snap.segments.contains(before.segments(1))
+      val cdf = TxLog.changeFeed(s, tbl, snap.version - 1)
+        .groupBy(col("_change_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      TxLog.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
+        .withColumn("n_cdf_updates", lit(cdf.getOrElse("update_postimage", 0L)))
+        .withColumn("n_cdf_deletes", lit(cdf.getOrElse("delete", 0L)))
+        .withColumn("n_cdf_inserts", lit(cdf.getOrElse("insert", 0L)))
+        .withColumn("kept_ok", lit(keptOk))
+        .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
+    }),
+
+    // RESTORE: the bad-deploy undo as a PURE manifest commit — a bad
+    // upsert and a bad delete roll back with zero data movement, history
+    // stays time-travelable, and the restore's own change feed is the
+    // classified undo (reverted updates + resurrected deletes) with both
+    // counts hash-checked
+    "q323_txlog_restore" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q323_").resolve("t").toString
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") % 2 === 0))   // v0
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") % 2 === 1))   // v1 = good
+      TxLog.upsert(s, tbl, src.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("cents", col("cents") + 100), Seq("o_orderkey"))  // v2 = bad
+      TxLog.delete(s, tbl, col("o_orderkey") % 9 === 4)               // v3 = bad
+      val dataDirs = new java.io.File(tbl, "data").listFiles().length
+      val snap = TxLog.restore(s, tbl, 1L)                            // v4
+      val noDataMoved =
+        new java.io.File(tbl, "data").listFiles().length == dataDirs &&
+          snap.op == "restore:v=1"
+      val histOk = TxLog.read(s, tbl, 3L).count() ==
+        src.filter(col("o_orderkey") % 9 =!= 4).count()
+      val fastOk = TxLog.fastCount(tbl).contains(src.count())
+      val cdf = TxLog.changeFeed(s, tbl, 3L, 4L)
+        .groupBy(col("_change_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      TxLog.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
+        .withColumn("n_undo_inserts", lit(cdf.getOrElse("insert", 0L)))
+        .withColumn("n_undo_deletes", lit(cdf.getOrElse("delete", 0L)))
+        .withColumn("no_data_moved", lit(noDataMoved))
+        .withColumn("history_intact", lit(histOk))
+        .withColumn("fast_count_ok", lit(fastOk))
+        .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
+    }),
+
     // METADATA-ONLY COUNT(*): manifests record each segment's footer row
     // count and each deletion vector's per-segment dead-row counts, so
     // the live count is driver-side arithmetic — exact through a dv
@@ -5758,6 +5834,63 @@ object SparkEntry {
         |  (SELECT n_del FROM del) AS n_cdf_deletes,
         |  CAST(5 AS BIGINT) AS n_versions
         |FROM live GROUP BY 1""".stripMargin,
+
+    // merge: untouched rows + updated survivors (+1 cents, minus the
+    // kill tier) + the re-keyed inserts; three CDF counts re-derived;
+    // the kept-segment contract pinned; v0..v2 = 3 versions
+    "q322_txlog_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |mx AS (SELECT max(k) AS m FROM src),
+        |live AS (
+        |  SELECT pr, cents FROM src, mx WHERE NOT (k % 10 = 0 AND k <= m // 2)
+        |  UNION ALL
+        |  SELECT pr, cents + 1 FROM src, mx
+        |  WHERE k % 10 = 0 AND k <= m // 2 AND k % 40 != 0
+        |  UNION ALL
+        |  SELECT pr, cents FROM src, mx WHERE k % 10 = 3 AND k <= m // 2),
+        |cdf AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN k % 10 = 0 AND k % 40 != 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_upd,
+        |    CAST(SUM(CASE WHEN k % 10 = 0 AND k % 40 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_del,
+        |    CAST(SUM(CASE WHEN k % 10 = 3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ins
+        |  FROM src, mx WHERE k <= m // 2)
+        |SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  (SELECT n_upd FROM cdf) AS n_cdf_updates,
+        |  (SELECT n_del FROM cdf) AS n_cdf_deletes,
+        |  (SELECT n_ins FROM cdf) AS n_cdf_inserts,
+        |  true AS kept_ok, CAST(3 AS BIGINT) AS n_versions
+        |FROM live GROUP BY 1""".stripMargin,
+
+    // restore: live = ALL orders (the rollback target); the undo feed's
+    // counts re-derived — resurrected deletes plus reverted updates in,
+    // the bad updated images out; v0..v4 = 5 versions
+    "q323_txlog_restore" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |undo AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN k % 9 = 4 THEN 1 ELSE 0 END) +
+        |      SUM(CASE WHEN k % 20 = 0 AND k % 9 != 4 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ins,
+        |    CAST(SUM(CASE WHEN k % 20 = 0 AND k % 9 != 4 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_del
+        |  FROM src)
+        |SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  (SELECT n_ins FROM undo) AS n_undo_inserts,
+        |  (SELECT n_del FROM undo) AS n_undo_deletes,
+        |  true AS no_data_moved, true AS history_intact, true AS fast_count_ok,
+        |  CAST(5 AS BIGINT) AS n_versions
+        |FROM src GROUP BY 1""".stripMargin,
 
     // fast count: live = orders minus k%13=2, +1 cents on the k%40=0
     // survivors; the metadata count re-derived as a scalar and pinned

@@ -1122,6 +1122,32 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       }
     }
 
+  /**
+   * MERGE INTO as a versioned COPY-ON-WRITE commit — the full SQL MERGE
+   * surface over [[upsert]]'s machinery: matched rows update through
+   * `whenMatchedSet` (source columns visible as `src_<name>`) or drop
+   * under `whenMatchedDelete`; unmatched source rows insert when
+   * `insertUnmatched`. Discovery, pruning and the manifest shape are
+   * exactly [[upsert]]'s: only segments actually holding matched keys
+   * rewrite (manifest envelopes pre-prune numeric AND string keys), the
+   * rest carry forward verbatim, and the recorded key columns let
+   * [[changeFeed]] classify the whole merge — updates as
+   * pre/postimage pairs, merge-deletes as deletes, inserts as inserts.
+   */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+      keyCols: Seq[String], whenMatchedSet: Map[String, Column],
+      whenMatchedDelete: Option[Column] = None,
+      insertUnmatched: Boolean = true): Snapshot =
+    commitTransform(spark, table) { (base, cur) =>
+      val op = keyedOp("merge", keyCols)
+      val (touched, kept) = touchedSegments(spark, table, base, keyCols, source)
+      val touchedDf =
+        if (touched.isEmpty) cur().limit(0)
+        else alignTo(readSegments(spark, table, touched, base.dvs), cur().schema)
+      (op, Some(graft.operators.Ingest.mergeRows(touchedDf, source, keyCols,
+        whenMatchedSet, whenMatchedDelete, insertUnmatched)), kept)
+    }
+
   /** Delete rows matching `cond` — a COPY-ON-WRITE rewrite: one scan
     * (pruned to the predicate's columns) finds the segments that actually
     * CONTAIN matching rows; only those rewrite, the rest carry forward.
@@ -1342,6 +1368,36 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       (op, Some(upserted.join(deadKeys, cond, "left_anti")), kept)
     }
 
+  /**
+   * RESTORE — Delta's RESTORE TABLE ... TO VERSION, the bad-deploy undo:
+   * commit a NEW version whose content is exactly `toVersion`. History is
+   * never rewritten (the mistake stays inspectable; time travel across it
+   * still works), and NO data moves: the restore manifest copies the
+   * target's segment list, envelopes, row counts and deletion vectors —
+   * all immutable and still on disk for any version at or above the
+   * retention floor. The change feed classifies the restore as a multiset
+   * diff (rows the bad versions removed come back as inserts, rows they
+   * added leave as deletes), dv-aware on both sides.
+   */
+  def restore(spark: SparkSession, table: String, toVersion: Long,
+      maxRetries: Int = 20): Snapshot = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (lv, floor, _) = logState(table)
+      require(lv >= 0, s"not a TxLog table: $table")
+      require(toVersion >= floor,
+        s"cannot restore $table to vacuumed version $toVersion (floor $floor)")
+      require(toVersion <= lv, s"no version $toVersion in $table (latest $lv)")
+      val target = snapshotOf(table, toVersion)
+      val snap = TxSnapshot(lv + 1, s"restore:v=$toVersion", target.segments,
+        clock(), target.stats, target.strStats, target.dvs, target.rowCounts)
+      if (tryClaim(table, snap)) return snap
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TxLog restore on $table lost $maxRetries consecutive races")
+  }
+
   /** Compaction: same rows, `targetPartitions` output files, one commit —
     * readers on older versions still see the pre-compaction segments. */
   def compact(spark: SparkSession, table: String, targetPartitions: Int): Snapshot =
@@ -1436,8 +1492,15 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   private def rewriteCdf(spark: SparkSession, table: String, v: Long): Option[DataFrame] = {
     val cur = snapshotOf(table, v)
     val prev = snapshotOf(table, v - 1)
-    val oldSegs = prev.segments.filterNot(cur.segments.contains)
-    val newSegs = cur.segments.filterNot(prev.segments.contains)
+    // a SHARED segment whose deletion-vector set differs between the two
+    // versions (only a restore can do that) has changed rows too: diff it
+    // on both sides, each under its own vectors
+    def dvKeysFor(sn: Snapshot, seg: String): Set[String] =
+      sn.dvs.filter(_._2.contains(seg)).keySet
+    val dvChanged = prev.segments.filter(cur.segments.contains)
+      .filter(sg => dvKeysFor(prev, sg) != dvKeysFor(cur, sg))
+    val oldSegs = prev.segments.filterNot(cur.segments.contains) ++ dvChanged
+    val newSegs = cur.segments.filterNot(prev.segments.contains) ++ dvChanged
     if (oldSegs.isEmpty && newSegs.isEmpty) return None
     val donor = if (newSegs.nonEmpty) newSegs else oldSegs
     def side(segs: Seq[String], dvs: Map[String, Map[String, Long]]) =
@@ -1473,7 +1536,8 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
               .otherwise(array(rowOf("__o_", "update_preimage"),
                 rowOf("__n_", "update_postimage")))).as("__r"))
           .select(col("__r.*")))
-      case None if cur.op == "delete" || cur.op.startsWith("delete:") =>
+      case None if cur.op == "delete" || cur.op.startsWith("delete:") ||
+          cur.op.startsWith("restore:") =>
         // row-preserving removal: multiset-exact per-row deletes/inserts
         val del = o.exceptAll(n).withColumn(ChangeType, lit("delete"))
         val ins = n.exceptAll(o).withColumn(ChangeType, lit("insert"))

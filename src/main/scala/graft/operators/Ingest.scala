@@ -52,6 +52,65 @@ object Ingest {
   }
 
   /**
+   * Generalized MERGE (the SQL MERGE INTO row transform, Delta's
+   * whenMatched/whenNotMatched shape): for each base row sharing a key
+   * (null-safe) with a source row — MATCHED — the row DROPS when
+   * `whenMatchedDelete` holds, otherwise the columns named in
+   * `whenMatchedSet` recompute (every other column passes through);
+   * unmatched base rows pass through untouched; unmatched SOURCE rows
+   * insert when `insertUnmatched` (missing non-key columns surface as
+   * typed NULLs). SET expressions and the delete predicate see the base
+   * row's columns under their own names and the source row's columns as
+   * `src_<name>`.
+   *
+   * Plan shape, which is the point at 100 TB: base joins the source ONCE
+   * (broadcast when the source is daily-merge small — base never
+   * shuffles) plus one anti-join for the inserts; no window, no groupBy.
+   * Source keys should be unique (duplicates multiply matched rows, as in
+   * SQL MERGE).
+   */
+  def mergeRows(base: DataFrame, source: DataFrame, keyCols: Seq[String],
+      whenMatchedSet: Map[String, org.apache.spark.sql.Column],
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+      insertUnmatched: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must not be empty")
+    val missing = keyCols.filterNot(base.columns.contains) ++
+      keyCols.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"key columns not present in both inputs: ${missing.distinct.mkString(", ")}")
+    val badSet = whenMatchedSet.keys.filterNot(base.columns.contains)
+    require(badSet.isEmpty, s"whenMatchedSet names unknown columns: ${badSet.mkString(", ")}")
+    require(!whenMatchedSet.keys.exists(keyCols.contains),
+      "whenMatchedSet must not rewrite a key column — that is a delete+insert")
+    val src = source.select(source.columns.map(c => col(c).as(s"src_$c")).toSeq: _*)
+      .withColumn("__graft_matched", lit(true))
+    val cond = keyCols.map(k => col(k) <=> col(s"src_$k")).reduce(_ && _)
+    val joined = base.join(src, cond, "left_outer")
+    val matched = col("__graft_matched").isNotNull
+    val survivors = whenMatchedDelete match {
+      case Some(d) => joined.filter(!coalesce(matched && d, lit(false)))
+      case None => joined
+    }
+    val updated = survivors.select(base.columns.map { c =>
+      whenMatchedSet.get(c) match {
+        case Some(expr) => when(matched, expr).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toSeq: _*)
+    if (!insertUnmatched) updated
+    else {
+      val renamed = keyCols.map(k => k -> s"__graft_mk_$k")
+      val baseKeys = base.select(renamed.map { case (k, a) => col(k).as(a) }: _*).distinct()
+      val acond = renamed.map { case (k, a) => col(k) <=> col(a) }.reduce(_ && _)
+      val inserts = source.join(baseKeys, acond, "left_anti")
+        .select(base.schema.map(f =>
+          if (source.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      updated.unionByName(inserts)
+    }
+  }
+
+  /**
    * Mergeable aggregate-state maintenance — the materialized-view refresh
    * primitive. `state` holds a keyed table of ADDITIVE statistics (counts,
    * sums, integer cents; anything where merge = +); `deltaState` is the

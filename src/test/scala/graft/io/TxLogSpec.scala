@@ -613,6 +613,71 @@ class TxLogSpec extends SparkSpec {
     assert(rows.length === 1 && rows.head.isNullAt(0) && rows.head.getLong(1) === 30L)
   }
 
+  test("merge: COW MERGE INTO — matched update/delete, unmatched insert, kept segments verbatim, CDF classifies all three") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, spark.range(0, 100).selectExpr("id AS k", "id AS v"))
+    TxLog.append(spark, tbl, spark.range(100, 200).selectExpr("id AS k", "id AS v"))
+    val before = TxLog.latest(tbl)
+    // source touches ONLY segment 2's key range: update 150 (+1000),
+    // delete 160, insert 1000 — segment 1 must carry forward verbatim
+    val source = Seq((150L, 1000L, false), (160L, 0L, true), (1000L, 7L, false))
+      .toDF("k", "bump", "kill")
+    val snap = TxLog.merge(spark, tbl, source, Seq("k"),
+      whenMatchedSet = Map("v" -> (col("v") + col("src_bump"))),
+      whenMatchedDelete = Some(col("src_kill")))
+    assert(snap.segments.contains(before.segments.head),
+      "out-of-range segment must carry forward verbatim")
+    assert(snap.op === "merge:keys=k")
+    val live = TxLog.read(spark, tbl).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(live(150L) === 1150L && !live.contains(160L) && live(1000L) === -1L)
+    assert(live.size === 200) // 200 - 1 deleted + 1 inserted
+    // the keyed CDF classifies the whole merge
+    val feed = TxLog.changeFeed(spark, tbl, snap.version - 1)
+      .groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed === Map("update_preimage" -> 1L, "update_postimage" -> 1L,
+      "delete" -> 1L, "insert" -> 1L))
+    assert(TxLog.fastCount(tbl) === Some(200L))
+  }
+
+  test("restore: pure manifest rollback — content equals the target version, history intact, CDF classifies the undo") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, spark.range(0, 100).selectExpr("id AS k", "id AS v"))
+    TxLog.append(spark, tbl, spark.range(100, 150).selectExpr("id AS k", "id AS v"))
+    val good = TxLog.latest(tbl)                                      // v1
+    // the mistake: a bad upsert, a bad COW delete, and a bad dv delete
+    TxLog.upsert(spark, tbl, Seq((5L, 5555L)).toDF("k", "v"), Seq("k")) // v2
+    TxLog.delete(spark, tbl, col("k") >= 140)                           // v3
+    TxLog.deleteRows(spark, tbl, col("k") % 30 === 1)                   // v4 (dv)
+    val dataBefore = new java.io.File(tbl, "data").listFiles().length
+    val r = TxLog.restore(spark, tbl, good.version)                     // v5
+    // nothing was written: pure manifest arithmetic
+    assert(new java.io.File(tbl, "data").listFiles().length === dataBefore)
+    assert(r.op === s"restore:v=${good.version}" && r.segments === good.segments)
+    // content, count arithmetic, and envelopes all equal the target
+    assert(TxLog.read(spark, tbl).collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 150L))
+    assert(TxLog.fastCount(tbl) === Some(150L))
+    // history intact: the mistake versions still time-travel
+    assert(TxLog.read(spark, tbl, 4L).count() === 135) // 140 minus 5 dv rows
+    // CDF of the restore: the bad versions' effects come back — removed
+    // rows re-insert (incl. the dv-dead ones), the bad upsert's value
+    // change re-classifies as a multiset delete+insert pair
+    val feed = TxLog.changeFeed(spark, tbl, r.version - 1, r.version)
+    val ins = feed.filter(col("_change_type") === "insert")
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    val del = feed.filter(col("_change_type") === "delete")
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    val dvDead = (0L until 140L).filter(_ % 30 == 1).map(k => (k, k)).toSet
+    assert(ins === ((140L until 150L).map(k => (k, k)).toSet ++ dvDead + ((5L, 5L))))
+    assert(del === Set((5L, 5555L)))
+    // restoring below the retention floor refuses
+    TxLog.vacuum(spark, tbl, retainVersions = 2)
+    val e = intercept[IllegalArgumentException] { TxLog.restore(spark, tbl, 0L) }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("fastCount: legacy manifests without row counts return None, never a guess") {
     val tbl = freshTable()
     TxLog.create(spark, tbl, spark.range(0, 10).selectExpr("id AS k"))

@@ -50,6 +50,33 @@ class IngestSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected a broadcast LeftAnti join, got:\n${plan.toString.take(2000)}")
   }
 
+  test("mergeRows: matched update/delete branches, pass-through, unmatched inserts with typed NULLs") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("k", "name", "v")
+    val source = Seq((1L, 100L, false), (2L, 0L, true), (5L, 500L, false))
+      .toDF("k", "bump", "kill")
+    val out = Ingest.mergeRows(base, source, Seq("k"),
+      whenMatchedSet = Map("v" -> (col("v") + col("src_bump"))),
+      whenMatchedDelete = Some(col("src_kill")),
+      insertUnmatched = true)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(out === Set(
+      (1L, Some("a"), 110L),   // matched update: v += src_bump
+      // k=2 matched-deleted
+      (3L, Some("c"), 30L),    // unmatched base passes through
+      (4L, Some("d"), 40L),
+      (5L, None, -1L)))        // unmatched source inserts; name/v are NULL
+    // insertUnmatched = false drops k=5; setting a key column refuses
+    assert(Ingest.mergeRows(base, source, Seq("k"),
+      Map("v" -> (col("v") + col("src_bump"))), Some(col("src_kill")),
+      insertUnmatched = false).count() === 3)
+    intercept[IllegalArgumentException] {
+      Ingest.mergeRows(base, source, Seq("k"), Map("k" -> lit(9L)))
+    }
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged classification") {
     val newV = docs.filter($"doc_id" % 7 =!= 0)
       .withColumn("text",
