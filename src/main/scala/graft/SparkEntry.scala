@@ -3516,6 +3516,45 @@ object SparkEntry {
         .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
     }),
 
+    // TARGETED VECTOR MATERIALIZATION + VACUUM DRY RUN: tombstones land
+    // on two of three segments; materializeVectors rewrites exactly those
+    // two (the clean one carries forward verbatim, pinned), clears the
+    // vectors (protocol back to 1, pinned), emits no CDF rows (pinned);
+    // the dry run's would-drop set then matches what vacuum really drops
+    // (pinned). Live table + metadata count hash-oracled
+    "q324_txlog_materialize" -> ((s, dir) => {
+      import graft.io.{PosixLogStore, TxLog}
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q324_").resolve("t").toString
+      val mx = src.agg(max(col("o_orderkey"))).head().getLong(0)
+      val third = mx / 3
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") <= third))          // v0
+      TxLog.append(s, tbl,
+        src.filter(col("o_orderkey") > third && col("o_orderkey") <= 2 * third)) // v1
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") > 2 * third))       // v2
+      val v2 = TxLog.latest(tbl)
+      TxLog.deleteRows(s, tbl,
+        col("o_orderkey") % 11 === 5 && col("o_orderkey") <= 2 * third)     // v3 (dv)
+      val m = TxLog.materializeVectors(s, tbl)                              // v4
+      val matOk = m.op == "materialize_dv:2" && m.dvs.isEmpty &&
+        m.segments.contains(v2.segments(2)) &&
+        PosixLogStore.read(tbl, f"${m.version}%08d.commit").contains("protocol=1")
+      val feedEmpty = TxLog.changeFeed(s, tbl, m.version - 1).isEmpty
+      val (_, wouldDrop) = TxLog.vacuumDryRun(tbl, retainVersions = 2)
+      TxLog.vacuum(s, tbl, retainVersions = 2)                              // v5
+      val dryRunOk = wouldDrop.nonEmpty &&
+        wouldDrop.forall(d => !new java.io.File(tbl, d).exists())
+      val fc = TxLog.fastCount(tbl)
+      TxLog.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
+        .withColumn("fast_count", lit(fc.getOrElse(-1L)))
+        .withColumn("materialize_ok", lit(matOk))
+        .withColumn("feed_empty", lit(feedEmpty))
+        .withColumn("dry_run_ok", lit(dryRunOk))
+        .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
+    }),
+
     // MERGE INTO as one COW commit: matched rows update (cents += bump)
     // or delete (the kill predicate), unmatched source rows insert — all
     // source keys live in the first key-range half, so the second half's
@@ -5833,6 +5872,26 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents, true AS tiers_ok,
         |  (SELECT n_del FROM del) AS n_cdf_deletes,
         |  CAST(5 AS BIGINT) AS n_versions
+        |FROM live GROUP BY 1""".stripMargin,
+
+    // materialize + dry run: live = orders minus the k%11=5 rows in the
+    // first two thirds of the key range; metadata count re-derived; four
+    // contracts pinned; v0..v5 = 6 versions
+    "q324_txlog_materialize" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |mx AS (SELECT max(k) AS m FROM src),
+        |live AS (
+        |  SELECT pr, cents FROM src, mx
+        |  WHERE NOT (k % 11 = 5 AND k <= m // 3 * 2)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM live)
+        |SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  (SELECT n FROM tot) AS fast_count,
+        |  true AS materialize_ok, true AS feed_empty, true AS dry_run_ok,
+        |  CAST(6 AS BIGINT) AS n_versions
         |FROM live GROUP BY 1""".stripMargin,
 
     // merge: untouched rows + updated survivors (+1 cents, minus the

@@ -630,7 +630,8 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nprobe: Int, rerank: Int = 100,
       maxQueryRows: Int = Similarity.MaxPqQueryRows,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      deleted: Option[DataFrame] = None): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val spark = pq.codes.sparkSession
     import spark.implicits._
@@ -642,12 +643,22 @@ object Similarity {
     // is ADC-scored, so the shortlist draws entirely from rows passing the
     // predicate — index-level filtering with no post-filter recall cliff,
     // and unlike the HNSW broadcast allow-set this is a distributed join:
-    // the predicate relation can be arbitrarily large.
-    val assigned = allowed match {
+    // the predicate relation can be arbitrarily large. A serve-time
+    // DELETE LIST anti-joins the same assignment (soft-delete parity with
+    // hnswQuery: tombstoned ids never reach ADC; the list resets at the
+    // next rebuild) — also a distributed join, so the tombstone relation
+    // can be corpus-sized.
+    val assigned0 = allowed match {
       case None => ivf.assigned.select(col("neighbor_id"), col("cell"))
       case Some(a) => ivf.assigned.select(col("neighbor_id"), col("cell"))
         .join(a.select(col(a.columns.head).cast("long").as("neighbor_id")),
           Seq("neighbor_id"), "left_semi")
+    }
+    val assigned = deleted match {
+      case None => assigned0
+      case Some(d) => assigned0
+        .join(d.select(col(d.columns.head).cast("long").as("neighbor_id")),
+          Seq("neighbor_id"), "left_anti")
     }
     // slim assignment: (neighbor_id, cell) only — the whole point of PQ is
     // that full vectors are NOT carried into the scan

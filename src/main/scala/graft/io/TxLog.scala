@@ -1369,6 +1369,57 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     }
 
   /**
+   * Materialize ALL deletion vectors in BOUNDED work: rewrite only the
+   * segments that carry dv entries (each read dv-applied), carry every
+   * clean segment forward verbatim, and drop the vectors — the targeted
+   * middle ground between serving under vectors forever (per-read
+   * anti-join) and a full [[compact]] (whole-table rewrite). Cost tracks
+   * the DIRTY volume; a table with vectors on 3 of 10k segments rewrites
+   * 3. Row-preserving: the change feed emits nothing for this version,
+   * and the manifest drops back to protocol 1.
+   */
+  def materializeVectors(spark: SparkSession, table: String): Snapshot =
+    commitTransform(spark, table) { (base, _) =>
+      val dirty = base.segments.filter(sg => base.dvs.values.exists(_.contains(sg)))
+      if (dirty.isEmpty) ("materialize_dv:noop", None, base.segments)
+      else {
+        val clean = base.segments.filterNot(dirty.contains)
+        (s"materialize_dv:${dirty.size}",
+          Some(readSegments(spark, table, dirty, base.dvs)), clean)
+      }
+    }
+
+  /**
+   * [[vacuum]] DRY RUN: the floor the next vacuum would commit and the
+   * artifacts (segments + dv dirs) it would delete — computed with the
+   * same delta-bounded arithmetic, committing NOTHING (inspect, then run
+   * the real vacuum). Subject to concurrent commits racing ahead, like
+   * any read.
+   */
+  def vacuumDryRun(table: String, retainVersions: Int): (Long, Set[String]) = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    val (lv, prevFloor, _) = logState(table)
+    require(lv >= 0, s"not a TxLog table: $table")
+    // the real vacuum's commit would be lv+1; it retains the newest
+    // retainVersions counting from that commit
+    val floor = math.max(prevFloor, math.max(0L, lv + 2 - retainVersions))
+    def artifacts(v: Long): Seq[String] = {
+      val sn = snapshotOf(table, v)
+      sn.segments ++ sn.dvs.keys
+    }
+    val kept = (floor to lv).flatMap(artifacts).toSet
+    (floor, (prevFloor until floor).flatMap(artifacts).toSet -- kept)
+  }
+
+  /** [[changeFeed]] between WALL-CLOCK times: every change committed
+    * strictly after `fromTs` up to `toTs` (both resolved through
+    * [[versionAt]]'s skew-monotonized timestamps). */
+  def changeFeedAsOf(spark: SparkSession, table: String, fromTs: Long,
+      toTs: Long = Long.MaxValue): DataFrame =
+    changeFeed(spark, table, versionAt(table, fromTs),
+      if (toTs == Long.MaxValue) -1L else versionAt(table, toTs))
+
+  /**
    * RESTORE — Delta's RESTORE TABLE ... TO VERSION, the bad-deploy undo:
    * commit a NEW version whose content is exactly `toVersion`. History is
    * never rewritten (the mistake stays inspectable; time travel across it
@@ -1583,6 +1634,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
           dvDeletedRows(spark, table, v).map(_.withColumn(ChangeType, lit("delete")))
         else if (op == "compact" || op.startsWith("compact_small:") ||
           op.startsWith("optimize_zorder:") ||
+          op.startsWith("materialize_dv:") ||
           op.startsWith(VacuumTag)) None // row-preserving: no logical change
         else rewriteCdf(spark, table, v)
       changes.map(_.withColumn(CommitVersion, lit(v)))

@@ -246,6 +246,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("searchIvfPq delete-list: tombstoned ids never reach ADC; recall vs brute minus the dead; composes with allow") {
+    val rng = new scala.util.Random(49)
+    val data = (0L until 400L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val q = df.filter($"vec_id" < 5L)
+    val dead = df.filter($"vec_id" % 7 === 0).select($"vec_id")
+    val (ivf, pq) = Similarity.buildIvfPq(df, "vec_id", "embedding",
+      Similarity.IvfConfig(nlist = 8, nprobe = 6),
+      Similarity.PqConfig(m = 4, ksub = 32))
+    val got = Similarity.searchIvfPq(ivf, pq, df, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10, nprobe = 6, rerank = 200,
+      deleted = Some(dead)).collect()
+    assert(got.nonEmpty && got.forall(_.getLong(1) % 7 != 0))
+    val truth = Similarity.bruteTopK(df.filter($"vec_id" % 7 =!= 0),
+        "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+    got.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+      .foreach { case (qid, s) =>
+        val overlap = truth.getOrElse(qid, Set.empty).intersect(s).size
+        assert(overlap >= 6, s"query $qid tombstoned recall $overlap/10")
+      }
+    // composes with an allow-set: both predicates hold on every result
+    val both = Similarity.searchIvfPq(ivf, pq, df, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, nprobe = 6, rerank = 200,
+      allowed = Some(df.filter($"vec_id" % 2 === 0).select($"vec_id")),
+      deleted = Some(dead)).collect()
+    assert(both.nonEmpty &&
+      both.forall(r => r.getLong(1) % 2 == 0 && r.getLong(1) % 7 != 0))
+  }
+
   test("ingestIvfPq: appended vectors are immediately searchable; duplicate ids refuse") {
     val rng = new scala.util.Random(49)
     val data = (0L until 400L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))

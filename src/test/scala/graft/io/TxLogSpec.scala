@@ -678,6 +678,63 @@ class TxLogSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("materializeVectors: rewrites ONLY dv-carrying segments, clears vectors, preserves rows; noop when clean") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, spark.range(0, 100).selectExpr("id AS k", "id AS v"))
+    TxLog.append(spark, tbl, spark.range(100, 200).selectExpr("id AS k", "id AS v"))
+    TxLog.append(spark, tbl, spark.range(200, 300).selectExpr("id AS k", "id AS v"))
+    // vectors land only on segment 1 (keys < 100)
+    TxLog.deleteRows(spark, tbl, col("k") % 30 === 7 && col("k") < 100)
+    val dirtyVersion = TxLog.latest(tbl)
+    assert(dirtyVersion.dvs.nonEmpty)
+    val m = TxLog.materializeVectors(spark, tbl)
+    assert(m.op === "materialize_dv:1" && m.dvs.isEmpty)
+    // the two clean segments carried forward verbatim
+    assert(m.segments.contains(dirtyVersion.segments(1)) &&
+      m.segments.contains(dirtyVersion.segments(2)))
+    assert(!m.segments.contains(dirtyVersion.segments.head))
+    assert(PosixLogStore.read(tbl, f"${m.version}%08d.commit").contains("protocol=1"))
+    // rows identical; row-preserving for the feed; counts reconcile
+    assert(TxLog.read(spark, tbl).count() === 296) // 7, 37, 67, 97 dead
+    assert(TxLog.fastCount(tbl) === Some(296L))
+    assert(TxLog.changeFeed(spark, tbl, m.version - 1).count() === 0)
+    // already clean: noop keeps the manifest
+    val again = TxLog.materializeVectors(spark, tbl)
+    assert(again.op === "materialize_dv:noop" && again.segments === m.segments)
+  }
+
+  test("vacuumDryRun: reports exactly what the real vacuum then drops; commits nothing") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, 10L)).toDF("k", "v"))
+    (1 to 5).foreach(_ => { TxLog.compact(spark, tbl, 1); () }) // strand 5 segments
+    val before = TxLog.history(tbl).length
+    val (floor, wouldDrop) = TxLog.vacuumDryRun(tbl, retainVersions = 2)
+    assert(TxLog.history(tbl).length === before, "dry run must not commit")
+    assert(wouldDrop.nonEmpty)
+    assert(wouldDrop.forall(d => new java.io.File(tbl, d).exists()))
+    val snap = TxLog.vacuum(spark, tbl, retainVersions = 2)
+    assert(snap.op === s"vacuum:retainFrom=$floor")
+    assert(wouldDrop.forall(d => !new java.io.File(tbl, d).exists()),
+      "the real vacuum must drop exactly the dry run's artifact set")
+  }
+
+  test("changeFeedAsOf: wall-clock range resolves through skew-monotonized timestamps") {
+    val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ops = new TxLogOps(PosixLogStore, clock = () => ticks.addAndGet(1000L))
+    val tbl = freshTable()
+    ops.create(spark, tbl, Seq((1L, 10L)).toDF("k", "v"))   // v0 ts=1000
+    ops.append(spark, tbl, Seq((2L, 20L)).toDF("k", "v"))   // v1 ts=2000
+    ops.append(spark, tbl, Seq((3L, 30L)).toDF("k", "v"))   // v2 ts=3000
+    ops.append(spark, tbl, Seq((4L, 40L)).toDF("k", "v"))   // v3 ts=4000
+    // changes strictly after t=2000 (v1) up to t=3500 (v2): just v2's row
+    val mid = ops.changeFeedAsOf(spark, tbl, 2000L, 3500L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(mid === Seq(3L))
+    // open-ended: everything after t=1500 (resolves to v0)
+    assert(ops.changeFeedAsOf(spark, tbl, 1500L)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L, 4L))
+  }
+
   test("fastCount: legacy manifests without row counts return None, never a guess") {
     val tbl = freshTable()
     TxLog.create(spark, tbl, spark.range(0, 10).selectExpr("id AS k"))
