@@ -3516,6 +3516,34 @@ object SparkEntry {
         .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
     }),
 
+    // TXLOG ON THE PURE-SQL SURFACE: the injected TABLE-VALUED functions
+    // — graft_txlog(path[, version]) and graft_txlog_changes(path, from)
+    // — resolve to the read's own logical plan, so a SQL user gets
+    // snapshot isolation, dv application, time travel, and the CDF with
+    // ordinary Catalyst pushdown and no bespoke physical source. The gate
+    // groups the live table THROUGH spark.sql, re-derives the v0 count
+    // and the CDF delete count through the TVFs, and hash-oracles it all
+    "q325_txlog_sql_tvf" -> ((s, dir) => {
+      import graft.io.TxLog
+      org.apache.spark.sql.graft.GraftExtensions.registerTableFunctions(s)
+      val src = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q325_").resolve("t").toString
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") % 2 === 0))   // v0
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") % 2 === 1))   // v1
+      TxLog.deleteRows(s, tbl, col("o_orderkey") % 21 === 6)          // v2 (dv)
+      val nV0 = s.sql(s"SELECT count(*) FROM graft_txlog('$tbl', 0)")
+        .head().getLong(0)
+      val nDel = s.sql(s"SELECT count(*) FROM graft_txlog_changes('$tbl', 1) " +
+        "WHERE _change_type = 'delete'").head().getLong(0)
+      s.sql(s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_live,
+        CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM graft_txlog('$tbl') GROUP BY 1""")
+        .withColumn("n_v0", lit(nV0))
+        .withColumn("n_cdf_deletes", lit(nDel))
+        .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
+    }),
+
     // TARGETED VECTOR MATERIALIZATION + VACUUM DRY RUN: tombstones land
     // on two of three segments; materializeVectors rewrites exactly those
     // two (the clean one carries forward verbatim, pinned), clears the
@@ -5872,6 +5900,23 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS sum_cents, true AS tiers_ok,
         |  (SELECT n_del FROM del) AS n_cdf_deletes,
         |  CAST(5 AS BIGINT) AS n_versions
+        |FROM live GROUP BY 1""".stripMargin,
+
+    // SQL TVF surface: live = orders minus k%21=6 (the dv delete), read
+    // THROUGH spark.sql over graft_txlog; v0 count = the evens; the CDF
+    // delete count re-derived; v0..v2 = 3 versions
+    "q325_txlog_sql_tvf" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |v0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM src WHERE k % 2 = 0),
+        |del AS (SELECT CAST(count(*) AS BIGINT) AS n FROM src WHERE k % 21 = 6),
+        |live AS (SELECT pr, cents FROM src WHERE k % 21 != 6)
+        |SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  (SELECT n FROM v0) AS n_v0, (SELECT n FROM del) AS n_cdf_deletes,
+        |  CAST(3 AS BIGINT) AS n_versions
         |FROM live GROUP BY 1""".stripMargin,
 
     // materialize + dry run: live = orders minus the k%11=5 rows in the

@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     registrations.foreach(ext.injectFunction)
+    GraftExtensions.tableRegistrations.foreach(ext.injectTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
@@ -85,6 +86,57 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => {
       require(exprs.length == n, s"$name expects $n arguments, got ${exprs.length}")
       b(exprs)
+    }
+
+  /**
+   * TABLE-VALUED functions: the TxLog lakehouse tier on the pure-SQL
+   * surface — `SELECT ... FROM graft_txlog('/path')` (snapshot-isolated,
+   * deletion vectors applied), with time travel by version
+   * (`graft_txlog('/path', 3)`) or wall-clock (`graft_txlog('/path',
+   * 'ts=<millis>')`), and `graft_txlog_changes('/path', fromV[, toV])`
+   * for the classified CDF. The builder runs at resolution time on the
+   * ACTIVE session and returns the read's logical plan, so everything
+   * downstream (pruning, pushdown into the parquet scan, the dv
+   * anti-join) is ordinary Catalyst — no bespoke physical source.
+   */
+  val tableRegistrations: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_txlog"),
+      info("graft_txlog",
+        "graft_txlog(path[, version | 'ts=<millis>']) — read a graft TxLog table"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"graft_txlog expects (path[, version|'ts=<millis>']), got ${exprs.length} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = litStr(exprs.head, "graft_txlog path")
+        val df =
+          if (exprs.length == 1) graft.io.TxLog.read(spark, path)
+          else exprs(1) match {
+            case Literal(s: org.apache.spark.unsafe.types.UTF8String, _)
+                if s.toString.startsWith("ts=") =>
+              graft.io.TxLog.readAsOf(spark, path, s.toString.substring(3).toLong)
+            case e => graft.io.TxLog.read(spark, path, litLong(e, "graft_txlog version"))
+          }
+        df.queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_txlog_changes"),
+      info("graft_txlog_changes",
+        "graft_txlog_changes(path, fromVersion[, toVersion]) — the classified CDF"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          s"graft_txlog_changes expects (path, fromVersion[, toVersion]), got ${exprs.length} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = litStr(exprs.head, "graft_txlog_changes path")
+        val from = litLong(exprs(1), "fromVersion")
+        val to = if (exprs.length == 3) litLong(exprs(2), "toVersion") else -1L
+        graft.io.TxLog.changeFeed(spark, path, from, to).queryExecution.logical
+      }))
+
+  /** Register the table functions on an EXISTING session (the gate/spec
+    * path — sessions built without `spark.sql.extensions` config). */
+  def registerTableFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    tableRegistrations.foreach { case (id, inf, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(id, inf, builder)
     }
 
   /** (identifier, info, builder) triples for every SQL-exposed function. */

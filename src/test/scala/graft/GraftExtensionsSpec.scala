@@ -14,6 +14,29 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_txlog table functions: SQL reads with time travel, dv application, and the CDF") {
+    import org.apache.spark.sql.functions.col
+    GraftExtensions.registerTableFunctions(spark)
+    val tbl = graft.io.TempDirs.create("ext_tvf_").resolve("t").toString
+    graft.io.TxLog.create(spark, tbl, spark.range(0, 10).selectExpr("id AS k"))
+    graft.io.TxLog.append(spark, tbl, spark.range(10, 20).selectExpr("id AS k"))
+    graft.io.TxLog.deleteRows(spark, tbl, col("k") === 5L)
+    def one(sql: String) = spark.sql(sql).head().getLong(0)
+    // snapshot read applies the deletion vector
+    assert(one(s"SELECT count(*) FROM graft_txlog('$tbl')") === 19L)
+    // version and wall-clock time travel
+    assert(one(s"SELECT count(*) FROM graft_txlog('$tbl', 0)") === 10L)
+    val future = System.currentTimeMillis() + 3600000L
+    assert(one(s"SELECT count(*) FROM graft_txlog('$tbl', 'ts=$future')") === 19L)
+    // the CDF as a relation
+    assert(one(s"SELECT count(*) FROM graft_txlog_changes('$tbl', 1) " +
+      "WHERE _change_type = 'delete'") === 1L)
+    // predicates on the TVF behave like any relation (pushed to the scan)
+    assert(one(s"SELECT count(*) FROM graft_txlog('$tbl') WHERE k < 3") === 3L)
+    // bad args fail with named errors
+    intercept[Exception] { spark.sql(s"SELECT * FROM graft_txlog(42)").collect() }
+  }
+
   test("vector kernels resolve and compute via pure SQL") {
     registered
     spark.read.parquet(s"$sf0001/embeddings.parquet").createOrReplaceTempView("emb")
