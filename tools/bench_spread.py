@@ -44,4 +44,7 @@ def main(paths):
 
 
 if __name__ == "__main__":
+    # piping into head must not traceback (BrokenPipeError on stdout)
+    import signal
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
     sys.exit(main(sys.argv[1:]))
