@@ -1102,6 +1102,36 @@ object ScaleProbe {
           graft.io.TxLog.read(spark, tbl).count()
         }
       }
+      // SCOPED OPTIMIZE (round 10): the table is k base-sized CLUSTERED
+      // segments plus ONE fixed un-clustered append; the timed scoped
+      // re-optimize must rewrite only the append (flat ~1x) — the
+      // all-or-nothing form would show ~kx here (it rewrites the table)
+      if (only.isEmpty || only.contains("txlog_optimize_scoped")) {
+        val root = new java.io.File(s"$work/txlog_opts_x$k")
+        if (root.exists()) {
+          import java.nio.file.{Files, Paths}
+          Files.walk(Paths.get(root.getPath))
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+        val tbl = s"$work/txlog_opts_x$k/t"
+        val base = read("orders", k).select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        graft.io.TxLog.create(spark, tbl, base)
+        graft.io.TxLog.optimize(spark, tbl, "o_custkey", "cents",
+          targetPartitions = 16 * k) // the pre-clustered bulk
+        val fixedBatch = read("orders", 1).select(
+          (col("o_orderkey") + lit(1000000000L)).as("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        graft.io.TxLog.append(spark, tbl, fixedBatch)
+        timed("txlog_optimize_scoped", k) {
+          val snap = graft.io.TxLog.optimize(spark, tbl, "o_custkey", "cents",
+            targetPartitions = 16, scoped = true)
+          notes(("txlog_optimize_scoped", k)) =
+            s"clustered bulk kept verbatim; segments=${snap.segments.size}"
+          graft.io.TxLog.read(spark, tbl).count()
+        }
+      }
       // COPY-ON-WRITE upsert: the table holds k base-sized segments; the
       // timed upsert touches a FIXED batch of keys that all live in the
       // FIRST segment's key range. Rewrite cost must track the touched

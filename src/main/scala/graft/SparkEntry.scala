@@ -3516,6 +3516,262 @@ object SparkEntry {
         .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
     }),
 
+    // INDEX-FOLLOWS-TABLE (the round-10 flagship, verdict r9 #1): an
+    // exactly-once HNSW follower rides a TxLog corpus' change feed —
+    // bootstrap from the snapshot, adopt-and-insert on appends AND an
+    // exactly-once stream batch, dv-keyed GDPR erasures land on the
+    // serve-time tombstone list, and upserted (re-embedded) ids trigger a
+    // compact-and-reinsert that retires the tombstones. Pins: recall vs
+    // brute force over the LIVE snapshot, graph-ids == live-corpus-ids
+    // coverage, updated ids serving their NEW vectors, erased ids never
+    // served, and a deliberate replay skipped (exactly-once)
+    "q326_index_follows_table" -> ((s, dir) => {
+      import graft.ext.{GraphAnn, IndexFollower, Similarity}
+      import graft.io.TxLog
+      val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 96, efSearch = 128, shards = 2)
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val root = graft.io.TempDirs.create("graft_q326_")
+      val src = root.resolve("docs").toString
+      val idx = root.resolve("index").toString
+      def follow() = IndexFollower.followIndex(s, src, idx, "ann", "vec_id", "embedding", cfg)
+      TxLog.create(s, src, e.filter(col("vec_id") % 4 === 0))                     // v0
+      val f1 = follow()                                                           // bootstrap
+      TxLog.append(s, src, e.filter(col("vec_id") % 4 === 1))                     // v1
+      TxLog.appendStreamBatch(s, src, e.filter(col("vec_id") % 4 === 2), "ing", 0L) // v2
+      val f2 = follow()                                                           // pure inserts
+      val upd = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"))
+        .unionByName(e.filter(col("vec_id") % 4 === 3))
+      TxLog.upsert(s, src, upd, Seq("vec_id"))                                    // v3 (COW)
+      TxLog.deleteRowsKeyed(s, src,
+        e.filter(col("vec_id") % 25 === 7).select(col("vec_id")), Seq("vec_id"))  // v4 (dv)
+      val f3 = follow()                                                           // updates → compact
+      val replaySkipped = !follow()
+      val live = TxLog.read(s, src)
+      val state = TxLog.read(s, idx)
+      val nodeIds = IndexFollower.nodesOf(state).select(col("id"))
+      val liveIds = live.select(col("vec_id").cast("long").as("id"))
+      val coverageOk = nodeIds.exceptAll(liveIds).isEmpty &&
+        liveIds.exceptAll(nodeIds).isEmpty &&
+        IndexFollower.tombstonesOf(state).isEmpty
+      // re-embedded ids serve their NEW (negated) vectors
+      val negOk = IndexFollower.nodesOf(state).filter(col("id") % 20 === 0)
+        .join(e.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+        .filter(col("vec") =!= transform(col("embedding"), x => -x)).isEmpty
+      val q = e.filter(col("vec_id") < 5)
+      val res = IndexFollower.searchIndex(s, idx, q, "vec_id", "embedding", k = 10, cfg)
+      val erased = e.filter(col("vec_id") % 25 === 7)
+        .select(col("vec_id").as("neighbor_id"))
+      val noErasedServed = res.join(erased, Seq("neighbor_id"), "left_semi").isEmpty
+      val brute = Similarity.bruteTopK(live, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10)
+      val hits = res.join(brute.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"),
+          lit(f1 && f2 && f3 && replaySkipped).as("exactly_once_ok"),
+          lit(coverageOk).as("coverage_ok"),
+          lit(negOk && noErasedServed).as("updates_and_erasures_ok"))
+    }),
+
+    // MINHASH-INDEX-FOLLOWS-TABLE: the dedup twin of q326 — the followed
+    // MinHash index (band table + verification base, maintained per-id
+    // from the change feed through create/append/upsert/dv-delete) is
+    // pinned EXACTLY EQUAL as a relation to a from-scratch
+    // buildMinhashIndex over the live snapshot (not merely equivalent),
+    // with the replay skipped (exactly-once)
+    "q332_minhash_follows_table" -> ((s, dir) => {
+      import graft.ext.{Dedup, IndexFollower}
+      import graft.io.TxLog
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val root = graft.io.TempDirs.create("graft_q332_")
+      val src = root.resolve("docs").toString
+      val idx = root.resolve("mh").toString
+      val cfg = Dedup.MinHashConfig()
+      def follow() = IndexFollower.followMinhashIndex(s, src, idx, "mh", "doc_id", "text", cfg)
+      TxLog.create(s, src, docs.filter(col("doc_id") % 3 === 0))               // v0
+      val f1 = follow()
+      TxLog.append(s, src, docs.filter(col("doc_id") % 3 === 1))               // v1
+      val f2 = follow()
+      // re-text existing ids (%30==0 ⊂ the created slice) + insert the rest
+      val upd = docs.filter(col("doc_id") % 30 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" revised edition")).as("text"), col("lang"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 2))
+      TxLog.upsert(s, src, upd, Seq("doc_id"))                                 // v2 (COW)
+      TxLog.deleteRowsKeyed(s, src,
+        docs.filter(col("doc_id") % 17 === 3).select(col("doc_id")), Seq("doc_id")) // v3 (dv)
+      val f3 = follow()
+      val replaySkipped = !follow()
+      val live = TxLog.read(s, src)
+      val followed = IndexFollower.minhashIndexOf(TxLog.read(s, idx))
+      val rebuilt = Dedup.buildMinhashIndex(live, "doc_id", "text", cfg)
+      def eqRel(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val stateOk = eqRel(followed.bands, rebuilt.bands) &&
+        eqRel(followed.base, rebuilt.base)
+      live.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("state_equals_rebuild", lit(stateOk))
+        .withColumn("exactly_once_ok", lit(f1 && f2 && f3 && replaySkipped))
+    }),
+
+    // SCOPED OPTIMIZE ZORDER (verdict r9 #2): re-clustering after a day's
+    // appends rewrites only the un-clustered segments — the prior
+    // optimize's output carries VERBATIM (pinned), a second scoped call is
+    // a manifest-only noop (pinned), and manifest-level data skipping
+    // stays exact through the incremental layout (pinned)
+    "q327_txlog_optimize_scoped" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q327_").resolve("t").toString
+      val mx = src.agg(max(col("o_orderkey"))).head().getLong(0)
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") <= mx / 2))             // v0
+      TxLog.optimize(s, tbl, "o_custkey", "cents", targetPartitions = 8)        // v1 full
+      val clustered = TxLog.latest(tbl).segments.toSet
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") > mx / 2))              // v2
+      val v3 = TxLog.optimize(s, tbl, "o_custkey", "cents",
+        targetPartitions = 8, scoped = true)                                    // v3
+      val keptOk = clustered.forall(v3.segments.contains) &&
+        v3.op == "optimize_zorder:o_custkey,cents"
+      val v4 = TxLog.optimize(s, tbl, "o_custkey", "cents",
+        targetPartitions = 8, scoped = true)                                    // v4 noop
+      val noopOk = v4.op.endsWith(";noop") && v4.segments == v3.segments
+      val probeHi = (src.agg(max(col("o_custkey"))).head().getLong(0) / 10).toDouble
+      val whereOk = TxLog.readWhere(s, tbl, "o_custkey", 1.0, probeHi).count() ==
+        TxLog.read(s, tbl)
+          .filter(col("o_custkey") >= 1 && col("o_custkey") <= probeHi).count()
+      TxLog.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
+        .withColumn("kept_verbatim_ok", lit(keptOk))
+        .withColumn("noop_ok", lit(noopOk))
+        .withColumn("where_ok", lit(whereOk))
+    }),
+
+    // CONFLICT-AWARE COMMIT REBASE (verdict r9 #3): 7 genuinely concurrent
+    // appends against one table — every lost claim REBASES by manifest
+    // arithmetic instead of recomputing (zero recomputes pinned; versions
+    // contiguous pinned; no append lost, content hash-oracled)
+    "q328_txlog_concurrent_appends" -> ((s, dir) => {
+      import graft.io.{PosixLogStore, TxLogOps}
+      val ops = new TxLogOps(PosixLogStore)
+      val src = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q328_").resolve("t").toString
+      ops.create(s, tbl, src.filter(col("o_orderkey") % 8 === 0))
+      val rc0 = ops.commitRecomputeCount.get()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
+      try {
+        val fs = (1 to 7).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long =
+              ops.append(s, tbl, src.filter(col("o_orderkey") % 8 === i)).version
+          })
+        }
+        fs.foreach(_.get())
+      } finally pool.shutdown()
+      val versionsOk = ops.history(tbl).map(_.version) == (0L to 7L)
+      val zeroRecompute = ops.commitRecomputeCount.get() == rc0
+      ops.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("versions_contiguous", lit(versionsOk))
+        .withColumn("zero_recomputes", lit(zeroRecompute))
+    }),
+
+    // CHECKPOINTED TIMESTAMP INDEX (verdict r9 #7): timestamp time travel
+    // on a 12-version table resolves through the checkpoints' running-max
+    // timestamps — the parse count is pinned FLAT (<= 2*interval + 2,
+    // never the full retained history) and the resolved snapshot's
+    // content is pinned against the slice arithmetic
+    "q329_txlog_ts_index" -> ((s, dir) => {
+      import graft.io.{PosixLogStore, TxLogOps}
+      val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ops = new TxLogOps(PosixLogStore, checkpointInterval = 4,
+        clock = () => ticks.addAndGet(1000L))
+      val src = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q329_").resolve("t").toString
+      ops.create(s, tbl, src.filter(col("o_orderkey") % 12 === 0))   // v0 ts=1000
+      (1 to 11).foreach(i =>
+        ops.append(s, tbl, src.filter(col("o_orderkey") % 12 === i))) // v1..v11
+      // version v committed at ts=(v+1)*1000; checkpoints at 4 and 8
+      val p0 = ops.manifestParseCount.get()
+      val resolved = ops.versionAt(tbl, 10500L)
+      val parses = ops.manifestParseCount.get() - p0
+      val flatOk = resolved == 9L && parses <= 2L * 4 + 2
+      val asofOk = ops.readAsOf(s, tbl, 10500L).count() ==
+        src.filter(col("o_orderkey") % 12 <= 9).count()
+      ops.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("n_versions", lit(ops.history(tbl).length.toLong))
+        .withColumn("flat_ok", lit(flatOk))
+        .withColumn("asof_ok", lit(asofOk))
+    }),
+
+    // STREAMING-SOURCE ADAPTER (verdict r9 #8): a TxLog table drained into
+    // another through bounded micro-batches — maxVersionsPerTrigger=2 over
+    // 5 source versions = exactly 3 batches (initial snapshot + two CDF
+    // slices, pinned), a second drain is a caught-up 0 (pinned), and the
+    // destination's content equals the source (hash-oracled)
+    "q330_txlog_change_stream" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val root = graft.io.TempDirs.create("graft_q330_")
+      val src = root.resolve("src").toString
+      val dst = root.resolve("dst").toString
+      TxLog.create(s, src, src0.filter(col("o_orderkey") % 5 === 0))        // v0
+      (1 to 4).foreach(i =>
+        TxLog.append(s, src, src0.filter(col("o_orderkey") % 5 === i)))     // v1..v4
+      def drain() = TxLog.changeStream(s, src, dst, "pipe", maxVersionsPerTrigger = 2)(
+        feed => feed.filter(col("_change_type") === "insert")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("cents")))
+      val n1 = drain()
+      val n2 = drain()
+      val batchesOk = n1 == 3 && n2 == 0
+      TxLog.read(s, dst).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("batches_ok", lit(batchesOk))
+        .withColumn("n_dst_versions", lit(TxLog.history(dst).length.toLong))
+    }),
+
+    // THE TXLOG WRITE SURFACE IN PURE SQL (verdict r9 #6): MERGE, COW
+    // delete and RESTORE run entirely through spark.sql CALL-style table
+    // functions; EXPLAIN of a procedure commits NOTHING (the command-node
+    // discipline, pinned); final content read back through the graft_txlog
+    // TVF and hash-oracled
+    "q331_txlog_sql_writes" -> ((s, dir) => {
+      import graft.io.TxLog
+      org.apache.spark.sql.graft.GraftExtensions.registerTableFunctions(s)
+      val src = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q331_").resolve("t").toString
+      TxLog.create(s, tbl, src)                                             // v0
+      src.filter(col("o_orderkey") % 10 === 3).select(col("o_orderkey"))
+        .createOrReplaceTempView("q331_delta")
+      val m = s.sql(s"SELECT * FROM graft_txlog_merge('$tbl', " +
+        "'SELECT o_orderkey FROM q331_delta', 'o_orderkey', 'cents = cents + 1')").head()
+      val mergeOk = m.getLong(0) == 1L && m.getString(1).startsWith("merge")  // v1
+      s.sql(s"SELECT * FROM graft_txlog_delete('$tbl', 'o_orderkey % 30 = 4')")
+        .collect()                                                            // v2
+      val r = s.sql(s"SELECT * FROM graft_txlog_restore('$tbl', 1)").head()  // v3
+      val restoreOk = r.getString(1) == "restore:v=1"
+      val before = TxLog.history(tbl).length
+      s.sql(s"EXPLAIN SELECT * FROM graft_txlog_vacuum('$tbl', 2)").collect()
+      val explainInert = TxLog.history(tbl).length == before
+      s.sql(s"SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_live, " +
+          s"CAST(sum(cents) AS BIGINT) AS sum_cents FROM graft_txlog('$tbl') GROUP BY 1")
+        .withColumn("merge_ok", lit(mergeOk))
+        .withColumn("restore_ok", lit(restoreOk))
+        .withColumn("explain_inert", lit(explainInert))
+        .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
+    }),
+
     // TXLOG ON THE PURE-SQL SURFACE: the injected TABLE-VALUED functions
     // — graft_txlog(path[, version]) and graft_txlog_changes(path, from)
     // — resolve to the read's own logical plan, so a SQL user gets
@@ -6064,6 +6320,65 @@ object SparkEntry {
     // retraction follower: final state = all orders (+1 cents where
     // k%20=0, the upsert) minus the emptied bucket 5; both advances and
     // the exactly-once skip pinned TRUE; v0..v4 = 5 source versions
+    // index-follows-table: four composed lifecycle contracts pinned
+    "q326_index_follows_table" ->
+      """SELECT vec_id AS query_id, true AS recall_ok, true AS exactly_once_ok,
+        |  true AS coverage_ok, true AS updates_and_erasures_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // minhash follower: live per-lang counts (all docs minus the dv-erased
+    // ids); state-equals-rebuild + exactly-once pinned
+    "q332_minhash_follows_table" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS state_equals_rebuild, true AS exactly_once_ok
+        |FROM documents WHERE doc_id % 17 != 3 GROUP BY 1""".stripMargin,
+
+    // scoped optimize: full content identity (appends never drop rows);
+    // v0..v4 = 5 versions; kept-verbatim / noop / skipping pinned
+    "q327_txlog_optimize_scoped" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(5 AS BIGINT) AS n_versions,
+        |  true AS kept_verbatim_ok, true AS noop_ok, true AS where_ok
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // concurrent appends: all eight slices land (content = full table),
+    // zero recomputes and contiguous versions pinned
+    "q328_txlog_concurrent_appends" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  true AS versions_contiguous, true AS zero_recomputes
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // timestamp index: content = all 12 slices; parse-flat + as-of pinned
+    "q329_txlog_ts_index" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(12 AS BIGINT) AS n_versions, true AS flat_ok, true AS asof_ok
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // change-stream adapter: dst content = the whole source; 3 batches +
+    // caught-up 0 pinned; dst log = create + 3 keyed commits
+    "q330_txlog_change_stream" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  true AS batches_ok, CAST(4 AS BIGINT) AS n_dst_versions
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // SQL write surface: restore lands on the post-merge state (cents+1
+    // where k%10=3, the delete undone); merge/restore/explain pinned;
+    // v0 create + merge + delete + restore = 4 versions
+    "q331_txlog_sql_writes" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(SUM(cents + CASE WHEN k % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS sum_cents,
+        |  true AS merge_ok, true AS restore_ok, true AS explain_inert,
+        |  CAST(4 AS BIGINT) AS n_versions
+        |FROM src GROUP BY 1""".stripMargin,
+
     "q317_txlog_follow_retract" ->
       """WITH src AS (
         |  SELECT o_orderkey AS k,

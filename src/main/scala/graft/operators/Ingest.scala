@@ -65,9 +65,13 @@ object Ingest {
    *
    * Plan shape, which is the point at 100 TB: base joins the source ONCE
    * (broadcast when the source is daily-merge small — base never
-   * shuffles) plus one anti-join for the inserts; no window, no groupBy.
-   * Source keys should be unique (duplicates multiply matched rows, as in
-   * SQL MERGE).
+   * shuffles) plus one anti-join for the inserts; no window over base.
+   * Duplicate source keys that MATCH a base row fail loudly at execution
+   * time (SQL MERGE's and Delta's multiple-source-rows-match cardinality
+   * violation — silently multiplying target rows on a transactional
+   * surface is corruption, ADVICE r9); duplicate UNMATCHED source keys
+   * all insert, like WHEN NOT MATCHED INSERT. The guard costs one window
+   * count over the SOURCE side only — the small side by design.
    */
   def mergeRows(base: DataFrame, source: DataFrame, keyCols: Seq[String],
       whenMatchedSet: Map[String, org.apache.spark.sql.Column],
@@ -82,11 +86,22 @@ object Ingest {
     require(badSet.isEmpty, s"whenMatchedSet names unknown columns: ${badSet.mkString(", ")}")
     require(!whenMatchedSet.keys.exists(keyCols.contains),
       "whenMatchedSet must not rewrite a key column — that is a delete+insert")
+    val srcW = Window.partitionBy(keyCols.map(k => col(s"src_$k")): _*)
     val src = source.select(source.columns.map(c => col(c).as(s"src_$c")).toSeq: _*)
       .withColumn("__graft_matched", lit(true))
+      .withColumn("__graft_srcdup", count(lit(1)).over(srcW))
     val cond = keyCols.map(k => col(k) <=> col(s"src_$k")).reduce(_ && _)
-    val joined = base.join(src, cond, "left_outer")
+    val joined0 = base.join(src, cond, "left_outer")
     val matched = col("__graft_matched").isNotNull
+    // cardinality guard: a base row matched by >1 source row is a MERGE
+    // error, not a fan-out — evaluated on the joined rows so unmatched
+    // duplicate source keys (legal inserts) never trip it
+    val joined = joined0.withColumn("__graft_matched",
+      when(matched && col("__graft_srcdup") > 1, raise_error(concat(
+        lit("mergeRows: multiple source rows match one target row on keys ("),
+        lit(keyCols.mkString(", ")),
+        lit(") — SQL MERGE cardinality violation; de-duplicate the source"))))
+        .otherwise(col("__graft_matched")))
     val survivors = whenMatchedDelete match {
       case Some(d) => joined.filter(!coalesce(matched && d, lit(false)))
       case None => joined

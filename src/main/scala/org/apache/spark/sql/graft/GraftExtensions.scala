@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registrations.foreach(ext.injectFunction)
     GraftExtensions.tableRegistrations.foreach(ext.injectTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => TxLogProcedureStrategy)
   }
 }
 
@@ -51,6 +52,12 @@ object GraftExtensions {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
     case other => throw new IllegalArgumentException(
       s"$what must be a string literal, got $other")
+  }
+
+  private def litBool(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
   }
 
   /** fpp accepts a decimal literal directly (0.005) or, for backwards
@@ -130,7 +137,131 @@ object GraftExtensions {
         val from = litLong(exprs(1), "fromVersion")
         val to = if (exprs.length == 3) litLong(exprs(2), "toVersion") else -1L
         graft.io.TxLog.changeFeed(spark, path, from, to).queryExecution.logical
-      }))
+      })) ++ writeProcedures
+
+  /** The TxLog WRITE surface (verdict r9 #6): CALL-style procedures as
+    * table functions — argument literals resolve eagerly (loud errors),
+    * the write itself runs at EXECUTION time through
+    * [[TxLogProcedureNode]] (EXPLAIN commits nothing). Each returns one
+    * (version, op, n_segments) summary row. Key lists are comma-separated;
+    * MERGE set lists are semicolon-separated `col = sqlExpr` pairs whose
+    * expressions see base columns by name and source columns as
+    * `src_<name>` ([[graft.operators.Ingest.mergeRows]]'s contract). */
+  private def writeProcedures: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    import org.apache.spark.sql.functions.expr
+    def csv(s: String): Seq[String] = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def setMap(s: String): Map[String, org.apache.spark.sql.Column] =
+      s.split(";").map(_.trim).filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"bad SET pair '$kv' — expected 'col = sqlExpr'")
+        kv.substring(0, i).trim -> expr(kv.substring(i + 1).trim)
+      }.toMap
+    Seq(
+      (FunctionIdentifier("graft_txlog_upsert"),
+        info("graft_txlog_upsert",
+          "graft_txlog_upsert(path, sourceSql, keyCsv) — copy-on-write upsert of the " +
+            "source query's rows; returns (version, op, n_segments)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 3,
+            s"graft_txlog_upsert expects (path, sourceSql, keyCsv), got ${exprs.length} args")
+          val path = litStr(exprs(0), "path")
+          val srcSql = litStr(exprs(1), "sourceSql")
+          val keys = csv(litStr(exprs(2), "keyCsv"))
+          require(keys.nonEmpty, "keyCsv must name at least one key column")
+          TxLogProcedures.node("upsert")(sp => graft.io.TxLog.upsert(sp, path, sp.sql(srcSql), keys))
+        }),
+      (FunctionIdentifier("graft_txlog_merge"),
+        info("graft_txlog_merge",
+          "graft_txlog_merge(path, sourceSql, keyCsv, setList[, deleteCond[, insertUnmatched]])" +
+            " — MERGE INTO; setList = 'col = expr; ...' (src_<name> = source cols)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length >= 4 && exprs.length <= 6,
+            s"graft_txlog_merge expects (path, sourceSql, keyCsv, setList[, deleteCond[, " +
+              s"insertUnmatched]]), got ${exprs.length} args")
+          val path = litStr(exprs(0), "path")
+          val srcSql = litStr(exprs(1), "sourceSql")
+          val keys = csv(litStr(exprs(2), "keyCsv"))
+          require(keys.nonEmpty, "keyCsv must name at least one key column")
+          val sets = setMap(litStr(exprs(3), "setList"))
+          val delCond = if (exprs.length >= 5) {
+            val s = litStr(exprs(4), "deleteCond"); if (s.trim.isEmpty) None else Some(expr(s))
+          } else None
+          val insertUnmatched =
+            if (exprs.length == 6) litBool(exprs(5), "insertUnmatched") else true
+          TxLogProcedures.node("merge")(sp =>
+            graft.io.TxLog.merge(sp, path, sp.sql(srcSql), keys, sets, delCond, insertUnmatched))
+        }),
+      (FunctionIdentifier("graft_txlog_delete"),
+        info("graft_txlog_delete",
+          "graft_txlog_delete(path, condSql) — copy-on-write delete of matching rows"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2,
+            s"graft_txlog_delete expects (path, condSql), got ${exprs.length} args")
+          val path = litStr(exprs(0), "path")
+          val cond = litStr(exprs(1), "condSql")
+          TxLogProcedures.node("delete")(sp => graft.io.TxLog.delete(sp, path, expr(cond)))
+        }),
+      (FunctionIdentifier("graft_txlog_delete_rows"),
+        info("graft_txlog_delete_rows",
+          "graft_txlog_delete_rows(path, condSql) — merge-on-read delete via a deletion vector"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2,
+            s"graft_txlog_delete_rows expects (path, condSql), got ${exprs.length} args")
+          val path = litStr(exprs(0), "path")
+          val cond = litStr(exprs(1), "condSql")
+          TxLogProcedures.node("delete_rows")(sp => graft.io.TxLog.deleteRows(sp, path, expr(cond)))
+        }),
+      (FunctionIdentifier("graft_txlog_restore"),
+        info("graft_txlog_restore",
+          "graft_txlog_restore(path, version) — roll the table back to `version` as a new commit"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2,
+            s"graft_txlog_restore expects (path, version), got ${exprs.length} args")
+          val path = litStr(exprs(0), "path")
+          val v = litLong(exprs(1), "version")
+          TxLogProcedures.node("restore")(sp => graft.io.TxLog.restore(sp, path, v))
+        }),
+      (FunctionIdentifier("graft_txlog_vacuum"),
+        info("graft_txlog_vacuum",
+          "graft_txlog_vacuum(path, retainVersions) — commit a retention floor and reclaim"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2,
+            s"graft_txlog_vacuum expects (path, retainVersions), got ${exprs.length} args")
+          val path = litStr(exprs(0), "path")
+          val retain = litLong(exprs(1), "retainVersions").toInt
+          TxLogProcedures.node("vacuum")(sp => graft.io.TxLog.vacuum(sp, path, retain))
+        }),
+      (FunctionIdentifier("graft_txlog_optimize"),
+        info("graft_txlog_optimize",
+          "graft_txlog_optimize(path, colA, colB[, targetPartitions[, scoped]]) — Z-order " +
+            "re-cluster; scoped=true rewrites only un-clustered segments"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length >= 3 && exprs.length <= 5,
+            s"graft_txlog_optimize expects (path, colA, colB[, targetPartitions[, scoped]]), " +
+              s"got ${exprs.length} args")
+          val path = litStr(exprs(0), "path")
+          val a = litStr(exprs(1), "colA")
+          val b = litStr(exprs(2), "colB")
+          val parts = if (exprs.length >= 4) litLong(exprs(3), "targetPartitions").toInt else 8
+          val scoped = if (exprs.length == 5) litBool(exprs(4), "scoped") else false
+          TxLogProcedures.node("optimize")(sp =>
+            graft.io.TxLog.optimize(sp, path, a, b, parts, scoped))
+        }),
+      (FunctionIdentifier("graft_txlog_compact_small"),
+        info("graft_txlog_compact_small",
+          "graft_txlog_compact_small(path, smallBytes[, targetPartitions]) — size-tiered compaction"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2 || exprs.length == 3,
+            s"graft_txlog_compact_small expects (path, smallBytes[, targetPartitions]), " +
+              s"got ${exprs.length} args")
+          val path = litStr(exprs(0), "path")
+          val small = litLong(exprs(1), "smallBytes")
+          val parts = if (exprs.length == 3) litLong(exprs(2), "targetPartitions").toInt else 1
+          TxLogProcedures.node("compact_small")(sp =>
+            graft.io.TxLog.compactSmall(sp, path, small, parts))
+        }))
+  }
 
   /** Register the table functions on an EXISTING session (the gate/spec
     * path — sessions built without `spark.sql.extensions` config). */

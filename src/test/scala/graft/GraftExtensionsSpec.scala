@@ -157,4 +157,50 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("mulaw"))
   }
+
+  test("graft_txlog write procedures: upsert/delete/restore/vacuum/optimize through pure SQL; EXPLAIN commits nothing; one commit per invocation") {
+    import org.apache.spark.sql.functions.col
+    GraftExtensions.registerTableFunctions(spark)
+    val tbl = graft.io.TempDirs.create("ext_proc_").resolve("t").toString
+    graft.io.TxLog.create(spark, tbl,
+      spark.range(0, 100).selectExpr("id AS k", "id * 10 AS v", "CAST(id % 7 AS DOUBLE) AS a"))
+    spark.range(50, 110).selectExpr("id AS k", "id * 100 AS v", "CAST(id % 7 AS DOUBLE) AS a")
+      .createOrReplaceTempView("proc_updates")
+    // upsert: one summary row, the write applied
+    val u = spark.sql(
+      s"SELECT * FROM graft_txlog_upsert('$tbl', 'SELECT * FROM proc_updates', 'k')").head()
+    assert(u.getLong(0) === 1L && u.getString(1) === "upsert:keys=k")
+    assert(graft.io.TxLog.read(spark, tbl).count() === 110L)
+    assert(graft.io.TxLog.read(spark, tbl).filter(col("k") === 60L).head().getLong(1) === 6000L)
+    // one commit per invocation even under multiple actions on one Dataset
+    val del = spark.sql(s"SELECT * FROM graft_txlog_delete('$tbl', 'k >= 105')")
+    assert(del.count() === 1L)
+    del.collect() // second action on the SAME Dataset: memoized, no new commit
+    assert(graft.io.TxLog.history(tbl).length === 3,
+      s"ops: ${graft.io.TxLog.history(tbl).map(_.op).mkString(", ")}")
+    assert(graft.io.TxLog.read(spark, tbl).count() === 105L)
+    // EXPLAIN plans the procedure without committing
+    spark.sql(s"EXPLAIN SELECT * FROM graft_txlog_restore('$tbl', 0)").collect()
+    assert(graft.io.TxLog.history(tbl).length === 3)
+    // merge with a delete branch + no inserts
+    spark.range(0, 10).selectExpr("id AS k").createOrReplaceTempView("proc_merge")
+    spark.sql(s"SELECT * FROM graft_txlog_merge('$tbl', 'SELECT k FROM proc_merge', " +
+      "'k', 'v = v + 1; a = a * CAST(2.0 AS DOUBLE)', 'k = 3', false)").collect()
+    val after = graft.io.TxLog.read(spark, tbl)
+    assert(after.count() === 104L) // k=3 merge-deleted
+    assert(after.filter(col("k") === 4L).head().getLong(1) === 41L)
+    // restore + vacuum + scoped optimize round out the surface
+    spark.sql(s"SELECT * FROM graft_txlog_restore('$tbl', 2)").collect()
+    assert(graft.io.TxLog.read(spark, tbl).count() === 105L)
+    val o = spark.sql(
+      s"SELECT * FROM graft_txlog_optimize('$tbl', 'k', 'v', 4, true)").head()
+    assert(o.getString(1) === "optimize_zorder:k,v")
+    val vac = spark.sql(s"SELECT * FROM graft_txlog_vacuum('$tbl', 2)").head()
+    assert(vac.getString(1).startsWith("vacuum:retainFrom="))
+    // loud literal validation
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_txlog_upsert('$tbl', 'SELECT 1', '')").collect()
+    }
+    assert(bad.getMessage.contains("key column"))
+  }
 }

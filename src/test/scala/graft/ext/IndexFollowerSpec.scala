@@ -1,0 +1,147 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.io.TxLog
+import org.apache.spark.sql.functions._
+
+/** Index-follows-table: the exactly-once HNSW follower over a TxLog
+  * corpus — coverage, update/delete routing, compaction, and (on a
+  * beam-exhaustive corpus) search equality with a from-scratch index. */
+class IndexFollowerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = GraphAnn.HnswConfig(
+    m = 8, efConstruction = 64, efSearch = 256, shards = 2)
+
+  /** Deterministic pseudo-embedding per id. */
+  private def vecOf(id: Long): Seq[Float] =
+    (0 until 8).map(d =>
+      (((id * 2654435761L + d * 40503L) % 1000L) / 1000.0f) - 0.5f)
+
+  private def df(ids: Seq[Long], neg: Boolean = false) =
+    ids.map(i => (i, if (neg) vecOf(i).map(x => -x) else vecOf(i))).toDF("id", "vec")
+
+  test("follower tracks append/upsert/dv-delete; beam-exhaustive search equals a from-scratch index") {
+    val root = graft.io.TempDirs.create("idxf_")
+    val src = root.resolve("src").toString
+    val idx = root.resolve("idx").toString
+    def follow() = IndexFollower.followIndex(spark, src, idx, "c", "id", "vec", cfg)
+
+    TxLog.create(spark, src, df(0L until 40L))                          // v0
+    assert(follow(), "bootstrap must advance")
+    TxLog.append(spark, src, df(40L until 80L))                         // v1
+    assert(follow(), "append must advance")
+    // re-embed three existing ids (update) + insert ten new ones
+    TxLog.upsert(spark, src,
+      df(Seq(3L, 17L, 33L), neg = true).unionByName(df(80L until 90L)), Seq("id")) // v2
+    TxLog.deleteRows(spark, src, col("id") % 7 === 2)                   // v3 (dv)
+    assert(follow(), "rewrite range must advance")
+    assert(!follow(), "caught up: replay must be skipped")
+
+    val live = TxLog.read(spark, src)
+    val state = TxLog.read(spark, idx)
+    // coverage: graph ids == live ids; updates forced a compaction that
+    // retired every tombstone
+    val nodeIds = IndexFollower.nodesOf(state).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    val liveIds = live.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(nodeIds === liveIds)
+    assert(IndexFollower.tombstonesOf(state).isEmpty, "compaction must retire tombstones")
+    // updated ids carry their NEW vectors in the graph
+    val v3vec = IndexFollower.nodesOf(state).filter(col("id") === 3L)
+      .select(col("vec")).head().getSeq[Float](0)
+    assert(v3vec === vecOf(3L).map(x => -x))
+    // search equality: efSearch (256) exceeds every shard's size, so the
+    // beam is exhaustive and both indexes return the EXACT top-k — the
+    // followed graph and a from-scratch build must agree completely
+    val q = df(Seq(1000L, 1001L, 1002L))
+    val followed = IndexFollower.searchIndex(spark, idx, q, "id", "vec", 10, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val rebuilt = GraphAnn.hnswTopK(live, "id", "vec", q, "id", "vec", 10, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(followed === rebuilt, "followed index must match a from-scratch index")
+  }
+
+  test("delete-only advances accumulate tombstones below compactFrac, retire above it") {
+    val root = graft.io.TempDirs.create("idxf2_")
+    val src = root.resolve("src").toString
+    val idx = root.resolve("idx").toString
+    def follow(frac: Double) =
+      IndexFollower.followIndex(spark, src, idx, "c", "id", "vec", cfg, compactFrac = frac)
+    TxLog.create(spark, src, df(0L until 50L))
+    assert(follow(0.5))
+    // 2/50 deleted — below the 0.5 compaction threshold: tombstones serve
+    TxLog.deleteRows(spark, src, col("id").isin(5L, 25L))
+    assert(follow(0.5))
+    val st1 = TxLog.read(spark, idx)
+    assert(IndexFollower.tombstonesOf(st1).collect().map(_.getLong(0)).toSet
+      === Set(5L, 25L))
+    assert(IndexFollower.nodesOf(st1).select(col("id")).distinct().count() === 50L)
+    // tombstoned ids are never served
+    val res = IndexFollower.searchIndex(spark, idx, df(Seq(5L)), "id", "vec", 50, cfg)
+    assert(!res.collect().map(_.getLong(1)).contains(5L))
+    assert(!res.collect().map(_.getLong(1)).contains(25L))
+    // many more deletes cross the threshold: the next advance compacts
+    TxLog.deleteRows(spark, src, col("id") >= 25L)
+    assert(follow(0.5))
+    val st2 = TxLog.read(spark, idx)
+    assert(IndexFollower.tombstonesOf(st2).isEmpty, "crossing compactFrac must compact")
+    assert(IndexFollower.nodesOf(st2).select(col("id")).collect().map(_.getLong(0)).toSet
+      === TxLog.read(spark, src).select(col("id")).collect().map(_.getLong(0)).toSet)
+  }
+
+  test("minhash follower: state exactly equals a fresh build over the live corpus; gate finds planted near-dups") {
+    val root = graft.io.TempDirs.create("idxf4_")
+    val src = root.resolve("src").toString
+    val idx = root.resolve("mh").toString
+    val cfg = Dedup.MinHashConfig(numHashes = 64, bands = 16)
+    def textOf(i: Long) = s"document number $i with some shared boilerplate words " +
+      s"alpha beta gamma delta epsilon zeta eta theta iota kappa token$i"
+    def docs(ids: Seq[Long], suffix: String = "") =
+      ids.map(i => (i, textOf(i) + suffix)).toDF("doc_id", "text")
+    def follow() = IndexFollower.followMinhashIndex(spark, src, idx, "m", "doc_id", "text", cfg)
+    TxLog.create(spark, src, docs(0L until 20L))
+    assert(follow())
+    TxLog.append(spark, src, docs(20L until 40L))
+    // update two texts + insert two, then dv-delete three
+    TxLog.upsert(spark, src,
+      docs(Seq(1L, 2L), " rewritten").unionByName(docs(Seq(40L, 41L))), Seq("doc_id"))
+    TxLog.deleteRows(spark, src, col("doc_id").isin(5L, 25L, 33L))
+    assert(follow())
+    assert(!follow(), "caught up: replay must be skipped")
+    val live = TxLog.read(spark, src)
+    val followed = IndexFollower.minhashIndexOf(TxLog.read(spark, idx))
+    val rebuilt = Dedup.buildMinhashIndex(live, "doc_id", "text", cfg)
+    def eqRel(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(eqRel(followed.bands, rebuilt.bands), "band table must equal a fresh build")
+    assert(eqRel(followed.base, rebuilt.base), "verification base must equal a fresh build")
+    // the ingest admission gate works against the FOLLOWED index: a batch
+    // doc nearly identical to corpus doc 7 is flagged; doc 5 was erased so
+    // its near-twin is admitted
+    val batch = Seq((100L, textOf(7L) + " tail"), (101L, textOf(5L) + " tail"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ingestNearDupPairs(batch, "doc_id", "text", followed, 0.6, cfg)
+      .select(col("batch_id"), col("corpus_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 7L)))
+    assert(!pairs.exists(_._2 == 5L), "erased corpus ids must not gate new documents")
+  }
+
+  test("two followers with distinct consumer ids ride one source independently") {
+    val root = graft.io.TempDirs.create("idxf3_")
+    val src = root.resolve("src").toString
+    TxLog.create(spark, src, df(0L until 30L))
+    TxLog.append(spark, src, df(30L until 60L))
+    val idxA = root.resolve("a").toString
+    val idxB = root.resolve("b").toString
+    assert(IndexFollower.followIndex(spark, src, idxA, "a", "id", "vec", cfg))
+    TxLog.append(spark, src, df(60L until 90L))
+    assert(IndexFollower.followIndex(spark, src, idxA, "a", "id", "vec", cfg))
+    assert(IndexFollower.followIndex(spark, src, idxB, "b", "id", "vec", cfg))
+    for (idx <- Seq(idxA, idxB)) {
+      val st = TxLog.read(spark, idx)
+      assert(IndexFollower.nodesOf(st).count() === 90L)
+    }
+  }
+}

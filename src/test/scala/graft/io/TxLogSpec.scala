@@ -926,4 +926,259 @@ class TxLogSpec extends SparkSpec {
         retractWith = Some("g"))(aggOf)
     }
   }
+
+  test("compound-key COW pre-prune: any key column's envelope keeps a segment out of the discovery scan") {
+    // a fresh ops instance isolates the cowScanCount telemetry
+    val ops = new TxLogOps(PosixLogStore)
+    val tbl = freshTable()
+    // two segments with the SAME k range but DISJOINT g ranges: the first
+    // key column alone cannot prune segment B; the second can (verdict r9)
+    ops.create(spark, tbl, spark.range(0, 50).selectExpr(
+      "id AS k", "id AS g", "id AS v"))
+    ops.append(spark, tbl, spark.range(0, 50).selectExpr(
+      "id AS k", "id + 1000 AS g", "id AS v"))
+    val v1 = ops.latest(tbl)
+    val Seq(segA, segB) = v1.segments
+    val before = ops.cowScanCount.get()
+    ops.upsert(spark, tbl, Seq((10L, 10L, 999L)).toDF("k", "g", "v"), Seq("k", "g"))
+    // only segment A entered the scan: B was excluded by the g-envelope
+    // conjunction, pure manifest arithmetic
+    assert(ops.cowScanCount.get() - before === 1L,
+      "second key column's envelope must pre-prune segment B")
+    val v2 = ops.latest(tbl)
+    assert(v2.segments.contains(segB) && !v2.segments.contains(segA))
+    val out = ops.read(spark, tbl).filter(col("k") === 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((10L, 999L), (1010L, 10L)))
+    // compound STRING second key prunes too (utf8 envelopes)
+    val tbl2 = freshTable()
+    ops.create(spark, tbl2, spark.range(0, 20).selectExpr(
+      "id AS k", "concat('aa', id) AS s", "id AS v"))
+    ops.append(spark, tbl2, spark.range(0, 20).selectExpr(
+      "id AS k", "concat('zz', id) AS s", "id AS v"))
+    val b2 = ops.cowScanCount.get()
+    ops.upsert(spark, tbl2, Seq((3L, "aa3", 777L)).toDF("k", "s", "v"), Seq("k", "s"))
+    assert(ops.cowScanCount.get() - b2 === 1L,
+      "string second key column's envelope must pre-prune the zz segment")
+    assert(ops.read(spark, tbl2).filter(col("s") === "aa3")
+      .collect().map(_.getLong(2)).toSeq === Seq(777L))
+    // a NULL in ONE touch key column disables pruning on that column only:
+    // (k=3, s=NULL) must still find + replace nothing wrongly — both
+    // segments scan (no s-pruning) but only matching rows move
+    val b3 = ops.cowScanCount.get()
+    ops.upsert(spark, tbl2,
+      Seq((Some(3L), Option.empty[String], Some(1L))).toDF("k", "s", "v"),
+      Seq("k", "s"))
+    assert(ops.cowScanCount.get() - b3 === 2L,
+      "NULL-carrying key column must not prune; numeric k column alone cannot split these segments")
+    assert(ops.read(spark, tbl2).count() === 41)
+  }
+
+  test("distributed envelopes: a segment above the driver footer cap still records stats and row counts") {
+    // tiny cap forces the DISTRIBUTED footer pass on a 4-file segment
+    val ops = new TxLogOps(PosixLogStore) {
+      override protected def MaxStatFiles: Int = 2
+    }
+    val tbl = freshTable()
+    ops.create(spark, tbl,
+      spark.range(0, 400).selectExpr("id AS k", "concat('s', id) AS s").repartition(4))
+    val snap = ops.latest(tbl)
+    val seg = snap.segments.head
+    assert(new java.io.File(s"$tbl/$seg").listFiles()
+      .count(_.getName.endsWith(".parquet")) === 4, "fixture needs >cap files")
+    // envelopes recorded despite exceeding the driver cap (verdict r9 #4)
+    assert(snap.stats(seg)("k") === ColEnv(0.0, 399.0, noNulls = true))
+    assert(snap.strStats.get(seg).exists(_.contains("s")))
+    assert(ops.fastCount(tbl) === Some(400L))
+    // identical to what the driver loop records on the same data
+    val tblD = freshTable()
+    TxLog.create(spark, tblD,
+      spark.range(0, 400).selectExpr("id AS k", "concat('s', id) AS s").repartition(4))
+    val snapD = TxLog.latest(tblD)
+    assert(snap.stats(seg) === snapD.stats(snapD.segments.head))
+    assert(snap.strStats(seg) === snapD.strStats(snapD.segments.head))
+    // and the envelopes drive pruning as usual
+    val (scanned, skipped) = ops.prunedSegments(tbl, "k", 1000.0, 2000.0)
+    assert(scanned.isEmpty && skipped === Seq(seg))
+  }
+
+  test("commit rebase: a lost append claim rebases by manifest arithmetic — zero recompute; rewrites still recompute") {
+    val inner = new InMemoryLogStore
+    // a second writer bound to the RAW store steals exactly one version
+    // the moment the tested ops tries to claim it — a deterministic race
+    val racing = new TxLogOps(inner)
+    val steal = new java.util.concurrent.atomic.AtomicInteger(0)
+    val store: LogStore = new LogStore {
+      def list(t: String) = inner.list(t)
+      def read(t: String, n: String) = inner.read(t, n)
+      def putIfAbsent(t: String, n: String, c: String) = {
+        if (steal.getAndDecrement() > 0 && n.endsWith(".commit"))
+          racing.append(spark, t, Seq((999L, 999L)).toDF("k", "v"))
+        inner.putIfAbsent(t, n, c)
+      }
+      def putPointer(t: String, n: String, c: String) = inner.putPointer(t, n, c)
+      def readPointer(t: String, n: String) = inner.readPointer(t, n)
+    }
+    val ops = new TxLogOps(store)
+    val tbl = freshTable()
+    ops.create(spark, tbl, Seq((0L, 0L)).toDF("k", "v"))
+    // APPEND loses its claim → REBASED onto the racing winner, no recompute
+    steal.set(1)
+    val (rc0, rb0) = (ops.commitRecomputeCount.get(), ops.commitRebaseCount.get())
+    ops.append(spark, tbl, Seq((1L, 1L)).toDF("k", "v"))
+    assert(ops.commitRecomputeCount.get() - rc0 === 0L, "append must not recompute")
+    assert(ops.commitRebaseCount.get() - rb0 === 1L, "append must rebase once")
+    assert(ops.history(tbl).map(_.op) === Seq("create", "append", "append"))
+    assert(ops.read(spark, tbl).collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(0L, 1L, 999L))
+    // keyed APPEND (the stream-sink path) rebases the same way
+    steal.set(1)
+    val rb1 = ops.commitRebaseCount.get()
+    assert(ops.appendStreamBatch(spark, tbl, Seq((2L, 2L)).toDF("k", "v"), "s", 0L))
+    assert(ops.commitRebaseCount.get() - rb1 === 1L)
+    assert(ops.read(spark, tbl).count() === 5) // 0,1,999,999(second steal),2
+    // a REWRITE that loses must RECOMPUTE (the racing append may hold
+    // matching keys a rebase would silently miss)
+    steal.set(1)
+    val (rc2, rb2) = (ops.commitRecomputeCount.get(), ops.commitRebaseCount.get())
+    ops.upsert(spark, tbl, Seq((999L, -1L)).toDF("k", "v"), Seq("k"))
+    assert(ops.commitRecomputeCount.get() - rc2 === 1L, "lost rewrite must recompute")
+    assert(ops.commitRebaseCount.get() - rb2 === 0L)
+    // the recompute saw the winner's snapshot: every 999-row replaced by
+    // the single update row, INCLUDING the one appended mid-claim (a
+    // rebase would have silently left it at 999)
+    val live = ops.read(spark, tbl).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(live.count(_ == (999L, -1L)) === 1 && !live.exists(r => r._1 == 999L && r._2 == 999L))
+    assert(live.sortBy(_._1).toSeq === Seq((0L, 0L), (1L, 1L), (2L, 2L), (999L, -1L)))
+  }
+
+  test("commit rebase: a replay landing mid-rebase turns the keyed commit into a skip (exactly-once)") {
+    val inner = new InMemoryLogStore
+    val racing = new TxLogOps(inner)
+    val steal = new java.util.concurrent.atomic.AtomicInteger(0)
+    val store: LogStore = new LogStore {
+      def list(t: String) = inner.list(t)
+      def read(t: String, n: String) = inner.read(t, n)
+      def putIfAbsent(t: String, n: String, c: String) = {
+        if (steal.getAndDecrement() > 0 && n.endsWith(".commit")) {
+          // the RACING writer commits the SAME (streamId, batchId)
+          racing.appendStreamBatch(spark, t, Seq((7L, 7L)).toDF("k", "v"), "s", 5L)
+          ()
+        }
+        inner.putIfAbsent(t, n, c)
+      }
+      def putPointer(t: String, n: String, c: String) = inner.putPointer(t, n, c)
+      def readPointer(t: String, n: String) = inner.readPointer(t, n)
+    }
+    val ops = new TxLogOps(store)
+    val tbl = freshTable()
+    ops.create(spark, tbl, Seq((0L, 0L)).toDF("k", "v"))
+    steal.set(1)
+    // our own attempt at (s, 5) loses to an identical replay: SKIP, not double-apply
+    assert(!ops.appendStreamBatch(spark, tbl, Seq((7L, 7L)).toDF("k", "v"), "s", 5L))
+    assert(ops.read(spark, tbl).filter(col("k") === 7L).count() === 1)
+  }
+
+  test("scoped optimize: only un-clustered segments rewrite; clustered ones carry verbatim; noop when fully clustered") {
+    val tbl = freshTable()
+    val df = spark.range(4000).selectExpr("id AS k",
+      "CAST((id * 2654435761) % 1000 AS DOUBLE) AS a",
+      "CAST((id * 40503) % 1000 AS DOUBLE) AS b")
+    TxLog.create(spark, tbl, df.repartition(4))
+    val v1 = TxLog.optimize(spark, tbl, "a", "b", targetPartitions = 16)  // full
+    val clusteredSeg = v1.segments.head
+    TxLog.append(spark, tbl, df.selectExpr("k + 10000 AS k", "a", "b"))   // v2
+    val before = TxLog.read(spark, tbl).collect().map(_.toString).sorted.toSeq
+    // scoped: the v1 clustered segment carries VERBATIM, only v2's appends cluster
+    val v3 = TxLog.optimize(spark, tbl, "a", "b", targetPartitions = 16, scoped = true)
+    assert(v3.op === "optimize_zorder:a,b")
+    assert(v3.segments.contains(clusteredSeg), "clustered segment must carry verbatim")
+    assert(!v3.segments.exists(TxLog.history(tbl)(2).segments.filterNot(_ == clusteredSeg).contains),
+      "the appended segment must have been re-clustered away")
+    assert(TxLog.read(spark, tbl).collect().map(_.toString).sorted.toSeq === before)
+    // fully clustered now: a second scoped call is a manifest-only noop
+    val v4 = TxLog.optimize(spark, tbl, "a", "b", targetPartitions = 16, scoped = true)
+    assert(v4.op === "optimize_zorder:a,b;noop" && v4.segments === v3.segments)
+    // BOTH clustered segments' row groups are tight on both dims
+    (v4.segments :+ clusteredSeg).distinct.foreach { seg =>
+      Seq("a", "b").foreach { c =>
+        val (overlap, total) = ZOrder.overlappingRowGroups(spark, s"$tbl/$seg", c, 100.0, 150.0)
+        assert(overlap.toDouble / total <= 0.5, s"$seg not clustered on $c: $overlap/$total")
+      }
+    }
+    // a deletion vector makes a clustered segment dirty: the next scoped
+    // optimize re-clusters it AND materializes the tombstones
+    TxLog.deleteRows(spark, tbl, col("k") === 17L)                        // v5
+    assert(TxLog.latest(tbl).dvs.nonEmpty)
+    val v6 = TxLog.optimize(spark, tbl, "a", "b", targetPartitions = 16, scoped = true)
+    assert(v6.dvs.isEmpty, "scoped optimize must materialize vectors on dirty segments")
+    assert(TxLog.read(spark, tbl).count() === 7999)
+  }
+
+  test("versionAt: checkpointed timestamp index keeps resolution parses flat") {
+    val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ops = new TxLogOps(new InMemoryLogStore, checkpointInterval = 10,
+      clock = () => ticks.addAndGet(1000L))
+    val tbl = freshTable()
+    ops.create(spark, tbl, Seq((0L, 0L)).toDF("k", "v"))        // v0 ts=1000
+    (1 to 39).foreach(i => ops.append(spark, tbl, Seq((i.toLong, 0L)).toDF("k", "v")))
+    // version v carries ts=(v+1)*1000; checkpoints at 10/20/30 carry maxTs
+    val p0 = ops.manifestParseCount.get()
+    assert(ops.versionAt(tbl, 35500L) === 34L)
+    val parses = ops.manifestParseCount.get() - p0
+    // seeded path: logState tail (<= interval) + scan from cp30 (~5) —
+    // never the 40-version full scan
+    assert(parses <= 2L * ops.checkpointInterval,
+      s"versionAt parsed $parses manifests; expected <= ${2 * ops.checkpointInterval}")
+    // exactness across the seeded/unseeded boundary
+    assert(ops.versionAt(tbl, 1000L) === 0L)   // before the first checkpoint
+    assert(ops.versionAt(tbl, 9999L) === 8L)
+    assert(ops.versionAt(tbl, 40000L) === 39L)
+    assert(ops.versionAt(tbl, 999999L) === 39L)
+    intercept[Exception] { ops.versionAt(tbl, 500L) } // before v0
+  }
+
+  test("changeStream: bounded micro-batches drain exactly-once; dst equals src under ANY batching") {
+    val root = TempDirs.create("txstream_")
+    val src = root.resolve("src").toString
+    def slice(i: Int) = Seq((i.toLong, i.toLong * 10)).toDF("k", "v")
+    TxLog.create(spark, src, slice(0))                                   // v0
+    (1 to 5).foreach(i => TxLog.append(spark, src, slice(i)))            // v1..v5
+    val inserts = (feed: org.apache.spark.sql.DataFrame) =>
+      feed.filter(col("_change_type") === "insert").select(col("k"), col("v"))
+    // three consumers, three trigger bounds — same destination content
+    val batchCounts = Seq(1, 2, 100).map { trig =>
+      val dst = root.resolve(s"dst$trig").toString
+      val n = TxLog.changeStream(spark, src, dst, s"c$trig", trig)(inserts)
+      assert(TxLog.read(spark, dst).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        === (0 to 5).map(i => (i.toLong, i.toLong * 10)).toSet,
+        s"dst content must equal src under trigger bound $trig")
+      assert(TxLog.changeStream(spark, src, dst, s"c$trig", trig)(inserts) === 0,
+        "caught-up drain must commit nothing")
+      n
+    }
+    // trig=1: snapshot@v0 + 5 single-version slices; trig=2: snapshot@v1 +
+    // (1,3] + (3,5]; trig=100: one snapshot batch
+    assert(batchCounts === Seq(6, 3, 1))
+    // new commits resume from the high-water mark, not from scratch
+    TxLog.append(spark, src, slice(6))
+    val dst2 = root.resolve("dst2").toString
+    assert(TxLog.changeStream(spark, src, dst2, "c2", 2)(inserts) === 1)
+    assert(TxLog.read(spark, dst2).count() === 7)
+  }
+
+  test("deleteWhere discovery is dv-applied: a segment whose only in-range rows are dv-dead is not rewritten") {
+    val tbl = freshTable()
+    // seg A holds k 0..9, seg B holds k 10..19 with NULLs blocking the
+    // covered-drop tier (so B lands in the ambiguous scan tier)
+    TxLog.create(spark, tbl, spark.range(0, 10).selectExpr("id AS k", "id AS v"))
+    TxLog.append(spark, tbl, spark.range(10, 20).selectExpr(
+      "id AS k", "IF(id = 10, NULL, id) AS v"))
+    // dv-kill the only B rows inside [15, 17]
+    TxLog.deleteRows(spark, tbl, col("k") >= 15 && col("k") <= 17)
+    val snap = TxLog.deleteWhere(spark, tbl, "k", 15.0, 17.0)
+    // no LIVE row matches: zero rewrites, tier split records it (ADVICE r9)
+    assert(snap.op.contains("rewritten=0"), s"got op ${snap.op}")
+    assert(TxLog.read(spark, tbl).count() === 17)
+  }
 }

@@ -170,4 +170,23 @@ class IngestSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .select("payload").as[String].collect().toSeq
     assert(got === Seq("hi"))
   }
+
+  test("mergeRows: duplicate MATCHED source keys fail loudly (SQL MERGE cardinality violation)") {
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    // two source rows match base key 1: silent fan-out would duplicate the
+    // target row — must raise instead (ADVICE r9)
+    val dupMatched = Seq((1L, 100L), (1L, 101L), (3L, 300L)).toDF("k", "v")
+    val e = intercept[Exception] {
+      Ingest.mergeRows(base, dupMatched, Seq("k"),
+        Map("v" -> col("src_v"))).collect()
+    }
+    assert(e.getMessage.contains("multiple source rows match") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiple source rows match")),
+      s"unexpected error: ${e.getMessage}")
+    // duplicate UNMATCHED source keys are legal WHEN-NOT-MATCHED inserts
+    val dupUnmatched = Seq((5L, 500L), (5L, 501L)).toDF("k", "v")
+    val out = Ingest.mergeRows(base, dupUnmatched, Seq("k"),
+      Map("v" -> col("src_v"))).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 10L), (2L, 20L), (5L, 500L), (5L, 501L)))
+  }
 }
