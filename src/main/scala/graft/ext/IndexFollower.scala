@@ -178,51 +178,69 @@ object IndexFollower {
   private val mhStateSchema = StructType(Seq(
     StructField("kind", StringType), StructField("id", LongType),
     StructField("band", IntegerType), StructField("bh", LongType),
-    StructField("shh", ArrayType(LongType)), StructField("sz", IntegerType)))
+    StructField("shh", ArrayType(LongType)), StructField("sz", IntegerType),
+    StructField("gen", LongType)))
 
   private def emptyMhState(spark: SparkSession): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](), mhStateSchema)
 
-  private def asMhState(ix: Dedup.MinhashIndex): DataFrame =
+  private def asMhState(ix: Dedup.MinhashIndex, gen: Long): DataFrame =
     ix.bands.select(lit("band").as("kind"), col("id").cast(LongType).as("id"),
         col("band").cast(IntegerType).as("band"), col("bh").cast(LongType).as("bh"),
         lit(null).cast(ArrayType(LongType)).as("shh"),
-        lit(null).cast(IntegerType).as("sz"))
+        lit(null).cast(IntegerType).as("sz"), lit(gen).as("gen"))
       .unionByName(ix.base.select(lit("base").as("kind"),
         col("id").cast(LongType).as("id"),
         lit(null).cast(IntegerType).as("band"), lit(null).cast(LongType).as("bh"),
-        col("shh"), col("sz").cast(IntegerType).as("sz")))
+        col("shh"), col("sz").cast(IntegerType).as("sz"), lit(gen).as("gen")))
 
-  /** The MinHash index relations of a followed state (the
-    * [[Dedup.MinhashIndex]] shape — band table + verification base). */
-  def minhashIndexOf(state: DataFrame): Dedup.MinhashIndex =
+  /** Resolve a followed state to its LIVE index relations (the
+    * [[Dedup.MinhashIndex]] shape — band table + verification base): a
+    * tombstone (id, gen) kills every index row of that id from an EARLIER
+    * generation, so an update's fresh rows (same generation as their
+    * tombstone) survive while the replaced rows die — the deletion-vector
+    * trade: advances stay append-sized, reads pay one bounded anti-join
+    * until a compaction materializes. */
+  def minhashIndexOf(state: DataFrame): Dedup.MinhashIndex = {
+    val tombs = state.filter(col("kind") === "tomb")
+      .groupBy(col("id")).agg(max(col("gen")).as("__tgen"))
+    def live(rows: DataFrame) = rows.join(tombs, Seq("id"), "left")
+      .filter(col("__tgen").isNull || col("gen") >= col("__tgen"))
     Dedup.MinhashIndex(
-      bands = state.filter(col("kind") === "band")
+      bands = live(state.filter(col("kind") === "band"))
         .select(col("id"), col("band"), col("bh")),
-      base = state.filter(col("kind") === "base")
+      base = live(state.filter(col("kind") === "base"))
         .select(col("id"), col("shh"), col("sz")))
+  }
 
   /**
    * Exactly-once MINHASH index follower over a TxLog corpus — the dedup
    * twin of [[followIndex]], and structurally simpler: MinHash index rows
    * are independent per id (band signatures + verification shingle sets),
-   * so deletes and updates are plain per-id row edits — no tombstone list,
-   * no compaction, and the followed state is IDENTICAL (as a relation) to
-   * [[Dedup.buildMinhashIndex]] over the live snapshot, not merely
-   * equivalent. Per advance: the final-state collapse of the feed range
-   * (the [[followIndex]] discipline), batch signatures computed over ONLY
-   * the changed documents, dead/updated ids anti-joined out. Use
-   * [[minhashIndexOf]] + [[Dedup.ingestNearDupPairs]] as the ingest
-   * admission gate against the followed corpus.
+   * so an advance is APPEND-SHAPED — the batch's fresh signature rows plus
+   * one generation-stamped tombstone row per changed id append to the
+   * state table; no existing state row ever rewrites (the keyed commit
+   * keeps every base segment, so it even rides the append REBASE path
+   * under concurrent writers). Reads resolve through [[minhashIndexOf]]'s
+   * generation anti-join; when the tombstoned-id fraction crosses
+   * `compactFrac` the advance MATERIALIZES instead (one rewrite to the
+   * resolved relation, retiring every tombstone — the deletion-vector
+   * compaction discipline). Post-resolution the state is IDENTICAL as a
+   * relation to [[Dedup.buildMinhashIndex]] over the live snapshot, not
+   * merely equivalent. Use [[minhashIndexOf]] + [[Dedup.ingestNearDupPairs]]
+   * as the ingest admission gate against a followed corpus.
    */
   def followMinhashIndex(spark: SparkSession, src: String, dst: String,
       consumerId: String, idCol: String, textCol: String,
-      cfg: Dedup.MinHashConfig = Dedup.MinHashConfig()): Boolean = {
+      cfg: Dedup.MinHashConfig = Dedup.MinHashConfig(),
+      compactFrac: Double = 0.3): Boolean = {
+    require(compactFrac > 0.0 && compactFrac <= 1.0,
+      s"compactFrac must be in (0, 1], got $compactFrac")
     val streamId = s"txminhash:$consumerId"
     val srcLatest = TxLog.latest(src).version
     if (!new java.io.File(dst, "_graft_log").exists())
       TxLog.create(spark, dst, emptyMhState(spark))
-    TxLog.commitKeyedTransform(spark, dst, streamId, srcLatest) { (_, curState) =>
+    TxLog.commitKeyedTransform(spark, dst, streamId, srcLatest) { (base, curState) =>
       val lastV = TxLog.streamHighWater(dst, streamId)
       val state = curState()
       val (ins, del) =
@@ -244,12 +262,28 @@ object IndexFollower {
           (fin.filter(col("alive") === 1).drop("alive"),
             fin.filter(col("alive") === 0).select(col("id")))
         }
-      // every changed id's old rows leave (update = replace); dead ids too
-      val changedIds = ins.select(col("id")).unionByName(del).distinct()
-        .select(col("id").as("__gone_id"))
-      val kept = state.join(changedIds, col("id") === col("__gone_id"), "left_anti")
-      val fresh = asMhState(Dedup.buildMinhashIndex(ins, "id", "__text", cfg))
-      (Some(kept.unionByName(fresh)), Seq.empty)
+      val fresh = asMhState(Dedup.buildMinhashIndex(ins, "id", "__text", cfg),
+        gen = srcLatest)
+      // tombstone every changed id that the state has EVER indexed (a
+      // brand-new id needs none); updates and deletes alike
+      val stateIds = state.filter(col("kind") === "base").select(col("id"))
+      val tombIds = ins.select(col("id")).unionByName(del).distinct()
+        .join(stateIds, Seq("id"), "left_semi")
+      val tombRows = tombIds
+        .select(lit("tomb").as("kind"), col("id"),
+          lit(null).cast(IntegerType).as("band"), lit(null).cast(LongType).as("bh"),
+          lit(null).cast(ArrayType(LongType)).as("shh"),
+          lit(null).cast(IntegerType).as("sz"), lit(srcLatest).as("gen"))
+      val nTombIds = state.filter(col("kind") === "tomb").select(col("id"))
+        .unionByName(tombIds).distinct().count()
+      val nIds = stateIds.distinct().count()
+      if (nIds > 0 && nTombIds.toDouble / nIds.toDouble >= compactFrac) {
+        // materialize: resolve the whole state once, retire every tombstone
+        val resolved = asMhState(minhashIndexOf(
+          state.unionByName(fresh).unionByName(tombRows)), gen = srcLatest)
+        (Some(resolved), Seq.empty)
+      } else
+        (Some(fresh.unionByName(tombRows)), base.segments) // append-shaped
     }
   }
 }

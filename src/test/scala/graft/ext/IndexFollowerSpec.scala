@@ -126,6 +126,23 @@ class IndexFollowerSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((100L, 7L)))
     assert(!pairs.exists(_._2 == 5L), "erased corpus ids must not gate new documents")
+    // below compactFrac every advance was APPEND-SHAPED: each version's
+    // segments are a superset of its parent's (no state row ever rewrote)
+    val h = TxLog.history(idx)
+    assert(h.sliding(2).forall(w =>
+      w(0).segments.forall(w(1).segments.contains)),
+      s"advances must append, got ${h.map(_.segments.size)}")
+    assert(TxLog.read(spark, idx).filter(col("kind") === "tomb").count() > 0)
+    // a delete wave crossing compactFrac MATERIALIZES: tombstones retire,
+    // the resolved state still equals a fresh build
+    TxLog.deleteRows(spark, src, col("doc_id") < 15L)
+    assert(follow())
+    val stComp = TxLog.read(spark, idx)
+    assert(stComp.filter(col("kind") === "tomb").isEmpty,
+      "crossing compactFrac must retire every tombstone")
+    val followed2 = IndexFollower.minhashIndexOf(stComp)
+    val rebuilt2 = Dedup.buildMinhashIndex(TxLog.read(spark, src), "doc_id", "text", cfg)
+    assert(eqRel(followed2.bands, rebuilt2.bands) && eqRel(followed2.base, rebuilt2.base))
   }
 
   test("two followers with distinct consumer ids ride one source independently") {
