@@ -3578,6 +3578,69 @@ object SparkEntry {
           lit(negOk && noErasedServed).as("updates_and_erasures_ok"))
     }),
 
+    // IVF-PQ-FOLLOWS-TABLE: the quantized tier of the follower family —
+    // and the one where following is cheapest: an insert advance APPENDS
+    // exactly the batch's (cell, code) rows quantized against the TRAINED
+    // artifacts (pinned: the advance's state commit keeps every prior
+    // segment verbatim), deletes/updates append generation tombstones.
+    // Pins: recall vs brute over the live snapshot, resolved-ids coverage,
+    // erased ids never served, the append shape, and the replay skip
+    "q333_ivfpq_follows_table" -> ((s, dir) => {
+      import graft.ext.{IndexFollower, Similarity}
+      import graft.io.TxLog
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.l2normalized(col("embedding")).as("embedding"))
+      val root = graft.io.TempDirs.create("graft_q333_")
+      val src = root.resolve("docs").toString
+      val idx = root.resolve("index").toString
+      val ivfCfg = Similarity.IvfConfig(nlist = 32, nprobe = 16)
+      val pqCfg = Similarity.PqConfig(m = 8, ksub = 32)
+      // retrainGrowth raised past the fixture's 3x growth so the gate
+      // exercises the APPEND path (the default 1.0 would retrain on the
+      // doubling append — correct behavior, the spec pins the rebuild)
+      def follow() = IndexFollower.followIvfPq(s, src, idx, "pq",
+        "vec_id", "embedding", ivfCfg, pqCfg, retrainGrowth = 4.0)
+      TxLog.create(s, src, e.filter(col("vec_id") % 3 === 0))                 // v0
+      val f1 = follow()                                                       // bootstrap build
+      TxLog.append(s, src, e.filter(col("vec_id") % 3 === 1))                 // v1
+      val f2 = follow()                                                       // append-shaped
+      val h2 = TxLog.history(idx)
+      val appendOk = h2.init.last.segments.forall(h2.last.segments.contains)
+      TxLog.upsert(s, src, e.filter(col("vec_id") % 3 === 2)
+        .unionByName(e.filter(col("vec_id") % 30 === 0)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding"))), Seq("vec_id")) // v2
+      TxLog.deleteRowsKeyed(s, src,
+        e.filter(col("vec_id") % 25 === 7).select(col("vec_id")), Seq("vec_id"))   // v3
+      val f3 = follow()
+      val replaySkipped = !follow()
+      val live = TxLog.read(s, src)
+      val (ivf, _) = IndexFollower.ivfPqOf(TxLog.read(s, idx))
+      val coverageOk =
+        ivf.assigned.select(col("neighbor_id"))
+          .exceptAll(live.select(col("vec_id").cast("long"))).isEmpty &&
+        live.select(col("vec_id").cast("long"))
+          .exceptAll(ivf.assigned.select(col("neighbor_id"))).isEmpty
+      val q = e.filter(col("vec_id") < 5)
+      val res = IndexFollower.searchFollowedIvfPq(s, idx, q, "vec_id", "embedding",
+        k = 10, nprobe = 16, rerank = 300)
+      val erased = e.filter(col("vec_id") % 25 === 7)
+        .select(col("vec_id").as("neighbor_id"))
+      val noErasedServed = res.join(erased, Seq("neighbor_id"), "left_semi").isEmpty
+      val brute = Similarity.bruteTopK(live, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10)
+      val hits = res.join(brute.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"),
+          lit(f1 && f2 && f3 && replaySkipped).as("exactly_once_ok"),
+          lit(coverageOk && noErasedServed).as("coverage_ok"),
+          lit(appendOk).as("append_shaped_ok"))
+    }),
+
     // MINHASH-INDEX-FOLLOWS-TABLE: the dedup twin of q326 — the followed
     // MinHash index (band table + verification base, maintained per-id
     // from the change feed through create/append/upsert/dv-delete) is
@@ -6324,6 +6387,12 @@ object SparkEntry {
     "q326_index_follows_table" ->
       """SELECT vec_id AS query_id, true AS recall_ok, true AS exactly_once_ok,
         |  true AS coverage_ok, true AS updates_and_erasures_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // ivf-pq follower: recall/coverage/append-shape/exactly-once pinned
+    "q333_ivfpq_follows_table" ->
+      """SELECT vec_id AS query_id, true AS recall_ok, true AS exactly_once_ok,
+        |  true AS coverage_ok, true AS append_shaped_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
 
     // minhash follower: live per-lang counts (all docs minus the dv-erased

@@ -76,7 +76,7 @@ object IndexFollower {
 
   /** The serve-time delete list of a followed state. */
   def tombstonesOf(state: DataFrame): DataFrame =
-    state.filter(col("kind") === "tomb").select(col("id"))
+    state.filter(col("kind") === "tomb").select(col("id")).distinct()
 
   private def asState(index: DataFrame, tombs: DataFrame): DataFrame =
     index.select(lit("node").as("kind"), col("shard"), col("id"), col("vec"),
@@ -108,7 +108,7 @@ object IndexFollower {
     val srcLatest = TxLog.latest(src).version
     if (!new java.io.File(dst, "_graft_log").exists())
       TxLog.create(spark, dst, emptyState(spark))
-    TxLog.commitKeyedTransform(spark, dst, streamId, srcLatest) { (_, curState) =>
+    TxLog.commitKeyedTransform(spark, dst, streamId, srcLatest) { (base, curState) =>
       val lastV = TxLog.streamHighWater(dst, streamId)
       val state = curState()
       val nodes = nodesOf(state)
@@ -147,18 +147,24 @@ object IndexFollower {
       val nNodes = nodes.select(col("id")).distinct().count()
       val mustCompact = hasUpdates ||
         (nNodes > 0 && nTomb.toDouble / nNodes.toDouble >= compactFrac)
-      val (newIndex, newTombs) =
-        if (mustCompact) {
-          // retire tombstones + updated ids in one rebuild over survivors,
-          // then insert the batch into the compacted graph
-          val dead = tombAll.unionByName(updHit).distinct()
-          val compacted = GraphAnn.hnswCompact(nodes, dead, "id", cfg)
-          (GraphAnn.hnswInsert(compacted, ins, "id", "vec", cfg),
-            emptyState(spark).select(col("id")))
-        } else if (ins.limit(1).count() > 0) {
-          (GraphAnn.hnswInsert(nodes, ins, "id", "vec", cfg), tombAll)
-        } else (nodes, tombAll)
-      (Some(asState(newIndex, newTombs)), Seq.empty)
+      if (mustCompact) {
+        // retire tombstones + updated ids in one rebuild over survivors,
+        // then insert the batch into the compacted graph
+        val dead = tombAll.unionByName(updHit).distinct()
+        val compacted = GraphAnn.hnswCompact(nodes, dead, "id", cfg)
+        (Some(asState(GraphAnn.hnswInsert(compacted, ins, "id", "vec", cfg),
+          emptyState(spark).select(col("id")))), Seq.empty)
+      } else if (ins.limit(1).count() > 0) {
+        // inserting re-points existing nodes' adjacency across the touched
+        // shards: the graph genuinely rewrites (the HNSW trade)
+        (Some(asState(GraphAnn.hnswInsert(nodes, ins, "id", "vec", cfg), tombAll)),
+          Seq.empty)
+      } else {
+        // delete-only (or empty) advance: APPEND tombstone rows, keep every
+        // state segment verbatim — a GDPR-erasure stream never rewrites the
+        // graph until the compaction threshold
+        (Some(asState(nodes.limit(0), delLive)), base.segments)
+      }
     }
   }
 
@@ -171,6 +177,189 @@ object IndexFollower {
     val state = TxLog.read(spark, dst)
     GraphAnn.hnswQuery(nodesOf(state), queries, queryId, queryVec, k, cfg,
       deleted = Some(tombstonesOf(state)))
+  }
+
+  // ---- IVF-PQ index follower -----------------------------------------------
+
+  private val pqStateSchema = StructType(Seq(
+    StructField("kind", StringType), StructField("id", LongType),
+    StructField("cell", IntegerType), StructField("vec", ArrayType(FloatType)),
+    StructField("code", BinaryType), StructField("sub", IntegerType),
+    StructField("cidx", IntegerType),
+    StructField("dvec", ArrayType(DoubleType)), StructField("gen", LongType)))
+
+  private def emptyPqState(spark: SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), pqStateSchema)
+
+  /** Tag the four IVF-PQ relations (+ a `meta` row carrying the live count
+    * at build time — the retrain-growth baseline) into one state frame. */
+  private def asPqState(spark: SparkSession, ivf: Similarity.IvfIndex,
+      pq: Similarity.PqIndex, gen: Long, builtAt: Option[Long]): DataFrame = {
+    def shape(kind: String, df: DataFrame): DataFrame = {
+      val present = df.columns.toSet
+      df.select((lit(kind).as("kind") +:
+        pqStateSchema.fields.toSeq.filter(_.name != "kind").map(f =>
+          if (f.name == "gen") lit(gen).cast(LongType).as("gen")
+          else if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name))): _*)
+    }
+    val assigned = shape("assigned", ivf.assigned.select(
+      col("neighbor_id").cast("long").as("id"), col("cell"), col("__dv").as("vec")))
+    val codes = shape("code", pq.codes.select(
+      col("neighbor_id").cast("long").as("id"), col("pq_code").as("code")))
+    val cents = shape("centroid", ivf.centroids.select(
+      col("cell"), col("__cv").as("dvec")))
+    val cbRows = for {
+      j <- pq.codebook.centroids.indices
+      c <- pq.codebook.centroids(j).indices
+    } yield Row(j, c, pq.codebook.centroids(j)(c).toSeq)
+    val cb = shape("codebook", spark.createDataFrame(
+      spark.sparkContext.parallelize(cbRows, 1),
+      StructType(Seq(StructField("sub", IntegerType, nullable = false),
+        StructField("cidx", IntegerType, nullable = false),
+        StructField("dvec", ArrayType(DoubleType, containsNull = false), nullable = false)))))
+    val all = assigned.unionByName(codes).unionByName(cents).unionByName(cb)
+    builtAt.fold(all)(n => all.unionByName(shape("meta",
+      spark.range(1).select(lit(n).as("id")))))
+  }
+
+  /** Resolve a followed IVF-PQ state to its live artifacts: per-id rows
+    * (assigned/code) die under a later-generation tombstone, exactly the
+    * MinHash discipline; centroid/codebook/meta rows belong to the NEWEST
+    * build generation present. */
+  def ivfPqOf(state: DataFrame): (Similarity.IvfIndex, Similarity.PqIndex) = {
+    val tombs = state.filter(col("kind") === "tomb")
+      .groupBy(col("id")).agg(max(col("gen")).as("__tgen"))
+    def live(rows: DataFrame) = rows.join(tombs, Seq("id"), "left")
+      .filter(col("__tgen").isNull || col("gen") >= col("__tgen"))
+    val buildGen = state.filter(col("kind") === "centroid")
+      .agg(max(col("gen"))).head().getLong(0)
+    val assigned = live(state.filter(col("kind") === "assigned"))
+      .select(col("id").as("neighbor_id"), col("vec").as("__dv"), col("cell"))
+    val codes = live(state.filter(col("kind") === "code"))
+      .select(col("id").as("neighbor_id"), col("code").as("pq_code"))
+    val cents = state.filter(col("kind") === "centroid" && col("gen") === buildGen)
+      .select(col("cell"), col("dvec").as("__cv"))
+    val cb = state.filter(col("kind") === "codebook" && col("gen") === buildGen)
+      .select(col("sub"), col("cidx"), col("dvec"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cb.map(_._1).max + 1
+    val byS = cb.groupBy(_._1).map { case (j, rows) => j -> rows.sortBy(_._2).map(_._3) }
+    val centroids = (0 until m).map(byS(_)).toArray
+    (Similarity.IvfIndex(assigned, cents),
+      Similarity.PqIndex(codes, Similarity.PqCodebook(m, centroids(0)(0).length, centroids)))
+  }
+
+  /** The live-count baseline recorded by the newest full build. */
+  private def builtAtOf(state: DataFrame): Long = {
+    val r = state.filter(col("kind") === "meta")
+      .agg(max_by(col("id"), col("gen"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /**
+   * Exactly-once IVF-PQ follower over a TxLog corpus — the quantized tier
+   * of the index-follows-table family, and the one where incremental
+   * following is CHEAPEST: `ingestIvfPq` quantizes a batch against the
+   * TRAINED centroids/codebook without touching existing rows, so an
+   * insert advance APPENDS exactly the batch's (cell-assignment, code)
+   * rows; deletes/updates append generation tombstones (per-id rows are
+   * independent — the MinHash discipline). A FULL REBUILD (retrain both
+   * quantizers over the live snapshot, retiring every tombstone) triggers
+   * when the tombstoned fraction crosses `compactFrac` OR the live corpus
+   * outgrows the trained quantizers (`retrainGrowth` — codebooks trained
+   * on n rows degrade as the distribution drifts; growth is the honest
+   * proxy this side of a drift statistic). Progress rides the state
+   * table's own log keyed by source version — exactly-once, replays skip.
+   * Vectors ride the assigned rows, so the followed state is
+   * self-contained for serving ([[searchFollowedIvfPq]]).
+   */
+  def followIvfPq(spark: SparkSession, src: String, dst: String,
+      consumerId: String, idCol: String, vecCol: String,
+      ivfCfg: Similarity.IvfConfig = Similarity.IvfConfig(),
+      pqCfg: Similarity.PqConfig = Similarity.PqConfig(),
+      compactFrac: Double = 0.2, retrainGrowth: Double = 1.0): Boolean = {
+    require(compactFrac > 0.0 && compactFrac <= 1.0,
+      s"compactFrac must be in (0, 1], got $compactFrac")
+    val streamId = s"txivfpq:$consumerId"
+    val srcLatest = TxLog.latest(src).version
+    if (!new java.io.File(dst, "_graft_log").exists())
+      TxLog.create(spark, dst, emptyPqState(spark))
+    TxLog.commitKeyedTransform(spark, dst, streamId, srcLatest) { (base, curState) =>
+      val lastV = TxLog.streamHighWater(dst, streamId)
+      val state = curState()
+      def fullBuild(): DataFrame = {
+        val live = TxLog.read(spark, src, srcLatest)
+          .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        val (ivf, pq) = Similarity.buildIvfPq(live, "id", "vec", ivfCfg, pqCfg)
+        asPqState(spark, ivf, pq, gen = srcLatest,
+          builtAt = Some(live.count()))
+      }
+      if (lastV < 0) (Some(fullBuild()), Seq.empty)
+      else {
+        val feed = TxLog.changeFeed(spark, src, lastV, srcLatest)
+        val changes = feed.select(col(idCol).cast("long").as("id"),
+          col(vecCol).as("vec"),
+          when(col("_change_type").isin("insert", "update_postimage"), 1)
+            .otherwise(0).as("alive"),
+          col("_commit_version").as("cv"))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("cv").desc, col("alive").desc)
+        val fin = changes.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "cv")
+        val ins = fin.filter(col("alive") === 1).drop("alive")
+        val del = fin.filter(col("alive") === 0).select(col("id"))
+        val indexedIds = state.filter(col("kind") === "assigned").select(col("id"))
+        val tombIds = ins.select(col("id")).unionByName(del).distinct()
+          .join(indexedIds, Seq("id"), "left_semi")
+        val nTomb = state.filter(col("kind") === "tomb").select(col("id"))
+          .unionByName(tombIds).distinct().count()
+        val nIndexed = indexedIds.distinct().count()
+        val liveAfter = nIndexed - nTomb + ins.count()
+        val builtAt = builtAtOf(state)
+        val mustRebuild =
+          (nIndexed > 0 && nTomb.toDouble / nIndexed.toDouble >= compactFrac) ||
+          (builtAt > 0 && liveAfter.toDouble >= builtAt.toDouble * (1.0 + retrainGrowth))
+        if (mustRebuild) (Some(fullBuild()), Seq.empty)
+        else {
+          // quantize ONLY the batch against the trained artifacts: feeding
+          // ingestIvfPq empty assigned/codes makes its output exactly the
+          // batch's fresh rows (and disarms its duplicate-id refusal —
+          // updates are legal here, the tombstone retires the old rows)
+          val (ivf, pq) = ivfPqOf(state)
+          val (gIvf, gPq) = Similarity.ingestIvfPq(
+            Similarity.IvfIndex(ivf.assigned.limit(0), ivf.centroids),
+            Similarity.PqIndex(pq.codes.limit(0), pq.codebook),
+            ins, "id", "vec")
+          val fresh = asPqState(spark, gIvf, gPq, gen = srcLatest, builtAt = None)
+            // centroid/codebook rows re-emitting at the new gen would
+            // shadow nothing but bloat the state: keep per-id rows only
+            .filter(col("kind").isin("assigned", "code"))
+          val tombRows = tombIds.select(
+            lit("tomb").as("kind"), col("id"),
+            lit(null).cast(IntegerType).as("cell"),
+            lit(null).cast(ArrayType(FloatType)).as("vec"),
+            lit(null).cast(BinaryType).as("code"),
+            lit(null).cast(IntegerType).as("sub"),
+            lit(null).cast(IntegerType).as("cidx"),
+            lit(null).cast(ArrayType(DoubleType)).as("dvec"),
+            lit(srcLatest).as("gen"))
+          (Some(fresh.unionByName(tombRows)), base.segments) // append-shaped
+        }
+      }
+    }
+  }
+
+  /** Serve the followed IVF-PQ index at `dst`: resolve the state and run
+    * the standard two-tier search (cell probe → ADC shortlist → exact
+    * rerank against the vectors riding the assigned rows). */
+  def searchFollowedIvfPq(spark: SparkSession, dst: String, queries: DataFrame,
+      queryId: String, queryVec: String, k: Int, nprobe: Int,
+      rerank: Int = 100): DataFrame = {
+    val (ivf, pq) = ivfPqOf(TxLog.read(spark, dst))
+    val data = ivf.assigned.select(col("neighbor_id").as("id"), col("__dv").as("vec"))
+    Similarity.searchIvfPq(ivf, pq, data, "id", "vec",
+      queries, queryId, queryVec, k, nprobe, rerank)
   }
 
   // ---- MinHash index follower ----------------------------------------------

@@ -145,6 +145,66 @@ class IndexFollowerSpec extends SparkSpec {
     assert(eqRel(followed2.bands, rebuilt2.bands) && eqRel(followed2.base, rebuilt2.base))
   }
 
+  test("ivf-pq follower: insert advances append, tombstones serve, crossing thresholds rebuilds") {
+    val root = graft.io.TempDirs.create("idxf5_")
+    val src = root.resolve("src").toString
+    val idx = root.resolve("pq").toString
+    val ivfCfg = Similarity.IvfConfig(nlist = 8, nprobe = 8)
+    val pqCfg = Similarity.PqConfig(m = 4, ksub = 16)
+    def nrm(v: Seq[Float]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      if (n == 0f) v else v.map(_ / n)
+    }
+    def ndf(ids: Seq[Long], neg: Boolean = false) =
+      ids.map(i => (i, nrm(if (neg) vecOf(i).map(x => -x) else vecOf(i)))).toDF("id", "vec")
+    def follow(frac: Double = 0.5) = IndexFollower.followIvfPq(
+      spark, src, idx, "c", "id", "vec", ivfCfg, pqCfg, compactFrac = frac)
+
+    TxLog.create(spark, src, ndf(0L until 60L))
+    assert(follow(), "bootstrap must advance")
+    TxLog.append(spark, src, ndf(60L until 90L))
+    assert(follow(), "append must advance")
+    // the insert advance APPENDED: every prior state segment carried verbatim
+    val h = TxLog.history(idx)
+    assert(h.init.last.segments.forall(h.last.segments.contains),
+      "insert advance must append, not rewrite the state")
+    // update three ids + dv-delete three others: tombstones, still append
+    TxLog.upsert(spark, src, ndf(Seq(3L, 17L, 33L), neg = true), Seq("id"))
+    TxLog.deleteRows(spark, src, col("id").isin(5L, 25L, 70L))
+    assert(follow())
+    assert(!follow(), "caught up: replay must be skipped")
+    val (ivf, pq) = IndexFollower.ivfPqOf(TxLog.read(spark, idx))
+    val liveIds = TxLog.read(spark, src).select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ivf.assigned.select(col("neighbor_id"))
+      .collect().map(_.getLong(0)).toSet === liveIds)
+    assert(pq.codes.count() === liveIds.size.toLong)
+    // updated id serves its NEW (negated) vector
+    val v3 = ivf.assigned.filter(col("neighbor_id") === 3L)
+      .select(col("__dv")).head().getSeq[Float](0)
+    assert(v3 === nrm(vecOf(3L).map(x => -x)))
+    // serving: deleted ids absent, recall sane against brute over live
+    val q = ndf(Seq(500L, 501L))
+    val res = IndexFollower.searchFollowedIvfPq(spark, idx, q, "id", "vec",
+      k = 5, nprobe = 8, rerank = 60)
+    val served = res.collect().map(_.getLong(1)).toSet
+    assert(!served.contains(5L) && !served.contains(25L) && !served.contains(70L))
+    val brute = Similarity.bruteTopK(TxLog.read(spark, src), "id", "vec",
+      q, "id", "vec", k = 5)
+    val hitRate = res.join(brute.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / brute.count()
+    assert(hitRate >= 0.6, s"recall too low: $hitRate")
+    // a delete wave crossing compactFrac triggers the full rebuild:
+    // tombstones retire, quantizers retrain, coverage holds
+    TxLog.deleteRows(spark, src, col("id") >= 40L && col("id") < 85L)
+    assert(follow())
+    val st = TxLog.read(spark, idx)
+    assert(st.filter(col("kind") === "tomb").isEmpty,
+      "crossing compactFrac must rebuild and retire tombstones")
+    val (ivf2, _) = IndexFollower.ivfPqOf(st)
+    assert(ivf2.assigned.select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+      === TxLog.read(spark, src).select(col("id")).collect().map(_.getLong(0)).toSet)
+  }
+
   test("two followers with distinct consumer ids ride one source independently") {
     val root = graft.io.TempDirs.create("idxf3_")
     val src = root.resolve("src").toString
