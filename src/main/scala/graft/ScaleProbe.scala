@@ -1288,6 +1288,64 @@ object ScaleProbe {
           parses
         }
       }
+      // INDEX-FOLLOWER advance (round 10): a FIXED fresh batch lands in a
+      // TxLog corpus of size k; the timed section is ONE followIvfPq
+      // advance. Append-shaped: the batch quantizes against the trained
+      // artifacts and appends; the state-side work is the rebuild-decision
+      // column scan plus the feed read — the advance must track the BATCH,
+      // not the corpus (the bootstrap build is untimed setup)
+      if (only.isEmpty || only.contains("txivfpq_follow")) {
+        val root = new java.io.File(s"$work/txivfpq_x$k")
+        if (root.exists()) {
+          import java.nio.file.{Files, Paths}
+          Files.walk(Paths.get(root.getPath))
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+        val src = s"$work/txivfpq_x$k/src"
+        val idx = s"$work/txivfpq_x$k/idx"
+        val ivfCfg = ext.Similarity.IvfConfig(nlist = 32 * k, nprobe = 8)
+        val pqCfg = ext.Similarity.PqConfig(m = 8, ksub = 32)
+        def follow() = ext.IndexFollower.followIvfPq(spark, src, idx, "p",
+          "vec_id", "embedding", ivfCfg, pqCfg, retrainGrowth = 100.0)
+        val e = read("embeddings", k).select(col("vec_id"),
+          ext.Similarity.l2normalized(col("embedding")).as("embedding"))
+        graft.io.TxLog.create(spark, src, e.filter(col("vec_id") % 31 =!= 0))
+        follow() // bootstrap build over the k-sized corpus (setup, untimed)
+        val batch = read("embeddings", 1).filter(col("vec_id") % 31 === 0)
+          .select(col("vec_id"), ext.Similarity.l2normalized(col("embedding")).as("embedding"))
+        graft.io.TxLog.append(spark, src, batch)
+        timed("txivfpq_follow", k) {
+          follow()
+          graft.io.TxLog.fastCount(idx).getOrElse(-1L)
+        }
+      }
+      // MinHash follower advance: same shape — fixed document batch,
+      // append-shaped advance (batch signatures + tombstone semi-join +
+      // the compaction-decision counts), cost must track the batch
+      if (only.isEmpty || only.contains("txminhash_follow")) {
+        val root = new java.io.File(s"$work/txmh_x$k")
+        if (root.exists()) {
+          import java.nio.file.{Files, Paths}
+          Files.walk(Paths.get(root.getPath))
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+        val src = s"$work/txmh_x$k/src"
+        val idx = s"$work/txmh_x$k/idx"
+        def follow() = ext.IndexFollower.followMinhashIndex(spark, src, idx, "m",
+          "doc_id", "text")
+        val d = read("documents", k).select(col("doc_id"), col("text"))
+        graft.io.TxLog.create(spark, src, d.filter(col("doc_id") % 31 =!= 0))
+        follow() // bootstrap (setup, untimed)
+        val batch = read("documents", 1).filter(col("doc_id") % 31 === 0)
+          .select(col("doc_id"), col("text"))
+        graft.io.TxLog.append(spark, src, batch)
+        timed("txminhash_follow", k) {
+          follow()
+          graft.io.TxLog.fastCount(idx).getOrElse(-1L)
+        }
+      }
       // incremental HNSW ingest: adopt the persisted shard graphs, insert
       // only the ~4% batch — linear in corpus size (adoption dominates),
       // never a rebuild of the accumulated index
