@@ -78,6 +78,33 @@ object IndexFollower {
   def tombstonesOf(state: DataFrame): DataFrame =
     state.filter(col("kind") === "tomb").select(col("id")).distinct()
 
+  /** Collapse a source range to each id's FINAL state — the shared
+    * follower discipline: latest `_commit_version` wins, the postimage
+    * beats the preimage on the within-commit tie. Returns (inserts with
+    * the value column, deleted ids); the bootstrap range (lastV < 0) folds
+    * the full snapshot at `srcLatest` as inserts. */
+  private def finalChanges(spark: SparkSession, src: String, lastV: Long,
+      srcLatest: Long, idCol: String, valCol: String, valName: String)
+      : (DataFrame, DataFrame) =
+    if (lastV < 0) {
+      val ins = TxLog.read(spark, src, srcLatest)
+        .select(col(idCol).cast("long").as("id"), col(valCol).as(valName))
+      (ins, ins.select(col("id")).limit(0))
+    } else {
+      val feed = TxLog.changeFeed(spark, src, lastV, srcLatest)
+      val changes = feed.select(col(idCol).cast("long").as("id"),
+        col(valCol).as(valName),
+        when(col("_change_type").isin("insert", "update_postimage"), 1)
+          .otherwise(0).as("alive"),
+        col("_commit_version").as("cv"))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("cv").desc, col("alive").desc)
+      val fin = changes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "cv")
+      (fin.filter(col("alive") === 1).drop("alive"),
+        fin.filter(col("alive") === 0).select(col("id")))
+    }
+
   private def asState(index: DataFrame, tombs: DataFrame): DataFrame =
     index.select(lit("node").as("kind"), col("shard"), col("id"), col("vec"),
         col("levels"), col("cfg"))
@@ -106,36 +133,14 @@ object IndexFollower {
       s"compactFrac must be in (0, 1], got $compactFrac")
     val streamId = s"txindex:$consumerId"
     val srcLatest = TxLog.latest(src).version
-    if (!new java.io.File(dst, "_graft_log").exists())
+    if (!TxLog.exists(dst))
       TxLog.create(spark, dst, emptyState(spark))
     TxLog.commitKeyedTransform(spark, dst, streamId, srcLatest) { (base, curState) =>
       val lastV = TxLog.streamHighWater(dst, streamId)
       val state = curState()
       val nodes = nodesOf(state)
       val tombs = tombstonesOf(state)
-      val (ins, del) =
-        if (lastV < 0) {
-          // bootstrap: the full current snapshot is the insert batch
-          (TxLog.read(spark, src, srcLatest)
-            .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
-            emptyState(spark).select(col("id")))
-        } else {
-          // collapse the classified feed to each id's FINAL state in the
-          // range: latest commit wins; within one commit the postimage
-          // beats the preimage (an update's two rows share a version)
-          val feed = TxLog.changeFeed(spark, src, lastV, srcLatest)
-          val changes = feed.select(col(idCol).cast("long").as("id"),
-            col(vecCol).as("vec"),
-            when(col("_change_type").isin("insert", "update_postimage"), 1)
-              .otherwise(0).as("alive"),
-            col("_commit_version").as("cv"))
-          val w = Window.partitionBy(col("id"))
-            .orderBy(col("cv").desc, col("alive").desc)
-          val fin = changes.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn", "cv")
-          (fin.filter(col("alive") === 1).drop("alive"),
-            fin.filter(col("alive") === 0).select(col("id")))
-        }
+      val (ins, del) = finalChanges(spark, src, lastV, srcLatest, idCol, vecCol, "vec")
       // ids being re-inserted (updates) — the graph cannot re-point them
       val nodeIds = nodes.select(col("id"))
       val updHit = ins.select(col("id")).join(nodeIds, Seq("id"), "left_semi")
@@ -283,7 +288,7 @@ object IndexFollower {
       s"compactFrac must be in (0, 1], got $compactFrac")
     val streamId = s"txivfpq:$consumerId"
     val srcLatest = TxLog.latest(src).version
-    if (!new java.io.File(dst, "_graft_log").exists())
+    if (!TxLog.exists(dst))
       TxLog.create(spark, dst, emptyPqState(spark))
     TxLog.commitKeyedTransform(spark, dst, streamId, srcLatest) { (base, curState) =>
       val lastV = TxLog.streamHighWater(dst, streamId)
@@ -297,18 +302,7 @@ object IndexFollower {
       }
       if (lastV < 0) (Some(fullBuild()), Seq.empty)
       else {
-        val feed = TxLog.changeFeed(spark, src, lastV, srcLatest)
-        val changes = feed.select(col(idCol).cast("long").as("id"),
-          col(vecCol).as("vec"),
-          when(col("_change_type").isin("insert", "update_postimage"), 1)
-            .otherwise(0).as("alive"),
-          col("_commit_version").as("cv"))
-        val w = Window.partitionBy(col("id"))
-          .orderBy(col("cv").desc, col("alive").desc)
-        val fin = changes.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn", "cv")
-        val ins = fin.filter(col("alive") === 1).drop("alive")
-        val del = fin.filter(col("alive") === 0).select(col("id"))
+        val (ins, del) = finalChanges(spark, src, lastV, srcLatest, idCol, vecCol, "vec")
         val indexedIds = state.filter(col("kind") === "assigned").select(col("id"))
         val tombIds = ins.select(col("id")).unionByName(del).distinct()
           .join(indexedIds, Seq("id"), "left_semi")
@@ -427,30 +421,12 @@ object IndexFollower {
       s"compactFrac must be in (0, 1], got $compactFrac")
     val streamId = s"txminhash:$consumerId"
     val srcLatest = TxLog.latest(src).version
-    if (!new java.io.File(dst, "_graft_log").exists())
+    if (!TxLog.exists(dst))
       TxLog.create(spark, dst, emptyMhState(spark))
     TxLog.commitKeyedTransform(spark, dst, streamId, srcLatest) { (base, curState) =>
       val lastV = TxLog.streamHighWater(dst, streamId)
       val state = curState()
-      val (ins, del) =
-        if (lastV < 0)
-          (TxLog.read(spark, src, srcLatest)
-            .select(col(idCol).cast("long").as("id"), col(textCol).as("__text")),
-            emptyMhState(spark).select(col("id")))
-        else {
-          val feed = TxLog.changeFeed(spark, src, lastV, srcLatest)
-          val changes = feed.select(col(idCol).cast("long").as("id"),
-            col(textCol).as("__text"),
-            when(col("_change_type").isin("insert", "update_postimage"), 1)
-              .otherwise(0).as("alive"),
-            col("_commit_version").as("cv"))
-          val w = Window.partitionBy(col("id"))
-            .orderBy(col("cv").desc, col("alive").desc)
-          val fin = changes.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn", "cv")
-          (fin.filter(col("alive") === 1).drop("alive"),
-            fin.filter(col("alive") === 0).select(col("id")))
-        }
+      val (ins, del) = finalChanges(spark, src, lastV, srcLatest, idCol, textCol, "__text")
       val fresh = asMhState(Dedup.buildMinhashIndex(ins, "id", "__text", cfg),
         gen = srcLatest)
       // tombstone every changed id that the state has EVER indexed (a

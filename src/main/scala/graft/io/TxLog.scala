@@ -418,6 +418,11 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     snapshotOf(table, vs.last)
   }
 
+  /** True iff `table` has at least one COMMITTED version — the existence
+    * check follower bootstraps key on (a data dir left by a crashed
+    * `create` is NOT an existing table; the retried create claims v0). */
+  def exists(table: String): Boolean = listVersions(table).nonEmpty
+
   // ---- checkpointed log state --------------------------------------------
 
   /** Cumulative state at a checkpoint: the vacuum retention floor, each
@@ -943,20 +948,28 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     * winner's segments + the already-written fresh segments — and claim
     * again, never recomputing or rewriting anything (the Delta disjoint-
     * conflict discipline: AddFile-only transactions commute with
-    * everything; verdict r9 #3). Returns the committed snapshot, or None
-    * when retries were exhausted. */
+    * everything; verdict r9 #3). `nextBase` supplies the winner snapshot
+    * AND any replay decision from ONE log listing — the guard and the
+    * claimed base version must never come from separate listings, or a
+    * same-key commit landing between them would slip past the guard (the
+    * claim itself then serializes: claiming base.version+1 collides with
+    * anything that landed after the listing). Returns the committed
+    * snapshot, None inside when the guard said skip, or outer None when
+    * retries were exhausted. */
   private def rebaseAppend(table: String, op: String, newSegments: Seq[String],
       freshEnv: FreshEnv, retries: Int,
-      replayGuard: () => Boolean = () => false): Option[Option[Snapshot]] = {
+      nextBase: () => Option[Snapshot]): Option[Option[Snapshot]] = {
     var attempt = 0
     while (attempt < retries) {
-      if (replayGuard()) return Some(None) // keyed replay landed meanwhile
-      val w = latest(table)
-      val (num, str, rc) = carryStats(w, w.segments, freshEnv)
-      val snap = TxSnapshot(w.version + 1, op, w.segments ++ newSegments,
-        clock(), num, str, w.dvs, rc)
-      commitRebaseCount.incrementAndGet()
-      if (tryClaim(table, snap)) return Some(Some(snap))
+      nextBase() match {
+        case None => return Some(None) // keyed replay landed meanwhile
+        case Some(w) =>
+          val (num, str, rc) = carryStats(w, w.segments, freshEnv)
+          val snap = TxSnapshot(w.version + 1, op, w.segments ++ newSegments,
+            clock(), num, str, w.dvs, rc)
+          commitRebaseCount.incrementAndGet()
+          if (tryClaim(table, snap)) return Some(Some(snap))
+      }
       attempt += 1
     }
     None
@@ -991,7 +1004,8 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       // lost the race. Append-shaped: rebase without recompute.
       if (!forcedBase && newData.isDefined &&
           keptSegments.toSet == base.segments.toSet) {
-        rebaseAppend(table, op, newSegments, freshEnv, maxRetries - attempt - 1) match {
+        rebaseAppend(table, op, newSegments, freshEnv, maxRetries - attempt - 1,
+            nextBase = () => Some(latest(table))) match {
           case Some(Some(committed)) => return committed
           case _ => // exhausted — fall through to the loud failure
             newSegments.foreach(dropSegment(table, _))
@@ -1085,8 +1099,12 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val candidates = segments.filter(seg => ranges.forall(mayContain(seg, _)))
     cowScanCount.addAndGet(candidates.size)
     if (candidates.isEmpty) return (Seq.empty, segments)
-    val scan0 = readSegments(spark, table, candidates)
-      .select(keyCols.map(col) :+ segmentExpr.as("__graft_seg"): _*)
+    // dv-APPLIED discovery (parity with deleteResolvedTiers): a segment
+    // whose only key-matching rows are already dv-dead holds no LIVE match
+    // and must not rewrite — dv-less tables pay nothing here
+    val scan0 = readSegments(spark, table, candidates, base.dvs,
+        segmentCol = Some("__graft_seg"))
+      .select(keyCols.map(col) :+ col("__graft_seg"): _*)
     // range prefilter pushed to the scan: the conjunction of every
     // range-able column's [min, max] (each column independently safe —
     // its touch keys carry no NULL, so a NULL-valued base row can never
@@ -1138,15 +1156,23 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       plan: (Snapshot, () => DataFrame) => (Option[DataFrame], Seq[String])): Boolean = {
     require(!streamId.contains("\n"), "streamId must be single-line")
     val tag = s"$StreamTag$streamId:$batchId"
-    def replayed(): Boolean = {
+    // the replay guard and the claimed base version come from the SAME log
+    // listing: a same-(stream, batch) commit landing between two separate
+    // listings would slip past the guard yet leave our claim a free slot —
+    // double-applying the batch. One listing + claiming lv+1 serializes:
+    // anything landing after it collides our claim, and the retry re-reads.
+    def guardedBase(): Option[Snapshot] = {
       val (lv, _, txns) = logState(table)
       require(lv >= 0, s"not a TxLog table: $table")
-      txns.getOrElse(streamId, -1L) >= batchId
+      if (txns.getOrElse(streamId, -1L) >= batchId) None // replay
+      else Some(snapshotOf(table, lv))
     }
     var attempt = 0
     while (attempt < maxRetries) {
-      if (replayed()) return false // replay
-      val base = latest(table)
+      val base = guardedBase() match {
+        case None => return false // replay
+        case Some(b) => b
+      }
       var forcedBase = false
       lazy val baseDf = read(spark, table, base.version)
       val (newData, kept) = plan(base, () => { forcedBase = true; baseDf })
@@ -1157,12 +1183,12 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
           clock(), num, str, carryDvs(base, kept), rc)))
         return true
       // append-shaped keyed commits (the stream-sink path) rebase like
-      // appends, with the replay guard re-checked before each claim: a
+      // appends, with the guard re-derived from each rebase listing: a
       // concurrent writer of the SAME stream committing this batch id
       // turns the rebase into a skip (exactly-once holds under rebase)
       if (!forcedBase && newData.isDefined && kept.toSet == base.segments.toSet) {
         rebaseAppend(table, tag, newSegments, freshEnv, maxRetries - attempt - 1,
-            replayGuard = replayed _) match {
+            nextBase = guardedBase _) match {
           case Some(Some(_)) => return true
           case Some(None) => // replayed mid-rebase: drop orphans, skip
             newSegments.foreach(dropSegment(table, _))
@@ -1905,7 +1931,13 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       if (hw >= srcLatest) draining = false
       else {
         val to =
-          if (hw < 0) math.min(maxVersionsPerTrigger - 1L, srcLatest)
+          // bootstrap snapshot version clamps to the vacuum retention
+          // floor — on a vacuumed source the earliest readable snapshot
+          // may already span more than one trigger's versions (the Delta
+          // initial-snapshot discipline: the first batch is however big
+          // the snapshot is)
+          if (hw < 0) math.max(retentionFloor(src),
+            math.min(maxVersionsPerTrigger - 1L, srcLatest))
           else math.min(hw + maxVersionsPerTrigger, srcLatest)
         val batch =
           if (hw < 0) read(spark, src, to)

@@ -91,26 +91,32 @@ object Ingest {
       .withColumn("__graft_matched", lit(true))
       .withColumn("__graft_srcdup", count(lit(1)).over(srcW))
     val cond = keyCols.map(k => col(k) <=> col(s"src_$k")).reduce(_ && _)
-    val joined0 = base.join(src, cond, "left_outer")
+    val joined = base.join(src, cond, "left_outer")
     val matched = col("__graft_matched").isNotNull
     // cardinality guard: a base row matched by >1 source row is a MERGE
     // error, not a fan-out — evaluated on the joined rows so unmatched
-    // duplicate source keys (legal inserts) never trip it
-    val joined = joined0.withColumn("__graft_matched",
-      when(matched && col("__graft_srcdup") > 1, raise_error(concat(
+    // duplicate source keys (legal inserts) never trip it. FORCED into the
+    // first OUTPUT column (never a helper column a downstream projection
+    // could prune away): an insert-only merge with no SET clause must
+    // still refuse matched duplicates instead of silently emitting the
+    // target row once per source match
+    val guard = matched && col("__graft_srcdup") > 1
+    def guarded(c: Column): Column =
+      when(guard, raise_error(concat(
         lit("mergeRows: multiple source rows match one target row on keys ("),
         lit(keyCols.mkString(", ")),
         lit(") — SQL MERGE cardinality violation; de-duplicate the source"))))
-        .otherwise(col("__graft_matched")))
+        .otherwise(c)
     val survivors = whenMatchedDelete match {
       case Some(d) => joined.filter(!coalesce(matched && d, lit(false)))
       case None => joined
     }
-    val updated = survivors.select(base.columns.map { c =>
-      whenMatchedSet.get(c) match {
-        case Some(expr) => when(matched, expr).otherwise(col(c)).as(c)
+    val updated = survivors.select(base.columns.zipWithIndex.map { case (c, i) =>
+      val v = whenMatchedSet.get(c) match {
+        case Some(expr) => when(matched, expr).otherwise(col(c))
         case None => col(c)
       }
+      (if (i == 0) guarded(v) else v).as(c)
     }.toSeq: _*)
     if (!insertUnmatched) updated
     else {

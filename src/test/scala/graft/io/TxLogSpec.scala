@@ -842,14 +842,21 @@ class TxLogSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(32L, 82L, 132L, 182L))
     // range reads apply the vectors too
     assert(TxLog.readWhere(spark, tbl, "k", 0.0, 40.0).count() === 39) // minus 7, 32
-    // a COW upsert reads dv-applied rows: dead key 7 RE-INSERTS (never
-    // resurrects at its old value), and the rewritten segment's
-    // tombstones MATERIALIZE — its dv entries drop from the manifest
+    // upserting a dv-DEAD key finds no live match (discovery is
+    // dv-applied): the key RE-INSERTS as fresh data — never resurrects at
+    // its old value, and NO segment rewrites for rows that are already dead
+    val preIns = TxLog.latest(tbl).segments
     TxLog.upsert(spark, tbl, Seq((7L, 777L)).toDF("k", "v"), Seq("k"))
     assert(TxLog.read(spark, tbl).filter(col("k") === 7).head().getLong(1) === 777L)
     assert(TxLog.read(spark, tbl).count() === 193)
-    // the rewrite materialized segment 1's tombstones: the fresh segment's
-    // recorded count and the surviving dv counts still reconcile exactly
+    assert(preIns.forall(TxLog.latest(tbl).segments.contains),
+      "a dead-key upsert must not rewrite any segment")
+    // a COW upsert of a LIVE key rewrites its segment, and the rewrite
+    // MATERIALIZES that segment's tombstones — its dv entries drop from
+    // the manifest; the fresh segment's recorded count and the surviving
+    // dv counts still reconcile exactly
+    TxLog.upsert(spark, tbl, Seq((8L, 888L)).toDF("k", "v"), Seq("k"))
+    assert(TxLog.read(spark, tbl).count() === 193)
     assert(TxLog.fastCount(tbl) === Some(193L))
     assert(TxLog.latest(tbl).dvs.values.forall(_.keys.toSeq === Seq(before.segments(1))))
     // compaction materializes every tombstone: dvs cleared, protocol
@@ -1136,6 +1143,70 @@ class TxLogSpec extends SparkSpec {
     assert(ops.versionAt(tbl, 40000L) === 39L)
     assert(ops.versionAt(tbl, 999999L) === 39L)
     intercept[Exception] { ops.versionAt(tbl, 500L) } // before v0
+  }
+
+  test("keyed commit exactly-once: a same-batch commit racing between log listings never double-applies") {
+    val inner = new InMemoryLogStore
+    val racing = new TxLogOps(inner)
+    val listCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var armed = false
+    val store: LogStore = new LogStore {
+      def list(t: String) = {
+        // inject a COMPLETED same-(stream, batch) commit mid-guard: after
+        // the version listing, before the claim — the window where a
+        // guard-and-base split across two listings would miss the replay
+        if (armed && listCalls.incrementAndGet() == 2) {
+          armed = false
+          racing.appendStreamBatch(spark, t, Seq((7L, 7L)).toDF("k", "v"), "s", 9L)
+          ()
+        }
+        inner.list(t)
+      }
+      def read(t: String, n: String) = inner.read(t, n)
+      def putIfAbsent(t: String, n: String, c: String) = inner.putIfAbsent(t, n, c)
+      def putPointer(t: String, n: String, c: String) = inner.putPointer(t, n, c)
+      def readPointer(t: String, n: String) = inner.readPointer(t, n)
+    }
+    val ops = new TxLogOps(store)
+    val tbl = freshTable()
+    ops.create(spark, tbl, Seq((0L, 0L)).toDF("k", "v"))
+    armed = true
+    ops.appendStreamBatch(spark, tbl, Seq((7L, 7L)).toDF("k", "v"), "s", 9L)
+    assert(ops.read(spark, tbl).filter(col("k") === 7L).count() === 1,
+      "racing same-batch commit must be detected, never double-applied")
+  }
+
+  test("changeStream bootstraps on a vacuumed source: the initial snapshot clamps to the retention floor") {
+    val root = TempDirs.create("txstream_vac_")
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    TxLog.create(spark, src, Seq((0L, 0L)).toDF("k", "v"))
+    (1 to 5).foreach(i => TxLog.append(spark, src, Seq((i.toLong, i.toLong * 10)).toDF("k", "v")))
+    TxLog.vacuum(spark, src, retainVersions = 2)
+    assert(TxLog.retentionFloor(src) > 1L, "fixture needs a raised floor")
+    // trigger bound 2 would bootstrap at version 1 — below the floor —
+    // without the clamp; with it, the first batch is the floor snapshot
+    val n = TxLog.changeStream(spark, src, dst, "c", maxVersionsPerTrigger = 2)(
+      feed => feed.filter(col("_change_type") === "insert").select(col("k"), col("v")))
+    assert(n >= 1)
+    assert(TxLog.read(spark, dst).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === TxLog.read(spark, src).collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("upsert discovery is dv-applied: a segment whose only matching rows are dv-dead stays verbatim") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, spark.range(0, 10).selectExpr("id AS k", "id AS v"))
+    TxLog.append(spark, tbl, spark.range(10, 20).selectExpr("id AS k", "id AS v"))
+    val segs = TxLog.latest(tbl).segments
+    TxLog.deleteRows(spark, tbl, col("k") === 5L) // dv-kill k=5 in segment A
+    // upserting the dv-dead key finds NO live match: both segments carry
+    // verbatim and the key re-inserts as fresh data (no wasted rewrite)
+    val snap = TxLog.upsert(spark, tbl, Seq((5L, 999L)).toDF("k", "v"), Seq("k"))
+    assert(segs.forall(snap.segments.contains),
+      "dv-dead-only match must not rewrite the segment")
+    val k5 = TxLog.read(spark, tbl).filter(col("k") === 5L)
+      .collect().map(_.getLong(1)).toSeq
+    assert(k5 === Seq(999L))
   }
 
   test("changeStream: bounded micro-batches drain exactly-once; dst equals src under ANY batching") {

@@ -188,5 +188,17 @@ class IngestSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val out = Ingest.mergeRows(base, dupUnmatched, Seq("k"),
       Map("v" -> col("src_v"))).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out === Set((1L, 10L), (2L, 20L), (5L, 500L), (5L, 501L)))
+    // the guard survives an EMPTY SET clause (insert-if-absent merge): no
+    // downstream projection may prune it away
+    val e2 = intercept[Exception] {
+      Ingest.mergeRows(base, dupMatched, Seq("k"), Map.empty).collect()
+    }
+    assert(e2.getMessage.contains("multiple source rows match") ||
+      Option(e2.getCause).exists(_.getMessage.contains("multiple source rows match")),
+      s"unexpected error: ${e2.getMessage}")
+    // and insert-if-absent itself stays correct with unique keys
+    val iia = Ingest.mergeRows(base, Seq((1L, 100L), (5L, 500L)).toDF("k", "v"),
+      Seq("k"), Map.empty).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(iia === Set((1L, 10L), (2L, 20L), (5L, 500L)))
   }
 }
