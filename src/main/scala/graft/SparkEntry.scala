@@ -3702,8 +3702,8 @@ object SparkEntry {
       val keptOk = clustered.forall(v3.segments.contains) &&
         v3.op == "optimize_zorder:o_custkey,cents"
       val v4 = TxLog.optimize(s, tbl, "o_custkey", "cents",
-        targetPartitions = 8, scoped = true)                                    // v4 noop
-      val noopOk = v4.op.endsWith(";noop") && v4.segments == v3.segments
+        targetPartitions = 8, scoped = true)            // nothing-to-do: NO commit
+      val noopOk = v4.version == v3.version && v4.segments == v3.segments
       val probeHi = (src.agg(max(col("o_custkey"))).head().getLong(0) / 10).toDouble
       val whereOk = TxLog.readWhere(s, tbl, "o_custkey", 1.0, probeHi).count() ==
         TxLog.read(s, tbl)
@@ -6403,11 +6403,12 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 17 != 3 GROUP BY 1""".stripMargin,
 
     // scoped optimize: full content identity (appends never drop rows);
-    // v0..v4 = 5 versions; kept-verbatim / noop / skipping pinned
+    // v0..v3 = 4 versions (the nothing-to-do call commits NOTHING);
+    // kept-verbatim / noop / skipping pinned
     "q327_txlog_optimize_scoped" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-        |  CAST(5 AS BIGINT) AS n_versions,
+        |  CAST(4 AS BIGINT) AS n_versions,
         |  true AS kept_verbatim_ok, true AS noop_ok, true AS where_ok
         |FROM orders GROUP BY 1""".stripMargin,
 

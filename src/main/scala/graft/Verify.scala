@@ -20,6 +20,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // selectors are FULL query names: a typo'd selector silently ran ZERO
+    // queries (and the checker passed vacuously on the empty manifest) —
+    // fail loudly on any selector matching no declared query (r10 verdict)
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(s"[verify] unknown query selector(s): " +
+        s"${unknown.toSeq.sorted.mkString(", ")} — selectors must be FULL " +
+        "names from SparkEntry.queries (e.g. q326_index_follows_table)")
+      spark.stop()
+      sys.exit(2)
+    }
     val ran = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
     ran.foreach { case (name, fn) =>

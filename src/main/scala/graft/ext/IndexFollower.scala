@@ -402,9 +402,11 @@ object IndexFollower {
    * are independent per id (band signatures + verification shingle sets),
    * so an advance is APPEND-SHAPED — the batch's fresh signature rows plus
    * one generation-stamped tombstone row per changed id append to the
-   * state table; no existing state row ever rewrites (the keyed commit
-   * keeps every base segment, so it even rides the append REBASE path
-   * under concurrent writers). Reads resolve through [[minhashIndexOf]]'s
+   * state table; no existing state row ever rewrites. (The plan still
+   * reads the base state — tombstone targets and the compaction ratio
+   * derive from it — so a lost claim takes the keyed commit's RECOMPUTE
+   * path, not the append rebase; the write stays append-sized either
+   * way.) Reads resolve through [[minhashIndexOf]]'s
    * generation anti-join; when the tombstoned-id fraction crosses
    * `compactFrac` the advance MATERIALIZES instead (one rewrite to the
    * resolved relation, retiring every tombstone — the deletion-vector

@@ -255,6 +255,11 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   private val LastCheckpoint = "_last_checkpoint"
   private val StreamTag = "stream_append:"
   private val VacuumTag = "vacuum:retainFrom="
+  /** Sentinel for [[commitKeyedTransform]]'s `requirePrevMark`: no
+    * stale-mark precondition (any prior high-water mark below the batch
+    * id is acceptable — the followAggregate shape, which derives its
+    * range INSIDE the guarded plan). */
+  val AnyPrevMark: Long = Long.MinValue
   private val KeysMark = ":keys="
 
   /** Highest manifest protocol this reader understands. A manifest
@@ -1152,7 +1157,8 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
    * commits its incremental state through it keyed by source version.
    */
   def commitKeyedTransform(spark: SparkSession, table: String,
-      streamId: String, batchId: Long, maxRetries: Int = 20)(
+      streamId: String, batchId: Long, maxRetries: Int = 20,
+      requirePrevMark: Long = AnyPrevMark)(
       plan: (Snapshot, () => DataFrame) => (Option[DataFrame], Seq[String])): Boolean = {
     require(!streamId.contains("\n"), "streamId must be single-line")
     val tag = s"$StreamTag$streamId:$batchId"
@@ -1164,7 +1170,18 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     def guardedBase(): Option[Snapshot] = {
       val (lv, _, txns) = logState(table)
       require(lv >= 0, s"not a TxLog table: $table")
-      if (txns.getOrElse(streamId, -1L) >= batchId) None // replay
+      val mark = txns.getOrElse(streamId, -1L)
+      if (mark >= batchId) None // replay
+      // STALE-MARK guard (r10 ADVICE): a plan whose batch was derived from
+      // a specific high-water mark (changeStream builds the range
+      // (hw, batchId] BEFORE the guarded listing) must refuse when a
+      // concurrent same-id consumer moved the mark to ANY other value —
+      // even a smaller batch id — or the pre-built range double-applies
+      // the already-committed prefix. The check re-derives on every retry
+      // and on the rebase path (nextBase = guardedBase), so movement
+      // between the caller's read and the claim always turns into a
+      // skip/false, never a double-apply.
+      else if (requirePrevMark != AnyPrevMark && mark != requirePrevMark) None
       else Some(snapshotOf(table, lv))
     }
     var attempt = 0
@@ -1636,32 +1653,44 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     * manifests (fresh-vs-parent diffs of each prior optimize commit, an
     * O(retained-versions) driver parse, checkpoint-bounded like vacuum);
     * rewrite cost tracks the UN-clustered volume, not the table. A scoped
-    * call with nothing to do commits a `;noop` manifest (the snapshot is
-    * already fully clustered). */
+    * call with nothing to do returns the current snapshot UNCHANGED — no
+    * commit, so a scheduled daily optimize never grows the log with empty
+    * versions (r10 ADVICE; a raced-to-clustered retry still lands one
+    * `;noop` manifest, the serialized-commit price of losing the race). */
   def optimize(spark: SparkSession, table: String, colA: String, colB: String,
       targetPartitions: Int = 8, scoped: Boolean = false): Snapshot = {
     val opName = s"optimize_zorder:$colA,$colB"
-    commitTransform(spark, table) { (base, cur) =>
-      val alreadyClustered: Set[String] =
-        if (!scoped) Set.empty
-        else {
-          val floor = logState(table, upTo = base.version)._2
-          // every retained prior optimize of the SAME dims contributes its
-          // fresh segments; the running union intersected with the current
-          // snapshot = what is still clustered (rewritten ones dropped out)
-          var acc = Set.empty[String]
-          (math.max(1L, floor) to base.version).foreach { v =>
-            val sn = snapshotOf(table, v)
-            if (sn.op == opName) {
-              val parent = snapshotOf(table, v - 1).segments.toSet
-              acc ++= sn.segments.filterNot(parent.contains)
-            }
+    // incremental clustered-set memo: each retained version's manifest
+    // parses ONCE across contention retries (r10 ADVICE — the derivation
+    // used to re-pay O(retained-versions) parses per retry); retries only
+    // scan the versions that landed since the last derivation
+    var scannedTo = 0L
+    var acc = Set.empty[String]
+    def alreadyClustered(base: Snapshot): Set[String] =
+      if (!scoped) Set.empty
+      else {
+        val floor = logState(table, upTo = base.version)._2
+        // every retained prior optimize of the SAME dims contributes its
+        // fresh segments; the running union intersected with the current
+        // snapshot = what is still clustered (rewritten ones dropped out)
+        (math.max(math.max(1L, floor), scannedTo + 1) to base.version).foreach { v =>
+          val sn = snapshotOf(table, v)
+          if (sn.op == opName) {
+            val parent = snapshotOf(table, v - 1).segments.toSet
+            acc ++= sn.segments.filterNot(parent.contains)
           }
-          val dvDirty = base.dvs.values.flatMap(_.keys).toSet
-          acc.intersect(base.segments.toSet) -- dvDirty
         }
-      val toCluster = base.segments.filterNot(alreadyClustered.contains)
-      val kept = base.segments.filter(alreadyClustered.contains)
+        scannedTo = math.max(scannedTo, base.version)
+        val dvDirty = base.dvs.values.flatMap(_.keys).toSet
+        acc.intersect(base.segments.toSet) -- dvDirty
+      }
+    // nothing-to-do fast path: no commit at all
+    val pre = latest(table)
+    if (scoped && pre.segments.forall(alreadyClustered(pre).contains)) return pre
+    commitTransform(spark, table) { (base, cur) =>
+      val clustered = alreadyClustered(base)
+      val toCluster = base.segments.filterNot(clustered.contains)
+      val kept = base.segments.filter(clustered.contains)
       if (toCluster.isEmpty) (s"$opName;noop", None, base.segments)
       else {
         val df = alignTo(readSegments(spark, table, toCluster, base.dvs), cur().schema)
@@ -1908,7 +1937,10 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
    * high-water mark — exactly-once on both ends, no external offset store.
    * Catches up to the source version observed at entry; commits racing in
    * later are the next call's work. A concurrent consumer with the same
-   * id advancing mid-drain stops this call early (its commit wins).
+   * id advancing mid-drain makes this call's in-flight batch refuse (the
+   * stale-mark guard — each batch commits ONLY if the mark it was built
+   * from is still current at claim time, so racing consumers never
+   * double-apply a range) and the loop resumes from the winner's mark.
    */
   def changeStream(spark: SparkSession, src: String, dst: String,
       consumerId: String, maxVersionsPerTrigger: Int = Int.MaxValue)(
@@ -1944,11 +1976,21 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
             .withColumn(ChangeType, lit("insert"))
             .withColumn(CommitVersion, lit(to))
           else changeFeed(spark, src, hw, to)
-        val ok = commitKeyedTransform(spark, dst, streamId, to) { (base, _) =>
+        // requirePrevMark = hw: the batch covers exactly (hw, to], so the
+        // commit must land ONLY if the stream's mark is still hw at claim
+        // time. A concurrent same-id consumer that committed ANY other
+        // batch (even a smaller `to` from an older srcLatest — the r10
+        // ADVICE race) makes the guard refuse; we re-read hw and rebuild
+        // the batch from wherever the winner got to instead of
+        // double-applying the already-committed prefix.
+        val ok = commitKeyedTransform(spark, dst, streamId, to,
+          requirePrevMark = hw) { (base, _) =>
           (Some(transform(batch)), base.segments)
         }
         if (ok) committed += 1
-        else draining = false // a same-id consumer advanced past us
+        // !ok = a same-id consumer moved the mark (replay or stale hw):
+        // loop again from the fresh mark — the next iteration either
+        // catches up (hw >= srcLatest) or builds a non-overlapping batch
       }
     }
     committed

@@ -95,28 +95,28 @@ object Ingest {
     val matched = col("__graft_matched").isNotNull
     // cardinality guard: a base row matched by >1 source row is a MERGE
     // error, not a fan-out — evaluated on the joined rows so unmatched
-    // duplicate source keys (legal inserts) never trip it. FORCED into the
-    // first OUTPUT column (never a helper column a downstream projection
-    // could prune away): an insert-only merge with no SET clause must
-    // still refuse matched duplicates instead of silently emitting the
-    // target row once per source match
+    // duplicate source keys (legal inserts) never trip it. Enforced as a
+    // FILTER node (not a projected column): column pruning can elide any
+    // output column — including column 0, under e.g. a downstream
+    // .select(otherCol) or an aggregate over other columns (r10 ADVICE) —
+    // but an operator in the plan survives every projection, so the guard
+    // fires per joined row no matter what the caller keeps
     val guard = matched && col("__graft_srcdup") > 1
-    def guarded(c: Column): Column =
+    val survivors = (whenMatchedDelete match {
+      case Some(d) => joined.filter(!coalesce(matched && d, lit(false)))
+      case None => joined
+    }).filter(
       when(guard, raise_error(concat(
         lit("mergeRows: multiple source rows match one target row on keys ("),
         lit(keyCols.mkString(", ")),
         lit(") — SQL MERGE cardinality violation; de-duplicate the source"))))
-        .otherwise(c)
-    val survivors = whenMatchedDelete match {
-      case Some(d) => joined.filter(!coalesce(matched && d, lit(false)))
-      case None => joined
-    }
-    val updated = survivors.select(base.columns.zipWithIndex.map { case (c, i) =>
+        .otherwise(lit(true)))
+    val updated = survivors.select(base.columns.map { c =>
       val v = whenMatchedSet.get(c) match {
         case Some(expr) => when(matched, expr).otherwise(col(c))
         case None => col(c)
       }
-      (if (i == 0) guarded(v) else v).as(c)
+      v.as(c)
     }.toSeq: _*)
     if (!insertUnmatched) updated
     else {

@@ -1103,9 +1103,12 @@ class TxLogSpec extends SparkSpec {
     assert(!v3.segments.exists(TxLog.history(tbl)(2).segments.filterNot(_ == clusteredSeg).contains),
       "the appended segment must have been re-clustered away")
     assert(TxLog.read(spark, tbl).collect().map(_.toString).sorted.toSeq === before)
-    // fully clustered now: a second scoped call is a manifest-only noop
+    // fully clustered now: a second scoped call commits NOTHING — the
+    // snapshot returns unchanged and the log does not grow (a scheduled
+    // daily optimize must not accumulate empty versions)
     val v4 = TxLog.optimize(spark, tbl, "a", "b", targetPartitions = 16, scoped = true)
-    assert(v4.op === "optimize_zorder:a,b;noop" && v4.segments === v3.segments)
+    assert(v4.version === v3.version && v4.segments === v3.segments)
+    assert(TxLog.latest(tbl).version === v3.version, "nothing-to-do must not commit")
     // BOTH clustered segments' row groups are tight on both dims
     (v4.segments :+ clusteredSeg).distinct.foreach { seg =>
       Seq("a", "b").foreach { c =>
@@ -1236,6 +1239,40 @@ class TxLogSpec extends SparkSpec {
     val dst2 = root.resolve("dst2").toString
     assert(TxLog.changeStream(spark, src, dst2, "c2", 2)(inserts) === 1)
     assert(TxLog.read(spark, dst2).count() === 7)
+  }
+
+  test("changeStream refuses a batch built from a stale high-water mark: racing same-id consumers never double-apply") {
+    val root = TempDirs.create("txstream_race_")
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    def slice(i: Int) = Seq((i.toLong, i.toLong * 10)).toDF("k", "v")
+    TxLog.create(spark, src, slice(0))                                   // v0
+    (1 to 5).foreach(i => TxLog.append(spark, src, slice(i)))           // v1..v5
+    val inserts = (feed: org.apache.spark.sql.DataFrame) =>
+      feed.filter(col("_change_type") === "insert").select(col("k"), col("v"))
+    // r10 ADVICE race: a concurrent SAME-id consumer that observed an
+    // OLDER srcLatest commits a SMALLER batch id between our high-water
+    // read and our claim. The old guard (txns >= batchId only) passed and
+    // the pre-built snapshot batch double-applied the winner's prefix;
+    // the stale-mark guard must refuse and re-drain from the fresh mark.
+    var injected = false
+    TxLog.changeStream(spark, src, dst, "race") { feed =>
+      // the first transform invocation is schema derivation during dst
+      // bootstrap-create (dst has no versions yet) — inject on the first
+      // REAL batch
+      if (!injected && TxLog.exists(dst)) {
+        injected = true
+        assert(TxLog.commitKeyedTransform(spark, dst, "txstream:race", 2L) {
+          (base, _) => (Some(TxLog.read(spark, src, 2L)), base.segments)
+        }, "the injected concurrent consumer must land first")
+      }
+      inserts(feed)
+    }
+    val got = TxLog.read(spark, dst).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 6, s"rows double-applied: ${got.toSeq.sorted}")
+    assert(got.toSet === (0 to 5).map(i => (i.toLong, i.toLong * 10)).toSet)
+    assert(TxLog.streamHighWater(dst, "txstream:race") === 5L,
+      "the refused drain must resume from the winner's mark and catch up")
   }
 
   test("deleteWhere discovery is dv-applied: a segment whose only in-range rows are dv-dead is not rewritten") {

@@ -201,4 +201,28 @@ class IngestSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Seq("k"), Map.empty).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(iia === Set((1L, 10L), (2L, 20L), (5L, 500L)))
   }
+
+  test("mergeRows cardinality guard survives column pruning: .select(otherCol) and aggregates still raise") {
+    // r10 ADVICE: the guard used to ride output column 0 only — Catalyst
+    // prunes the first column like any other, so a downstream projection
+    // keeping only `v` (or an aggregate over it) silently disabled the
+    // guard and emitted multiplied rows. Enforced as a Filter node now.
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val dupMatched = Seq((1L, 100L), (1L, 101L)).toDF("k", "v")
+    val merged = Ingest.mergeRows(base, dupMatched, Seq("k"), Map("v" -> col("src_v")))
+    val e1 = intercept[Exception] { merged.select(col("v")).collect() }
+    assert(e1.getMessage.contains("multiple source rows match") ||
+      Option(e1.getCause).exists(_.getMessage.contains("multiple source rows match")),
+      s"pruned projection disabled the guard: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      merged.agg(sum(col("v"))).collect()
+    }
+    assert(e2.getMessage.contains("multiple source rows match") ||
+      Option(e2.getCause).exists(_.getMessage.contains("multiple source rows match")),
+      s"aggregate disabled the guard: ${e2.getMessage}")
+    val e3 = intercept[Exception] { merged.count() }
+    assert(e3.getMessage.contains("multiple source rows match") ||
+      Option(e3.getCause).exists(_.getMessage.contains("multiple source rows match")),
+      s"count() disabled the guard: ${e3.getMessage}")
+  }
 }

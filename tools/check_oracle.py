@@ -120,13 +120,23 @@ def main(sf, out):
         for missing in sorted(declared - present):
             fails += 1
             print(f"{missing:28s} MISSING (declared in manifest, no output)")
+        if not declared:
+            # an EMPTY manifest means Verify ran zero queries — a typo'd
+            # selector used to pass vacuously through here (r10 verdict)
+            print("EMPTY MANIFEST (Verify ran zero queries) — FAIL")
+            return 1
+    checked = 0
     for qname in sorted(os.listdir(out)):
         qdir = os.path.join(out, qname)
         if not os.path.isdir(qdir):
             continue
+        checked += 1
         line, failed = compare_dir(con, qname, qdir, oracle.get(qname))
         print(line)
         fails += failed
+    if checked == 0:
+        print("NO QUERY OUTPUTS FOUND — FAIL")
+        return 1
     return 1 if fails else 0
 
 
@@ -194,7 +204,20 @@ def selftest():
     line, failed = compare_dir(con, "nan_vs_nan", d7,
                                "SELECT CAST('NaN' AS DOUBLE) AS d")
     assert not failed, f"NaN==NaN failed: {line}"
-    print("selftest OK (7 fixtures)")
+
+    # an empty manifest (Verify matched zero queries) must FAIL the gate,
+    # not pass vacuously (r10 verdict: a typo'd selector slipped through)
+    empty = os.path.join(tmp, "empty_run")
+    os.makedirs(empty, exist_ok=True)
+    with open(os.path.join(empty, "oracle_sql.json"), "w") as f:
+        f.write("{}")
+    with open(os.path.join(empty, "manifest.json"), "w") as f:
+        f.write("[]")
+    assert main(tmp, empty) == 1, "empty manifest passed vacuously"
+    # and a manifest-less dir with zero query outputs must fail too
+    os.remove(os.path.join(empty, "manifest.json"))
+    assert main(tmp, empty) == 1, "zero query outputs passed vacuously"
+    print("selftest OK (9 fixtures)")
     return 0
 
 
