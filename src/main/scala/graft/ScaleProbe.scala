@@ -1346,6 +1346,58 @@ object ScaleProbe {
           graft.io.TxLog.fastCount(idx).getOrElse(-1L)
         }
       }
+      // HNSW follower advance (r10 verdict #1): a FIXED insert-and-one-
+      // update advance against a k-sized TxLog corpus, with `shards`
+      // scaling with k so per-shard size stays constant (the deployment
+      // model — one shard fits one executor). The advance must rebuild
+      // ONLY the touched shards and carry every other shard's state
+      // segment verbatim, so wall AND state bytes written stay flat; the
+      // pre-fix code rebuilt every shard and rewrote the whole state
+      // table. Bytes written and carried-verbatim counts ride the note.
+      if (only.isEmpty || only.contains("txhnsw_follow")) {
+        val root = new java.io.File(s"$work/txhnsw_x$k")
+        if (root.exists()) {
+          import java.nio.file.{Files, Paths}
+          Files.walk(Paths.get(root.getPath))
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+        val src = s"$work/txhnsw_x$k/src"
+        val idx = s"$work/txhnsw_x$k/idx"
+        val cfg = graft.ext.GraphAnn.HnswConfig(
+          m = 8, efConstruction = 48, efSearch = 48, shards = 32 * k)
+        def follow() = ext.IndexFollower.followIndex(spark, src, idx, "h",
+          "vec_id", "embedding", cfg)
+        val e = read("embeddings", k)
+        graft.io.TxLog.create(spark, src, e.filter(col("vec_id") % 997 =!= 0))
+        follow() // bootstrap build over the k-sized corpus (setup, untimed)
+        // fixed advance: THREE fresh inserts plus ONE re-embedded id —
+        // touches <= 4 shards at either scale, so flat means flat
+        val batch = read("embeddings", 1)
+          .filter(col("vec_id").isin(997L, 1994L, 2991L))
+        graft.io.TxLog.append(spark, src, batch)
+        graft.io.TxLog.upsert(spark, src,
+          e.filter(col("vec_id") === 5)
+            .withColumn("embedding", transform(col("embedding"), x => -x)),
+          Seq("vec_id"))
+        val before = graft.io.TxLog.latest(idx).segments.toSet
+        timed("txhnsw_follow", k) {
+          follow()
+          val after = graft.io.TxLog.latest(idx)
+          val freshSegs = after.segments.filterNot(before.contains)
+          def bytesOf(seg: String): Long = {
+            val d = new java.io.File(idx, seg)
+            Option(d.listFiles()).getOrElse(Array.empty)
+              .filter(_.isFile).map(_.length()).sum
+          }
+          val freshBytes = freshSegs.map(bytesOf).sum
+          val carried = after.segments.count(before.contains)
+          notes((s"txhnsw_follow", k)) =
+            s"fresh_state_bytes=$freshBytes carried_verbatim_segs=$carried" +
+              s" of ${after.segments.size}"
+          graft.io.TxLog.fastCount(idx).getOrElse(-1L)
+        }
+      }
       // incremental HNSW ingest: adopt the persisted shard graphs, insert
       // only the ~4% batch — linear in corpus size (adoption dominates),
       // never a rebuild of the accumulated index

@@ -3528,7 +3528,7 @@ object SparkEntry {
     "q326_index_follows_table" -> ((s, dir) => {
       import graft.ext.{GraphAnn, IndexFollower, Similarity}
       import graft.io.TxLog
-      val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 96, efSearch = 128, shards = 2)
+      val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 96, efSearch = 128, shards = 4)
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val root = graft.io.TempDirs.create("graft_q326_")
       val src = root.resolve("docs").toString
@@ -3545,15 +3545,29 @@ object SparkEntry {
       TxLog.upsert(s, src, upd, Seq("vec_id"))                                    // v3 (COW)
       TxLog.deleteRowsKeyed(s, src,
         e.filter(col("vec_id") % 25 === 7).select(col("vec_id")), Seq("vec_id"))  // v4 (dv)
-      val f3 = follow()                                                           // updates → compact
+      val f3 = follow()                                                  // shard-scoped rebuilds
       val replaySkipped = !follow()
+      // SHARD-SCOPED pin (r10 verdict #1): a single-id update rebuilds
+      // exactly ONE of the 4 shard-aligned state segments — every other
+      // shard's node segment carries VERBATIM in the state manifest
+      val segsBefore = TxLog.latest(idx).segments.toSet
+      TxLog.upsert(s, src, e.filter(col("vec_id") === 2)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")),
+        Seq("vec_id"))                                                            // v5
+      val f4 = follow()
+      val keptVerbatim = TxLog.latest(idx).segments.toSet
+        .intersect(segsBefore).size >= cfg.shards - 1
       val live = TxLog.read(s, src)
       val state = TxLog.read(s, idx)
       val nodeIds = IndexFollower.nodesOf(state).select(col("id"))
+      val tombIds = IndexFollower.tombstonesOf(state)
       val liveIds = live.select(col("vec_id").cast("long").as("id"))
-      val coverageOk = nodeIds.exceptAll(liveIds).isEmpty &&
-        liveIds.exceptAll(nodeIds).isEmpty &&
-        IndexFollower.tombstonesOf(state).isEmpty
+      // exact accounting: graph minus tombstones == live corpus (non-
+      // rebuilt shards legitimately keep tombstoned ids routing the beam)
+      val served = nodeIds.exceptAll(tombIds)
+      val coverageOk = served.exceptAll(liveIds).isEmpty &&
+        liveIds.exceptAll(served).isEmpty
       // re-embedded ids serve their NEW (negated) vectors
       val negOk = IndexFollower.nodesOf(state).filter(col("id") % 20 === 0)
         .join(e.filter(col("vec_id") % 20 === 0)
@@ -3573,9 +3587,10 @@ object SparkEntry {
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"),
           (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"),
-          lit(f1 && f2 && f3 && replaySkipped).as("exactly_once_ok"),
+          lit(f1 && f2 && f3 && f4 && replaySkipped).as("exactly_once_ok"),
           lit(coverageOk).as("coverage_ok"),
-          lit(negOk && noErasedServed).as("updates_and_erasures_ok"))
+          lit(negOk && noErasedServed).as("updates_and_erasures_ok"),
+          lit(keptVerbatim).as("kept_verbatim_ok"))
     }),
 
     // IVF-PQ-FOLLOWS-TABLE: the quantized tier of the follower family —
@@ -6383,10 +6398,12 @@ object SparkEntry {
     // retraction follower: final state = all orders (+1 cents where
     // k%20=0, the upsert) minus the emptied bucket 5; both advances and
     // the exactly-once skip pinned TRUE; v0..v4 = 5 source versions
-    // index-follows-table: four composed lifecycle contracts pinned
+    // index-follows-table: five composed lifecycle contracts pinned,
+    // incl. the shard-scoped kept-verbatim manifest pin (r10 verdict #1)
     "q326_index_follows_table" ->
       """SELECT vec_id AS query_id, true AS recall_ok, true AS exactly_once_ok,
-        |  true AS coverage_ok, true AS updates_and_erasures_ok
+        |  true AS coverage_ok, true AS updates_and_erasures_ok,
+        |  true AS kept_verbatim_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
 
     // ivf-pq follower: recall/coverage/append-shape/exactly-once pinned

@@ -58,6 +58,18 @@ object GraphAnn {
     math.min(maxLevel, java.lang.Long.numberOfTrailingZeros(h) / 2)
   }
 
+  /** The shard an id hash-routes into — the SAME arithmetic
+    * [[hnswBuild]] bakes into the artifact rows, exposed so callers
+    * (the scoped follower, specs, probes) can reason about which shards
+    * a batch touches without reading the index. */
+  def shardOfExpr(id: org.apache.spark.sql.Column, shards: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(id.cast("long")), lit(shards.toLong)).cast("int")
+
+  /** Distinct shards a set of ids routes into — bounded by `shards`. */
+  private def touchedShards(ids: DataFrame, idCol: String, shards: Int): Set[Int] =
+    ids.select(shardOfExpr(col(idCol), shards).as("__s")).distinct()
+      .collect().map(_.getInt(0)).toSet
+
   private val indexSchema = StructType(Seq(
     StructField("shard", IntegerType), StructField("id", LongType),
     StructField("vec", ArrayType(FloatType)),
@@ -351,13 +363,24 @@ object GraphAnn {
     val tag = cfgTag(cfg)
     val batch = newData
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .withColumn("shard", pmod(xxhash64(col("id")), lit(cfg.shards.toLong)).cast("int"))
+      .withColumn("shard", shardOfExpr(col("id"), cfg.shards))
       .select(col("shard"), col("id"), col("vec"),
         lit(null).cast(indexSchema("levels").dataType).as("levels"),
         lit(null).cast("string").as("cfg"))
-    index.select(col("shard"), col("id"), col("vec"), col("levels"), col("cfg"))
+    // SCOPED (r10 verdict #1): only the shards the batch hash-routes into
+    // pay the adopt-and-insert; every other shard's rows pass through a
+    // narrow filter — never repartitioned, never re-emitted by a task.
+    // Shards are independent graphs, so the output is row-identical to
+    // the unscoped form.
+    val touched = touchedShards(newData, idCol, cfg.shards)
+    val idxAll = index.select(col("shard"), col("id"), col("vec"), col("levels"), col("cfg"))
+    if (touched.isEmpty) return idxAll // empty batch
+    val hotIdx =
+      if (touched.size == cfg.shards) idxAll
+      else idxAll.filter(col("shard").isin(touched.toSeq: _*))
+    val inserted = hotIdx
       .unionAll(batch)
-      .repartition(cfg.shards, col("shard"))
+      .repartition(touched.size, col("shard"))
       .mapPartitions { rows =>
         rows.toArray.groupBy(_.getInt(0)).iterator.flatMap { case (shard, rs) =>
           rs.iterator.filter(!_.isNullAt(4))
@@ -377,6 +400,8 @@ object GraphAnn {
           emitRows(shard, g, tag)
         }
       }(Encoders.row(indexSchema))
+    if (touched.size == cfg.shards) inserted
+    else inserted.unionAll(idxAll.filter(!col("shard").isin(touched.toSeq: _*)))
   }
 
   /**
@@ -387,21 +412,40 @@ object GraphAnn {
    * surviving corpus is reconstructed from the index ARTIFACT itself
    * (id, vec ride every row — the original table is not needed), the
    * dead ids drop by a distributed anti-join, and the result rebuilds.
-   * Deterministic hash levels + canonical id-sorted adjacency make the
-   * output BYTE-IDENTICAL to a from-scratch [[hnswBuild]] over the
-   * survivors (spec-pinned), so a compacted index is indistinguishable
-   * from one that never contained the dead ids — serve with an empty
-   * delete list afterwards. A cfg mismatch against the stored tag
-   * refuses loudly rather than silently rebuilding with different knobs.
+   * SCOPED to the shards that actually CONTAIN a dead id (r10 verdict #1):
+   * adjacency is strictly within-shard, so a shard holding no dead id is
+   * already byte-identical to its from-scratch rebuild over the survivors
+   * and carries through a narrow filter — never repartitioned, never
+   * rebuilt. Deterministic hash levels + canonical id-sorted adjacency
+   * make each rebuilt shard BYTE-IDENTICAL to a from-scratch
+   * [[hnswBuild]] over the survivors (spec-pinned, including a
+   * dead-ids-confined-to-one-shard fixture), so a compacted index is
+   * indistinguishable from one that never contained the dead ids — serve
+   * with an empty delete list afterwards. (Untouched shards whose history
+   * includes interleaved-id [[hnswInsert]]s keep their valid insert-shaped
+   * adjacency — such shards never referenced a dead id, so retiring the
+   * delete list does not require touching them.) A cfg mismatch against
+   * the stored tag refuses loudly rather than silently rebuilding with
+   * different knobs.
    */
   def hnswCompact(index: DataFrame, deleted: DataFrame, deletedId: String,
       cfg: HnswConfig = HnswConfig()): DataFrame = {
     index.select(col("cfg")).distinct().limit(2).collect()
       .foreach(r => requireCfgMatch(r.getString(0), cfg, "hnswCompact"))
     val dead = deleted.select(col(deletedId).cast("long").as("__dead_id")).distinct()
-    val survivors = index.select(col("id"), col("vec"))
+    val idxAll = index.select(col("shard"), col("id"), col("vec"), col("levels"), col("cfg"))
+    // shards that CONTAIN a dead row (a dead id absent from the index
+    // touches nothing) — bounded collect, <= cfg.shards rows
+    val touched = idxAll.join(dead, col("id") === col("__dead_id"), "left_semi")
+      .select(col("shard")).distinct().collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return idxAll
+    val hot = if (touched.size == cfg.shards) idxAll
+      else idxAll.filter(col("shard").isin(touched.toSeq: _*))
+    val survivors = hot.select(col("id"), col("vec"))
       .join(dead, col("id") === col("__dead_id"), "left_anti")
-    hnswBuild(survivors, "id", "vec", cfg)
+    val rebuilt = hnswBuild(survivors, "id", "vec", cfg)
+    if (touched.size == cfg.shards) rebuilt
+    else rebuilt.unionAll(idxAll.filter(!col("shard").isin(touched.toSeq: _*)))
   }
 
   /**

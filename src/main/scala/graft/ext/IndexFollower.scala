@@ -34,28 +34,33 @@ import graft.io.TxLog
  * key's FINAL state in the range (latest `_commit_version`, postimage
  * beating preimage on the tie), then:
  *
- *   - fresh inserts → [[GraphAnn.hnswInsert]] (adopt-and-insert; the
- *     accumulated graph never rebuilds)
+ *   - fresh inserts → [[GraphAnn.hnswInsert]] over ONLY the shards the
+ *     batch hash-routes into (adopt-and-insert; the accumulated graph
+ *     never rebuilds, untouched shards never move)
  *   - deletes (incl. deletion-vector commits and upsert preimages) →
- *     the tombstone list
- *   - UPDATED ids (already in the graph) and a tombstone fraction past
- *     `compactFrac` trigger [[GraphAnn.hnswCompact]]: rebuild over the
- *     survivors (retiring the tombstones), then insert the batch — an
- *     HNSW node cannot be re-pointed in place, so updates are the one
- *     shape that pays a compaction, exactly like every serving engine
+ *     the tombstone list (an appended tomb-only segment)
+ *   - UPDATED ids (already in the graph), or a shard whose tombstone
+ *     fraction crosses `compactFrac`, rebuild THAT SHARD over its
+ *     survivors (retiring its tombstones) — an HNSW node cannot be
+ *     re-pointed in place, so updates pay a per-shard compaction,
+ *     exactly like every serving engine; every other shard's segment
+ *     carries verbatim in the state manifest
  *
  * 100 TB shape: per advance the feed read is touched-volume-sized (the
  * CDF of a copy-on-write rewrite reads only rewritten segments), the
- * insert routes only the batch through one shuffle, and the graph rows
- * never leave their shard except under an explicit compaction. One
- * honest cost is inherent to adopt-and-insert: each advance reloads the
- * shard graphs it inserts into (HNSW insertion needs the graph in
- * memory), so per-advance cost is O(corpus/shards) per executor plus the
- * batch — amortize by letting advances batch many source versions (each
- * call consumes the WHOLE outstanding range) and by sizing `shards` so
- * reloads parallelize, exactly the serving-engine deployment shape. The
- * follower is idempotent per (consumerId, source version) and any number
- * of followers with distinct consumer ids can ride one source.
+ * insert routes only the batch through one shuffle, graph rows never
+ * leave their shard, and the STATE WRITE is touched-shards-sized — the
+ * state table is shard-aligned (one segment per shard), so untouched
+ * shards' segments carry verbatim in the manifest, never rewritten
+ * (r10 verdict #1). One honest cost is inherent to adopt-and-insert:
+ * each advance reloads the shard graphs it inserts into (HNSW insertion
+ * needs the graph in memory), so per-touched-shard cost is
+ * O(corpus/shards) per executor plus the batch — amortize by letting
+ * advances batch many source versions (each call consumes the WHOLE
+ * outstanding range) and by sizing `shards` so one shard fits an
+ * executor, exactly the serving-engine deployment shape. The follower is
+ * idempotent per (consumerId, source version) and any number of
+ * followers with distinct consumer ids can ride one source.
  */
 object IndexFollower {
 
@@ -105,14 +110,44 @@ object IndexFollower {
         fin.filter(col("alive") === 0).select(col("id")))
     }
 
-  private def asState(index: DataFrame, tombs: DataFrame): DataFrame =
+  private def nodeRows(index: DataFrame): DataFrame =
     index.select(lit("node").as("kind"), col("shard"), col("id"), col("vec"),
-        col("levels"), col("cfg"))
-      .unionByName(tombs.select(lit("tomb").as("kind"),
-        lit(null).cast(IntegerType).as("shard"), col("id").cast(LongType).as("id"),
-        lit(null).cast(ArrayType(FloatType)).as("vec"),
-        lit(null).cast(ArrayType(ArrayType(LongType))).as("levels"),
-        lit(null).cast(StringType).as("cfg")))
+      col("levels"), col("cfg"))
+
+  private def tombRows(ids: DataFrame): DataFrame =
+    ids.select(lit("tomb").as("kind"),
+      lit(null).cast(IntegerType).as("shard"), col("id").cast(LongType).as("id"),
+      lit(null).cast(ArrayType(FloatType)).as("vec"),
+      lit(null).cast(ArrayType(ArrayType(LongType))).as("levels"),
+      lit(null).cast(StringType).as("cfg"))
+
+  /** What a followed-state segment holds, derived from its MANIFEST
+    * envelopes alone (no data read): [[followIndex]] writes node rows one
+    * segment per shard (shard min == max in the numeric envelope) and
+    * tombstones in tomb-only segments, so an advance can decide which
+    * segments carry VERBATIM from the snapshot's own metadata. */
+  private sealed trait SegKind
+  private final case class NodeSeg(shard: Int) extends SegKind
+  private case object TombSeg extends SegKind
+  private case object EmptySeg extends SegKind
+  /** Anything else (e.g. a pre-shard-aligned state written by an older
+    * follower): dissolved — re-emitted shard-aligned — on the next advance. */
+  private case object LegacySeg extends SegKind
+
+  private def classify(snap: graft.io.TxSnapshot, seg: String): SegKind = {
+    if (snap.rowCounts.get(seg).contains(0L)) return EmptySeg
+    val kind = snap.strStats.getOrElse(seg, Map.empty).get("kind")
+    val shard = snap.stats.getOrElse(seg, Map.empty).get("shard")
+    kind match {
+      case Some(k) if k.lo == "tomb" && k.hi == "tomb" => TombSeg
+      case Some(k) if k.lo == "node" && k.hi == "node" =>
+        shard match {
+          case Some(e) if e.lo == e.hi && e.noNulls => NodeSeg(e.lo.toInt)
+          case _ => LegacySeg
+        }
+      case _ => LegacySeg
+    }
+  }
 
   /**
    * Advance the followed index at `dst` over the source's commits since
@@ -124,6 +159,29 @@ object IndexFollower {
    * exactly-once skip). Source rows must be UNIQUE per `idCol` (a keyed
    * corpus); the first call folds the full current snapshot (the Delta
    * streaming-source initial-snapshot discipline).
+   *
+   * SHARD-SCOPED advances (r10 verdict #1): the state table is
+   * SHARD-ALIGNED — node rows live one segment per shard, tombstones in
+   * tomb-only segments — so per advance only the TOUCHED shards move:
+   *
+   *   - a shard receiving fresh ids runs [[GraphAnn.hnswInsert]] over
+   *     that shard alone and rewrites exactly its own segment;
+   *   - a shard containing an UPDATED id (or whose tombstone fraction
+   *     crosses `compactFrac`) rebuilds over its survivors — retiring its
+   *     tombstones and re-pointing the updated ids — and rewrites exactly
+   *     its own segment;
+   *   - every untouched shard's segment carries VERBATIM in the manifest
+   *     (the q327 scoped-optimize discipline applied to the graph tier);
+   *   - a delete-only advance below every shard's threshold APPENDS one
+   *     tombstone segment and rewrites nothing.
+   *
+   * Write volume per advance is therefore touched-shards-sized, never
+   * corpus-sized; at 100 TB `shards` scales so one shard fits an
+   * executor, and a fixed-size advance stays flat as the corpus grows
+   * (probed). Segment roles are derived from the snapshot's own manifest
+   * envelopes (kind/shard min-max) — no data read; a state written by the
+   * pre-aligned layout classifies as legacy and dissolves into the
+   * aligned layout on its first advance.
    */
   def followIndex(spark: SparkSession, src: String, dst: String,
       consumerId: String, idCol: String, vecCol: String,
@@ -135,40 +193,96 @@ object IndexFollower {
     val srcLatest = TxLog.latest(src).version
     if (!TxLog.exists(dst))
       TxLog.create(spark, dst, emptyState(spark))
-    TxLog.commitKeyedTransform(spark, dst, streamId, srcLatest) { (base, curState) =>
+    TxLog.commitKeyedTransformMulti(spark, dst, streamId, srcLatest) { (base, curState) =>
       val lastV = TxLog.streamHighWater(dst, streamId)
-      val state = curState()
-      val nodes = nodesOf(state)
-      val tombs = tombstonesOf(state)
-      val (ins, del) = finalChanges(spark, src, lastV, srcLatest, idCol, vecCol, "vec")
-      // ids being re-inserted (updates) — the graph cannot re-point them
-      val nodeIds = nodes.select(col("id"))
-      val updHit = ins.select(col("id")).join(nodeIds, Seq("id"), "left_semi")
-      val hasUpdates = updHit.limit(1).count() > 0
-      // deletes of ids actually in the graph join the tombstone list
-      val delLive = del.join(nodeIds, Seq("id"), "left_semi")
-      val tombAll = tombs.unionByName(delLive).distinct()
-      val nTomb = tombAll.count()
-      val nNodes = nodes.select(col("id")).distinct().count()
-      val mustCompact = hasUpdates ||
-        (nNodes > 0 && nTomb.toDouble / nNodes.toDouble >= compactFrac)
-      if (mustCompact) {
-        // retire tombstones + updated ids in one rebuild over survivors,
-        // then insert the batch into the compacted graph
-        val dead = tombAll.unionByName(updHit).distinct()
-        val compacted = GraphAnn.hnswCompact(nodes, dead, "id", cfg)
-        (Some(asState(GraphAnn.hnswInsert(compacted, ins, "id", "vec", cfg),
-          emptyState(spark).select(col("id")))), Seq.empty)
-      } else if (ins.limit(1).count() > 0) {
-        // inserting re-points existing nodes' adjacency across the touched
-        // shards: the graph genuinely rewrites (the HNSW trade)
-        (Some(asState(GraphAnn.hnswInsert(nodes, ins, "id", "vec", cfg), tombAll)),
+      if (lastV < 0) {
+        // bootstrap: one deterministic build over the snapshot, split one
+        // segment per non-empty shard — the alignment every later advance
+        // relies on. localCheckpoint so the build runs once, not once per
+        // shard segment write.
+        val ins = TxLog.read(spark, src, srcLatest)
+          .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        val built = GraphAnn.hnswBuild(ins, "id", "vec", cfg).localCheckpoint()
+        val present = built.select(col("shard")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        (present.toSeq.map(s => nodeRows(built.filter(col("shard") === s))),
           Seq.empty)
       } else {
-        // delete-only (or empty) advance: APPEND tombstone rows, keep every
-        // state segment verbatim — a GDPR-erasure stream never rewrites the
-        // graph until the compaction threshold
-        (Some(asState(nodes.limit(0), delLive)), base.segments)
+        val state = curState()
+        val nodes = nodesOf(state)
+        val tombs = tombstonesOf(state)
+        val (insRaw, delRaw) =
+          finalChanges(spark, src, lastV, srcLatest, idCol, vecCol, "vec")
+        // materialize the collapsed changes once — several per-shard jobs
+        // below re-read them (all touched-volume-sized)
+        val ins = insRaw.localCheckpoint()
+        val nodeIds = nodes.select(col("id"))
+        // ids being re-inserted (updates) — the graph cannot re-point them
+        val updHit = ins.select(col("id"))
+          .join(nodeIds, Seq("id"), "left_semi").localCheckpoint()
+        // deletes of ids actually in the graph join the tombstone list
+        val delLive = delRaw.join(nodeIds, Seq("id"), "left_semi").localCheckpoint()
+        val sOf = GraphAnn.shardOfExpr(col("id"), cfg.shards)
+        val tombAll = tombs.unionByName(delLive.select(col("id"))).distinct()
+        // per-shard accounting — each a bounded aggregate (<= shards rows)
+        val nodeCnt: Map[Int, Long] = nodes.groupBy(col("shard")).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val tombCnt: Map[Int, Long] = tombAll.select(sOf.as("__s"))
+          .groupBy(col("__s")).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val updShards = updHit.select(sOf.as("__s")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val insShards = ins.select(sOf.as("__s")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val rebuildShards = updShards ++ tombCnt.collect {
+          case (s, t) if nodeCnt.getOrElse(s, 0L) > 0 &&
+            t.toDouble / nodeCnt(s).toDouble >= compactFrac => s
+        }
+        val insertShards = insShards -- rebuildShards
+        // segment layout: which base segments can carry VERBATIM
+        val byKind = base.segments.map(sg => sg -> classify(base, sg))
+        val migrating = byKind.exists(_._2 == LegacySeg)
+        val nodeSegsOf: Map[Int, Seq[String]] = byKind
+          .collect { case (sg, NodeSeg(s)) => s -> sg }
+          .groupBy(_._1).map { case (s, v) => s -> v.map(_._2) }
+        val tombSegs = byKind.collect { case (sg, TombSeg) => sg }
+        val presentShards = nodeCnt.keySet ++ insShards
+        val reEmit: Set[Int] =
+          if (migrating) presentShards else rebuildShards ++ insertShards
+        val deadIds = tombAll.unionByName(updHit.select(col("id"))).distinct()
+        val freshNodeDfs: Seq[DataFrame] = reEmit.toSeq.sorted.map { s =>
+          val cur = nodes.filter(col("shard") === s)
+          if (rebuildShards.contains(s)) {
+            // retire this shard's tombstones + updated ids in one rebuild
+            // over survivors, then the batch inserts as part of the build
+            val survivors = cur.select(col("id"), col("vec"))
+              .join(deadIds.select(col("id").as("__dead")),
+                col("id") === col("__dead"), "left_anti")
+              .select(col("id"), col("vec"))
+              .unionByName(ins.filter(sOf === s))
+            nodeRows(GraphAnn.hnswBuild(survivors, "id", "vec", cfg))
+          } else if (insertShards.contains(s)) {
+            nodeRows(GraphAnn.hnswInsert(cur, ins.filter(sOf === s),
+              "id", "vec", cfg))
+          } else nodeRows(cur) // legacy dissolution: rows verbatim, aligned
+        }
+        // tombstones of rebuilt shards retired PHYSICALLY above; the rest
+        // stay logical. Rewrite the (small) tomb relation only when a
+        // rebuild or migration changed it; a delete-only advance APPENDS
+        // just the delta.
+        val tombAfter =
+          if (rebuildShards.isEmpty) tombAll
+          else tombAll.filter(!sOf.isin(rebuildShards.toSeq.map(Int.box): _*))
+        val (tombDfs, keptTombSegs) =
+          if (rebuildShards.nonEmpty || migrating) {
+            (if (tombAfter.isEmpty) Nil else Seq(tombRows(tombAfter)), Nil)
+          } else if (!delLive.isEmpty) {
+            (Seq(tombRows(delLive.select(col("id")))), tombSegs)
+          } else (Nil, tombSegs)
+        val keptNodeSegs = nodeSegsOf.collect {
+          case (s, segs) if !reEmit.contains(s) => segs
+        }.flatten.toSeq
+        (freshNodeDfs ++ tombDfs, keptNodeSegs ++ keptTombSegs)
       }
     }
   }

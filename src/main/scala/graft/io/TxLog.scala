@@ -1159,7 +1159,27 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   def commitKeyedTransform(spark: SparkSession, table: String,
       streamId: String, batchId: Long, maxRetries: Int = 20,
       requirePrevMark: Long = AnyPrevMark)(
-      plan: (Snapshot, () => DataFrame) => (Option[DataFrame], Seq[String])): Boolean = {
+      plan: (Snapshot, () => DataFrame) => (Option[DataFrame], Seq[String])): Boolean =
+    commitKeyedTransformMulti(spark, table, streamId, batchId, maxRetries,
+      requirePrevMark) { (base, cur) =>
+      val (d, kept) = plan(base, cur)
+      (d.toSeq, kept)
+    }
+
+  /**
+   * [[commitKeyedTransform]] generalized to SEVERAL fresh segments in one
+   * atomic commit: each DataFrame in the plan's first result writes as its
+   * own immutable segment, all of them land in one manifest. This is what
+   * a SHARD-ALIGNED state table needs (the scoped index followers): each
+   * shard's rows live in their own segment, so an advance touching shard
+   * s rewrites exactly one segment and carries every other shard's segment
+   * VERBATIM in the manifest — the q327 scoped-optimize discipline applied
+   * to keyed state.
+   */
+  def commitKeyedTransformMulti(spark: SparkSession, table: String,
+      streamId: String, batchId: Long, maxRetries: Int = 20,
+      requirePrevMark: Long = AnyPrevMark)(
+      plan: (Snapshot, () => DataFrame) => (Seq[DataFrame], Seq[String])): Boolean = {
     require(!streamId.contains("\n"), "streamId must be single-line")
     val tag = s"$StreamTag$streamId:$batchId"
     // the replay guard and the claimed base version come from the SAME log
@@ -1203,7 +1223,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       // appends, with the guard re-derived from each rebase listing: a
       // concurrent writer of the SAME stream committing this batch id
       // turns the rebase into a skip (exactly-once holds under rebase)
-      if (!forcedBase && newData.isDefined && kept.toSet == base.segments.toSet) {
+      if (!forcedBase && newData.nonEmpty && kept.toSet == base.segments.toSet) {
         rebaseAppend(table, tag, newSegments, freshEnv, maxRetries - attempt - 1,
             nextBase = guardedBase _) match {
           case Some(Some(_)) => return true
@@ -2150,8 +2170,17 @@ private[io] object SegmentStats extends Serializable {
       rows: Long)
 
   /** Associative merge: column survives iff present on BOTH sides (the
-    * "stats in every file" rule), envelopes widen, noNulls ANDs. */
-  def merge(a: Partial, b: Partial): Partial = Partial(
+    * "stats in every file" rule), envelopes widen, noNulls ANDs. A
+    * ZERO-ROW side constrains nothing and must not poison the other's
+    * envelopes (Spark's writer emits partition 0's part file even when
+    * empty — without this, every multi-file segment with one empty part
+    * lost ALL its stats and data skipping went blind on it). */
+  def merge(a: Partial, b: Partial): Partial =
+    if (a.rows == 0) b
+    else if (b.rows == 0) a.copy(rows = a.rows + b.rows)
+    else mergeNonEmpty(a, b)
+
+  private def mergeNonEmpty(a: Partial, b: Partial): Partial = Partial(
     a.num.keySet.intersect(b.num.keySet).map { k =>
       val (x, y) = (a.num(k), b.num(k))
       k -> ColEnv(math.min(x.lo, y.lo), math.max(x.hi, y.hi), x.noNulls && y.noNulls)

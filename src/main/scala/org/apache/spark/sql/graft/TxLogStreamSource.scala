@@ -1,0 +1,168 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.io.TxLog
+
+/**
+ * NATIVE Structured Streaming source for TxLog tables (r10 verdict #3):
+ *
+ * {{{
+ *   spark.readStream.format("graft_txlog")
+ *     .option("maxVersionsPerTrigger", 2)
+ *     .load(tablePath)
+ * }}}
+ *
+ * lets any VANILLA Spark streaming job follow a TxLog table with its own
+ * checkpoints and triggers — the caller-driven loop of
+ * [[graft.io.TxLogOps.changeStream]] lifted into the engine's streaming
+ * runtime, with identical batch semantics: the FIRST batch is the initial
+ * snapshot (tagged `insert`, at its resolution version, clamped to the
+ * vacuum retention floor — the Delta streaming-source initial-snapshot
+ * discipline), every later batch is a classified change-feed slice with
+ * `_change_type` / `_commit_version` columns. Offsets are source VERSIONS
+ * (a `LongOffset` of the last version the batch covers), so the stream's
+ * checkpoint replays exactly the uncommitted range after a crash and a
+ * resumed query consumes only versions committed since its mark.
+ *
+ * Implemented against the classic `Source` API deliberately: `getBatch`
+ * returns a full Catalyst DataFrame, so the change-feed read keeps its
+ * plan (column pruning, row-group skipping, dv anti-joins) instead of
+ * funneling through a row-level reader. Rate limiting
+ * (`maxVersionsPerTrigger`) follows the FileStreamSource discipline — the
+ * largest version handed out persists under the stream's own metadata
+ * dir, and a restart restores it from the replayed offsets as well.
+ *
+ * A read below the retention floor (the stream paused across a vacuum
+ * that reclaimed its position) fails LOUDLY with the floor in the
+ * message — never a silent gap; re-bootstrap with a fresh checkpoint.
+ */
+class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft_txlog"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    ("graft_txlog", TxLogStreamSource.schemaFor(ctx, parameters))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new TxLogStreamSource(ctx, metadataPath, parameters)
+}
+
+object TxLogStreamSource {
+  val ChangeType = "_change_type"
+  val CommitVersion = "_commit_version"
+
+  private[graft] def pathOf(parameters: Map[String, String]): String =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "graft_txlog source needs the table path: " +
+          "spark.readStream.format(\"graft_txlog\").load(<tablePath>)"))
+
+  private[graft] def schemaFor(ctx: SQLContext,
+      parameters: Map[String, String]): StructType = {
+    val table = pathOf(parameters)
+    require(TxLog.exists(table),
+      s"graft_txlog source: not a TxLog table (no _graft_log commits): $table")
+    val base = TxLog.read(ctx.sparkSession, table).schema
+    StructType(base.fields.toSeq :+
+      StructField(ChangeType, StringType) :+ StructField(CommitVersion, LongType))
+  }
+}
+
+class TxLogStreamSource(ctx: SQLContext, metadataPath: String,
+    parameters: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import TxLogStreamSource._
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
+
+  private val spark =
+    ctx.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  private val table = pathOf(parameters)
+  private val maxVersions: Long = parameters.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") => v.toLong
+  }.getOrElse(Long.MaxValue)
+  require(maxVersions >= 1,
+    s"maxVersionsPerTrigger must be >= 1, got $maxVersions")
+
+  override val schema: StructType = schemaFor(ctx, parameters)
+
+  // rate-limit bookkeeping that survives restarts: the largest version
+  // handed out persists under the stream's checkpoint-scoped metadata dir;
+  // getBatch ALSO restores it from replayed offsets (belt and braces)
+  private val hwmPath = new java.io.File(metadataPath, "graft_txlog_hwm").toPath
+  private var handedOut: Long =
+    if (java.nio.file.Files.exists(hwmPath))
+      new String(java.nio.file.Files.readAllBytes(hwmPath), "UTF-8").trim.toLong
+    else -1L
+
+  private def persistHwm(): Unit = {
+    java.nio.file.Files.createDirectories(hwmPath.getParent)
+    java.nio.file.Files.write(hwmPath, handedOut.toString.getBytes("UTF-8"))
+  }
+
+  /** Both live `LongOffset`s and checkpoint-replayed `SerializedOffset`s
+    * render the version as their json. */
+  private def versionOf(o: OffsetV1): Long = o.json.trim.toLong
+
+  // Trigger.AvailableNow latches the target version ONCE at start and the
+  // rate-limited offsets step up to it batch by batch — the
+  // SupportsTriggerAvailableNow protocol (FileStreamSource discipline;
+  // without it the wrapper latches a single rate-limited getOffset and
+  // the run stops after one trigger-bound batch).
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(TxLog.latest(table).version)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  private def nextHandout(): Long = {
+    val latestRaw = TxLog.latest(table).version
+    val latest = availableNowTarget.fold(latestRaw)(math.min(latestRaw, _))
+    val to =
+      if (handedOut < 0)
+        // bootstrap: the initial snapshot resolves at the newest version
+        // within the trigger bound, clamped UP to the vacuum floor (on a
+        // vacuumed source the earliest readable snapshot may already span
+        // more than one trigger's versions)
+        math.max(TxLog.retentionFloor(table), math.min(maxVersions - 1L, latest))
+      else if (latest <= handedOut) handedOut // caught up
+      else math.min(handedOut + maxVersions, latest)
+    if (to > handedOut) { handedOut = to; persistHwm() }
+    to
+  }
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
+    LongOffset(nextHandout())
+
+  override def reportLatestOffset(): OffsetV2 =
+    LongOffset(TxLog.latest(table).version)
+
+  override def getOffset: Option[OffsetV1] = Some(LongOffset(nextHandout()))
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val to = versionOf(end)
+    if (to > handedOut) { handedOut = to; persistHwm() } // restart restore
+    val batch = start.map(versionOf) match {
+      case None =>
+        TxLog.read(spark, table, to)
+          .withColumn(ChangeType, lit("insert"))
+          .withColumn(CommitVersion, lit(to))
+      case Some(f) => TxLog.changeFeed(spark, table, f, to)
+    }
+    // align to the stream schema by name, then mark the plan streaming
+    // (MicroBatchExecution asserts isStreaming on v1 batch plans)
+    val aligned = batch.select(schema.map(f => col(f.name)).toSeq: _*)
+    spark.internalCreateDataFrame(
+      aligned.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+}

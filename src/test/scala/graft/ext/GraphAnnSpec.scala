@@ -243,6 +243,31 @@ class GraphAnnSpec extends SparkSpec {
     assert(e.getMessage.contains("hnswCompact"))
   }
 
+  test("hnswCompact is shard-scoped: dead ids confined to one shard still yield the exact from-scratch rebuild") {
+    // r10 verdict #1: compaction must only rebuild shards that CONTAIN a
+    // dead id. Correctness pin: with the dead set confined to a single
+    // shard, the scoped output (1 shard rebuilt + 3 carried verbatim)
+    // must STILL be byte-identical to a full from-scratch build over the
+    // survivors — per-shard determinism makes carried == rebuilt.
+    val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 64, efSearch = 64, shards = 4)
+    val idx = GraphAnn.hnswBuild(emb, "vec_id", "embedding", cfg)
+    val oneShard = idx.filter(col("shard") === 2).select(col("id").as("vec_id"))
+    val dead = oneShard.limit(20)
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    assert(deadIds.nonEmpty)
+    val compacted = GraphAnn.hnswCompact(idx, dead, "vec_id", cfg)
+      .collect().map(_.toString).sorted.toSeq
+    val fresh = GraphAnn.hnswBuild(
+        emb.filter(!col("vec_id").isin(deadIds.toSeq: _*)), "vec_id", "embedding", cfg)
+      .collect().map(_.toString).sorted.toSeq
+    assert(compacted === fresh)
+    // a dead set matching NOTHING in the index touches no shard at all
+    val noop = GraphAnn.hnswCompact(idx,
+        Seq(99999991L, 99999992L).toDF("vec_id"), "vec_id", cfg)
+      .collect().map(_.toString).sorted.toSeq
+    assert(noop === idx.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("query fan-out past maxQueryRows refuses loudly") {
     val cfg = GraphAnn.HnswConfig(shards = 2, maxQueryRows = 3)
     val index = GraphAnn.hnswBuild(emb.limit(50), "vec_id", "embedding", cfg)

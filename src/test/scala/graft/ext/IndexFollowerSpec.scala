@@ -81,13 +81,60 @@ class IndexFollowerSpec extends SparkSpec {
     val res = IndexFollower.searchIndex(spark, idx, df(Seq(5L)), "id", "vec", 50, cfg)
     assert(!res.collect().map(_.getLong(1)).contains(5L))
     assert(!res.collect().map(_.getLong(1)).contains(25L))
-    // many more deletes cross the threshold: the next advance compacts
-    TxLog.deleteRows(spark, src, col("id") >= 25L)
+    // many more deletes cross EVERY shard's threshold (the compaction
+    // ratio is per shard now — r10 verdict #1): the next advance rebuilds
+    // each shard over its survivors and retires all tombstones
+    TxLog.deleteRows(spark, src, col("id") >= 10L)
     assert(follow(0.5))
     val st2 = TxLog.read(spark, idx)
     assert(IndexFollower.tombstonesOf(st2).isEmpty, "crossing compactFrac must compact")
     assert(IndexFollower.nodesOf(st2).select(col("id")).collect().map(_.getLong(0)).toSet
       === TxLog.read(spark, src).select(col("id")).collect().map(_.getLong(0)).toSet)
+  }
+
+  test("advances are shard-scoped: untouched shards' state segments carry VERBATIM; delete-only appends") {
+    val root = graft.io.TempDirs.create("idxf6_")
+    val src = root.resolve("src").toString
+    val idx = root.resolve("idx").toString
+    val cfg4 = cfg.copy(shards = 4)
+    def follow() = IndexFollower.followIndex(spark, src, idx, "c", "id", "vec", cfg4)
+    TxLog.create(spark, src, df(0L until 200L))
+    assert(follow())
+    val boot = TxLog.latest(idx)
+    assert(boot.segments.size === 4, "bootstrap must write one segment per shard")
+    // delete-only advance below every threshold: ALL node segments carry
+    // verbatim, exactly one tombstone segment appends
+    TxLog.deleteRows(spark, src, col("id").isin(11L, 77L))
+    assert(follow())
+    val afterDel = TxLog.latest(idx)
+    assert(boot.segments.forall(afterDel.segments.contains),
+      "delete-only advance must keep every node segment verbatim")
+    assert(afterDel.segments.size === 5)
+    // single-id update: exactly ONE shard rebuilds; the other three node
+    // segments carry verbatim in the manifest
+    TxLog.upsert(spark, src, df(Seq(42L), neg = true), Seq("id"))
+    assert(follow())
+    val afterUpd = TxLog.latest(idx)
+    val carried = afterDel.segments.toSet.intersect(afterUpd.segments.toSet)
+    assert(carried.size >= 3,
+      s"an update confined to one shard must carry >= 3 of 4 node segments " +
+        s"verbatim, carried only ${carried.size}")
+    // correctness unchanged: the updated id serves its NEW vector, the
+    // deleted ids never surface, coverage is exact
+    val state = TxLog.read(spark, idx)
+    assert(IndexFollower.nodesOf(state).filter(col("id") === 42L)
+      .head().getSeq[Float](2) === vecOf(42L).map(x => -x))
+    val res = IndexFollower.searchIndex(spark, idx, df(Seq(11L)), "id", "vec", 100, cfg4)
+      .collect().map(_.getLong(1)).toSet
+    assert(!res.contains(11L) && !res.contains(77L))
+    val nodeIds = IndexFollower.nodesOf(state).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    val tombIds = IndexFollower.tombstonesOf(state)
+      .collect().map(_.getLong(0)).toSet
+    val liveIds = TxLog.read(spark, src).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(nodeIds -- tombIds === liveIds,
+      "graph minus tombstones must equal the live corpus")
   }
 
   test("minhash follower: state exactly equals a fresh build over the live corpus; gate finds planted near-dups") {

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.io.{TempDirs, TxLog}
+
+/** The native Structured Streaming source for TxLog tables
+  * (`spark.readStream.format("graft_txlog")`): vanilla streaming jobs
+  * follow a table with their own checkpoints and triggers; batch
+  * semantics equal [[graft.io.TxLogOps.changeStream]]'s slices. */
+class TxLogStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def slice(i: Int) = Seq((i.toLong, i.toLong * 10)).toDF("k", "v")
+
+  test("AvailableNow drains a TxLog table: sink content equals the batch read; offsets are versions") {
+    val root = TempDirs.create("txsrc_")
+    val src = root.resolve("src").toString
+    val out = root.resolve("out").toString
+    val ckp = root.resolve("ckp").toString
+    TxLog.create(spark, src, slice(0))                                  // v0
+    (1 to 5).foreach(i => TxLog.append(spark, src, slice(i)))          // v1..v5
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft_txlog")
+        .option("maxVersionsPerTrigger", 2)
+        .load(src)
+        .filter(col("_change_type") === "insert")
+        .select(col("k"), col("v"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    drain()
+    val got = spark.read.parquet(out).as[(Long, Long)].collect().toSet
+    assert(got === (0 to 5).map(i => (i.toLong, i.toLong * 10)).toSet,
+      "drained stream must equal the batch table")
+
+    // RESUME from the same checkpoint: only versions committed since the
+    // stream's mark flow; nothing replays
+    (6 to 7).foreach(i => TxLog.append(spark, src, slice(i)))          // v6..v7
+    drain()
+    val got2 = spark.read.parquet(out).as[(Long, Long)].collect().toSeq
+    assert(got2.size === 8, s"resume must consume ONLY the new range, got $got2")
+    assert(got2.toSet === (0 to 7).map(i => (i.toLong, i.toLong * 10)).toSet)
+
+    // and a third drain with no new commits moves nothing
+    drain()
+    assert(spark.read.parquet(out).count() === 8)
+  }
+
+  test("change classification flows: updates surface as pre/postimage, deletes as delete") {
+    val root = TempDirs.create("txsrc2_")
+    val src = root.resolve("src").toString
+    val out = root.resolve("out").toString
+    val ckp = root.resolve("ckp").toString
+    TxLog.create(spark, src, Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft_txlog").load(src)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    drain() // bootstrap snapshot (all inserts)
+    TxLog.upsert(spark, src, Seq((2L, 99L)).toDF("k", "v"), Seq("k"))  // v1 (COW)
+    TxLog.deleteRows(spark, src, col("k") === 3L)                       // v2 (dv)
+    drain() // classified slices
+    val cls = spark.read.parquet(out)
+      .select(col("k"), col("v"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(cls.contains((2L, 20L, "update_preimage")))
+    assert(cls.contains((2L, 99L, "update_postimage")))
+    assert(cls.contains((3L, 30L, "delete")))
+    assert(cls.contains((1L, 10L, "insert")))
+  }
+}
