@@ -3791,6 +3791,140 @@ object SparkEntry {
         .withColumn("asof_ok", lit(asofOk))
     }),
 
+    // NATIVE STREAMING SOURCE (verdict r10 #3): a VANILLA
+    // spark.readStream.format("graft_txlog") job follows a TxLog table
+    // with its own checkpoint — AvailableNow + bounded triggers drain the
+    // backlog, a restart resumes from the checkpoint consuming ONLY the
+    // versions committed since its mark (pinned), a caught-up drain moves
+    // nothing, and the drained content equals the source (hash-oracled)
+    "q334_txlog_stream_source" -> ((s, dir) => {
+      import graft.io.TxLog
+      import org.apache.spark.sql.streaming.Trigger
+      val src0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val root = graft.io.TempDirs.create("graft_q334_")
+      val src = root.resolve("src").toString
+      val out = root.resolve("out").toString
+      val ckp = root.resolve("ckp").toString
+      TxLog.create(s, src, src0.filter(col("o_orderkey") % 7 === 0))         // v0
+      (1 to 4).foreach(i =>
+        TxLog.append(s, src, src0.filter(col("o_orderkey") % 7 === i)))      // v1..v4
+      def drain(): Unit = {
+        val q = s.readStream.format("graft_txlog")
+          .option("maxVersionsPerTrigger", 2).load(src)
+          .filter(col("_change_type") === "insert")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("cents"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ckp)
+          .trigger(Trigger.AvailableNow()).start()
+        require(q.awaitTermination(300000), "graft_txlog stream did not drain")
+      }
+      drain() // snapshot@v1 + (1,3] + (3,4]
+      val afterFirst = s.read.parquet(out).count()
+      (5 to 6).foreach(i =>
+        TxLog.append(s, src, src0.filter(col("o_orderkey") % 7 === i)))      // v5..v6
+      drain() // resume: only (4, 6]
+      drain() // caught up: nothing
+      val total = s.read.parquet(out).count()
+      val resumeOk = afterFirst == src0.filter(col("o_orderkey") % 7 <= 4).count() &&
+        total == src0.count()
+      s.read.parquet(out).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("resume_ok", lit(resumeOk))
+    }),
+
+    // SERVE-PATH gates for the followed tiers (verdict r10 #5, the q267
+    // discipline): the follower runs its advances ONCE per (sf, fixture)
+    // into a staged state table; the benched query only LOADS the state
+    // and searches — so BENCH carries the per-query serve cost, not the
+    // build-inclusive capstone harness (q326/q332/q333 remain the
+    // lifecycle acceptance tests)
+    "q335_follower_hnsw_serve" -> ((s, dir) => {
+      import graft.ext.{GraphAnn, IndexFollower, Similarity}
+      import graft.io.TxLog
+      val cfg = GraphAnn.HnswConfig(m = 8, efConstruction = 96, efSearch = 128, shards = 4)
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val base = ensureServeArtifact("follower_hnsw", dir, "embeddings") { p =>
+        val src = s"$p/src"; val state = s"$p/state"
+        def follow() = IndexFollower.followIndex(s, src, state, "serve",
+          "vec_id", "embedding", cfg)
+        TxLog.create(s, src, e.filter(col("vec_id") % 3 =!= 2))
+        follow()
+        TxLog.upsert(s, src, e.filter(col("vec_id") % 40 === 1)
+          .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"))
+          .unionByName(e.filter(col("vec_id") % 3 === 2)), Seq("vec_id"))
+        TxLog.deleteRowsKeyed(s, src,
+          e.filter(col("vec_id") % 50 === 9).select(col("vec_id")), Seq("vec_id"))
+        follow()
+      }
+      val q = e.filter(col("vec_id") < 5)
+      val res = IndexFollower.searchIndex(s, s"$base/state", q,
+        "vec_id", "embedding", k = 10, cfg)
+      val live = TxLog.read(s, s"$base/src")
+      val brute = Similarity.bruteTopK(live, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10)
+      val hits = res.join(brute.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"))
+    }),
+
+    "q336_follower_minhash_serve" -> ((s, dir) => {
+      import graft.ext.{Dedup, IndexFollower}
+      import graft.io.TxLog
+      val docs = t(s, dir, "documents")
+      val base = ensureServeArtifact("follower_minhash", dir, "documents") { p =>
+        val src = s"$p/src"; val state = s"$p/state"
+        def follow() = IndexFollower.followMinhashIndex(s, src, state, "serve",
+          "doc_id", "text")
+        TxLog.create(s, src, docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text")))
+        follow()
+        TxLog.append(s, src, docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text")))
+        follow()
+      }
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val ix = IndexFollower.minhashIndexOf(TxLog.read(s, s"$base/state"))
+      sourcePairContract(batch,
+        Dedup.ingestNearDupPairs(batch, "doc_id", "text", ix, threshold = 0.8))
+    }),
+
+    "q337_follower_ivfpq_serve" -> ((s, dir) => {
+      import graft.ext.{IndexFollower, Similarity}
+      import graft.io.TxLog
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.l2normalized(col("embedding")).as("embedding"))
+      val base = ensureServeArtifact("follower_ivfpq", dir, "embeddings") { p =>
+        val src = s"$p/src"; val state = s"$p/state"
+        def follow() = IndexFollower.followIvfPq(s, src, state, "serve",
+          "vec_id", "embedding",
+          Similarity.IvfConfig(nlist = 32, nprobe = 16),
+          Similarity.PqConfig(m = 8, ksub = 32), retrainGrowth = 100.0)
+        TxLog.create(s, src, e.filter(col("vec_id") % 3 =!= 2))
+        follow()
+        TxLog.append(s, src, e.filter(col("vec_id") % 3 === 2))
+        follow() // append-shaped advance
+      }
+      val q = e.filter(col("vec_id") < 5)
+      val res = IndexFollower.searchFollowedIvfPq(s, s"$base/state", q,
+        "vec_id", "embedding", k = 10, nprobe = 16, rerank = 300)
+      val live = TxLog.read(s, s"$base/src")
+      val brute = Similarity.bruteTopK(live, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10)
+      val hits = res.join(brute.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n_hit"), lit(0L)) >= 5L).as("recall_ok"))
+    }),
+
     // STREAMING-SOURCE ADAPTER (verdict r9 #8): a TxLog table drained into
     // another through bounded micro-batches — maxVersionsPerTrigger=2 over
     // 5 source versions = exactly 3 batches (initial snapshot + two CDF
@@ -6450,6 +6584,28 @@ object SparkEntry {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  true AS batches_ok, CAST(4 AS BIGINT) AS n_dst_versions
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // follower serve gates (q267 discipline): staged followed state, the
+    // query only loads and searches/probes
+    "q335_follower_hnsw_serve" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    "q336_follower_minhash_serve" ->
+      """SELECT doc_id + 1000000 AS doc_id, CAST('1' AS DOUBLE) AS source_jaccard
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+
+    "q337_follower_ivfpq_serve" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // native streaming source: drained content = full orders; the
+    // checkpointed resume consumed only the new range (pinned)
+    "q334_txlog_stream_source" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  true AS resume_ok
         |FROM orders GROUP BY 1""".stripMargin,
 
     // SQL write surface: restore lands on the post-merge state (cents+1

@@ -64,6 +64,37 @@ import graft.io.TxLog
  */
 object IndexFollower {
 
+  /** What a follower does when its high-water mark has fallen BELOW the
+    * source's vacuum retention floor (a long-paused consumer whose
+    * un-consumed change range was reclaimed). */
+  sealed trait FloorOverrun
+  object FloorOverrun {
+    /** Default: fail loudly with the floor in the message — never a
+      * silent gap. */
+    case object Refuse extends FloorOverrun
+    /** Fold the CURRENT snapshot as a fresh bootstrap: the state rebuilds
+      * from scratch over the live corpus (still exactly-once — the
+      * re-bootstrap is one keyed commit at the consumed source version)
+      * and following resumes. */
+    case object Rebootstrap extends FloorOverrun
+  }
+
+  /** True iff the advance must re-bootstrap; throws (actionably) when the
+    * mark is sub-floor and the mode is [[FloorOverrun.Refuse]]. */
+  private def rebootNeeded(src: String, lastV: Long, mode: FloorOverrun): Boolean = {
+    if (lastV < 0) return false
+    val floor = TxLog.retentionFloor(src)
+    if (lastV >= floor) false
+    else mode match {
+      case FloorOverrun.Rebootstrap => true
+      case FloorOverrun.Refuse => sys.error(
+        s"follower high-water mark $lastV is below $src's vacuum retention " +
+          s"floor $floor — the un-consumed change range was reclaimed; pass " +
+          "onFloorOverrun=FloorOverrun.Rebootstrap to fold the current " +
+          "snapshot as a fresh bootstrap (the default refuses loudly)")
+    }
+  }
+
   private val stateSchema = StructType(Seq(
     StructField("kind", StringType),
     StructField("shard", IntegerType), StructField("id", LongType),
@@ -186,7 +217,8 @@ object IndexFollower {
   def followIndex(spark: SparkSession, src: String, dst: String,
       consumerId: String, idCol: String, vecCol: String,
       cfg: GraphAnn.HnswConfig = GraphAnn.HnswConfig(),
-      compactFrac: Double = 0.2): Boolean = {
+      compactFrac: Double = 0.2,
+      onFloorOverrun: FloorOverrun = FloorOverrun.Refuse): Boolean = {
     require(compactFrac > 0.0 && compactFrac <= 1.0,
       s"compactFrac must be in (0, 1], got $compactFrac")
     val streamId = s"txindex:$consumerId"
@@ -195,7 +227,7 @@ object IndexFollower {
       TxLog.create(spark, dst, emptyState(spark))
     TxLog.commitKeyedTransformMulti(spark, dst, streamId, srcLatest) { (base, curState) =>
       val lastV = TxLog.streamHighWater(dst, streamId)
-      if (lastV < 0) {
+      if (lastV < 0 || rebootNeeded(src, lastV, onFloorOverrun)) {
         // bootstrap: one deterministic build over the snapshot, split one
         // segment per non-empty shard — the alignment every later advance
         // relies on. localCheckpoint so the build runs once, not once per
@@ -397,7 +429,8 @@ object IndexFollower {
       consumerId: String, idCol: String, vecCol: String,
       ivfCfg: Similarity.IvfConfig = Similarity.IvfConfig(),
       pqCfg: Similarity.PqConfig = Similarity.PqConfig(),
-      compactFrac: Double = 0.2, retrainGrowth: Double = 1.0): Boolean = {
+      compactFrac: Double = 0.2, retrainGrowth: Double = 1.0,
+      onFloorOverrun: FloorOverrun = FloorOverrun.Refuse): Boolean = {
     require(compactFrac > 0.0 && compactFrac <= 1.0,
       s"compactFrac must be in (0, 1], got $compactFrac")
     val streamId = s"txivfpq:$consumerId"
@@ -414,7 +447,8 @@ object IndexFollower {
         asPqState(spark, ivf, pq, gen = srcLatest,
           builtAt = Some(live.count()))
       }
-      if (lastV < 0) (Some(fullBuild()), Seq.empty)
+      if (lastV < 0 || rebootNeeded(src, lastV, onFloorOverrun))
+        (Some(fullBuild()), Seq.empty)
       else {
         val (ins, del) = finalChanges(spark, src, lastV, srcLatest, idCol, vecCol, "vec")
         val indexedIds = state.filter(col("kind") === "assigned").select(col("id"))
@@ -532,7 +566,8 @@ object IndexFollower {
   def followMinhashIndex(spark: SparkSession, src: String, dst: String,
       consumerId: String, idCol: String, textCol: String,
       cfg: Dedup.MinHashConfig = Dedup.MinHashConfig(),
-      compactFrac: Double = 0.3): Boolean = {
+      compactFrac: Double = 0.3,
+      onFloorOverrun: FloorOverrun = FloorOverrun.Refuse): Boolean = {
     require(compactFrac > 0.0 && compactFrac <= 1.0,
       s"compactFrac must be in (0, 1], got $compactFrac")
     val streamId = s"txminhash:$consumerId"
@@ -540,8 +575,12 @@ object IndexFollower {
     if (!TxLog.exists(dst))
       TxLog.create(spark, dst, emptyMhState(spark))
     TxLog.commitKeyedTransform(spark, dst, streamId, srcLatest) { (base, curState) =>
-      val lastV = TxLog.streamHighWater(dst, streamId)
-      val state = curState()
+      val lastV0 = TxLog.streamHighWater(dst, streamId)
+      // a sub-floor mark folds the snapshot as a fresh bootstrap (discard
+      // the old state entirely) when Rebootstrap is chosen
+      val reboot = rebootNeeded(src, lastV0, onFloorOverrun)
+      val lastV = if (reboot) -1L else lastV0
+      val state = if (reboot) emptyMhState(spark) else curState()
       val (ins, del) = finalChanges(spark, src, lastV, srcLatest, idCol, textCol, "__text")
       val fresh = asMhState(Dedup.buildMinhashIndex(ins, "id", "__text", cfg),
         gen = srcLatest)
@@ -564,7 +603,8 @@ object IndexFollower {
           state.unionByName(fresh).unionByName(tombRows)), gen = srcLatest)
         (Some(resolved), Seq.empty)
       } else
-        (Some(fresh.unionByName(tombRows)), base.segments) // append-shaped
+        // append-shaped; a rebootstrap discards the stale state segments
+        (Some(fresh.unionByName(tombRows)), if (reboot) Seq.empty else base.segments)
     }
   }
 }

@@ -252,6 +252,63 @@ class IndexFollowerSpec extends SparkSpec {
       === TxLog.read(spark, src).select(col("id")).collect().map(_.getLong(0)).toSet)
   }
 
+  test("floor overrun: vacuum past a paused follower's mark refuses by default; Rebootstrap folds the snapshot") {
+    val root = graft.io.TempDirs.create("idxf7_")
+    val src = root.resolve("src").toString
+    val idx = root.resolve("idx").toString
+    def follow(mode: IndexFollower.FloorOverrun) =
+      IndexFollower.followIndex(spark, src, idx, "c", "id", "vec", cfg,
+        onFloorOverrun = mode)
+    TxLog.create(spark, src, df(0L until 30L))                          // v0
+    assert(follow(IndexFollower.FloorOverrun.Refuse))                   // mark = 0
+    // the follower pauses; the source moves on and a vacuum reclaims its
+    // position (retainVersions=1 → floor = the vacuum commit's version)
+    TxLog.append(spark, src, df(30L until 40L))                         // v1
+    TxLog.deleteRows(spark, src, col("id") < 5L)                        // v2
+    TxLog.vacuum(spark, src, retainVersions = 1)                        // v3, floor 3
+    assert(TxLog.retentionFloor(src) > 0L)
+    // default: loud, actionable refusal
+    val e = intercept[RuntimeException] { follow(IndexFollower.FloorOverrun.Refuse) }
+    assert(e.getMessage.contains("vacuum retention floor") &&
+      e.getMessage.contains("Rebootstrap"), s"got: ${e.getMessage}")
+    // Rebootstrap: the next advance folds the current snapshot as a fresh
+    // bootstrap — state equals a from-scratch build, following resumes
+    assert(follow(IndexFollower.FloorOverrun.Rebootstrap))
+    val state = TxLog.read(spark, idx)
+    val nodeIds = IndexFollower.nodesOf(state).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    val liveIds = TxLog.read(spark, src).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(nodeIds === liveIds)
+    assert(IndexFollower.tombstonesOf(state).isEmpty)
+    // and byte-equality with a from-scratch build over the live corpus
+    val rebuilt = GraphAnn.hnswBuild(TxLog.read(spark, src), "id", "vec", cfg)
+      .collect().map(_.toString).sorted.toSeq
+    assert(IndexFollower.nodesOf(state).collect().map(_.toString).sorted.toSeq === rebuilt)
+    // following continues normally from the re-bootstrap mark
+    TxLog.append(spark, src, df(40L until 45L))
+    assert(follow(IndexFollower.FloorOverrun.Refuse))
+    assert(IndexFollower.nodesOf(TxLog.read(spark, idx)).count() === 45 - 5)
+
+    // the minhash follower shares the discipline
+    val msrc = root.resolve("msrc").toString
+    val midx = root.resolve("midx").toString
+    def mdf(ids: Seq[Long]) = ids.map(i => (i, s"tok${i} tok${i + 1} tok${i + 2}"))
+      .toDF("id", "text")
+    TxLog.create(spark, msrc, mdf(0L until 20L))
+    assert(IndexFollower.followMinhashIndex(spark, msrc, midx, "m", "id", "text"))
+    TxLog.append(spark, msrc, mdf(20L until 30L))
+    TxLog.vacuum(spark, msrc, retainVersions = 1)
+    intercept[RuntimeException] {
+      IndexFollower.followMinhashIndex(spark, msrc, midx, "m", "id", "text")
+    }
+    assert(IndexFollower.followMinhashIndex(spark, msrc, midx, "m", "id", "text",
+      onFloorOverrun = IndexFollower.FloorOverrun.Rebootstrap))
+    val mres = IndexFollower.minhashIndexOf(TxLog.read(spark, midx))
+    assert(mres.base.select(col("id")).collect().map(_.getLong(0)).toSet
+      === (0L until 30L).toSet)
+  }
+
   test("two followers with distinct consumer ids ride one source independently") {
     val root = graft.io.TempDirs.create("idxf3_")
     val src = root.resolve("src").toString
