@@ -3833,6 +3833,46 @@ object SparkEntry {
         .withColumn("resume_ok", lit(resumeOk))
     }),
 
+    // FOLLOWER PROCEDURES ON THE PURE-SQL SURFACE (verdict r10 #6): the
+    // CALL-style graft_txlog_follow_hnsw procedure advances the followed
+    // index from plain SQL — bootstrap/advance/caught_up actions and
+    // consumed versions pinned, EXPLAIN pinned inert (no commit), and the
+    // followed graph's coverage pinned against the live corpus
+    "q338_txlog_follow_sql" -> ((s, dir) => {
+      import graft.io.TxLog
+      import graft.ext.IndexFollower
+      org.apache.spark.sql.graft.GraftExtensions.registerTableFunctions(s)
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 3 === 0)
+      val root = graft.io.TempDirs.create("graft_q338_")
+      val src = root.resolve("src").toString
+      val idx = root.resolve("idx").toString
+      TxLog.create(s, src, e.filter(col("vec_id") % 2 === 0))                // v0
+      def call() = s.sql(s"SELECT * FROM graft_txlog_follow_hnsw('$src', '$idx', " +
+        "'sqlann', 'vec_id', 'embedding', 4)").head()
+      val r1 = call() // bootstrap
+      TxLog.append(s, src, e.filter(col("vec_id") % 2 === 1))                // v1
+      val r2 = call() // advance
+      val r3 = call() // caught up
+      val actionsOk = r1.getBoolean(0) && r1.getString(2) == "bootstrap" &&
+        r1.getLong(1) == 0L &&
+        r2.getBoolean(0) && r2.getString(2) == "advance" && r2.getLong(1) == 1L &&
+        !r3.getBoolean(0) && r3.getString(2) == "caught_up" && r3.getLong(1) == 1L
+      val before = TxLog.history(idx).length
+      s.sql(s"EXPLAIN SELECT * FROM graft_txlog_follow_hnsw('$src', '$idx', " +
+        "'sqlann', 'vec_id', 'embedding', 4)").collect()
+      val explainInert = TxLog.history(idx).length == before
+      val nodeIds = IndexFollower.nodesOf(TxLog.read(s, idx)).select(col("id"))
+      val liveIds = e.select(col("vec_id").cast("long").as("id"))
+      val coverageOk = nodeIds.exceptAll(liveIds).isEmpty &&
+        liveIds.exceptAll(nodeIds).isEmpty
+      e.groupBy((col("vec_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .withColumn("actions_ok", lit(actionsOk))
+        .withColumn("explain_inert", lit(explainInert))
+        .withColumn("coverage_ok", lit(coverageOk))
+    }),
+
     // SERVE-PATH gates for the followed tiers (verdict r10 #5, the q267
     // discipline): the follower runs its advances ONCE per (sf, fixture)
     // into a staged state table; the benched query only LOADS the state
@@ -6585,6 +6625,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  true AS batches_ok, CAST(4 AS BIGINT) AS n_dst_versions
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // follower SQL procedures: actions/versions/EXPLAIN-inert/coverage
+    // pinned; content = the filtered corpus bucketed
+    "q338_txlog_follow_sql" ->
+      """SELECT CAST(vec_id % 10 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  true AS actions_ok, true AS explain_inert, true AS coverage_ok
+        |FROM embeddings WHERE vec_id % 3 = 0 GROUP BY 1""".stripMargin,
 
     // follower serve gates (q267 discipline): staged followed state, the
     // query only loads and searches/probes

@@ -319,6 +319,15 @@ object IndexFollower {
     }
   }
 
+  /** The source version a follower state has consumed (-1 = never
+    * advanced) — the progress mark its keyed commits ride. */
+  def hnswMark(dst: String, consumerId: String): Long =
+    TxLog.streamHighWater(dst, s"txindex:$consumerId")
+  def minhashMark(dst: String, consumerId: String): Long =
+    TxLog.streamHighWater(dst, s"txminhash:$consumerId")
+  def ivfPqMark(dst: String, consumerId: String): Long =
+    TxLog.streamHighWater(dst, s"txivfpq:$consumerId")
+
   /** Query the followed index at `dst` (latest state): the HNSW search
     * with the state's own delete list applied — results never contain a
     * tombstoned id. Output: (query_id, neighbor_id, cosine, rank). */

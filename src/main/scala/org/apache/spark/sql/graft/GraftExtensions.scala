@@ -260,6 +260,58 @@ object GraftExtensions {
           val parts = if (exprs.length == 3) litLong(exprs(2), "targetPartitions").toInt else 1
           TxLogProcedures.node("compact_small")(sp =>
             graft.io.TxLog.compactSmall(sp, path, small, parts))
+        }),
+      // ---- follower procedures (verdict r10 #6): the pure-SQL story for
+      // index-follows-table — each advances the followed state one atomic
+      // keyed commit and returns (advanced, consumed_version, action)
+      (FunctionIdentifier("graft_txlog_follow_hnsw"),
+        info("graft_txlog_follow_hnsw",
+          "graft_txlog_follow_hnsw(src, dst, consumerId, idCol, vecCol[, shards]) — " +
+            "advance the exactly-once HNSW index follower; returns (advanced, " +
+            "consumed_version, action)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 5 || exprs.length == 6,
+            s"graft_txlog_follow_hnsw expects (src, dst, consumerId, idCol, vecCol" +
+              s"[, shards]), got ${exprs.length} args")
+          val Seq(src, dst, cid, idc, vecc) = exprs.take(5).zip(
+            Seq("src", "dst", "consumerId", "idCol", "vecCol")).map((litStr _).tupled)
+          val cfg = graft.ext.GraphAnn.HnswConfig(shards =
+            if (exprs.length == 6) litLong(exprs(5), "shards").toInt else 4)
+          TxLogProcedures.rowsNode("follow_hnsw", TxLogProcedures.followSchema)(sp =>
+            TxLogProcedures.followRows(dst, () => graft.ext.IndexFollower.hnswMark(dst, cid))(
+              graft.ext.IndexFollower.followIndex(sp, src, dst, cid, idc, vecc, cfg)))
+        }),
+      (FunctionIdentifier("graft_txlog_follow_minhash"),
+        info("graft_txlog_follow_minhash",
+          "graft_txlog_follow_minhash(src, dst, consumerId, idCol, textCol) — advance " +
+            "the exactly-once MinHash index follower; returns (advanced, " +
+            "consumed_version, action)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 5,
+            s"graft_txlog_follow_minhash expects (src, dst, consumerId, idCol, textCol), " +
+              s"got ${exprs.length} args")
+          val Seq(src, dst, cid, idc, txtc) = exprs.zip(
+            Seq("src", "dst", "consumerId", "idCol", "textCol")).map((litStr _).tupled)
+          TxLogProcedures.rowsNode("follow_minhash", TxLogProcedures.followSchema)(sp =>
+            TxLogProcedures.followRows(dst, () => graft.ext.IndexFollower.minhashMark(dst, cid))(
+              graft.ext.IndexFollower.followMinhashIndex(sp, src, dst, cid, idc, txtc)))
+        }),
+      (FunctionIdentifier("graft_txlog_follow_ivfpq"),
+        info("graft_txlog_follow_ivfpq",
+          "graft_txlog_follow_ivfpq(src, dst, consumerId, idCol, vecCol[, nlist]) — " +
+            "advance the exactly-once IVF-PQ index follower; returns (advanced, " +
+            "consumed_version, action)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 5 || exprs.length == 6,
+            s"graft_txlog_follow_ivfpq expects (src, dst, consumerId, idCol, vecCol" +
+              s"[, nlist]), got ${exprs.length} args")
+          val Seq(src, dst, cid, idc, vecc) = exprs.take(5).zip(
+            Seq("src", "dst", "consumerId", "idCol", "vecCol")).map((litStr _).tupled)
+          val ivfCfg = graft.ext.Similarity.IvfConfig(nlist =
+            if (exprs.length == 6) litLong(exprs(5), "nlist").toInt else 32)
+          TxLogProcedures.rowsNode("follow_ivfpq", TxLogProcedures.followSchema)(sp =>
+            TxLogProcedures.followRows(dst, () => graft.ext.IndexFollower.ivfPqMark(dst, cid))(
+              graft.ext.IndexFollower.followIvfPq(sp, src, dst, cid, idc, vecc, ivfCfg)))
         }))
   }
 

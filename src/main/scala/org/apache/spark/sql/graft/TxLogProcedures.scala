@@ -85,16 +85,42 @@ object TxLogProcedures {
         spark.experimental.extraStrategies :+ TxLogProcedureStrategy
   }
 
-  /** Build a procedure node that runs `op` at execution time and returns
-    * its snapshot summary row. */
-  def node(procName: String)(op: SparkSession => graft.io.TxSnapshot): LogicalPlan = {
+  /** Build a procedure node with an arbitrary one-row result schema —
+    * the general CALL shape ([[node]] specializes it to the snapshot
+    * summary; the follower procedures return (advanced, consumed_version,
+    * action)). */
+  def rowsNode(procName: String, attrs: Seq[Attribute])(
+      op: SparkSession => Seq[Row]): LogicalPlan = {
     val spark = SparkSession.active
     ensureStrategy(spark)
     // the once-guard rides the closure, shared by every clone of the node
-    val once = new Once(() => {
+    val once = new Once(() => op(spark))
+    TxLogProcedureNode(procName, attrs.map(_.newInstance()), () => once.rows)
+  }
+
+  /** The (advanced, consumed_version, action) schema of the follower
+    * procedures. */
+  val followSchema = Seq(
+    AttributeReference("advanced", BooleanType, nullable = false)(),
+    AttributeReference("consumed_version", LongType, nullable = false)(),
+    AttributeReference("action", StringType, nullable = false)())
+
+  /** Build a procedure node that runs `op` at execution time and returns
+    * its snapshot summary row. */
+  def node(procName: String)(op: SparkSession => graft.io.TxSnapshot): LogicalPlan =
+    rowsNode(procName, summarySchema) { spark =>
       val snap = op(spark)
       Seq(Row(snap.version, snap.op, snap.segments.size.toLong))
-    })
-    TxLogProcedureNode(procName, summarySchema.map(_.newInstance()), () => once.rows)
+    }
+
+  /** Shared body of the three follower procedures: run `follow`, then
+    * derive (advanced, consumed_version, action) from the state table's
+    * own high-water mark. */
+  def followRows(dst: String, mark: () => Long)(follow: => Boolean): Seq[Row] = {
+    val prior = if (graft.io.TxLog.exists(dst)) mark() else -1L
+    val advanced = follow
+    val action =
+      if (!advanced) "caught_up" else if (prior < 0) "bootstrap" else "advance"
+    Seq(Row(advanced, mark(), action))
   }
 }

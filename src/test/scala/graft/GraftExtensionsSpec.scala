@@ -203,4 +203,47 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("key column"))
   }
+
+  test("follower procedures: hnsw/minhash/ivfpq advance via pure SQL with (advanced, consumed_version, action)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.registerTableFunctions(spark)
+    val root = graft.io.TempDirs.create("ext_follow_")
+    def vecOf(id: Long): Seq[Float] =
+      (0 until 8).map(d => (((id * 2654435761L + d * 40503L) % 1000L) / 1000.0f) - 0.5f)
+    val vdf = (0L until 40L).map(i => (i, vecOf(i))).toDF("id", "vec")
+    val ddf = (0L until 40L).map(i => (i, s"tok$i tok${i + 1} tok${i + 2}")).toDF("id", "text")
+
+    def lifecycle(proc: String, src: String, dst: String, data: org.apache.spark.sql.DataFrame,
+        valCol: String): Unit = {
+      graft.io.TxLog.create(spark, src, data.filter($"id" < 30L))
+      def call() = spark.sql(
+        s"SELECT * FROM $proc('$src', '$dst', 'c', 'id', '$valCol')").head()
+      val r1 = call()
+      assert(r1.getBoolean(0) && r1.getLong(1) === 0L && r1.getString(2) === "bootstrap", s"$proc: $r1")
+      graft.io.TxLog.append(spark, src, data.filter($"id" >= 30L))
+      val r2 = call()
+      assert(r2.getBoolean(0) && r2.getLong(1) === 1L && r2.getString(2) === "advance", s"$proc: $r2")
+      val r3 = call()
+      assert(!r3.getBoolean(0) && r3.getLong(1) === 1L && r3.getString(2) === "caught_up", s"$proc: $r3")
+      // EXPLAIN plans without committing
+      val before = graft.io.TxLog.history(dst).length
+      spark.sql(s"EXPLAIN SELECT * FROM $proc('$src', '$dst', 'c', 'id', '$valCol')").collect()
+      assert(graft.io.TxLog.history(dst).length === before, s"$proc EXPLAIN committed")
+    }
+    lifecycle("graft_txlog_follow_hnsw", root.resolve("hs").toString,
+      root.resolve("hd").toString, vdf, "vec")
+    lifecycle("graft_txlog_follow_minhash", root.resolve("ms").toString,
+      root.resolve("md").toString, ddf, "text")
+    lifecycle("graft_txlog_follow_ivfpq", root.resolve("is").toString,
+      root.resolve("id").toString, vdf, "vec")
+    // and the followed states resolve/serve
+    assert(graft.ext.IndexFollower.nodesOf(
+      graft.io.TxLog.read(spark, root.resolve("hd").toString)).count() === 40L)
+    assert(graft.ext.IndexFollower.minhashIndexOf(
+      graft.io.TxLog.read(spark, root.resolve("md").toString)).base.count() === 40L)
+    val (ivf, _) = graft.ext.IndexFollower.ivfPqOf(
+      graft.io.TxLog.read(spark, root.resolve("id").toString))
+    assert(ivf.assigned.count() === 40L)
+  }
 }
