@@ -109,6 +109,15 @@ object ScaleProbe {
     // per-(probe, scale) free-text telemetry (e.g. CC round counts) riding
     // the JSON so a ratio is attributable without rerunning under debug env
     val notes = scala.collection.mutable.LinkedHashMap[(String, Int), String]()
+    // numeric side-channel some criteria assert on (bytes written, counts)
+    val telemetry = scala.collection.mutable.LinkedHashMap[(String, Int), Long]()
+    // per-probe CRITERION (r10 verdict #7): the field that defines the
+    // probe's pass/fail — parse counts, bytes written, rounds — so a
+    // sub-second wall ratio can never read as a regression. Emitted into
+    // the JSON ("criterion" text + "criterion_ok" boolean) and asserted
+    // by tools/check_evidence.py; probes without a criterion keep the
+    // wall ratio as their informational headline.
+    val criteria = scala.collection.mutable.LinkedHashMap[String, (String, () => Boolean)]()
     def timed(name: String, k: Int)(f: => Long): Unit =
       if (only.isEmpty || only.contains(name)) {
         val t0 = System.nanoTime()
@@ -1392,6 +1401,7 @@ object ScaleProbe {
           }
           val freshBytes = freshSegs.map(bytesOf).sum
           val carried = after.segments.count(before.contains)
+          telemetry(("txhnsw_follow", k)) = freshBytes
           notes((s"txhnsw_follow", k)) =
             s"fresh_state_bytes=$freshBytes carried_verbatim_segs=$carried" +
               s" of ${after.segments.size}"
@@ -1416,6 +1426,19 @@ object ScaleProbe {
         ()
       }
     }
+
+    // criteria registrations (evaluated over results/telemetry once both
+    // scales ran; a targeted single-probe re-run re-evaluates only its own)
+    criteria("txlog_vacuum_delta") = (
+      "manifest parse count (the rows field) flat in history length",
+      () => results.get("txlog_vacuum_delta").exists(m =>
+        m.contains(1) && m.contains(10) && m(10)._2 <= m(1)._2 + 8))
+    criteria("txhnsw_follow") = (
+      "fresh state bytes written flat for a fixed advance vs a 10x corpus",
+      () => (telemetry.get(("txhnsw_follow", 1)), telemetry.get(("txhnsw_follow", 10))) match {
+        case (Some(b1), Some(b10)) => b10 <= 2 * b1 && b1 > 0
+        case _ => false
+      })
 
     println("| operator | 1x sec | 1x rows | 10x sec | 10x rows | time ratio |")
     println("|---|---|---|---|---|---|")
@@ -1445,7 +1468,9 @@ object ScaleProbe {
       val (t10, r10) = m(10)
       val noteField = Seq(1, 10).flatMap(k =>
         notes.get((name, k)).map(n => s""","note_${k}x":"$n"""")).mkString
-      name -> f"""{"op":"$name","sec_1x":$t1%.3f,"rows_1x":$r1,"sec_10x":$t10%.3f,"rows_10x":$r10,"ratio":${t10 / t1}%.2f$noteField}"""
+      val critField = criteria.get(name).map { case (desc, ok) =>
+        s""","criterion":"$desc","criterion_ok":${ok()}""" }.getOrElse("")
+      name -> f"""{"op":"$name","sec_1x":$t1%.3f,"rows_1x":$r1,"sec_10x":$t10%.3f,"rows_10x":$r10,"ratio":${t10 / t1}%.2f$noteField$critField}"""
     }.toMap
     val merged = (prior ++ fresh).toSeq.sortBy(_._1).map(_._2)
     java.nio.file.Files.write(java.nio.file.Paths.get(jsonPath),
