@@ -3833,6 +3833,36 @@ object SparkEntry {
         .withColumn("resume_ok", lit(resumeOk))
     }),
 
+    // N-DIM OPTIMIZE (verdict r10 #8): three clustering dimensions ride
+    // the Hilbert curve — content identity, scoped carry-verbatim, and
+    // the q304 footer-skipping contract extended to the THIRD dim
+    // (a selective readWhere on it equals the full-scan filter) all pinned
+    "q339_txlog_optimize_ndim" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = graft.io.TempDirs.create("graft_txlog_q339_").resolve("t").toString
+      val mx = src.agg(max(col("o_orderkey"))).head().getLong(0)
+      val dims = Seq("o_custkey", "cents", "o_orderkey")
+      TxLog.create(s, tbl, src.filter(col("o_orderkey") <= mx / 2))              // v0
+      TxLog.optimizeDims(s, tbl, dims, targetPartitions = 8)                     // v1 full
+      val clustered = TxLog.latest(tbl).segments.toSet
+      TxLog.append(s, tbl, src.filter(col("o_orderkey") > mx / 2))               // v2
+      val v3 = TxLog.optimizeDims(s, tbl, dims, targetPartitions = 8, scoped = true) // v3
+      val keptOk = clustered.forall(v3.segments.contains) &&
+        v3.op == "optimize_zorder:o_custkey,cents,o_orderkey"
+      // data skipping on the THIRD clustering dim
+      val probeHi = (mx / 10).toDouble
+      val whereOk = TxLog.readWhere(s, tbl, "o_orderkey", 1.0, probeHi).count() ==
+        TxLog.read(s, tbl)
+          .filter(col("o_orderkey") >= 1 && col("o_orderkey") <= probeHi).count()
+      TxLog.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("n_versions", lit(TxLog.history(tbl).length.toLong))
+        .withColumn("kept_verbatim_ok", lit(keptOk))
+        .withColumn("where_ok", lit(whereOk))
+    }),
+
     // FOLLOWER PROCEDURES ON THE PURE-SQL SURFACE (verdict r10 #6): the
     // CALL-style graft_txlog_follow_hnsw procedure advances the followed
     // index from plain SQL — bootstrap/advance/caught_up actions and
@@ -6624,6 +6654,15 @@ object SparkEntry {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  true AS batches_ok, CAST(4 AS BIGINT) AS n_dst_versions
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // n-dim (Hilbert) optimize: full content identity; v0..v3 = 4
+    // versions; kept-verbatim + third-dim skipping pinned
+    "q339_txlog_optimize_ndim" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(4 AS BIGINT) AS n_versions,
+        |  true AS kept_verbatim_ok, true AS where_ok
         |FROM orders GROUP BY 1""".stripMargin,
 
     // follower SQL procedures: actions/versions/EXPLAIN-inert/coverage

@@ -1678,8 +1678,22 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     * versions (r10 ADVICE; a raced-to-clustered retry still lands one
     * `;noop` manifest, the serialized-commit price of losing the race). */
   def optimize(spark: SparkSession, table: String, colA: String, colB: String,
+      targetPartitions: Int = 8, scoped: Boolean = false): Snapshot =
+    optimizeDims(spark, table, Seq(colA, colB), targetPartitions, scoped)
+
+  /** [[optimize]] generalized to 2–4 clustering dimensions (r10 verdict
+    * #8): two dims keep the Morton key (identical op tag and layout —
+    * full back-compat), three and four ride the Hilbert curve
+    * ([[HilbertOrder.hilbertKey]]), whose consecutive positions are
+    * always axis-neighbors so the per-row-group envelopes hug smaller
+    * boxes as dimensionality grows. Scoping semantics are unchanged and
+    * keyed per dims-tuple: segments clustered by a PRIOR optimize of the
+    * same dims carry verbatim. */
+  def optimizeDims(spark: SparkSession, table: String, cols: Seq[String],
       targetPartitions: Int = 8, scoped: Boolean = false): Snapshot = {
-    val opName = s"optimize_zorder:$colA,$colB"
+    require(cols.size >= 2 && cols.size <= 4,
+      s"optimize clusters on 2-4 dimensions, got ${cols.size} (${cols.mkString(", ")})")
+    val opName = s"optimize_zorder:${cols.mkString(",")}"
     // incremental clustered-set memo: each retained version's manifest
     // parses ONCE across contention retries (r10 ADVICE — the derivation
     // used to re-pay O(retained-versions) parses per retry); retries only
@@ -1714,11 +1728,14 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       if (toCluster.isEmpty) (s"$opName;noop", None, base.segments)
       else {
         val df = alignTo(readSegments(spark, table, toCluster, base.dvs), cur().schema)
-        val clustered = df.withColumn("__zkey", ZOrder.mortonKey(df, colA, colB))
+        val key =
+          if (cols.size == 2) ZOrder.mortonKey(df, cols(0), cols(1))
+          else HilbertOrder.hilbertKey(df, cols, bits = 63 / cols.size)
+        val reclustered = df.withColumn("__zkey", key)
           .repartitionByRange(targetPartitions, col("__zkey"))
           .sortWithinPartitions(col("__zkey"))
           .drop("__zkey")
-        (opName, Some(clustered), kept)
+        (opName, Some(reclustered), kept)
       }
     }
   }

@@ -1241,6 +1241,44 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, dst2).count() === 7)
   }
 
+  test("optimizeDims: 3-dim Hilbert re-cluster keeps content, scopes like 2-dim, and tightens row groups on EVERY dim") {
+    val tbl = freshTable()
+    val df = spark.range(6000).selectExpr("id AS k",
+      "CAST((id * 2654435761) % 1000 AS DOUBLE) AS a",
+      "CAST((id * 40503) % 1000 AS DOUBLE) AS b",
+      "CAST((id * 69069) % 1000 AS DOUBLE) AS c")
+    TxLog.create(spark, tbl, df.repartition(4))
+    val before = TxLog.read(spark, tbl).collect().map(_.toString).sorted.toSeq
+    val v1 = TxLog.optimizeDims(spark, tbl, Seq("a", "b", "c"), targetPartitions = 16)
+    assert(v1.op === "optimize_zorder:a,b,c")
+    assert(TxLog.read(spark, tbl).collect().map(_.toString).sorted.toSeq === before)
+    // the clustered layout prunes on EVERY dim, including the third
+    v1.segments.foreach { seg =>
+      Seq("a", "b", "c").foreach { col =>
+        val (overlap, total) = ZOrder.overlappingRowGroups(spark, s"$tbl/$seg", col, 100.0, 150.0)
+        assert(overlap.toDouble / total <= 0.6, s"$seg not clustered on $col: $overlap/$total")
+      }
+    }
+    // scoping keys on the dims tuple: the 3-dim clustered segments carry
+    // verbatim under a scoped re-run after an append
+    TxLog.append(spark, tbl, df.selectExpr("k + 10000 AS k", "a", "b", "c"))
+    val v3 = TxLog.optimizeDims(spark, tbl, Seq("a", "b", "c"),
+      targetPartitions = 16, scoped = true)
+    assert(v1.segments.forall(v3.segments.contains),
+      "3-dim clustered segments must carry verbatim under scoped optimize")
+    // nothing-to-do: no commit
+    val v4 = TxLog.optimizeDims(spark, tbl, Seq("a", "b", "c"),
+      targetPartitions = 16, scoped = true)
+    assert(v4.version === v3.version)
+    // 2-dim delegation unchanged (tag and behavior)
+    assert(intercept[IllegalArgumentException] {
+      TxLog.optimizeDims(spark, tbl, Seq("a"), 4)
+    }.getMessage.contains("2-4 dimensions"))
+    assert(intercept[IllegalArgumentException] {
+      TxLog.optimizeDims(spark, tbl, Seq("a", "b", "c", "k", "k"), 4)
+    }.getMessage.contains("2-4 dimensions"))
+  }
+
   test("changeStream refuses a batch built from a stale high-water mark: racing same-id consumers never double-apply") {
     val root = TempDirs.create("txstream_race_")
     val src = root.resolve("src").toString
