@@ -248,29 +248,21 @@ object IndexFollower {
         // materialize the collapsed changes once — several per-shard jobs
         // below re-read them (all touched-volume-sized)
         val ins = insRaw.localCheckpoint()
-        val nodeIds = nodes.select(col("id"))
-        // ids being re-inserted (updates) — the graph cannot re-point them
-        val updHit = ins.select(col("id"))
-          .join(nodeIds, Seq("id"), "left_semi").localCheckpoint()
-        // deletes of ids actually in the graph join the tombstone list
-        val delLive = delRaw.join(nodeIds, Seq("id"), "left_semi").localCheckpoint()
         val sOf = GraphAnn.shardOfExpr(col("id"), cfg.shards)
+        val batchShards = ins.select(sOf.as("__s")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        // ids being re-inserted (updates) — the graph cannot re-point
+        // them. The probe semi-joins only the BATCH's shards' node ids
+        // (shard-aligned segments row-group-skip the rest)
+        val updProbe =
+          if (batchShards.isEmpty) nodes.limit(0)
+          else nodes.filter(col("shard").isin(batchShards.toSeq.map(Int.box): _*))
+        val updHit = ins.select(col("id"))
+          .join(updProbe.select(col("id")), Seq("id"), "left_semi").localCheckpoint()
+        // deletes of ids actually in the graph join the tombstone list
+        val delLive = delRaw.join(nodes.select(col("id")), Seq("id"), "left_semi")
+          .localCheckpoint()
         val tombAll = tombs.unionByName(delLive.select(col("id"))).distinct()
-        // per-shard accounting — each a bounded aggregate (<= shards rows)
-        val nodeCnt: Map[Int, Long] = nodes.groupBy(col("shard")).count()
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val tombCnt: Map[Int, Long] = tombAll.select(sOf.as("__s"))
-          .groupBy(col("__s")).count()
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val updShards = updHit.select(sOf.as("__s")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        val insShards = ins.select(sOf.as("__s")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        val rebuildShards = updShards ++ tombCnt.collect {
-          case (s, t) if nodeCnt.getOrElse(s, 0L) > 0 &&
-            t.toDouble / nodeCnt(s).toDouble >= compactFrac => s
-        }
-        val insertShards = insShards -- rebuildShards
         // segment layout: which base segments can carry VERBATIM
         val byKind = base.segments.map(sg => sg -> classify(base, sg))
         val migrating = byKind.exists(_._2 == LegacySeg)
@@ -278,6 +270,29 @@ object IndexFollower {
           .collect { case (sg, NodeSeg(s)) => s -> sg }
           .groupBy(_._1).map { case (s, v) => s -> v.map(_._2) }
         val tombSegs = byKind.collect { case (sg, TombSeg) => sg }
+        // per-shard node counts come from MANIFEST arithmetic (node
+        // segments are single-shard and their row counts ride the
+        // snapshot) — no corpus scan per advance; only the legacy
+        // migration path pays a real count. Tombstone/update/insert
+        // shard aggregates are touched-volume-sized.
+        val nodeCnt: Map[Int, Long] =
+          if (migrating)
+            nodes.groupBy(col("shard")).count()
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          else nodeSegsOf.map { case (s, segs) =>
+            s -> segs.map(sg => base.rowCounts.getOrElse(sg, 0L)).sum
+          }
+        val tombCnt: Map[Int, Long] = tombAll.select(sOf.as("__s"))
+          .groupBy(col("__s")).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val updShards = updHit.select(sOf.as("__s")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val insShards = batchShards
+        val rebuildShards = updShards ++ tombCnt.collect {
+          case (s, t) if nodeCnt.getOrElse(s, 0L) > 0 &&
+            t.toDouble / nodeCnt(s).toDouble >= compactFrac => s
+        }
+        val insertShards = insShards -- rebuildShards
         val presentShards = nodeCnt.keySet ++ insShards
         val reEmit: Set[Int] =
           if (migrating) presentShards else rebuildShards ++ insertShards

@@ -248,6 +248,21 @@ object GraftExtensions {
           TxLogProcedures.node("optimize")(sp =>
             graft.io.TxLog.optimize(sp, path, a, b, parts, scoped))
         }),
+      (FunctionIdentifier("graft_txlog_optimize_dims"),
+        info("graft_txlog_optimize_dims",
+          "graft_txlog_optimize_dims(path, colCsv[, targetPartitions[, scoped]]) — " +
+            "re-cluster on 2-4 dims (Morton for two, Hilbert beyond)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length >= 2 && exprs.length <= 4,
+            s"graft_txlog_optimize_dims expects (path, colCsv[, targetPartitions[, " +
+              s"scoped]]), got ${exprs.length} args")
+          val path = litStr(exprs(0), "path")
+          val cols = csv(litStr(exprs(1), "colCsv"))
+          val parts = if (exprs.length >= 3) litLong(exprs(2), "targetPartitions").toInt else 8
+          val scoped = if (exprs.length == 4) litBool(exprs(3), "scoped") else false
+          TxLogProcedures.node("optimize_dims")(sp =>
+            graft.io.TxLog.optimizeDims(sp, path, cols, parts, scoped))
+        }),
       (FunctionIdentifier("graft_txlog_compact_small"),
         info("graft_txlog_compact_small",
           "graft_txlog_compact_small(path, smallBytes[, targetPartitions]) — size-tiered compaction"),

@@ -197,6 +197,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(o.getString(1) === "optimize_zorder:k,v")
     val vac = spark.sql(s"SELECT * FROM graft_txlog_vacuum('$tbl', 2)").head()
     assert(vac.getString(1).startsWith("vacuum:retainFrom="))
+    // n-dim optimize rides the same procedure surface
+    val o3 = spark.sql(
+      s"SELECT * FROM graft_txlog_optimize_dims('$tbl', 'k, v, a', 4)").head()
+    assert(o3.getString(1) === "optimize_zorder:k,v,a")
     // loud literal validation
     val bad = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_txlog_upsert('$tbl', 'SELECT 1', '')").collect()
