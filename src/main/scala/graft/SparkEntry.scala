@@ -3833,6 +3833,48 @@ object SparkEntry {
         .withColumn("resume_ok", lit(resumeOk))
     }),
 
+    // NATIVE TABLE-TO-TABLE STREAMING PIPELINE: readStream("graft_txlog")
+    // → transform → writeStream("graft_txlog") — BOTH ends native, each
+    // micro-batch one atomic keyed commit (exactly-once via the
+    // destination's own high-water mark), the resumed checkpoint consumes
+    // only the new range, a caught-up drain commits nothing (pinned), and
+    // the piped content equals the source (hash-oracled)
+    "q340_txlog_stream_pipe" -> ((s, dir) => {
+      import graft.io.TxLog
+      import org.apache.spark.sql.streaming.Trigger
+      val src0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val root = graft.io.TempDirs.create("graft_q340_")
+      val src = root.resolve("src").toString
+      val dst = root.resolve("dst").toString
+      val ckp = root.resolve("ckp").toString
+      TxLog.create(s, src, src0.filter(col("o_orderkey") % 6 === 0))         // v0
+      (1 to 3).foreach(i =>
+        TxLog.append(s, src, src0.filter(col("o_orderkey") % 6 === i)))      // v1..v3
+      def pipe(): Unit = {
+        val q = s.readStream.format("graft_txlog")
+          .option("maxVersionsPerTrigger", 2).load(src)
+          .filter(col("_change_type") === "insert")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("cents"))
+          .writeStream.format("graft_txlog")
+          .option("streamId", "pipe").option("checkpointLocation", ckp)
+          .trigger(Trigger.AvailableNow()).start(dst)
+        require(q.awaitTermination(300000), "graft_txlog pipe did not drain")
+      }
+      pipe()
+      val afterFirst = TxLog.read(s, dst).count()
+      (4 to 5).foreach(i =>
+        TxLog.append(s, src, src0.filter(col("o_orderkey") % 6 === i)))      // v4..v5
+      pipe() // resume: only (3, 5]
+      val versionsAfterResume = TxLog.history(dst).length
+      pipe() // caught up: nothing commits
+      val resumeOk = afterFirst == src0.filter(col("o_orderkey") % 6 <= 3).count() &&
+        TxLog.history(dst).length == versionsAfterResume
+      TxLog.read(s, dst).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("resume_ok", lit(resumeOk))
+    }),
+
     // N-DIM OPTIMIZE (verdict r10 #8): three clustering dimensions ride
     // the Hilbert curve — content identity, scoped carry-verbatim, and
     // the q304 footer-skipping contract extended to the THIRD dim
@@ -6654,6 +6696,14 @@ object SparkEntry {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  true AS batches_ok, CAST(4 AS BIGINT) AS n_dst_versions
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // native source→sink pipeline: piped content = full orders; the
+    // checkpointed resume + caught-up-commits-nothing pinned
+    "q340_txlog_stream_pipe" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  true AS resume_ok
         |FROM orders GROUP BY 1""".stripMargin,
 
     // n-dim (Hilbert) optimize: full content identity; v0..v3 = 4

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.io.TxLog
@@ -42,7 +42,8 @@ import graft.io.TxLog
  * that reclaimed its position) fails LOUDLY with the floor in the
  * message — never a silent gap; re-bootstrap with a fresh checkpoint.
  */
-class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft_txlog"
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
@@ -53,6 +54,70 @@ class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new TxLogStreamSource(ctx, metadataPath, parameters)
+
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft_txlog sink does not take partitionBy — TxLog lays segments out itself")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft_txlog sink supports Append output mode only, got $outputMode — " +
+        "aggregations belong on TxLog.followAggregate, not a complete-mode sink")
+    new TxLogStreamSink(parameters)
+  }
+}
+
+/**
+ * NATIVE exactly-once streaming SINK for TxLog tables — the write twin of
+ * [[TxLogStreamSource]]:
+ *
+ * {{{
+ *   df.writeStream.format("graft_txlog")
+ *     .option("checkpointLocation", ckp)
+ *     .option("streamId", "my_pipeline")   // optional; defaults to the query id
+ *     .start(tablePath)
+ * }}}
+ *
+ * Each micro-batch lands as ONE atomic TxLog commit through
+ * [[graft.io.TxLogOps.appendStreamBatch]] keyed by (streamId, batchId) —
+ * a batch REPLAYED after a crash/restart (Structured Streaming
+ * re-delivers the last uncommitted batch) is detected through the
+ * checkpointed high-water mark and SKIPPED, whatever sink-side state the
+ * crash left. End-to-end with the source this makes
+ * `readStream.format("graft_txlog") → transform → writeStream
+ * .format("graft_txlog")` an exactly-once table-to-table pipeline in
+ * pure vanilla Spark streaming API. The destination table is created
+ * from the first batch's schema if absent (empty batches never create).
+ */
+class TxLogStreamSink(parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  import TxLogStreamSource.pathOf
+  private val table = pathOf(parameters)
+  private val streamId: String = parameters.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("streamId") => v
+  }.getOrElse("graft_txlog_sink")
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark =
+      data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // the micro-batch frame arrives with isStreaming=true, which refuses
+    // .write — rebuild a BATCH frame over the incremental plan's RDD (the
+    // standard v1-sink rewrap; the plan executes once, at writeSegment)
+    val batch = spark.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+    if (!TxLog.exists(table)) {
+      // idempotent bootstrap: v0 = empty table with the stream's schema
+      // (a racing creator loses loudly inside create — same discipline as
+      // changeStream's destination bootstrap)
+      TxLog.create(spark, table, batch.limit(0))
+      ()
+    }
+    TxLog.appendStreamBatch(spark, table, batch, streamId, batchId)
+    ()
+  }
+
+  override def toString: String = s"TxLogStreamSink($table, $streamId)"
 }
 
 object TxLogStreamSource {

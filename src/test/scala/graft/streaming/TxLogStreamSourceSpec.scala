@@ -50,6 +50,56 @@ class TxLogStreamSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 8)
   }
 
+  test("native sink: table-to-table pipeline is exactly-once end to end; resume appends only the new range") {
+    val root = TempDirs.create("txsink_")
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    val ckp = root.resolve("ckp").toString
+    TxLog.create(spark, src, slice(0))
+    (1 to 4).foreach(i => TxLog.append(spark, src, slice(i)))           // v1..v4
+    def pipe(): Unit = {
+      val q = spark.readStream.format("graft_txlog")
+        .option("maxVersionsPerTrigger", 2).load(src)
+        .filter(col("_change_type") === "insert")
+        .select(col("k"), col("v"))
+        .writeStream.format("graft_txlog")
+        .option("streamId", "pipe")
+        .option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      assert(q.awaitTermination(120000))
+    }
+    pipe()
+    val got = TxLog.read(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (0 to 4).map(i => (i.toLong, i.toLong * 10)).toSet,
+      "piped table must equal the source")
+    // each micro-batch landed as ONE atomic keyed commit; the mark rode
+    // the destination's own log
+    assert(TxLog.streamHighWater(dst, "pipe") >= 0L)
+    // resume: only the new source range flows; nothing replays
+    (5 to 6).foreach(i => TxLog.append(spark, src, slice(i)))
+    pipe()
+    val all = TxLog.read(spark, dst).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length === 7, s"resume double-applied: ${all.toSeq.sorted}")
+    assert(all.toSet === (0 to 6).map(i => (i.toLong, i.toLong * 10)).toSet)
+    // a third drain with no new commits appends nothing
+    val versions = TxLog.history(dst).length
+    pipe()
+    assert(TxLog.history(dst).length === versions, "caught-up drain must not commit")
+    // non-append output modes refuse loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("graft_txlog").load(src)
+        .groupBy(col("k")).count()
+        .writeStream.format("graft_txlog").outputMode("complete")
+        .option("checkpointLocation", root.resolve("ckp2").toString)
+        .trigger(Trigger.AvailableNow()).start(root.resolve("dst2").toString)
+        .awaitTermination(120000)
+    }
+    assert(e.getMessage.contains("Append output mode only") ||
+      Option(e.getCause).exists(_.getMessage.contains("Append output mode only")),
+      s"got: ${e.getMessage}")
+  }
+
   test("change classification flows: updates surface as pre/postimage, deletes as delete") {
     val root = TempDirs.create("txsrc2_")
     val src = root.resolve("src").toString
