@@ -75,9 +75,14 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
  * {{{
  *   df.writeStream.format("graft_txlog")
  *     .option("checkpointLocation", ckp)
- *     .option("streamId", "my_pipeline")   // optional; defaults to the query id
+ *     .option("streamId", "my_pipeline")
  *     .start(tablePath)
  * }}}
+ *
+ * `streamId` defaults to `"graft_txlog_sink"`; SET IT whenever more than
+ * one pipeline writes the same destination table — the exactly-once mark
+ * is per (table, streamId), so two distinct pipelines sharing the default
+ * id would skip each other's batch numbers.
  *
  * Each micro-batch lands as ONE atomic TxLog commit through
  * [[graft.io.TxLogOps.appendStreamBatch]] keyed by (streamId, batchId) —
@@ -113,8 +118,14 @@ class TxLogStreamSink(parameters: Map[String, String])
       TxLog.create(spark, table, batch.limit(0))
       ()
     }
-    TxLog.appendStreamBatch(spark, table, batch, streamId, batchId)
-    ()
+    // AvailableNow sometimes schedules an EMPTY tail batch — the log
+    // records only batches that carried rows (the streamSink adapter
+    // discipline); skipping an empty batch id never breaks exactly-once
+    // because a skipped id commits no data for a later replay to double
+    if (!batch.isEmpty) {
+      TxLog.appendStreamBatch(spark, table, batch, streamId, batchId)
+      ()
+    }
   }
 
   override def toString: String = s"TxLogStreamSink($table, $streamId)"
@@ -161,16 +172,26 @@ class TxLogStreamSource(ctx: SQLContext, metadataPath: String,
 
   // rate-limit bookkeeping that survives restarts: the largest version
   // handed out persists under the stream's checkpoint-scoped metadata dir;
-  // getBatch ALSO restores it from replayed offsets (belt and braces)
-  private val hwmPath = new java.io.File(metadataPath, "graft_txlog_hwm").toPath
+  // getBatch ALSO restores it from replayed offsets (belt and braces).
+  // metadataPath arrives as a QUALIFIED URI string (file:/…, hdfs://…,
+  // s3a://…) — resolve it through the Hadoop FileSystem, never java.io
+  // (a java.io.File would read "file:/tmp/…" as a RELATIVE path and
+  // scribble under the driver's cwd)
+  private val hwmPath =
+    new org.apache.hadoop.fs.Path(metadataPath, "graft_txlog_hwm")
+  private val hwmFs: org.apache.hadoop.fs.FileSystem =
+    hwmPath.getFileSystem(spark.sessionState.newHadoopConf())
   private var handedOut: Long =
-    if (java.nio.file.Files.exists(hwmPath))
-      new String(java.nio.file.Files.readAllBytes(hwmPath), "UTF-8").trim.toLong
-    else -1L
+    if (hwmFs.exists(hwmPath)) {
+      val buf = new Array[Byte](hwmFs.getFileStatus(hwmPath).getLen.toInt)
+      val in = hwmFs.open(hwmPath)
+      try in.readFully(buf) finally in.close()
+      new String(buf, "UTF-8").trim.toLong
+    } else -1L
 
   private def persistHwm(): Unit = {
-    java.nio.file.Files.createDirectories(hwmPath.getParent)
-    java.nio.file.Files.write(hwmPath, handedOut.toString.getBytes("UTF-8"))
+    val out = hwmFs.create(hwmPath, true)
+    try out.write(handedOut.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Both live `LongOffset`s and checkpoint-replayed `SerializedOffset`s
