@@ -3875,6 +3875,51 @@ object SparkEntry {
         .withColumn("resume_ok", lit(resumeOk))
     }),
 
+    // NATIVE STREAMING REPLICATION (the cdc sink mode): the sink applies
+    // the source's CLASSIFIED change feed exactly-once by key — the
+    // replica CONVERGES under a resumed advance mixing a COW upsert, a
+    // dv delete, and an append in ONE batch; each advance is one keyed
+    // commit; a caught-up drain commits nothing; and the replica
+    // byte-equals the live source (pinned) on top of the hash oracle
+    "q341_txlog_cdc_replica" -> ((s, dir) => {
+      import graft.io.TxLog
+      import org.apache.spark.sql.streaming.Trigger
+      val src0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val root = graft.io.TempDirs.create("graft_q341_")
+      val src = root.resolve("src").toString
+      val dst = root.resolve("dst").toString
+      val ckp = root.resolve("ckp").toString
+      TxLog.create(s, src, src0.filter(col("o_orderkey") % 5 <= 1))          // v0
+      TxLog.append(s, src, src0.filter(col("o_orderkey") % 5 === 2))         // v1
+      def replicate(): Unit = {
+        val q = s.readStream.format("graft_txlog").load(src)
+          .writeStream.format("graft_txlog")
+          .option("mode", "cdc").option("keys", "o_orderkey")
+          .option("streamId", "replica").option("checkpointLocation", ckp)
+          .trigger(Trigger.AvailableNow()).start(dst)
+        require(q.awaitTermination(300000), "graft_txlog replica did not drain")
+      }
+      replicate() // bootstrap: snapshot@v1
+      // one resumed advance carrying an update + a delete + an append
+      TxLog.upsert(s, src, src0.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("cents", col("cents") + 7), Seq("o_orderkey"))           // v2 COW
+      TxLog.deleteRows(s, src,
+        col("o_orderkey") % 5 === 2 && col("o_orderkey") % 3 === 0)          // v3 dv
+      TxLog.append(s, src, src0.filter(col("o_orderkey") % 5 === 3))         // v4
+      val versionsBefore = TxLog.history(dst).length
+      replicate()
+      val oneCommit = TxLog.history(dst).length == versionsBefore + 1
+      replicate() // caught up: nothing commits
+      val quiet = TxLog.history(dst).length == versionsBefore + 1
+      val r = TxLog.read(s, dst)
+      val live = TxLog.read(s, src)
+      val converged = r.exceptAll(live).isEmpty && live.exceptAll(r).isEmpty
+      r.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("converged", lit(converged && oneCommit && quiet))
+    }),
+
     // N-DIM OPTIMIZE (verdict r10 #8): three clustering dimensions ride
     // the Hilbert curve — content identity, scoped carry-verbatim, and
     // the q304 footer-skipping contract extended to the THIRD dim
@@ -6705,6 +6750,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  true AS resume_ok
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // cdc replica: keys %5<=3 survive except (%5=2 AND %3=0) deleted;
+    // %10=1 keys carry the upserted cents+7; replica≡source pinned
+    "q341_txlog_cdc_replica" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderkey % 10 = 1
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT) + 7
+        |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS sum_cents,
+        |  true AS converged
+        |FROM orders
+        |WHERE o_orderkey % 5 <= 3
+        |  AND NOT (o_orderkey % 5 = 2 AND o_orderkey % 3 = 0)
+        |GROUP BY 1""".stripMargin,
 
     // n-dim (Hilbert) optimize: full content identity; v0..v3 = 4
     // versions; kept-verbatim + third-dim skipping pinned

@@ -254,6 +254,10 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   private def checkpointName(v: Long) = f"$v%08d.checkpoint"
   private val LastCheckpoint = "_last_checkpoint"
   private val StreamTag = "stream_append:"
+  // keyed CDC rewrite: stream_cdc:<streamId>:<batchId>:keys=<k1,k2> —
+  // folds into the SAME per-stream high-water mark as stream_append, and
+  // carries its key columns so the change feed classifies the rewrite
+  private val CdcTag = "stream_cdc:"
   private val VacuumTag = "vacuum:retainFrom="
   /** Sentinel for [[commitKeyedTransform]]'s `requirePrevMark`: no
     * stale-mark precondition (any prior high-water mark below the batch
@@ -493,8 +497,15 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   }
 
   private def foldOp(floor: Long, txns: Map[String, Long], op: String): (Long, Map[String, Long]) =
-    if (op.startsWith(StreamTag)) {
-      val body = op.substring(StreamTag.length)
+    if (op.startsWith(StreamTag) || op.startsWith(CdcTag)) {
+      val tagged =
+        if (op.startsWith(StreamTag)) op.substring(StreamTag.length)
+        else op.substring(CdcTag.length)
+      // the cdc form carries trailing ':keys=…' — strip before parsing
+      val body = {
+        val k = tagged.indexOf(KeysMark)
+        if (k < 0) tagged else tagged.substring(0, k)
+      }
       val i = body.lastIndexOf(':')
       val sid = body.substring(0, i)
       val bid = body.substring(i + 1).toLong
@@ -1158,10 +1169,10 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
    */
   def commitKeyedTransform(spark: SparkSession, table: String,
       streamId: String, batchId: Long, maxRetries: Int = 20,
-      requirePrevMark: Long = AnyPrevMark)(
+      requirePrevMark: Long = AnyPrevMark, cdcKeys: Seq[String] = Nil)(
       plan: (Snapshot, () => DataFrame) => (Option[DataFrame], Seq[String])): Boolean =
     commitKeyedTransformMulti(spark, table, streamId, batchId, maxRetries,
-      requirePrevMark) { (base, cur) =>
+      requirePrevMark, cdcKeys) { (base, cur) =>
       val (d, kept) = plan(base, cur)
       (d.toSeq, kept)
     }
@@ -1178,10 +1189,14 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
    */
   def commitKeyedTransformMulti(spark: SparkSession, table: String,
       streamId: String, batchId: Long, maxRetries: Int = 20,
-      requirePrevMark: Long = AnyPrevMark)(
+      requirePrevMark: Long = AnyPrevMark, cdcKeys: Seq[String] = Nil)(
       plan: (Snapshot, () => DataFrame) => (Seq[DataFrame], Seq[String])): Boolean = {
     require(!streamId.contains("\n"), "streamId must be single-line")
-    val tag = s"$StreamTag$streamId:$batchId"
+    require(!streamId.contains(KeysMark),
+      s"streamId must not contain '$KeysMark': $streamId")
+    val tag =
+      if (cdcKeys.isEmpty) s"$StreamTag$streamId:$batchId"
+      else s"$CdcTag$streamId:$batchId${keyedOp("", cdcKeys)}"
     // the replay guard and the claimed base version come from the SAME log
     // listing: a same-(stream, batch) commit landing between two separate
     // listings would slip past the guard yet leave our claim a free slot —
@@ -1507,6 +1522,32 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     }
   }
 
+  /** The [[applyChanges]] plan body, shared between the op-tagged batch
+    * form and the keyed exactly-once form: winners upsert, tombstoned keys
+    * drop, only segments holding changed keys rewrite. */
+  private def cdcApplyPlan(spark: SparkSession, table: String,
+      changes: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+      opCol: String, deleteOp: String)(
+      base: Snapshot, cur: () => DataFrame): (Option[DataFrame], Seq[String]) = {
+    val (touched, kept) =
+      touchedSegments(spark, table, base, keyCols, changes)
+    val winners = graft.operators.Ingest.cdcApply(
+      changes, keyCols, orderCols, opCol, deleteOp)
+    val dead = graft.operators.Ingest.cdcApply(
+        changes, keyCols, orderCols, opCol, deleteOp = "__graft_none__")
+      .filter(col(opCol) === deleteOp)
+      .select(keyCols.map(col): _*)
+    val renamed = keyCols.map(k => k -> s"__graft_dk_$k")
+    val deadKeys = dead.select(renamed.map { case (k, a) => col(k).as(a) }: _*)
+    val cond = renamed.map { case (k, a) => col(k) <=> col(a) }.reduce(_ && _)
+    val touchedDf =
+      if (touched.isEmpty) cur().limit(0)
+      else alignTo(readSegments(spark, table, touched, base.dvs), cur().schema)
+    val upserted = graft.operators.Ingest.upsert(
+      touchedDf, winners.select(cur().columns.map(col).toSeq: _*), keyCols)
+    ((Some(upserted.join(deadKeys, cond, "left_anti")), kept))
+  }
+
   /** Apply a CDC change batch ([[graft.operators.Ingest.cdcApply]] picks
     * each key's winner; tombstone winners delete) onto the live snapshot:
     * surviving change rows upsert, tombstoned keys drop — one COPY-ON-WRITE
@@ -1515,24 +1556,31 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       keyCols: Seq[String], orderCols: Seq[Column], opCol: String,
       deleteOp: String = "D"): Snapshot =
     commitTransform(spark, table) { (base, cur) =>
-      val op = keyedOp("cdc_apply", keyCols)
-      val (touched, kept) =
-        touchedSegments(spark, table, base, keyCols, changes)
-      val winners = graft.operators.Ingest.cdcApply(
-        changes, keyCols, orderCols, opCol, deleteOp)
-      val dead = graft.operators.Ingest.cdcApply(
-          changes, keyCols, orderCols, opCol, deleteOp = "__graft_none__")
-        .filter(col(opCol) === deleteOp)
-        .select(keyCols.map(col): _*)
-      val renamed = keyCols.map(k => k -> s"__graft_dk_$k")
-      val deadKeys = dead.select(renamed.map { case (k, a) => col(k).as(a) }: _*)
-      val cond = renamed.map { case (k, a) => col(k) <=> col(a) }.reduce(_ && _)
-      val touchedDf =
-        if (touched.isEmpty) cur().limit(0)
-        else alignTo(readSegments(spark, table, touched, base.dvs), cur().schema)
-      val upserted = graft.operators.Ingest.upsert(
-        touchedDf, winners.select(cur().columns.map(col).toSeq: _*), keyCols)
-      (op, Some(upserted.join(deadKeys, cond, "left_anti")), kept)
+      val (d, kept) =
+        cdcApplyPlan(spark, table, changes, keyCols, orderCols, opCol, deleteOp)(base, cur)
+      (keyedOp("cdc_apply", keyCols), d, kept)
+    }
+
+  /**
+   * Exactly-once [[applyChanges]] — the REPLICATION primitive: apply a
+   * classified change batch keyed by (streamId, batchId), so a batch
+   * REPLAYED after a crash/restart is detected through the checkpointed
+   * high-water mark and SKIPPED (the [[appendStreamBatch]] discipline
+   * generalized to keyed rewrites). The commit is tagged
+   * `stream_cdc:<streamId>:<batchId>:keys=<keyCols>` — it folds into the
+   * same per-stream mark AND carries its key columns, so the REPLICA's own
+   * change feed classifies the rewrite into pre/postimages like any keyed
+   * upsert (a replica is itself a followable table). Returns true if
+   * committed, false if this batch id was already applied. Keys must
+   * uniquely identify rows in the source for the replica to converge.
+   */
+  def applyChangesKeyed(spark: SparkSession, table: String, changes: DataFrame,
+      keyCols: Seq[String], orderCols: Seq[Column], opCol: String,
+      streamId: String, batchId: Long, deleteOp: String = "D",
+      maxRetries: Int = 20): Boolean =
+    commitKeyedTransform(spark, table, streamId, batchId, maxRetries,
+      cdcKeys = keyCols) { (base, cur) =>
+      cdcApplyPlan(spark, table, changes, keyCols, orderCols, opCol, deleteOp)(base, cur)
     }
 
   /**

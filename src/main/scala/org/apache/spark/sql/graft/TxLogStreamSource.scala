@@ -94,14 +94,37 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
  * .format("graft_txlog")` an exactly-once table-to-table pipeline in
  * pure vanilla Spark streaming API. The destination table is created
  * from the first batch's schema if absent (empty batches never create).
+ *
+ * `mode=cdc` turns the sink into a REPLICATOR: the incoming batches are
+ * classified change-feed slices (the `graft_txlog` SOURCE's shape —
+ * `_change_type` / `_commit_version` present) and each applies as one
+ * exactly-once keyed [[graft.io.TxLogOps.applyChangesKeyed]] rewrite:
+ * inserts and update postimages upsert by `keys`, deletes drop the key,
+ * preimages are ignored, the latest `_commit_version` wins within a
+ * batch. The replica CONVERGES to the source table under any mix of
+ * appends, upserts, and deletes — and stays a followable TxLog table
+ * itself (the keyed commit carries its key columns, so the replica's own
+ * change feed classifies). `keys` must uniquely identify source rows.
  */
 class TxLogStreamSink(parameters: Map[String, String])
     extends org.apache.spark.sql.execution.streaming.Sink {
-  import TxLogStreamSource.pathOf
+  import TxLogStreamSource.{pathOf, ChangeType, CommitVersion}
   private val table = pathOf(parameters)
-  private val streamId: String = parameters.collectFirst {
-    case (k, v) if k.equalsIgnoreCase("streamId") => v
-  }.getOrElse("graft_txlog_sink")
+  private def opt(name: String): Option[String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+  private val streamId: String = opt("streamId").getOrElse("graft_txlog_sink")
+  private val cdcKeys: Seq[String] = opt("mode").map(_.toLowerCase) match {
+    case Some("cdc") =>
+      val ks = opt("keys").getOrElse(throw new IllegalArgumentException(
+        "graft_txlog sink mode=cdc needs .option(\"keys\", \"k1,k2\") — " +
+          "the columns that uniquely identify a source row"))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(ks.nonEmpty, "graft_txlog sink mode=cdc: keys must name at least one column")
+      ks
+    case Some("append") | None => Nil
+    case Some(other) => throw new IllegalArgumentException(
+      s"graft_txlog sink: unknown mode '$other' (append | cdc)")
+  }
 
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     val spark =
@@ -111,24 +134,59 @@ class TxLogStreamSink(parameters: Map[String, String])
     // standard v1-sink rewrap; the plan executes once, at writeSegment)
     val batch = spark.internalCreateDataFrame(
       data.queryExecution.toRdd, data.schema, isStreaming = false)
-    if (!TxLog.exists(table)) {
-      // idempotent bootstrap: v0 = empty table with the stream's schema
-      // (a racing creator loses loudly inside create — same discipline as
-      // changeStream's destination bootstrap)
-      TxLog.create(spark, table, batch.limit(0))
-      ()
-    }
-    // AvailableNow sometimes schedules an EMPTY tail batch — the log
-    // records only batches that carried rows (the streamSink adapter
-    // discipline); skipping an empty batch id never breaks exactly-once
-    // because a skipped id commits no data for a later replay to double
-    if (!batch.isEmpty) {
-      TxLog.appendStreamBatch(spark, table, batch, streamId, batchId)
-      ()
+    if (cdcKeys.nonEmpty) applyCdc(spark, batchId, batch)
+    else {
+      if (!TxLog.exists(table)) {
+        // idempotent bootstrap: v0 = empty table with the stream's schema
+        // (a racing creator loses loudly inside create — same discipline as
+        // changeStream's destination bootstrap)
+        TxLog.create(spark, table, batch.limit(0))
+        ()
+      }
+      // AvailableNow sometimes schedules an EMPTY tail batch — the log
+      // records only batches that carried rows (the streamSink adapter
+      // discipline); skipping an empty batch id never breaks exactly-once
+      // because a skipped id commits no data for a later replay to double
+      if (!batch.isEmpty) {
+        TxLog.appendStreamBatch(spark, table, batch, streamId, batchId)
+        ()
+      }
     }
   }
 
-  override def toString: String = s"TxLogStreamSink($table, $streamId)"
+  private def applyCdc(spark: org.apache.spark.sql.classic.SparkSession,
+      batchId: Long, batch: DataFrame): Unit = {
+    val cols = batch.columns.toSet
+    require(cols.contains(ChangeType) && cols.contains(CommitVersion),
+      s"graft_txlog sink mode=cdc needs classified change rows " +
+        s"($ChangeType, $CommitVersion) — pipe them from " +
+        "spark.readStream.format(\"graft_txlog\") unfiltered")
+    cdcKeys.foreach(k => require(cols.contains(k),
+      s"graft_txlog sink mode=cdc: key column '$k' missing from the stream " +
+        s"(have: ${batch.columns.mkString(", ")})"))
+    // the change plan is referenced several times (winners, tombstones,
+    // touched-segment scan) — pin the micro-batch so the source executes
+    // once, not once per subplan
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!TxLog.exists(table)) {
+        TxLog.create(spark, table, pinned.drop(ChangeType, CommitVersion).limit(0))
+        ()
+      }
+      val ops = pinned.filter(col(ChangeType) =!= "update_preimage")
+        .withColumn("__graft_cdc_op",
+          when(col(ChangeType) === "delete", lit("D")).otherwise(lit("U")))
+        .drop(ChangeType)
+      if (!ops.isEmpty) {
+        TxLog.applyChangesKeyed(spark, table, ops, cdcKeys,
+          Seq(col(CommitVersion)), "__graft_cdc_op", streamId, batchId)
+        ()
+      }
+    } finally { pinned.unpersist(); () }
+  }
+
+  override def toString: String =
+    s"TxLogStreamSink($table, $streamId${if (cdcKeys.nonEmpty) s", cdc by ${cdcKeys.mkString(",")}" else ""})"
 }
 
 object TxLogStreamSource {
@@ -219,7 +277,16 @@ class TxLogStreamSource(ctx: SQLContext, metadataPath: String,
         // more than one trigger's versions)
         math.max(TxLog.retentionFloor(table), math.min(maxVersions - 1L, latest))
       else if (latest <= handedOut) handedOut // caught up
-      else math.min(handedOut + maxVersions, latest)
+      else {
+        // SATURATING add: the unlimited default is Long.MaxValue, and
+        // handedOut + Long.MaxValue overflows negative the moment
+        // handedOut >= 1 — which poisoned the offset log with
+        // Long.MinValue and stalled every later resume
+        val step =
+          if (maxVersions > Long.MaxValue - handedOut) Long.MaxValue
+          else handedOut + maxVersions
+        math.min(step, latest)
+      }
     if (to > handedOut) { handedOut = to; persistHwm() }
     to
   }
@@ -234,6 +301,8 @@ class TxLogStreamSource(ctx: SQLContext, metadataPath: String,
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val to = versionOf(end)
+    require(to >= 0, s"graft_txlog source: negative end offset $to — " +
+      "the checkpoint's offset log is corrupt; re-bootstrap with a fresh checkpoint")
     if (to > handedOut) { handedOut = to; persistHwm() } // restart restore
     val batch = start.map(versionOf) match {
       case None =>

@@ -100,6 +100,80 @@ class TxLogStreamSourceSpec extends SparkSpec {
       s"got: ${e.getMessage}")
   }
 
+  test("cdc replica: converges under appends/upserts/deletes, exactly-once, and stays followable") {
+    val root = TempDirs.create("txcdc_")
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    val ckp = root.resolve("ckp").toString
+    TxLog.create(spark, src, Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")) // v0
+    TxLog.append(spark, src, Seq((4L, 40L)).toDF("k", "v"))                        // v1
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft_txlog").load(src)
+        .writeStream.format("graft_txlog")
+        .option("mode", "cdc").option("keys", "k").option("streamId", "replica")
+        .option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      assert(q.awaitTermination(120000))
+    }
+    def replica(): Set[(Long, Long)] = TxLog.read(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    replicate()
+    assert(replica() === Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+
+    // mixed ops: COW upsert, dv delete, append — replica converges
+    TxLog.upsert(spark, src, Seq((2L, 99L)).toDF("k", "v"), Seq("k"))  // v2
+    TxLog.deleteRows(spark, src, col("k") === 3L)                       // v3
+    TxLog.append(spark, src, Seq((5L, 50L)).toDF("k", "v"))            // v4
+    val replicaVersionsBefore = TxLog.history(dst).length
+    replicate()
+    assert(replica() === Set((1L, 10L), (2L, 99L), (4L, 40L), (5L, 50L)))
+    assert(TxLog.history(dst).length === replicaVersionsBefore + 1,
+      "one advance must land as ONE keyed commit")
+
+    // the replica's own change feed classifies the cdc rewrite (the keyed
+    // commit carries its key columns) — a replica is itself followable
+    val feedFrom = TxLog.latest(dst).version - 1
+    val feed = TxLog.changeFeed(spark, dst, feedFrom)
+      .select(col("k"), col("v"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed === Set((2L, 20L, "update_preimage"), (2L, 99L, "update_postimage"),
+      (3L, 30L, "delete"), (5L, 50L, "insert")), s"got: $feed")
+
+    // within-batch ordering: update THEN delete of the same key in one
+    // advance — the later version wins, the key is gone
+    TxLog.upsert(spark, src, Seq((4L, 44L)).toDF("k", "v"), Seq("k"))  // v5
+    TxLog.deleteRows(spark, src, col("k") === 4L)                       // v6
+    replicate()
+    assert(replica() === Set((1L, 10L), (2L, 99L), (5L, 50L)))
+
+    // caught up: nothing commits (exactly-once, no empty versions)
+    val n = TxLog.history(dst).length
+    replicate()
+    assert(TxLog.history(dst).length === n, "caught-up drain must not commit")
+
+    // cdc mode refuses unclassified rows and missing keys loudly
+    val e1 = intercept[Exception] {
+      spark.readStream.format("graft_txlog").load(src)
+        .select(col("k"), col("v")) // strips the classification
+        .writeStream.format("graft_txlog")
+        .option("mode", "cdc").option("keys", "k")
+        .option("checkpointLocation", root.resolve("ckp2").toString)
+        .trigger(Trigger.AvailableNow()).start(root.resolve("dst2").toString)
+        .awaitTermination(120000)
+    }
+    def deepMsg(t: Throwable): String =
+      (Iterator.iterate[Throwable](t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(deepMsg(e1).contains("classified change rows"), s"got: ${deepMsg(e1)}")
+    val e2 = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft_txlog").load(src)
+        .writeStream.format("graft_txlog").option("mode", "cdc")
+        .option("checkpointLocation", root.resolve("ckp3").toString)
+        .trigger(Trigger.AvailableNow()).start(root.resolve("dst3").toString)
+    }
+    assert(e2.getMessage.contains("keys"))
+  }
+
   test("change classification flows: updates surface as pre/postimage, deletes as delete") {
     val root = TempDirs.create("txsrc2_")
     val src = root.resolve("src").toString
