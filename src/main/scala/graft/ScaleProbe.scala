@@ -1408,6 +1408,63 @@ object ScaleProbe {
           graft.io.TxLog.fastCount(idx).getOrElse(-1L)
         }
       }
+      // CDC replica advance (r11): a FIXED change batch (3 updates + 2
+      // deletes + 3 inserts on pinned low doc ids) applied exactly-once
+      // onto a k-sized RANGE-LAID replica — segment count scales with k so
+      // per-segment size stays constant (the deployment layout: a replica
+      // clustered by its key). Copy-on-write must rewrite ONLY the
+      // segments holding touched keys plus the fresh insert rows, with
+      // footer min/max pruning the touched-segment discovery; flat =
+      // fresh bytes written constant vs the 10x corpus.
+      if (only.isEmpty || only.contains("txcdc_replica")) {
+        val root = new java.io.File(s"$work/txcdc_x$k")
+        if (root.exists()) {
+          import java.nio.file.{Files, Paths}
+          Files.walk(Paths.get(root.getPath))
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+        val dst = s"$work/txcdc_x$k/replica"
+        val d = read("documents", k).select(col("doc_id"), col("text"))
+        val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+        val slices = 8 * k
+        // quantile boundaries, not range arithmetic: the replicated copies
+        // cluster at 1e6-offsets, and equal-WIDTH slices would pack a whole
+        // copy into one segment — equal-ROW slices keep per-segment size
+        // constant across scales (the clustered-replica deployment layout)
+        val bounds = d.stat.approxQuantile("doc_id",
+          (1 until slices).map(_.toDouble / slices).toArray, 0.001)
+          .map(_.toLong) :+ (mx + 1L)
+        graft.io.TxLog.create(spark, dst, d.filter(col("doc_id") < bounds(0)))
+        (1 until slices).foreach(i => graft.io.TxLog.append(spark, dst,
+          d.filter(col("doc_id") >= bounds(i - 1) && col("doc_id") < bounds(i))))
+        val upd = d.filter(col("doc_id").isin(8L, 16L, 24L))
+          .withColumn("text", concat(col("text"), lit(" updated")))
+          .withColumn("__op", lit("U"))
+        val del = d.filter(col("doc_id").isin(32L, 40L)).withColumn("__op", lit("D"))
+        val ins = d.filter(col("doc_id").isin(48L, 56L, 64L))
+          .withColumn("doc_id", col("doc_id") + lit(mx + 100L))
+          .withColumn("__op", lit("U"))
+        val batch = upd.unionByName(del).unionByName(ins).withColumn("__v", lit(1L))
+        val before = graft.io.TxLog.latest(dst).segments.toSet
+        timed("txcdc_replica", k) {
+          graft.io.TxLog.applyChangesKeyed(spark, dst, batch, Seq("doc_id"),
+            Seq(col("__v")), "__op", "probe", 0L)
+          val after = graft.io.TxLog.latest(dst)
+          def bytesOf(seg: String): Long = {
+            val sd = new java.io.File(dst, seg)
+            Option(sd.listFiles()).getOrElse(Array.empty)
+              .filter(_.isFile).map(_.length()).sum
+          }
+          val freshBytes =
+            after.segments.filterNot(before.contains).map(bytesOf).sum
+          telemetry(("txcdc_replica", k)) = freshBytes
+          notes(("txcdc_replica", k)) =
+            s"fresh_replica_bytes=$freshBytes carried_verbatim_segs=" +
+              s"${after.segments.count(before.contains)} of ${after.segments.size}"
+          graft.io.TxLog.fastCount(dst).getOrElse(-1L)
+        }
+      }
       // incremental HNSW ingest: adopt the persisted shard graphs, insert
       // only the ~4% batch — linear in corpus size (adoption dominates),
       // never a rebuild of the accumulated index
@@ -1436,6 +1493,12 @@ object ScaleProbe {
     criteria("txhnsw_follow") = (
       "fresh state bytes written flat for a fixed advance vs a 10x corpus",
       () => (telemetry.get(("txhnsw_follow", 1)), telemetry.get(("txhnsw_follow", 10))) match {
+        case (Some(b1), Some(b10)) => b10 <= 2 * b1 && b1 > 0
+        case _ => false
+      })
+    criteria("txcdc_replica") = (
+      "fresh replica bytes written flat for a fixed change batch vs a 10x corpus",
+      () => (telemetry.get(("txcdc_replica", 1)), telemetry.get(("txcdc_replica", 10))) match {
         case (Some(b1), Some(b10)) => b10 <= 2 * b1 && b1 > 0
         case _ => false
       })

@@ -1524,10 +1524,15 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
 
   /** The [[applyChanges]] plan body, shared between the op-tagged batch
     * form and the keyed exactly-once form: winners upsert, tombstoned keys
-    * drop, only segments holding changed keys rewrite. */
+    * drop, only segments holding changed keys rewrite. `evolveWith` names
+    * the change batch's DATA columns — columns there but not (yet) in the
+    * table WIDEN the apply schema (touched rows surface NULL, untouched
+    * segments widen lazily through the mergeSchema read — Delta's
+    * mergeSchema discipline); without it the changes project down to the
+    * table's columns. */
   private def cdcApplyPlan(spark: SparkSession, table: String,
       changes: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
-      opCol: String, deleteOp: String)(
+      opCol: String, deleteOp: String, evolveWith: Seq[String] = Nil)(
       base: Snapshot, cur: () => DataFrame): (Option[DataFrame], Seq[String]) = {
     val (touched, kept) =
       touchedSegments(spark, table, base, keyCols, changes)
@@ -1540,11 +1545,14 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val renamed = keyCols.map(k => k -> s"__graft_dk_$k")
     val deadKeys = dead.select(renamed.map { case (k, a) => col(k).as(a) }: _*)
     val cond = renamed.map { case (k, a) => col(k) <=> col(a) }.reduce(_ && _)
+    val applySchema = StructType(cur().schema.fields ++
+      evolveWith.filterNot(cur().columns.contains)
+        .map(c => changes.schema(c)))
     val touchedDf =
-      if (touched.isEmpty) cur().limit(0)
-      else alignTo(readSegments(spark, table, touched, base.dvs), cur().schema)
+      if (touched.isEmpty) alignTo(cur().limit(0), applySchema)
+      else alignTo(readSegments(spark, table, touched, base.dvs), applySchema)
     val upserted = graft.operators.Ingest.upsert(
-      touchedDf, winners.select(cur().columns.map(col).toSeq: _*), keyCols)
+      touchedDf, winners.select(applySchema.map(f => col(f.name)).toSeq: _*), keyCols)
     ((Some(upserted.join(deadKeys, cond, "left_anti")), kept))
   }
 
@@ -1573,14 +1581,18 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
    * upsert (a replica is itself a followable table). Returns true if
    * committed, false if this batch id was already applied. Keys must
    * uniquely identify rows in the source for the replica to converge.
+   * `evolveWith` (the change batch's data columns) lets a source schema
+   * ADDITION flow through: new columns widen the replica instead of
+   * silently dropping.
    */
   def applyChangesKeyed(spark: SparkSession, table: String, changes: DataFrame,
       keyCols: Seq[String], orderCols: Seq[Column], opCol: String,
       streamId: String, batchId: Long, deleteOp: String = "D",
-      maxRetries: Int = 20): Boolean =
+      maxRetries: Int = 20, evolveWith: Seq[String] = Nil): Boolean =
     commitKeyedTransform(spark, table, streamId, batchId, maxRetries,
       cdcKeys = keyCols) { (base, cur) =>
-      cdcApplyPlan(spark, table, changes, keyCols, orderCols, opCol, deleteOp)(base, cur)
+      cdcApplyPlan(spark, table, changes, keyCols, orderCols, opCol, deleteOp,
+        evolveWith)(base, cur)
     }
 
   /**

@@ -178,8 +178,13 @@ class TxLogStreamSink(parameters: Map[String, String])
           when(col(ChangeType) === "delete", lit("D")).otherwise(lit("U")))
         .drop(ChangeType)
       if (!ops.isEmpty) {
+        // a source schema ADDITION widens the replica (restart the stream
+        // to pick up the new source schema; the apply evolves from there)
+        val dataCols = batch.columns.filterNot(
+          c => c == ChangeType || c == CommitVersion).toSeq
         TxLog.applyChangesKeyed(spark, table, ops, cdcKeys,
-          Seq(col(CommitVersion)), "__graft_cdc_op", streamId, batchId)
+          Seq(col(CommitVersion)), "__graft_cdc_op", streamId, batchId,
+          evolveWith = dataCols)
         ()
       }
     } finally { pinned.unpersist(); () }
@@ -311,9 +316,14 @@ class TxLogStreamSource(ctx: SQLContext, metadataPath: String,
           .withColumn(CommitVersion, lit(to))
       case Some(f) => TxLog.changeFeed(spark, table, f, to)
     }
-    // align to the stream schema by name, then mark the plan streaming
-    // (MicroBatchExecution asserts isStreaming on v1 batch plans)
-    val aligned = batch.select(schema.map(f => col(f.name)).toSeq: _*)
+    // align to the stream schema by name, NULL-padding columns the slice
+    // predates (a range below a schema-widening commit, or an empty feed
+    // resolved at a pre-drift version, carries the old columns — the
+    // mergeSchema discipline applies to stream slices too); then mark the
+    // plan streaming (MicroBatchExecution asserts isStreaming on v1 plans)
+    val aligned = batch.select(schema.map(f =>
+      if (batch.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
     spark.internalCreateDataFrame(
       aligned.queryExecution.toRdd, schema, isStreaming = true)
   }

@@ -151,6 +151,19 @@ class TxLogStreamSourceSpec extends SparkSpec {
     replicate()
     assert(TxLog.history(dst).length === n, "caught-up drain must not commit")
 
+    // a source schema ADDITION widens the replica: the restarted stream
+    // picks up the new column, old replica rows surface NULL there
+    TxLog.append(spark, src, Seq((6L, 60L, "x")).toDF("k", "v", "tag")) // v7
+    TxLog.upsert(spark, src,
+      Seq((2L, 98L, "y")).toDF("k", "v", "tag"), Seq("k"))              // v8
+    replicate()
+    val widened = TxLog.read(spark, dst)
+    assert(widened.columns.contains("tag"), s"got: ${widened.columns.toSeq}")
+    val wrows = widened.select(col("k"), col("v"), col("tag")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)).getOrElse("∅"))).toSet
+    assert(wrows === Set((1L, 10L, "∅"), (2L, 98L, "y"), (5L, 50L, "∅"), (6L, 60L, "x")),
+      s"got: $wrows")
+
     // cdc mode refuses unclassified rows and missing keys loudly
     val e1 = intercept[Exception] {
       spark.readStream.format("graft_txlog").load(src)
