@@ -3920,6 +3920,47 @@ object SparkEntry {
         .withColumn("converged", lit(converged && oneCommit && quiet))
     }),
 
+    // REPLICATION ON THE PURE-SQL SURFACE: graft_txlog_replicate drains
+    // the source's change feed into an exactly-once CDC replica without a
+    // streaming runtime — bootstrap is one snapshot batch, a trigger-
+    // bounded drain applies upsert+delete+append as 3 keyed rewrites, a
+    // caught-up call commits zero, EXPLAIN is inert, and the replica
+    // exceptAll-equals the live source (all pinned; hash-oracled)
+    "q342_txlog_replicate_sql" -> ((s, dir) => {
+      import graft.io.TxLog
+      org.apache.spark.sql.graft.GraftExtensions.registerTableFunctions(s)
+      val src0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val root = graft.io.TempDirs.create("graft_q342_")
+      val src = root.resolve("src").toString
+      val dst = root.resolve("dst").toString
+      TxLog.create(s, src, src0.filter(col("o_orderkey") % 4 <= 1))          // v0
+      def call(extra: String = "") = s.sql(
+        s"SELECT * FROM graft_txlog_replicate('$src', '$dst', 'o_orderkey', " +
+          s"'sqlrep'$extra)").head()
+      val r1 = call() // bootstrap: one snapshot batch
+      TxLog.upsert(s, src, src0.filter(col("o_orderkey") % 8 === 1)
+        .withColumn("cents", col("cents") + 11), Seq("o_orderkey"))          // v1 COW
+      TxLog.deleteRows(s, src,
+        col("o_orderkey") % 4 === 1 && col("o_orderkey") % 5 === 0)          // v2 dv
+      TxLog.append(s, src, src0.filter(col("o_orderkey") % 4 === 2))         // v3
+      val r2 = call(", 1") // bounded: one version per batch → 3 batches
+      val r3 = call()      // caught up
+      val batchesOk = r1.getLong(0) == 1L && r2.getLong(0) == 3L && r3.getLong(0) == 0L
+      val before = TxLog.history(dst).length
+      s.sql(s"EXPLAIN SELECT * FROM graft_txlog_replicate('$src', '$dst', " +
+        "'o_orderkey', 'sqlrep')").collect()
+      val explainInert = TxLog.history(dst).length == before
+      val r = TxLog.read(s, dst)
+      val live = TxLog.read(s, src)
+      val converged = r.exceptAll(live).isEmpty && live.exceptAll(r).isEmpty
+      r.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("batches_ok", lit(batchesOk))
+        .withColumn("explain_inert", lit(explainInert))
+        .withColumn("converged", lit(converged))
+    }),
+
     // N-DIM OPTIMIZE (verdict r10 #8): three clustering dimensions ride
     // the Hilbert curve — content identity, scoped carry-verbatim, and
     // the q304 footer-skipping contract extended to the THIRD dim
@@ -6750,6 +6791,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  true AS resume_ok
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // SQL replicate procedure: keys %4<=2 survive except (%4=1 AND %5=0)
+    // deleted; %8=1 keys carry the upserted cents+11; batch counts,
+    // EXPLAIN inertness, and replica≡source pinned
+    "q342_txlog_replicate_sql" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderkey % 8 = 1
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT) + 11
+        |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS sum_cents,
+        |  true AS batches_ok, true AS explain_inert, true AS converged
+        |FROM orders
+        |WHERE o_orderkey % 4 <= 2
+        |  AND NOT (o_orderkey % 4 = 1 AND o_orderkey % 5 = 0)
+        |GROUP BY 1""".stripMargin,
 
     // cdc replica: keys %5<=3 survive except (%5=2 AND %3=0) deleted;
     // %10=1 keys carry the upserted cents+7; replica≡source pinned

@@ -2094,6 +2094,61 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   }
 
   /**
+   * Batch-API table REPLICATION — [[changeStream]]'s loop shape with a
+   * full CDC APPLY per slice instead of an append: each drained range's
+   * classified changes land as one exactly-once keyed rewrite
+   * ([[applyChangesKeyed]]'s plan under [[changeStream]]'s stale-mark
+   * guard), so the replica CONVERGES to the source under any mix of
+   * appends, upserts, and deletes — and source schema ADDITIONS widen it.
+   * The streaming twin is `writeStream.format("graft_txlog")` with
+   * `mode=cdc`; this form needs no streaming runtime (cron-shaped jobs,
+   * SQL procedures). Returns the number of batches committed. `keyCols`
+   * must uniquely identify source rows.
+   */
+  def replicate(spark: SparkSession, src: String, dst: String,
+      keyCols: Seq[String], consumerId: String,
+      maxVersionsPerTrigger: Int = Int.MaxValue): Int = {
+    require(maxVersionsPerTrigger >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
+    val streamId = s"txreplica:$consumerId"
+    val srcLatest = latest(src).version
+    if (listVersions(dst).isEmpty) {
+      create(spark, dst, read(spark, src).limit(0))
+      ()
+    }
+    var committed = 0
+    var draining = true
+    while (draining) {
+      val hw = streamHighWater(dst, streamId)
+      if (hw >= srcLatest) draining = false
+      else {
+        val to =
+          if (hw < 0) math.max(retentionFloor(src),
+            math.min(maxVersionsPerTrigger - 1L, srcLatest))
+          else math.min(hw + maxVersionsPerTrigger, srcLatest)
+        val batch =
+          if (hw < 0) read(spark, src, to)
+            .withColumn(ChangeType, lit("insert"))
+            .withColumn(CommitVersion, lit(to))
+          else changeFeed(spark, src, hw, to)
+        val dataCols = batch.columns
+          .filterNot(c => c == ChangeType || c == CommitVersion).toSeq
+        val ops = batch.filter(col(ChangeType) =!= "update_preimage")
+          .withColumn("__graft_cdc_op",
+            when(col(ChangeType) === "delete", lit("D")).otherwise(lit("U")))
+          .drop(ChangeType)
+        val ok = commitKeyedTransform(spark, dst, streamId, to,
+          requirePrevMark = hw, cdcKeys = keyCols) { (base, cur) =>
+          cdcApplyPlan(spark, dst, ops, keyCols, Seq(col(CommitVersion)),
+            "__graft_cdc_op", "D", evolveWith = dataCols)(base, cur)
+        }
+        if (ok) committed += 1
+      }
+    }
+    committed
+  }
+
+  /**
    * Reclaim the storage rewrite commits strand: keep the newest
    * `retainVersions` versions readable (time travel within retention is
    * bit-identical — their manifests and segments are untouched), commit

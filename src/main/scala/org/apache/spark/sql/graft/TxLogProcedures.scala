@@ -105,6 +105,12 @@ object TxLogProcedures {
     AttributeReference("consumed_version", LongType, nullable = false)(),
     AttributeReference("action", StringType, nullable = false)())
 
+  /** The (batches_committed, replica_version) schema of
+    * `graft_txlog_replicate`. */
+  val replicateSchema = Seq(
+    AttributeReference("batches_committed", LongType, nullable = false)(),
+    AttributeReference("replica_version", LongType, nullable = false)())
+
   /** Build a procedure node that runs `op` at execution time and returns
     * its snapshot summary row. */
   def node(procName: String)(op: SparkSession => graft.io.TxSnapshot): LogicalPlan =

@@ -250,4 +250,34 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.io.TxLog.read(spark, root.resolve("id").toString))
     assert(ivf.assigned.count() === 40L)
   }
+
+  test("graft_txlog_replicate: SQL-driven CDC replica converges under mixed ops; EXPLAIN commits nothing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.registerTableFunctions(spark)
+    val root = graft.io.TempDirs.create("ext_replica_")
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    graft.io.TxLog.create(spark, src, Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"))
+    graft.io.TxLog.append(spark, src, Seq((4L, 40L)).toDF("k", "v"))
+    def call(extra: String = "") = spark.sql(
+      s"SELECT * FROM graft_txlog_replicate('$src', '$dst', 'k', 'c'$extra)").head()
+    val r1 = call()
+    assert(r1.getLong(0) === 1L, s"bootstrap: $r1") // one snapshot batch
+    // mixed ops drain under a trigger bound of ONE version per batch
+    graft.io.TxLog.upsert(spark, src, Seq((2L, 99L)).toDF("k", "v"), Seq("k"))
+    graft.io.TxLog.deleteRows(spark, src, col("k") === 3L)
+    graft.io.TxLog.append(spark, src, Seq((5L, 50L)).toDF("k", "v"))
+    val r2 = call(", 1")
+    assert(r2.getLong(0) === 3L, s"drain: $r2")
+    val got = graft.io.TxLog.read(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 99L), (4L, 40L), (5L, 50L)))
+    // caught up: zero batches, no commits
+    assert(call().getLong(0) === 0L)
+    val before = graft.io.TxLog.history(dst).length
+    spark.sql(s"EXPLAIN SELECT * FROM graft_txlog_replicate('$src', '$dst', 'k', 'c')")
+      .collect()
+    assert(graft.io.TxLog.history(dst).length === before, "EXPLAIN committed")
+  }
 }
