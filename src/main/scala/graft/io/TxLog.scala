@@ -2104,10 +2104,21 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
    * `mode=cdc`; this form needs no streaming runtime (cron-shaped jobs,
    * SQL procedures). Returns the number of batches committed. `keyCols`
    * must uniquely identify source rows.
+   *
+   * A replica PAUSED across a vacuum that reclaimed its position (its
+   * mark below the new retention floor minus one) refuses LOUDLY by
+   * default — the intervening changes are unreadable and a silent gap
+   * would diverge forever. `rebootstrapOnFloorOverrun = true` instead
+   * RESYNCS in one exactly-once keyed commit: the current snapshot
+   * applies as upserts and every replica key ABSENT from the snapshot
+   * deletes (the anti-join recovers deletes the feed lost), after which
+   * incremental following resumes — the follower-tier Rebootstrap
+   * discipline, with the delete recovery a replica needs on top.
    */
   def replicate(spark: SparkSession, src: String, dst: String,
       keyCols: Seq[String], consumerId: String,
-      maxVersionsPerTrigger: Int = Int.MaxValue): Int = {
+      maxVersionsPerTrigger: Int = Int.MaxValue,
+      rebootstrapOnFloorOverrun: Boolean = false): Int = {
     require(maxVersionsPerTrigger >= 1,
       s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
     val streamId = s"txreplica:$consumerId"
@@ -2116,14 +2127,46 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       create(spark, dst, read(spark, src).limit(0))
       ()
     }
+    val opCol = "__graft_cdc_op"
     var committed = 0
     var draining = true
     while (draining) {
       val hw = streamHighWater(dst, streamId)
+      val floor = retentionFloor(src)
       if (hw >= srcLatest) draining = false
-      else {
+      else if (hw >= 0 && hw + 1 < floor && !rebootstrapOnFloorOverrun)
+        throw new IllegalStateException(
+          s"replica '$consumerId' of $src is at mark $hw but the source's " +
+            s"retention floor is $floor — the intervening changes were " +
+            "vacuumed. Pass rebootstrapOnFloorOverrun = true to resync " +
+            "from the current snapshot (recovers lost deletes by key " +
+            "anti-join), or rebuild the replica from scratch.")
+      else if (hw >= 0 && hw + 1 < floor) {
+        // RESYNC: snapshot-as-upserts + (replica ∖ snapshot) keys as
+        // deletes, one keyed commit at the snapshot's version
+        val snap = read(spark, src, srcLatest)
+        val dataCols = snap.columns.toSeq
+        val ups = snap.withColumn(opCol, lit("U"))
+          .withColumn(CommitVersion, lit(srcLatest))
+        val snapKeys = snap.select(keyCols.map(col): _*)
+        val deadKeys = read(spark, dst).select(keyCols.map(col): _*)
+          .exceptAll(snapKeys)
+        val dels = dataCols.filterNot(keyCols.contains)
+          .foldLeft(deadKeys)((df, c) =>
+            df.withColumn(c, lit(null).cast(snap.schema(c).dataType)))
+          .select(dataCols.map(col): _*)
+          .withColumn(opCol, lit("D"))
+          .withColumn(CommitVersion, lit(srcLatest))
+        val ops = ups.unionByName(dels)
+        val ok = commitKeyedTransform(spark, dst, streamId, srcLatest,
+          requirePrevMark = hw, cdcKeys = keyCols) { (base, cur) =>
+          cdcApplyPlan(spark, dst, ops, keyCols, Seq(col(CommitVersion)),
+            opCol, "D", evolveWith = dataCols)(base, cur)
+        }
+        if (ok) committed += 1
+      } else {
         val to =
-          if (hw < 0) math.max(retentionFloor(src),
+          if (hw < 0) math.max(floor,
             math.min(maxVersionsPerTrigger - 1L, srcLatest))
           else math.min(hw + maxVersionsPerTrigger, srcLatest)
         val batch =
@@ -2134,13 +2177,13 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
         val dataCols = batch.columns
           .filterNot(c => c == ChangeType || c == CommitVersion).toSeq
         val ops = batch.filter(col(ChangeType) =!= "update_preimage")
-          .withColumn("__graft_cdc_op",
+          .withColumn(opCol,
             when(col(ChangeType) === "delete", lit("D")).otherwise(lit("U")))
           .drop(ChangeType)
         val ok = commitKeyedTransform(spark, dst, streamId, to,
           requirePrevMark = hw, cdcKeys = keyCols) { (base, cur) =>
           cdcApplyPlan(spark, dst, ops, keyCols, Seq(col(CommitVersion)),
-            "__graft_cdc_op", "D", evolveWith = dataCols)(base, cur)
+            opCol, "D", evolveWith = dataCols)(base, cur)
         }
         if (ok) committed += 1
       }

@@ -330,22 +330,25 @@ object GraftExtensions {
         }),
       (FunctionIdentifier("graft_txlog_replicate"),
         info("graft_txlog_replicate",
-          "graft_txlog_replicate(src, dst, keyCsv, consumerId[, maxVersionsPerTrigger])" +
-            " — drain the source's change feed into an exactly-once CDC replica; " +
-            "returns (batches_committed, replica_version)"),
+          "graft_txlog_replicate(src, dst, keyCsv, consumerId[, maxVersionsPerTrigger" +
+            "[, rebootstrapOnFloorOverrun]]) — drain the source's change feed into an " +
+            "exactly-once CDC replica; returns (batches_committed, replica_version)"),
         (exprs: Seq[Expression]) => {
-          require(exprs.length == 4 || exprs.length == 5,
+          require(exprs.length >= 4 && exprs.length <= 6,
             s"graft_txlog_replicate expects (src, dst, keyCsv, consumerId" +
-              s"[, maxVersionsPerTrigger]), got ${exprs.length} args")
+              s"[, maxVersionsPerTrigger[, rebootstrapOnFloorOverrun]]), " +
+              s"got ${exprs.length} args")
           val Seq(src, dst, keyCsv, cid) = exprs.take(4).zip(
             Seq("src", "dst", "keyCsv", "consumerId")).map((litStr _).tupled)
           val keys = keyCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
           require(keys.nonEmpty, "graft_txlog_replicate: keyCsv must name at least one column")
           val maxV =
-            if (exprs.length == 5) litLong(exprs(4), "maxVersionsPerTrigger").toInt
+            if (exprs.length >= 5) litLong(exprs(4), "maxVersionsPerTrigger").toInt
             else Int.MaxValue
+          val reboot =
+            exprs.length == 6 && litBool(exprs(5), "rebootstrapOnFloorOverrun")
           TxLogProcedures.rowsNode("replicate", TxLogProcedures.replicateSchema) { sp =>
-            val n = graft.io.TxLog.replicate(sp, src, dst, keys, cid, maxV)
+            val n = graft.io.TxLog.replicate(sp, src, dst, keys, cid, maxV, reboot)
             Seq(org.apache.spark.sql.Row(n.toLong, graft.io.TxLog.latest(dst).version))
           }
         }))

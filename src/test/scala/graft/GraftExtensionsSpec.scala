@@ -280,4 +280,41 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect()
     assert(graft.io.TxLog.history(dst).length === before, "EXPLAIN committed")
   }
+
+  test("replicate floor overrun: loud refusal by default, exactly-once resync on request — lost deletes recovered") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val TxLog = graft.io.TxLog
+    val root = graft.io.TempDirs.create("rep_floor_")
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    TxLog.create(spark, src, Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")) // v0
+    assert(TxLog.replicate(spark, src, dst, Seq("k"), "c") === 1)
+    // the replica pauses; the source moves on AND vacuums past its mark
+    TxLog.append(spark, src, Seq((4L, 40L)).toDF("k", "v"))           // v1
+    TxLog.upsert(spark, src, Seq((2L, 99L)).toDF("k", "v"), Seq("k")) // v2
+    TxLog.deleteRows(spark, src, col("k") === 3L)                      // v3
+    TxLog.append(spark, src, Seq((5L, 50L)).toDF("k", "v"))           // v4
+    TxLog.vacuum(spark, src, 1)                                        // floor past v0
+    assert(TxLog.retentionFloor(src) > 1L, "fixture must vacuum past the mark")
+    // default: loud refusal naming the floor
+    val e = intercept[IllegalStateException] {
+      TxLog.replicate(spark, src, dst, Seq("k"), "c")
+    }
+    assert(e.getMessage.contains("retention floor"), e.getMessage)
+    // resync: ONE keyed commit; k=3's delete (lost to the vacuum) is
+    // recovered by the key anti-join
+    assert(TxLog.replicate(spark, src, dst, Seq("k"), "c",
+      rebootstrapOnFloorOverrun = true) === 1)
+    def replica() = TxLog.read(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replica() === Set((1L, 10L), (2L, 99L), (4L, 40L), (5L, 50L)))
+    // incremental following RESUMES from the resync mark
+    TxLog.append(spark, src, Seq((6L, 60L)).toDF("k", "v"))
+    assert(TxLog.replicate(spark, src, dst, Seq("k"), "c") === 1)
+    assert(replica() === Set((1L, 10L), (2L, 99L), (4L, 40L), (5L, 50L), (6L, 60L)))
+    // and a caught-up call is a noop even with the flag on
+    assert(TxLog.replicate(spark, src, dst, Seq("k"), "c",
+      rebootstrapOnFloorOverrun = true) === 0)
+  }
 }
