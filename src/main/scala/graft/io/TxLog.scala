@@ -2114,11 +2114,17 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
    * deletes (the anti-join recovers deletes the feed lost), after which
    * incremental following resumes — the follower-tier Rebootstrap
    * discipline, with the delete recovery a replica needs on top.
+   *
+   * `where` scopes a PARTIAL replica to a row predicate (a regional or
+   * tenant slice): matching inserts/postimages upsert, and a postimage
+   * that LEAVES the predicate deletes its key — filtering the feed
+   * yourself would silently strand rows that move out of scope.
    */
   def replicate(spark: SparkSession, src: String, dst: String,
       keyCols: Seq[String], consumerId: String,
       maxVersionsPerTrigger: Int = Int.MaxValue,
-      rebootstrapOnFloorOverrun: Boolean = false): Int = {
+      rebootstrapOnFloorOverrun: Boolean = false,
+      where: Option[Column] = None): Int = {
     require(maxVersionsPerTrigger >= 1,
       s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
     val streamId = s"txreplica:$consumerId"
@@ -2144,7 +2150,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       else if (hw >= 0 && hw + 1 < floor) {
         // RESYNC: snapshot-as-upserts + (replica ∖ snapshot) keys as
         // deletes, one keyed commit at the snapshot's version
-        val snap = read(spark, src, srcLatest)
+        val snap = where.foldLeft(read(spark, src, srcLatest))(_.filter(_))
         val dataCols = snap.columns.toSeq
         val ups = snap.withColumn(opCol, lit("U"))
           .withColumn(CommitVersion, lit(srcLatest))
@@ -2170,15 +2176,19 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
             math.min(maxVersionsPerTrigger - 1L, srcLatest))
           else math.min(hw + maxVersionsPerTrigger, srcLatest)
         val batch =
-          if (hw < 0) read(spark, src, to)
+          if (hw < 0) where.foldLeft(read(spark, src, to))(_.filter(_))
             .withColumn(ChangeType, lit("insert"))
             .withColumn(CommitVersion, lit(to))
           else changeFeed(spark, src, hw, to)
         val dataCols = batch.columns
           .filterNot(c => c == ChangeType || c == CommitVersion).toSeq
+        // partial replica: a postimage that LEAVES the predicate is a
+        // DELETE of its key (deleting a never-replicated key is a noop)
+        val inScope = where.map(w =>
+          when(w, lit("U")).otherwise(lit("D"))).getOrElse(lit("U"))
         val ops = batch.filter(col(ChangeType) =!= "update_preimage")
           .withColumn(opCol,
-            when(col(ChangeType) === "delete", lit("D")).otherwise(lit("U")))
+            when(col(ChangeType) === "delete", lit("D")).otherwise(inScope))
           .drop(ChangeType)
         val ok = commitKeyedTransform(spark, dst, streamId, to,
           requirePrevMark = hw, cdcKeys = keyCols) { (base, cur) =>

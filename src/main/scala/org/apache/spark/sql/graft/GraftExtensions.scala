@@ -331,12 +331,13 @@ object GraftExtensions {
       (FunctionIdentifier("graft_txlog_replicate"),
         info("graft_txlog_replicate",
           "graft_txlog_replicate(src, dst, keyCsv, consumerId[, maxVersionsPerTrigger" +
-            "[, rebootstrapOnFloorOverrun]]) — drain the source's change feed into an " +
-            "exactly-once CDC replica; returns (batches_committed, replica_version)"),
+            "[, rebootstrapOnFloorOverrun[, whereSql]]]) — drain the source's change " +
+            "feed into an exactly-once CDC replica (optionally predicate-scoped); " +
+            "returns (batches_committed, replica_version)"),
         (exprs: Seq[Expression]) => {
-          require(exprs.length >= 4 && exprs.length <= 6,
+          require(exprs.length >= 4 && exprs.length <= 7,
             s"graft_txlog_replicate expects (src, dst, keyCsv, consumerId" +
-              s"[, maxVersionsPerTrigger[, rebootstrapOnFloorOverrun]]), " +
+              s"[, maxVersionsPerTrigger[, rebootstrapOnFloorOverrun[, whereSql]]]), " +
               s"got ${exprs.length} args")
           val Seq(src, dst, keyCsv, cid) = exprs.take(4).zip(
             Seq("src", "dst", "keyCsv", "consumerId")).map((litStr _).tupled)
@@ -346,9 +347,14 @@ object GraftExtensions {
             if (exprs.length >= 5) litLong(exprs(4), "maxVersionsPerTrigger").toInt
             else Int.MaxValue
           val reboot =
-            exprs.length == 6 && litBool(exprs(5), "rebootstrapOnFloorOverrun")
+            exprs.length >= 6 && litBool(exprs(5), "rebootstrapOnFloorOverrun")
+          val whereCol =
+            if (exprs.length == 7)
+              Some(org.apache.spark.sql.functions.expr(litStr(exprs(6), "whereSql")))
+            else None
           TxLogProcedures.rowsNode("replicate", TxLogProcedures.replicateSchema) { sp =>
-            val n = graft.io.TxLog.replicate(sp, src, dst, keys, cid, maxV, reboot)
+            val n = graft.io.TxLog.replicate(sp, src, dst, keys, cid, maxV, reboot,
+              whereCol)
             Seq(org.apache.spark.sql.Row(n.toLong, graft.io.TxLog.latest(dst).version))
           }
         }))

@@ -105,6 +105,10 @@ class TxLogSourceProvider extends StreamSourceProvider with StreamSinkProvider
  * appends, upserts, and deletes — and stays a followable TxLog table
  * itself (the keyed commit carries its key columns, so the replica's own
  * change feed classifies). `keys` must uniquely identify source rows.
+ * An optional `where` predicate (SQL expression over the data columns)
+ * scopes a PARTIAL replica: matching rows upsert, and a postimage that
+ * leaves the predicate DELETES its key — filtering the stream yourself
+ * would strand rows that move out of scope.
  */
 class TxLogStreamSink(parameters: Map[String, String])
     extends org.apache.spark.sql.execution.streaming.Sink {
@@ -173,9 +177,12 @@ class TxLogStreamSink(parameters: Map[String, String])
         TxLog.create(spark, table, pinned.drop(ChangeType, CommitVersion).limit(0))
         ()
       }
+      val inScope = opt("where")
+        .map(w => when(expr(w), lit("U")).otherwise(lit("D")))
+        .getOrElse(lit("U"))
       val ops = pinned.filter(col(ChangeType) =!= "update_preimage")
         .withColumn("__graft_cdc_op",
-          when(col(ChangeType) === "delete", lit("D")).otherwise(lit("U")))
+          when(col(ChangeType) === "delete", lit("D")).otherwise(inScope))
         .drop(ChangeType)
       if (!ops.isEmpty) {
         // a source schema ADDITION widens the replica (restart the stream

@@ -317,4 +317,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(TxLog.replicate(spark, src, dst, Seq("k"), "c",
       rebootstrapOnFloorOverrun = true) === 0)
   }
+
+  test("partial replica: predicate-scoped; a postimage leaving the predicate deletes its key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.registerTableFunctions(spark)
+    val TxLog = graft.io.TxLog
+    val root = graft.io.TempDirs.create("rep_part_")
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    TxLog.create(spark, src, Seq((1L, 10L), (2L, 20L), (3L, 5L)).toDF("k", "v")) // v0
+    def sync() = spark.sql(
+      s"SELECT * FROM graft_txlog_replicate('$src', '$dst', 'k', 'p', " +
+        "2147483647, false, 'v >= 10')").head()
+    def replica() = TxLog.read(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    sync() // bootstrap: only in-scope rows
+    assert(replica() === Set((1L, 10L), (2L, 20L)))
+    TxLog.upsert(spark, src, Seq((3L, 50L)).toDF("k", "v"), Seq("k")) // enters scope
+    TxLog.upsert(spark, src, Seq((1L, 3L)).toDF("k", "v"), Seq("k"))  // LEAVES scope
+    TxLog.deleteRows(spark, src, col("k") === 2L)                      // in-scope delete
+    TxLog.append(spark, src, Seq((4L, 2L)).toDF("k", "v"))            // out-of-scope insert
+    sync()
+    assert(replica() === Set((3L, 50L)), s"got ${replica()}")
+  }
 }

@@ -187,6 +187,30 @@ class TxLogStreamSourceSpec extends SparkSpec {
     assert(e2.getMessage.contains("keys"))
   }
 
+  test("cdc sink where option: partial streaming replica drops postimages that leave scope") {
+    val root = TempDirs.create("txcdcw_")
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    val ckp = root.resolve("ckp").toString
+    TxLog.create(spark, src, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft_txlog").load(src)
+        .writeStream.format("graft_txlog")
+        .option("mode", "cdc").option("keys", "k").option("where", "v >= 15")
+        .option("streamId", "partial").option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      assert(q.awaitTermination(120000))
+    }
+    def replica() = TxLog.read(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    replicate()
+    assert(replica() === Set((2L, 20L))) // bootstrap inserts outside scope are noop deletes
+    TxLog.upsert(spark, src, Seq((1L, 99L)).toDF("k", "v"), Seq("k")) // enters scope
+    TxLog.upsert(spark, src, Seq((2L, 5L)).toDF("k", "v"), Seq("k"))  // leaves scope
+    replicate()
+    assert(replica() === Set((1L, 99L)), s"got ${replica()}")
+  }
+
   test("change classification flows: updates surface as pre/postimage, deletes as delete") {
     val root = TempDirs.create("txsrc2_")
     val src = root.resolve("src").toString
