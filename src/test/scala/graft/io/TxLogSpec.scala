@@ -1279,6 +1279,59 @@ class TxLogSpec extends SparkSpec {
     }.getMessage.contains("2-4 dimensions"))
   }
 
+  test("concurrent same-id replicators: exactly-once holds under the race, the replica converges") {
+    val root = TempDirs.create("txrep_race_")
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    def slice(i: Int) = Seq((i.toLong, i.toLong * 10)).toDF("k", "v")
+    TxLog.create(spark, src, slice(0))                                   // v0
+    TxLog.replicate(spark, src, dst, Seq("k"), "race")                   // bootstrap
+    (1 to 6).foreach(i => TxLog.append(spark, src, slice(i)))           // v1..v6
+    TxLog.upsert(spark, src, Seq((2L, 99L)).toDF("k", "v"), Seq("k"))   // v7
+    TxLog.deleteRows(spark, src, col("k") === 3L)                        // v8
+    // two replicators of the SAME consumer race through bounded drains:
+    // each slice must land exactly once whoever wins each claim
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futs = (1 to 2).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Int] {
+          def call(): Int =
+            TxLog.replicate(spark, src, dst, Seq("k"), "race",
+              maxVersionsPerTrigger = 2)
+        }))
+      val counts = futs.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      assert(counts.sum >= 1, s"nobody advanced: $counts")
+    } finally pool.shutdown()
+    val got = TxLog.read(spark, dst).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size,
+      s"rows double-applied: ${got.toSeq.sorted}")
+    val live = TxLog.read(spark, src).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live.size === 6 && got.toSet === live,
+      s"racing replicators must still converge: got ${got.toSeq.sorted}")
+  }
+
+  test("chained replication: a replica of a replica converges (the replica's own feed classifies)") {
+    val root = TempDirs.create("txrep_chain_")
+    val src = root.resolve("src").toString
+    val mid = root.resolve("mid").toString
+    val end = root.resolve("end").toString
+    def slice(i: Int) = Seq((i.toLong, i.toLong * 10)).toDF("k", "v")
+    TxLog.create(spark, src, slice(0))
+    TxLog.append(spark, src, slice(1))
+    TxLog.replicate(spark, src, mid, Seq("k"), "a")
+    TxLog.replicate(spark, mid, end, Seq("k"), "b")
+    // mixed ops flow src → mid → end entirely through classified feeds
+    TxLog.upsert(spark, src, Seq((1L, 77L)).toDF("k", "v"), Seq("k"))
+    TxLog.deleteRows(spark, src, col("k") === 0L)
+    TxLog.append(spark, src, slice(2))
+    TxLog.replicate(spark, src, mid, Seq("k"), "a")
+    TxLog.replicate(spark, mid, end, Seq("k"), "b")
+    def rows(t: String) = TxLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(end) === Set((1L, 77L), (2L, 20L)), s"got ${rows(end)}")
+    assert(rows(end) === rows(src) && rows(mid) === rows(src))
+  }
+
   test("changeStream refuses a batch built from a stale high-water mark: racing same-id consumers never double-apply") {
     val root = TempDirs.create("txstream_race_")
     val src = root.resolve("src").toString
