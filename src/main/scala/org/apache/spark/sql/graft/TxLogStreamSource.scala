@@ -211,11 +211,31 @@ object TxLogStreamSource {
         "graft_txlog source needs the table path: " +
           "spark.readStream.format(\"graft_txlog\").load(<tablePath>)"))
 
+  /** Option validation shared by load() (sourceSchema) and the source
+    * constructor — `load` must already refuse a bad startingVersion, not
+    * defer the error to stream start. */
+  private[graft] def validateStart(table: String,
+      parameters: Map[String, String]): Option[Long] = {
+    val sv = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("startingVersion") => v.toLong
+    }
+    sv.foreach { v =>
+      require(v >= 1, s"startingVersion must be >= 1 (version 0 is the " +
+        s"create snapshot — omit the option to stream it), got $v")
+      val floor = TxLog.retentionFloor(table)
+      require(v >= floor,
+        s"startingVersion $v of $table was vacuumed (retention floor " +
+          s"$floor) — the changes below the floor are gone")
+    }
+    sv
+  }
+
   private[graft] def schemaFor(ctx: SQLContext,
       parameters: Map[String, String]): StructType = {
     val table = pathOf(parameters)
     require(TxLog.exists(table),
       s"graft_txlog source: not a TxLog table (no _graft_log commits): $table")
+    validateStart(table, parameters)
     val base = TxLog.read(ctx.sparkSession, table).schema
     StructType(base.fields.toSeq :+
       StructField(ChangeType, StringType) :+ StructField(CommitVersion, LongType))
@@ -237,6 +257,11 @@ class TxLogStreamSource(ctx: SQLContext, metadataPath: String,
   }.getOrElse(Long.MaxValue)
   require(maxVersions >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $maxVersions")
+  // startingVersion=v skips the initial snapshot and streams the
+  // CLASSIFIED changes of versions >= v (the Delta startingVersion
+  // semantics); without it the first batch is the full snapshot.
+  // Validated at load() time too (schemaFor → validateStart).
+  private val startingVersion: Option[Long] = validateStart(table, parameters)
 
   override val schema: StructType = schemaFor(ctx, parameters)
 
@@ -281,22 +306,28 @@ class TxLogStreamSource(ctx: SQLContext, metadataPath: String,
   private def nextHandout(): Long = {
     val latestRaw = TxLog.latest(table).version
     val latest = availableNowTarget.fold(latestRaw)(math.min(latestRaw, _))
+    // a fresh stream with startingVersion set behaves as if it had
+    // already handed out sv-1: the first batch is the classified range
+    // (sv-1, …], never the snapshot
+    val base =
+      if (handedOut >= 0) handedOut
+      else startingVersion.map(_ - 1L).getOrElse(-1L)
     val to =
-      if (handedOut < 0)
+      if (base < 0)
         // bootstrap: the initial snapshot resolves at the newest version
         // within the trigger bound, clamped UP to the vacuum floor (on a
         // vacuumed source the earliest readable snapshot may already span
         // more than one trigger's versions)
         math.max(TxLog.retentionFloor(table), math.min(maxVersions - 1L, latest))
-      else if (latest <= handedOut) handedOut // caught up
+      else if (latest <= base) base // caught up
       else {
         // SATURATING add: the unlimited default is Long.MaxValue, and
-        // handedOut + Long.MaxValue overflows negative the moment
-        // handedOut >= 1 — which poisoned the offset log with
-        // Long.MinValue and stalled every later resume
+        // base + Long.MaxValue overflows negative the moment base >= 1 —
+        // which poisoned the offset log with Long.MinValue and stalled
+        // every later resume
         val step =
-          if (maxVersions > Long.MaxValue - handedOut) Long.MaxValue
-          else handedOut + maxVersions
+          if (maxVersions > Long.MaxValue - base) Long.MaxValue
+          else base + maxVersions
         math.min(step, latest)
       }
     if (to > handedOut) { handedOut = to; persistHwm() }
@@ -317,10 +348,15 @@ class TxLogStreamSource(ctx: SQLContext, metadataPath: String,
       "the checkpoint's offset log is corrupt; re-bootstrap with a fresh checkpoint")
     if (to > handedOut) { handedOut = to; persistHwm() } // restart restore
     val batch = start.map(versionOf) match {
-      case None =>
-        TxLog.read(spark, table, to)
-          .withColumn(ChangeType, lit("insert"))
-          .withColumn(CommitVersion, lit(to))
+      case None => startingVersion match {
+        // startingVersion: the first batch is the classified range
+        // (sv-1, to] — no initial snapshot (Delta semantics)
+        case Some(sv) => TxLog.changeFeed(spark, table, sv - 1, to)
+        case None =>
+          TxLog.read(spark, table, to)
+            .withColumn(ChangeType, lit("insert"))
+            .withColumn(CommitVersion, lit(to))
+      }
       case Some(f) => TxLog.changeFeed(spark, table, f, to)
     }
     // align to the stream schema by name, NULL-padding columns the slice

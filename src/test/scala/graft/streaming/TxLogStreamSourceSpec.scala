@@ -187,6 +187,46 @@ class TxLogStreamSourceSpec extends SparkSpec {
     assert(e2.getMessage.contains("keys"))
   }
 
+  test("startingVersion: the stream skips the snapshot and drains classified changes from v onward") {
+    val root = TempDirs.create("txsv_")
+    val src = root.resolve("src").toString
+    val out = root.resolve("out").toString
+    val ckp = root.resolve("ckp").toString
+    TxLog.create(spark, src, slice(0))                                  // v0
+    (1 to 4).foreach(i => TxLog.append(spark, src, slice(i)))          // v1..v4
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft_txlog")
+        .option("startingVersion", 3).option("maxVersionsPerTrigger", 1)
+        .load(src)
+        .filter(col("_change_type") === "insert").select(col("k"), col("v"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    drain()
+    val got = spark.read.parquet(out).as[(Long, Long)].collect().toSet
+    assert(got === Set((3L, 30L), (4L, 40L)),
+      s"startingVersion=3 must skip the snapshot and v1..v2: got $got")
+    // resume consumes only the new range
+    (5 to 6).foreach(i => TxLog.append(spark, src, slice(i)))
+    drain()
+    assert(spark.read.parquet(out).as[(Long, Long)].collect().toSet ===
+      (3 to 6).map(i => (i.toLong, i.toLong * 10)).toSet)
+    // v0 and sub-floor starts refuse loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("graft_txlog").option("startingVersion", 0).load(src)
+    }
+    assert(e.getMessage.contains("startingVersion must be >= 1"), e.getMessage)
+    TxLog.vacuum(spark, src, 2)
+    val floor = TxLog.retentionFloor(src)
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft_txlog")
+        .option("startingVersion", floor - 1).load(src)
+    }
+    assert(e2.getMessage.contains("retention floor"), e2.getMessage)
+  }
+
   test("cdc sink where option: partial streaming replica drops postimages that leave scope") {
     val root = TempDirs.create("txcdcw_")
     val src = root.resolve("src").toString
