@@ -3920,6 +3920,48 @@ object SparkEntry {
         .withColumn("converged", lit(converged && oneCommit && quiet))
     }),
 
+    // REPLICA ADVANCE, SERVE-SHAPED (the q267/q335 discipline): the
+    // source (3 versions) and a bootstrapped replica stage ONCE per
+    // (sf, fixture); the benched query copies the small replica table and
+    // applies ONE advance draining the two unconsumed versions (an append
+    // + a COW upsert) as one keyed commit — BENCH carries the per-advance
+    // apply cost, while q341/q342 remain the lifecycle capstones
+    "q343_replica_advance_serve" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val base = ensureServeArtifact("txreplica", dir, "orders") { p =>
+        val src = s"$p/src"; val dst = s"$p/dst"
+        TxLog.create(s, src, src0.filter(col("o_orderkey") % 3 <= 1))        // v0
+        TxLog.replicate(s, src, dst, Seq("o_orderkey"), "serve")             // mark 0
+        TxLog.append(s, src, src0.filter(col("o_orderkey") % 3 === 2))       // v1
+        TxLog.upsert(s, src, src0.filter(col("o_orderkey") % 50 === 1)
+          .withColumn("cents", col("cents") + 5), Seq("o_orderkey"))         // v2
+      }
+      // per-invocation: copy the replica (the advance mutates it), advance once
+      val work = graft.io.TempDirs.create("graft_q343_")
+      val dst = work.resolve("dst")
+      val from = java.nio.file.Paths.get(s"$base/dst")
+      java.nio.file.Files.walk(from).forEach { p =>
+        val tgt = dst.resolve(from.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(tgt)
+        else {
+          java.nio.file.Files.createDirectories(tgt.getParent)
+          java.nio.file.Files.copy(p, tgt)
+          ()
+        }
+      }
+      val before = TxLog.history(dst.toString).length
+      val batches = TxLog.replicate(s, s"$base/src", dst.toString,
+        Seq("o_orderkey"), "serve")
+      val advanceOk = batches == 1 &&
+        TxLog.history(dst.toString).length == before + 1
+      TxLog.read(s, dst.toString).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("advance_ok", lit(advanceOk))
+    }),
+
     // REPLICATION ON THE PURE-SQL SURFACE: graft_txlog_replicate drains
     // the source's change feed into an exactly-once CDC replica without a
     // streaming runtime — bootstrap is one snapshot batch, a trigger-
@@ -6790,6 +6832,17 @@ object SparkEntry {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  true AS resume_ok
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // replica advance serve gate: one advance drains an append (%3=2) and
+    // a COW upsert (cents+5 on %50=1) — content = all orders with the
+    // upserted cents; one keyed commit pinned
+    "q343_replica_advance_serve" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderkey % 50 = 1
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT) + 5
+        |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS sum_cents,
+        |  true AS advance_ok
         |FROM orders GROUP BY 1""".stripMargin,
 
     // SQL replicate procedure: keys %4<=2 survive except (%4=1 AND %5=0)
