@@ -1465,6 +1465,42 @@ object ScaleProbe {
           graft.io.TxLog.fastCount(dst).getOrElse(-1L)
         }
       }
+      // branch WAP publish (r11b): publishing a staged branch is MANIFEST-
+      // ONLY whatever the table size — fork a branch of the k-sized table,
+      // stage a FIXED append on it, and time the publish. Flat = ZERO new
+      // dirs under data/ during the publish (pure manifest arithmetic over
+      // shared segments; the staged segment was written by the branch
+      // append, before the window).
+      if (only.isEmpty || only.contains("txbranch_publish")) {
+        val root = new java.io.File(s"$work/txbranch_x$k")
+        if (root.exists()) {
+          import java.nio.file.{Files, Paths}
+          Files.walk(Paths.get(root.getPath))
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+        val tbl = s"$work/txbranch_x$k/t"
+        val d = read("documents", k).select(col("doc_id"), col("text"))
+        val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+        graft.io.TxLog.create(spark, tbl, d)
+        graft.io.TxLog.createBranch(spark, tbl, "stage")
+        val br = graft.io.TxLog.branchTable(tbl, "stage")
+        // fixed-size staged batch: doc ids are dense from 0, so this is the
+        // same ~400 rows at 1x and 10x
+        graft.io.TxLog.append(spark, br, d.filter(col("doc_id") < 400L)
+          .withColumn("doc_id", col("doc_id") + lit(mx + 1000L)))
+        val dataDir = new java.io.File(tbl, "data")
+        val beforeDirs = dataDir.listFiles().map(_.getName).toSet
+        timed("txbranch_publish", k) {
+          val pub = graft.io.TxLog.publishBranch(spark, tbl, "stage")
+          val newDirs = dataDir.listFiles().map(_.getName)
+            .count(n => !beforeDirs.contains(n)).toLong
+          telemetry(("txbranch_publish", k)) = newDirs
+          notes(("txbranch_publish", k)) =
+            s"new_data_dirs_during_publish=$newDirs segments=${pub.segments.size}"
+          graft.io.TxLog.fastCount(tbl).getOrElse(-1L)
+        }
+      }
       // incremental HNSW ingest: adopt the persisted shard graphs, insert
       // only the ~4% batch — linear in corpus size (adoption dominates),
       // never a rebuild of the accumulated index
@@ -1500,6 +1536,13 @@ object ScaleProbe {
       "fresh replica bytes written flat for a fixed change batch vs a 10x corpus",
       () => (telemetry.get(("txcdc_replica", 1)), telemetry.get(("txcdc_replica", 10))) match {
         case (Some(b1), Some(b10)) => b10 <= 2 * b1 && b1 > 0
+        case _ => false
+      })
+    criteria("txbranch_publish") = (
+      "publish commits manifest-only: zero new data dirs at 1x and 10x",
+      () => (telemetry.get(("txbranch_publish", 1)),
+          telemetry.get(("txbranch_publish", 10))) match {
+        case (Some(b1), Some(b10)) => b1 == 0L && b10 == 0L
         case _ => false
       })
 

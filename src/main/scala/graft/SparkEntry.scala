@@ -3962,6 +3962,122 @@ object SparkEntry {
         .withColumn("advance_ok", lit(advanceOk))
     }),
 
+    // BRANCHES + WRITE-AUDIT-PUBLISH (the Iceberg ref model on the
+    // TxLog): fork a ZERO-COPY branch (one manifest, no data movement —
+    // branch manifests reference the root's shared segment dirs), write
+    // the staging batch onto the branch (root readers see NOTHING), audit
+    // the branch snapshot, then PUBLISH: one atomic manifest-only commit
+    // on the root. Pins: isolation before publish, publish is exactly one
+    // root commit with op publish_append (CDF-classifiable as inserts), a
+    // re-publish with nothing new commits NOTHING, and the published
+    // content equals branch head ≡ all orders
+    "q344_txlog_branch_wap" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val root = graft.io.TempDirs.create("graft_q344_")
+      val tbl = root.resolve("t").toString
+      TxLog.create(s, tbl, src0.filter(col("o_orderkey") % 2 === 0))          // v0
+      TxLog.createBranch(s, tbl, "staging")
+      val br = TxLog.branchTable(tbl, "staging")
+      TxLog.append(s, br, src0.filter(col("o_orderkey") % 2 === 1))
+      val isolated = TxLog.latest(tbl).version == 0L &&                       // root unmoved
+        TxLog.read(s, tbl).count() < TxLog.read(s, br).count()
+      val pub = TxLog.publishBranch(s, tbl, "staging")
+      val publishOk = pub.version == 1L && pub.op.startsWith("publish_append:") &&
+        TxLog.publishBranch(s, tbl, "staging").version == 1L                  // noop re-publish
+      TxLog.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("wap_ok", lit(isolated && publishOk))
+    }),
+
+    // TAGS + VACUUM PROTECTION (the Iceberg tag retention model): tag v0,
+    // then rewrite + vacuum down to ONE retained version — the tagged
+    // version falls below the retention floor (plain read(v0) refuses
+    // loudly), yet readTagged still serves it because vacuum never
+    // reclaims a live tag's artifacts. Output = the TAGGED snapshot
+    // (pre-rewrite), with the floor-refusal and current-head-differs pins
+    "q345_txlog_tag_travel" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val root = graft.io.TempDirs.create("graft_q345_")
+      val tbl = root.resolve("t").toString
+      TxLog.create(s, tbl, src0)                                              // v0
+      TxLog.tagVersion(tbl, "baseline")                                       // -> v0
+      TxLog.upsert(s, tbl, src0.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("cents", col("cents") + 7), Seq("o_orderkey"))            // v1
+      TxLog.append(s, tbl, src0.filter(col("o_orderkey") % 10 === 3))         // v2
+      TxLog.vacuum(s, tbl, retainVersions = 1)                                // v3, floor 2
+      val floorRefuses = scala.util.Try(TxLog.read(s, tbl, 0L)).isFailure
+      val headDiffers =
+        TxLog.read(s, tbl).count() > TxLog.readTagged(s, tbl, "baseline").count()
+      TxLog.readTagged(s, tbl, "baseline").groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("tag_ok", lit(floorRefuses && headDiffers))
+    }),
+
+    // CHECK CONSTRAINTS riding the log: the active set travels in every
+    // manifest (zero extra log reads to enforce), writes validate their
+    // fresh rows INSIDE the write scan (a violating append fails loudly
+    // and commits NOTHING — no partial state), addConstraint validates
+    // existing rows once, and dropping re-admits. Final content: base +
+    // the clean append + the formerly-refused rows admitted post-drop
+    "q346_txlog_check_constraint" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val root = graft.io.TempDirs.create("graft_q346_")
+      val tbl = root.resolve("t").toString
+      TxLog.create(s, tbl, src0.filter(col("o_orderkey") % 3 === 0))          // v0
+      TxLog.addConstraint(s, tbl, "cents_nonneg", "cents >= 0")               // v1
+      TxLog.append(s, tbl, src0.filter(col("o_orderkey") % 3 === 1))          // v2: passes
+      val vBefore = TxLog.latest(tbl).version
+      val refused = scala.util.Try(TxLog.append(s, tbl,
+        src0.filter(col("o_orderkey") % 3 === 2)
+          .withColumn("cents", -col("cents") - 1))).isFailure
+      val nothingCommitted = TxLog.latest(tbl).version == vBefore
+      val visible = TxLog.constraintsOf(tbl) == Map("cents_nonneg" -> "cents >= 0")
+      TxLog.dropConstraint(s, tbl, "cents_nonneg")
+      TxLog.append(s, tbl, src0.filter(col("o_orderkey") % 3 === 2)
+        .withColumn("cents", -col("cents") - 1))                              // now admitted
+      TxLog.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("check_ok", lit(refused && nothingCommitted && visible))
+    }),
+
+    // REFS ON THE PURE-SQL SURFACE: constraint-add → branch → stage →
+    // publish → tag, all through CALL-style procedures; EXPLAIN pinned
+    // inert (a procedure plan commits nothing), the publish op and the
+    // tag's version pinned against the returned rows
+    "q347_txlog_refs_sql" -> ((s, dir) => {
+      import graft.io.TxLog
+      org.apache.spark.sql.graft.GraftExtensions.registerTableFunctions(s)
+      val src0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val root = graft.io.TempDirs.create("graft_q347_")
+      val tbl = root.resolve("t").toString
+      TxLog.create(s, tbl, src0.filter(col("o_orderkey") % 2 === 0))          // v0
+      val inert = {
+        val before = TxLog.history(tbl).length
+        s.sql(s"EXPLAIN SELECT * FROM graft_txlog_constraint_add('$tbl', " +
+          "'cents_nn', 'cents >= 0')").collect()
+        TxLog.history(tbl).length == before
+      }
+      s.sql(s"SELECT * FROM graft_txlog_constraint_add('$tbl', 'cents_nn', " +
+        "'cents >= 0')").collect()                                            // v1
+      s.sql(s"SELECT * FROM graft_txlog_branch('$tbl', 'stage')").collect()
+      TxLog.append(s, TxLog.branchTable(tbl, "stage"),
+        src0.filter(col("o_orderkey") % 2 === 1))
+      val pub = s.sql(s"SELECT * FROM graft_txlog_publish('$tbl', 'stage')").head()
+      val tag = s.sql(s"SELECT * FROM graft_txlog_tag('$tbl', 'published')").head()
+      val refsOk = inert && pub.getString(1).startsWith("publish_append:") &&
+        tag.getLong(1) == pub.getLong(0)
+      TxLog.read(s, tbl).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("refs_ok", lit(refsOk))
+    }),
+
     // REPLICATION ON THE PURE-SQL SURFACE: graft_txlog_replicate drains
     // the source's change feed into an exactly-once CDC replica without a
     // streaming runtime — bootstrap is one snapshot batch, a trigger-
@@ -6843,6 +6959,44 @@ object SparkEntry {
         |    THEN CAST(round(o_totalprice * 100) AS BIGINT) + 5
         |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS sum_cents,
         |  true AS advance_ok
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // write-audit-publish: evens created on the root, odds staged on the
+    // branch and published — content = ALL orders; isolation, single
+    // publish_append commit, and noop re-publish pinned
+    "q344_txlog_branch_wap" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  true AS wap_ok
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // tag travel: the tagged v0 is the untouched full snapshot, served
+    // through readTagged even after vacuum pushed the floor past it;
+    // sub-floor read refusal and head-differs pinned
+    "q345_txlog_tag_travel" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  true AS tag_ok
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // CHECK constraint: %3=0,1 keep original cents, the violating %3=2
+    // batch lands only after the drop (negated-minus-one); refusal,
+    // nothing-committed, and visibility pinned
+    "q346_txlog_check_constraint" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderkey % 3 = 2
+        |    THEN -CAST(round(o_totalprice * 100) AS BIGINT) - 1
+        |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS sum_cents,
+        |  true AS check_ok
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // SQL refs surface: evens created, odds staged + published under a
+    // CHECK — content = all orders; EXPLAIN-inertness, publish op, and
+    // tag version pinned
+    "q347_txlog_refs_sql" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  true AS refs_ok
         |FROM orders GROUP BY 1""".stripMargin,
 
     // SQL replicate procedure: keys %4<=2 survive except (%4=1 AND %5=0)

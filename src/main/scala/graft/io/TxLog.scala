@@ -48,7 +48,8 @@ case class TxSnapshot(version: Long, op: String, segments: Seq[String],
     stats: Map[String, Map[String, ColEnv]] = Map.empty,
     strStats: Map[String, Map[String, StrEnv]] = Map.empty,
     dvs: Map[String, Map[String, Long]] = Map.empty,
-    rowCounts: Map[String, Long] = Map.empty) {
+    rowCounts: Map[String, Long] = Map.empty,
+    cons: Map[String, String] = Map.empty) {
   /** Segments a dv dir affects (the keys of its per-segment dead-row map). */
   def dvSegments(dvDir: String): Seq[String] = dvs(dvDir).keys.toSeq.sorted
 }
@@ -244,9 +245,60 @@ final class InMemoryLogStore extends LogStore {
  * Data segments are parquet dirs written by ordinary distributed jobs;
  * only the tiny manifests go through the [[LogStore]].
  */
-class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
+class TxLogOps(store0: LogStore, val checkpointInterval: Int = 10,
     val clock: () => Long = () => System.currentTimeMillis()) {
   require(checkpointInterval >= 2, s"checkpointInterval must be >= 2")
+
+  // ---- branch-qualified table tokens ---------------------------------------
+  //
+  // "<root>#<branch>" names a BRANCH of a table (the Iceberg ref model,
+  // minimum viable core): the branch keeps its own commit-log NAMESPACE
+  // (<root>/_graft_branches/<branch>/_graft_log) but shares the root's
+  // data directory — creating a branch copies ONE manifest, never data,
+  // and every existing operation (append/upsert/delete/merge/optimize/
+  // changeFeed/followers/replicate) works on a branch token unchanged,
+  // because only the log namespace and the data root differ. One data
+  // dir means ONE GC domain: the root's [[vacuum]] protects every live
+  // branch's referenced segments (and every tag's), so a branch can never
+  // have its data reclaimed out from under it by the parent's retention.
+
+  /** ("<root>", Some(branch)) for a branch token; (table, None) otherwise. */
+  private def splitRef(table: String): (String, Option[String]) = {
+    val i = table.indexOf('#')
+    if (i < 0) (table, None)
+    else {
+      val root = table.substring(0, i)
+      val b = table.substring(i + 1)
+      require(b.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+        s"bad branch name '$b' — [A-Za-z0-9][A-Za-z0-9._-]* required")
+      require(!root.contains("#"), s"nested branch token: $table")
+      (root, Some(b))
+    }
+  }
+
+  /** The directory holding the DATA segments — always the root's. */
+  private def dataRoot(table: String): String = splitRef(table)._1
+
+  /** The directory whose `_graft_log` holds this ref's commits. */
+  private def logHome(table: String): String = splitRef(table) match {
+    case (r, None) => r
+    case (r, Some(b)) => s"$r/_graft_branches/$b"
+  }
+
+  /** The raw store, with branch tokens resolved to their log namespace.
+    * Every log read/claim below goes through this view, so the whole
+    * commit machinery (claims, checkpoints, logState folds, keyed marks)
+    * is per-REF: a branch has its own optimistic-concurrency domain. */
+  val store: LogStore = new LogStore {
+    def list(table: String): Seq[String] = store0.list(logHome(table))
+    def read(table: String, name: String): String = store0.read(logHome(table), name)
+    def putIfAbsent(table: String, name: String, content: String): Boolean =
+      store0.putIfAbsent(logHome(table), name, content)
+    def putPointer(table: String, name: String, content: String): Unit =
+      store0.putPointer(logHome(table), name, content)
+    def readPointer(table: String, name: String): Option[String] =
+      store0.readPointer(logHome(table), name)
+  }
 
   type Snapshot = TxSnapshot
 
@@ -320,7 +372,14 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
             .mkString(";")
           s"segstrstat=$f|$body"
         }
-      }).mkString("", "\n", "\n")
+      } ++
+      // active CHECK constraints ride EVERY manifest (the Delta metadata-
+      // in-log discipline, flattened): a writer enforcing against its base
+      // snapshot needs zero extra reads, and the set is versioned — time
+      // travel sees the constraints of its era. Names are token-safe; the
+      // expression is base64 (arbitrary SQL).
+      s.cons.toSeq.sortBy(_._1).map { case (n, e) => s"cons=$n:${b64e(e)}" })
+      .mkString("", "\n", "\n")
 
   private def parse(name: String, content: String): Snapshot = {
     val lines = content.split("\n").filter(_.nonEmpty)
@@ -373,9 +432,14 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       val bar = body.indexOf('|')
       body.substring(0, bar) -> body.substring(bar + 1).toLong
     }.toMap
+    val cons = lines.collect { case l if l.startsWith("cons=") =>
+      val body = l.substring(5)
+      val c = body.indexOf(':')
+      body.substring(0, c) -> b64d(body.substring(c + 1))
+    }.toMap
     TxSnapshot(one("version").toLong, one("op"),
       lines.collect { case l if l.startsWith("segment=") => l.substring(8) }.toSeq,
-      ts, stats, strStats, dvs, rowCounts)
+      ts, stats, strStats, dvs, rowCounts, cons)
   }
 
   /** Keyed rewrite ops record their key columns in the manifest so the
@@ -390,6 +454,36 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val i = op.indexOf(KeysMark)
     if (i < 0) None else Some(op.substring(i + KeysMark.length).split(",").toSeq)
   }
+
+  private val ConsAddTag = "constraint_add:"
+  private val ConsDropTag = "constraint_drop:"
+
+  /** The active CHECK-constraint set after committing `op` on top of
+    * `base` — constraint changes are ordinary commits whose op carries the
+    * delta; every other op carries the base set forward verbatim. */
+  private def consAfter(base: Snapshot, op: String): Map[String, String] =
+    if (op.startsWith(ConsAddTag)) {
+      val body = op.substring(ConsAddTag.length)
+      val c = body.indexOf(':')
+      base.cons + (body.substring(0, c) -> b64d(body.substring(c + 1)))
+    } else if (op.startsWith(ConsDropTag)) base.cons - op.substring(ConsDropTag.length)
+    else base.cons
+
+  /** Wrap fresh rows in the snapshot's CHECK constraints as a FILTER node
+    * that raise_errors per offending row: enforcement rides the write
+    * scan itself — zero extra passes or jobs, distributed, and an
+    * OPERATOR survives any downstream projection (the MERGE-cardinality-
+    * guard discipline; a projected guard column could be pruned away).
+    * SQL CHECK semantics: a row fails only when the expression evaluates
+    * FALSE — NULL passes. */
+  private def enforced(df: DataFrame, cons: Map[String, String]): DataFrame =
+    cons.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, sql)) =>
+      d.filter(
+        when(expr(sql) <=> lit(false), raise_error(concat(
+          lit(s"CHECK constraint '$n' violated ($sql) by row: "),
+          to_json(struct(d.columns.toSeq.map(col): _*)))))
+          .otherwise(lit(true)))
+    }
 
   /** Committed version numbers, ascending — a name listing, no parses. */
   private def listVersions(table: String): Seq[Long] =
@@ -568,8 +662,11 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
         "time travel below the floor is gone; raise retainVersions before vacuuming")
     val snap = snapshotOf(table, v)
     if (snap.segments.isEmpty) {
-      // empty snapshot: replay schema from the newest non-empty ancestor
-      val donor = (snap.version - 1 to floor by -1).iterator
+      // empty snapshot: replay schema from the newest non-empty ancestor —
+      // over the versions that EXIST in this ref's namespace (a branch's
+      // log starts at its fork version, not 0)
+      val donor = listVersions(table)
+        .filter(x => x < snap.version && x >= floor).sorted.reverse.iterator
         .map(snapshotOf(table, _)).find(_.segments.nonEmpty)
         .getOrElse(sys.error(s"$table has no non-empty version <= ${snap.version}"))
       readSegments(spark, table, donor.segments).limit(0)
@@ -818,7 +915,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       dvs: Map[String, Map[String, Long]] = Map.empty,
       segmentCol: Option[String] = None): DataFrame = {
     val base0 = spark.read.option("mergeSchema", "true")
-      .parquet(segs.map(s => s"$table/$s"): _*)
+      .parquet(segs.map(s => s"${dataRoot(table)}/$s"): _*)
     // segment path projected BEFORE any dv anti-join: input_file_name()
     // does not resolve over a two-source plan, the scan's _metadata does
     val base = segmentCol.fold(base0)(c => base0.withColumn(c,
@@ -828,7 +925,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     else {
       val (f, r) = filePosCols
       val withPos = base.withColumn("__graft_dvf", f).withColumn("__graft_dvr", r)
-      val dv = spark.read.parquet(relevant.map(d => s"$table/$d"): _*)
+      val dv = spark.read.parquet(relevant.map(d => s"${dataRoot(table)}/$d"): _*)
         .select(col("file").as("__dv_f"), col("row").as("__dv_r"))
       withPos.join(dv,
           col("__graft_dvf") === col("__dv_f") && col("__graft_dvr") === col("__dv_r"),
@@ -861,7 +958,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     * (verdict r9 #4). */
   private def statsOfSegment(spark: SparkSession, table: String,
       seg: String): (Map[String, ColEnv], Map[String, StrEnv], Option[Long]) = {
-    val dir = new File(table, seg)
+    val dir = new File(dataRoot(table), seg)
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.getAbsolutePath).sorted.toSeq
@@ -890,7 +987,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     * Distributed parquet write — the only driver-side work is naming. */
   private def writeSegment(table: String, df: DataFrame): String = {
     val rel = s"data/${java.util.UUID.randomUUID().toString.take(13)}"
-    df.write.parquet(s"$table/$rel")
+    df.write.parquet(s"${dataRoot(table)}/$rel")
     rel
   }
 
@@ -945,7 +1042,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
   }
 
   private def dropSegment(table: String, seg: String): Unit = {
-    val p = Paths.get(s"$table/$seg")
+    val p = Paths.get(s"${dataRoot(table)}/$seg")
     if (Files.exists(p))
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(x => { Files.deleteIfExists(x); () })
@@ -974,15 +1071,23 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     * retries were exhausted. */
   private def rebaseAppend(table: String, op: String, newSegments: Seq[String],
       freshEnv: FreshEnv, retries: Int,
-      nextBase: () => Option[Snapshot]): Option[Option[Snapshot]] = {
+      nextBase: () => Option[Snapshot],
+      validatedCons: Map[String, String]): Option[Option[Snapshot]] = {
     var attempt = 0
     while (attempt < retries) {
       nextBase() match {
         case None => return Some(None) // keyed replay landed meanwhile
         case Some(w) =>
+          // a concurrent CONSTRAINT change is a metadata conflict with
+          // everything (the Delta discipline): the fresh segments were
+          // validated against the base's CHECK set, so rebasing them under
+          // a different set could land unvalidated rows — refuse the
+          // rebase (the caller drops the orphans and fails loudly; the
+          // retried write re-validates under the winner's constraints)
+          if (consAfter(w, op) != validatedCons) return None
           val (num, str, rc) = carryStats(w, w.segments, freshEnv)
           val snap = TxSnapshot(w.version + 1, op, w.segments ++ newSegments,
-            clock(), num, str, w.dvs, rc)
+            clock(), num, str, w.dvs, rc, consAfter(w, op))
           commitRebaseCount.incrementAndGet()
           if (tryClaim(table, snap)) return Some(Some(snap))
       }
@@ -1011,17 +1116,18 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       var forcedBase = false
       lazy val baseDf = read(spark, table, base.version)
       val (op, newData, keptSegments) = plan(base, () => { forcedBase = true; baseDf })
-      val newSegments = newData.map(writeSegment(table, _)).toSeq
+      val consNow = consAfter(base, op)
+      val newSegments = newData.map(d => writeSegment(table, enforced(d, consNow))).toSeq
       val freshEnv: FreshEnv = newSegments.map(s => s -> statsOfSegment(spark, table, s))
       val (num, str, rc) = carryStats(base, keptSegments, freshEnv)
       val snap = TxSnapshot(base.version + 1, op, keptSegments ++ newSegments,
-        clock(), num, str, carryDvs(base, keptSegments), rc)
+        clock(), num, str, carryDvs(base, keptSegments), rc, consNow)
       if (tryClaim(table, snap)) return snap
       // lost the race. Append-shaped: rebase without recompute.
       if (!forcedBase && newData.isDefined &&
           keptSegments.toSet == base.segments.toSet) {
         rebaseAppend(table, op, newSegments, freshEnv, maxRetries - attempt - 1,
-            nextBase = () => Some(latest(table))) match {
+            nextBase = () => Some(latest(table)), validatedCons = consNow) match {
           case Some(Some(committed)) => return committed
           case _ => // exhausted — fall through to the loud failure
             newSegments.foreach(dropSegment(table, _))
@@ -1228,11 +1334,11 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       var forcedBase = false
       lazy val baseDf = read(spark, table, base.version)
       val (newData, kept) = plan(base, () => { forcedBase = true; baseDf })
-      val newSegments = newData.map(writeSegment(table, _)).toSeq
+      val newSegments = newData.map(d => writeSegment(table, enforced(d, base.cons))).toSeq
       val freshEnv: FreshEnv = newSegments.map(s => s -> statsOfSegment(spark, table, s))
       val (num, str, rc) = carryStats(base, kept, freshEnv)
       if (tryClaim(table, TxSnapshot(base.version + 1, tag, kept ++ newSegments,
-          clock(), num, str, carryDvs(base, kept), rc)))
+          clock(), num, str, carryDvs(base, kept), rc, base.cons)))
         return true
       // append-shaped keyed commits (the stream-sink path) rebase like
       // appends, with the guard re-derived from each rebase listing: a
@@ -1240,7 +1346,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       // turns the rebase into a skip (exactly-once holds under rebase)
       if (!forcedBase && newData.nonEmpty && kept.toSet == base.segments.toSet) {
         rebaseAppend(table, tag, newSegments, freshEnv, maxRetries - attempt - 1,
-            nextBase = guardedBase _) match {
+            nextBase = guardedBase _, validatedCons = base.cons) match {
           case Some(Some(_)) => return true
           case Some(None) => // replayed mid-rebase: drop orphans, skip
             newSegments.foreach(dropSegment(table, _))
@@ -1480,17 +1586,17 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
       val base = latest(table)
       val fresh = positionsOf(base)
       val dvDir = s"data/dv-${java.util.UUID.randomUUID().toString.take(13)}"
-      fresh.write.parquet(s"$table/$dvDir")
+      fresh.write.parquet(s"${dataRoot(table)}/$dvDir")
       // per-segment dead-row counts ride the manifest (what lets
       // [[fastCount]] stay exact under merge-on-read deletes)
-      val perSeg = spark.read.parquet(s"$table/$dvDir")
+      val perSeg = spark.read.parquet(s"${dataRoot(table)}/$dvDir")
         .groupBy(regexp_extract(col("file"), "^(data/[^/]+)/", 1).as("s"))
         .agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       if (perSeg.isEmpty) { dropSegment(table, dvDir); return base }
       val snap = TxSnapshot(base.version + 1, s"delete_dv:segs=${perSeg.size}",
         base.segments, clock(), base.stats, base.strStats,
-        base.dvs + (dvDir -> perSeg), base.rowCounts)
+        base.dvs + (dvDir -> perSeg), base.rowCounts, base.cons)
       if (tryClaim(table, snap)) return snap
       dropSegment(table, dvDir)
       attempt += 1
@@ -1667,8 +1773,25 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
         s"cannot restore $table to vacuumed version $toVersion (floor $floor)")
       require(toVersion <= lv, s"no version $toVersion in $table (latest $lv)")
       val target = snapshotOf(table, toVersion)
+      // constraints are METADATA, not data: restore rewinds the rows but
+      // carries the CURRENT constraint set forward — and because the
+      // target version may PREDATE a constraint (its rows were never
+      // validated: violating rows deleted before the CHECK was added
+      // would silently resurface), a constrained restore validates the
+      // target content first (one distributed early-exit scan, paid only
+      // when constraints exist)
+      val liveCons = snapshotOf(table, lv).cons
+      if (liveCons.nonEmpty) {
+        val bad = liveCons.toSeq.sortBy(_._1).collectFirst { case (n, sql)
+            if !read(spark, table, toVersion)
+              .filter(expr(sql) <=> lit(false)).isEmpty => (n, sql) }
+        require(bad.isEmpty, s"cannot restore $table to version $toVersion: " +
+          s"its rows violate CHECK constraint '${bad.get._1}' (${bad.get._2}) " +
+          "— drop the constraint first or restore to a later version")
+      }
       val snap = TxSnapshot(lv + 1, s"restore:v=$toVersion", target.segments,
-        clock(), target.stats, target.strStats, target.dvs, target.rowCounts)
+        clock(), target.stats, target.strStats, target.dvs, target.rowCounts,
+        liveCons)
       if (tryClaim(table, snap)) return snap
       attempt += 1
     }
@@ -1700,7 +1823,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
         def walk(f: File): Long =
           if (f.isFile) f.length()
           else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
-        walk(new File(table, seg))
+        walk(new File(dataRoot(table), seg))
       }
       val (small, big) = base.segments.partition(bytesOf(_) < smallBytes)
       if (small.size < 2) ("compact_small:noop", None, base.segments)
@@ -1820,7 +1943,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val (f, r) = filePosCols
     val rows = readSegments(spark, table, affected, prev.dvs)
       .withColumn("__graft_dvf", f).withColumn("__graft_dvr", r)
-    val dv = spark.read.parquet(newDvs.map(d => s"$table/$d"): _*)
+    val dv = spark.read.parquet(newDvs.map(d => s"${dataRoot(table)}/$d"): _*)
       .select(col("file").as("__dv_f"), col("row").as("__dv_r"))
     Some(rows.join(dv,
         col("__graft_dvf") === col("__dv_f") && col("__graft_dvr") === col("__dv_r"),
@@ -1925,8 +2048,11 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val parts = (fromVersion + 1 to to).flatMap { v =>
       val op = snapshotOf(table, v).op
       val changes: Option[DataFrame] =
-        if (op == "append" || op.startsWith(StreamTag))
+        if (op == "append" || op.startsWith(StreamTag) ||
+            op.startsWith("publish_append:"))
           Some(appendedIn(spark, table, v).withColumn(ChangeType, lit("insert")))
+        else if (op.startsWith(ConsAddTag) || op.startsWith(ConsDropTag))
+          None // metadata-only: no logical row change
         else if (op.startsWith("delete_dv:"))
           dvDeletedRows(spark, table, v).map(_.withColumn(ChangeType, lit("delete")))
         else if (op == "compact" || op.startsWith("compact_small:") ||
@@ -2201,6 +2327,271 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     committed
   }
 
+  // ---- refs: branches, tags, CHECK constraints -----------------------------
+
+  private val RefNameRe = "[A-Za-z0-9][A-Za-z0-9._-]*"
+
+  /** The branch token every TxLog operation accepts wherever it accepts a
+    * table path: `"$table#$name"`. */
+  def branchTable(table: String, name: String): String = s"$table#$name"
+
+  /**
+   * Fork a zero-copy BRANCH of `table` at `fromVersion` (default: the
+   * latest version) — the Iceberg ref model's minimum viable core. The
+   * branch copies ONE manifest, never data: its log lives in a private
+   * namespace, its manifests reference the root's shared segment dirs,
+   * and EVERY TxLog operation (append/upsert/delete/merge/optimize/CDF/
+   * followers/replication/streaming) works on the returned token
+   * unchanged, each ref its own optimistic-concurrency domain. The root's
+   * [[vacuum]] protects every live branch's referenced artifacts, so
+   * branch data can never be reclaimed out from under it — one data dir,
+   * one GC domain. The WRITE-AUDIT-PUBLISH flow is
+   * createBranch → write to the branch → audit the branch's snapshot →
+   * [[publishBranch]] (one atomic manifest-only commit on the root).
+   *
+   * The ref claim is the creation's atomic point (vacuum protection is
+   * active the moment it lands — protection derives the fork's artifacts
+   * from the ROOT manifest, covering the instant before the fork manifest
+   * below exists). Branch names are SINGLE-USE: a deleted branch's name
+   * cannot be reclaimed (the tombstone is what an append-only store can
+   * express; see [[deleteBranch]]).
+   */
+  def createBranch(spark: SparkSession, table: String, name: String,
+      fromVersion: Long = -1L): Snapshot = {
+    require(splitRef(table)._2.isEmpty,
+      s"cannot branch a branch ($table) — fork from the root table")
+    require(name.matches(RefNameRe), s"bad branch name '$name' ($RefNameRe required)")
+    val (lv, floor, _) = logState(table)
+    require(lv >= 0, s"not a TxLog table: $table")
+    val from = if (fromVersion < 0) lv else fromVersion
+    require(from >= floor && from <= lv,
+      s"cannot branch $table at version $from (floor $floor, latest $lv)")
+    require(store.putIfAbsent(table, s"branch.$name", from.toString),
+      s"branch '$name' already exists on $table (branch names are single-use)")
+    val base = snapshotOf(table, from)
+    val bt = branchTable(table, name)
+    val fork = TxSnapshot(from, s"branch:$name:from=$from", base.segments,
+      clock(), base.stats, base.strStats, base.dvs, base.rowCounts, base.cons)
+    require(tryClaim(bt, fork), s"concurrent create of branch $bt")
+    fork
+  }
+
+  /** Live (non-deleted) branches of `table` as (name, fork version). */
+  def branches(table: String): Seq[(String, Long)] = {
+    val names = store.list(table)
+    names.filter(_.startsWith("branch.")).map(_.substring(7))
+      .filter(n => !names.contains(s"rmbranch.$n")).sorted
+      .map(n => n -> store.read(table, s"branch.$n").trim.toLong)
+  }
+
+  /** Delete a branch: a tombstone ref — the branch stops appearing in
+    * [[branches]], loses vacuum protection (its exclusive segments become
+    * reclaimable by the next `vacuum(fullSweep = true)`), and its name is
+    * permanently retired. Reads of a deleted branch are not blocked but
+    * may fail LOUDLY once its segments are reclaimed. Idempotent. */
+  def deleteBranch(table: String, name: String): Unit = {
+    require(store.list(table).contains(s"branch.$name"), s"no branch '$name' on $table")
+    store.putIfAbsent(table, s"rmbranch.$name", clock().toString)
+    ()
+  }
+
+  /**
+   * PUBLISH a branch back to the root — one atomic, manifest-only commit
+   * (segments are shared; publish moves zero data, whatever the branch
+   * wrote). Three shapes:
+   *
+   *   - APPEND-ONLY branch delta (every fork segment survives with
+   *     identical deletion vectors): publishes the branch's fresh
+   *     segments onto the CURRENT root head, even if the root moved past
+   *     the fork — the Delta disjoint-conflict rebase discipline.
+   *     Already-published segments never re-publish (re-publishing after
+   *     further branch appends adds only the missing ones), and a branch
+   *     with nothing new returns the root head WITHOUT committing.
+   *     The op is `publish_append:…`, classified by the change feed as
+   *     plain inserts.
+   *   - REWRITING branch delta, root unmoved since the fork: fast-forward
+   *     — the root's next version IS the branch head's content. Pass
+   *     `keyCols` to record the rewrite's key columns so the change feed
+   *     classifies it per key (otherwise downstream CDF consumers hit the
+   *     standard keyless-rewrite refusal).
+   *   - REWRITING delta, root MOVED: refused loudly — a true conflict
+   *     (re-create the branch from the current head and re-apply).
+   *
+   * Publishing requires the branch's CHECK-constraint set to match the
+   * root's (rows were validated under the branch's set; a root that
+   * gained constraints since the fork must refuse unvalidated rows).
+   * Stream high-water marks committed on the branch stay on the branch —
+   * marks are per-ref.
+   */
+  def publishBranch(spark: SparkSession, table: String, name: String,
+      keyCols: Seq[String] = Nil, maxRetries: Int = 20): Snapshot = {
+    require(splitRef(table)._2.isEmpty, s"publish targets the root table, got $table")
+    val names = store.list(table)
+    require(names.contains(s"branch.$name"), s"no branch '$name' on $table")
+    require(!names.contains(s"rmbranch.$name"), s"branch '$name' on $table was deleted")
+    val forkV = store.read(table, s"branch.$name").trim.toLong
+    val bt = branchTable(table, name)
+    val head = latest(bt)
+    val forkSnap = snapshotOf(bt, forkV)
+    val appendOnly = forkSnap.segments.forall(head.segments.contains) &&
+      head.dvs == forkSnap.dvs
+    val exclusive = head.segments.filterNot(forkSnap.segments.contains)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val main = latest(table)
+      require(main.cons == head.cons,
+        s"cannot publish branch '$name': its CHECK-constraint set " +
+          s"(${head.cons.keys.toSeq.sorted.mkString(",")}) differs from the " +
+          s"root's (${main.cons.keys.toSeq.sorted.mkString(",")}) — branch rows " +
+          "were not validated under the root's constraints")
+      if (appendOnly) {
+        val missing = exclusive.filterNot(main.segments.contains)
+        if (missing.isEmpty) return main // nothing new: no commit
+        val snap = TxSnapshot(main.version + 1,
+          s"publish_append:$name:$forkV..${head.version}",
+          main.segments ++ missing, clock(),
+          main.stats ++ missing.flatMap(s => head.stats.get(s).map(s -> _)).toMap,
+          main.strStats ++ missing.flatMap(s => head.strStats.get(s).map(s -> _)).toMap,
+          main.dvs,
+          main.rowCounts ++ missing.flatMap(s => head.rowCounts.get(s).map(s -> _)).toMap,
+          main.cons)
+        if (tryClaim(table, snap)) return snap
+      } else {
+        require(main.version == forkV,
+          s"cannot publish branch '$name' of $table: the branch REWROTE rows " +
+            s"(not append-only) and the root moved from the fork version $forkV " +
+            s"to ${main.version} — a true conflict; re-create the branch from " +
+            "the current head and re-apply its changes")
+        val op =
+          if (keyCols.nonEmpty) keyedOp(s"publish:$name", keyCols)
+          else s"publish:$name:$forkV..${head.version}"
+        val snap = TxSnapshot(main.version + 1, op, head.segments, clock(),
+          head.stats, head.strStats, head.dvs, head.rowCounts, main.cons)
+        if (tryClaim(table, snap)) return snap
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"publish of branch '$name' onto $table lost $maxRetries consecutive races")
+  }
+
+  /**
+   * TAG a version with an immutable name (default: the latest version).
+   * A live tag PROTECTS its version's segments and deletion vectors from
+   * [[vacuum]] forever — [[readTagged]] works even after the version
+   * falls below the retention floor (the Iceberg tag retention model).
+   * Tag names are single-use like branch names. Returns the tagged
+   * version.
+   */
+  def tagVersion(table: String, name: String, version: Long = -1L): Long = {
+    require(splitRef(table)._2.isEmpty, s"tags live on the root table, got $table")
+    require(name.matches(RefNameRe), s"bad tag name '$name' ($RefNameRe required)")
+    val (lv, floor, _) = logState(table)
+    require(lv >= 0, s"not a TxLog table: $table")
+    val v = if (version < 0) lv else version
+    require(v >= floor && v <= lv,
+      s"cannot tag version $v of $table (floor $floor, latest $lv)")
+    require(store.putIfAbsent(table, s"tag.$name", v.toString),
+      s"tag '$name' already exists on $table (tag names are single-use)")
+    v
+  }
+
+  /** Live (non-deleted) tags of `table` as (name, version). */
+  def tags(table: String): Seq[(String, Long)] = {
+    val names = store.list(table)
+    names.filter(_.startsWith("tag.")).map(_.substring(4))
+      .filter(n => !names.contains(s"rmtag.$n")).sorted
+      .map(n => n -> store.read(table, s"tag.$n").trim.toLong)
+  }
+
+  /** The version a live tag names; loud if absent or deleted. */
+  def tagVersionOf(table: String, name: String): Long = {
+    val names = store.list(table)
+    require(names.contains(s"tag.$name"), s"no tag '$name' on $table")
+    require(!names.contains(s"rmtag.$name"), s"tag '$name' on $table was deleted")
+    store.read(table, s"tag.$name").trim.toLong
+  }
+
+  /** Read a tagged snapshot — floor-exempt (see [[tagVersion]]). */
+  def readTagged(spark: SparkSession, table: String, name: String): DataFrame = {
+    val snap = snapshotOf(table, tagVersionOf(table, name))
+    if (snap.segments.nonEmpty) readSegments(spark, table, snap.segments, snap.dvs)
+    else {
+      // empty tagged snapshot: schema from the newest non-empty ancestor
+      val donor = listVersions(table).filter(_ < snap.version).sorted.reverse
+        .iterator.map(snapshotOf(table, _)).find(_.segments.nonEmpty)
+        .getOrElse(sys.error(s"$table has no non-empty version <= ${snap.version}"))
+      readSegments(spark, table, donor.segments).limit(0)
+    }
+  }
+
+  /** Delete a tag: tombstone; the version's exclusive artifacts become
+    * reclaimable by the next `vacuum(fullSweep = true)`. Idempotent. */
+  def deleteTag(table: String, name: String): Unit = {
+    require(store.list(table).contains(s"tag.$name"), s"no tag '$name' on $table")
+    store.putIfAbsent(table, s"rmtag.$name", clock().toString)
+    ()
+  }
+
+  /**
+   * Add a CHECK constraint (SQL boolean expression over the table's
+   * columns; standard semantics — a row violates only when it evaluates
+   * FALSE, NULL passes). The addition is a normal versioned commit:
+   * existing rows are validated ONCE (distributed, early-exit scan) and
+   * from then on every write path enforces the constraint INSIDE its own
+   * write scan (a raise_error filter on the fresh rows — zero extra
+   * passes; a violating write fails loudly and commits nothing). The
+   * active set rides every manifest, so enforcement needs no extra log
+   * reads, time travel sees the constraints of its era, and branches
+   * inherit the fork's set ([[publishBranch]] refuses on drift). */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      checkSql: String): Snapshot = {
+    require(name.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
+      s"bad constraint name '$name'")
+    commitTransform(spark, table) { (base, baseDf) =>
+      require(!base.cons.contains(name),
+        s"constraint '$name' already exists on $table: ${base.cons(name)}")
+      require(baseDf().filter(expr(checkSql) <=> lit(false)).isEmpty,
+        s"cannot add CHECK '$name' ($checkSql): existing rows of $table violate it")
+      (s"$ConsAddTag$name:${b64e(checkSql)}", None, base.segments)
+    }
+  }
+
+  /** Drop a CHECK constraint (a normal versioned commit). */
+  def dropConstraint(spark: SparkSession, table: String, name: String): Snapshot =
+    commitTransform(spark, table) { (base, _) =>
+      require(base.cons.contains(name), s"no constraint '$name' on $table")
+      (s"$ConsDropTag$name", None, base.segments)
+    }
+
+  /** The active CHECK constraints (name -> SQL) at the latest version. */
+  def constraintsOf(table: String): Map[String, String] = latest(table).cons
+
+  /** Artifacts vacuum must NEVER reclaim regardless of the floor: every
+    * live tag's referenced segments/dvs, and every live branch's — the
+    * fork version's (read from the ROOT manifest, covering the window
+    * between the ref claim and the branch's fork manifest) plus
+    * everything any branch commit references. O(tags + branch versions)
+    * manifest parses, paid only when refs exist. */
+  private def protectedArtifacts(table: String): Set[String] = {
+    val names = store.list(table)
+    def live(kind: String) = names.filter(_.startsWith(s"$kind."))
+      .map(_.substring(kind.length + 1))
+      .filter(n => !names.contains(s"rm$kind.$n"))
+    val tagArts = live("tag").flatMap { n =>
+      val sn = snapshotOf(table, store.read(table, s"tag.$n").trim.toLong)
+      sn.segments ++ sn.dvs.keys
+    }
+    val brArts = live("branch").flatMap { n =>
+      val forkSn = snapshotOf(table, store.read(table, s"branch.$n").trim.toLong)
+      val bt = branchTable(table, n)
+      (forkSn.segments ++ forkSn.dvs.keys) ++ listVersions(bt).flatMap { v =>
+        val sn = snapshotOf(bt, v); sn.segments ++ sn.dvs.keys
+      }
+    }
+    (tagArts ++ brArts).toSet
+  }
+
   /**
    * Reclaim the storage rewrite commits strand: keep the newest
    * `retainVersions` versions readable (time travel within retention is
@@ -2229,8 +2620,11 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
    * segment claimed mid-sweep is never swept.
    */
   def vacuum(spark: SparkSession, table: String, retainVersions: Int,
-      orphanAgeMs: Long = -1L): Snapshot = {
+      orphanAgeMs: Long = -1L, fullSweep: Boolean = false): Snapshot = {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    require(splitRef(table)._2.isEmpty,
+      s"vacuum runs on the root table, not a branch ($table) — branches " +
+        "share the root's data dir (one GC domain)")
     var prevFloor = 0L
     val snap = commitTransform(spark, table) { (base, _) =>
       prevFloor = logState(table, upTo = base.version)._2
@@ -2247,8 +2641,14 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val kept = (floor to snap.version).flatMap(artifacts).toSet
     // delta-bounded: only [prevFloor, floor) can reference segments that
     // are still on disk but now sub-floor-only (earlier vacuums already
-    // reclaimed everything exclusive to versions below prevFloor)
-    val dropped = (prevFloor until floor).flatMap(artifacts).toSet -- kept
+    // reclaimed everything exclusive to versions below prevFloor).
+    // `fullSweep` re-examines the WHOLE sub-floor history instead — the
+    // O(all versions) pass that reclaims artifacts a since-deleted tag or
+    // branch was protecting when earlier delta-bounded vacuums skipped
+    // them (run it after deleteTag/deleteBranch).
+    val sweepFrom = if (fullSweep) 0L else prevFloor
+    val dropped = (sweepFrom until floor).flatMap(artifacts).toSet -- kept --
+      protectedArtifacts(table)
     dropped.foreach(dropSegment(table, _))
     if (orphanAgeMs >= 0L) sweepOrphans(table, orphanAgeMs)
     snap
@@ -2260,7 +2660,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     * segment. Newest-mtime-in-tree is the age, so a dir still being
     * written always reads young. */
   private def sweepOrphans(table: String, orphanAgeMs: Long): Unit = {
-    val dataDir = new File(table, "data")
+    val dataDir = new File(dataRoot(table), "data")
     val dirs = Option(dataDir.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory)
     if (dirs.isEmpty) return
@@ -2273,12 +2673,14 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val oldEnough = dirs.filter(d => now - newestMtime(d) >= orphanAgeMs)
     if (oldEnough.isEmpty) return
     // referenced-ness AFTER the age check: any manifest present NOW (even
-    // one claimed mid-sweep) protects its segments and deletion vectors
+    // one claimed mid-sweep) protects its segments and deletion vectors —
+    // including every live BRANCH's manifests (branch-exclusive segments
+    // live in the shared data dir but only branch manifests name them)
     val referenced = listVersions(table)
       .flatMap { v =>
         val sn = snapshotOf(table, v)
         sn.segments ++ sn.dvs.keys
-      }.toSet
+      }.toSet ++ protectedArtifacts(table)
     oldEnough.foreach { d =>
       val rel = s"data/${d.getName}"
       if (!referenced.contains(rel)) dropSegment(table, rel)
@@ -2322,7 +2724,7 @@ class TxLogOps(val store: LogStore, val checkpointInterval: Int = 10,
     val added = cur.segments.filterNot(prev.segments.contains)
     if (added.isEmpty) read(spark, table, version).limit(0)
     else spark.read.option("mergeSchema", "true")
-      .parquet(added.map(s => s"$table/$s"): _*)
+      .parquet(added.map(s => s"${dataRoot(table)}/$s"): _*)
   }
 }
 

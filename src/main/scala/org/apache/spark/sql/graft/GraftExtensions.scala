@@ -276,6 +276,75 @@ object GraftExtensions {
           TxLogProcedures.node("compact_small")(sp =>
             graft.io.TxLog.compactSmall(sp, path, small, parts))
         }),
+      // ---- ref procedures: branches / write-audit-publish / tags /
+      // CHECK constraints — the pure-SQL story for the ref tier
+      (FunctionIdentifier("graft_txlog_branch"),
+        info("graft_txlog_branch",
+          "graft_txlog_branch(path, name[, fromVersion]) — fork a zero-copy branch " +
+            "(write to it as '<path>#<name>'); returns (version, op, n_segments)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2 || exprs.length == 3,
+            s"graft_txlog_branch expects (path, name[, fromVersion]), got ${exprs.length} args")
+          val path = litStr(exprs(0), "path")
+          val name = litStr(exprs(1), "name")
+          val from = if (exprs.length == 3) litLong(exprs(2), "fromVersion") else -1L
+          TxLogProcedures.node("branch")(sp =>
+            graft.io.TxLog.createBranch(sp, path, name, from))
+        }),
+      (FunctionIdentifier("graft_txlog_publish"),
+        info("graft_txlog_publish",
+          "graft_txlog_publish(path, name[, keyCsv]) — publish a branch back to the " +
+            "root in one atomic manifest-only commit; returns (version, op, n_segments)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2 || exprs.length == 3,
+            s"graft_txlog_publish expects (path, name[, keyCsv]), got ${exprs.length} args")
+          val path = litStr(exprs(0), "path")
+          val name = litStr(exprs(1), "name")
+          val keys = if (exprs.length == 3) csv(litStr(exprs(2), "keyCsv")) else Nil
+          TxLogProcedures.node("publish")(sp =>
+            graft.io.TxLog.publishBranch(sp, path, name, keys))
+        }),
+      (FunctionIdentifier("graft_txlog_tag"),
+        info("graft_txlog_tag",
+          "graft_txlog_tag(path, name[, version]) — tag a version immutably (vacuum " +
+            "protects it forever); returns (tag, version)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2 || exprs.length == 3,
+            s"graft_txlog_tag expects (path, name[, version]), got ${exprs.length} args")
+          val path = litStr(exprs(0), "path")
+          val name = litStr(exprs(1), "name")
+          val v = if (exprs.length == 3) litLong(exprs(2), "version") else -1L
+          TxLogProcedures.rowsNode("tag", TxLogProcedures.tagSchema) { sp =>
+            val tagged = graft.io.TxLog.tagVersion(path, name, v)
+            Seq(org.apache.spark.sql.Row(name, tagged))
+          }
+        }),
+      (FunctionIdentifier("graft_txlog_constraint_add"),
+        info("graft_txlog_constraint_add",
+          "graft_txlog_constraint_add(path, name, checkSql) — add a CHECK constraint " +
+            "(validates existing rows; every later write enforces in-scan); returns " +
+            "(version, op, n_segments)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 3,
+            s"graft_txlog_constraint_add expects (path, name, checkSql), got ${exprs.length} args")
+          val path = litStr(exprs(0), "path")
+          val name = litStr(exprs(1), "name")
+          val check = litStr(exprs(2), "checkSql")
+          TxLogProcedures.node("constraint_add")(sp =>
+            graft.io.TxLog.addConstraint(sp, path, name, check))
+        }),
+      (FunctionIdentifier("graft_txlog_constraint_drop"),
+        info("graft_txlog_constraint_drop",
+          "graft_txlog_constraint_drop(path, name) — drop a CHECK constraint; " +
+            "returns (version, op, n_segments)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2,
+            s"graft_txlog_constraint_drop expects (path, name), got ${exprs.length} args")
+          val path = litStr(exprs(0), "path")
+          val name = litStr(exprs(1), "name")
+          TxLogProcedures.node("constraint_drop")(sp =>
+            graft.io.TxLog.dropConstraint(sp, path, name))
+        }),
       // ---- follower procedures (verdict r10 #6): the pure-SQL story for
       // index-follows-table — each advances the followed state one atomic
       // keyed commit and returns (advanced, consumed_version, action)

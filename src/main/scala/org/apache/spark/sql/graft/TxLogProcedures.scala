@@ -111,6 +111,11 @@ object TxLogProcedures {
     AttributeReference("batches_committed", LongType, nullable = false)(),
     AttributeReference("replica_version", LongType, nullable = false)())
 
+  /** The (tag, version) schema of `graft_txlog_tag`. */
+  val tagSchema = Seq(
+    AttributeReference("tag", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
   /** Build a procedure node that runs `op` at execution time and returns
     * its snapshot summary row. */
   def node(procName: String)(op: SparkSession => graft.io.TxSnapshot): LogicalPlan =

@@ -1,0 +1,295 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Branches, tags, and CHECK constraints — the TxLog ref tier.
+  *
+  * A branch ("table#name") is ZERO-COPY: its log lives in a private
+  * namespace, its manifests reference the root's shared segment dirs, and
+  * every TxLog operation works on the token unchanged. Tags are immutable
+  * version names that protect their artifacts from vacuum forever.
+  * CHECK constraints ride every manifest and are enforced INSIDE each
+  * write's own scan. */
+class TxLogRefsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    TempDirs.create("txrefs_spec_").resolve("t").toString
+
+  private def rows(tbl: String): Set[(Long, String, Long)] =
+    TxLog.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  /** All messages down the cause chain (Spark wraps task failures). */
+  private def msgChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
+  test("branch: zero-copy fork, write isolation, full op surface on the token") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "v"))
+    val fork = TxLog.createBranch(spark, tbl, "dev")
+    // zero copy: the fork manifest references EXACTLY the root's segments
+    assert(fork.segments === TxLog.latest(tbl).segments)
+    val br = TxLog.branchTable(tbl, "dev")
+    TxLog.append(spark, br, Seq((3L, "c", 30L)).toDF("k", "name", "v"))
+    TxLog.upsert(spark, br, Seq((1L, "a2", 11L)).toDF("k", "name", "v"), Seq("k"))
+    // root completely unmoved — the branch writes are invisible to it
+    assert(TxLog.latest(tbl).version === 0L)
+    assert(rows(tbl) === Set((1L, "a", 10L), (2L, "b", 20L)))
+    assert(rows(br) === Set((1L, "a2", 11L), (2L, "b", 20L), (3L, "c", 30L)))
+    // time travel and CDF work within the branch namespace
+    assert(TxLog.read(spark, br, fork.version).count() === 2)
+    val feed = TxLog.changeFeed(spark, br, fork.version)
+      .select(col("_change_type")).collect().map(_.getString(0)).sorted.toSeq
+    assert(feed === Seq("insert", "update_postimage", "update_preimage"))
+    assert(TxLog.branches(tbl) === Seq("dev" -> 0L))
+  }
+
+  test("branch: bad names, nested forks, duplicate creates all refuse loudly") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a", 1L)).toDF("k", "name", "v"))
+    intercept[IllegalArgumentException] {
+      TxLog.createBranch(spark, tbl, "no/slash")
+    }
+    TxLog.createBranch(spark, tbl, "dev")
+    intercept[IllegalArgumentException] {
+      TxLog.createBranch(spark, tbl, "dev") // duplicate
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.createBranch(spark, TxLog.branchTable(tbl, "dev"), "nested")
+    }
+    TxLog.deleteBranch(tbl, "dev")
+    assert(TxLog.branches(tbl).isEmpty)
+    intercept[IllegalArgumentException] {
+      TxLog.createBranch(spark, tbl, "dev") // names are single-use
+    }
+  }
+
+  test("publish: fast-forward of an append-only branch; noop re-publish") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a", 10L)).toDF("k", "name", "v"))
+    TxLog.createBranch(spark, tbl, "stage")
+    val br = TxLog.branchTable(tbl, "stage")
+    TxLog.append(spark, br, Seq((2L, "b", 20L)).toDF("k", "name", "v"))
+    val pub = TxLog.publishBranch(spark, tbl, "stage")
+    assert(pub.version === 1L && pub.op.startsWith("publish_append:stage:"))
+    assert(rows(tbl) === Set((1L, "a", 10L), (2L, "b", 20L)))
+    // the publish moved ZERO data: the root's new manifest references the
+    // branch's segment verbatim
+    assert(TxLog.latest(br).segments.toSet === TxLog.latest(tbl).segments.toSet)
+    // nothing new on the branch -> publish commits NOTHING
+    assert(TxLog.publishBranch(spark, tbl, "stage").version === 1L)
+    assert(TxLog.latest(tbl).version === 1L)
+    // CDF classifies the publish as plain inserts of the staged rows
+    val feed = TxLog.changeFeed(spark, tbl, 0L)
+      .select(col("k"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set((2L, "insert")))
+  }
+
+  test("publish: append-only branch REBASES onto a root that moved past the fork") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a", 10L)).toDF("k", "name", "v"))
+    TxLog.createBranch(spark, tbl, "stage")
+    val br = TxLog.branchTable(tbl, "stage")
+    TxLog.append(spark, br, Seq((2L, "b", 20L)).toDF("k", "name", "v"))
+    // the root moves concurrently — an append AND a rewrite
+    TxLog.append(spark, tbl, Seq((3L, "c", 30L)).toDF("k", "name", "v"))
+    TxLog.upsert(spark, tbl, Seq((1L, "a9", 19L)).toDF("k", "name", "v"), Seq("k"))
+    val pub = TxLog.publishBranch(spark, tbl, "stage")
+    assert(pub.op.startsWith("publish_append:"))
+    // both lines of history survive: the root's moves and the staged batch
+    assert(rows(tbl) === Set((1L, "a9", 19L), (2L, "b", 20L), (3L, "c", 30L)))
+    // further branch appends publish ONLY the missing segments
+    TxLog.append(spark, br, Seq((4L, "d", 40L)).toDF("k", "name", "v"))
+    val before = TxLog.latest(tbl).segments.toSet
+    val pub2 = TxLog.publishBranch(spark, tbl, "stage")
+    assert((pub2.segments.toSet -- before).size === 1)
+    assert(rows(tbl).map(_._1) === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("publish: a REWRITING branch fast-forwards an unmoved root, with keyed CDF") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "v"))
+    TxLog.createBranch(spark, tbl, "fix")
+    val br = TxLog.branchTable(tbl, "fix")
+    TxLog.upsert(spark, br, Seq((2L, "b2", 21L)).toDF("k", "name", "v"), Seq("k"))
+    val pub = TxLog.publishBranch(spark, tbl, "fix", keyCols = Seq("k"))
+    assert(pub.op.startsWith("publish:fix") && pub.op.contains(":keys=k"))
+    assert(rows(tbl) === Set((1L, "a", 10L), (2L, "b2", 21L)))
+    val feed = TxLog.changeFeed(spark, tbl, 0L)
+      .select(col("k"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set((2L, "update_preimage"), (2L, "update_postimage")))
+  }
+
+  test("publish: a rewriting branch against a MOVED root is a loud conflict") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a", 10L)).toDF("k", "name", "v"))
+    TxLog.createBranch(spark, tbl, "fix")
+    val br = TxLog.branchTable(tbl, "fix")
+    TxLog.upsert(spark, br, Seq((1L, "a2", 11L)).toDF("k", "name", "v"), Seq("k"))
+    TxLog.append(spark, tbl, Seq((2L, "b", 20L)).toDF("k", "name", "v"))
+    val e = intercept[IllegalArgumentException] {
+      TxLog.publishBranch(spark, tbl, "fix")
+    }
+    assert(e.getMessage.contains("true conflict"))
+    assert(rows(tbl) === Set((1L, "a", 10L), (2L, "b", 20L))) // root untouched
+  }
+
+  test("vacuum: protects every live branch's artifacts; fullSweep reclaims after delete") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "v"))
+    TxLog.createBranch(spark, tbl, "keepme")
+    val br = TxLog.branchTable(tbl, "keepme")
+    TxLog.append(spark, br, Seq((3L, "c", 30L)).toDF("k", "name", "v"))
+    // the root rewrites EVERYTHING the fork referenced, then vacuums hard
+    TxLog.upsert(spark, tbl, Seq((1L, "a2", 11L), (2L, "b2", 21L))
+      .toDF("k", "name", "v"), Seq("k"))
+    TxLog.vacuum(spark, tbl, retainVersions = 1, orphanAgeMs = 0L)
+    // the fork's segments are sub-floor on the root, but the live branch
+    // protects them: its reads are fully intact
+    assert(rows(br) === Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    // vacuum refuses to run ON a branch (one GC domain, rooted)
+    intercept[IllegalArgumentException] { TxLog.vacuum(spark, br, 1) }
+    // delete the branch: a fullSweep vacuum then reclaims what only the
+    // branch referenced, and the branch read breaks LOUDLY (never silently)
+    val exclusive = TxLog.latest(br).segments
+      .filterNot(TxLog.latest(tbl).segments.contains)
+    TxLog.deleteBranch(tbl, "keepme")
+    // fullSweep re-examines the whole sub-floor history (reclaims what the
+    // ref was protecting); the orphan sweep reclaims the branch-EXCLUSIVE
+    // segments no root manifest ever referenced
+    TxLog.vacuum(spark, tbl, retainVersions = 1, orphanAgeMs = 0L, fullSweep = true)
+    assert(exclusive.nonEmpty && exclusive.forall(s =>
+      !new java.io.File(tbl, s).exists()))
+  }
+
+  test("tags: floor-exempt reads, vacuum protection, single-use names") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "v"))
+    assert(TxLog.tagVersion(tbl, "v0") === 0L)
+    intercept[IllegalArgumentException] { TxLog.tagVersion(tbl, "v0") } // duplicate
+    TxLog.upsert(spark, tbl, Seq((1L, "a2", 11L)).toDF("k", "name", "v"), Seq("k"))
+    TxLog.delete(spark, tbl, col("k") === 2L)
+    TxLog.vacuum(spark, tbl, retainVersions = 1)
+    // the tagged version fell below the floor: plain read refuses...
+    intercept[IllegalArgumentException] { TxLog.read(spark, tbl, 0L) }
+    // ...but the tag still serves it bit-for-bit
+    assert(TxLog.readTagged(spark, tbl, "v0").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      === Set((1L, "a", 10L), (2L, "b", 20L)))
+    assert(TxLog.tags(tbl) === Seq("v0" -> 0L))
+    // delete + fullSweep reclaims; the tag name is retired
+    TxLog.deleteTag(tbl, "v0")
+    intercept[IllegalArgumentException] { TxLog.tagVersionOf(tbl, "v0") }
+    intercept[IllegalArgumentException] { TxLog.tagVersion(tbl, "v0") }
+    TxLog.vacuum(spark, tbl, retainVersions = 1, fullSweep = true)
+    assert(TxLog.tags(tbl).isEmpty)
+  }
+
+  test("CHECK constraints: write-scan enforcement, NULL passes, drop re-admits") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a", 10L)).toDF("k", "name", "v"))
+    TxLog.addConstraint(spark, tbl, "v_pos", "v > 0")
+    assert(TxLog.constraintsOf(tbl) === Map("v_pos" -> "v > 0"))
+    // a clean append passes; a violating one fails LOUDLY with the
+    // constraint name and commits NOTHING
+    TxLog.append(spark, tbl, Seq((2L, "b", 20L)).toDF("k", "name", "v"))
+    val before = TxLog.latest(tbl).version
+    val e = intercept[Exception] {
+      TxLog.append(spark, tbl, Seq((3L, "bad", -5L)).toDF("k", "name", "v"))
+    }
+    assert(msgChain(e).contains("v_pos"))
+    assert(TxLog.latest(tbl).version === before)
+    // SQL CHECK semantics: NULL passes
+    TxLog.append(spark, tbl,
+      Seq((4L, "n", Option.empty[Long])).toDF("k", "name", "v"))
+    // a violating UPSERT postimage fails too (every write path enforces)
+    intercept[Exception] {
+      TxLog.upsert(spark, tbl, Seq((1L, "a", -1L)).toDF("k", "name", "v"), Seq("k"))
+    }
+    // time travel sees the constraints of its era
+    assert(TxLog.history(tbl).head.cons.isEmpty)
+    assert(TxLog.latest(tbl).cons.nonEmpty)
+    // drop re-admits
+    TxLog.dropConstraint(spark, tbl, "v_pos")
+    TxLog.append(spark, tbl, Seq((5L, "neg", -9L)).toDF("k", "name", "v"))
+    assert(TxLog.read(spark, tbl).count() === 4)
+  }
+
+  test("addConstraint validates EXISTING rows; restore re-validates resurfaced rows") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a", 10L), (2L, "bad", -5L)).toDF("k", "name", "v"))
+    // existing violation -> the add refuses and commits nothing
+    intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, tbl, "v_pos", "v > 0")
+    }
+    assert(TxLog.latest(tbl).version === 0L)
+    // purge the violator, add the constraint, then try to RESTORE the
+    // violating era back: refused (violating rows must not resurface)
+    TxLog.delete(spark, tbl, col("v") < 0L)                    // v1
+    TxLog.addConstraint(spark, tbl, "v_pos", "v > 0")          // v2
+    val e = intercept[IllegalArgumentException] {
+      TxLog.restore(spark, tbl, 0L)
+    }
+    assert(e.getMessage.contains("v_pos"))
+    // restoring a clean era is fine, and carries the constraint forward
+    val r = TxLog.restore(spark, tbl, 1L)
+    assert(r.cons === Map("v_pos" -> "v > 0"))
+  }
+
+  test("constraints and branches: inherited at fork; publish refuses on drift") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a", 10L)).toDF("k", "name", "v"))
+    TxLog.addConstraint(spark, tbl, "v_pos", "v > 0")
+    TxLog.createBranch(spark, tbl, "stage")
+    val br = TxLog.branchTable(tbl, "stage")
+    // the branch INHERITED the CHECK: violating branch writes refuse
+    intercept[Exception] {
+      TxLog.append(spark, br, Seq((2L, "bad", -1L)).toDF("k", "name", "v"))
+    }
+    TxLog.append(spark, br, Seq((2L, "b", 20L)).toDF("k", "name", "v"))
+    // the root gains ANOTHER constraint after the fork: publish refuses —
+    // the staged rows were never validated under it
+    TxLog.addConstraint(spark, tbl, "name_short", "length(name) < 100")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.publishBranch(spark, tbl, "stage")
+    }
+    assert(e.getMessage.contains("constraint"))
+    // aligning the branch (same add) heals the publish
+    TxLog.addConstraint(spark, br, "name_short", "length(name) < 100")
+    TxLog.publishBranch(spark, tbl, "stage")
+    assert(rows(tbl).map(_._1) === Set(1L, 2L))
+  }
+
+  test("concurrent same-name branch creation: exactly one wins") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a", 1L)).toDF("k", "name", "v"))
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results = try {
+      Await.result(Future.sequence(Seq.fill(2)(Future(
+        scala.util.Try(TxLog.createBranch(spark, tbl, "racy"))))), 60.seconds)
+    } finally pool.shutdown()
+    assert(results.count(_.isSuccess) === 1)
+    assert(TxLog.branches(tbl) === Seq("racy" -> 0L))
+  }
+
+  test("orphan sweep never reclaims a live branch's exclusive segments") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a", 1L)).toDF("k", "name", "v"))
+    TxLog.createBranch(spark, tbl, "dev")
+    val br = TxLog.branchTable(tbl, "dev")
+    TxLog.append(spark, br, Seq((2L, "b", 2L)).toDF("k", "name", "v"))
+    // age 0 would sweep anything unreferenced immediately — the branch's
+    // segment is referenced only by the BRANCH manifest and must survive
+    TxLog.vacuum(spark, tbl, retainVersions = 10, orphanAgeMs = 0L)
+    assert(rows(br) === Set((1L, "a", 1L), (2L, "b", 2L)))
+  }
+}
