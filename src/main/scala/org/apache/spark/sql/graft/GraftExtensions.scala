@@ -126,6 +126,18 @@ object GraftExtensions {
           }
         df.queryExecution.logical
       }),
+    (FunctionIdentifier("graft_txlog_tagged"),
+      info("graft_txlog_tagged",
+        "graft_txlog_tagged(path, tag) — read a tagged snapshot (floor-exempt: " +
+          "a live tag's artifacts are vacuum-protected forever)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_txlog_tagged expects (path, tag), got ${exprs.length} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = litStr(exprs.head, "graft_txlog_tagged path")
+        val tag = litStr(exprs(1), "tag")
+        graft.io.TxLog.readTagged(spark, path, tag).queryExecution.logical
+      }),
     (FunctionIdentifier("graft_txlog_changes"),
       info("graft_txlog_changes",
         "graft_txlog_changes(path, fromVersion[, toVersion]) — the classified CDF"),

@@ -281,6 +281,67 @@ class TxLogRefsSpec extends SparkSpec {
     assert(TxLog.branches(tbl) === Seq("racy" -> 0L))
   }
 
+  test("SQL surface composition: the read TVFs take branch tokens and tag names") {
+    org.apache.spark.sql.graft.GraftExtensions.registerTableFunctions(spark)
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "v"))
+    TxLog.tagVersion(tbl, "v0")
+    TxLog.createBranch(spark, tbl, "dev")
+    val br = TxLog.branchTable(tbl, "dev")
+    TxLog.append(spark, br, Seq((3L, "c", 30L)).toDF("k", "name", "v"))
+    TxLog.delete(spark, tbl, col("k") === 2L)
+    // branch token through the snapshot TVF — the branch's 3 rows, while
+    // the root reads its own 1
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_txlog('$br')")
+      .head().getLong(0) === 3L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_txlog('$tbl')")
+      .head().getLong(0) === 1L)
+    // branch token through the CDF TVF
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_txlog_changes('$br', 0)")
+      .head().getLong(0) === 1L)
+    // tagged read through its own TVF
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_txlog_tagged('$tbl', 'v0')")
+      .head().getLong(0) === 2L)
+  }
+
+  test("streaming composition: the native source and sink take branch tokens") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = TempDirs.create("txrefs_stream_")
+    val tbl = root.resolve("t").toString
+    val out = root.resolve("out").toString
+    val ckp = root.resolve("ckp").toString
+    val ckp2 = root.resolve("ckp2").toString
+    TxLog.create(spark, tbl, Seq((1L, 10L)).toDF("k", "v"))
+    TxLog.createBranch(spark, tbl, "feed")
+    val br = TxLog.branchTable(tbl, "feed")
+    TxLog.append(spark, br, Seq((2L, 20L)).toDF("k", "v"))
+    // SOURCE on the branch token: drains the BRANCH's history
+    val q = spark.readStream.format("graft_txlog").load(br)
+      .filter(col("_change_type") === "insert").select(col("k"), col("v"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckp)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    assert(spark.read.parquet(out).as[(Long, Long)].collect().toSet
+      === Set((1L, 10L), (2L, 20L)))
+    // SINK on a branch token: micro-batches land as branch commits; the
+    // root never moves
+    TxLog.createBranch(spark, tbl, "landing")
+    val lb = TxLog.branchTable(tbl, "landing")
+    val rootV = TxLog.latest(tbl).version
+    val q2 = spark.readStream.format("graft_txlog").load(br)
+      .filter(col("_change_type") === "insert").select(col("k"), col("v"))
+      .writeStream.format("graft_txlog")
+      .option("checkpointLocation", ckp2).option("streamId", "refspipe")
+      .trigger(Trigger.AvailableNow()).start(lb)
+    assert(q2.awaitTermination(120000))
+    // the landing branch carried (1,10) from its fork, and the pipe
+    // appended the drained inserts — multiset-exact
+    assert(TxLog.read(spark, lb).as[(Long, Long)].collect().sorted.toSeq
+      === Seq((1L, 10L), (1L, 10L), (2L, 20L)))
+    assert(TxLog.latest(tbl).version === rootV)
+  }
+
   test("orphan sweep never reclaims a live branch's exclusive segments") {
     val tbl = freshTable()
     TxLog.create(spark, tbl, Seq((1L, "a", 1L)).toDF("k", "name", "v"))
