@@ -4046,6 +4046,44 @@ object SparkEntry {
         .withColumn("check_ok", lit(refused && nothingCommitted && visible))
     }),
 
+    // ATOMIC MULTI-TABLE PUBLISH: two tables stage their complements on
+    // branches; ONE coordinator claim is the commit point, and the
+    // roll-forward barrier (recoverAtomic) makes BOTH visible exactly
+    // once — exercised here in its crash shape (intent recorded, nothing
+    // applied, then recovered), the path that makes the atomicity claim
+    // real. Pins: not-visible-before, both-at-v1-after, barrier idempotent
+    "q348_txlog_atomic_publish" -> ((s, dir) => {
+      import graft.io.TxLog
+      val src0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val root = graft.io.TempDirs.create("graft_q348_")
+      val ta = root.resolve("a").toString
+      val tb = root.resolve("b").toString
+      val coord = root.resolve("coord").toString
+      TxLog.create(s, ta, src0.filter(col("o_orderkey") % 2 === 0))
+      TxLog.create(s, tb, src0.filter(col("o_orderkey") % 3 === 0))
+      TxLog.createBranch(s, ta, "stage")
+      TxLog.createBranch(s, tb, "stage")
+      TxLog.append(s, TxLog.branchTable(ta, "stage"),
+        src0.filter(col("o_orderkey") % 2 === 1))
+      TxLog.append(s, TxLog.branchTable(tb, "stage"),
+        src0.filter(col("o_orderkey") % 3 =!= 0))
+      // crash-shaped commit point: durable intent, nothing applied yet
+      TxLog.store.putIfAbsent(coord, "txn-q348crash00.atomic",
+        s"publish=$ta#stage\npublish=$tb#stage\n")
+      val beforeA = TxLog.latest(ta).version
+      val recovered = TxLog.recoverAtomic(s, coord)
+      val atomicOk = recovered == Seq("q348crash00") && beforeA == 0L &&
+        TxLog.latest(ta).version == 1L && TxLog.latest(tb).version == 1L &&
+        TxLog.recoverAtomic(s, coord).isEmpty
+      def agg(tbl: String, lbl: String) = TxLog.read(s, tbl)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .withColumn("tbl", lit(lbl))
+      agg(ta, "a").unionByName(agg(tb, "b"))
+        .withColumn("atomic_ok", lit(atomicOk))
+    }),
+
     // REFS ON THE PURE-SQL SURFACE: constraint-add → branch → stage →
     // publish → tag, all through CALL-style procedures; EXPLAIN pinned
     // inert (a procedure plan commits nothing), the publish op and the
@@ -6988,6 +7026,19 @@ object SparkEntry {
         |    THEN -CAST(round(o_totalprice * 100) AS BIGINT) - 1
         |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS sum_cents,
         |  true AS check_ok
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // atomic multi-table publish: both tables converge to ALL orders
+    // through the crash-recovery barrier; labeled per-table aggregates
+    "q348_txlog_atomic_publish" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  'a' AS tbl, true AS atomic_ok
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  'b' AS tbl, true AS atomic_ok
         |FROM orders GROUP BY 1""".stripMargin,
 
     // SQL refs surface: evens created, odds staged + published under a

@@ -2476,6 +2476,83 @@ class TxLogOps(store0: LogStore, val checkpointInterval: Int = 10,
   }
 
   /**
+   * ATOMIC MULTI-TABLE PUBLISH — the cross-table transaction the follower
+   * tier's async convergence cannot give you (a data table and its
+   * hand-maintained rollup that must move together). Stage each table's
+   * batch on a branch (APPEND-ONLY — rewriting branches refuse up front:
+   * append-only publishes are idempotent, the property the recovery
+   * roll-forward depends on), then:
+   *
+   *   1. every staged branch is pre-flighted (exists, live, append-only);
+   *   2. ONE claim on a coordinator log records the full intent — the
+   *      POINT OF ATOMICITY;
+   *   3. each branch publishes ([[publishBranch]]'s rebase path).
+   *
+   * A crash between 2 and 3 leaves the transaction DURABLE but partially
+   * visible; [[recoverAtomic]] ROLLS FORWARD by re-driving step 3 —
+   * a branch already published adds nothing (missing-segment arithmetic),
+   * so recovery is idempotent under any number of racing recoverers and
+   * every table converges to published-exactly-once. A reader needing the
+   * all-or-nothing view calls recoverAtomic first (the barrier). This is
+   * the catalog-commit discipline: visibility may lag the commit point,
+   * atomicity never. The staged branches must be QUIESCED for the call
+   * (the WAP discipline — one writer drives a staging branch): a rewrite
+   * landing on a staged branch after the commit point makes recovery fail
+   * LOUDLY on that table (never silently partial) until the branch is
+   * re-aligned. Returns the transaction id.
+   */
+  def publishAtomic(spark: SparkSession, coord: String,
+      staged: Seq[(String, String)]): String = {
+    require(staged.nonEmpty, "publishAtomic needs at least one (table, branch)")
+    staged.foreach { case (table, name) =>
+      val names = store.list(table)
+      require(names.contains(s"branch.$name"), s"no branch '$name' on $table")
+      require(!names.contains(s"rmbranch.$name"),
+        s"branch '$name' on $table was deleted")
+      val forkV = store.read(table, s"branch.$name").trim.toLong
+      val bt = branchTable(table, name)
+      val head = latest(bt)
+      val forkSnap = snapshotOf(bt, forkV)
+      require(forkSnap.segments.forall(head.segments.contains) &&
+        head.dvs == forkSnap.dvs,
+        s"publishAtomic requires APPEND-ONLY branch deltas, but $table#$name " +
+          "rewrote rows — append-only publishes are idempotent, which is what " +
+          "makes crash recovery safe; publish rewriting branches individually")
+    }
+    val txnId = java.util.UUID.randomUUID().toString.take(13)
+    val body = staged.map { case (t, b) => s"publish=$t#$b" }.mkString("", "\n", "\n")
+    require(store.putIfAbsent(coord, s"txn-$txnId.atomic", body),
+      s"coordinator id collision for $txnId")
+    recoverAtomic(spark, coord)
+    txnId
+  }
+
+  /** Roll FORWARD every incomplete atomic transaction on `coord` (see
+    * [[publishAtomic]]): re-drives each recorded publish (already-published
+    * branches add nothing), then marks the transaction done — later calls
+    * skip it entirely, so the barrier stays O(open transactions), not
+    * O(history). Idempotent under racing recoverers. Returns the txn ids
+    * driven by THIS call. Delete a staged branch only after its
+    * transaction is marked done (the done claim is the signal). */
+  def recoverAtomic(spark: SparkSession, coord: String): Seq[String] = {
+    val names = store.list(coord)
+    val open = names.filter(_.endsWith(".atomic"))
+      .map(_.stripPrefix("txn-").stripSuffix(".atomic"))
+      .filter(id => !names.contains(s"txn-$id.done")).sorted
+    open.foreach { id =>
+      store.read(coord, s"txn-$id.atomic").split("\n")
+        .filter(_.startsWith("publish=")).foreach { l =>
+          val body = l.substring(8)
+          val i = body.lastIndexOf('#')
+          publishBranch(spark, body.substring(0, i), body.substring(i + 1))
+          ()
+        }
+      store.putIfAbsent(coord, s"txn-$id.done", clock().toString)
+    }
+    open
+  }
+
+  /**
    * TAG a version with an immutable name (default: the latest version).
    * A live tag PROTECTS its version's segments and deletion vectors from
    * [[vacuum]] forever — [[readTagged]] works even after the version

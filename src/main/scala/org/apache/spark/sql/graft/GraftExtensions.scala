@@ -357,6 +357,37 @@ object GraftExtensions {
           TxLogProcedures.node("constraint_drop")(sp =>
             graft.io.TxLog.dropConstraint(sp, path, name))
         }),
+      (FunctionIdentifier("graft_txlog_publish_atomic"),
+        info("graft_txlog_publish_atomic",
+          "graft_txlog_publish_atomic(coordPath, stagedCsv) — atomic multi-table " +
+            "publish of 'table#branch' pairs (one coordinator claim is the commit " +
+            "point; crashes roll forward); returns (txn_id)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2,
+            s"graft_txlog_publish_atomic expects (coordPath, stagedCsv), got ${exprs.length} args")
+          val coord = litStr(exprs(0), "coordPath")
+          val staged = csv(litStr(exprs(1), "stagedCsv")).map { tok =>
+            val i = tok.lastIndexOf('#')
+            require(i > 0, s"bad staged token '$tok' — expected 'table#branch'")
+            tok.substring(0, i) -> tok.substring(i + 1)
+          }
+          TxLogProcedures.rowsNode("publish_atomic", TxLogProcedures.txnSchema)(sp =>
+            Seq(org.apache.spark.sql.Row(
+              graft.io.TxLog.publishAtomic(sp, coord, staged))))
+        }),
+      (FunctionIdentifier("graft_txlog_recover_atomic"),
+        info("graft_txlog_recover_atomic",
+          "graft_txlog_recover_atomic(coordPath) — roll forward every incomplete " +
+            "atomic transaction (the all-or-nothing read barrier); returns one " +
+            "(txn_id) row per transaction driven"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1,
+            s"graft_txlog_recover_atomic expects (coordPath), got ${exprs.length} args")
+          val coord = litStr(exprs(0), "coordPath")
+          TxLogProcedures.rowsNode("recover_atomic", TxLogProcedures.txnSchema)(sp =>
+            graft.io.TxLog.recoverAtomic(sp, coord)
+              .map(id => org.apache.spark.sql.Row(id)))
+        }),
       // ---- follower procedures (verdict r10 #6): the pure-SQL story for
       // index-follows-table — each advances the followed state one atomic
       // keyed commit and returns (advanced, consumed_version, action)

@@ -116,6 +116,10 @@ object TxLogProcedures {
     AttributeReference("tag", StringType, nullable = false)(),
     AttributeReference("version", LongType, nullable = false)())
 
+  /** The (txn_id) schema of the atomic-publish procedures. */
+  val txnSchema = Seq(
+    AttributeReference("txn_id", StringType, nullable = false)())
+
   /** Build a procedure node that runs `op` at execution time and returns
     * its snapshot summary row. */
   def node(procName: String)(op: SparkSession => graft.io.TxSnapshot): LogicalPlan =

@@ -265,6 +265,106 @@ class TxLogRefsSpec extends SparkSpec {
     assert(rows(tbl).map(_._1) === Set(1L, 2L))
   }
 
+  test("two RACING publishes of different append-only branches both land exactly once") {
+    val tbl = freshTable()
+    TxLog.create(spark, tbl, Seq((1L, "a", 10L)).toDF("k", "name", "v"))
+    TxLog.createBranch(spark, tbl, "left")
+    TxLog.createBranch(spark, tbl, "right")
+    TxLog.append(spark, TxLog.branchTable(tbl, "left"),
+      Seq((2L, "l", 20L)).toDF("k", "name", "v"))
+    TxLog.append(spark, TxLog.branchTable(tbl, "right"),
+      Seq((3L, "r", 30L)).toDF("k", "name", "v"))
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      Await.result(Future.sequence(Seq("left", "right").map(b => Future(
+        TxLog.publishBranch(spark, tbl, b)))), 120.seconds)
+    } finally pool.shutdown()
+    // both staged batches landed exactly once, whatever the claim order —
+    // the loser of the race rode the append rebase path
+    assert(rows(tbl) === Set((1L, "a", 10L), (2L, "l", 20L), (3L, "r", 30L)))
+    assert(TxLog.latest(tbl).version === 2L)
+    // and each re-publish is a noop
+    assert(TxLog.publishBranch(spark, tbl, "left").version === 2L)
+    assert(TxLog.publishBranch(spark, tbl, "right").version === 2L)
+  }
+
+  test("publishAtomic: two tables move together; crash after the commit point rolls forward") {
+    val root = TempDirs.create("txatomic_")
+    val a = root.resolve("a").toString
+    val b = root.resolve("b").toString
+    val coord = root.resolve("coord").toString
+    TxLog.create(spark, a, Seq((1L, "a", 10L)).toDF("k", "name", "v"))
+    TxLog.create(spark, b, Seq((9L, "z", 90L)).toDF("k", "name", "v"))
+    TxLog.createBranch(spark, a, "stage")
+    TxLog.createBranch(spark, b, "stage")
+    TxLog.append(spark, TxLog.branchTable(a, "stage"),
+      Seq((2L, "a2", 20L)).toDF("k", "name", "v"))
+    TxLog.append(spark, TxLog.branchTable(b, "stage"),
+      Seq((8L, "z8", 80L)).toDF("k", "name", "v"))
+    // happy path: one call, both visible, txn marked done
+    TxLog.publishAtomic(spark, coord, Seq(a -> "stage", b -> "stage"))
+    assert(rows(a).map(_._1) === Set(1L, 2L) && rows(b).map(_._1) === Set(8L, 9L))
+    // CRASH INJECTION: stage a second round, record the intent directly on
+    // the coordinator (what a writer that died right after the commit
+    // point leaves behind) — the tables have NOT moved yet
+    TxLog.append(spark, TxLog.branchTable(a, "stage"),
+      Seq((3L, "a3", 30L)).toDF("k", "name", "v"))
+    TxLog.append(spark, TxLog.branchTable(b, "stage"),
+      Seq((7L, "z7", 70L)).toDF("k", "name", "v"))
+    assert(TxLog.store.putIfAbsent(coord, "txn-crashed0001.atomic",
+      s"publish=$a#stage\npublish=$b#stage\n"))
+    assert(rows(a).map(_._1) === Set(1L, 2L)) // durable intent, not yet visible
+    // the barrier rolls FORWARD: both tables converge, exactly once
+    assert(TxLog.recoverAtomic(spark, coord) === Seq("crashed0001"))
+    assert(rows(a).map(_._1) === Set(1L, 2L, 3L))
+    assert(rows(b).map(_._1) === Set(7L, 8L, 9L))
+    val (va, vb) = (TxLog.latest(a).version, TxLog.latest(b).version)
+    // a second barrier is a pure no-op: done-marked txns are skipped
+    assert(TxLog.recoverAtomic(spark, coord).isEmpty)
+    assert(TxLog.latest(a).version === va && TxLog.latest(b).version === vb)
+  }
+
+  test("atomic publish on the SQL surface: procedures drive and recover; EXPLAIN inert") {
+    org.apache.spark.sql.graft.GraftExtensions.registerTableFunctions(spark)
+    val root = TempDirs.create("txatomic_sql_")
+    val a = root.resolve("a").toString
+    val coord = root.resolve("coord").toString
+    TxLog.create(spark, a, Seq((1L, "a", 10L)).toDF("k", "name", "v"))
+    TxLog.createBranch(spark, a, "stage")
+    TxLog.append(spark, TxLog.branchTable(a, "stage"),
+      Seq((2L, "b", 20L)).toDF("k", "name", "v"))
+    spark.sql(s"EXPLAIN SELECT * FROM graft_txlog_publish_atomic('$coord', " +
+      s"'$a#stage')").collect()
+    assert(TxLog.latest(a).version === 0L && TxLog.store.list(coord).isEmpty)
+    val txn = spark.sql(s"SELECT * FROM graft_txlog_publish_atomic('$coord', " +
+      s"'$a#stage')").head().getString(0)
+    assert(txn.nonEmpty && TxLog.latest(a).version === 1L)
+    assert(rows(a).map(_._1) === Set(1L, 2L))
+    // everything already driven: the recovery barrier reports nothing open
+    assert(spark.sql(s"SELECT * FROM graft_txlog_recover_atomic('$coord')")
+      .count() === 0L)
+  }
+
+  test("publishAtomic refuses a rewriting branch UP FRONT — no intent recorded") {
+    val root = TempDirs.create("txatomic_rw_")
+    val a = root.resolve("a").toString
+    val coord = root.resolve("coord").toString
+    TxLog.create(spark, a, Seq((1L, "a", 10L)).toDF("k", "name", "v"))
+    TxLog.createBranch(spark, a, "stage")
+    TxLog.upsert(spark, TxLog.branchTable(a, "stage"),
+      Seq((1L, "a2", 11L)).toDF("k", "name", "v"), Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      TxLog.publishAtomic(spark, coord, Seq(a -> "stage"))
+    }
+    assert(e.getMessage.contains("APPEND-ONLY"))
+    assert(TxLog.store.list(coord).isEmpty) // the commit point never landed
+    assert(TxLog.latest(a).version === 0L)
+  }
+
   test("concurrent same-name branch creation: exactly one wins") {
     val tbl = freshTable()
     TxLog.create(spark, tbl, Seq((1L, "a", 1L)).toDF("k", "name", "v"))
