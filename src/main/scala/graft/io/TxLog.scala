@@ -2368,6 +2368,20 @@ class TxLogOps(store0: LogStore, val checkpointInterval: Int = 10,
       s"cannot branch $table at version $from (floor $floor, latest $lv)")
     require(store.putIfAbsent(table, s"branch.$name", from.toString),
       s"branch '$name' already exists on $table (branch names are single-use)")
+    // VACUUM-RACE recheck: a vacuum committing between the floor check
+    // above and the ref claim reads the ref listing BEFORE our claim
+    // landed — its drop phase may already have reclaimed the fork
+    // version's superseded segments. If the floor moved past the fork,
+    // the half-born branch may reference reclaimed artifacts: retire the
+    // ref and refuse LOUDLY (never a silently broken branch).
+    val floorNow = logState(table)._2
+    if (floorNow > from) {
+      store.putIfAbsent(table, s"rmbranch.$name", clock().toString)
+      sys.error(s"branch '$name' of $table lost a race with vacuum: fork " +
+        s"version $from fell below the retention floor $floorNow before the " +
+        "ref landed — re-create the branch from a retained version (the " +
+        "name is retired)")
+    }
     val base = snapshotOf(table, from)
     val bt = branchTable(table, name)
     val fork = TxSnapshot(from, s"branch:$name:from=$from", base.segments,
@@ -2570,6 +2584,16 @@ class TxLogOps(store0: LogStore, val checkpointInterval: Int = 10,
       s"cannot tag version $v of $table (floor $floor, latest $lv)")
     require(store.putIfAbsent(table, s"tag.$name", v.toString),
       s"tag '$name' already exists on $table (tag names are single-use)")
+    // same vacuum-race recheck as createBranch: protection becomes
+    // visible at the claim; a floor that moved past v in the window means
+    // the tagged artifacts may already be gone — retire and refuse.
+    val floorNow = logState(table)._2
+    if (floorNow > v) {
+      store.putIfAbsent(table, s"rmtag.$name", clock().toString)
+      sys.error(s"tag '$name' of $table lost a race with vacuum: version $v " +
+        s"fell below the retention floor $floorNow before the ref landed — " +
+        "re-tag a retained version (the name is retired)")
+    }
     v
   }
 

@@ -442,6 +442,39 @@ class TxLogRefsSpec extends SparkSpec {
     assert(TxLog.latest(tbl).version === rootV)
   }
 
+  test("createBranch loses a vacuum race SAFELY: ref retired, loud error, never a broken branch") {
+    // a store whose branch-ref claim lets a vacuum land FIRST — the exact
+    // interleaving where vacuum's drop phase reads the ref listing before
+    // the claim becomes visible and reclaims the fork's superseded segments
+    val tbl = TempDirs.create("txrefs_race_").resolve("t").toString
+    @volatile var opsRef: TxLogOps = null
+    @volatile var armed = false
+    val racing = new LogStore {
+      def list(t: String) = PosixLogStore.list(t)
+      def read(t: String, n: String) = PosixLogStore.read(t, n)
+      def putIfAbsent(t: String, n: String, c: String) = {
+        if (armed && n.startsWith("branch.")) {
+          armed = false
+          opsRef.vacuum(spark, tbl, retainVersions = 1)
+          ()
+        }
+        PosixLogStore.putIfAbsent(t, n, c)
+      }
+      def putPointer(t: String, n: String, c: String) = PosixLogStore.putPointer(t, n, c)
+      def readPointer(t: String, n: String) = PosixLogStore.readPointer(t, n)
+    }
+    val ops = new TxLogOps(racing)
+    opsRef = ops
+    ops.create(spark, tbl, Seq((1L, "a", 10L)).toDF("k", "name", "v"))
+    ops.upsert(spark, tbl, Seq((1L, "a2", 11L)).toDF("k", "name", "v"), Seq("k"))
+    armed = true
+    val e = intercept[RuntimeException] {
+      ops.createBranch(spark, tbl, "racy", fromVersion = 0L)
+    }
+    assert(e.getMessage.contains("vacuum"))
+    assert(ops.branches(tbl).isEmpty) // the half-born ref is retired
+  }
+
   test("orphan sweep never reclaims a live branch's exclusive segments") {
     val tbl = freshTable()
     TxLog.create(spark, tbl, Seq((1L, "a", 1L)).toDF("k", "name", "v"))
