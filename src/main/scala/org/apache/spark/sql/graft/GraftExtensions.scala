@@ -138,6 +138,33 @@ object GraftExtensions {
         val tag = litStr(exprs(1), "tag")
         graft.io.TxLog.readTagged(spark, path, tag).queryExecution.logical
       }),
+    (FunctionIdentifier("graft_txlog_refs"),
+      info("graft_txlog_refs",
+        "graft_txlog_refs(path) — the table's live refs: one (kind, name, version) " +
+          "row per branch (version = fork) and tag"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_txlog_refs expects (path), got ${exprs.length} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = litStr(exprs.head, "graft_txlog_refs path")
+        import spark.implicits._
+        (graft.io.TxLog.branches(path).map { case (n, v) => ("branch", n, v) } ++
+          graft.io.TxLog.tags(path).map { case (n, v) => ("tag", n, v) })
+          .toDF("kind", "name", "version").queryExecution.logical
+      }),
+    (FunctionIdentifier("graft_txlog_constraints"),
+      info("graft_txlog_constraints",
+        "graft_txlog_constraints(path) — the active CHECK constraints: one " +
+          "(name, check_sql) row each"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_txlog_constraints expects (path), got ${exprs.length} args")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = litStr(exprs.head, "graft_txlog_constraints path")
+        import spark.implicits._
+        graft.io.TxLog.constraintsOf(path).toSeq.sorted
+          .toDF("name", "check_sql").queryExecution.logical
+      }),
     (FunctionIdentifier("graft_txlog_changes"),
       info("graft_txlog_changes",
         "graft_txlog_changes(path, fromVersion[, toVersion]) — the classified CDF"),

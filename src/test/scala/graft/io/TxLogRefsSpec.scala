@@ -402,6 +402,14 @@ class TxLogRefsSpec extends SparkSpec {
     // tagged read through its own TVF
     assert(spark.sql(s"SELECT count(*) AS n FROM graft_txlog_tagged('$tbl', 'v0')")
       .head().getLong(0) === 2L)
+    // introspection: refs and constraints as relations
+    assert(spark.sql(s"SELECT kind, name, version FROM graft_txlog_refs('$tbl')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      === Set(("branch", "dev", 0L), ("tag", "v0", 0L)))
+    TxLog.addConstraint(spark, tbl, "v_pos", "v > 0")
+    assert(spark.sql(s"SELECT name, check_sql FROM graft_txlog_constraints('$tbl')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("v_pos", "v > 0")))
   }
 
   test("streaming composition: the native source and sink take branch tokens") {
