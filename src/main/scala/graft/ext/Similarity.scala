@@ -1,6 +1,5 @@
 package graft.ext
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
@@ -115,9 +114,13 @@ object Similarity {
       }
     val trainSrc = if (frac < 1.0)
       data.sample(withReplacement = false, frac, seed) else data
-    new KMeans().setK(k).setSeed(seed).setFeaturesCol("__features")
-      .setMaxIter(maxIter).setInitMode(initMode)
-      .fit(trainSrc.select(array_to_vector(col(vecCol)).as("__features")))
+    // KMeansDirect = the same mllib training loop the ml Estimator runs
+    // (bit-identical centroids for the same seed/init/iters), minus the
+    // Estimator's instrumentation count and training-summary pass — both
+    // discarded here (guide §1.2)
+    org.apache.spark.ml.graft.KMeansDirect.fit(
+      trainSrc.select(array_to_vector(col(vecCol)).as("features")),
+      k, seed, maxIter, initMode)
   }
 
   /**
@@ -158,7 +161,7 @@ object Similarity {
       cfg.trainFraction, cfg.maxTrainRows, cfg.maxIter, cfg.initMode)
     val assigned = model.transform(
         data.select(col(dataId).as("neighbor_id"), col(dataVec).as("__dv"),
-          array_to_vector(col(dataVec)).as("__features")))
+          array_to_vector(col(dataVec)).as("features")))
       .select(col("neighbor_id"), col("__dv"), col("prediction").as("cell"))
     val centroidRows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       Row(i, c.toArray.toSeq)
@@ -253,7 +256,7 @@ object Similarity {
     // invocations in one session don't accumulate CacheManager entries
     val assigned = model.transform(
         data.select(col(idCol).as("__sd_id"), col(vecCol).as("__sd_v"),
-          array_to_vector(col(vecCol)).as("__features")))
+          array_to_vector(col(vecCol)).as("features")))
       .select(col("__sd_id"), col("__sd_v"), col("prediction").as("cell"))
       .localCheckpoint()
 
@@ -431,10 +434,12 @@ object Similarity {
       try {
         val fits = (0 until cfg.m).map { j =>
           scala.concurrent.Future {
-            new KMeans().setK(cfg.ksub).setSeed(cfg.seed + j)
-              .setFeaturesCol("__features").setMaxIter(cfg.maxIter).setInitMode("random")
-              .fit(train.select(array_to_vector(
-                slice(col("__nv"), j * dsub + 1, dsub)).as("__features")))
+            // same KMeansDirect rationale as fitQuantizer: identical
+            // centroids, no per-fit summary/instrumentation passes
+            org.apache.spark.ml.graft.KMeansDirect.fit(
+              train.select(array_to_vector(
+                slice(col("__nv"), j * dsub + 1, dsub)).as("features")),
+              cfg.ksub, cfg.seed + j, cfg.maxIter, "random")
               .clusterCenters.map(_.toArray)
           }
         }
