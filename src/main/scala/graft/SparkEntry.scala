@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{CorpusFilters, CorpusRewrite, Dedup, Multimodal, QualityModel, Similarity, TextStats, VectorOps}
-import graft.operators.{FuzzyJoin, Ingest, Profiler, Sampler, SemiJoinReducer}
+import graft.operators.{FuzzyJoin, Ingest, Profiler, RelCheck, Sampler, SemiJoinReducer}
 import graft.streaming.StreamGate
 
 /**
@@ -1703,9 +1703,21 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
       val lsh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.7)
         .select(col("id_a"), col("id_b"))
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(lsh.agg(count(lit(1)).as("__nl")))
-        .crossJoin(lsh.intersect(exact).agg(count(lit(1)).as("__nc")))
+      // ONE pass over a tagged union (r11, guide §2.4): the old
+      // count/count/intersect-count plan embedded the PPJoin subtree twice
+      // and the LSH subtree twice (each is a full shingle+signature pass
+      // over the corpus). Per distinct pair: e = exact rows, l = lsh rows;
+      // n_exact = Σe, __nl = Σl, and __nc = |pairs with e>0 ∧ l>0| — the
+      // intersect-then-count value (set intersect dedups both sides)
+      exact.select(col("id_a"), col("id_b"), lit(1L).as("__e"), lit(0L).as("__l"))
+        .unionByName(lsh.select(col("id_a"), col("id_b"),
+          lit(0L).as("__e"), lit(1L).as("__l")))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(col("__e")).as("__pe"), sum(col("__l")).as("__pl"))
+        .agg(coalesce(sum(col("__pe")), lit(0L)).as("n_exact"),
+          coalesce(sum(col("__pl")), lit(0L)).as("__nl"),
+          coalesce(sum(when(col("__pe") > 0 && col("__pl") > 0, 1L)
+            .otherwise(0L)), lit(0L)).as("__nc"))
         .select(col("n_exact"),
           (col("__nc") === col("__nl")).as("lsh_subset_of_exact"),
           (col("__nc") * 10 >= col("n_exact") * 8).as("recall_ge_08"))
@@ -3564,10 +3576,11 @@ object SparkEntry {
       val tombIds = IndexFollower.tombstonesOf(state)
       val liveIds = live.select(col("vec_id").cast("long").as("id"))
       // exact accounting: graph minus tombstones == live corpus (non-
-      // rebuilt shards legitimately keep tombstoned ids routing the beam)
+      // rebuilt shards legitimately keep tombstoned ids routing the beam).
+      // One-pass multiset equality (r11): same predicate as the two
+      // exceptAll.isEmpty actions, each input computed once
       val served = nodeIds.exceptAll(tombIds)
-      val coverageOk = served.exceptAll(liveIds).isEmpty &&
-        liveIds.exceptAll(served).isEmpty
+      val coverageOk = RelCheck.multisetEquals(served, liveIds)
       // re-embedded ids serve their NEW (negated) vectors
       val negOk = IndexFollower.nodesOf(state).filter(col("id") % 20 === 0)
         .join(e.filter(col("vec_id") % 20 === 0)
@@ -3631,11 +3644,9 @@ object SparkEntry {
       val replaySkipped = !follow()
       val live = TxLog.read(s, src)
       val (ivf, _) = IndexFollower.ivfPqOf(TxLog.read(s, idx))
-      val coverageOk =
-        ivf.assigned.select(col("neighbor_id"))
-          .exceptAll(live.select(col("vec_id").cast("long"))).isEmpty &&
-        live.select(col("vec_id").cast("long"))
-          .exceptAll(ivf.assigned.select(col("neighbor_id"))).isEmpty
+      val coverageOk = RelCheck.multisetEquals(
+        ivf.assigned.select(col("neighbor_id")),
+        live.select(col("vec_id").cast("long")))
       val q = e.filter(col("vec_id") < 5)
       val res = IndexFollower.searchFollowedIvfPq(s, idx, q, "vec_id", "embedding",
         k = 10, nprobe = 16, rerank = 300)
@@ -3688,10 +3699,20 @@ object SparkEntry {
       val live = TxLog.read(s, src)
       val followed = IndexFollower.minhashIndexOf(TxLog.read(s, idx))
       val rebuilt = Dedup.buildMinhashIndex(live, "doc_id", "text", cfg)
-      def eqRel(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
-      val stateOk = eqRel(followed.bands, rebuilt.bands) &&
-        eqRel(followed.base, rebuilt.base)
+      // ONE multiset-equality action over the kind-tagged union of both
+      // relations (r11): the old per-relation two-exceptAll form executed
+      // the followed resolution AND the from-scratch rebuild four times
+      // each — the single pass computes each side once; the kind column
+      // keeps bands/base equality separable, so the predicate is unchanged
+      def tagged(ix: Dedup.MinhashIndex) =
+        ix.bands.select(lit("band").as("kind"), col("id").cast("long").as("id"),
+            col("band").cast("int").as("band"), col("bh").cast("long").as("bh"),
+            lit(null).cast("array<bigint>").as("shh"), lit(null).cast("int").as("sz"))
+          .unionByName(ix.base.select(lit("base").as("kind"),
+            col("id").cast("long").as("id"),
+            lit(null).cast("int").as("band"), lit(null).cast("long").as("bh"),
+            col("shh"), col("sz").cast("int").as("sz")))
+      val stateOk = RelCheck.multisetEquals(tagged(followed), tagged(rebuilt))
       live.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
         .withColumn("state_equals_rebuild", lit(stateOk))
         .withColumn("exactly_once_ok", lit(f1 && f2 && f3 && replaySkipped))
@@ -3914,7 +3935,7 @@ object SparkEntry {
       val quiet = TxLog.history(dst).length == versionsBefore + 1
       val r = TxLog.read(s, dst)
       val live = TxLog.read(s, src)
-      val converged = r.exceptAll(live).isEmpty && live.exceptAll(r).isEmpty
+      val converged = RelCheck.multisetEquals(r, live)
       r.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
         .withColumn("converged", lit(converged && oneCommit && quiet))
@@ -4149,7 +4170,7 @@ object SparkEntry {
       val explainInert = TxLog.history(dst).length == before
       val r = TxLog.read(s, dst)
       val live = TxLog.read(s, src)
-      val converged = r.exceptAll(live).isEmpty && live.exceptAll(r).isEmpty
+      val converged = RelCheck.multisetEquals(r, live)
       r.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
         .withColumn("batches_ok", lit(batchesOk))
@@ -4218,8 +4239,7 @@ object SparkEntry {
       val explainInert = TxLog.history(idx).length == before
       val nodeIds = IndexFollower.nodesOf(TxLog.read(s, idx)).select(col("id"))
       val liveIds = e.select(col("vec_id").cast("long").as("id"))
-      val coverageOk = nodeIds.exceptAll(liveIds).isEmpty &&
-        liveIds.exceptAll(nodeIds).isEmpty
+      val coverageOk = RelCheck.multisetEquals(nodeIds, liveIds)
       e.groupBy((col("vec_id") % 10).as("bucket"))
         .agg(count(lit(1)).as("n_vecs"))
         .withColumn("actions_ok", lit(actionsOk))
@@ -4806,9 +4826,17 @@ object SparkEntry {
       val (ivf0, pq0) = Similarity.buildIvfPq(base, "vec_id", "embedding",
         Similarity.IvfConfig(nlist = 32, nprobe = 16),
         Similarity.PqConfig(m = 8, ksub = 32))
-      val (ivf, pq) = Similarity.ingestIvfPq(ivf0, pq0, batch, "vec_id", "embedding")
+      val (ivfI, pqI) = Similarity.ingestIvfPq(ivf0, pq0, batch, "vec_id", "embedding")
+      // assigned/codes feed BOTH the size pins and the search below —
+      // materialize each once instead of re-running the KMeans transform +
+      // PQ encode per consumer; the two size counts collapse to one action
+      // (r11, guide §2.4 / §5)
+      val ivf = Similarity.IvfIndex(ivfI.assigned.localCheckpoint(), ivfI.centroids)
+      val pq = Similarity.PqIndex(pqI.codes.localCheckpoint(), pqI.codebook)
       val n = e.count()
-      val sizesOk = ivf.assigned.count() == n && pq.codes.count() == n
+      val sizes = ivf.assigned.agg(count(lit(1)).as("__na"))
+        .crossJoin(pq.codes.agg(count(lit(1)).as("__nc"))).head()
+      val sizesOk = sizes.getLong(0) == n && sizes.getLong(1) == n
       val q = e.filter(col("vec_id") < 5)
       val approx = Similarity.searchIvfPq(ivf, pq, e, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 10, nprobe = 16, rerank = 300)
@@ -4875,8 +4903,7 @@ object SparkEntry {
         GraphAnn.hnswBuild(e.filter(col("vec_id") < 400), "vec_id", "embedding", cfg),
         e.filter(col("vec_id") >= 400), "vec_id", "embedding", cfg)
       val rebuilt = GraphAnn.hnswBuild(e, "vec_id", "embedding", cfg)
-      val mergeOk = inserted.exceptAll(rebuilt).isEmpty &&
-        rebuilt.exceptAll(inserted).isEmpty
+      val mergeOk = RelCheck.multisetEquals(inserted, rebuilt)
       val q = e.filter(col("vec_id") < 5)
       val approx = GraphAnn.hnswQuery(inserted, q, "vec_id", "embedding", k = 10, cfg)
       val brute = Similarity.bruteTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)

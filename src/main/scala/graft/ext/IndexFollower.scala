@@ -474,14 +474,33 @@ object IndexFollower {
       if (lastV < 0 || rebootNeeded(src, lastV, onFloorOverrun))
         (Some(fullBuild()), Seq.empty)
       else {
-        val (ins, del) = finalChanges(spark, src, lastV, srcLatest, idCol, vecCol, "vec")
+        val (insRaw, del) = finalChanges(spark, src, lastV, srcLatest, idCol, vecCol, "vec")
+        // the batch feeds the stats pass, the tombstone derivation AND the
+        // encode path — materialize it once (touched-volume-sized) instead
+        // of re-running the change-feed collapse per consumer (r11)
+        val ins = insRaw.localCheckpoint()
         val indexedIds = state.filter(col("kind") === "assigned").select(col("id"))
         val tombIds = ins.select(col("id")).unionByName(del).distinct()
           .join(indexedIds, Seq("id"), "left_semi")
-        val nTomb = state.filter(col("kind") === "tomb").select(col("id"))
-          .unionByName(tombIds).distinct().count()
-        val nIndexed = indexedIds.distinct().count()
-        val liveAfter = nIndexed - nTomb + ins.count()
+        // ONE aggregation action for the three rebuild-decision counts the
+        // old code ran as three separate jobs (each re-scanning the state):
+        // group the tagged union by (source, id), then count groups — the
+        // same values as {priorTombs ∪ tombIds}.distinct.count,
+        // indexedIds.distinct.count and ins.count (r11, guide §2.4)
+        val cnt = state.filter(col("kind") === "tomb").select(col("id"))
+          .withColumn("__src", lit("tomb"))
+          .unionByName(tombIds.withColumn("__src", lit("tomb")))
+          .unionByName(indexedIds.withColumn("__src", lit("idx")))
+          .unionByName(ins.select(col("id")).withColumn("__src", lit("ins")))
+          .groupBy(col("__src"), col("id")).agg(count(lit(1)).as("__n"))
+          .groupBy().agg(
+            sum(when(col("__src") === "tomb", 1L).otherwise(0L)).as("__ntomb"),
+            sum(when(col("__src") === "idx", 1L).otherwise(0L)).as("__nidx"),
+            sum(when(col("__src") === "ins", col("__n")).otherwise(0L)).as("__nins"))
+          .head()
+        val nTomb = if (cnt.isNullAt(0)) 0L else cnt.getLong(0)
+        val nIndexed = if (cnt.isNullAt(1)) 0L else cnt.getLong(1)
+        val liveAfter = nIndexed - nTomb + (if (cnt.isNullAt(2)) 0L else cnt.getLong(2))
         val builtAt = builtAtOf(state)
         val mustRebuild =
           (nIndexed > 0 && nTomb.toDouble / nIndexed.toDouble >= compactFrac) ||
@@ -605,7 +624,11 @@ object IndexFollower {
       val reboot = rebootNeeded(src, lastV0, onFloorOverrun)
       val lastV = if (reboot) -1L else lastV0
       val state = if (reboot) emptyMhState(spark) else curState()
-      val (ins, del) = finalChanges(spark, src, lastV, srcLatest, idCol, textCol, "__text")
+      val (insRaw, del) = finalChanges(spark, src, lastV, srcLatest, idCol, textCol, "__text")
+      // the batch feeds the signature build, the tombstone derivation and
+      // the compaction decision — materialize once (touched-volume-sized)
+      // instead of re-running the change-feed collapse per consumer (r11)
+      val ins = insRaw.localCheckpoint()
       val fresh = asMhState(Dedup.buildMinhashIndex(ins, "id", "__text", cfg),
         gen = srcLatest)
       // tombstone every changed id that the state has EVER indexed (a
@@ -618,9 +641,21 @@ object IndexFollower {
           lit(null).cast(IntegerType).as("band"), lit(null).cast(LongType).as("bh"),
           lit(null).cast(ArrayType(LongType)).as("shh"),
           lit(null).cast(IntegerType).as("sz"), lit(srcLatest).as("gen"))
-      val nTombIds = state.filter(col("kind") === "tomb").select(col("id"))
-        .unionByName(tombIds).distinct().count()
-      val nIds = stateIds.distinct().count()
+      // ONE aggregation action for the two compaction-decision counts the
+      // old code ran as two jobs (r11, guide §2.4): group the tagged union
+      // by (source, id), count groups — same values as
+      // {priorTombs ∪ tombIds}.distinct.count and stateIds.distinct.count
+      val cnt = state.filter(col("kind") === "tomb").select(col("id"))
+        .withColumn("__src", lit("tomb"))
+        .unionByName(tombIds.withColumn("__src", lit("tomb")))
+        .unionByName(stateIds.withColumn("__src", lit("base")))
+        .groupBy(col("__src"), col("id")).agg(count(lit(1)).as("__n"))
+        .groupBy().agg(
+          sum(when(col("__src") === "tomb", 1L).otherwise(0L)).as("__ntomb"),
+          sum(when(col("__src") === "base", 1L).otherwise(0L)).as("__nbase"))
+        .head()
+      val nTombIds = if (cnt.isNullAt(0)) 0L else cnt.getLong(0)
+      val nIds = if (cnt.isNullAt(1)) 0L else cnt.getLong(1)
       if (nIds > 0 && nTombIds.toDouble / nIds.toDouble >= compactFrac) {
         // materialize: resolve the whole state once, retire every tombstone
         val resolved = asMhState(minhashIndexOf(

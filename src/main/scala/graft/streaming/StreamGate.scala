@@ -668,8 +668,7 @@ object StreamGate {
     val state = TxLog.read(spark, stateTbl)
     // merge-equals-rebuild, proven while the stream versions are readable
     val rebuilt = aggOf(TxLog.read(spark, docsTbl))
-    val incrementalOk = state.exceptAll(rebuilt).isEmpty &&
-      rebuilt.exceptAll(state).isEmpty
+    val incrementalOk = graft.operators.RelCheck.multisetEquals(state, rebuilt)
     TxLog.compact(spark, docsTbl, targetPartitions = 4)                      // v4
     // schema evolution: generation 2 carries an ADDED tag column
     TxLog.append(spark, docsTbl, slim(raw).filter(col("doc_id") % 10 === 3)
