@@ -995,6 +995,32 @@ class TxLogOps(store0: LogStore, val checkpointInterval: Int = 10,
   private type FreshEnv =
     Seq[(String, (Map[String, ColEnv], Map[String, StrEnv], Option[Long]))]
 
+  /** Write several fresh segments and read their footer stats. The
+    * segments are INDEPENDENT jobs over disjoint output dirs, so they run
+    * concurrently from driver threads (guide §2.6 — overlap independent
+    * jobs so one job's tail back-fills the others): a shard-aligned
+    * follower advance that re-emits 4 shard segments pays ~one write's
+    * wall, not four. Returned order matches `dfs` (the manifest stays
+    * deterministic); a single segment takes the plain serial path. */
+  private def writeSegmentsWithStats(spark: SparkSession, table: String,
+      dfs: Seq[DataFrame]): FreshEnv = {
+    def one(d: DataFrame): (String, (Map[String, ColEnv], Map[String, StrEnv], Option[Long])) = {
+      val seg = writeSegment(table, d)
+      seg -> statsOfSegment(spark, table, seg)
+    }
+    if (dfs.lengthCompare(2) < 0) dfs.map(one)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(dfs.length, 4))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(dfs.map(d => scala.concurrent.Future(one(d)))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
+  }
+
   /** Envelope maps (numeric, string) for `kept` (copied from the base
     * snapshot — envelopes are immutable like the segments) plus the
     * PRE-COMPUTED entries for the fresh segments (computed once per
@@ -1117,8 +1143,9 @@ class TxLogOps(store0: LogStore, val checkpointInterval: Int = 10,
       lazy val baseDf = read(spark, table, base.version)
       val (op, newData, keptSegments) = plan(base, () => { forcedBase = true; baseDf })
       val consNow = consAfter(base, op)
-      val newSegments = newData.map(d => writeSegment(table, enforced(d, consNow))).toSeq
-      val freshEnv: FreshEnv = newSegments.map(s => s -> statsOfSegment(spark, table, s))
+      val freshEnv: FreshEnv = writeSegmentsWithStats(spark, table,
+        newData.map(enforced(_, consNow)).toSeq)
+      val newSegments = freshEnv.map(_._1)
       val (num, str, rc) = carryStats(base, keptSegments, freshEnv)
       val snap = TxSnapshot(base.version + 1, op, keptSegments ++ newSegments,
         clock(), num, str, carryDvs(base, keptSegments), rc, consNow)
@@ -1334,8 +1361,9 @@ class TxLogOps(store0: LogStore, val checkpointInterval: Int = 10,
       var forcedBase = false
       lazy val baseDf = read(spark, table, base.version)
       val (newData, kept) = plan(base, () => { forcedBase = true; baseDf })
-      val newSegments = newData.map(d => writeSegment(table, enforced(d, base.cons))).toSeq
-      val freshEnv: FreshEnv = newSegments.map(s => s -> statsOfSegment(spark, table, s))
+      val freshEnv: FreshEnv = writeSegmentsWithStats(spark, table,
+        newData.map(enforced(_, base.cons)))
+      val newSegments = freshEnv.map(_._1)
       val (num, str, rc) = carryStats(base, kept, freshEnv)
       if (tryClaim(table, TxSnapshot(base.version + 1, tag, kept ++ newSegments,
           clock(), num, str, carryDvs(base, kept), rc, base.cons)))
