@@ -243,6 +243,10 @@ object CorpusFilters {
         col("__freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // the previous round's persisted vocabulary; unpersisted only after an
+    // action has materialized its CHILD (the top-1 collect of the next
+    // round does that for free — no per-round count() action, r11)
+    var prev: DataFrame = null
     try {
       var round = 0
       var exhausted = false
@@ -260,6 +264,9 @@ object CorpusFilters {
           .groupBy(col("__p.l"), col("__p.r")).agg(sum(col("__freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
           .limit(1).collect()
+        // the aggregate above scanned every partition of `words`, so its
+        // cache is fully materialized — the previous round's blocks can go
+        if (prev != null) { prev.unpersist(); prev = null }
         if (top.isEmpty) exhausted = true
         else {
           val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
@@ -277,13 +284,18 @@ object CorpusFilters {
             ).otherwise(concat(acc, array(s))))
           val next = words.select(merged.as("__syms"), col("__freq"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize before unpersisting the parent
-          words.unpersist()
+          // no count() here: the NEXT round's top-1 aggregate materializes
+          // `next` (halving the actions per round); `words` stays persisted
+          // until that happens
+          prev = words
           words = next
           round += 1
         }
       }
-    } finally words.unpersist()
+    } finally {
+      if (prev != null) prev.unpersist()
+      words.unpersist()
+    }
     merges.toSeq
   }
 

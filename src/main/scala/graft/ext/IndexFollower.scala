@@ -135,8 +135,13 @@ object IndexFollower {
         col("_commit_version").as("cv"))
       val w = Window.partitionBy(col("id"))
         .orderBy(col("cv").desc, col("alive").desc)
+      // materialize the collapsed batch ONCE (touched-volume-sized): both
+      // returned branches and every downstream pass (stats, tombstones,
+      // encode/build) would otherwise re-run the change-feed read + window
+      // collapse per action (r11)
       val fin = changes.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn", "cv")
+        .localCheckpoint()
       (fin.filter(col("alive") === 1).drop("alive"),
         fin.filter(col("alive") === 0).select(col("id")))
     }
@@ -243,11 +248,10 @@ object IndexFollower {
         val state = curState()
         val nodes = nodesOf(state)
         val tombs = tombstonesOf(state)
-        val (insRaw, delRaw) =
+        // finalChanges materializes the collapsed batch (localCheckpoint),
+        // so every pass below reads the touched-volume-sized blocks
+        val (ins, delRaw) =
           finalChanges(spark, src, lastV, srcLatest, idCol, vecCol, "vec")
-        // materialize the collapsed changes once — several per-shard jobs
-        // below re-read them (all touched-volume-sized)
-        val ins = insRaw.localCheckpoint()
         val sOf = GraphAnn.shardOfExpr(col("id"), cfg.shards)
         val batchShards = ins.select(sOf.as("__s")).distinct()
           .collect().map(_.getInt(0)).toSet
@@ -282,11 +286,25 @@ object IndexFollower {
           else nodeSegsOf.map { case (s, segs) =>
             s -> segs.map(sg => base.rowCounts.getOrElse(sg, 0L)).sum
           }
-        val tombCnt: Map[Int, Long] = tombAll.select(sOf.as("__s"))
-          .groupBy(col("__s")).count()
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val updShards = updHit.select(sOf.as("__s")).distinct()
-          .collect().map(_.getInt(0)).toSet
+        // ONE touched-volume-sized aggregation for the remaining per-shard
+        // decision stats the old code ran as three separate actions
+        // (tombstone counts, update shards, delete-presence) — r11,
+        // guide §2.4. countDistinct(tomb ∪ del) per shard equals the old
+        // tombAll.distinct per-shard count (shard is a function of id).
+        val shardStats = tombs.select(col("id"), lit("tomb").as("__src"))
+          .unionByName(delLive.select(col("id"), lit("del").as("__src")))
+          .unionByName(updHit.select(col("id"), lit("upd").as("__src")))
+          .select(sOf.as("__s"), col("id"), col("__src"))
+          .groupBy(col("__s")).agg(
+            countDistinct(when(col("__src") =!= "upd", col("id"))).as("__ntomb"),
+            sum(when(col("__src") === "upd", 1L).otherwise(0L)).as("__nupd"),
+            sum(when(col("__src") === "del", 1L).otherwise(0L)).as("__ndel"))
+          .collect()
+        val tombCnt: Map[Int, Long] = shardStats
+          .map(r => r.getInt(0) -> r.getLong(1)).filter(_._2 > 0L).toMap
+        val updShards = shardStats
+          .filter(_.getLong(2) > 0L).map(_.getInt(0)).toSet
+        val delLiveNonEmpty = shardStats.exists(_.getLong(3) > 0L)
         val insShards = batchShards
         val rebuildShards = updShards ++ tombCnt.collect {
           case (s, t) if nodeCnt.getOrElse(s, 0L) > 0 &&
@@ -320,10 +338,14 @@ object IndexFollower {
         val tombAfter =
           if (rebuildShards.isEmpty) tombAll
           else tombAll.filter(!sOf.isin(rebuildShards.toSeq.map(Int.box): _*))
+        // emptiness decisions come from the shardStats pass above — no
+        // extra isEmpty actions (r11)
+        val tombAfterNonEmpty =
+          tombCnt.exists { case (s, _) => !rebuildShards.contains(s) }
         val (tombDfs, keptTombSegs) =
           if (rebuildShards.nonEmpty || migrating) {
-            (if (tombAfter.isEmpty) Nil else Seq(tombRows(tombAfter)), Nil)
-          } else if (!delLive.isEmpty) {
+            (if (tombAfterNonEmpty) Seq(tombRows(tombAfter)) else Nil, Nil)
+          } else if (delLiveNonEmpty) {
             (Seq(tombRows(delLive.select(col("id")))), tombSegs)
           } else (Nil, tombSegs)
         val keptNodeSegs = nodeSegsOf.collect {
@@ -474,11 +496,10 @@ object IndexFollower {
       if (lastV < 0 || rebootNeeded(src, lastV, onFloorOverrun))
         (Some(fullBuild()), Seq.empty)
       else {
-        val (insRaw, del) = finalChanges(spark, src, lastV, srcLatest, idCol, vecCol, "vec")
-        // the batch feeds the stats pass, the tombstone derivation AND the
-        // encode path — materialize it once (touched-volume-sized) instead
-        // of re-running the change-feed collapse per consumer (r11)
-        val ins = insRaw.localCheckpoint()
+        // finalChanges materializes the collapsed batch (localCheckpoint),
+        // so the stats pass, tombstone derivation and encode path all read
+        // the touched-volume-sized blocks (r11)
+        val (ins, del) = finalChanges(spark, src, lastV, srcLatest, idCol, vecCol, "vec")
         val indexedIds = state.filter(col("kind") === "assigned").select(col("id"))
         val tombIds = ins.select(col("id")).unionByName(del).distinct()
           .join(indexedIds, Seq("id"), "left_semi")
@@ -624,11 +645,10 @@ object IndexFollower {
       val reboot = rebootNeeded(src, lastV0, onFloorOverrun)
       val lastV = if (reboot) -1L else lastV0
       val state = if (reboot) emptyMhState(spark) else curState()
-      val (insRaw, del) = finalChanges(spark, src, lastV, srcLatest, idCol, textCol, "__text")
-      // the batch feeds the signature build, the tombstone derivation and
-      // the compaction decision — materialize once (touched-volume-sized)
-      // instead of re-running the change-feed collapse per consumer (r11)
-      val ins = insRaw.localCheckpoint()
+      // finalChanges materializes the collapsed batch (localCheckpoint) —
+      // the signature build, tombstone derivation and compaction decision
+      // all read the touched-volume-sized blocks (r11)
+      val (ins, del) = finalChanges(spark, src, lastV, srcLatest, idCol, textCol, "__text")
       val fresh = asMhState(Dedup.buildMinhashIndex(ins, "id", "__text", cfg),
         gen = srcLatest)
       // tombstone every changed id that the state has EVER indexed (a
